@@ -1,0 +1,447 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.TableCatalog
+
+/** Parity tier — every relational operator the reference exercises
+  * (SURVEY.md §2.1–§2.8), re-targeted at the TPC-H-ish test corpus and
+  * re-expressed with the idiomatic DataFrame API so Catalyst plans them
+  * (pushdown/pruning/join-strategy come free; see SURVEY.md §4).
+  *
+  * Each query is deterministic end-to-end: total ORDER BY over a unique key
+  * set, pinned literals instead of CURRENT_DATE (reference:
+  * services/jcap_pa_etl_service.py:177,206), and exact-decimal double
+  * aggregation (see [[graft.functions]]).
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  /** Scratch space for write-path queries; must stay inside /root/repo. */
+  private val scratch = "/root/repo/target/graft-scratch"
+
+  // ---------------------------------------------------------------- q01
+  /** S1/O2 — scan with deterministic row cap (reference read_table + limit,
+    * utils/db_utils.py:68-95). ORDER BY before LIMIT so the cap is
+    * reproducible; Spark plans it as TakeOrderedAndProject. */
+  def q01ScanLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .limit(10)
+
+  // ---------------------------------------------------------------- q02
+  /** P1/P2 — constant-column add + fixed projection (reference POC
+    * transform, services/etl_service.py:53-57). */
+  def q02AddLiteralProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("load_date", to_date(lit("2026-01-01")))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"),
+        col("load_date"))
+      .orderBy(col("o_orderkey"))
+
+  // ---------------------------------------------------------------- q03
+  /** S2 + P1-P12 + J4 flagship — analogue of the reference's big pushed-down
+    * CDP query (services/jcap_pa_etl_service.py:176-227): fact filtered by
+    * UPPER() IN-list + date range, LEFT JOIN (SELECT DISTINCT dim) on a
+    * compound key with UPPER() on one side, LEFT JOIN lookup dim, LEFT JOIN
+    * filtered subquery dim, Redshift-style casts, two CASE arms (one with
+    * NULL fall-through), aliases everywhere, multi-column ORDER BY.
+    * lineitem≙fact, orders≙ref-cap dim, customer≙alignment, nation≙segment.
+    */
+  def q03FlagshipSql(spark: SparkSession, dir: String): DataFrame = {
+    val fact = t(spark, dir, "lineitem")
+      .filter(upper(col("l_returnflag")).isin("A", "R") &&
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1995-06-01T00:00:00")) &&
+        col("l_shipdate") <= lit(java.time.LocalDateTime.parse("2000-12-31T00:00:00")))
+    val refCap = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_custkey", "o_orderpriority",
+        "o_orderdate")
+      .distinct()
+    val alignment = t(spark, dir, "customer")
+    val segment = t(spark, dir, "nation")
+      .filter(col("n_regionkey") === lit(1))
+      .select("n_nationkey", "n_name")
+
+    fact
+      .join(refCap,
+        fact("l_orderkey") === refCap("o_orderkey") &&
+          upper(fact("l_linestatus")) === upper(refCap("o_orderstatus")),
+        "left")
+      .join(alignment, refCap("o_custkey") === alignment("c_custkey"), "left")
+      .join(segment, alignment("c_nationkey") === segment("n_nationkey"), "left")
+      .select(
+        to_date(lit("2026-01-01")).as("load_date"),
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        col("l_orderkey").cast("string").as("orderkey_str"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        when(col("o_orderdate") > col("l_shipdate"), col("o_orderdate"))
+          .otherwise(col("l_shipdate")).as("overall_ts"),
+        when(col("l_returnflag") === "A", "ACCEPT")
+          .when(col("l_returnflag") === "R", "REJECT")
+          .when(col("o_orderstatus") === "P", "PENDING")
+          .as("final_disposition"),
+        upper(col("o_orderpriority")).as("priority_uc"),
+        col("c_name").as("cust_name"),
+        col("c_mktsegment").as("segment"),
+        col("n_name").as("nation_name"),
+        col("l_quantity").as("quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("final_disposition"), col("orderkey"), col("linenumber"),
+        col("ship_date"), col("overall_ts"), col("priority_uc"),
+        col("cust_name"), col("segment"), col("nation_name"),
+        col("quantity"), col("revenue"))
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** A1/A2 — COUNT(*) scalar aggregate (utils/db_utils.py:178-193). */
+  def q04CountStar(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- q05
+  /** A3 — SELECT DISTINCT (services/jcap_pa_etl_service.py:208-213). */
+  def q05Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- q06
+  /** P6 — searched CASE WHEN with no ELSE → NULL fall-through
+    * (services/jcap_pa_etl_service.py:186-189). */
+  def q06CaseWhen(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "A" && col("l_linestatus") === "F", "AF")
+          .when(col("l_returnflag") === "R", "RET")
+          .when(col("l_quantity") > 45, "BIG")
+          .as("tag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("tag"))
+
+  // ---------------------------------------------------------------- q07
+  /** P7/P8 — UPPER() + IN-list predicate
+    * (services/jcap_pa_etl_service.py:203-204). */
+  def q07UpperInFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(upper(col("o_orderpriority")).isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), upper(col("o_orderpriority")).as("priority_uc"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- q08
+  /** P9/P10 — date-range predicate + equality filter
+    * (services/jcap_pa_etl_service.py:205-206,223). */
+  def q08DateRangeFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("l_shipdate") <= lit(java.time.LocalDateTime.parse("1997-12-31T00:00:00")) &&
+          col("l_linestatus") === "F")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_linestatus")
+
+  // ---------------------------------------------------------------- q09
+  /** P4 — Redshift `::date` / `::varchar` casts
+    * (services/jcap_pa_etl_service.py:177-183). */
+  def q09CastTypes(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_orderkey").cast("string").as("orderkey_str"),
+        col("l_linenumber").cast("long").as("linenumber_big"))
+      .orderBy("l_orderkey", "l_linenumber", "ship_date")
+
+  // ---------------------------------------------------------------- q10
+  /** J1 — LEFT join on compound key with UPPER() on one component
+    * (services/jcap_pa_etl_service.py:207-215). */
+  def q10LeftJoinCompound(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") &&
+          upper(li("l_linestatus")) === upper(o("o_orderstatus")),
+        "left")
+      .select(li("l_orderkey"), li("l_linenumber"), li("l_linestatus"),
+        o("o_orderstatus"), o("o_totalprice"))
+      .orderBy("l_orderkey", "l_linenumber", "l_linestatus", "o_orderstatus",
+        "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** J2/J3 — LEFT-join chain incl. a pre-filtered subquery dim
+    * (services/jcap_pa_etl_service.py:216-224). Catalyst keeps the filter
+    * below the join; small dims broadcast under AQE. */
+  def q11LeftJoinChain(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val seg = t(spark, dir, "nation")
+      .filter(col("n_regionkey") === lit(1))
+      .select("n_nationkey", "n_name")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .join(seg, c("c_nationkey") === seg("n_nationkey"), "left")
+      .select(o("o_orderkey"), c("c_name"), c("c_mktsegment"), seg("n_name"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** O1 — global multi-column ORDER BY
+    * (services/jcap_pa_etl_service.py:226); range-partitioned total sort. */
+  def q12OrderByMulti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- q13
+  /** P11 — to_timestamp with explicit format. The reference applies
+    * `to_timestamp(col,"MM-dd-yyyy")` to columns that are already dates
+    * (services/jcap_pa_etl_service.py:259-264) which nulls out under
+    * non-legacy parsing; we reproduce the *intent* (normalize through the
+    * format) by formatting to the pattern first, then parsing back. */
+  def q13ToTimestampFmt(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_timestamp(date_format(col("l_shipdate"), "MM-dd-yyyy"), "MM-dd-yyyy")
+          .as("parsed_ts"))
+      .orderBy("l_orderkey", "l_linenumber", "parsed_ts")
+
+  // ---------------------------------------------------------------- q14
+  /** P3 — map-driven rename, skip-if-absent (the reference loops
+    * withColumnRenamed with best-effort matching,
+    * services/jcap_pa_etl_service.py:271-286; `withColumnsRenamed` ignores
+    * absent keys the same way — including a dead key here to pin that). */
+  def q14RenameProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumnsRenamed(Map(
+        "o_orderkey" -> "order_id",
+        "o_orderpriority" -> "priority",
+        "not_a_column" -> "dead_rename"))
+      .select("order_id", "priority")
+      .orderBy("order_id")
+
+  // ---------------------------------------------------------------- q15
+  /** P5 — CURRENT_DATE stamp (services/jcap_pa_etl_service.py:177,206).
+    * Nondeterministic ⇒ smoke-only (no oracle entry). */
+  def q15CurrentDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("load_date", current_date())
+
+  // ---------------------------------------------------------------- q16
+  /** W1/O3 — truncate via limit(0): empty result, schema preserved
+    * (utils/db_utils.py:203-212). */
+  def q16TruncateEmpty(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .limit(0)
+
+  // ---------------------------------------------------------------- q17
+  /** W2/W3 — copy table through the sink and read it back (backup copy,
+    * utils/db_utils.py:225-247): content must equal the source. */
+  def q17CopyTable(spark: SparkSession, dir: String): DataFrame = {
+    val dst = s"$scratch/q17_copy"
+    t(spark, dir, "supplier").write.mode(SaveMode.Overwrite).parquet(dst)
+    spark.read.parquet(dst).orderBy("s_suppkey")
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** W5/A4 — run-over-run count variance with divide-by-zero guard
+    * (services/jcap_pa_etl_service.py:363-364: prev==0 → 0%), computed
+    * in-engine as a real aggregate instead of driver-side Python. */
+  def q18CountVariance(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("cur_cnt"),
+        count(when(col("l_shipdate") <
+          lit(java.time.LocalDateTime.parse("1998-01-01T00:00:00")), 1))
+          .as("prev_cnt"))
+      .withColumn("variance_pct",
+        when(col("prev_cnt") === 0, lit(0.0))
+          .otherwise(abs(col("cur_cnt") - col("prev_cnt")) * lit(100.0) /
+            col("prev_cnt")))
+
+  // ---------------------------------------------------------------- q19
+  /** S4/S5 — write path with the reference's repartition heuristic
+    * `min(8, max(1, rows/10000))` (utils/db_utils.py:129-130), then read
+    * back and verify content by exact aggregate. */
+  def q19RepartWrite(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "orders")
+    val rows = src.count()
+    val parts = math.min(8L, math.max(1L, rows / 10000L)).toInt
+    val dst = s"$scratch/q19_repart"
+    src.repartition(parts).write.mode(SaveMode.Overwrite).parquet(dst)
+    spark.read.parquet(dst)
+      .agg(count(lit(1)).as("rows_written"),
+        countDistinct(col("o_orderkey")).as("distinct_keys"),
+        dsum(col("o_totalprice")).as("total_price"))
+  }
+
+  // ---------------------------------------------------------------- q20
+  /** P6 variant — 2-arm date-max CASE (`Overall_date`,
+    * services/jcap_pa_etl_service.py:185) next to its `greatest` algebraic
+    * equivalent; inner join so both sides are non-null and the two agree. */
+  def q20GreatestCase(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(li("l_orderkey"), li("l_linenumber"),
+        when(o("o_orderdate") > li("l_shipdate"), o("o_orderdate"))
+          .otherwise(li("l_shipdate")).as("overall_case"),
+        greatest(o("o_orderdate"), li("l_shipdate")).as("overall_greatest"))
+      .orderBy("l_orderkey", "l_linenumber", "overall_case")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_limit" -> q01ScanLimit _,
+    "q02_add_literal_project" -> q02AddLiteralProject _,
+    "q03_flagship_sql" -> q03FlagshipSql _,
+    "q04_count_star" -> q04CountStar _,
+    "q05_distinct" -> q05Distinct _,
+    "q06_case_when" -> q06CaseWhen _,
+    "q07_upper_in_filter" -> q07UpperInFilter _,
+    "q08_date_range_filter" -> q08DateRangeFilter _,
+    "q09_cast_types" -> q09CastTypes _,
+    "q10_left_join_compound" -> q10LeftJoinCompound _,
+    "q11_left_join_chain" -> q11LeftJoinChain _,
+    "q12_order_by_multi" -> q12OrderByMulti _,
+    "q13_to_timestamp_fmt" -> q13ToTimestampFmt _,
+    "q14_rename_project" -> q14RenameProject _,
+    "q15_current_date" -> q15CurrentDate _,
+    "q16_truncate_empty" -> q16TruncateEmpty _,
+    "q17_copy_table" -> q17CopyTable _,
+    "q18_count_variance" -> q18CountVariance _,
+    "q19_repart_write" -> q19RepartWrite _,
+    "q20_greatest_case" -> q20GreatestCase _)
+
+  /** DuckDB-dialect oracle SQL, column-name- and value-identical to the
+    * Spark results (NULLS FIRST matches Spark's asc default). */
+  val oracle: Map[String, String] = Map(
+    "q01_scan_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag LIMIT 10""".stripMargin,
+    "q02_add_literal_project" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |       DATE '2026-01-01' AS load_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q03_flagship_sql" ->
+      """SELECT DATE '2026-01-01' AS load_date,
+        |       l.l_orderkey AS orderkey,
+        |       l.l_linenumber AS linenumber,
+        |       CAST(l.l_orderkey AS VARCHAR) AS orderkey_str,
+        |       CAST(l.l_shipdate AS DATE) AS ship_date,
+        |       CASE WHEN u.o_orderdate > l.l_shipdate THEN u.o_orderdate
+        |            ELSE l.l_shipdate END AS overall_ts,
+        |       CASE WHEN l.l_returnflag = 'A' THEN 'ACCEPT'
+        |            WHEN l.l_returnflag = 'R' THEN 'REJECT'
+        |            WHEN u.o_orderstatus = 'P' THEN 'PENDING' END AS final_disposition,
+        |       UPPER(u.o_orderpriority) AS priority_uc,
+        |       c.c_name AS cust_name,
+        |       c.c_mktsegment AS segment,
+        |       s.n_name AS nation_name,
+        |       l.l_quantity AS quantity,
+        |       l.l_extendedprice * (1 - l.l_discount) AS revenue
+        |FROM lineitem l
+        |LEFT JOIN (SELECT DISTINCT o_orderkey, o_orderstatus, o_custkey,
+        |                  o_orderpriority, o_orderdate FROM orders) u
+        |  ON l.l_orderkey = u.o_orderkey
+        | AND UPPER(l.l_linestatus) = UPPER(u.o_orderstatus)
+        |LEFT JOIN customer c ON u.o_custkey = c.c_custkey
+        |LEFT JOIN (SELECT n_nationkey, n_name FROM nation
+        |           WHERE n_regionkey = 1) s
+        |  ON c.c_nationkey = s.n_nationkey
+        |WHERE UPPER(l.l_returnflag) IN ('A','R')
+        |  AND l.l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l.l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |ORDER BY final_disposition NULLS FIRST, orderkey, linenumber,
+        |  ship_date, overall_ts, priority_uc NULLS FIRST,
+        |  cust_name NULLS FIRST, segment NULLS FIRST, nation_name NULLS FIRST,
+        |  quantity, revenue""".stripMargin,
+    "q04_count_star" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+    "q05_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q06_case_when" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN 'AF'
+        |            WHEN l_returnflag = 'R' THEN 'RET'
+        |            WHEN l_quantity > 45 THEN 'BIG' END AS tag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, tag NULLS FIRST""".stripMargin,
+    "q07_upper_in_filter" ->
+      """SELECT o_orderkey, UPPER(o_orderpriority) AS priority_uc
+        |FROM orders
+        |WHERE UPPER(o_orderpriority) IN ('1-URGENT','2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_date_range_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_linestatus
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |  AND l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_linestatus""".stripMargin,
+    "q09_cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+        |       CAST(l_linenumber AS BIGINT) AS linenumber_big
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
+    "q10_left_join_compound" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_linestatus,
+        |       o.o_orderstatus, o.o_totalprice
+        |FROM lineitem l
+        |LEFT JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND UPPER(l.l_linestatus) = UPPER(o.o_orderstatus)
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_linestatus,
+        |  o.o_orderstatus NULLS FIRST, o.o_totalprice NULLS FIRST""".stripMargin,
+    "q11_left_join_chain" ->
+      """SELECT o.o_orderkey, c.c_name, c.c_mktsegment, s.n_name
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN (SELECT n_nationkey, n_name FROM nation
+        |           WHERE n_regionkey = 1) s
+        |  ON c.c_nationkey = s.n_nationkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q12_order_by_multi" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin,
+    "q13_to_timestamp_fmt" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       strptime(strftime(l_shipdate, '%m-%d-%Y'), '%m-%d-%Y') AS parsed_ts
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, parsed_ts""".stripMargin,
+    "q14_rename_project" ->
+      """SELECT o_orderkey AS order_id, o_orderpriority AS priority
+        |FROM orders ORDER BY order_id""".stripMargin,
+    "q16_truncate_empty" ->
+      "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem WHERE 1 = 0",
+    "q17_copy_table" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+    "q18_count_variance" ->
+      """SELECT cur_cnt, prev_cnt,
+        |       CASE WHEN prev_cnt = 0 THEN 0.0
+        |            ELSE ABS(cur_cnt - prev_cnt) * 100.0 / prev_cnt
+        |       END AS variance_pct
+        |FROM (SELECT COUNT(*) AS cur_cnt,
+        |             COUNT(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |                        THEN 1 END) AS prev_cnt
+        |      FROM lineitem)""".stripMargin,
+    "q19_repart_write" ->
+      s"""SELECT COUNT(*) AS rows_written,
+         |       COUNT(DISTINCT o_orderkey) AS distinct_keys,
+         |       ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders""".stripMargin,
+    "q20_greatest_case" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |       CASE WHEN o.o_orderdate > l.l_shipdate THEN o.o_orderdate
+        |            ELSE l.l_shipdate END AS overall_case,
+        |       greatest(o.o_orderdate, l.l_shipdate) AS overall_greatest
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, overall_case""".stripMargin)
+}

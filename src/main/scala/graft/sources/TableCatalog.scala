@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet-directory-backed table catalog.
+  *
+  * The reference resolves tables dynamically against a remote warehouse
+  * (JDBC `schema.table` reads, /root/reference/utils/db_utils.py:68-95) and a
+  * parquet object store (/root/reference/services/s3_service.py:26-77). Here
+  * the same role is played by a directory of parquet files — one per table —
+  * with schema always taken from the source (parquet footer), never declared,
+  * matching the reference's inferred-schema stance
+  * (/root/reference/utils/db_utils.py:76-80).
+  *
+  * Scale note: `load` is a plain `spark.read.parquet`, so Catalyst predicate
+  * pushdown / column pruning / partition pruning all apply downstream. On a
+  * real cluster the directory is an object-store prefix; nothing here assumes
+  * local FS.
+  */
+object TableCatalog {
+
+  /** All tables the test corpus provides (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, table: String): String = s"$dir/$table.parquet"
+
+  /** Lazy scan of one table; schema from parquet footer. */
+  def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(path(dir, table))
+
+  /** Register every corpus table as a temp view so `spark.sql` works
+    * (analogue of the reference's pushdown-SQL entry point,
+    * /root/reference/utils/db_utils.py:97-117 — Catalyst executes instead of
+    * the remote optimizer). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { t =>
+      load(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** Existence probe via schema read — mirrors the reference's
+    * probe-by-schema (/root/reference/services/s3_service.py:79-94) without
+    * scanning data. */
+  def exists(spark: SparkSession, dir: String, table: String): Boolean =
+    try { spark.read.parquet(path(dir, table)).schema; true }
+    catch { case _: Exception => false }
+
+  /** Overwrite-write (reference parquet stage,
+    * /root/reference/services/s3_service.py:26-54). */
+  def write(df: DataFrame, dir: String, table: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path(dir, table))
+}
