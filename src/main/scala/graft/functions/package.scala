@@ -30,4 +30,25 @@ package object functions {
   /** DuckDB oracle fragment equivalent to [[davg]]. */
   def davgSql(col: String, precision: Int = 18, scale: Int = 4): String =
     s"CAST(SUM(CAST($col AS DECIMAL($precision,$scale))) AS DOUBLE) / COUNT($col)"
+
+  // ---------------------------------------------------------------------
+  // Embedding vector helpers over ArrayType columns. Built on codegen'd
+  // higher-order functions (zip_with/aggregate) — no UDF, no deserialization
+  // to Scala objects; elements are widened float→double before accumulating
+  // so results are stable and match DuckDB's double arithmetic.
+  // ---------------------------------------------------------------------
+
+  /** Dot product of two array<float|double> columns, accumulated in double
+    * in element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two embedding columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
 }

@@ -1,0 +1,264 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.TableCatalog
+
+/** Extras tier (SURVEY.md §2.11): the analytic operator families the
+  * reference never exercises but the north star requires — grouped/window/
+  * rollup aggregation, set ops, approximate distinct, dedup, embedding
+  * similarity, text stats, JSON, event-time windows. All Spark built-ins;
+  * partial (map-side) aggregation, AQE join planning and parquet pushdown
+  * come from Catalyst.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  // ---------------------------------------------------------------- q21
+  /** Grouped aggregation with the full agg family (hash aggregate with
+    * map-side partials; doubles summed via exact decimal). */
+  def q21GroupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        davg(col("l_discount"), scale = 6).as("avg_disc"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- q22
+  /** Exact dedup keyed on a content hash (Dedup.exactByHash): the shuffle
+    * carries a 64-char digest, not document bodies — the 100 TB-safe
+    * formulation of dropDuplicates(text). */
+  def q22DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(t(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("keep_id")
+
+  // ---------------------------------------------------------------- q23
+  /** MinHash-LSH near-dup pairs (MLlib; seeded). Bucketed candidate
+    * generation — no O(n²) cross join. Non-SQL-expressible → rows-only. */
+  def q23NeardupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(t(spark, dir, "documents"), "text", "doc_id",
+        maxDistance = 0.6)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q24
+  /** Embedding cosine top-k, exact brute force: query set broadcast, corpus
+    * scanned once, ranked per query. Similarity rounded + id tiebreak for
+    * cross-engine-stable ranking. */
+  def q24CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", embCol = "embedding", k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** Window functions: row_number / lag / running sum per customer ordered
+    * by (date, key) — unique ordering keys keep lag deterministic. */
+  def q25WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Tumbling event-time window (batch form of the streaming agg;
+    * upgradeable to readStream + withWatermark unchanged). */
+  def q26TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  // ---------------------------------------------------------------- q27
+  /** Approximate distinct via HLL++ next to the exact count. Sketch
+    * internals are engine-specific → rows-only check; the spec asserts the
+    * ±5% envelope instead. */
+  def q27ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- q28
+  /** Top-k: ORDER BY + LIMIT fused by Spark into TakeOrderedAndProject —
+    * per-partition heaps, no global sort. */
+  def q28Topk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  // ---------------------------------------------------------------- q29
+  /** Set operations: (A ∪ B) ∖ (A ∩ B) over customer key sets — exercises
+    * union-distinct, intersect, except. */
+  def q29Setops(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    a.union(b).distinct()
+      .except(a.intersect(b))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** ROLLUP grouping sets with exact-decimal sums; NULL markers for
+    * super-aggregate rows sort first (matching the oracle's NULLS FIRST). */
+  def q30Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- q31
+  /** Text statistics over documents: lengths, token counts, distinct
+    * tokens, average token length — all codegen'd string/array built-ins,
+    * no UDF. */
+  def q31TextStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        length(col("text")).as("text_len"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        round((length(col("text")) - (size(col("toks")) - 1))
+          .cast("double") / size(col("toks")), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q32
+  /** JSON extraction from the events.props string column. */
+  def q32JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_group_agg" -> q21GroupAgg _,
+    "q22_dedup_exact" -> q22DedupExact _,
+    "q23_neardup_minhash" -> q23NeardupMinhash _,
+    "q24_cosine_topk" -> q24CosineTopk _,
+    "q25_window_rank" -> q25WindowRank _,
+    "q26_tumbling_window" -> q26TumblingWindow _,
+    "q27_approx_distinct" -> q27ApproxDistinct _,
+    "q28_topk" -> q28Topk _,
+    "q29_setops" -> q29Setops _,
+    "q30_rollup" -> q30Rollup _,
+    "q31_text_stats" -> q31TextStats _,
+    "q32_json_extract" -> q32JsonExtract _)
+
+  /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL sketch)
+    * are rows-only — no entries. */
+  val oracle: Map[String, String] = Map(
+    "q21_group_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       COUNT(*) AS n,
+         |       ${dsumSql("l_quantity")} AS sum_qty,
+         |       ${dsumSql("l_extendedprice")} AS sum_price,
+         |       ${davgSql("l_discount", scale = 6)} AS avg_disc,
+         |       MIN(l_shipdate) AS min_ship,
+         |       MAX(l_shipdate) AS max_ship
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q22_dedup_exact" ->
+      """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
+        |       COUNT(*) AS dup_count
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "q24_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |             CAST(embedding AS DOUBLE[]) AS c_emb
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |         ROUND(list_dot_product(q.q_emb, c.c_emb) /
+        |               (SQRT(list_dot_product(q.q_emb, q.q_emb)) *
+        |                SQRT(list_dot_product(c.c_emb, c.c_emb))), 6) AS sim
+        |  FROM q, c WHERE q.query_id <> c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q25_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       ROW_NUMBER() OVER w AS rn,
+        |       LAG(o_totalprice, 1) OVER w AS prev_price,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q26_tumbling_window" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         |       CAST(date_trunc('hour', ts) AS TIMESTAMP)
+         |         + INTERVAL 1 HOUR AS window_end,
+         |       event_type,
+         |       COUNT(*) AS n_events,
+         |       ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin,
+    "q28_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q29_setops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |EXCEPT
+        |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q30_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q31_text_stats" ->
+      """SELECT doc_id, lang, n_chars,
+        |       LENGTH(text) AS text_len,
+        |       LEN(string_split_regex(text, '\s+')) AS n_tokens,
+        |       LEN(list_distinct(string_split_regex(text, '\s+')))
+        |         AS n_distinct_tokens,
+        |       ROUND(CAST(LENGTH(text)
+        |               - (LEN(string_split_regex(text, '\s+')) - 1) AS DOUBLE)
+        |             / LEN(string_split_regex(text, '\s+')), 6)
+        |         AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin)
+}

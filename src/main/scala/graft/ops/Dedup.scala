@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * The reference has only storage-level dedup (SELECT DISTINCT,
+  * /root/reference/services/jcap_pa_etl_service.py:208-213); these operators
+  * extend that to the document-dedup family a 100 TB text corpus needs.
+  * All are pure `DataFrame → DataFrame` transforms: hash-partitioned
+  * group-bys and bucket-joins, no driver-side loops.
+  */
+object Dedup {
+
+  /** Exact dedup at scale: group on a 256-bit content hash instead of the
+    * raw text so the shuffle carries 64 hex chars per row, not whole
+    * documents. Keeps the smallest id as the canonical representative
+    * (deterministic winner). */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Lowercased word tokens (non-word runs as separators, empties dropped). */
+  private def tokensOf(textCol: String) =
+    filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles of a document. Shingling (vs raw
+    * unigrams) is what makes MinHash discriminative on natural text: with a
+    * small vocabulary every document's unigram set converges to the whole
+    * vocabulary and all Jaccard distances collapse toward 0. */
+  def shingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("toks", tokensOf(textCol))
+      .withColumn("shingles",
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .drop("toks")
+
+  /** Shingle → term-frequency vectors for hashing-based dedup; 2^18 feature
+    * space keeps hash collisions rare while bounding vector width. */
+  def tfVectors(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    new HashingTF()
+      .setInputCol("shingles").setOutputCol("tf")
+      .setNumFeatures(1 << 18)
+      .transform(shingles(df, textCol, n))
+
+  /** Near-duplicate pairs via MinHash LSH (spark-mllib): shingle→minhash→
+    * band→bucket-join. `approxSimilarityJoin` only compares items sharing a
+    * band bucket, so the candidate set stays near-linear at 100 TB instead
+    * of the O(n²) cross join. Seeded for reproducibility. Returns pairs
+    * (id_a < id_b) with Jaccard distance below `maxDistance`. */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxDistance: Double = 0.6,
+                          numHashTables: Int = 5): DataFrame = {
+    val tf = tfVectors(df, textCol)
+      // MinHashLSH requires at least one non-zero entry
+      .filter(size(col("shingles")) > 0)
+    val lsh = new MinHashLSH()
+      .setInputCol("tf").setOutputCol("minhash")
+      .setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(tf)
+    val joined = model.approxSimilarityJoin(tf, tf, maxDistance, "jaccard_dist")
+    joined
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** 64-bit SimHash of a token array: for each of the 64 bit positions, sum
+    * +1/-1 votes weighted by each token's xxhash64 bit, then collapse to a
+    * bit vector. Pure expression pipeline (explode → groupBy id), fully
+    * distributed; near-dup = small Hamming distance between signatures. */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df
+      .withColumn("tok", explode(tokensOf(textCol)))
+      .withColumn("h", xxhash64(col("tok")))
+    // one row per (doc, bit): vote +1 if the bit is set, else -1
+    val bits = toks.select(
+      col(idCol), col("h"),
+      explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote",
+        when(call_function("shiftright", col("h"), col("bit"))
+          .bitwiseAND(1) === 1, 1).otherwise(-1))
+    bits.groupBy(col(idCol), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bitval",
+        when(col("v") > 0, call_function("shiftleft", lit(1L), col("bit")))
+          .otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+    * chunks and bucket-join on any matching chunk (pigeonhole: distance ≤ 3
+    * guarantees one identical chunk), then verify by exact Hamming distance.
+    * Avoids the O(n²) cross join the naive formulation needs. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val sig = simhash64(df, textCol, idCol)
+    val banded = sig.select(
+      col(idCol), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key",
+        call_function("shiftright", col("simhash"), col("band") * 16)
+          .bitwiseAND(0xFFFFL))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+      col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Word n-gram Jaccard near-dup pairs, pure relational formulation:
+    * explode each document into its distinct n-gram shingles, self-join on
+    * shingle (inverted index — only documents sharing a shingle ever meet),
+    * count intersections, then Jaccard = |∩| / (|A|+|B|-|∩|). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val shingled = shingles(df, textCol, n)
+      .select(col(idCol), explode(col("shingles")).as("gram"))
+    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val sa = sizes.select(col(idCol).as("id_a"), col("n_grams").as("size_a"))
+    val sb = sizes.select(col(idCol).as("id_b"), col("n_grams").as("size_b"))
+    val a = shingled.select(col(idCol).as("id_a"), col("gram"))
+    val b = shingled.select(col(idCol).as("id_b"), col("gram"))
+    a.join(b, "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+  }
+}

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
 
 /** Parquet-directory-backed table catalog.
   *
@@ -26,9 +28,25 @@ object TableCatalog {
 
   def path(dir: String, table: String): String = s"$dir/$table.parquet"
 
-  /** Lazy scan of one table; schema from parquet footer. */
-  def load(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.read.parquet(path(dir, table))
+  /** Session configs the catalog needs; Verify/Bench/tests apply them at
+    * session build. `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects outright unless read as a raw long. */
+  val requiredConfigs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Lazy scan of one table; schema from parquet footer.
+    *
+    * `events.ts` arrives as epoch-nanos long (see [[requiredConfigs]]) and
+    * is normalized to TIMESTAMP_NTZ here. Integer `DIV` — not `/`, which
+    * widens to double and loses precision above 2^53 — truncates nanos to
+    * micros exactly like DuckDB's ns→µs cast, keeping the oracle aligned. */
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, table))
+    if (table == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else df
+  }
 
   /** Register every corpus table as a temp view so `spark.sql` works
     * (analogue of the reference's pushdown-SQL entry point,
