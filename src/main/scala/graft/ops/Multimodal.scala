@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, processed per-partition in batches.
+  *
+  * The decode step itself is STUBBED — this container has no image/audio
+  * codecs — with a deterministic fake featurizer, but everything Spark-side
+  * is real and load-bearing: the binary schema, the typed Dataset boundary,
+  * the mapPartitions batch shape (one decoder init per partition, then
+  * streaming over rows — exactly how a JNI/FFmpeg/PIL decoder is amortized
+  * on executors), and partition sizing before the expensive stage.
+  */
+object Multimodal {
+
+  /** One media asset: opaque bytes + typed metadata. */
+  case class MediaRow(asset_id: Long, media_type: String, n_bytes: Long,
+                      payload: Array[Byte])
+
+  /** Stub decode output: fixed-width feature vector + dimensions a real
+    * decoder would emit. */
+  case class MediaFeatures(asset_id: Long, media_type: String, n_bytes: Long,
+                           width: Int, height: Int, features: Array[Float])
+
+  /** Wrap any table with a string column as a binary media table — the
+    * ingest shape an image/audio corpus arrives in (payload bytes + type
+    * tag + size). */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+                   mediaType: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("asset_id"),
+        lit(mediaType).as("media_type"),
+        octet_length(col(payloadCol)).cast("long").as("n_bytes"),
+        col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB for the real decoder: deterministic pseudo-features from the
+    * payload bytes (FNV-1a over 4 byte-stripes), plus fake dimensions.
+    * A real implementation replaces only the body of `decodeOne`; the
+    * partition-batched execution shape around it stays. */
+  private def decodeOne(row: MediaRow): MediaFeatures = {
+    val stripes = new Array[Float](4)
+    var i = 0
+    val fnv = Array.fill(4)(0xcbf29ce484222325L)
+    while (i < row.payload.length) {
+      val s = i % 4
+      fnv(s) = (fnv(s) ^ (row.payload(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    var s = 0
+    while (s < 4) { stripes(s) = (fnv(s) >>> 40).toFloat / (1 << 24); s += 1 }
+    MediaFeatures(row.asset_id, row.media_type, row.n_bytes,
+      width = (row.n_bytes % 640).toInt, height = (row.n_bytes % 480).toInt,
+      features = stripes)
+  }
+
+  /** Partition-batched decode: mapPartitions so per-partition setup (codec
+    * init, model load) happens once per task, not per row — the pattern that
+    * makes expensive decode viable on a 1000-executor cluster. Repartition
+    * first so each task holds a bounded byte volume. */
+  def decodeFeatures(media: Dataset[MediaRow],
+                     targetPartitions: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions) else media
+    sized.mapPartitions { rows =>
+      // real impl: val codec = Codec.open() — once per partition
+      rows.map(decodeOne)
+    }
+  }
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableCatalog
+
+/** Training-data pipeline tier (q33+): the operators a 100 TB LLM corpus
+  * pipeline needs beyond classic relational analytics — near-dup detection
+  * (n-gram Jaccard, SimHash, embedding-cosine), ANN search (IVF, sign-LSH),
+  * text analysis (language ID, quality, token counts, fingerprints), and
+  * multimodal binary plumbing. Approximate operators (LSH/IVF/hash-based)
+  * are rows-only for the driver's check — their exact output is
+  * engine-specific — and are pinned by ScalaTest specs instead.
+  */
+object TrainingData {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  // ---------------------------------------------------------------- q33
+  /** Word-3-gram Jaccard near-dup pairs via inverted-index self-join —
+    * exact similarity, relational formulation, SQL-expressible oracle. */
+  def q33DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "text", "doc_id",
+        n = 3, minJaccard = 0.05)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q34
+  /** SimHash near-dup pairs (banded bucket join + Hamming verify).
+    * xxhash64-based → rows-only. */
+  def q34DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(spark, dir, "documents"), "text", "doc_id",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q35
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: only vectors sharing a
+    * sign-LSH bucket are compared (approximate → rows-only). */
+  def q35EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      Similarity.lshBucket(col("embedding"), dim = 64, nBits = 4).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.simRounded(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= 0.3)
+      .select("id_a", "id_b", "sim")
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** Heuristic language ID vs the labeled lang column (rows-only; accuracy
+    * itself is pinned by spec on curated multilingual strings — the corpus
+    * labels are synthetic). */
+  def q36LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Text.langIdGuess(col("text")).as("lang_guess"))
+      .withColumn("agree", (col("lang") === col("lang_guess")).cast("int"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q37
+  /** Surface-statistics quality score per document. */
+  def q37QualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q38
+  /** Token counting: whitespace tokens + BPE-ish pre-tokenizer count. */
+  def q38TokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        Text.tokenCountWs(col("text")).as("ws_tokens"),
+        Text.tokenCountBpe(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q39
+  /** Winnowing-style min-hash fingerprint per document (xxhash64 →
+    * rows-only). */
+  def q39Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Text.fingerprint(t(spark, dir, "documents"), "text", "doc_id", w = 8)
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q40
+  /** IVF approximate nearest neighbors for 10 query vectors (approximate →
+    * rows-only; recall vs brute force is spec-checked). */
+  def q40AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  // ---------------------------------------------------------------- q41
+  /** Sign-LSH approximate nearest neighbors (rows-only). */
+  def q41AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 5, nBits = 8)
+      .orderBy("query_id", "rn")
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** Multimodal plumbing: binary payload table → partition-batched decode
+    * stub → typed features (rows-only; determinism + metadata equalities
+    * are spec-checked). */
+  def q42MultimodalStub(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.asMediaTable(t(spark, dir, "documents"),
+          "doc_id", "text", "text/plain"),
+        targetPartitions = 0)
+      .toDF()
+      .orderBy("asset_id")
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
+    "q34_dedup_simhash" -> q34DedupSimhash _,
+    "q35_embedding_neardup" -> q35EmbeddingNeardup _,
+    "q36_lang_id" -> q36LangId _,
+    "q37_quality_score" -> q37QualityScore _,
+    "q38_token_count" -> q38TokenCount _,
+    "q39_fingerprint" -> q39Fingerprint _,
+    "q40_ann_ivf" -> q40AnnIvf _,
+    "q41_ann_lsh" -> q41AnnLsh _,
+    "q42_multimodal_stub" -> q42MultimodalStub _)
+
+  /** Oracles for the exact, SQL-expressible subset. */
+  val oracle: Map[String, String] = Map(
+    "q33_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+2], ' '))) AS gram
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM grams a JOIN grams b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.common,
+        |       sa.n_grams AS size_a, sb.n_grams AS size_b,
+        |       CAST(p.common AS DOUBLE)
+        |         / (sa.n_grams + sb.n_grams - p.common) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON p.id_a = sa.doc_id
+        |JOIN sizes sb ON p.id_b = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE)
+        |        / (sa.n_grams + sb.n_grams - p.common) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q38_token_count" ->
+      """SELECT doc_id,
+        |       LEN(string_split_regex(text, '\s+')) AS ws_tokens,
+        |       LEN(regexp_extract_all(text,
+        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

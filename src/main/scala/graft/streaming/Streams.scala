@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions._
+
+/** Structured-Streaming operators. The reference's "streaming" is a
+  * driver-side sleep loop re-running the batch pipeline
+  * (/root/reference/app.py:160-236); the engine expresses incremental
+  * processing natively: the same event transformations compile over a batch
+  * DataFrame or a readStream DataFrame unchanged, and stateful operators use
+  * watermarked event time rather than wall-clock re-runs.
+  */
+object Streams {
+
+  /** Tumbling window aggregation — identical logic to the batch
+    * q26 (Analytics.q26TumblingWindow body); pass a readStream frame and it
+    * becomes an incremental watermarked query. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user: activity gaps above `gap` close the
+    * session. */
+  def sessionize(events: DataFrame, gap: String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Event row for typed stateful processing. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Per-user running state maintained by mapGroupsWithState. */
+  case class UserState(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: running per-user totals — the
+    * `KeyValueGroupedDataset.mapGroupsWithState` pattern for state Spark's
+    * built-in aggregations can't express. NoTimeout keeps the micro-batch
+    * engine idle between data arrivals (a timeout-based variant would add
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `state.setTimeoutDuration`,
+    * at the cost of continuous empty timeout batches). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserState(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output-mode helper for the windowed aggregations (append requires the
+    * watermark to advance; update emits incremental rows). */
+  val defaultOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,102 @@
+package graft.workflow
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.sources.TableCatalog
+
+/** Table-lifecycle verbs (SURVEY.md §2.8, W1–W6): the reference's
+  * distinctive workflow operators — truncate, copy, backup-and-validate,
+  * load-and-verify, variance-check-and-alert — re-expressed as library
+  * functions over the parquet catalog. Every verb returns what it measured
+  * so callers compose them into pipelines (see [[Jobs]]).
+  */
+object Pipeline {
+
+  /** Pluggable alert sink. The reference couples alerting to SMTP
+    * (/root/reference/services/email_service.py:51-99); the engine keeps an
+    * interface and ships a log-based impl — transport is deployment detail,
+    * not analytics. */
+  trait Alerter { def alert(subject: String, body: String): Unit }
+  object LogAlerter extends Alerter {
+    def alert(subject: String, body: String): Unit =
+      System.err.println(s"[alert] $subject: $body")
+  }
+  object NoopAlerter extends Alerter {
+    def alert(subject: String, body: String): Unit = ()
+  }
+
+  /** W1 — truncate: overwrite the table with an empty frame of the same
+    * schema (the reference's limit(0)-then-overwrite,
+    * /root/reference/utils/db_utils.py:195-223). */
+  def truncate(spark: SparkSession, dir: String, table: String): Unit = {
+    val empty = TableCatalog.load(spark, dir, table).limit(0)
+    // materialize the schema before overwriting the path we read from
+    val schema = empty.schema
+    TableCatalog.write(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema),
+      dir, table, SaveMode.Overwrite)
+  }
+
+  /** W2 — copy src→dst (append), returning rows copied
+    * (/root/reference/utils/db_utils.py:225-247). */
+  def copyTable(spark: SparkSession, srcDir: String, table: String,
+                dstDir: String, mode: SaveMode = SaveMode.Append): Long = {
+    val src = TableCatalog.load(spark, srcDir, table)
+    TableCatalog.write(src, dstDir, table, mode)
+    TableCatalog.load(spark, dstDir, table).count()
+  }
+
+  /** W3 — backup-and-validate: truncate backup, copy main→backup, assert
+    * counts match (hard fail, mirroring
+    * /root/reference/services/jcap_pa_etl_service.py:157-163). Empty main
+    * skips the copy (`:143-145`). Returns rows backed up. */
+  def backupAndValidate(spark: SparkSession, mainDir: String, table: String,
+                        backupDir: String): Long = {
+    val mainCount = TableCatalog.load(spark, mainDir, table).count()
+    if (mainCount == 0) return 0L
+    val backedUp =
+      copyTable(spark, mainDir, table, backupDir, SaveMode.Overwrite)
+    require(backedUp == mainCount,
+      s"backup validation failed: main=$mainCount backup=$backedUp")
+    backedUp
+  }
+
+  /** W4/W6 — load-and-verify: overwrite destination with `df`, re-count,
+    * fail on zero rows, warn (alert) on count mismatch
+    * (/root/reference/services/jcap_pa_etl_service.py:322-355). */
+  def loadAndVerify(df: DataFrame, dstDir: String, table: String,
+                    alerter: Alerter = LogAlerter): Long = {
+    val expected = df.count()
+    TableCatalog.write(df, dstDir, table, SaveMode.Overwrite)
+    val actual =
+      TableCatalog.load(df.sparkSession, dstDir, table).count()
+    require(actual > 0 || expected == 0,
+      s"load verification failed: destination empty, expected $expected")
+    if (actual != expected)
+      alerter.alert("row-count mismatch",
+        s"$table: expected $expected, loaded $actual")
+    actual
+  }
+
+  /** W5 — run-over-run variance with the reference's divide-by-zero guard
+    * (prev==0 → 0.0, /root/reference/services/jcap_pa_etl_service.py:364). */
+  def variancePct(current: Long, previous: Long): Double =
+    if (previous == 0) 0.0
+    else math.abs(current - previous) * 100.0 / previous
+
+  /** W5 — validate-and-alert against a threshold (default 5.0 like
+    * /root/reference/core/config.py:35; validated to [0,100] like
+    * `:190-194`). Returns the variance. */
+  def validateVariance(current: Long, previous: Long,
+                       thresholdPct: Double = 5.0,
+                       alerter: Alerter = LogAlerter): Double = {
+    require(thresholdPct >= 0 && thresholdPct <= 100,
+      s"threshold must be in [0,100], got $thresholdPct")
+    val v = variancePct(current, previous)
+    if (v > thresholdPct)
+      alerter.alert("data variance",
+        f"variance $v%.2f%% exceeds threshold $thresholdPct%.2f%%")
+    v
+  }
+}

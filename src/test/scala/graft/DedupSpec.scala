@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest before nightfall arrives"
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base), // exact duplicate of 0
+    (2L, base.replace("lazy", "sleepy")), // near-duplicate of 0
+    (3L, "completely different content about spark engines and " +
+      "distributed query processing at large scale with shuffles"),
+    (4L, "yet another unrelated document mentioning parquet files and " +
+      "columnar storage formats for analytics workloads")
+  ).toDF("doc_id", "text")
+
+  test("exactByHash groups exact duplicates, keeps min id") {
+    val out = Dedup.exactByHash(docs, "text", "doc_id").collect()
+    assert(out.length == 4) // 5 docs, one exact dup pair
+    val dupRow = out.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dupRow.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+        maxDistance = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup missed")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "near dup missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc flagged")
+  }
+
+  test("simhash signatures: identical docs equal, near docs close") {
+    val sigs = Dedup.simhash64(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    val d02 = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val d03 = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(d02 < d03, s"near-dup hamming $d02 should beat unrelated $d03")
+  }
+
+  test("simhash near-dup pairs include the exact duplicate") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup high, unrelated low") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.0)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.5)
+    assert(!pairs.contains((0L, 3L)) || pairs((0L, 3L)) < 0.1)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+
+  private def sampleEvents: Seq[Streams.Event] = Seq(
+    Streams.Event(1L, ts(0), 10L, "click", 1.0),
+    Streams.Event(2L, ts(5), 10L, "click", 2.0),
+    Streams.Event(3L, ts(7), 20L, "view", 3.0),
+    Streams.Event(4L, ts(45), 10L, "click", 4.0))
+
+  test("tumbling window agg over a MemoryStream matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    input.addData(sampleEvents: _*)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.tumblingCounts(input.toDF(), windowLen = "30 minutes")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // window [00:00,00:30): 3 clicks? no – 2 clicks + 1 view; [00:30,01:00): 1 click
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 3.0)))
+      assert(rows.contains(("click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stateful running totals via mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    input.addData(sampleEvents: _*)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val byUser = spark.table("state_test")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(byUser(10L) == ((3L, 7.0)))
+      assert(byUser(20L) == ((1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("batch sessionize splits on gaps") {
+    import spark.implicits._
+    val batch = sampleEvents.toDF()
+    val sessions = Streams.sessionize(batch, gap = "10 minutes")
+      .filter(col("user_id") === 10L)
+    // user 10: events at 0,5 (one session) and 45 (another)
+    assert(sessions.count() == 2)
+  }
+}

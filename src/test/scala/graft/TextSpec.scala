@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Text
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq(
+      ("hello world", 2, 2),
+      ("it's 2026, folks!", 3, 7), // it ' s 2026 , folks !
+      ("a  b", 2, 2)               // double space
+    ).toDF("text", "ws", "bpe")
+    df.select(
+        Text.tokenCountWs($"text").as("cws"),
+        Text.tokenCountBpe($"text").as("cbpe"),
+        $"ws", $"bpe")
+      .collect().foreach { r =>
+        assert(r.getInt(0) == r.getInt(2), s"ws mismatch: $r")
+        assert(r.getInt(1) == r.getInt(3), s"bpe mismatch: $r")
+      }
+  }
+
+  test("language ID picks the right language on curated strings") {
+    val df = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("der hund ist nicht mit der katze und das ist gut", "de"),
+      ("el perro es grande y la casa es blanca en la calle", "es"),
+      ("le chien est dans la maison et la porte est grande", "fr"),
+      ("你好世界这是中文文本", "zh")
+    ).toDF("text", "expected")
+    val out = df.select(Text.langIdGuess($"text").as("guess"), $"expected")
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"guessed ${r.getString(0)}, expected ${r.getString(1)}"))
+  }
+
+  test("quality score: real prose beats junk") {
+    val df = Seq(
+      ("This is a well formed paragraph of english text that goes on " +
+        "for a while and contains the usual mixture of common words, " +
+        "so it should score highly in the quality model.", "good"),
+      ("@@@@ #### !!!! 1234 %%%% ^^^^ &&&&", "junk")
+    ).toDF("text", "kind")
+    val scores = df.select($"kind", Text.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("good") > scores("junk"),
+      s"good=${scores("good")} junk=${scores("junk")}")
+    assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprint is deterministic and shared by identical docs") {
+    val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val fp = Text.fingerprint(df, "text", "doc_id", w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+}
