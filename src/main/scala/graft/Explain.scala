@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for the named queries
+  * (default: the scale-critical ones) so scan pushdown (`PushedFilters`,
+  * `ReadSchema`), join strategies (BroadcastHashJoin vs SortMergeJoin), and
+  * partial aggregation can be reviewed per change.
+  *
+  *   runMain graft.Explain <sfDir> [qid ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val qids =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q03_flagship_sql", "q08_date_range_filter", "q21_group_agg",
+        "q24_cosine_topk", "q28_topk", "q33_dedup_ngram_jaccard")
+    val builder = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    graft.sources.TableCatalog.requiredConfigs.foreach {
+      case (k, v) => builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    qids.foreach { q =>
+      println(s"\n========== $q ==========")
+      SparkEntry.queries.get(q) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown qid: $q")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -131,14 +131,18 @@ object Dedup {
     * count intersections, then Jaccard = |∩| / (|A|+|B|-|∩|). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    // join on a 64-bit hash of the shingle, not the string: the inverted-
+    // index shuffle then carries 8 bytes per posting instead of the gram
+    // text (collision odds are ~n²/2⁶⁴ — immaterial to Jaccard counts)
     val shingled = shingles(df, textCol, n)
       .select(col(idCol), explode(col("shingles")).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
     val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val sa = sizes.select(col(idCol).as("id_a"), col("n_grams").as("size_a"))
     val sb = sizes.select(col(idCol).as("id_b"), col("n_grams").as("size_b"))
-    val a = shingled.select(col(idCol).as("id_a"), col("gram"))
-    val b = shingled.select(col(idCol).as("id_b"), col("gram"))
-    a.join(b, "gram")
+    val a = shingled.select(col(idCol).as("id_a"), col("gram_h"))
+    val b = shingled.select(col(idCol).as("id_b"), col("gram_h"))
+    a.join(b, "gram_h")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))

@@ -38,25 +38,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rn")
   }
 
-  /** Deterministic ±1 hyperplane weight for (plane, dim): bit 0 of
-    * xxhash64(plane*1024+dim). No RNG state — reproducible across runs and
-    * executors. */
-  private def planeWeight(plane: Column, dim: Column): Column =
-    (xxhash64(plane * 1024 + dim).bitwiseAND(1) * 2 - 1).cast("double")
+  /** Deterministic ±1 hyperplane weights, generated driver-side (splitmix-
+    * style integer hash of (plane,dim)) and shipped to executors as literal
+    * arrays — zero per-row hashing, reproducible across runs/executors. */
+  private def planeWeights(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      var z = (plane.toLong * 1024 + d) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) -1.0 else 1.0
+    }
 
   /** Sign-LSH bucket id: `nBits` random-hyperplane signs packed into a long.
-    * Vectors with the same bucket are likely neighbors (cosine LSH). */
+    * Vectors with the same bucket are likely neighbors (cosine LSH). Each
+    * bit is one codegen'd dot product against a constant weight array. */
   def lshBucket(embCol: Column, dim: Int, nBits: Int = 16): Column =
-    aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, p) => acc + when(
-        aggregate(
-          sequence(lit(0), lit(dim - 1)),
-          lit(0.0),
-          (s, d) => s + element_at(embCol.cast("array<double>"), d + 1) *
-            planeWeight(p, d)) > 0,
-        call_function("shiftleft", lit(1L), p)).otherwise(0L))
+    (0 until nBits).map { p =>
+      when(graft.functions.dot(embCol, typedlit(planeWeights(p, dim))) > 0,
+        lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** Approximate top-k via sign-LSH bucketing: corpus and queries are
     * bucketed; candidates = corpus rows sharing the query's bucket. Scale
