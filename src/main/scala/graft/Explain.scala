@@ -16,15 +16,10 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q03_flagship_sql", "q08_date_range_filter", "q21_group_agg",
         "q24_cosine_topk", "q28_topk", "q33_dedup_ngram_jaccard")
-    val builder = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = GraftSession
+      .builder("local[4]", shufflePartitions = 4, appName = "graft-explain")
       .config("spark.ui.enabled", "false")
-    graft.sources.TableCatalog.requiredConfigs.foreach {
-      case (k, v) => builder.config(k, v)
-    }
-    val spark = builder.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     qids.foreach { q =>
       println(s"\n========== $q ==========")

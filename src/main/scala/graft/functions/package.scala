@@ -39,8 +39,19 @@ package object functions {
   // ---------------------------------------------------------------------
 
   /** Dot product of two array<float|double> columns, accumulated in double
-    * in element order. */
-  def dot(a: Column, b: Column): Column =
+    * in element order. Backed by the native codegen [[DotProduct]]
+    * expression (fused loop, no intermediate array — see its scaladoc);
+    * byte-identical to the higher-order-function formulation
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` kept in [[dotHof]]. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a.cast("array<double>")),
+      GraftSqlBridge.expression(b.cast("array<double>"))))
+  }
+
+  /** Reference HOF formulation of [[dot]] (kept for equivalence testing). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)

@@ -53,7 +53,7 @@ object Dedup {
     * (id_a < id_b) with Jaccard distance below `maxDistance`. */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxDistance: Double = 0.6,
-                          numHashTables: Int = 5): DataFrame = {
+                          numHashTables: Int = 3): DataFrame = {
     val tf = tfVectors(df, textCol)
       // MinHashLSH requires at least one non-zero entry
       .filter(size(col("shingles")) > 0)

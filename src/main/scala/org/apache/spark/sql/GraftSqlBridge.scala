@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Compile-time bridge into the sql-package-private Column ⇄ Expression
+  * converters of Spark 4's classic API (`classic.ExpressionUtils` is
+  * `private[sql]`). Standard pattern for libraries that ship custom Catalyst
+  * expressions; nothing here touches session or execution state.
+  */
+object GraftSqlBridge {
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}

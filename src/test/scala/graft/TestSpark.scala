@@ -7,16 +7,10 @@ object TestSpark {
   val sfDir = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession = {
-    val builder = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val s = GraftSession.builder("local[4]", shufflePartitions = 4,
+        appName = "graft-tests")
       .config("spark.ui.enabled", "false")
-    graft.sources.TableCatalog.requiredConfigs.foreach {
-      case (k, v) => builder.config(k, v)
-    }
-    val s = builder.getOrCreate()
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

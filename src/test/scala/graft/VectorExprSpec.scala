@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{dot, dotHof}
+import graft.sources.TableCatalog
+
+class VectorExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("native DotProduct is byte-identical to the HOF formulation") {
+    val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
+    val a = emb.select(col("vec_id"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id"), col("embedding").as("eb"))
+    val diff = a.join(b, "vec_id")
+      .select(dot(col("ea"), col("eb")).as("native"),
+        dotHof(col("ea"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0, s"$diff rows differ between native and HOF dot")
+  }
+
+  test("graft_dot / graft_cosine resolve in SQL via GraftExtensions") {
+    TableCatalog.registerAll(spark, TestSpark.sfDir)
+    val row = spark.sql(
+      """SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                 CAST(embedding AS ARRAY<DOUBLE>)) AS d,
+        |       graft_cosine(CAST(embedding AS ARRAY<DOUBLE>),
+        |                    CAST(embedding AS ARRAY<DOUBLE>)) AS c
+        |FROM embeddings WHERE vec_id = 0""".stripMargin).head()
+    assert(row.getDouble(0) > 0.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("null array propagates to null dot") {
+    val df = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1.0d, 2.0d) AS b")
+    assert(df.select(dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+}
