@@ -156,6 +156,17 @@ object Analytics {
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
       .orderBy("event_id")
 
+  // ---------------------------------------------------------------- q43
+  /** Session windows over event time (batch form of Streams.sessionize —
+    * identical code path compiles over readStream). Oracle via the
+    * gaps-and-islands formulation: new session when the gap to the previous
+    * event is >= 5 minutes; session end = last event + gap, matching
+    * Spark's half-open session_window. */
+  def q43SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionize(
+        t(spark, dir, "events"), gap = "5 minutes")
+      .orderBy("user_id", "session_start")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_group_agg" -> q21GroupAgg _,
@@ -169,7 +180,8 @@ object Analytics {
     "q29_setops" -> q29Setops _,
     "q30_rollup" -> q30Rollup _,
     "q31_text_stats" -> q31TextStats _,
-    "q32_json_extract" -> q32JsonExtract _)
+    "q32_json_extract" -> q32JsonExtract _,
+    "q43_session_window" -> q43SessionWindow _)
 
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL sketch)
     * are rows-only — no entries. */
@@ -260,5 +272,24 @@ object Analytics {
     "q32_json_extract" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q43_session_window" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (
+         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |              ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+         |       CAST(MAX(ts) + INTERVAL 5 MINUTE AS TIMESTAMP) AS session_end,
+         |       user_id,
+         |       COUNT(*) AS n_events,
+         |       ${dsumSql("value")} AS sum_value
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin)
 }

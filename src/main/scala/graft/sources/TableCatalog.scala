@@ -69,4 +69,18 @@ object TableCatalog {
   def write(df: DataFrame, dir: String, table: String,
             mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path(dir, table))
+
+  /** Persist as a bucketed+sorted managed table: both sides of a
+    * co-partitioned equi-join then read with matching HashPartitioning and
+    * the join plans with NO shuffle exchange — the storage-level answer to
+    * repeated large-fact joins at 100 TB (vs paying the shuffle per query).
+    * Requires `spark.sql.warehouse.dir` (set by GraftSession). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+import graft.sources.TableCatalog
+
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = TableCatalog.load(spark, sf, "lineitem")
+      .withColumnRenamed("l_orderkey", "k")
+    val o = TableCatalog.load(spark, sf, "orders")
+      .withColumnRenamed("o_orderkey", "k")
+      .select("k", "o_totalprice", "o_orderstatus")
+    val plain = li.join(o, Seq("k"), "inner")
+    val salted = Skew.saltedJoin(li, o, "k", factor = 7, joinType = "inner")
+    assert(salted.count() == plain.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("salted left join preserves unmatched rows once") {
+    val li = TableCatalog.load(spark, sf, "lineitem")
+      .withColumnRenamed("l_orderkey", "k")
+    val half = TableCatalog.load(spark, sf, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .withColumnRenamed("o_orderkey", "k")
+      .select("k", "o_totalprice")
+    val plain = li.join(half, Seq("k"), "left")
+    val salted = Skew.saltedJoin(li, half, "k", factor = 5, joinType = "left")
+    assert(salted.count() == plain.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("heavyHitters surfaces the hottest keys in order") {
+    val hh = Skew.heavyHitters(
+      TableCatalog.load(spark, sf, "lineitem"), "l_returnflag", 1)
+      .collect()
+    assert(hh.length == 3)
+    val counts = hh.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // the in-memory catalog dies with each JVM but warehouse files persist;
+    // clear both so saveAsTable sees a fresh location
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      new scala.reflect.io.Directory(
+        new java.io.File(s"/root/repo/target/spark-warehouse/$t"))
+        .deleteRecursively()
+    }
+    TableCatalog.writeBucketed(
+      TableCatalog.load(spark, sf, "lineitem"), "li_bucketed",
+      "l_orderkey", numBuckets = 8)
+    TableCatalog.writeBucketed(
+      TableCatalog.load(spark, sf, "orders"), "o_bucketed",
+      "o_orderkey", numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge path so bucket co-partitioning is what's tested
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.table("li_bucketed")
+      val o = spark.table("o_bucketed")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange "),
+        s"bucketed join still shuffles:\n$plan")
+      // and it is still correct
+      val expected = TableCatalog.load(spark, sf, "lineitem")
+        .join(TableCatalog.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
