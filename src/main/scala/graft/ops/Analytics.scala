@@ -167,6 +167,37 @@ object Analytics {
         t(spark, dir, "events"), gap = "5 minutes")
       .orderBy("user_id", "session_start")
 
+  // ---------------------------------------------------------------- q45
+  /** CUBE grouping sets (all four combinations of the two flags). */
+  def q45Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- q46
+  /** Semi/anti joins (EXISTS / NOT EXISTS): parts that were ordered vs
+    * parts never ordered, tagged and unioned. */
+  def q46SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val li = t(spark, dir, "lineitem")
+    val semi = p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+      .select(col("p_partkey")).withColumn("tag", lit("ordered"))
+    val anti = p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select(col("p_partkey")).withColumn("tag", lit("never_ordered"))
+    semi.unionByName(anti).orderBy("tag", "p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q47
+  /** Exact COUNT(DISTINCT) per group (expand-based distinct aggregate). */
+  def q47CountDistinctGroup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_group_agg" -> q21GroupAgg _,
@@ -181,7 +212,10 @@ object Analytics {
     "q30_rollup" -> q30Rollup _,
     "q31_text_stats" -> q31TextStats _,
     "q32_json_extract" -> q32JsonExtract _,
-    "q43_session_window" -> q43SessionWindow _)
+    "q43_session_window" -> q43SessionWindow _,
+    "q45_cube" -> q45Cube _,
+    "q46_semi_anti" -> q46SemiAnti _,
+    "q47_count_distinct_group" -> q47CountDistinctGroup _)
 
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL sketch)
     * are rows-only — no entries. */
@@ -291,5 +325,25 @@ object Analytics {
          |       COUNT(*) AS n_events,
          |       ${dsumSql("value")} AS sum_value
          |FROM sess GROUP BY user_id, sid
-         |ORDER BY user_id, session_start""".stripMargin)
+         |ORDER BY user_id, session_start""".stripMargin,
+    "q45_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q46_semi_anti" ->
+      """(SELECT p_partkey, 'ordered' AS tag FROM part p
+        | WHERE EXISTS (SELECT 1 FROM lineitem l
+        |               WHERE l.l_partkey = p.p_partkey))
+        |UNION ALL
+        |(SELECT p_partkey, 'never_ordered' AS tag FROM part p
+        | WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                   WHERE l.l_partkey = p.p_partkey))
+        |ORDER BY tag, p_partkey""".stripMargin,
+    "q47_count_distinct_group" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

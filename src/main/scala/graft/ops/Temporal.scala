@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.TableCatalog
+
+/** Temporal operators the reference lacks entirely: as-of lookups and
+  * bounded time-range joins over event time. Both are expressed so Catalyst
+  * keeps them linear-ish at scale — the as-of is a pure window function (no
+  * join at all), and the range join generates candidates by minute bucket
+  * instead of exploding per-key cross products.
+  */
+object Temporal {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  /** As-of lookup: for every event, the timestamp of the latest *earlier*
+    * event of `eventType` for the same user. A sort-merge as-of join in
+    * window-function clothing: one shuffle on user_id, no join, no state
+    * explosion — the formulation that survives a 100× scale-up. */
+  def asOfPrevEvent(events: DataFrame, eventType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"),
+      max(when(col("event_type") === eventType, col("ts"))).over(w)
+        .as("prev_match_ts"))
+  }
+
+  /** Bounded range self-join: pairs of events of the same user where the
+    * second strictly follows the first by at most `maxGapSeconds`. Candidate
+    * generation is bucketed — each left event probes its own minute bucket
+    * and the next one (a ≤60s window can span at most two) — so the join is
+    * an equi-join on (user, bucket) with a residual filter, never an O(n²)
+    * per-user product. */
+  def timeRangePairs(events: DataFrame,
+                     maxGapSeconds: Int = 60): DataFrame = {
+    require(maxGapSeconds <= 60,
+      "bucket width is one minute; widen the probe list for larger gaps")
+    val withBucket = events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("bucket", expr("us div 60000000"))
+    val left = withBucket.select(
+      col("user_id"), col("event_id").as("id_a"), col("us").as("us_a"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
+    val right = withBucket.select(
+      col("user_id"), col("event_id").as("id_b"), col("us").as("us_b"),
+      col("bucket"))
+    left.join(right, Seq("user_id", "bucket"))
+      .filter(col("us_b") > col("us_a") &&
+        col("us_b") <= col("us_a") + maxGapSeconds * 1000000L)
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        ((col("us_b") - col("us_a")).cast("double") / 1e6).as("gap_seconds"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------ registry
+  /** q44 — as-of previous purchase per event (window formulation). */
+  def q44AsofPrevPurchase(spark: SparkSession, dir: String): DataFrame =
+    asOfPrevEvent(t(spark, dir, "events"), "purchase")
+      .orderBy("event_id")
+
+  /** q48 — same-user event pairs within 60 seconds (bucketed range join). */
+  def q48TimeRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    timeRangePairs(t(spark, dir, "events"), maxGapSeconds = 60)
+      .orderBy("user_id", "id_a", "id_b")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_prev_purchase" -> q44AsofPrevPurchase _,
+    "q48_time_range_join" -> q48TimeRangeJoin _)
+
+  val oracle: Map[String, String] = Map(
+    "q44_asof_prev_purchase" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CAST(MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |            AS TIMESTAMP) AS prev_match_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q48_time_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |       CAST(epoch_us(CAST(b.ts AS TIMESTAMP))
+        |            - epoch_us(CAST(a.ts AS TIMESTAMP)) AS DOUBLE) / 1e6
+        |         AS gap_seconds
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(CAST(b.ts AS TIMESTAMP)) > epoch_us(CAST(a.ts AS TIMESTAMP))
+        | AND epoch_us(CAST(b.ts AS TIMESTAMP))
+        |     <= epoch_us(CAST(a.ts AS TIMESTAMP)) + 60000000
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin)
+}
