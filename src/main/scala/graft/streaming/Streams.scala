@@ -73,4 +73,26 @@ object Streams {
   /** Output-mode helper for the windowed aggregations (append requires the
     * watermark to advance; update emits incremental rows). */
   val defaultOutputMode: OutputMode = OutputMode.Update()
+
+  /** File-source stream over the corpus events table. The parquet carries
+    * TIMESTAMP(NANOS), which file streams must schema past explicitly (the
+    * nanosAsLong session conf covers inference only on the batch path);
+    * nanos are normalized to TIMESTAMP_NTZ exactly like
+    * [[graft.sources.TableCatalog.load]]. */
+  def eventsFileStream(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = new StructType()
+      .add("event_id", LongType).add("ts", LongType)
+      .add("user_id", LongType).add("event_type", StringType)
+      .add("value", DoubleType).add("props", StringType)
+    spark.readStream
+      .schema(raw)
+      // the corpus ships one file per table in a shared dir; filter to ours
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      // TIMESTAMP (not NTZ): event-time watermarks require the LTZ type;
+      // with the engine's UTC session the wall-clock values are identical
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 }

@@ -69,6 +69,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over the corpus matches the batch aggregation") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.tumblingCounts(
+        Streams.eventsFileStream(spark, TestSpark.sfDir))
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      val batch = graft.ops.Analytics
+        .q26TumblingWindow(spark, TestSpark.sfDir)
+        .select("window_start", "event_type", "n_events", "sum_value")
+      assert(streamed.count() == batch.count())
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "streaming and batch window aggregates diverge")
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gaps") {
     import spark.implicits._
     val batch = sampleEvents.toDF()
