@@ -71,7 +71,7 @@ object Analytics {
     t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         sum(col("o_totalprice").cast("decimal(18,4)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -141,9 +141,9 @@ object Analytics {
     t(spark, dir, "documents")
       .withColumn("toks", split(col("text"), "\\s+"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        length(col("text")).as("text_len"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        length(col("text")).cast("long").as("text_len"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
         round((length(col("text")) - (size(col("toks")) - 1))
           .cast("double") / size(col("toks")), 6).as("avg_token_len"))
       .orderBy("doc_id")

@@ -207,7 +207,7 @@ object Relational {
     t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         to_timestamp(date_format(col("l_shipdate"), "MM-dd-yyyy"), "MM-dd-yyyy")
-          .as("parsed_ts"))
+          .cast("timestamp_ntz").as("parsed_ts"))
       .orderBy("l_orderkey", "l_linenumber", "parsed_ts")
 
   // ---------------------------------------------------------------- q14

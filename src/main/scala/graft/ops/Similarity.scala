@@ -33,7 +33,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim", "rn")
   }
@@ -74,7 +74,7 @@ object Similarity {
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", simRounded(col("q_emb"), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim", "rn")
   }
@@ -111,7 +111,7 @@ object Similarity {
     probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", simRounded(col("q_emb"), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim", "rn")
   }

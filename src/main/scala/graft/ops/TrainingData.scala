@@ -78,8 +78,8 @@ object TrainingData {
   def q38TokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        Text.tokenCountWs(col("text")).as("ws_tokens"),
-        Text.tokenCountBpe(col("text")).as("bpe_tokens"))
+        Text.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+        Text.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- q39

@@ -57,6 +57,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {qid}: columns differ duck={d_cols} spark={s_cols}")
             n_fail += 1
             continue
+        # dtype audit (warning only — the driver may compare types strictly)
+        dtype_warn = []
+        for c in d_cols:
+            dt = duck.schema.field(c).type
+            st = spark.schema.field(c).type
+            if str(dt) != str(st):
+                dtype_warn.append(f"{c}: duck={dt} spark={st}")
+        if dtype_warn:
+            print(f"WARN {qid}: dtype mismatch: {'; '.join(dtype_warn)}")
         if duck.num_rows != spark.num_rows:
             print(f"FAIL {qid}: rows duck={duck.num_rows} spark={spark.num_rows}")
             n_fail += 1
