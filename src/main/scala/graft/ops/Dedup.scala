@@ -71,6 +71,56 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** Native MinHash near-dup pairs — shingle → k minhashes → band →
+    * bucket-join → exact-Jaccard verify, entirely in codegen'd expressions
+    * (no MLlib vectors, no per-table explode-join of hash tables). Each
+    * document carries `numHashes` 64-bit minima of seeded xxhash64 over its
+    * distinct shingles; minima are grouped into `bands` band keys; only
+    * documents sharing a band key become candidates, and candidates are
+    * verified with the exact Jaccard over their shingle sets. Returns
+    * (id_a < id_b, jaccard) with jaccard ≥ 1 − maxDistance. */
+  def minhashNativePairs(df: DataFrame, textCol: String, idCol: String,
+                         maxDistance: Double = 0.6, numHashes: Int = 8,
+                         bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(df, textCol)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol), col("shingles"))
+    val withMins = sh.withColumn("mins",
+      array((0 until numHashes).map { s =>
+        array_min(transform(col("shingles"), g => xxhash64(lit(s), g)))
+      }: _*))
+    // band join over (id, band_key) only — shingle arrays would bloat the
+    // shuffle; they are joined back onto the (much smaller) candidate pairs
+    val banded = withMins.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("mins"), b * rowsPerBand + 1, rowsPerBand))
+            .as("band_key"))
+      }: _*)).as("bk"))
+      .select(col(idCol),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val shA = sh.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(shA, "id_a")
+      .join(shB, "id_b")
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= 1.0 - maxDistance)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash of a token array: for each of the 64 bit positions, sum
     * +1/-1 votes weighted by each token's xxhash64 bit, then collapse to a
     * bit vector. Pure expression pipeline (explode → groupBy id), fully

@@ -120,9 +120,19 @@ object TrainingData {
       .toDF()
       .orderBy("asset_id")
 
+  // ---------------------------------------------------------------- q49
+  /** Native expression-level MinHash near-dup pairs (banding approximate →
+    * rows-only; candidate recall pinned by spec, surviving pairs carry the
+    * exact Jaccard). */
+  def q49MinhashNative(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNativePairs(t(spark, dir, "documents"), "text", "doc_id",
+        maxDistance = 0.6)
+      .orderBy("id_a", "id_b")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
+    "q49_minhash_native" -> q49MinhashNative _,
     "q34_dedup_simhash" -> q34DedupSimhash _,
     "q35_embedding_neardup" -> q35EmbeddingNeardup _,
     "q36_lang_id" -> q36LangId _,

@@ -40,6 +40,19 @@ class DedupSpec extends AnyFunSuite {
       "unrelated doc flagged")
   }
 
+  test("native minhash banding finds exact/near dups with exact jaccard") {
+    val pairs = Dedup.minhashNativePairs(docs, "text", "doc_id",
+        maxDistance = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0), "exact dup must score 1.0")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "near dup missed by banding")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc flagged")
+  }
+
   test("simhash signatures: identical docs equal, near docs close") {
     val sigs = Dedup.simhash64(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -33,7 +33,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("brute-force top-k ranks the near-identical vector first") {
     val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
         "vec_id", "embedding", k = 2)
-      .orderBy("rn").as[(Long, Long, Double, Int)].collect()
+      .orderBy("rn").as[(Long, Long, Double, Long)].collect()
     assert(top.head._2 == 1L, s"expected neighbor 1 first, got ${top.head}")
   }
 
