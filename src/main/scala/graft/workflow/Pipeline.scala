@@ -85,6 +85,22 @@ object Pipeline {
     if (previous == 0) 0.0
     else math.abs(current - previous) * 100.0 / previous
 
+  /** Explicit target-schema conformance: select, cast, and order columns to
+    * the target StructType, failing loudly on missing columns. Replaces the
+    * reference's best-effort case-sensitive rename map whose dead keys
+    * silently no-op (/root/reference/services/jcap_pa_etl_service.py:271-286
+    * with unmatchable keys at :279-280 — see SURVEY.md §1.3); conformance
+    * should be a contract, not a convention. */
+  def conformTo(df: DataFrame,
+                target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val missing = target.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"cannot conform: missing columns ${missing.mkString(", ")}")
+    df.select(target.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        .as(f.name)).toSeq: _*)
+  }
+
   /** W5 — validate-and-alert against a threshold (default 5.0 like
     * /root/reference/core/config.py:35; validated to [0,100] like
     * `:190-194`). Returns the variance. */

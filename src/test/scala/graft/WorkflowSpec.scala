@@ -68,6 +68,28 @@ class WorkflowSpec extends AnyFunSuite {
     }
   }
 
+  test("conformTo selects, casts, reorders; fails loudly on missing columns") {
+    import org.apache.spark.sql.types._
+    val df = TableCatalog.load(spark, sf, "orders")
+    val target = new StructType()
+      .add("o_orderpriority", StringType)
+      .add("o_orderkey", StringType) // cast long -> string
+      .add("o_totalprice", DoubleType)
+    val out = Pipeline.conformTo(df, target)
+    assert(out.columns.toSeq ==
+      Seq("o_orderpriority", "o_orderkey", "o_totalprice"))
+    assert(out.schema("o_orderkey").dataType == StringType)
+    intercept[IllegalArgumentException] {
+      Pipeline.conformTo(df, new StructType().add("nope", StringType))
+    }
+  }
+
+  test("RunJob CLI arg parsing") {
+    val a = RunJob.parseArgs(Array("--job-type", "poc_etl",
+      "--sf-dir", "/x", "--limit", "5"))
+    assert(a == Map("job-type" -> "poc_etl", "sf-dir" -> "/x", "limit" -> "5"))
+  }
+
   test("job registry dispatch: poc job runs, unknown type fails cleanly") {
     val registry = Jobs.builtinRegistry(tmpDir())
     val ok = Jobs.execute(spark, registry,
