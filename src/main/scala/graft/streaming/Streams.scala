@@ -80,7 +80,8 @@ object Streams {
     * nanos are normalized to TIMESTAMP_NTZ exactly like
     * [[graft.sources.TableCatalog.load]]. */
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): DataFrame = {
+                       dir: String,
+                       glob: String = "events.parquet"): DataFrame = {
     import org.apache.spark.sql.types._
     val raw = new StructType()
       .add("event_id", LongType).add("ts", LongType)
@@ -89,7 +90,7 @@ object Streams {
     spark.readStream
       .schema(raw)
       // the corpus ships one file per table in a shared dir; filter to ours
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       // TIMESTAMP (not NTZ): event-time watermarks require the LTZ type;
       // with the engine's UTC session the wall-clock values are identical

@@ -93,6 +93,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed parquet sink is exactly-once across restart") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val src = new java.io.File(s"${TestSpark.sfDir}/events.parquet").toPath
+
+    def runOnce(): Unit = {
+      val q = Streams.eventsFileStream(spark, in, glob = "*.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val perFile = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet").count()
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(s"$in/events.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out).count() == perFile)
+
+    // restart with one NEW file present: only the new file is processed —
+    // the checkpoint prevents re-ingesting (and re-emitting) the first
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(s"$in/events2.parquet"))
+    runOnce()
+    val finalDf = spark.read.parquet(out)
+    assert(finalDf.count() == 2 * perFile,
+      "restart must process exactly the new file once")
+    // every event id appears exactly twice (once per input file), never more
+    val maxDup = finalDf.groupBy(col("event_id")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDup == 2L, s"duplicate emission detected: $maxDup")
+  }
+
   test("batch sessionize splits on gaps") {
     import spark.implicits._
     val batch = sampleEvents.toDF()
