@@ -54,9 +54,12 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxDistance: Double = 0.6,
                           numHashTables: Int = 3): DataFrame = {
+    // persist: the shingle+TF pipeline feeds the LSH fit AND both sides of
+    // the self-join — without it Spark recomputes the tokenization 3x
     val tf = tfVectors(df, textCol)
       // MinHashLSH requires at least one non-zero entry
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = new MinHashLSH()
       .setInputCol("tf").setOutputCol("minhash")
       .setNumHashTables(numHashTables)
@@ -84,9 +87,12 @@ object Dedup {
                          bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // persist: shingle sets feed the minhash computation and both sides of
+    // the candidate verification rejoin
     val sh = shingles(df, textCol)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withMins = sh.withColumn("mins",
       array((0 until numHashes).map { s =>
         array_min(transform(col("shingles"), g => xxhash64(lit(s), g)))
@@ -187,6 +193,8 @@ object Dedup {
     val shingled = shingles(df, textCol, n)
       .select(col(idCol), explode(col("shingles")).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
+      // persist: postings feed the per-doc sizes AND both join sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val sa = sizes.select(col(idCol).as("id_a"), col("n_grams").as("size_a"))
     val sb = sizes.select(col(idCol).as("id_b"), col("n_grams").as("size_b"))
