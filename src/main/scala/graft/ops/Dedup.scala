@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * extend that to the document-dedup family a 100 TB text corpus needs.
   * All are pure `DataFrame → DataFrame` transforms: hash-partitioned
   * group-bys and bucket-joins, no driver-side loops.
+  *
+  * Cache lifecycle: the near-dup operators persist their shared shingle
+  * intermediate (consumed by 2-3 subplans each — Spark re-executes common
+  * subplans otherwise). The returned DataFrames are lazy, so the cache
+  * lives until session end or LRU eviction; long-lived sessions running
+  * many dedup jobs should `spark.catalog.clearCache()` between batches.
   */
 object Dedup {
 
@@ -33,9 +39,10 @@ object Dedup {
   def shingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("toks", tokensOf(textCol))
       .withColumn("shingles",
-        array_distinct(transform(
+        array_distinct(filter(transform(
           sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))),
+          g => length(g) > 0)))
       .drop("toks")
 
   /** Shingle → term-frequency vectors for hashing-based dedup; 2^18 feature
@@ -55,11 +62,13 @@ object Dedup {
                           maxDistance: Double = 0.6,
                           numHashTables: Int = 3): DataFrame = {
     // persist: the shingle+TF pipeline feeds the LSH fit AND both sides of
-    // the self-join — without it Spark recomputes the tokenization 3x
+    // the self-join — without it Spark recomputes the tokenization 3x.
+    // Narrowed to (id, tf) so the cache doesn't carry text + shingles.
     val tf = tfVectors(df, textCol)
       // MinHashLSH requires at least one non-zero entry
       .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("tf"))
+      .persist()
     val lsh = new MinHashLSH()
       .setInputCol("tf").setOutputCol("minhash")
       .setNumHashTables(numHashTables)
@@ -92,7 +101,7 @@ object Dedup {
     val sh = shingles(df, textCol)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol), col("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist()
     val withMins = sh.withColumn("mins",
       array((0 until numHashes).map { s =>
         array_min(transform(col("shingles"), g => xxhash64(lit(s), g)))
@@ -194,7 +203,7 @@ object Dedup {
       .select(col(idCol), explode(col("shingles")).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
       // persist: postings feed the per-doc sizes AND both join sides
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist()
     val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val sa = sizes.select(col(idCol).as("id_a"), col("n_grams").as("size_a"))
     val sb = sizes.select(col(idCol).as("id_b"), col("n_grams").as("size_b"))

@@ -154,8 +154,10 @@ object TrainingData {
         |grams AS (
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
-        |           unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-        |                  i -> array_to_string(tk[i:i+2], ' '))) AS gram
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+2], ' ')),
+        |             g -> len(g) > 0)) AS gram
         |    FROM toks)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
         |pairs AS (
