@@ -1,6 +1,29 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  *
+  * Measurement contract (each point fixes a round-1 bench dishonesty):
+  *   - Queries are measured through the `noop` sink, not `count()`:
+  *     Catalyst's EliminateSorts deletes a top-level ORDER BY under an
+  *     aggregate, so `count()` never paid for sorts. The noop write
+  *     executes the full physical plan (sort included) without IO cost.
+  *   - One untimed warmup query absorbs JVM/codegen/classloader start-up
+  *     instead of attributing ~10s of it to whichever query runs first.
+  *   - `spark.catalog.clearCache()` between queries releases the dedup
+  *     operators' shared-shingle persists so no query is measured under
+  *     another query's memory pressure, and re-runs are reproducible.
+  *   - Failures are NOT swallowed: a failing query is reported in an
+  *     `"errors"` object and the process exits non-zero. A bench where
+  *     breakage makes the total look better is worse than no bench.
+  */
 object Bench {
+
+  private def runToSink(spark: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, sfDir: String): Unit =
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,17 +33,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // sorted order: stable attribution, JVM/codegen warmup lands on q01
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+
+    // Untimed warmup: a cheap scan+limit query still forces parquet reader
+    // classloading, codegen compilation, and executor thread spin-up.
+    runToSink(spark, SparkEntry.queries("q01_scan_limit"), sfDir)
+    spark.catalog.clearCache()
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        runToSink(spark, fn, sfDir)
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          timings(name) = (System.nanoTime() - t0) / 1e9
+          errors(name) = e.toString.replaceAll("\\s+", " ").take(300)
+      }
+      // outside the timed window: drop dedup persists before the next query
+      spark.catalog.clearCache()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString(""","errors":{""", ",", "}")
+    val total = timings.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

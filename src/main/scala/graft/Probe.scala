@@ -1,0 +1,32 @@
+package graft
+
+// scratch profiling main — not part of the library surface
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", shufflePartitions = 32,
+        appName = "probe")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val target = sys.env.getOrElse("PROBE_TARGET", "q35_embedding_neardup")
+    val names =
+      if (sys.env.contains("PROBE_ONLY")) Seq.empty
+      else SparkEntry.queries.keys.toSeq.sorted.takeWhile(_ != target)
+    names.foreach { n =>
+      time(n)(SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+    }
+    (1 to 3).foreach { i =>
+      time(s"TARGET $target run $i")(
+        SparkEntry.queries(target)(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

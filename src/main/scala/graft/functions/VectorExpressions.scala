@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -64,4 +64,95 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** All sign-LSH band keys of one embedding in a single fused loop.
+  *
+  * The composable formulation — `bands × bitsPerBand` separate
+  * `dot(cast(emb), lit(plane))` columns — evaluates the float→double cast
+  * once per plane and inflates the generated code to thousands of lines
+  * (Janino compile time alone dominated small inputs; at 100 TB the
+  * per-row overhead would). This expression reads the embedding once and
+  * runs one `bands·bitsPerBand·dim` multiply-accumulate loop over a flat
+  * weight table shipped as a reference object, emitting `array<long>` of
+  * band keys. Bit packing matches the per-plane composable form exactly
+  * (bit r of band b set iff emb·plane(offset+b·bits+r) > 0).
+  *
+  * `weights` is laid out [plane][dim] flattened; plane p of band b is
+  * `weights[(b·bitsPerBand+r)·dim ..+dim]`.
+  */
+case class LshBandKeys(child: Expression, weights: Seq[Double], dim: Int,
+                       bands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+
+  require(weights.length == bands * bitsPerBand * dim,
+    s"weights must be bands*bitsPerBand*dim = ${bands * bitsPerBand * dim}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_lsh_band_keys"
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < bitsPerBand) {
+        val base = (b * bitsPerBand + r) * dim
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += x.getDouble(d) * w(base + d); d += 1 }
+        if (s > 0) key |= (1L << r)
+        r += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val wRef = ctx.addReferenceObj("lshWeights", w, "double[]")
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val base = ctx.freshName("base")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($dim, $x.numElements());
+         |long[] $keys = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long ${keys}_k = 0L;
+         |  for (int $r = 0; $r < $bitsPerBand; $r++) {
+         |    int $base = ($b * $bitsPerBand + $r) * $dim;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $s += $x.getDouble($d) * $wRef[$base + $d];
+         |    }
+         |    if ($s > 0) ${keys}_k |= (1L << $r);
+         |  }
+         |  $keys[$b] = ${keys}_k;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshBandKeys = copy(child = newChild)
 }

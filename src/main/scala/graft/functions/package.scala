@@ -56,6 +56,29 @@ package object functions {
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Deterministic ±1 hyperplane weights, generated driver-side (splitmix-
+    * style integer hash of (plane,dim)) and shipped to executors — zero
+    * per-row hashing, reproducible across runs/executors. */
+  def planeWeights(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      var z = (plane.toLong * 1024 + d) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) -1.0 else 1.0
+    }
+
+  /** `bands` sign-LSH band keys of an embedding as `array<long>`, computed
+    * by the fused [[LshBandKeys]] expression (single cast, single loop). */
+  def lshBandKeys(emb: Column, dim: Int, bands: Int, bitsPerBand: Int,
+                  planeOffset: Int = 0): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val w = (0 until bands * bitsPerBand)
+      .flatMap(p => planeWeights(planeOffset + p, dim).toSeq)
+    GraftSqlBridge.column(LshBandKeys(
+      GraftSqlBridge.expression(emb.cast("array<double>")),
+      w, dim, bands, bitsPerBand))
+  }
+
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

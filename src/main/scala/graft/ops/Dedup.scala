@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Cache lifecycle: the near-dup operators persist their shared shingle
   * intermediate (consumed by 2-3 subplans each — Spark re-executes common
-  * subplans otherwise). The returned DataFrames are lazy, so the cache
-  * lives until session end or LRU eviction; long-lived sessions running
-  * many dedup jobs should `spark.catalog.clearCache()` between batches.
+  * subplans otherwise). The returned DataFrames are lazy, so an operator
+  * cannot unpersist before its consumer's action runs; the contract is
+  * that the HARNESS releases caches once a result is consumed — Bench and
+  * Verify both `spark.catalog.clearCache()` after every query, so no
+  * query runs under another's memory pressure. At 100 TB the persisted
+  * intermediates are the narrow forms (8-byte gram hashes, (id, tf)
+  * pairs), never raw text; a corpus where even those exceed cluster
+  * memory+disk should checkpoint the postings to parquet instead.
   */
 object Dedup {
 
@@ -138,26 +143,24 @@ object Dedup {
 
   /** 64-bit SimHash of a token array: for each of the 64 bit positions, sum
     * +1/-1 votes weighted by each token's xxhash64 bit, then collapse to a
-    * bit vector. Pure expression pipeline (explode → groupBy id), fully
-    * distributed; near-dup = small Hamming distance between signatures. */
+    * bit vector. One groupBy(id) with 64 sum-aggregates — partial
+    * aggregation collapses each (partition, doc) to a single 64-counter
+    * row map-side, so the shuffle carries one row per document instead of
+    * the 64·|tokens| rows an explode-per-bit formulation would. */
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df
       .withColumn("tok", explode(tokensOf(textCol)))
-      .withColumn("h", xxhash64(col("tok")))
-    // one row per (doc, bit): vote +1 if the bit is set, else -1
-    val bits = toks.select(
-      col(idCol), col("h"),
-      explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        when(call_function("shiftright", col("h"), col("bit"))
-          .bitwiseAND(1) === 1, 1).otherwise(-1))
-    bits.groupBy(col(idCol), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval",
-        when(col("v") > 0, call_function("shiftleft", lit(1L), col("bit")))
-          .otherwise(lit(0L)))
-      .groupBy(col(idCol))
-      .agg(sum(col("bitval")).as("simhash"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b")
+    }
+    toks.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -193,16 +196,34 @@ object Dedup {
   /** Word n-gram Jaccard near-dup pairs, pure relational formulation:
     * explode each document into its distinct n-gram shingles, self-join on
     * shingle (inverted index — only documents sharing a shingle ever meet),
-    * count intersections, then Jaccard = |∩| / (|A|+|B|-|∩|). */
+    * count intersections, then Jaccard = |∩| / (|A|+|B|-|∩|).
+    *
+    * `maxDocFreq` is the 100 TB hot-key guard: a gram present in d
+    * documents contributes d² candidate pairs to the self-join, so on real
+    * text the few ubiquitous grams dominate the join while discriminating
+    * least (a shingle shared by everyone says nothing about any pair).
+    * Grams with document frequency > maxDocFreq are dropped from the gram
+    * universe — Jaccard is computed over the kept grams on BOTH the
+    * intersection and the set sizes, so the measure stays internally
+    * consistent (and the oracle mirrors the same cutoff). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+                        n: Int = 3, minJaccard: Double = 0.8,
+                        maxDocFreq: Int = 1000): DataFrame = {
     // join on a 64-bit hash of the shingle, not the string: the inverted-
     // index shuffle then carries 8 bytes per posting instead of the gram
     // text (collision odds are ~n²/2⁶⁴ — immaterial to Jaccard counts)
-    val shingled = shingles(df, textCol, n)
+    val postings = shingles(df, textCol, n)
       .select(col(idCol), explode(col("shingles")).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
-      // persist: postings feed the per-doc sizes AND both join sides
+    // document-frequency cutoff via a count window: one shuffle on gram_h,
+    // whose hash partitioning the a/b self-join below then reuses
+    val dfWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram_h"))
+    val shingled = postings
+      .withColumn("gram_df", count(lit(1)).over(dfWindow))
+      .filter(col("gram_df") <= maxDocFreq)
+      .drop("gram_df")
+      // persist: kept postings feed the per-doc sizes AND both join sides
       .persist()
     val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val sa = sizes.select(col(idCol).as("id_a"), col("n_grams").as("size_a"))

@@ -38,25 +38,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rn")
   }
 
-  /** Deterministic ±1 hyperplane weights, generated driver-side (splitmix-
-    * style integer hash of (plane,dim)) and shipped to executors as literal
-    * arrays — zero per-row hashing, reproducible across runs/executors. */
-  private def planeWeights(plane: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { d =>
-      var z = (plane.toLong * 1024 + d) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      if (((z ^ (z >>> 31)) & 1L) == 0L) -1.0 else 1.0
-    }
-
   /** Sign-LSH bucket id: `nBits` random-hyperplane signs packed into a long.
-    * Vectors with the same bucket are likely neighbors (cosine LSH). Each
-    * bit is one codegen'd dot product against a constant weight array. */
-  def lshBucket(embCol: Column, dim: Int, nBits: Int = 16): Column =
-    (0 until nBits).map { p =>
-      when(graft.functions.dot(embCol, typedlit(planeWeights(p, dim))) > 0,
-        lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+    * Vectors with the same bucket are likely neighbors (cosine LSH).
+    * Backed by the fused [[graft.functions.LshBandKeys]] expression (one
+    * loop over a constant weight table — see its scaladoc for why the
+    * per-plane composable form was replaced). `planeOffset` selects an
+    * independent set of hyperplanes so multiple band tables can be built
+    * from one generator. */
+  def lshBucket(embCol: Column, dim: Int, nBits: Int = 16,
+                planeOffset: Int = 0): Column =
+    element_at(lshBandKeys(embCol, dim, bands = 1, bitsPerBand = nBits,
+      planeOffset = planeOffset), 1)
+
+  /** Banded sign-LSH near-duplicate pairs: `bands` independent hash tables
+    * of `bitsPerBand` hyperplane signs each; a pair becomes a candidate iff
+    * it collides in at least one band, and candidates are verified with the
+    * exact cosine.
+    *
+    * Scale design (vs a single small-bucket table, which degenerates to a
+    * ~n²/buckets self-join inside a handful of hot partitions): the bucket
+    * universe here is `bands · 2^bitsPerBand` (default 16·256 = 4096), so
+    * candidate generation spreads across thousands of join keys, while
+    * recall for a pair with per-hyperplane agreement p *rises* from p^4
+    * (round-1 single table) to 1−(1−p^bitsPerBand)^bands. The band join
+    * ships only (id, band, key) — embeddings are joined back onto the much
+    * smaller verified-candidate set, mirroring the native-MinHash pattern
+    * (Dedup.minhashNativePairs). */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                      dim: Int, minSim: Double, bands: Int = 16,
+                      bitsPerBand: Int = 8): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val candidates = lshBandCandidates(emb, idCol, embCol, dim,
+      bands, bitsPerBand)
+    val ea = base.select(col("id").as("id_a"), col("emb").as("emb_a"))
+    val eb = base.select(col("id").as("id_b"), col("emb").as("emb_b"))
+    candidates
+      .join(ea, "id_a")
+      .join(eb, "id_b")
+      .withColumn("sim", simRounded(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Candidate stage of [[lshNearDupPairs]]: distinct (id_a < id_b) pairs
+    * colliding in ≥1 band. Public so candidate volume is testable — the
+    * quantity that must stay sub-quadratic at scale. */
+  def lshBandCandidates(emb: DataFrame, idCol: String, embCol: String,
+                        dim: Int, bands: Int = 16,
+                        bitsPerBand: Int = 8): DataFrame = {
+    val banded = emb.select(col(idCol).as("id"),
+      posexplode(lshBandKeys(col(embCol), dim, bands, bitsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("key"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
 
   /** Approximate top-k via sign-LSH bucketing: corpus and queries are
     * bucketed; candidates = corpus rows sharing the query's bucket. Scale
@@ -79,36 +118,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rn")
   }
 
+  /** Nearest-centroid ids for one embedding against a literal codebook,
+    * best-first (sim desc, cent_id asc): score every centroid in a single
+    * projected `transform`, sort the (−sim, cent_id) structs, take `n`.
+    * Runs entirely inside the row's projection — no join, no shuffle. */
+  private def nearestCells(emb: Column, centIds: Array[Long],
+                           centEmbs: Array[Array[Float]], n: Int): Column = {
+    val ids = typedlit(centIds)
+    val embs = typedlit(centEmbs)
+    val scored = transform(sequence(lit(0), lit(centIds.length - 1)),
+      i => struct(
+        (-simRounded(emb, element_at(embs, i + 1))).as("neg_sim"),
+        element_at(ids, i + 1).as("cid")))
+    transform(slice(array_sort(scored), 1, n), s => s.getField("cid"))
+  }
+
   /** IVF (inverted-file) approximate top-k. Centroids are a deterministic
     * corpus sample (every `centroidStride`-th id — stands in for k-means,
     * which would be fit offline at scale). Every corpus vector is assigned
     * to its nearest centroid once; a query probes its `nprobe` nearest
-    * centroid cells and ranks only those candidates. */
+    * centroid cells and ranks only those candidates.
+    *
+    * Scale design: an IVF codebook is small by construction (thousands of
+    * centroids — kilobytes to a few MB), so it is collected once and
+    * embedded in the plan as a literal, exactly like a fitted ML model is
+    * shipped to executors. Cell assignment is then a pure projection over
+    * the corpus scan — no join, no window, no Exchange — instead of the
+    * |corpus|×|centroids| broadcast-explode + row_number shuffle that a
+    * relational argmin would cost. The only corpus-side shuffle left is
+    * ranking the probed candidates (a ~nprobe/|cells| fraction of the
+    * corpus) per query. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, centroidStride: Int = 50,
               nprobe: Int = 3): DataFrame = {
     val cents = corpus
       .filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
-    def nearestCells(df: DataFrame, id: String, emb: String, n: Int,
-                     out: String): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(
-        col("cent_sim").desc, col("cent_id").asc)
-      df.join(broadcast(cents), col(id).isNotNull)
-        .withColumn("cent_sim", simRounded(col(emb), col("cent_emb")))
-        .withColumn("cent_rn", row_number().over(w))
-        .filter(col("cent_rn") <= n)
-        .select(col(id), col(emb), col("cent_id").as(out))
-    }
-    val assigned = nearestCells(
-      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb")),
-      "neighbor_id", "c_emb", 1, "cell")
-    val probed = nearestCells(
-      queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb")),
-      "query_id", "q_emb", nprobe, "cell")
+      .select(col(idCol).cast("long").as("cent_id"), col(embCol).as("cent_emb"))
+      .collect() // codebook: small by construction, driver-side by design
+    require(cents.nonEmpty, s"no centroids at stride $centroidStride")
+    val centIds = cents.map(_.getLong(0))
+    val centEmbs = cents.map(_.getSeq[Float](1).toArray)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+      .withColumn("cell",
+        element_at(nearestCells(col("c_emb"), centIds, centEmbs, 1), 1))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("cell",
+        explode(nearestCells(col("q_emb"), centIds, centEmbs, nprobe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probed.join(assigned, Seq("cell"))
+    assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", simRounded(col("q_emb"), col("c_emb")))
       .withColumn("rn", row_number().over(w).cast("long"))

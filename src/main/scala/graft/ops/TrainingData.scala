@@ -35,42 +35,34 @@ object TrainingData {
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------- q35
-  /** Embedding-cosine near-dup pairs, LSH-bucketed: only vectors sharing a
-    * sign-LSH bucket are compared (approximate → rows-only). */
-  def q35EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      Similarity.lshBucket(col("embedding"), dim = 64, nBits = 4).as("bucket"))
-    val a = bucketed.select(col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Similarity.simRounded(col("emb_a"), col("emb_b")))
-      .filter(col("sim") >= 0.3)
-      .select("id_a", "id_b", "sim")
-      .distinct()
+  /** Embedding-cosine near-dup pairs via banded sign-LSH (16 bands × 8
+    * bits): only vectors colliding in at least one band are compared, then
+    * verified with the exact cosine (approximate → rows-only). */
+  def q35EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, minSim = 0.3)
       .orderBy("id_a", "id_b")
-  }
 
   // ---------------------------------------------------------------- q36
   /** Heuristic language ID vs the labeled lang column (rows-only; accuracy
     * itself is pinned by spec on curated multilingual strings — the corpus
     * labels are synthetic). */
   def q36LangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        Text.langIdGuess(col("text")).as("lang_guess"))
+    Text.withLangId(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text")),
+        "text", "lang_guess")
       .withColumn("agree", (col("lang") === col("lang_guess")).cast("int"))
+      .select("doc_id", "lang", "lang_guess", "agree")
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- q37
   /** Surface-statistics quality score per document. */
   def q37QualityScore(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        Text.qualityScore(col("text")).as("quality"))
+    Text.withQualityScore(
+        t(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "quality")
+      .select("doc_id", "quality")
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- q38
@@ -111,13 +103,22 @@ object TrainingData {
   // ---------------------------------------------------------------- q42
   /** Multimodal plumbing: binary payload table → partition-batched decode
     * stub → typed features (rows-only; determinism + metadata equalities
-    * are spec-checked). */
+    * are spec-checked). The library API keeps the `features array<float>`
+    * column; the registered query projects it to one scalar per stripe so
+    * the driver's sort-based rows check can order the output (it cannot
+    * sort array columns). */
   def q42MultimodalStub(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(
         Multimodal.asMediaTable(t(spark, dir, "documents"),
           "doc_id", "text", "text/plain"),
         targetPartitions = 0)
       .toDF()
+      .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        col("width"), col("height"),
+        element_at(col("features"), 1).as("stripe0"),
+        element_at(col("features"), 2).as("stripe1"),
+        element_at(col("features"), 3).as("stripe2"),
+        element_at(col("features"), 4).as("stripe3"))
       .orderBy("asset_id")
 
   // ---------------------------------------------------------------- q49
@@ -159,10 +160,16 @@ object TrainingData {
         |                  i -> array_to_string(tk[i:i+2], ' ')),
         |             g -> len(g) > 0)) AS gram
         |    FROM toks)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+        |kept AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, gram,
+        |           COUNT(*) OVER (PARTITION BY gram) AS gram_df
+        |    FROM grams)
+        |  WHERE gram_df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |  FROM grams a JOIN grams b USING (gram)
+        |  FROM kept a JOIN kept b USING (gram)
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT p.id_a, p.id_b, p.common,

@@ -69,6 +69,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("ngram jaccard df-cutoff drops ubiquitous grams from the universe") {
+    // docs 2..7 share only a boilerplate prefix whose grams appear in all
+    // six of them (df=6); docs 0/1 are an exact-dup pair of rare text
+    val corpus = (Seq(
+      (0L, "rare unique matching sentence body one two three"),
+      (1L, "rare unique matching sentence body one two three")) ++
+      (2L to 7L).map(i =>
+        (i, s"alpha beta gamma document number word$i extra$i filler$i")))
+      .toDF("doc_id", "text")
+    val withCut = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, minJaccard = 0.01, maxDocFreq = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(withCut == Set((0L, 1L)),
+      s"hot-gram pairs must vanish under the cutoff, got $withCut")
+    val noCut = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, minJaccard = 0.01, maxDocFreq = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(noCut.contains((2L, 3L)),
+      "without the cutoff boilerplate-only pairs are candidates")
+  }
+
   test("ngram jaccard: exact dup scores 1.0, near dup high, unrelated low") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.0)

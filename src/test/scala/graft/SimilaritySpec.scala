@@ -60,6 +60,34 @@ class SimilaritySpec extends AnyFunSuite {
     approxSims.foreach { case (q, s) => assert(s <= exactSims(q) + 1e-9) }
   }
 
+  test("banded LSH near-dup: recall beats round-1 single table, candidates sub-quadratic") {
+    val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
+    val n = emb.count()
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val ea = base.select($"id".as("id_a"), $"emb".as("emb_a"))
+    val eb = base.select($"id".as("id_b"), $"emb".as("emb_b"))
+    // ground truth: every pair at sim >= 0.3, by exact all-pairs scan
+    val truth = ea.crossJoin(eb).filter($"id_a" < $"id_b")
+      .filter(Similarity.simRounded($"emb_a", $"emb_b") >= 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Similarity
+      .lshNearDupPairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the round-1 plan shape: ONE table of 4 bits = 16 buckets total
+    val singleTable = Similarity
+      .lshNearDupPairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.3,
+        bands = 1, bitsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(truth), "verified pairs must be true pairs")
+    assert(banded.size >= singleTable.size,
+      s"banding recall ${banded.size} must be >= single-table ${singleTable.size}")
+    val candidates = Similarity
+      .lshBandCandidates(emb, "vec_id", "embedding", dim = 64).count()
+    val allPairs = n * (n - 1) / 2
+    assert(candidates < allPairs / 2,
+      s"candidate volume $candidates is not sub-quadratic vs $allPairs")
+  }
+
   test("LSH bucket is deterministic across evaluations") {
     val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 3, 8).as("b"))
       .as[Long].collect().toSeq
