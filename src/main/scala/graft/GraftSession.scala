@@ -38,4 +38,45 @@ object GraftSession {
     TableCatalog.registerAll(spark, dir)
     spark
   }
+
+  /** Environment autodetect (reference core/spark.py:40-53): Kubernetes
+    * when the in-pod service-account token or `KUBERNETES_SERVICE_HOST` is
+    * present, local otherwise. Injectable env/fs probes keep it testable;
+    * the reference's hostname-pattern heuristic is deliberately dropped
+    * (hostnames are not a reliable signal). */
+  def detectMaster(env: Map[String, String] = sys.env,
+                   fileExists: String => Boolean =
+                     p => new java.io.File(p).exists()): String = {
+    val inK8s = env.contains("KUBERNETES_SERVICE_HOST") ||
+      fileExists("/var/run/secrets/kubernetes.io/serviceaccount/token")
+    if (inK8s) {
+      val host = env.getOrElse("KUBERNETES_SERVICE_HOST",
+        "kubernetes.default.svc")
+      val port = env.getOrElse("KUBERNETES_SERVICE_PORT", "443")
+      s"k8s://https://$host:$port"
+    } else "local[*]"
+  }
+
+  /** Cluster-mode builder (re-expression of the reference's k8s session,
+    * core/spark.py:105-167): static executor allocation with shuffle
+    * service and dynamic allocation off — the reference's stance for a
+    * fixed-size ETL fleet. Resource amounts are parameters, not constants;
+    * everything object-store/credential-specific stays with the deployer. */
+  def clusterBuilder(master: String, appName: String = "graft",
+                     executorInstances: Int = 2,
+                     executorMemory: String = "2g",
+                     shufflePartitions: Int = 32): SparkSession.Builder =
+    builder(master, shufflePartitions, appName)
+      .config("spark.executor.instances", executorInstances.toString)
+      .config("spark.executor.memory", executorMemory)
+      .config("spark.shuffle.service.enabled", "false")
+      .config("spark.dynamicAllocation.enabled", "false")
+
+  /** Autodetecting builder: k8s cluster session inside a pod, local[*]
+    * otherwise (reference SparkManager constructor, core/spark.py:30-38). */
+  def autoBuilder(appName: String = "graft"): SparkSession.Builder = {
+    val m = detectMaster()
+    if (m.startsWith("k8s://")) clusterBuilder(m, appName)
+    else builder("local[*]", appName = appName)
+  }
 }

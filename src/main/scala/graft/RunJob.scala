@@ -10,7 +10,14 @@ import graft.workflow.Jobs
   *
   *   runMain graft.RunJob --job-type poc_etl --sf-dir /root/testdata/sf0.001 \
   *     [--job-id ID] [--name NAME] [--load-date YYYY-MM-DD] [--limit N] \
+  *     [--job-config JSON | --job-config-file PATH] \
   *     [--continuous --interval-ms MS --iterations N] [--work-dir DIR]
+  *
+  * `--job-config` takes inline JSON and `--job-config-file` a JSON file,
+  * with the reference's field names (`type`, `id`, `name`, `load_date`,
+  * `limit`, plus `sf_dir` for the data location) — app.py:294-322.
+  * Config-file/inline values win over individual flags, matching the
+  * reference's precedence.
   */
 object RunJob {
 
@@ -18,6 +25,34 @@ object RunJob {
     args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+
+  /** Parse a job-config JSON object (inline text or file contents) into a
+    * flat string map; scalar values are stringified, anything non-object
+    * is rejected (reference json.loads + required-field gate,
+    * app.py:296-301,325-330). */
+  private[graft] def parseJobConfig(json: String): Map[String, String] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toString
+        case (k, JLong(v)) => k -> v.toString
+        case (k, JDouble(v)) => k -> v.toString
+        case (k, JBool(v)) => k -> v.toString
+      }.toMap
+      case _ =>
+        throw new IllegalArgumentException("job config must be a JSON object")
+    }
+  }
+
+  private[graft] def loadJobConfig(a: Map[String, String]): Map[String, String] =
+    a.get("job-config").map(parseJobConfig)
+      .orElse(a.get("job-config-file").map { p =>
+        parseJobConfig(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8))
+      })
+      .getOrElse(Map.empty)
 
   private def jsonLine(r: Jobs.JobResult): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -28,16 +63,24 @@ object RunJob {
       s""""duration_seconds":${r.durationSeconds}$variance$error}"""
   }
 
+  /** Merge flag + config-file views into the typed config; config values
+    * win (reference precedence, app.py:294-322). */
+  private[graft] def buildConfig(a: Map[String, String]): Jobs.JobConfig = {
+    val jc = loadJobConfig(a)
+    Jobs.JobConfig(
+      id = jc.getOrElse("id", a.getOrElse("job-id", "1")),
+      jobType = jc.getOrElse("type", a.getOrElse("job-type", "")),
+      name = jc.getOrElse("name",
+        a.getOrElse("name", a.getOrElse("job-type", "job"))),
+      loadDate = jc.getOrElse("load_date", a.getOrElse("load-date",
+        java.time.LocalDate.now().toString)),
+      limit = jc.get("limit").orElse(a.get("limit")).map(_.toInt),
+      sfDir = jc.getOrElse("sf_dir", a.getOrElse("sf-dir", "")))
+  }
+
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
-    val cfg = Jobs.JobConfig(
-      id = a.getOrElse("job-id", "1"),
-      jobType = a.getOrElse("job-type", ""),
-      name = a.getOrElse("name", a.getOrElse("job-type", "job")),
-      loadDate = a.getOrElse("load-date",
-        java.time.LocalDate.now().toString),
-      limit = a.get("limit").map(_.toInt),
-      sfDir = a.getOrElse("sf-dir", ""))
+    val cfg = buildConfig(a)
     val workDir = a.getOrElse("work-dir", "/root/repo/target/graft-jobs")
     val spark = GraftSession.builder(
         a.getOrElse("master", "local[*]"))

@@ -232,6 +232,14 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("load_date", current_date())
 
+  /** O4 — show(n) sampling diagnostic (reference etl_service.py:60,
+    * jcap_pa_etl_service.py:237: `df.show(5, truncate=False)`): render the
+    * head of a DataFrame as the familiar ASCII table WITHOUT printing, so
+    * jobs can route it to their own logger and tests can assert on it.
+    * Only `n` rows are fetched (limit pushdown), never the full result. */
+  def showSample(df: DataFrame, n: Int = 5): String =
+    org.apache.spark.sql.GraftSqlBridge.showString(df, n)
+
   // ---------------------------------------------------------------- q16
   /** W1/O3 — truncate via limit(0): empty result, schema preserved
     * (utils/db_utils.py:203-212). */

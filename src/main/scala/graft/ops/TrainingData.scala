@@ -187,5 +187,63 @@ object TrainingData {
         |       LEN(string_split_regex(text, '\s+')) AS ws_tokens,
         |       LEN(regexp_extract_all(text,
         |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q36/q37 mirror Text.withLangId / Text.withQualityScore expression by
+    // expression (same tokenization as q33's oracle, same stopword lists,
+    // same left-to-right double accumulation) so hashes match bit-for-bit.
+    "q36_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, text,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['the','and','of','to','in','is','that','it','was'], t))) AS s_en,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['el','la','los','las','es','y','en','que','una'], t))) AS s_es,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['le','la','les','est','et','une','dans','que','pas'], t))) AS s_fr
+        |  FROM toks),
+        |guessed AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN cjk * 4 > len(text) THEN 'zh'
+        |              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |                THEN 'en'
+        |              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |              WHEN s_es >= s_fr THEN 'es'
+        |              ELSE 'fr' END AS lang_guess
+        |  FROM scored)
+        |SELECT doc_id, lang, lang_guess,
+        |       CAST(lang = lang_guess AS INTEGER) AS agree
+        |FROM guessed ORDER BY doc_id""".stripMargin,
+    "q37_quality_score" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |           AS alpha
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(len(text) AS DOUBLE) AS n_chars,
+        |         CAST(len(tk) AS DOUBLE) AS n_toks,
+        |         alpha,
+        |         CAST(len(list_filter(tk, t -> list_contains(
+        |           ['the','and','of','to','in','is','that','it','was'], t)))
+        |           AS DOUBLE) AS stops
+        |  FROM s)
+        |SELECT doc_id,
+        |       round((least(n_chars / 500.0, 1.0)
+        |            + alpha / greatest(n_chars, 1.0)
+        |            + least(stops * 10.0 / greatest(n_toks, 1.0), 1.0)
+        |            + (CASE WHEN alpha / greatest(n_toks, 1.0)
+        |                      BETWEEN 3.0 AND 10.0
+        |                    THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin)
 }

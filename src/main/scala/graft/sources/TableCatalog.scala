@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.LongType
   * real cluster the directory is an object-store prefix; nothing here assumes
   * local FS.
   */
+/** Where a table collection lives: Spark data-source format + location +
+  * connection options. The parquet directory is the sandbox default;
+  * `"jdbc"` re-expresses the reference's warehouse path
+  * (/root/reference/utils/db_utils.py:30-143); any other Spark data-source
+  * format string plugs into the same seam. */
+case class SourceSpec(format: String = "parquet", path: String = "",
+                      options: Map[String, String] = Map.empty)
+
 object TableCatalog {
 
   /** All tables the test corpus provides (TESTDATA.md). */
@@ -26,7 +34,22 @@ object TableCatalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def path(dir: String, table: String): String = s"$dir/$table.parquet"
+  /** Object-store scheme normalization: the reference rewrites `s3://` to
+    * the Hadoop-native `s3a://` connector on both read and write
+    * (/root/reference/services/s3_service.py:60-63). */
+  def normalizeScheme(p: String): String =
+    if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://") else p
+
+  /** Write options by target: object-store writes carry SSE-AES256
+    * (/root/reference/services/s3_service.py:42-44); local/HDFS targets
+    * get none. */
+  def writeOptions(dir: String): Map[String, String] =
+    if (normalizeScheme(dir).startsWith("s3a://"))
+      Map("ServerSideEncryption" -> "AES256")
+    else Map.empty
+
+  def path(dir: String, table: String): String =
+    s"${normalizeScheme(dir)}/$table.parquet"
 
   /** Session configs the catalog needs; Verify/Bench/tests apply them at
     * session build. `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
@@ -65,10 +88,76 @@ object TableCatalog {
     catch { case _: Exception => false }
 
   /** Overwrite-write (reference parquet stage,
-    * /root/reference/services/s3_service.py:26-54). */
+    * /root/reference/services/s3_service.py:26-54) with scheme
+    * normalization and per-target write options applied. */
   def write(df: DataFrame, dir: String, table: String,
             mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).parquet(path(dir, table))
+    df.write.mode(mode).options(writeOptions(dir)).parquet(path(dir, table))
+
+  /** Reference JDBC connection defaults
+    * (/root/reference/utils/db_utils.py:44-47,55-56,64-65). */
+  val jdbcDefaults: Map[String, String] =
+    Map("loginTimeout" -> "30", "socketTimeout" -> "300")
+
+  /** Format-parameterized read — the connector seam. `"parquet"` resolves
+    * through the directory catalog; `"jdbc"` mirrors the reference's
+    * warehouse read (/root/reference/utils/db_utils.py:68-95 — full-table
+    * `dbtable` scan, so Catalyst pushes filters/projection to the remote
+    * engine); any other format is handed to the DataSource registry. */
+  def readFrom(spark: SparkSession, spec: SourceSpec,
+               table: String): DataFrame =
+    spec.format match {
+      case "parquet" => load(spark, spec.path, table)
+      case "jdbc" =>
+        spark.read.format("jdbc")
+          .options(jdbcDefaults ++ spec.options)
+          .option("dbtable", table)
+          .load()
+      case other =>
+        spark.read.format(other).options(spec.options)
+          .load(s"${normalizeScheme(spec.path)}/$table")
+    }
+
+  /** Pushdown-SQL read: the query text executes on the remote engine as a
+    * derived table, exactly the reference's `(sql) AS spark_query` wrap
+    * (/root/reference/utils/db_utils.py:97-117). Spark sees only the
+    * result schema. */
+  def readSql(spark: SparkSession, spec: SourceSpec,
+              sql: String): DataFrame = {
+    require(spec.format == "jdbc", "pushdown SQL requires a jdbc source")
+    spark.read.format("jdbc")
+      .options(jdbcDefaults ++ spec.options)
+      .option("dbtable", s"($sql) AS spark_query")
+      .load()
+  }
+
+  /** Sink-side repartition heuristic for warehouse writes
+    * (/root/reference/utils/db_utils.py:129-130): above 10k rows, one
+    * partition per 10k capped at 8 — a JDBC-connection-concurrency bound,
+    * deliberately NOT a big-data path (0 = leave partitioning alone).
+    * Parquet writes never use it; at 100 TB data ships via the object
+    * store and only aggregates go to the warehouse. */
+  def writePartitions(rows: Long): Int =
+    if (rows > 10000) math.min(8L, math.max(1L, rows / 10000L)).toInt else 0
+
+  /** Format-parameterized write behind the same seam. The JDBC branch
+    * counts rows first (an action — the reference's contract,
+    * db_utils.py:119-143) to size the write concurrency. */
+  def writeTo(df: DataFrame, spec: SourceSpec, table: String,
+              mode: SaveMode = SaveMode.Overwrite): Unit =
+    spec.format match {
+      case "parquet" => write(df, spec.path, table, mode)
+      case "jdbc" =>
+        val p = writePartitions(df.count())
+        val sized = if (p > 0) df.repartition(p) else df
+        sized.write.format("jdbc")
+          .options(jdbcDefaults ++ spec.options)
+          .option("dbtable", table)
+          .mode(mode).save()
+      case other =>
+        df.write.format(other).options(spec.options).mode(mode)
+          .save(s"${normalizeScheme(spec.path)}/$table")
+    }
 
   /** Persist as a bucketed+sorted managed table: both sides of a
     * co-partitioned equi-join then read with matching HashPartitioning and

@@ -114,6 +114,9 @@ object Jobs {
         val out = df1
           .withColumn("load_date", lit(cfg.loadDate))
           .select("o_orderkey", "o_orderpriority", "o_orderdate", "load_date")
+        // sampling diagnostic to stderr (reference df.show(5, truncate=False)
+        // at etl_service.py:60); stdout stays reserved for the result JSON
+        System.err.println(graft.ops.Relational.showSample(out, 5))
         val rows = out.count()
         JobResult(cfg.id, cfg.name, "success", rows,
           (System.nanoTime() - t0) / 1e9)

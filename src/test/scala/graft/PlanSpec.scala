@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: pin the physical-plan properties that make
+  * the expensive queries scale (broadcast dims, fused top-k, pushed
+  * filters, no pathological joins), so a refactor that silently degrades a
+  * plan fails CI instead of only showing up at 100 TB. Plans are inspected
+  * AFTER execution so AQE's final (re-optimized) choices are what's
+  * asserted.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  private def finalPlan(qid: String): String = {
+    val df = SparkEntry.queries(qid)(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    // assert only on AQE's final choices, not the pre-runtime initial plan
+    p.split("== Initial Plan ==").head
+  }
+
+  test("q03 flagship: dimension joins broadcast") {
+    val p = finalPlan("q03_flagship_sql")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected >=2 broadcast joins:\n${p.take(3000)}")
+  }
+
+  test("q28 top-k fuses to TakeOrderedAndProject") {
+    val p = finalPlan("q28_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q08 date-range filter reaches the parquet scan") {
+    val p = finalPlan("q08_date_range_filter")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      p.take(3000))
+  }
+
+  test("q40 IVF: cell assignment is projection-only — one window, broadcast probe join") {
+    val p = finalPlan("q40_ann_ivf")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"only the final top-k may window:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"corpus must not shuffle for assignment:\n${p.take(3000)}")
+  }
+
+  test("q35 banded LSH: no cartesian or nested-loop join anywhere") {
+    val p = finalPlan("q35_embedding_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q44 as-of: pure window formulation, no join operator") {
+    val p = finalPlan("q44_asof_prev_purchase")
+    assert(!p.contains("Join"), s"as-of must not join:\n${p.take(3000)}")
+  }
+
+  test("q22 exact dedup shuffles digests, not documents") {
+    val p = finalPlan("q22_dedup_exact")
+    assert(p.contains("sha2"), p.take(3000))
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
+}

@@ -84,10 +84,86 @@ class WorkflowSpec extends AnyFunSuite {
     }
   }
 
+  test("showSample renders n rows without collecting the full result") {
+    val s = graft.ops.Relational.showSample(
+      TableCatalog.load(spark, sf, "region").orderBy("r_regionkey"), 3)
+    assert(s.contains("r_name"), s)
+    assert(s.contains("only showing top 3 rows"), s)
+  }
+
+  test("environment autodetect: k8s via env or token file, else local") {
+    assert(GraftSession.detectMaster(Map.empty, _ => false) == "local[*]")
+    assert(GraftSession.detectMaster(
+      Map("KUBERNETES_SERVICE_HOST" -> "10.0.0.1",
+        "KUBERNETES_SERVICE_PORT" -> "6443"), _ => false) ==
+      "k8s://https://10.0.0.1:6443")
+    assert(GraftSession.detectMaster(Map.empty, _ => true)
+      .startsWith("k8s://"), "token file alone must flip to k8s")
+  }
+
   test("RunJob CLI arg parsing") {
     val a = RunJob.parseArgs(Array("--job-type", "poc_etl",
       "--sf-dir", "/x", "--limit", "5"))
     assert(a == Map("job-type" -> "poc_etl", "sf-dir" -> "/x", "limit" -> "5"))
+  }
+
+  test("job config: inline JSON, file, precedence over flags, bad input") {
+    val inline = RunJob.parseJobConfig(
+      """{"type":"poc_etl","id":"j7","limit":5,"load_date":"2026-02-03"}""")
+    assert(inline == Map("type" -> "poc_etl", "id" -> "j7",
+      "limit" -> "5", "load_date" -> "2026-02-03"))
+    val f = Files.createTempFile(
+      java.nio.file.Paths.get("/root/repo/target"), "cfg", ".json")
+    Files.writeString(f,
+      s"""{"type":"poc_etl","id":"file1","limit":3,"sf_dir":"$sf"}""")
+    val cfg = RunJob.buildConfig(Map("job-config-file" -> f.toString,
+      "job-id" -> "flag-id", "limit" -> "99"))
+    assert(cfg.id == "file1" && cfg.jobType == "poc_etl")
+    assert(cfg.limit.contains(3), "config file must win over flags")
+    assert(cfg.sfDir == sf)
+    intercept[Exception](RunJob.parseJobConfig("[1,2]"))
+  }
+
+  test("config-file job runs end-to-end through the registry") {
+    val f = Files.createTempFile(
+      java.nio.file.Paths.get("/root/repo/target"), "cfg", ".json")
+    Files.writeString(f,
+      s"""{"type":"poc_etl","id":"e2e","limit":7,"sf_dir":"$sf"}""")
+    val cfg = RunJob.buildConfig(Map("job-config-file" -> f.toString))
+    val r = Jobs.execute(spark, Jobs.builtinRegistry(tmpDir()), cfg)
+    assert(r.status == "success" && r.rowsProcessed == 7)
+  }
+
+  test("JDBC write repartition heuristic matches the reference bounds") {
+    assert(TableCatalog.writePartitions(10000) == 0)
+    assert(TableCatalog.writePartitions(10001) == 1)
+    assert(TableCatalog.writePartitions(50000) == 5)
+    assert(TableCatalog.writePartitions(10000000) == 8)
+  }
+
+  test("s3 scheme normalization and SSE write options") {
+    assert(TableCatalog.normalizeScheme("s3://bucket/p") == "s3a://bucket/p")
+    assert(TableCatalog.normalizeScheme("/local/p") == "/local/p")
+    assert(TableCatalog.writeOptions("s3://b/p") ==
+      Map("ServerSideEncryption" -> "AES256"))
+    assert(TableCatalog.writeOptions("/tmp/x").isEmpty)
+    assert(TableCatalog.path("s3://b/p", "t") == "s3a://b/p/t.parquet")
+  }
+
+  test("connector seam: JDBC round-trip + pushdown SQL via embedded Derby") {
+    val spec = graft.sources.SourceSpec("jdbc", options = Map(
+      "url" -> s"jdbc:derby:${tmpDir()}/db;create=true",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val src = TableCatalog.load(spark, sf, "region")
+    TableCatalog.writeTo(src, spec, "region_rt")
+    val back = TableCatalog.readFrom(spark, spec, "region_rt")
+    assert(back.count() == src.count())
+    assert(back.columns.map(_.toLowerCase).sorted.toSeq ==
+      src.columns.map(_.toLowerCase).sorted.toSeq)
+    val n = TableCatalog
+      .readSql(spark, spec, "SELECT COUNT(*) AS n FROM region_rt")
+      .collect().head.get(0).asInstanceOf[Number].longValue()
+    assert(n == src.count())
   }
 
   test("job registry dispatch: poc job runs, unknown type fails cleanly") {
