@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableCatalog
+
+/** Corpus-preparation operators a production LLM training-data pipeline
+  * runs after dedup/quality filtering: PII scrubbing, intra-document
+  * repetition statistics (Gopher-style filters), deterministic hash-based
+  * train/val/test splitting, and token-budget sequence packing.
+  *
+  * Not in the reference (its corpus is relational rows, not documents) —
+  * this tier extends SURVEY.md §2.11 per the north star. Everything here
+  * is pure codegen'd column expressions + windows: no UDFs, no shuffles
+  * beyond the ones the semantics require, and every operator is exactly
+  * SQL-expressible so the DuckDB oracle checks it bit-for-bit.
+  */
+object Corpus {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  // Patterns are written in the Java∩RE2 common subset so Spark and the
+  // DuckDB oracle compile them identically.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val phonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrub: replace emails, URLs, and phone-shaped numbers with typed
+    * placeholder tokens, counting redactions per category. URL first so an
+    * email inside a URL is counted once, as a URL. One projection — scales
+    * as a pure map over the corpus. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("n_url", regexp_count(text, lit(urlPattern)).cast("long"))
+      .withColumn("_t1",
+        regexp_replace(text, urlPattern, "<URL>"))
+      .withColumn("n_email",
+        regexp_count(col("_t1"), lit(emailPattern)).cast("long"))
+      .withColumn("_t2",
+        regexp_replace(col("_t1"), emailPattern, "<EMAIL>"))
+      .withColumn("n_phone",
+        regexp_count(col("_t2"), lit(phonePattern)).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(col("_t2"), phonePattern, "<PHONE>"))
+      .drop("_t1", "_t2")
+  }
+
+  /** Intra-document repetition statistics (the Gopher/C4 repetition
+    * filters): type-token ratio and duplicate-bigram fraction. A document
+    * whose bigrams repeat heavily is boilerplate or degenerate generation;
+    * both scores are pure per-row expressions. */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))),
+      g => length(g) > 0)
+    df.withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("ttr",
+        round(size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"), 6))
+      .withColumn("dup_bigram_ratio",
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+          greatest(size(grams), lit(1)).cast("double"), 6))
+  }
+
+  /** Deterministic train/val/test assignment from the md5 of the document
+    * text: first hex nibble e → val, f → test, else train (14/16 – 1/16 –
+    * 1/16). Content-keyed, so the split survives re-ingestion, re-ordering
+    * and re-partitioning — the property a reproducible corpus needs; no
+    * shuffle at all. */
+  def hashSplit(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("split",
+      when(substring(md5(col(textCol)), 1, 1) === "e", "val")
+        .when(substring(md5(col(textCol)), 1, 1) === "f", "test")
+        .otherwise("train"))
+
+  /** Token-budget sequence packing: documents in `orderCol` order are
+    * laid end-to-end and cut into shards of `budget` tokens; a document's
+    * shard is the one its first token lands in (offset sharding — the
+    * streaming-friendly packer).
+    *
+    * Scale note: a single global running sum is one range-partitioned
+    * window — fine into the billions, but at 100 TB pass `groupCol` to
+    * pack independently inside each group (e.g. a date or domain bucket):
+    * the window becomes hash-partitioned and embarrassingly parallel. */
+  def packSequences(df: DataFrame, orderCol: String, tokCol: String,
+                    budget: Int, groupCol: Option[String] = None): DataFrame = {
+    val w0 = groupCol.fold(Window.orderBy(col(orderCol)))(g =>
+      Window.partitionBy(col(g)).orderBy(col(orderCol)))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokCol)).over(w))
+      .withColumn("shard",
+        expr(s"(cum_tokens - $tokCol) div $budget"))
+  }
+
+  // ---------------------------------------------------------------- q50
+  /** PII scrub over the documents corpus. */
+  def q50PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubPii(t(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "text")
+      .select("doc_id", "clean_text", "n_url", "n_email", "n_phone")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q51
+  /** Repetition statistics per document. */
+  def q51Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), "text")
+      .select("doc_id", "n_toks", "ttr", "dup_bigram_ratio")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q52
+  /** Content-hash split assignment per document. */
+  def q52HashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text")), "text")
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q53
+  /** Sequence packing at a 2048-token budget in doc_id order. */
+  def q53PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        Text.tokenCountBpe(col("text")).cast("long").as("n_tokens"))
+    packSequences(toks, "doc_id", "n_tokens", budget = 2048)
+      .select("doc_id", "n_tokens", "cum_tokens", "shard")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_pii_scrub" -> q50PiiScrub _,
+    "q51_repetition" -> q51Repetition _,
+    "q52_hash_split" -> q52HashSplit _,
+    "q53_pack_sequences" -> q53PackSequences _)
+
+  val oracle: Map[String, String] = Map(
+    "q50_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+        |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, n_url,
+        |    len(regexp_extract_all(t1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    regexp_replace(t1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t2
+        |  FROM s)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+        |    '<PHONE>', 'g') AS clean_text,
+        |  n_url, n_email,
+        |  len(regexp_extract_all(t2,
+        |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "q51_repetition" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |                t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    list_filter(
+        |      list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+        |        i -> array_to_string(tk[i:i+1], ' ')),
+        |      x -> len(x) > 0) AS bg
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_toks,
+        |  round(CAST(len(list_distinct(tk)) AS DOUBLE)
+        |      / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS ttr,
+        |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+        |      / CAST(greatest(len(bg), 1) AS DOUBLE), 6) AS dup_bigram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q52_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(text), 1, 1) = 'e' THEN 'val'
+        |       WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q53_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |       CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS shard
+        |FROM packed ORDER BY doc_id""".stripMargin)
+}

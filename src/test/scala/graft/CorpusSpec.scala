@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("scrubPii replaces emails, urls, phones with typed tokens and counts") {
+    val df = Seq(
+      (1L, "mail me at jane.doe@example.com or visit https://example.com/x"),
+      (2L, "call +1-555-123-4567 or 555 987 6543 today"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.scrubPii(df, "text")
+      .select("doc_id", "clean_text", "n_email", "n_url", "n_phone")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == "mail me at <EMAIL> or visit <URL>")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(2L)._4 == 2, s"both phone formats must redact: ${out(2L)}")
+    // 3-3-4 matcher: a country-code prefix stays (documented simplification)
+    assert(out(2L)._1 == "call +1-<PHONE> or <PHONE> today", out(2L)._1)
+    assert(out(3L) == (("nothing sensitive here", 0L, 0L, 0L)))
+  }
+
+  test("repetitionStats: repeated text scores low ttr / high dup bigrams") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "all six words here are different")
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(df, "text")
+      .select("doc_id", "n_toks", "ttr", "dup_bigram_ratio")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 6 && out(1L)._2 < 0.2 && out(1L)._3 > 0.7)
+    assert(out(2L)._2 == 1.0 && out(2L)._3 == 0.0)
+  }
+
+  test("hashSplit is deterministic, content-keyed, and ~14/1/1") {
+    val docs = (1L to 400L).map(i => (i, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val a = Corpus.hashSplit(docs, "text").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Corpus.hashSplit(docs.orderBy(rand(7)), "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "split must not depend on row order")
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.75 && frac < 0.95, s"train fraction $frac")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("packSequences: shards cut at the token budget, grouped mode partitions") {
+    val df = Seq((1L, 1000L), (2L, 1000L), (3L, 1000L), (4L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val out = Corpus.packSequences(df, "doc_id", "n_tokens", budget = 2048)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    // offsets 0,1000,2000,3000 → shards 0,0,0 (starts<2048? 2000<2048 yes),1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), out.toString)
+    val grouped = Corpus.packSequences(
+      Seq(("a", 1L, 3000L), ("a", 2L, 100L), ("b", 3L, 100L))
+        .toDF("grp", "doc_id", "n_tokens"),
+      "doc_id", "n_tokens", budget = 2048, groupCol = Some("grp"))
+      .select("grp", "doc_id", "shard").as[(String, Long, Long)]
+      .collect().toSet
+    assert(grouped == Set(("a", 1L, 0L), ("a", 2L, 1L), ("b", 3L, 0L)))
+  }
+}
