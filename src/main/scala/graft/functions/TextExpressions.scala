@@ -1,0 +1,214 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass tokenization/shingling helpers shared by interpreted eval and
+  * generated code.
+  *
+  * Why these exist: the composable formulations —
+  * `filter(split(lower(text), "\\W+"), t -> length(t) > 0)` and the
+  * shingle pipeline `array_distinct(filter(transform(sequence(...),
+  * i -> concat_ws(" ", slice(toks, i, n)))))` — are built on higher-order
+  * functions, which are CodegenFallback in Spark: the whole projection
+  * drops out of whole-stage codegen into boxed per-lambda interpretation.
+  * Measured on the 5k-document sf0.1 corpus that made *tokenization* the
+  * dominant cost of every dedup/text query (~2-6 s per pass). One fused
+  * scan per document removes the per-element lambda dispatch and all
+  * intermediate arrays while reproducing the composable semantics exactly
+  * (same token runs, same edge cases, same ordering), so the DuckDB
+  * oracles keep matching bit-for-bit.
+  *
+  * Tokenization contract (mirrors `split(lower(text), "\\W+")` + non-empty
+  * filter, which both Spark and the DuckDB oracle implement identically):
+  * lowercase first (full UTF8String lowercase, like `lower()`), then take
+  * maximal runs of ASCII word chars `[a-z0-9_]` (Java/RE2 `\w` is ASCII
+  * without Unicode flags); everything else separates.
+  */
+object NgramUtil {
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_' ||
+      (c >= 'A' && c <= 'Z')
+
+  private def tokenStrings(text: UTF8String): mutable.ArrayBuffer[String] = {
+    val s = text.toLowerCase.toString
+    val toks = new mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      if (isWordChar(s.charAt(i))) {
+        val start = i
+        while (i < len && isWordChar(s.charAt(i))) i += 1
+        toks += s.substring(start, i)
+      } else i += 1
+    }
+    toks
+  }
+
+  /** Lowercased word tokens as ArrayData (codegen entry point). */
+  def tokens(text: UTF8String): ArrayData = {
+    val toks = tokenStrings(text)
+    new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+  }
+
+  /** k seeded xxhash64 minima over a shingle array (codegen entry point
+    * for [[MinHashes]]); null on empty input, matching array_min. */
+  def minHashes(shingles: ArrayData, k: Int, seedIndexed: Boolean): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    val seeds = Array.tabulate(k) { s =>
+      if (seedIndexed) XXH64.hashInt(s, 42L) else 42L
+    }
+    var i = 0
+    while (i < n) {
+      val g = shingles.getUTF8String(i)
+      var s = 0
+      while (s < k) {
+        val h = XXH64.hashUnsafeBytes(
+          g.getBaseObject, g.getBaseOffset, g.numBytes, seeds(s))
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Word n-gram shingles as ArrayData (codegen entry point). Edge cases
+    * replicate the composable form: empty text → empty array; fewer than
+    * `n` tokens → one shingle of all tokens; `distinct` keeps first
+    * occurrences in order (array_distinct semantics). */
+  def ngrams(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = tokenStrings(text)
+    val len = toks.length
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val upper = math.max(len - n, 0)
+    val out = new mutable.ArrayBuffer[UTF8String](upper + 1)
+    val seen = if (distinct) new mutable.HashSet[String]() else null
+    var i = 0
+    while (i <= upper) {
+      val end = math.min(i + n, len)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val gram = sb.toString
+      if (seen == null || seen.add(gram)) out += UTF8String.fromString(gram)
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** Fused lowercased word tokenizer (see [[NgramUtil]] scaladoc). */
+case class WordTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_word_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NgramUtil.tokens($x);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordTokens = copy(child = newChild)
+}
+
+/** k seeded MinHash minima of a shingle set in one pass.
+  *
+  * Byte-identical to the composable form
+  * `array((0 until k).map(s => array_min(transform(shingles,
+  * g => xxhash64(lit(s), g)))))` — Spark's XxHash64 chains its arguments,
+  * so hash(s, g) = XXH64(gram bytes, seed = XXH64(int s, seed = 42)) —
+  * but computed in a single scan over the shingle array instead of k
+  * interpreted HOF passes (transform/array_min are CodegenFallback).
+  * `seedIndexed = false` reproduces the unseeded single-hash form
+  * `xxhash64(g)` used by document fingerprints. Null on empty input
+  * (array_min of an empty array is null). */
+case class MinHashes(child: Expression, numHashes: Int,
+                     seedIndexed: Boolean = true)
+    extends UnaryExpression {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_minhashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.minHashes(input.asInstanceOf[ArrayData], numHashes, seedIndexed)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |${ev.value} =
+         |  graft.functions.NgramUtil.minHashes($x, $numHashes, $seedIndexed);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+    code
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashes = copy(child = newChild)
+}
+
+/** Fused word n-gram shingler (see [[NgramUtil]] scaladoc). */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.ngrams(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NgramUtil.ngrams($x, $n, $distinct);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgrams = copy(child = newChild)
+}

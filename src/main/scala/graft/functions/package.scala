@@ -79,6 +79,29 @@ package object functions {
       w, dim, bands, bitsPerBand))
   }
 
+  /** Lowercased word tokens via the fused [[WordTokens]] expression —
+    * byte-identical to `filter(split(lower(text), "\\W+"), len > 0)` (the
+    * HOF form is CodegenFallback; see [[NgramUtil]]). */
+  def wordTokens(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(WordTokens(GraftSqlBridge.expression(text)))
+  }
+
+  /** Word n-gram shingles via the fused [[WordNgrams]] expression. */
+  def wordNgrams(text: Column, n: Int, distinct: Boolean = true): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(WordNgrams(GraftSqlBridge.expression(text), n,
+      distinct))
+  }
+
+  /** k seeded MinHash minima via the fused [[MinHashes]] expression. */
+  def minHashes(shingles: Column, k: Int,
+                seedIndexed: Boolean = true): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(MinHashes(GraftSqlBridge.expression(shingles), k,
+      seedIndexed))
+  }
+
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -54,10 +54,7 @@ object Corpus {
     * both scores are pure per-row expressions. */
   def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    val grams = filter(
-      transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))),
-      g => length(g) > 0)
+    val grams = graft.functions.wordNgrams(col(textCol), 2, distinct = false)
     df.withColumn("n_toks", size(toks).cast("long"))
       .withColumn("ttr",
         round(size(array_distinct(toks)).cast("double") /

@@ -33,22 +33,20 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Lowercased word tokens (non-word runs as separators, empties dropped). */
+  /** Lowercased word tokens (non-word runs as separators, empties dropped)
+    * — fused native expression, see [[graft.functions.NgramUtil]]. */
   private def tokensOf(textCol: String) =
-    filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
+    graft.functions.wordTokens(col(textCol))
 
   /** Distinct word n-gram shingles of a document. Shingling (vs raw
     * unigrams) is what makes MinHash discriminative on natural text: with a
     * small vocabulary every document's unigram set converges to the whole
-    * vocabulary and all Jaccard distances collapse toward 0. */
+    * vocabulary and all Jaccard distances collapse toward 0. One fused
+    * scan per document ([[graft.functions.WordNgrams]]) — the
+    * HOF-composed form dropped every dedup query out of codegen. */
   def shingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
-    df.withColumn("toks", tokensOf(textCol))
-      .withColumn("shingles",
-        array_distinct(filter(transform(
-          sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))),
-          g => length(g) > 0)))
-      .drop("toks")
+    df.withColumn("shingles",
+      graft.functions.wordNgrams(col(textCol), n))
 
   /** Shingle → term-frequency vectors for hashing-based dedup; 2^18 feature
     * space keeps hash collisions rare while bounding vector width. */
@@ -107,10 +105,10 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .select(col(idCol), col("shingles"))
       .persist()
+    // k minima in one fused scan (byte-identical to the k-pass HOF form —
+    // see graft.functions.MinHashes)
     val withMins = sh.withColumn("mins",
-      array((0 until numHashes).map { s =>
-        array_min(transform(col("shingles"), g => xxhash64(lit(s), g)))
-      }: _*))
+      graft.functions.minHashes(col("shingles"), numHashes))
     // band join over (id, band_key) only — shingle arrays would bloat the
     // shuffle; they are joined back onto the (much smaller) candidate pairs
     val banded = withMins.select(
@@ -215,21 +213,25 @@ object Dedup {
     val postings = shingles(df, textCol, n)
       .select(col(idCol), explode(col("shingles")).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
-    // document-frequency cutoff via a count window: one shuffle on gram_h,
-    // whose hash partitioning the a/b self-join below then reuses
+    // document-frequency annotation via a count window: one shuffle on
+    // gram_h, whose hash partitioning the a/b self-join below then reuses
     val dfWindow = org.apache.spark.sql.expressions.Window
       .partitionBy(col("gram_h"))
     val shingled = postings
       .withColumn("gram_df", count(lit(1)).over(dfWindow))
       .filter(col("gram_df") <= maxDocFreq)
-      .drop("gram_df")
       // persist: kept postings feed the per-doc sizes AND both join sides
       .persist()
     val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val sa = sizes.select(col(idCol).as("id_a"), col("n_grams").as("size_a"))
     val sb = sizes.select(col(idCol).as("id_b"), col("n_grams").as("size_b"))
-    val a = shingled.select(col(idCol).as("id_a"), col("gram_h"))
-    val b = shingled.select(col(idCol).as("id_b"), col("gram_h"))
+    // singleton grams (df=1) count toward set sizes but can never produce
+    // a pair — dropping them from the join sides shrinks the inverted
+    // index to just the shared-gram postings (most of a natural corpus's
+    // gram universe is singletons)
+    val joinable = shingled.filter(col("gram_df") >= 2)
+    val a = joinable.select(col(idCol).as("id_a"), col("gram_h"))
+    val b = joinable.select(col(idCol).as("id_b"), col("gram_h"))
     a.join(b, "gram_h")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Lowercased word tokens. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\W+"), t => length(t) > 0)
+  /** Lowercased word tokens — fused native expression (the HOF form
+    * `filter(split(lower(..)))` is CodegenFallback; see
+    * [[graft.functions.NgramUtil]]). */
+  def tokens(text: Column): Column = graft.functions.wordTokens(text)
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(split(text, "\\s+"))
@@ -119,12 +120,10 @@ object Text {
     * documents sharing long runs of text collide on fingerprints; grouping
     * by `min_fp` buckets candidates for containment checks. */
   def fingerprint(df: DataFrame, textCol: String, idCol: String,
-                  w: Int = 8): DataFrame = {
-    val sh = Dedup.shingles(df, textCol, w)
-    sh.select(col(idCol),
-        transform(col("shingles"), s => xxhash64(s)).as("fps"))
+                  w: Int = 8): DataFrame =
+    Dedup.shingles(df, textCol, w)
       .select(col(idCol),
-        array_min(col("fps")).as("min_fp"),
-        size(col("fps")).as("n_shingles"))
-  }
+        element_at(graft.functions.minHashes(col("shingles"), 1,
+          seedIndexed = false), 1).as("min_fp"),
+        size(col("shingles")).as("n_shingles"))
 }

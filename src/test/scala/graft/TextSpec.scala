@@ -53,6 +53,47 @@ class TextSpec extends AnyFunSuite {
     assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("fused WordTokens/WordNgrams/MinHashes are byte-identical to the HOF forms") {
+    import graft.functions._
+    import graft.sources.TableCatalog
+    val docs = TableCatalog.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text")
+    // plus curated edge cases: empty, separators-only, shorter than n,
+    // unicode separators, underscores and digits
+    val edge = Seq((9001L, ""), (9002L, " .,;!? "), (9003L, "one two"),
+      (9004L, "Hello, WORLD_42 — déjà vu 漢字 test"), (9005L, "single"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val hofToks = filter(split(lower($"text"), "\\W+"), t => length(t) > 0)
+    val tokDiff = all.select(wordTokens($"text").as("a"), hofToks.as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(tokDiff == 0, "WordTokens must equal filter(split(lower))")
+    val toks = hofToks
+    def hofNgrams(n: Int) = array_distinct(filter(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      g => length(g) > 0))
+    Seq(2, 3, 8).foreach { n =>
+      val d = all.select(wordNgrams($"text", n).as("a"), hofNgrams(n).as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(d == 0, s"WordNgrams($n) must equal the HOF shingle pipeline")
+    }
+    val sh = all.select(wordNgrams($"text", 3).as("s"))
+      .filter(size($"s") > 0)
+    val hofMins = array((0 until 4).map { s =>
+      array_min(transform($"s", g => xxhash64(lit(s), g)))
+    }: _*)
+    val mh = sh.select(minHashes($"s", 4).as("a"), hofMins.as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(mh == 0, "MinHashes must equal the seeded xxhash64 minima")
+    val hofFp = array_min(transform($"s", g => xxhash64(g)))
+    val fp = sh.select(
+        element_at(minHashes($"s", 1, seedIndexed = false), 1).as("a"),
+        hofFp.as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(fp == 0, "unseeded MinHashes must equal xxhash64 minima")
+  }
+
   test("fingerprint is deterministic and shared by identical docs") {
     val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"),
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
