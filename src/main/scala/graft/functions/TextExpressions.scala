@@ -83,6 +83,34 @@ object NgramUtil {
     new GenericArrayData(mins)
   }
 
+  /** 64-bit SimHash over a token multiset (codegen entry point for
+    * [[SimHash64]]): per-bit ±1 votes weighted by each token's xxhash64
+    * bit, bit set when the vote sum is positive. */
+  def simhash64(tokens: ArrayData): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(
+        t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Word n-gram shingles as ArrayData (codegen entry point). Edge cases
     * replicate the composable form: empty text → empty array; fewer than
     * `n` tokens → one shingle of all tokens; `distinct` keeps first
@@ -183,6 +211,39 @@ case class MinHashes(child: Expression, numHashes: Int,
 
   override protected def withNewChildInternal(
       newChild: Expression): MinHashes = copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array in one pass.
+  *
+  * SimHash is per-document math — every bit's ±1 vote sum ranges over one
+  * document's tokens — so it belongs in a projection, not in the
+  * explode(tokens) × explode(64 bits) → groupBy shuffle a relational
+  * formulation needs (that shape shuffles 64·|tokens| rows per corpus at
+  * scale; this one shuffles nothing). Bit b of the signature is set iff
+  * Σ_tokens (bit b of xxhash64(token) ? +1 : −1) > 0, byte-identical to
+  * the exploded form. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $t")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NgramUtil.simhash64($x);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
 /** Fused word n-gram shingler (see [[NgramUtil]] scaladoc). */

@@ -94,6 +94,12 @@ package object functions {
       distinct))
   }
 
+  /** One-pass 64-bit SimHash via the [[SimHash64]] expression. */
+  def simHash64(tokens: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+  }
+
   /** k seeded MinHash minima via the fused [[MinHashes]] expression. */
   def minHashes(shingles: Column, k: Int,
                 seedIndexed: Boolean = true): Column = {

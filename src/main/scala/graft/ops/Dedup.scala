@@ -139,27 +139,18 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of a token array: for each of the 64 bit positions, sum
+  /** 64-bit SimHash per document: for each of the 64 bit positions, sum
     * +1/-1 votes weighted by each token's xxhash64 bit, then collapse to a
-    * bit vector. One groupBy(id) with 64 sum-aggregates — partial
-    * aggregation collapses each (partition, doc) to a single 64-counter
-    * row map-side, so the shuffle carries one row per document instead of
-    * the 64·|tokens| rows an explode-per-bit formulation would. */
-  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df
-      .withColumn("tok", explode(tokensOf(textCol)))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$b")
-    }
-    toks.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
+    * bit vector. SimHash is per-document math, so it runs as ONE fused
+    * projection over the scan ([[graft.functions.SimHash64]]) — zero
+    * shuffle, vs the 64·|tokens|-row explode→groupBy a relational
+    * formulation would shuffle at corpus scale. Tokenless documents are
+    * excluded (the exploded form never produced rows for them). */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), tokensOf(textCol).as("toks"))
+      .filter(size(col("toks")) > 0)
       .select(col(idCol),
-        (0 until 64).map { b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
-        }.reduce(_ + _).as("simhash"))
-  }
+        graft.functions.simHash64(col("toks")).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: org.apache.spark.sql.Column,
