@@ -74,4 +74,28 @@ object Multimodal {
       rows.map(decodeOne)
     }
   }
+
+  /** Partition count for a byte budget: total payload bytes / target,
+    * clamped to [1, maxPartitions]. Media rows are wildly non-uniform
+    * (a 4 KB thumbnail vs a 2 GB video), so sizing tasks by ROW count
+    * starves some executors and OOMs others; sizing by BYTES bounds each
+    * task's decode memory. The byte total comes from the n_bytes metadata
+    * column — a cheap narrow aggregate, no payload scan. */
+  def partitionsForBytes(media: Dataset[MediaRow],
+                         targetBytesPerPartition: Long,
+                         maxPartitions: Int = 100000): Int = {
+    require(targetBytesPerPartition > 0, "target bytes must be positive")
+    val total = media.agg(org.apache.spark.sql.functions.sum("n_bytes"))
+      .head.getLong(0)
+    val p = (total + targetBytesPerPartition - 1) / targetBytesPerPartition
+    math.min(math.max(p, 1L), maxPartitions.toLong).toInt
+  }
+
+  /** Decode with byte-budget task sizing: repartition so each task decodes
+    * about `targetBytesPerPartition` of payload, then run the batched
+    * decode. */
+  def decodeFeaturesSized(media: Dataset[MediaRow],
+                          targetBytesPerPartition: Long): Dataset[MediaFeatures] =
+    decodeFeatures(media,
+      partitionsForBytes(media, targetBytesPerPartition))
 }

@@ -74,6 +74,23 @@ object Streams {
     * watermark to advance; update emits incremental rows). */
   val defaultOutputMode: OutputMode = OutputMode.Update()
 
+  /** Ingest-time exact dedup: drop re-deliveries of the same content while
+    * the stream runs — the streaming counterpart of
+    * [[graft.ops.Dedup.exactByHash]]. Keyed on a 256-bit content digest
+    * (state carries 64 hex chars per seen document, never the payload),
+    * and bounded by the event-time watermark via
+    * `dropDuplicatesWithinWatermark`: state for keys older than the
+    * watermark is evicted, so an unbounded corpus stream runs in bounded
+    * state — the property that matters at 100 TB of ingest. Exactly-once
+    * within the watermark horizon; duplicates farther apart than the
+    * horizon are the batch dedup pass's job. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_sha", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_sha")
+
   /** File-source stream over the corpus events table. The parquet carries
     * TIMESTAMP(NANOS), which file streams must schema past explicitly (the
     * nanosAsLong session conf covers inference only on the batch path);

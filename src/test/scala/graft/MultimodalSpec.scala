@@ -26,4 +26,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1 == f2, "features must not depend on partitioning")
     assert(f1.values.forall(_.length == 4))
   }
+
+  test("byte-budget task sizing: partitions track total payload bytes") {
+    val docs = TableCatalog.load(spark, TestSpark.sfDir, "documents")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
+    val total = media.collect().map(_.n_bytes).sum
+    val p = Multimodal.partitionsForBytes(media, targetBytesPerPartition = 10000)
+    assert(p == ((total + 9999) / 10000).toInt, s"p=$p total=$total")
+    assert(Multimodal.partitionsForBytes(media, Long.MaxValue) == 1)
+    assert(Multimodal.partitionsForBytes(media, 1, maxPartitions = 64) == 64)
+    val sized = Multimodal.decodeFeaturesSized(media, 10000)
+      .rdd.getNumPartitions
+    assert(sized == p)
+  }
 }

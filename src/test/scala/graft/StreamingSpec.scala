@@ -133,6 +133,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(maxDup == 2L, s"duplicate emission detected: $maxDup")
   }
 
+  test("streaming dedup drops same-content re-deliveries within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    input.addData(
+      (1L, ts(0), "the first document body"),
+      (2L, ts(1), "a second distinct document"),
+      (3L, ts(2), "the first document body"), // re-delivery of 1's content
+      (4L, ts(3), "a third distinct document"))
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.dedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), "text")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // same content re-delivered in a later batch must still dedupe
+      input.addData((5L, ts(4), "a second distinct document"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_test").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L),
+        s"expected exactly the first delivery of each content, got $kept")
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gaps") {
     import spark.implicits._
     val batch = sampleEvents.toDF()
