@@ -94,6 +94,38 @@ object Corpus {
         expr(s"(cum_tokens - $tokCol) div $budget"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥
+    * `minOverlap` distinct word n-grams with ANY benchmark document —
+    * the standard guard against test-set leakage into training data.
+    *
+    * Scale design: benchmarks are tiny next to a training corpus, so the
+    * distinct benchmark gram set builds once and BROADCASTS; the corpus
+    * side is a single scan → shingle projection → broadcast semi-join →
+    * per-doc count. No corpus self-join, no corpus shuffle besides the
+    * final per-doc aggregate. `hashGrams = true` (the 100 TB path) joins
+    * on 8-byte xxhash64 gram keys instead of gram strings; the string
+    * variant exists so the DuckDB oracle can mirror the query exactly. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, n: Int = 3, minOverlap: Int = 1,
+                    hashGrams: Boolean = true): DataFrame = {
+    def postings(df: DataFrame) = {
+      val p = df.select(col(idCol),
+        explode(graft.functions.wordNgrams(col(textCol), n)).as("gram"))
+      if (hashGrams) p.select(col(idCol), xxhash64(col("gram")).as("gram"))
+      else p
+    }
+    val corpusGrams = postings(corpus)
+    val benchGrams = postings(benchmark).select("gram").distinct()
+    val sizes = corpusGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val overlap = corpusGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, Seq(idCol))
+      .filter(col("n_overlap") >= minOverlap)
+      .withColumn("overlap_frac",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+  }
+
   // ---------------------------------------------------------------- q50
   /** PII scrub over the documents corpus. */
   def q50PiiScrub(spark: SparkSession, dir: String): DataFrame =
@@ -129,12 +161,28 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Decontamination of the corpus against a pseudo-benchmark (every
+    * 101st document), flagging ≥3 shared distinct trigrams. String grams
+    * here so the oracle mirrors the join exactly; production uses the
+    * hashed variant (same counts, 8-byte join keys). */
+  def q54Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    decontaminate(
+        docs.filter(col("doc_id") % 101 =!= 0),
+        docs.filter(col("doc_id") % 101 === 0),
+        "text", "doc_id", n = 3, minOverlap = 3, hashGrams = false)
+      .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_pii_scrub" -> q50PiiScrub _,
     "q51_repetition" -> q51Repetition _,
     "q52_hash_split" -> q52HashSplit _,
-    "q53_pack_sequences" -> q53PackSequences _)
+    "q53_pack_sequences" -> q53PackSequences _,
+    "q54_decontaminate" -> q54Decontaminate _)
 
   val oracle: Map[String, String] = Map(
     "q50_pii_scrub" ->
@@ -184,6 +232,32 @@ object Corpus {
         |       WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+2], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |corpus AS (SELECT * FROM grams WHERE doc_id % 101 <> 0),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+        |overlap AS (
+        |  SELECT c.doc_id, COUNT(*) AS n_overlap
+        |  FROM corpus c JOIN bench b USING (gram) GROUP BY 1)
+        |SELECT s.doc_id, s.n_grams, o.n_overlap,
+        |       round(CAST(o.n_overlap AS DOUBLE) / s.n_grams, 6)
+        |         AS overlap_frac
+        |FROM sizes s JOIN overlap o ON s.doc_id = o.doc_id
+        |WHERE o.n_overlap >= 3
+        |ORDER BY s.doc_id""".stripMargin,
     "q53_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -53,6 +53,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("decontaminate flags benchmark overlap, hashed and string grams agree") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "totally unrelated words about spark query planning engines"),
+      (2L, "he said the quick brown fox jumps over whatever it likes"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight again"))
+      .toDF("doc_id", "text")
+    def run(hashed: Boolean) = Corpus.decontaminate(corpus, bench,
+        "text", "doc_id", n = 3, minOverlap = 2, hashGrams = hashed)
+      .select("doc_id", "n_overlap").as[(Long, Long)].collect().toMap
+    val byString = run(false)
+    assert(!byString.contains(1L), "clean doc must not flag")
+    assert(byString.contains(2L) && byString.contains(3L))
+    assert(byString(3L) > byString(2L),
+      "near-copy must overlap more than partial quote")
+    assert(run(true) == byString,
+      "hashed and string gram joins must produce identical counts")
+  }
+
   test("packSequences: shards cut at the token budget, grouped mode partitions") {
     val df = Seq((1L, 1000L), (2L, 1000L), (3L, 1000L), (4L, 100L))
       .toDF("doc_id", "n_tokens")
