@@ -176,13 +176,26 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q55
+  /** Dedup cluster resolution: exact n-gram-Jaccard near-dup pairs
+    * (jaccard ≥ 0.05, same contract as q33) → connected components →
+    * (doc_id, cluster_root) with the smallest id as the canonical keeper. */
+  def q55DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      t(spark, dir, "documents"), "text", "doc_id", n = 3, minJaccard = 0.05)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_root"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_pii_scrub" -> q50PiiScrub _,
     "q51_repetition" -> q51Repetition _,
     "q52_hash_split" -> q52HashSplit _,
     "q53_pack_sequences" -> q53PackSequences _,
-    "q54_decontaminate" -> q54Decontaminate _)
+    "q54_decontaminate" -> q54Decontaminate _,
+    "q55_dedup_clusters" -> q55DedupClusters _)
 
   val oracle: Map[String, String] = Map(
     "q50_pii_scrub" ->
@@ -232,6 +245,53 @@ object Corpus {
         |       WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q55 mirrors q33's pair derivation (same kept-gram universe), then
+    // resolves clusters with a recursive reachability CTE: MIN(r) over all
+    // roots reaching a node = the smallest id in its component.
+    "q55_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+2], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |kept AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, gram,
+        |           COUNT(*) OVER (PARTITION BY gram) AS gram_df
+        |    FROM grams)
+        |  WHERE gram_df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM kept a JOIN kept b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM p
+        |  JOIN sizes sa ON p.id_a = sa.doc_id
+        |  JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE)
+        |          / (sa.n_grams + sb.n_grams - p.common) >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_root
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q54_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

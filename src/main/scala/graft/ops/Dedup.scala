@@ -182,6 +182,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list by iterative min-label
+    * propagation: every document adopts the smallest id reachable through
+    * the pair graph, so each duplicate cluster resolves to one canonical
+    * representative — the endgame of every dedup pipeline (pairs alone
+    * don't say which doc to keep when A~B and B~C but not A~C).
+    *
+    * Scale design: label propagation is a join + min-aggregate per round,
+    * converging in O(graph diameter) rounds — near-dup graphs are
+    * clustered and shallow, so a handful. Each round persists its labels
+    * and truncates lineage via localCheckpoint (an iterative DataFrame
+    * loop otherwise compounds the plan each round); the convergence probe
+    * is one count per round, the standard pattern for iterative
+    * algorithms. For adversarial web-scale graphs swap in the
+    * large-star/small-star variant; the contract is unchanged. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_root")
+  }
+
   /** Word n-gram Jaccard near-dup pairs, pure relational formulation:
     * explode each document into its distinct n-gram shingles, self-join on
     * shingle (inverted index — only documents sharing a shingle ever meet),

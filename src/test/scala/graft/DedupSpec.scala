@@ -90,6 +90,16 @@ class DedupSpec extends AnyFunSuite {
       "without the cutoff boilerplate-only pairs are candidates")
   }
 
+  test("connectedComponents resolves chains and keeps singleton pairs apart") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {4,5}; {8,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (4L, 5L), (9L, 8L))
+      .toDF("id_a", "id_b")
+    val roots = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      4L -> 4L, 5L -> 4L, 8L -> 8L, 9L -> 8L), roots.toString)
+  }
+
   test("ngram jaccard: exact dup scores 1.0, near dup high, unrelated low") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.0)
