@@ -197,8 +197,12 @@ object Dedup {
     * algorithms. For adversarial web-scale graphs swap in the
     * large-star/small-star variant; the contract is unchanged. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both orientations from ONE pass over the (possibly expensive) pair
+    // subplan — a self-union would execute it twice
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
