@@ -94,6 +94,53 @@ object Corpus {
         expr(s"(cum_tokens - $tokCol) div $budget"))
   }
 
+  /** Per-stratum hex threshold for [[stratifiedSample]]: a rate r maps to
+    * the 8-hex-digit string ⌊r·16⁸⌋, and a document is kept when the first
+    * 8 hex digits of md5(text) compare lexicographically below it —
+    * identical semantics in any engine with md5 and string compare, no
+    * float parsing of hex needed. */
+  private def rateThreshold(rate: Double): String =
+    f"${(math.min(math.max(rate, 0.0), 1.0) * 4294967296L).toLong}%08x"
+      .take(8)
+
+  /** Deterministic stratified sampling: each stratum (e.g. language) keeps
+    * its configured fraction of documents, selected by content hash — so
+    * the sample is reproducible across runs, re-ingestion and partitioning,
+    * and needs no shuffle or RNG state. The standard corpus-balancing move
+    * (downsample the dominant language) expressed as one projection +
+    * filter. Rates ≥ 1.0 keep everything; strata not in `rates` use
+    * `defaultRate`. */
+  def stratifiedSample(df: DataFrame, textCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val prefix = substring(md5(col(textCol)), 1, 8)
+    def keepFor(rate: Double): Column =
+      if (rate >= 1.0) lit(true) else prefix < lit(rateThreshold(rate))
+    val keep = rates.foldLeft(keepFor(defaultRate)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, keepFor(rate)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** Priority corpus mixing: union several sources, then keep ONE copy of
+    * each distinct content, from the highest-priority source that has it
+    * (ties broken by id) — how curated+web corpora merge without double
+    * counting. One shuffle on the content digest; payloads ride the
+    * shuffle once. */
+  def mixWithPriority(sources: Seq[DataFrame], textCol: String,
+                      idCol: String): DataFrame = {
+    require(sources.nonEmpty, "at least one source required")
+    val tagged = sources.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(textCol)).withColumn("src", lit(i))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy(md5(col(textCol)))
+      .orderBy(col("src"), col(idCol))
+    tagged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥
     * `minOverlap` distinct word n-grams with ANY benchmark document —
     * the standard guard against test-set leakage into training data.
@@ -188,6 +235,29 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Language rebalancing: keep 25% of English, all of everything else,
+    * selected deterministically by content hash. */
+  def q56StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text")),
+        "text", "lang", rates = Map("en" -> 0.25))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q57
+  /** Priority mix: the curated English subset (priority 0) over the full
+    * corpus (priority 1); distinct contents keep their highest-priority
+    * copy. */
+  def q57CorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    mixWithPriority(
+        Seq(docs.filter(col("lang") === "en"), docs), "text", "doc_id")
+      .select(col("doc_id"), col("src"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_pii_scrub" -> q50PiiScrub _,
@@ -195,7 +265,9 @@ object Corpus {
     "q52_hash_split" -> q52HashSplit _,
     "q53_pack_sequences" -> q53PackSequences _,
     "q54_decontaminate" -> q54Decontaminate _,
-    "q55_dedup_clusters" -> q55DedupClusters _)
+    "q55_dedup_clusters" -> q55DedupClusters _,
+    "q56_stratified_sample" -> q56StratifiedSample _,
+    "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
     "q50_pii_scrub" ->
@@ -245,6 +317,23 @@ object Corpus {
         |       WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q56_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |           THEN substr(md5(text), 1, 8) < '40000000'
+        |           ELSE true END
+        |ORDER BY doc_id""".stripMargin,
+    "q57_corpus_mix" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, 0 AS src FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 AS src FROM documents),
+        |r AS (
+        |  SELECT doc_id, src,
+        |         row_number() OVER (PARTITION BY md5(text)
+        |                            ORDER BY src, doc_id) AS rn
+        |  FROM u)
+        |SELECT doc_id, src FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q55 mirrors q33's pair derivation (same kept-gram universe), then
     // resolves clusters with a recursive reachability CTE: MIN(r) over all
     // roots reaching a node = the smallest id in its component.

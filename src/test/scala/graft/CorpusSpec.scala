@@ -74,6 +74,33 @@ class CorpusSpec extends AnyFunSuite {
       "hashed and string gram joins must produce identical counts")
   }
 
+  test("stratifiedSample keeps configured fractions deterministically") {
+    val docs = (1L to 2000L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", s"document text $i"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.stratifiedSample(docs, "text", "lang",
+        rates = Map("en" -> 0.25))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val en = out.count(_._2 == "en")
+    assert(out.count(_._2 == "de") == 1000, "default rate keeps everything")
+    assert(en > 150 && en < 350, s"~25% of 1000 en docs expected, got $en")
+    val again = Corpus.stratifiedSample(docs.orderBy(rand(3)), "text", "lang",
+        rates = Map("en" -> 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet, "sample must be order-independent")
+  }
+
+  test("mixWithPriority keeps the highest-priority copy of each content") {
+    val curated = Seq((10L, "shared body one"), (11L, "curated only"))
+      .toDF("doc_id", "text")
+    val web = Seq((20L, "shared body one"), (21L, "web only"),
+      (22L, "web only")) // 21/22 same content: id breaks the tie
+      .toDF("doc_id", "text")
+    val out = Corpus.mixWithPriority(Seq(curated, web), "text", "doc_id")
+      .select("doc_id", "src").as[(Long, Int)].collect().toSet
+    assert(out == Set((10L, 0), (11L, 0), (21L, 1)), out.toString)
+  }
+
   test("packSequences: shards cut at the token budget, grouped mode partitions") {
     val df = Seq((1L, 1000L), (2L, 1000L), (3L, 1000L), (4L, 100L))
       .toDF("doc_id", "n_tokens")
