@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
-import graft.functions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+
+import graft.functions.{DotProduct, MinHashes, SimHash64, WordNgrams, WordTokens}
 
 /** SparkSessionExtensions module: registers the engine's native expressions
   * as SQL functions so `spark.sql("SELECT graft_dot(a,b) ...")` works.
@@ -30,5 +32,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Divide(DotProduct(a, b),
           Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_word_tokens"),
+      info("graft_word_tokens",
+        "graft_word_tokens(text) - lowercased word tokens, one fused scan"),
+      (args: Seq[Expression]) => WordTokens(args(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams",
+        "graft_word_ngrams(text, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => args(1) match {
+        case IntegerLiteral(n) => WordNgrams(args(0), n, distinct = true)
+        case other => throw new IllegalArgumentException(
+          s"graft_word_ngrams: n must be an integer literal, got $other")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhashes"),
+      info("graft_minhashes",
+        "graft_minhashes(shingles, k) - k seeded minhash minima"),
+      (args: Seq[Expression]) => args(1) match {
+        case IntegerLiteral(k) => MinHashes(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhashes: k must be an integer literal, got $other")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(tokens) - 64-bit simhash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
   }
 }

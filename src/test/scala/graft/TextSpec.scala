@@ -94,6 +94,27 @@ class TextSpec extends AnyFunSuite {
     assert(fp == 0, "unseeded MinHashes must equal xxhash64 minima")
   }
 
+  test("property: fused expressions equal HOF forms on random unicode strings") {
+    import graft.functions._
+    import org.scalacheck.{Arbitrary, Gen}
+    val strs = Gen.listOfN(250, Arbitrary.arbitrary[String])
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(987654321L))
+      .getOrElse(sys.error("gen failed"))
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val hofToks = filter(split(lower($"text"), "\\W+"), t => length(t) > 0)
+    def hofNgrams(n: Int) = array_distinct(filter(transform(
+      sequence(lit(0), greatest(size(hofToks) - n, lit(0))),
+      i => concat_ws(" ", slice(hofToks, i + 1, lit(n)))),
+      g => length(g) > 0))
+    val diffs = df.select(
+        (not(wordTokens($"text") <=> hofToks)).cast("int").as("d1"),
+        (not(wordNgrams($"text", 2) <=> hofNgrams(2))).cast("int").as("d2"),
+        (not(wordNgrams($"text", 5) <=> hofNgrams(5))).cast("int").as("d3"))
+      .agg(sum($"d1"), sum($"d2"), sum($"d3")).head()
+    assert((0 to 2).forall(i => diffs.getLong(i) == 0), diffs.toString)
+  }
+
   test("fingerprint is deterministic and shared by identical docs") {
     val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"),
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),

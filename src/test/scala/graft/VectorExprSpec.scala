@@ -33,6 +33,28 @@ class VectorExprSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("text expressions resolve in SQL via GraftExtensions") {
+    TableCatalog.registerAll(spark, TestSpark.sfDir)
+    val row = spark.sql(
+      """SELECT graft_word_tokens(text) AS toks,
+        |       graft_word_ngrams(text, 3) AS grams,
+        |       graft_minhashes(graft_word_ngrams(text, 3), 4) AS mins,
+        |       graft_simhash64(graft_word_tokens(text)) AS sig
+        |FROM documents WHERE doc_id = 0""".stripMargin).head()
+    assert(row.getSeq[String](0).nonEmpty)
+    assert(row.getSeq[String](1).nonEmpty)
+    assert(row.getSeq[Long](2).length == 4)
+    // and the SQL surface agrees with the Column API
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash64(graft_word_tokens(text)) AS s " +
+        "FROM documents").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = graft.ops.Dedup.simhash64(
+        TableCatalog.load(spark, TestSpark.sfDir, "documents"),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaApi.forall { case (k, v) => viaSql(k) == v })
+  }
+
   test("null array propagates to null dot") {
     val df = spark.sql(
       "SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1.0d, 2.0d) AS b")
