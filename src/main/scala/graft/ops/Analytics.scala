@@ -198,6 +198,39 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q58
+  /** PIVOT: order counts by status × priority. Pivot values are declared
+    * explicitly — at scale an implicit pivot first runs a distinct-collect
+    * job over the pivot column, and declared values keep the output schema
+    * stable when a partition is missing a category. Absent combinations
+    * fill 0 (count semantics). */
+  def q58Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- q59
+  /** Exact percentiles per group (Spark `percentile`, linear
+    * interpolation — the same definition as DuckDB's quantile_cont, so
+    * the oracle checks it exactly). The scale path is
+    * `approx_percentile` (q27-style sketching); this is the exact
+    * reference the sketch is judged against. */
+  def q59Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.95)").as("price_p95"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_group_agg" -> q21GroupAgg _,
@@ -215,7 +248,9 @@ object Analytics {
     "q43_session_window" -> q43SessionWindow _,
     "q45_cube" -> q45Cube _,
     "q46_semi_anti" -> q46SemiAnti _,
-    "q47_count_distinct_group" -> q47CountDistinctGroup _)
+    "q47_count_distinct_group" -> q47CountDistinctGroup _,
+    "q58_pivot" -> q58Pivot _,
+    "q59_percentiles" -> q59Percentiles _)
 
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL sketch)
     * are rows-only — no entries. */
@@ -345,5 +380,25 @@ object Analytics {
         |       COUNT(DISTINCT l_partkey) AS distinct_parts,
         |       COUNT(DISTINCT l_suppkey) AS distinct_supps,
         |       COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q58_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    AS "1-URGENT",
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+        |    AS "3-MEDIUM",
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+        |    AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q59_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       quantile_cont(l_extendedprice, 0.95) AS price_p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 }
