@@ -231,6 +231,44 @@ object Analytics {
         expr("percentile(l_extendedprice, 0.95)").as("price_p95"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q60
+  /** Sliding (hopping) windows: 1-hour windows every 30 minutes, so each
+    * event lands in two overlapping windows. Same incremental shape as
+    * q26; `window(ts, len, slide)` plans a generate of window starts —
+    * no self-join. */
+  def q60SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  // ---------------------------------------------------------------- q61
+  /** Inter-event gaps per user via lag(): event-time deltas are the raw
+    * material of sessionization and engagement metrics. Gap math in exact
+    * integer microseconds; the average divides two exact numbers so both
+    * engines produce identical doubles. */
+  def q61EventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("prev_ts").cast("timestamp")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        // integer division: exact in both engines — a double average at
+        // ~1e10 µs magnitude differs in the final ulp after rounding
+        expr("sum(gap_us) div count(gap_us)").as("avg_gap_us"))
+      .filter(col("n_gaps") > 0)
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_group_agg" -> q21GroupAgg _,
@@ -250,7 +288,9 @@ object Analytics {
     "q46_semi_anti" -> q46SemiAnti _,
     "q47_count_distinct_group" -> q47CountDistinctGroup _,
     "q58_pivot" -> q58Pivot _,
-    "q59_percentiles" -> q59Percentiles _)
+    "q59_percentiles" -> q59Percentiles _,
+    "q60_sliding_window" -> q60SlidingWindow _,
+    "q61_event_gaps" -> q61EventGaps _)
 
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL sketch)
     * are rows-only — no entries. */
@@ -400,5 +440,38 @@ object Analytics {
         |       quantile_cont(l_quantity, 0.75) AS p75,
         |       quantile_cont(l_extendedprice, 0.95) AS price_p95
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+    // q60: len = 2×slide, so every event belongs to exactly two windows:
+    // the one starting at its 30-minute bucket and the one 30 minutes
+    // earlier. The k-unnest reproduces Spark's window-start generation.
+    "q60_sliding_window" ->
+      s"""SELECT ws AS window_start,
+         |       ws + INTERVAL 1 HOUR AS window_end,
+         |       event_type,
+         |       COUNT(*) AS n_events,
+         |       ${dsumSql("value")} AS sum_value
+         |FROM (
+         |  SELECT e.*,
+         |         time_bucket(INTERVAL '30 minutes', ts)
+         |           - k.k * INTERVAL '30 minutes' AS ws
+         |  FROM events e
+         |  CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin,
+    "q61_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         date_diff('microsecond',
+        |           lag(ts, 1) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id),
+        |           ts) AS gap_us
+        |  FROM events)
+        |SELECT user_id,
+        |       COUNT(*) AS n_events,
+        |       COUNT(gap_us) AS n_gaps,
+        |       MAX(gap_us) AS max_gap_us,
+        |       CAST(SUM(gap_us) AS BIGINT) // COUNT(gap_us) AS avg_gap_us
+        |FROM g GROUP BY user_id
+        |HAVING COUNT(gap_us) > 0
+        |ORDER BY user_id""".stripMargin)
 }
