@@ -55,8 +55,7 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def jstr(s: String) = JsonEscape.str(s)
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val errJson =

@@ -33,12 +33,17 @@ object RunJob {
   private[graft] def parseJobConfig(json: String): Map[String, String] = {
     import org.json4s._
     org.json4s.jackson.JsonMethods.parse(json) match {
-      case JObject(fields) => fields.collect {
+      case JObject(fields) => fields.map {
         case (k, JString(v)) => k -> v
         case (k, JInt(v)) => k -> v.toString
         case (k, JLong(v)) => k -> v.toString
         case (k, JDouble(v)) => k -> v.toString
         case (k, JBool(v)) => k -> v.toString
+        case (k, other) =>
+          // silently dropping a malformed field would let a flag/default
+          // win against the documented config-over-flags precedence
+          throw new IllegalArgumentException(
+            s"job config field '$k' must be a scalar, got $other")
       }.toMap
       case _ =>
         throw new IllegalArgumentException("job config must be a JSON object")
@@ -55,7 +60,7 @@ object RunJob {
       .getOrElse(Map.empty)
 
   private def jsonLine(r: Jobs.JobResult): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = JsonEscape.str(s)
     val variance = r.variancePct.map(v => s""","variance_pct":$v""").getOrElse("")
     val error = r.error.map(e => s""","error":${q(e)}""").getOrElse("")
     s"""{"job_id":${q(r.jobId)},"name":${q(r.name)},"status":${q(r.status)},""" +
@@ -70,8 +75,8 @@ object RunJob {
     Jobs.JobConfig(
       id = jc.getOrElse("id", a.getOrElse("job-id", "1")),
       jobType = jc.getOrElse("type", a.getOrElse("job-type", "")),
-      name = jc.getOrElse("name",
-        a.getOrElse("name", a.getOrElse("job-type", "job"))),
+      name = jc.getOrElse("name", a.getOrElse("name",
+        jc.getOrElse("type", a.getOrElse("job-type", "job")))),
       loadDate = jc.getOrElse("load_date", a.getOrElse("load-date",
         java.time.LocalDate.now().toString)),
       limit = jc.get("limit").orElse(a.get("limit")).map(_.toInt),

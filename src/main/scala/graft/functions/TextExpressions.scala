@@ -73,8 +73,12 @@ object NgramUtil {
       val g = shingles.getUTF8String(i)
       var s = 0
       while (s < k) {
-        val h = XXH64.hashUnsafeBytes(
-          g.getBaseObject, g.getBaseOffset, g.numBytes, seeds(s))
+        // null element: Spark's hash expressions skip null inputs, leaving
+        // the running hash at the seed — replicate instead of NPEing
+        val h =
+          if (g == null) seeds(s)
+          else XXH64.hashUnsafeBytes(
+            g.getBaseObject, g.getBaseOffset, g.numBytes, seeds(s))
         if (h < mins(s)) mins(s) = h
         s += 1
       }
@@ -93,8 +97,12 @@ object NgramUtil {
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(
-        t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      // null token hashes to the bare seed (Spark hash expressions skip
+      // null inputs), never NPEs
+      val h =
+        if (t == null) 42L
+        else XXH64.hashUnsafeBytes(
+          t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -161,7 +161,10 @@ object Corpus {
       if (hashGrams) p.select(col(idCol), xxhash64(col("gram")).as("gram"))
       else p
     }
-    val corpusGrams = postings(corpus)
+    // persist: the corpus shingle projection feeds both the per-doc sizes
+    // and the overlap join — without it the dominant scan+shingle pass
+    // runs twice (harness releases the cache per query, see Dedup doc)
+    val corpusGrams = postings(corpus).persist()
     val benchGrams = postings(benchmark).select("gram").distinct()
     val sizes = corpusGrams.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"))

@@ -225,6 +225,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // fail loudly: silently returning partial labels would split one true
+    // component into several "clusters" with no signal to the caller
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — the graph diameter exceeds " +
+        "maxIter; raise it")
     labels.withColumnRenamed("label", "cluster_root")
   }
 

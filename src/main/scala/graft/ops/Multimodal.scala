@@ -85,8 +85,9 @@ object Multimodal {
                          targetBytesPerPartition: Long,
                          maxPartitions: Int = 100000): Int = {
     require(targetBytesPerPartition > 0, "target bytes must be positive")
-    val total = media.agg(org.apache.spark.sql.functions.sum("n_bytes"))
-      .head.getLong(0)
+    // sum over zero rows is null — an empty dataset sizes to one partition
+    val row = media.agg(org.apache.spark.sql.functions.sum("n_bytes")).head
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val p = (total + targetBytesPerPartition - 1) / targetBytesPerPartition
     math.min(math.max(p, 1L), maxPartitions.toLong).toInt
   }

@@ -86,9 +86,15 @@ object Similarity {
   def lshBandCandidates(emb: DataFrame, idCol: String, embCol: String,
                         dim: Int, bands: Int = 16,
                         bitsPerBand: Int = 8): DataFrame = {
+    // persist the NARROW (id, band, key) triple: it feeds both self-join
+    // sides. The wide embedding column is deliberately NOT cached — the
+    // verify stage re-reads it from the column-pruned scan, which at
+    // corpus scale is cheaper than evicting everything else from storage
+    // (harness releases the cache per query, see Dedup doc).
     val banded = emb.select(col(idCol).as("id"),
       posexplode(lshBandKeys(col(embCol), dim, bands, bitsPerBand)))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
+      .persist()
     val a = banded.select(col("id").as("id_a"), col("band"), col("key"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -123,7 +129,7 @@ object Similarity {
     * projected `transform`, sort the (−sim, cent_id) structs, take `n`.
     * Runs entirely inside the row's projection — no join, no shuffle. */
   private def nearestCells(emb: Column, centIds: Array[Long],
-                           centEmbs: Array[Array[Float]], n: Int): Column = {
+                           centEmbs: Array[Array[Double]], n: Int): Column = {
     val ids = typedlit(centIds)
     val embs = typedlit(centEmbs)
     val scored = transform(sequence(lit(0), lit(centIds.length - 1)),
@@ -153,11 +159,14 @@ object Similarity {
               nprobe: Int = 3): DataFrame = {
     val cents = corpus
       .filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).cast("long").as("cent_id"), col(embCol).as("cent_emb"))
+      // normalize the element type driver-side so float AND double
+      // embedding columns both work (cosineSim widens to double anyway)
+      .select(col(idCol).cast("long").as("cent_id"),
+        col(embCol).cast("array<double>").as("cent_emb"))
       .collect() // codebook: small by construction, driver-side by design
     require(cents.nonEmpty, s"no centroids at stride $centroidStride")
     val centIds = cents.map(_.getLong(0))
-    val centEmbs = cents.map(_.getSeq[Float](1).toArray)
+    val centEmbs = cents.map(_.getSeq[Double](1).toArray)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
       .withColumn("cell",
