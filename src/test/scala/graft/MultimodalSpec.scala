@@ -38,5 +38,8 @@ class MultimodalSpec extends AnyFunSuite {
     val sized = Multimodal.decodeFeaturesSized(media, 10000)
       .rdd.getNumPartitions
     assert(sized == p)
+    // empty input sizes to one partition instead of NPEing on a null sum
+    assert(Multimodal.partitionsForBytes(
+      media.filter(_.asset_id < 0), 10000) == 1)
   }
 }

