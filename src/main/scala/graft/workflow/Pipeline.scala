@@ -1,6 +1,7 @@
 package graft.workflow
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.sources.TableCatalog
 
@@ -77,6 +78,30 @@ object Pipeline {
       alerter.alert("row-count mismatch",
         s"$table: expected $expected, loaded $actual")
     actual
+  }
+
+  /** Incremental high-watermark load: append only source rows whose
+    * `watermarkCol` exceeds the destination's current maximum — the
+    * engine-side version of the reference's load_date-stamped re-runs
+    * (/root/reference/services/etl_service.py:53, app.py:155-156), which
+    * reprocess the full source every cycle. Reading max(watermark) from
+    * the sink is one column-pruned scan; the source filter pushes down to
+    * its scan, so a daily increment touches only new partitions at 100 TB.
+    * First run (no destination) loads everything. Returns rows appended. */
+  def incrementalLoad(spark: org.apache.spark.sql.SparkSession,
+                      src: DataFrame, dstDir: String, table: String,
+                      watermarkCol: String): Long = {
+    val newRows =
+      if (!TableCatalog.exists(spark, dstDir, table)) src
+      else {
+        val row = TableCatalog.load(spark, dstDir, table)
+          .agg(org.apache.spark.sql.functions.max(watermarkCol)).head
+        if (row.isNullAt(0)) src
+        else src.filter(col(watermarkCol) > lit(row.get(0)))
+      }
+    val n = newRows.count()
+    if (n > 0) TableCatalog.write(newRows, dstDir, table, SaveMode.Append)
+    n
   }
 
   /** W5 — run-over-run variance with the reference's divide-by-zero guard

@@ -51,6 +51,24 @@ class WorkflowSpec extends AnyFunSuite {
     assert(n == df.count())
   }
 
+  test("incrementalLoad appends only rows past the high watermark") {
+    val work = tmpDir()
+    val o = TableCatalog.load(spark, sf, "orders")
+    val first = o.filter(org.apache.spark.sql.functions.col("o_orderdate") <
+      "1996-01-01")
+    val n1 = Pipeline.incrementalLoad(spark, first, work, "orders_inc",
+      "o_orderdate")
+    assert(n1 == first.count(), "first run loads the full source")
+    // re-running with the same source is a no-op
+    assert(Pipeline.incrementalLoad(spark, first, work, "orders_inc",
+      "o_orderdate") == 0)
+    // the full source appends exactly the rows past the watermark
+    val n3 = Pipeline.incrementalLoad(spark, o, work, "orders_inc",
+      "o_orderdate")
+    assert(n1 + n3 == o.count())
+    assert(TableCatalog.load(spark, work, "orders_inc").count() == o.count())
+  }
+
   test("variance: reference guard prev==0 -> 0.0; symmetry of abs") {
     val prop = Prop.forAll(
       Gen.chooseNum(0L, 1000000L), Gen.chooseNum(0L, 1000000L)) {
