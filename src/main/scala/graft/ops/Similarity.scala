@@ -103,21 +103,35 @@ object Similarity {
       .distinct()
   }
 
-  /** Approximate top-k via sign-LSH bucketing: corpus and queries are
-    * bucketed; candidates = corpus rows sharing the query's bucket. Scale
-    * path for when the query set is itself huge (self-join ANN): the bucket
-    * join shuffles by bucket id instead of broadcasting anything. */
+  /** Approximate top-k via banded sign-LSH: corpus and queries hash into
+    * `bands` independent tables of `bitsPerBand` hyperplane signs; a
+    * corpus row is a candidate for a query iff they collide in at least
+    * one band, candidates are deduped and ranked by exact cosine. Scale
+    * path for when the query set is itself huge (self-join ANN): the band
+    * join shuffles narrow (id, band, key) triples instead of broadcasting
+    * anything, and — unlike a single small-bucket table — candidate
+    * generation spreads over bands·2^bitsPerBand join keys while recall
+    * rises from p^bits to 1−(1−p^bitsPerBand)^bands. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              embCol: String, dim: Int, k: Int,
-              nBits: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
-      lshBucket(col(embCol), dim, nBits).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
-      lshBucket(col(embCol), dim, nBits).as("bucket"))
+              embCol: String, dim: Int, k: Int, bands: Int = 8,
+              bitsPerBand: Int = 8): DataFrame = {
+    def banded(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+        posexplode(lshBandKeys(col(embCol), dim, bands, bitsPerBand)))
+        .select(col(id), col("pos").as("band"), col("col").as("key"))
+    val candidates = banded(queries, "query_id")
+      .join(banded(corpus, "neighbor_id"), Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    candidates
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .withColumn("sim", simRounded(col("q_emb"), col("c_emb")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

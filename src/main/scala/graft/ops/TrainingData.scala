@@ -92,11 +92,11 @@ object TrainingData {
   }
 
   // ---------------------------------------------------------------- q41
-  /** Sign-LSH approximate nearest neighbors (rows-only). */
+  /** Banded sign-LSH approximate nearest neighbors (rows-only). */
   def q41AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", dim = 64, k = 5, nBits = 8)
+        "vec_id", "embedding", dim = 64, k = 5)
       .orderBy("query_id", "rn")
   }
 

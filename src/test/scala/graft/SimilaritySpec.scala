@@ -88,6 +88,20 @@ class SimilaritySpec extends AnyFunSuite {
       s"candidate volume $candidates is not sub-quadratic vs $allPairs")
   }
 
+  test("banded LSH top-k: candidates for most queries, sims never beat exact") {
+    val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5)
+      .filter($"rn" === 1)
+      .select("query_id", "sim").as[(Long, Double)].collect().toMap
+    assert(approx.size >= 8,
+      s"banded LSH should surface candidates for most queries: ${approx.size}/10")
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .select("query_id", "sim").as[(Long, Double)].collect().toMap
+    approx.foreach { case (q, s) => assert(s <= exact(q) + 1e-9) }
+  }
+
   test("LSH bucket is deterministic across evaluations") {
     val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 3, 8).as("b"))
       .as[Long].collect().toSeq
