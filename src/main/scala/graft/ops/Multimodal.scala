@@ -75,6 +75,53 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media asset: payload slice + frame index. */
+  case class MediaFrame(asset_id: Long, frame_idx: Int, n_bytes: Long,
+                        frame: Array[Byte])
+
+  /** Frame sampling: emit every `stride`-th fixed-size chunk of the
+    * payload as a "frame" (STUB for a container-aware demuxer — a real
+    * implementation replaces the chunking with codec frame extraction;
+    * the Spark shape stays: one fan-out iterator per partition, bounded
+    * memory per row, no full-payload buffering of the output). */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 1024,
+                   stride: Int = 10): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames =
+          ((r.payload.length + frameBytes - 1) / frameBytes + stride - 1) /
+            stride
+        (0 until nFrames).iterator.map { i =>
+          val start = i * stride * frameBytes
+          val end = math.min(start + frameBytes, r.payload.length)
+          MediaFrame(r.asset_id, i * stride, (end - start).toLong,
+            java.util.Arrays.copyOfRange(r.payload, start, end))
+        }
+      }
+    }
+  }
+
+  /** Resize metadata transform: scales the decoder's emitted dimensions to
+    * fit a bounding box preserving aspect ratio (the real image op would
+    * also transform pixels; the dimension math and column contract are the
+    * load-bearing Spark side). Pure projection — no UDF. */
+  def resizeTo(features: Dataset[MediaFeatures], maxW: Int,
+               maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, "bounding box must be positive")
+    val scale = least(
+      lit(maxW).cast("double") / greatest(col("width"), lit(1)),
+      lit(maxH).cast("double") / greatest(col("height"), lit(1)),
+      lit(1.0))
+    features.toDF()
+      .withColumn("out_width",
+        greatest(floor(col("width") * scale).cast("int"), lit(1)))
+      .withColumn("out_height",
+        greatest(floor(col("height") * scale).cast("int"), lit(1)))
+  }
+
   /** Partition count for a byte budget: total payload bytes / target,
     * clamped to [1, maxPartitions]. Media rows are wildly non-uniform
     * (a 4 KB thumbnail vs a 2 GB video), so sizing tasks by ROW count

@@ -42,4 +42,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.partitionsForBytes(
       media.filter(_.asset_id < 0), 10000) == 1)
   }
+
+  test("frame sampling emits strided payload chunks, byte-exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val payload = Array.tabulate(2500)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(7L, "video/raw", 2500L, payload))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 1000, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // chunks 0,1,2 (1000,1000,500 bytes); stride 2 keeps chunk 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames(0).frame.toSeq == payload.slice(0, 1000).toSeq)
+    assert(frames(1).frame.toSeq == payload.slice(2000, 2500).toSeq)
+  }
+
+  test("resize scales dimensions into the box preserving aspect ratio") {
+    val spark2 = spark
+    import spark2.implicits._
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, "image/x", 10L, 640, 480, Array(0f)),
+      Multimodal.MediaFeatures(2L, "image/x", 10L, 100, 50, Array(0f)),
+      Multimodal.MediaFeatures(3L, "image/x", 10L, 0, 0, Array(0f)))
+      .toDS()
+    val out = Multimodal.resizeTo(feats, 320, 320)
+      .select("asset_id", "out_width", "out_height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((320, 240)), out(1L).toString)
+    assert(out(2L) == ((100, 50)), "already inside the box stays unscaled")
+    assert(out(3L) == ((1, 1)), "degenerate dims clamp to 1")
+  }
 }
