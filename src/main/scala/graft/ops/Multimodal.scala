@@ -91,9 +91,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
+        // a null payload yields zero frames (like an empty one) instead of
+        // failing the whole stage for one bad row
+        val len = if (r.payload == null) 0 else r.payload.length
         val nFrames =
-          ((r.payload.length + frameBytes - 1) / frameBytes + stride - 1) /
-            stride
+          ((len + frameBytes - 1) / frameBytes + stride - 1) / stride
         (0 until nFrames).iterator.map { i =>
           val start = i * stride * frameBytes
           val end = math.min(start + frameBytes, r.payload.length)
@@ -115,11 +117,13 @@ object Multimodal {
       lit(maxW).cast("double") / greatest(col("width"), lit(1)),
       lit(maxH).cast("double") / greatest(col("height"), lit(1)),
       lit(1.0))
+    // round, not floor: the binding dimension's ratio is rarely exactly
+    // representable in binary and floor would undersize it by one pixel
     features.toDF()
       .withColumn("out_width",
-        greatest(floor(col("width") * scale).cast("int"), lit(1)))
+        greatest(round(col("width") * scale).cast("int"), lit(1)))
       .withColumn("out_height",
-        greatest(floor(col("height") * scale).cast("int"), lit(1)))
+        greatest(round(col("height") * scale).cast("int"), lit(1)))
   }
 
   /** Partition count for a byte budget: total payload bytes / target,

@@ -129,8 +129,10 @@ object Similarity {
       col(embCol).as("c_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // no broadcast hint: with a huge (self-join) query set these are
+    // shuffle joins on ids; AQE broadcasts by itself when the set is small
     candidates
-      .join(broadcast(q), "query_id")
+      .join(q, "query_id")
       .join(c, "neighbor_id")
       .withColumn("sim", simRounded(col("q_emb"), col("c_emb")))
       .withColumn("rn", row_number().over(w).cast("long"))

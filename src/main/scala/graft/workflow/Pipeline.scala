@@ -91,17 +91,27 @@ object Pipeline {
   def incrementalLoad(spark: org.apache.spark.sql.SparkSession,
                       src: DataFrame, dstDir: String, table: String,
                       watermarkCol: String): Long = {
-    val newRows =
-      if (!TableCatalog.exists(spark, dstDir, table)) src
+    // null-watermark rows are excluded on EVERY run (a null compares as
+    // unknown against any watermark, so they could never load on later
+    // runs — loading them only on run one would be silently inconsistent);
+    // stamp the column before calling this
+    val stamped = src.filter(col(watermarkCol).isNotNull)
+    val newRows = (
+      if (!TableCatalog.exists(spark, dstDir, table)) stamped
       else {
         val row = TableCatalog.load(spark, dstDir, table)
           .agg(org.apache.spark.sql.functions.max(watermarkCol)).head
-        if (row.isNullAt(0)) src
-        else src.filter(col(watermarkCol) > lit(row.get(0)))
-      }
-    val n = newRows.count()
-    if (n > 0) TableCatalog.write(newRows, dstDir, table, SaveMode.Append)
-    n
+        if (row.isNullAt(0)) stamped
+        else stamped.filter(col(watermarkCol) > lit(row.get(0)))
+      })
+      // pin one snapshot: count and write must see the SAME rows even if
+      // the live source gains files between the two jobs
+      .persist()
+    try {
+      val n = newRows.count()
+      if (n > 0) TableCatalog.write(newRows, dstDir, table, SaveMode.Append)
+      n
+    } finally newRows.unpersist()
   }
 
   /** W5 — run-over-run variance with the reference's divide-by-zero guard

@@ -56,15 +56,24 @@ class VectorExprSpec extends AnyFunSuite {
   }
 
   test("null array elements hash like Spark's null-skipping, no NPE") {
+    // xxhash64 skips null inputs: xxhash64(s, NULL) == xxhash64(s), so the
+    // null element must contribute exactly the bare per-seed hash
     val row = spark.sql(
       """SELECT graft_minhashes(array('a', CAST(NULL AS STRING)), 2) AS m,
         |       graft_simhash64(array('a', CAST(NULL AS STRING))) AS s,
-        |       array_min(transform(array('a'),
-        |         g -> xxhash64(0, g))) AS h0""".stripMargin).head()
-    // the null element contributes the bare seed hash, matching
-    // xxhash64(seed) with the string argument skipped
-    assert(row.getSeq[Long](0).length == 2)
-    assert(row.getLong(2) != 0L)
+        |       array(least(xxhash64(0, 'a'), xxhash64(0, CAST(NULL AS STRING))),
+        |             least(xxhash64(1, 'a'), xxhash64(1, CAST(NULL AS STRING))))
+        |         AS expected_m,
+        |       xxhash64('a') AS ha,
+        |       xxhash64(CAST(NULL AS STRING)) AS hnull""".stripMargin).head()
+    assert(row.getSeq[Long](0) == row.getSeq[Long](2),
+      s"minhashes ${row.getSeq[Long](0)} != expected ${row.getSeq[Long](2)}")
+    def sigOf(hs: Seq[Long]): Long = (0 until 64).map { b =>
+      val votes = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+      if (votes > 0) 1L << b else 0L
+    }.sum
+    assert(row.getLong(1) == sigOf(Seq(row.getLong(3), row.getLong(4))),
+      "simhash must equal the per-bit vote over (hash('a'), hash(NULL))")
   }
 
   test("null array propagates to null dot") {
