@@ -269,6 +269,22 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q62
+  /** Explicit GROUPING SETS — the general form that rollup/cube (q30/q45)
+    * specialize: per-returnflag totals, per-linestatus totals, and the
+    * grand total in one aggregation pass (Catalyst expands to a single
+    * Expand + partial/final aggregate, not three scans). */
+  def q62GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("li_q62")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${dsumSql("l_quantity")} AS sum_qty
+         |FROM li_q62
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         |         l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_group_agg" -> q21GroupAgg _,
@@ -290,7 +306,8 @@ object Analytics {
     "q58_pivot" -> q58Pivot _,
     "q59_percentiles" -> q59Percentiles _,
     "q60_sliding_window" -> q60SlidingWindow _,
-    "q61_event_gaps" -> q61EventGaps _)
+    "q61_event_gaps" -> q61EventGaps _,
+    "q62_grouping_sets" -> q62GroupingSets _)
 
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL sketch)
     * are rows-only — no entries. */
@@ -473,5 +490,12 @@ object Analytics {
         |       CAST(SUM(gap_us) AS BIGINT) // COUNT(gap_us) AS avg_gap_us
         |FROM g GROUP BY user_id
         |HAVING COUNT(gap_us) > 0
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "q62_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         |         l_linestatus ASC NULLS FIRST""".stripMargin)
 }

@@ -214,14 +214,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // the moved flag rides the same plan, so convergence costs one cheap
+      // aggregate over the checkpointed frame instead of an extra join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+            .as("new_label"),
+          (col("nlabel") < col("label")).cast("long").as("moved"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.agg(sum(col("moved"))).head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      labels = next.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
     edges.unpersist()
