@@ -31,6 +31,12 @@ object Bench {
       .builder(s"local[$cpus]", shufflePartitions = cpus.toInt,
         appName = "graft-bench")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims finished queries' broadcast and
+      // shuffle state when the driver GCs; the default periodicGC interval
+      // (30 min) is longer than the whole bench, so without this the
+      // blocks of all 62 queries pile up in the one heap and the tail of
+      // the run measures memory pressure instead of the query.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -51,18 +57,26 @@ object Bench {
           timings(name) = (System.nanoTime() - t0) / 1e9
           errors(name) = e.toString.replaceAll("\\s+", " ").take(300)
       }
-      // outside the timed window: drop dedup persists before the next query
+      // outside the timed window: drop dedup persists before the next
+      // query. Broadcast/shuffle state of finished queries is reclaimed by
+      // the ContextCleaner via the 45s periodicGC above — an explicit
+      // System.gc() here measured ~15s SLOWER overall (full-GC aftermath
+      // bleeds into the next query's timed window).
       spark.catalog.clearCache()
     }
 
+    // Milliseconds are the honest resolution here; full-precision doubles
+    // tripled the line length and overflowed the harness's tail capture
+    // (BENCH_r02 "parsed": null), losing the whole perf signal.
+    def sec(v: Double): Double = math.round(v * 1000).toDouble / 1000
     def jstr(s: String) = JsonEscape.str(s)
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString(""","errors":{""", ",", "}")
-    val total = timings.values.sum
+    val total = sec(timings.values.sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

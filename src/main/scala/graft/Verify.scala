@@ -11,6 +11,9 @@ object Verify {
       .builder(s"local[$cpus]", shufflePartitions = cpus.toInt,
         appName = "graft-verify")
       .config("spark.ui.enabled", "false")
+      // reclaim finished queries' broadcast/shuffle blocks during the long
+      // 62-query run (default periodicGC is 30 min — longer than the run)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
