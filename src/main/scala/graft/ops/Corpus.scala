@@ -176,6 +176,44 @@ object Corpus {
         round(col("n_overlap").cast("double") / col("n_grams"), 6))
   }
 
+  /** Bloom-filter decontamination — the zero-shuffle prefilter variant of
+    * [[decontaminate]]. The benchmark's gram set is folded into ONE bloom
+    * filter binary by `graft_bloom_agg` (a scalar subquery, evaluated once
+    * and inlined as a literal); the corpus side then probes it with
+    * `graft_might_contain` as a plain projection-side predicate — no
+    * broadcast table, no join, no corpus shuffle at all for the ~99% of
+    * grams the bloom rejects. Survivors (true overlaps + bloom false
+    * positives) go through the exact broadcast join, so the OUTPUT is
+    * bit-identical to the exact variant: the bloom only prunes work, never
+    * changes results. This is Spark's own runtime-filter machinery
+    * (BloomFilterAggregate / BloomFilterMightContain) driven explicitly. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, n: Int = 3,
+                         minOverlap: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    def postings(df: DataFrame) = df.select(col(idCol),
+        explode(graft.functions.wordNgrams(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
+    // persist: corpus postings feed the per-doc sizes AND the probe side
+    val corpusGrams = postings(corpus).persist()
+    val benchGrams = postings(benchmark).select("gram_h").distinct()
+    corpusGrams.createOrReplaceTempView("graft_bloom_corpus")
+    benchGrams.createOrReplaceTempView("graft_bloom_bench")
+    val prefiltered = spark.sql(
+      s"""SELECT $idCol, gram_h FROM graft_bloom_corpus
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(gram_h) FROM graft_bloom_bench),
+         |  gram_h)""".stripMargin)
+    val sizes = corpusGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val overlap = prefiltered.join(broadcast(benchGrams), "gram_h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, Seq(idCol))
+      .filter(col("n_overlap") >= minOverlap)
+      .withColumn("overlap_frac",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+  }
+
   // ---------------------------------------------------------------- q50
   /** PII scrub over the documents corpus. */
   def q50PiiScrub(spark: SparkSession, dir: String): DataFrame =
@@ -261,8 +299,24 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q63
+  /** Bloom-prefiltered decontamination against a pseudo-benchmark (every
+    * 97th document), bigrams, ≥5 shared. Output is exactly the exact-join
+    * result (the bloom is a pruning device), so the oracle is the plain
+    * relational formulation. */
+  def q63BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 2, minOverlap = 5)
+      .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
     "q50_pii_scrub" -> q50PiiScrub _,
     "q51_repetition" -> q51Repetition _,
     "q52_hash_split" -> q52HashSplit _,
@@ -273,6 +327,36 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    // q63: bigram grams (tk[i:i+1] is DuckDB's inclusive 2-element slice),
+    // DISTINCT per doc to mirror WordNgrams(distinct); engine joins on
+    // xxhash64(gram), oracle on the gram text — identical counts (64-bit
+    // collisions are immaterial at any realistic gram universe).
+    "q63_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+1], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+        |overlap AS (
+        |  SELECT c.doc_id, COUNT(*) AS n_overlap
+        |  FROM corpus c JOIN bench b USING (gram) GROUP BY 1)
+        |SELECT s.doc_id, s.n_grams, o.n_overlap,
+        |       round(CAST(o.n_overlap AS DOUBLE) / s.n_grams, 6)
+        |         AS overlap_frac
+        |FROM sizes s JOIN overlap o ON s.doc_id = o.doc_id
+        |WHERE o.n_overlap >= 5
+        |ORDER BY s.doc_id""".stripMargin,
     "q50_pii_scrub" ->
       """WITH s AS (
         |  SELECT doc_id, text,

@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.TableCatalog
+
+/** Corpus- and event-insight operators: lexical statistics (TF-IDF,
+  * Zipf frequencies), funnel analysis, statistical outlier detection,
+  * histograms, and composition reporting. The reporting layer of a
+  * training-data pipeline — what you run to KNOW a corpus before and
+  * after the dedup/filter/mix stages reshape it.
+  *
+  * All pure DataFrame transforms: hash-aggregated with map-side partials,
+  * window functions only over bounded post-aggregate frames, small stat
+  * tables broadcast back against the fact scan. No UDFs, no collects.
+  */
+object Insights {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  /** Per-document TF-IDF top terms: tf on (doc, term), document frequency
+    * on term, score = tf · ln(N/df), top `k` per document.
+    *
+    * Scale shape: one shuffle keyed (doc_id, term) for tf, one keyed term
+    * for df (both partial-aggregated map-side), df and the one-row N
+    * broadcast back, and the top-k window partitions by doc_id — no
+    * global sort, no skew (the heaviest key is one document's vocabulary).
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("term"))
+    // persist: tf feeds document frequency, corpus size AND the score join
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf")).persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
+        col("rnk"))
+  }
+
+  /** Corpus-level token frequencies (the Zipf curve head): explode tokens,
+    * count per term, keep the top `k` by (count desc, term asc). The final
+    * rank window runs over k rows only — candidate selection is a fused
+    * TakeOrderedAndProject (per-partition heaps), never a global sort. */
+  def tokenZipf(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val top = df.select(explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("term").asc))
+          .cast("long"))
+      .select("term", "n", "rnk")
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** TF-IDF top-3 terms per document. */
+  def q64TfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(t(spark, dir, "documents").select(col("doc_id"),
+        col("text")), "text", "doc_id", k = 3)
+      .orderBy("doc_id", "rnk")
+
+  // ---------------------------------------------------------------- q65
+  /** Global top-50 tokens with ranks. */
+  def q65TokenZipf(spark: SparkSession, dir: String): DataFrame =
+    tokenZipf(t(spark, dir, "documents"), "text", k = 50)
+      .orderBy("rnk")
+
+  // ---------------------------------------------------------------- q66
+  /** Event funnel view → click → purchase, strictly ordered by each
+    * user's FIRST occurrence of each stage. One conditional-min aggregate
+    * per user (single shuffle on user_id), then one global fold to the
+    * four funnel counters — the standard product-analytics query at
+    * event-log scale. */
+  def q66EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+      min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L))
+        .as("n_view_click"),
+      sum(when(col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+        .as("n_full_funnel"))
+  }
+
+  // ---------------------------------------------------------------- q67
+  /** Statistical outliers: events whose value is >3 sample standard
+    * deviations from their event type's mean. Moments come from ONE
+    * aggregate pass (exact decimal sums of x and x², so both engines
+    * derive bit-identical means/deviations); the 5-row stats table
+    * broadcasts back against the fact scan — no window over the raw
+    * events, no second shuffle. */
+  def q67ZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val stats = e.groupBy(col("event_type")).agg(
+        count(col("value")).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s"),
+        sum((col("value") * col("value")).cast("decimal(28,6)"))
+          .cast("double").as("ss"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("sd",
+        sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+      .select("event_type", "mean", "sd")
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q68
+  /** Fixed-width histogram of order totals: 20 buckets of 25k, top bucket
+    * open-ended. Pure map-side bucketing + one aggregate — the shape
+    * profiling query that precedes any partitioning/salting decision. */
+  def q68PriceHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / 25000.0), lit(19L)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  // ---------------------------------------------------------------- q69
+  /** Corpus composition: documents and characters per (source, language),
+    * with each cell's share of the whole. The share window runs over the
+    * post-aggregate frame (|sources|×|langs| rows), never the corpus. */
+  def q69CorpusShare(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("pct_docs",
+        round(col("n_docs") * 100.0 /
+          sum(col("n_docs")).over(Window.partitionBy()), 6))
+      .orderBy("source", "lang")
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_tfidf_top_terms" -> q64TfidfTopTerms _,
+    "q65_token_zipf" -> q65TokenZipf _,
+    "q66_event_funnel" -> q66EventFunnel _,
+    "q67_zscore_outliers" -> q67ZscoreOutliers _,
+    "q68_price_histogram" -> q68PriceHistogram _,
+    "q69_corpus_share" -> q69CorpusShare _)
+
+  val oracle: Map[String, String] = Map(
+    "q64_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q65_token_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+        |r AS (
+        |  SELECT term, n,
+        |         row_number() OVER (ORDER BY n DESC, term) AS rnk
+        |  FROM counts)
+        |SELECT term, n, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    "q66_event_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(ts) FILTER (event_type = 'view') AS t_view,
+        |         min(ts) FILTER (event_type = 'click') AS t_click,
+        |         min(ts) FILTER (event_type = 'purchase') AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |       COUNT(t_view) AS n_view,
+        |       CAST(COALESCE(SUM(CASE WHEN t_click > t_view
+        |              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_view_click,
+        |       CAST(COALESCE(SUM(CASE WHEN t_click > t_view
+        |              AND t_purchase > t_click
+        |              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_full_funnel
+        |FROM u""".stripMargin,
+    "q67_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |         COUNT(value) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+        |           AS ss
+        |  FROM events GROUP BY 1),
+        |st2 AS (
+        |  SELECT event_type, s / n AS mean,
+        |         sqrt((ss - s * s / n) / (n - 1)) AS sd
+        |  FROM st)
+        |SELECT event_id, e.event_type, value,
+        |       round((value - mean) / sd, 6) AS z
+        |FROM events e JOIN st2 USING (event_type)
+        |WHERE abs(round((value - mean) / sd, 6)) > 3
+        |ORDER BY event_id""".stripMargin,
+    "q68_price_histogram" ->
+      s"""SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT), 19)
+         |         AS bucket,
+         |       COUNT(*) AS n,
+         |       MIN(o_totalprice) AS min_price,
+         |       MAX(o_totalprice) AS max_price,
+         |       ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_corpus_share" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       round(COUNT(*) * 100.0 /
+        |         CAST(SUM(COUNT(*)) OVER () AS BIGINT), 6) AS pct_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -60,5 +60,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash64",
         "graft_simhash64(tokens) - 64-bit simhash of a token array"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    // Spark's runtime-filter bloom expressions, exposed as user-callable
+    // SQL functions: build a bloom over a long column, probe it with a
+    // scalar-subquery filter. The probe is a pure projection-side predicate
+    // — the 100 TB decontamination prefilter with zero corpus shuffle.
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(col) - bloom filter binary over a bigint column"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, v) - probe a bloom filter binary"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
   }
 }

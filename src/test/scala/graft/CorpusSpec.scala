@@ -53,6 +53,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("decontaminateBloom output is bit-identical to the exact variant") {
+    // the bloom is a pruning device only: false positives must be removed
+    // by the exact verify join, never surface in the output
+    val docs = TestSpark.spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (c, b) =
+      (docs.filter(col("doc_id") % 11 =!= 0), docs.filter(col("doc_id") % 11 === 0))
+    val exact = Corpus.decontaminate(c, b, "text", "doc_id",
+        n = 2, minOverlap = 3, hashGrams = true)
+      .select("doc_id", "n_grams", "n_overlap")
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Corpus.decontaminateBloom(c, b, "text", "doc_id",
+        n = 2, minOverlap = 3)
+      .select("doc_id", "n_grams", "n_overlap")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must produce overlaps")
+    assert(bloom == exact)
+  }
+
   test("decontaminate flags benchmark overlap, hashed and string grams agree") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog tonight"))

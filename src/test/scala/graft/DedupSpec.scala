@@ -100,6 +100,15 @@ class DedupSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 8L -> 8L, 9L -> 8L), roots.toString)
   }
 
+  test("connectedComponents converges in O(log diameter) via pointer jumps") {
+    // 0-1-2-...-40 chain: plain neighbor propagation needs 40 rounds;
+    // pointer jumping must land it within 10
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val roots = Dedup.connectedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(roots.size == 41 && roots.values.forall(_ == 0L), roots.toString)
+  }
+
   test("ngram jaccard: exact dup scores 1.0, near dup high, unrelated low") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, minJaccard = 0.0)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Insights
+
+class InsightsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tfidf ranks a distinctive term above ubiquitous ones") {
+    val df = Seq(
+      (1L, "alpha beta gamma zebra zebra zebra"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma epsilon")
+    ).toDF("doc_id", "text")
+    val top = Insights.tfidfTopTerms(df, "text", "doc_id", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // zebra: tf=3, df=1 — must dominate doc 1; alpha/beta/gamma have df=3
+    // so ln(3/3)=0 and the doc-unique term wins elsewhere too
+    assert(top(1L) == "zebra", top.toString)
+    assert(top(2L) == "delta" && top(3L) == "epsilon", top.toString)
+  }
+
+  test("tokenZipf ranks by frequency with deterministic ties") {
+    val df = Seq(
+      (1L, "bb bb bb aa aa cc"),
+      (2L, "aa dd")
+    ).toDF("doc_id", "text")
+    val out = Insights.tokenZipf(df, "text", k = 3)
+      .select("term", "n", "rnk").as[(String, Long, Long)].collect().toList
+    assert(out == List(("aa", 3L, 1L), ("bb", 3L, 2L), ("cc", 1L, 3L)), out)
+  }
+
+  test("event funnel counters are monotone and strictly ordered") {
+    val row = Insights.q66EventFunnel(spark, TestSpark.sfDir).head
+    val (users, v, vc, vcp) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    assert(users >= v && v >= vc && vc >= vcp && vcp >= 0,
+      s"funnel must shrink monotonically: $users $v $vc $vcp")
+    assert(v > 0, "fixture has view events")
+  }
+
+  test("zscore outliers all exceed the threshold and carry the tail") {
+    val out = Insights.q67ZscoreOutliers(spark, TestSpark.sfDir)
+      .select("z", "value").as[(Double, Double)].collect()
+    assert(out.nonEmpty, "exponential-ish values must have |z|>3 tails")
+    assert(out.forall { case (z, _) => math.abs(z) > 3.0 })
+    // value distribution is non-negative with mean≈sd, so all outliers
+    // sit in the upper tail
+    assert(out.forall { case (_, v) => v > 0 })
+  }
+
+  test("price histogram partitions all orders exactly once") {
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    val hist = Insights.q68PriceHistogram(spark, TestSpark.sfDir)
+      .select("bucket", "n").as[(Long, Long)].collect()
+    assert(hist.map(_._2).sum == orders.count())
+    assert(hist.forall { case (b, _) => b >= 0 && b <= 19 })
+  }
+
+  test("corpus share percentages sum to ~100") {
+    val pct = Insights.q69CorpusShare(spark, TestSpark.sfDir)
+      .select("pct_docs").as[Double].collect()
+    assert(math.abs(pct.sum - 100.0) < 1e-3, pct.sum.toString)
+  }
+}
