@@ -65,6 +65,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q63 bloom probe is a scan-side predicate, not a join") {
+    val p = finalPlan("q63_bloom_decontaminate")
+    assert(p.contains("might_contain"),
+      s"bloom probe must appear as a filter predicate:\n${p.take(3000)}")
+    // the only joins are the exact verify (broadcast) + the sizes join —
+    // the prefilter itself must not introduce a shuffle or nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q67 outliers: stats rejoin broadcasts, fact table never re-shuffles") {
+    val p = finalPlan("q67_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
+
+  test("q65 zipf candidate selection fuses to TakeOrderedAndProject") {
+    val p = finalPlan("q65_token_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q22 exact dedup shuffles digests, not documents") {
     val p = finalPlan("q22_dedup_exact")
     assert(p.contains("sha2"), p.take(3000))
