@@ -231,6 +231,29 @@ object Analytics {
         expr("percentile(l_extendedprice, 0.95)").as("price_p95"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q70
+  /** Sketch-based percentiles (the 100 TB path q59 is the exact reference
+    * for): `approx_percentile` merges bounded-size histograms map-side, so
+    * per-group state is O(1/accuracy) instead of O(distinct values) —
+    * exact `percentile` ships every distinct value of the group through
+    * the shuffle. Sketch internals are engine-specific → rows-only check;
+    * the spec pins each estimate inside the sketch's rank-error envelope
+    * against the exact q59 values. */
+  def q70ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+          .as("qty_approx"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)")
+          .as("price_p95_approx"))
+      .select(col("l_returnflag"),
+        element_at(col("qty_approx"), 1).as("p25"),
+        element_at(col("qty_approx"), 2).as("p50"),
+        element_at(col("qty_approx"), 3).as("p75"),
+        col("price_p95_approx"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- q60
   /** Sliding (hopping) windows: 1-hour windows every 30 minutes, so each
     * event lands in two overlapping windows. Same incremental shape as
@@ -305,6 +328,7 @@ object Analytics {
     "q47_count_distinct_group" -> q47CountDistinctGroup _,
     "q58_pivot" -> q58Pivot _,
     "q59_percentiles" -> q59Percentiles _,
+    "q70_approx_percentiles" -> q70ApproxPercentiles _,
     "q60_sliding_window" -> q60SlidingWindow _,
     "q61_event_gaps" -> q61EventGaps _,
     "q62_grouping_sets" -> q62GroupingSets _)

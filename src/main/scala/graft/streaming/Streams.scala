@@ -91,6 +91,18 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_sha")
 
+  /** Stream-static enrichment: join an event stream against a static
+    * (batch) dimension table. Stream-static equijoins are stateless in
+    * Structured Streaming — each micro-batch joins against the dim as-of
+    * that batch, no watermark or join state needed — and broadcasting the
+    * dim keeps the stream side shuffle-free, which is the only layout that
+    * survives a 100 TB/day event firehose. The static side is re-read per
+    * micro-batch for file sources, so slowly-changing dims refresh without
+    * restarting the query. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
   /** File-source stream over the corpus events table. The parquet carries
     * TIMESTAMP(NANOS), which file streams must schema past explicitly (the
     * nanosAsLong session conf covers inference only on the batch path);

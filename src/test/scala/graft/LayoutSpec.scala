@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("zorderKey2 interleaves bits (known values)") {
+    import spark.implicits._
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+      .select(Layout.zorderKey2(col("a"), col("b"), bits = 8).as("z"))
+      .as[Long].collect().toList
+    // a-bits at even positions, b-bits at odd: z(3,3)=0b1111, z(5,2)=0b011001
+    assert(out == List(0L, 1L, 2L, 15L, 25L), out.toString)
+  }
+
+  test("z-ordered layout clusters BOTH dimensions' per-file ranges") {
+    val events = graft.sources.TableCatalog
+      .load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("user_id"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("minute"))
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "zorder").toString
+
+    // user_id fits 8 bits, minute-of-day 11: MSB alignment is what makes
+    // the narrow column cluster at all (see zorderKey2 doc)
+    Layout.writeZOrdered(events, s"$base/z", col("user_id"), col("minute"),
+      files = 8, bits = 11, aBits = 8, bBits = 11)
+    events.repartition(8).write.mode("overwrite").parquet(s"$base/naive")
+
+    def spans(path: String, c: String): Seq[Long] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Long]("span")).toSeq
+
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+
+    // round-robin gives every file the FULL range of both keys; the
+    // z-layout must narrow both (this is what lets parquet min/max stats
+    // prune files for filters on either column)
+    val (zu, nu) = (spans(s"$base/z", "user_id"), spans(s"$base/naive", "user_id"))
+    val (zm, nm) = (spans(s"$base/z", "minute"), spans(s"$base/naive", "minute"))
+    assert(zu.size == 8, s"expected 8 files, got ${zu.size}")
+    assert(avg(zu) < 0.7 * avg(nu), s"user span ${avg(zu)} vs naive ${avg(nu)}")
+    assert(avg(zm) < 0.7 * avg(nm), s"minute span ${avg(zm)} vs naive ${avg(nm)}")
+  }
+
+  test("q70 approx percentiles sit inside the sketch envelope vs exact q59") {
+    val exact = SparkEntry.queries("q59_percentiles")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx =
+      SparkEntry.queries("q70_approx_percentiles")(spark, TestSpark.sfDir)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy=1000 bounds rank error at 1/1000; on ~20k rows/group that
+    // is ~±20 ranks — generous absolute envelopes over these distributions
+    for ((k, (p25, p50, p75, p95)) <- approx) {
+      val (e25, e50, e75, e95) = exact(k)
+      assert(math.abs(p25 - e25) <= 2.0, s"$k p25 $p25 vs $e25")
+      assert(math.abs(p50 - e50) <= 2.0, s"$k p50 $p50 vs $e50")
+      assert(math.abs(p75 - e75) <= 2.0, s"$k p75 $p75 vs $e75")
+      assert(math.abs(p95 - e95) <= 0.02 * math.abs(e95),
+        s"$k p95 $p95 vs $e95")
+    }
+  }
+}

@@ -45,6 +45,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 0.1), ("view", 0.5), ("purchase", 5.0))
+      .toDF("event_type", "weight")
+    val input = MemoryStream[Streams.Event]
+    input.addData(sampleEvents: _*)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.enrichWithDim(input.toDF(), dim, "event_type")
+      .select(col("event_id"), col("weight") * col("value"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val byId = spark.table("enrich_test").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(byId == Map(1L -> 0.1, 2L -> 0.2, 3L -> 1.5, 4L -> 0.4),
+        byId.toString)
+    } finally q.stop()
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
