@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,34 @@ object Insights {
         row_number().over(Window.orderBy(col("n").desc, col("term").asc))
           .cast("long"))
       .select("term", "n", "rnk")
+  }
+
+  /** One-pass table profile: per column — row count, nulls, exact distinct
+    * count, numeric min/max. The `ANALYZE TABLE` a pipeline runs before
+    * choosing partition keys, salting thresholds, and file layout. All
+    * metrics ride ONE aggregate (count-distincts expand map-side; no
+    * per-column scans), then a `stack` unpivots the single row into the
+    * per-column report. `numericCols` opts columns into min/max (emitted
+    * as double; null for the rest). */
+  def profileTable(df: DataFrame, numericCols: Set[String]): DataFrame = {
+    val cols = df.columns.toSeq
+    def mm(c: String, f: Column => Column): Column =
+      if (numericCols(c)) f(col(c)).cast("double")
+      else lit(null).cast("double")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        mm(c, min).as(s"${c}__mn"),
+        mm(c, max).as(s"${c}__mx"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
+    one.selectExpr("__n AS n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, nn, n_distinct, min_num, max_num)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("nn")).as("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"))
   }
 
   // ---------------------------------------------------------------- q64
@@ -154,8 +182,16 @@ object Insights {
           sum(col("n_docs")).over(Window.partitionBy()), 6))
       .orderBy("source", "lang")
 
+  // ---------------------------------------------------------------- q71
+  /** Profile of the orders table (numeric stats on the key/price cols). */
+  def q71TableProfile(spark: SparkSession, dir: String): DataFrame =
+    profileTable(t(spark, dir, "orders"),
+        numericCols = Set("o_orderkey", "o_custkey", "o_totalprice"))
+      .orderBy("col_name")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_table_profile" -> q71TableProfile _,
     "q64_tfidf_top_terms" -> q64TfidfTopTerms _,
     "q65_token_zipf" -> q65TokenZipf _,
     "q66_event_funnel" -> q66EventFunnel _,
@@ -164,6 +200,20 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    "q71_table_profile" -> {
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+        "o_orderstatus", "o_totalprice").map { c =>
+        val (mn, mx) =
+          if (numeric(c)) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |       COUNT(*) - COUNT($c) AS n_null,
+           |       COUNT(DISTINCT $c) AS n_distinct,
+           |       $mn AS min_num, $mx AS max_num
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q64_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional clustering for scan pruning.
@@ -59,4 +60,28 @@ object Layout {
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
+
+  /** Compact a parquet directory to ~`targetBytes` files — the antidote to
+    * the small-file problem every streaming sink and over-parallel write
+    * creates (at 100 TB, file-count scales driver planning and NameNode/
+    * object-store metadata, not just read throughput). Sizes come from the
+    * filesystem, the rewrite lands next to the source and swaps in via
+    * rename, and the file count is computed from actual bytes, never the
+    * incoming partition count. Returns the new file count. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(p.getParent, p.getName + "._compacting")
+    spark.read.parquet(path)
+      .repartition(files)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    files
+  }
 }

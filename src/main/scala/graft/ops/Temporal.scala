@@ -59,6 +59,33 @@ object Temporal {
       .distinct()
   }
 
+  /** CDC latest-snapshot compaction: one row per key — the newest by
+    * (tsCol, tieCol). The upsert-materialization step of every
+    * change-capture pipeline; one shuffle on the key, per-partition sort,
+    * rank filter. `tieCol` makes the winner total (timestamps collide in
+    * real logs). */
+  def latestSnapshot(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** SCD2 validity intervals from a change log: each state-change row gets
+    * [valid_from, valid_to) bounded by the key's next change (open-ended
+    * for the current row). The slowly-changing-dimension builder — one
+    * window per key, no self-join. */
+  def scd2Intervals(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   // ------------------------------------------------------------ registry
   /** q44 — as-of previous purchase per event (window formulation). */
   def q44AsofPrevPurchase(spark: SparkSession, dir: String): DataFrame =
@@ -70,9 +97,28 @@ object Temporal {
     timeRangePairs(t(spark, dir, "events"), maxGapSeconds = 60)
       .orderBy("user_id", "id_a", "id_b")
 
+  /** q72 — latest event per user (CDC upsert compaction). */
+  def q72LatestSnapshot(spark: SparkSession, dir: String): DataFrame =
+    latestSnapshot(t(spark, dir, "events"), Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+
+  /** q73 — SCD2 intervals of each user's event-type state changes. */
+  def q73Scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(
+        t(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type")),
+        Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id", "event_type", "valid_from", "valid_to",
+        "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_prev_purchase" -> q44AsofPrevPurchase _,
-    "q48_time_range_join" -> q48TimeRangeJoin _)
+    "q48_time_range_join" -> q48TimeRangeJoin _,
+    "q72_latest_snapshot" -> q72LatestSnapshot _,
+    "q73_scd2_intervals" -> q73Scd2Intervals _)
 
   val oracle: Map[String, String] = Map(
     "q44_asof_prev_purchase" ->
@@ -92,5 +138,20 @@ object Temporal {
         | AND epoch_us(CAST(b.ts AS TIMESTAMP)) > epoch_us(CAST(a.ts AS TIMESTAMP))
         | AND epoch_us(CAST(b.ts AS TIMESTAMP))
         |     <= epoch_us(CAST(a.ts AS TIMESTAMP)) + 60000000
-        |ORDER BY a.user_id, id_a, id_b""".stripMargin)
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
+    "q72_latest_snapshot" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                 ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q73_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type,
+        |       CAST(ts AS TIMESTAMP) AS valid_from,
+        |       CAST(lead(ts, 1) OVER w AS TIMESTAMP) AS valid_to,
+        |       lead(ts, 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin)
 }

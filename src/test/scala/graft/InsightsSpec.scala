@@ -60,6 +60,53 @@ class InsightsSpec extends AnyFunSuite {
     assert(hist.forall { case (b, _) => b >= 0 && b <= 19 })
   }
 
+  test("profileTable reports nulls, distincts, numeric ranges per column") {
+    val df = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, None, "b"),
+      (3L, Some(30.0), "a")
+    ).toDF("id", "v", "s")
+    val prof = graft.ops.Insights.profileTable(df, numericCols = Set("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(prof("id") == ((3L, 0L, 3L, Some(1.0), Some(3.0))))
+    assert(prof("v") == ((3L, 1L, 2L, Some(10.0), Some(30.0))))
+    assert(prof("s") == ((3L, 0L, 2L, None, None)))
+  }
+
+  test("latestSnapshot keeps exactly one newest row per key") {
+    val df = Seq(
+      (1L, 100L, "2026-01-01 10:00:00", "view"),
+      (1L, 101L, "2026-01-01 11:00:00", "purchase"),
+      (2L, 102L, "2026-01-01 09:00:00", "click"),
+      (2L, 103L, "2026-01-01 09:00:00", "view") // ts tie -> higher id wins
+    ).toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = graft.ops.Temporal
+      .latestSnapshot(df, Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 101L, 2L -> 103L), out.toString)
+  }
+
+  test("scd2Intervals chains validity windows, open-ended current row") {
+    val df = Seq(
+      (1L, 100L, "2026-01-01 10:00:00", "trial"),
+      (1L, 101L, "2026-01-02 10:00:00", "paid"),
+      (1L, 102L, "2026-01-03 10:00:00", "churned")
+    ).toDF("user_id", "event_id", "ts", "state")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val rows = graft.ops.Temporal
+      .scd2Intervals(df, Seq("user_id"), "ts", "event_id")
+      .orderBy("valid_from")
+      .select("event_id", "valid_to", "is_current").collect()
+    assert(rows.length == 3)
+    // every valid_to equals the next row's valid_from; last is open
+    assert(rows(0).getTimestamp(1) != null && rows(2).isNullAt(1))
+    assert(!rows(0).getBoolean(2) && rows(2).getBoolean(2))
+  }
+
   test("corpus share percentages sum to ~100") {
     val pct = Insights.q69CorpusShare(spark, TestSpark.sfDir)
       .select("pct_docs").as[Double].collect()

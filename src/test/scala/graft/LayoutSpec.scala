@@ -52,6 +52,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(avg(zm) < 0.7 * avg(nm), s"minute span ${avg(zm)} vs naive ${avg(nm)}")
   }
 
+  test("compact folds small files to the byte-target count, content intact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "compact").toString
+    val path = s"$base/t"
+    val df = (1L to 10000L).map(i => (i, s"row $i")).toDF("id", "s")
+    df.repartition(64).write.parquet(path)
+    val before = spark.read.parquet(path).inputFiles.length
+    assert(before == 64, s"fixture should be fragmented, got $before")
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = graft.ops.Layout.compact(spark, path, targetBytes = bytes / 4)
+    assert(n >= 4 && n <= 5, s"expected ~4 files, planned $n")
+    val after = spark.read.parquet(path)
+    assert(after.inputFiles.length == n)
+    assert(after.as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet, "content must survive compaction")
+  }
+
   test("q70 approx percentiles sit inside the sketch envelope vs exact q59") {
     val exact = SparkEntry.queries("q59_percentiles")(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) ->
