@@ -119,6 +119,31 @@ object NgramUtil {
     sig
   }
 
+  /** Overlapping token-window chunks as ArrayData (codegen entry point for
+    * [[WordChunks]]): windows of `size` tokens starting every `stride`
+    * tokens, space-joined; the tail window may be shorter; empty text →
+    * empty array. */
+  def chunks(text: UTF8String, size: Int, stride: Int): ArrayData = {
+    val toks = tokenStrings(text)
+    val len = toks.length
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new mutable.ArrayBuffer[UTF8String]((len + stride - 1) / stride)
+    var start = 0
+    while (start < len) {
+      val end = math.min(start + size, len)
+      val sb = new java.lang.StringBuilder()
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out += UTF8String.fromString(sb.toString)
+      start += stride
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** Word n-gram shingles as ArrayData (codegen entry point). Edge cases
     * replicate the composable form: empty text → empty array; fewer than
     * `n` tokens → one shingle of all tokens; `distinct` keeps first
@@ -252,6 +277,38 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** Overlapping token-window chunker — the context-window prep step of a
+  * training/RAG pipeline (documents → model-sized pieces with overlap so
+  * no boundary context is lost). Same fused-tokenizer contract as the
+  * other text expressions; one scan per document, codegen'd. */
+case class WordChunks(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression {
+
+  require(size >= 1, "size must be >= 1")
+  require(stride >= 1, "stride must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_word_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.chunks(input.asInstanceOf[UTF8String], size, stride)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NgramUtil.chunks($x, $size, $stride);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordChunks = copy(child = newChild)
 }
 
 /** Fused word n-gram shingler (see [[NgramUtil]] scaladoc). */

@@ -94,6 +94,14 @@ package object functions {
       distinct))
   }
 
+  /** Overlapping token-window chunks via the fused [[WordChunks]]
+    * expression (size-token windows every stride tokens, space-joined). */
+  def wordChunks(text: Column, size: Int, stride: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(WordChunks(GraftSqlBridge.expression(text), size,
+      stride))
+  }
+
   /** One-pass 64-bit SimHash via the [[SimHash64]] expression. */
   def simHash64(tokens: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge

@@ -314,9 +314,31 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * `size`-token windows every `stride` tokens — the document → model-
+    * context preparation step of training and retrieval pipelines (overlap
+    * keeps boundary context in at least one chunk). One fused scan per
+    * document ([[graft.functions.WordChunks]]) then a generate — output
+    * scales as len/stride rows per doc with no shuffle at all. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     size: Int, stride: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.wordChunks(col(textCol), size, stride))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"))
+
+  // ---------------------------------------------------------------- q74
+  /** 64-token chunks with a 32-token stride over the corpus. */
+  def q74ChunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocuments(t(spark, dir, "documents"), "text", "doc_id",
+        size = 64, stride = 32)
+      .orderBy("doc_id", "chunk_idx")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
+    "q74_chunk_documents" -> q74ChunkDocuments _,
     "q50_pii_scrub" -> q50PiiScrub _,
     "q51_repetition" -> q51Repetition _,
     "q52_hash_split" -> q52HashSplit _,
@@ -327,6 +349,23 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    // q74: range(1, len+1, 32) generates the 1-based chunk starts;
+    // tk[s:s+63] is DuckDB's inclusive 64-element slice (truncating at the
+    // tail exactly like the fused expression).
+    "q74_chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk) + 1, 32),
+        |           s -> {'idx': CAST((s - 1) // 32 AS BIGINT),
+        |                 'txt': array_to_string(tk[s:s+63], ' ')})) AS u
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id, u.idx AS chunk_idx, u.txt AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // q63: bigram grams (tk[i:i+1] is DuckDB's inclusive 2-element slice),
     // DISTINCT per doc to mirror WordNgrams(distinct); engine joins on
     // xxhash64(gram), oracle on the gram text — identical counts (64-bit

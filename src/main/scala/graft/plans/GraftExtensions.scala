@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
 
 import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
 
-import graft.functions.{DotProduct, MinHashes, SimHash64, WordNgrams, WordTokens}
+import graft.functions.{DotProduct, MinHashes, SimHash64, WordChunks, WordNgrams, WordTokens}
 
 /** SparkSessionExtensions module: registers the engine's native expressions
   * as SQL functions so `spark.sql("SELECT graft_dot(a,b) ...")` works.
@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash64",
         "graft_simhash64(tokens) - 64-bit simhash of a token array"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_word_chunks"),
+      info("graft_word_chunks",
+        "graft_word_chunks(text, size, stride) - overlapping token windows"),
+      (args: Seq[Expression]) => (args(1), args(2)) match {
+        case (IntegerLiteral(size), IntegerLiteral(stride)) =>
+          WordChunks(args(0), size, stride)
+        case other => throw new IllegalArgumentException(
+          s"graft_word_chunks: size/stride must be integer literals, got $other")
+      }))
     // Spark's runtime-filter bloom expressions, exposed as user-callable
     // SQL functions: build a bloom over a long column, probe it with a
     // scalar-subquery filter. The probe is a pure projection-side predicate

@@ -53,6 +53,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("chunkDocuments windows overlap by size-stride, tail truncates") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(df, "text", "doc_id", size = 4, stride = 3)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    // starts 0,3,6,9: windows of 4 tokens, last truncated to 1
+    assert(out(1L) == List("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10",
+      "t10"), out(1L).toString)
+    assert(out(2L) == List("solo"))
+    assert(!out.contains(3L), "empty text must produce no chunks")
+    // overlap property: consecutive chunks share size-stride tokens
+    val chunks = out(1L).map(_.split(" ").toList)
+    chunks.sliding(2).foreach {
+      case List(a, b) => assert(a.takeRight(1) == b.take(1) ||
+        a.length < 4, s"$a | $b")
+      case _ =>
+    }
+  }
+
   test("decontaminateBloom output is bit-identical to the exact variant") {
     // the bloom is a pruning device only: false positives must be removed
     // by the exact verify join, never surface in the output
