@@ -27,8 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 62 queries × whole-stage codegen ≈ thousands of JIT-compiled generated
-  // classes; the JDK default 240m code cache can fill mid-run, silently
-  // disabling the JIT and inflating every query after it.
+  // the full query registry × whole-stage codegen ≈ thousands of JIT-
+  // compiled generated classes; the JDK default 240m code cache can fill
+  // mid-run, silently disabling the JIT and inflating every query after it.
   "-XX:ReservedCodeCacheSize=512m",
 )

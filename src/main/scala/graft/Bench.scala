@@ -39,8 +39,8 @@ object Bench {
       // ContextCleaner only reclaims finished queries' broadcast and
       // shuffle state when the driver GCs; the default periodicGC interval
       // (30 min) is longer than the whole bench, so without this the
-      // blocks of all 62 queries pile up in the one heap and the tail of
-      // the run measures memory pressure instead of the query.
+      // blocks of every query in the registry pile up in the one heap and
+      // the tail of the run measures memory pressure instead of the query.
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -71,7 +71,12 @@ object Bench {
           timings(name) = timings.get(name).fold(t)(math.min(_, t))
         } catch {
           case e: Throwable =>
-            timings(name) = (System.nanoTime() - t0) / 1e9
+            // a failed attempt still spends its elapsed time (pass totals
+            // stay consistent) but must not clobber a valid min from a
+            // successful pass — the error itself is what fails the run
+            val t = (System.nanoTime() - t0) / 1e9
+            passTotal += t
+            timings(name) = timings.get(name).fold(t)(math.min(_, t))
             errors(name) = e.toString.replaceAll("\\s+", " ").take(300)
         }
         // outside the timed window: drop dedup persists before the next

@@ -12,7 +12,7 @@ object Verify {
         appName = "graft-verify")
       .config("spark.ui.enabled", "false")
       // reclaim finished queries' broadcast/shuffle blocks during the long
-      // 62-query run (default periodicGC is 30 min — longer than the run)
+      // all-queries run (default periodicGC is 30 min — longer than the run)
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

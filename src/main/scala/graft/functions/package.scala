@@ -94,6 +94,28 @@ package object functions {
       distinct))
   }
 
+  /** Bloom-filter aggregate over a bigint column (Spark's runtime-filter
+    * BloomFilterAggregate): one binary value sized for `expectedItems`.
+    * Undersizing saturates the filter and turns downstream probes into
+    * no-ops, so the capacity is an explicit parameter, not a conf
+    * default. */
+  def bloomAgg(c: Column, expectedItems: Long): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(GraftSqlBridge.expression(c), expectedItems)
+        .toAggregateExpression())
+  }
+
+  /** Probe a bloom binary (must be a literal/foldable value — materialize
+    * the aggregate first) against a bigint column. */
+  def mightContain(bloom: Column, v: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(v)))
+  }
+
   /** Overlapping token-window chunks via the fused [[WordChunks]]
     * expression (size-token windows every stride tokens, space-joined). */
   def wordChunks(text: Column, size: Int, stride: Int): Column = {

@@ -178,32 +178,41 @@ object Corpus {
 
   /** Bloom-filter decontamination — the zero-shuffle prefilter variant of
     * [[decontaminate]]. The benchmark's gram set is folded into ONE bloom
-    * filter binary by `graft_bloom_agg` (a scalar subquery, evaluated once
-    * and inlined as a literal); the corpus side then probes it with
-    * `graft_might_contain` as a plain projection-side predicate — no
+    * filter binary (driver-materialized scalar, shipped as a literal); the
+    * corpus side then probes it as a plain projection-side predicate — no
     * broadcast table, no join, no corpus shuffle at all for the ~99% of
     * grams the bloom rejects. Survivors (true overlaps + bloom false
     * positives) go through the exact broadcast join, so the OUTPUT is
     * bit-identical to the exact variant: the bloom only prunes work, never
     * changes results. This is Spark's own runtime-filter machinery
-    * (BloomFilterAggregate / BloomFilterMightContain) driven explicitly. */
+    * (BloomFilterAggregate / BloomFilterMightContain) driven explicitly;
+    * the same expressions are SQL-registered as `graft_bloom_agg` /
+    * `graft_might_contain` for `spark.sql` users. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String, n: Int = 3,
-                         minOverlap: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
+                         minOverlap: Int = 1,
+                         expectedBenchGrams: Long = 4L * 1000 * 1000):
+      DataFrame = {
     def postings(df: DataFrame) = df.select(col(idCol),
         explode(graft.functions.wordNgrams(col(textCol), n)).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
-    // persist: corpus postings feed the per-doc sizes AND the probe side
+    // persist: corpus postings feed the per-doc sizes AND the probe side.
+    // Cache contract matches graft.ops.Dedup: the caller/harness releases
+    // caches once the result is consumed (Bench/Verify clearCache per
+    // query) — the returned frame is lazy, so the operator itself cannot.
     val corpusGrams = postings(corpus).persist()
     val benchGrams = postings(benchmark).select("gram_h").distinct()
-    corpusGrams.createOrReplaceTempView("graft_bloom_corpus")
-    benchGrams.createOrReplaceTempView("graft_bloom_bench")
-    val prefiltered = spark.sql(
-      s"""SELECT $idCol, gram_h FROM graft_bloom_corpus
-         |WHERE graft_might_contain(
-         |  (SELECT graft_bloom_agg(gram_h) FROM graft_bloom_bench),
-         |  gram_h)""".stripMargin)
+    // The ONE bloom binary materializes on the driver (a scalar, sized by
+    // expectedBenchGrams — undersizing saturates the filter and turns the
+    // probe into a pass-through) and ships as a literal: exactly what a
+    // scalar subquery does internally, without mutating the session with
+    // temp views or parsing identifier strings into SQL.
+    val bloomBytes = benchGrams
+      .agg(graft.functions.bloomAgg(col("gram_h"), expectedBenchGrams)
+        .as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val prefiltered = corpusGrams.filter(
+      graft.functions.mightContain(lit(bloomBytes), col("gram_h")))
     val sizes = corpusGrams.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"))
     val overlap = prefiltered.join(broadcast(benchGrams), "gram_h")

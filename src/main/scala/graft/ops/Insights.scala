@@ -34,7 +34,10 @@ object Insights {
                     k: Int = 3): DataFrame = {
     val toks = df.select(col(idCol),
       explode(Text.tokens(col(textCol))).as("term"))
-    // persist: tf feeds document frequency, corpus size AND the score join
+    // persist: tf feeds document frequency, corpus size AND the score
+    // join. Cache contract matches graft.ops.Dedup: the caller/harness
+    // releases caches once the result is consumed (the returned frame is
+    // lazy, so the operator itself cannot unpersist first).
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf")).persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

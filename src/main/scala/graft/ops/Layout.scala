@@ -72,16 +72,33 @@ object Layout {
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val entries = fs.listStatus(p)
+    // partition-aware compaction (per-directory rewrite preserving the
+    // hive layout) is a different operator; refuse rather than silently
+    // flattening date=.../part-*.parquet into one unpartitioned file
+    require(!entries.exists(_.isDirectory),
+      s"compact: $path contains subdirectories (partitioned layout?) — " +
+        "compact operates on a flat parquet directory")
+    val bytes = entries.filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
+    require(bytes > 0, s"compact: no parquet data found under $path")
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new Path(p.getParent, p.getName + "._compacting")
+    val old = new Path(p.getParent, p.getName + "._precompact")
     spark.read.parquet(path)
       .repartition(files)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
+    // two renames, no delete-before-swap: the source stays recoverable at
+    // `._precompact` until the rewrite is in place; a crash between the
+    // renames leaves the data findable (and the second rename re-runnable)
+    // instead of a window where NO copy exists at any expected location
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back; source untouched
       throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    }
+    fs.delete(old, true)
     files
   }
 }

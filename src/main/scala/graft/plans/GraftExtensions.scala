@@ -77,10 +77,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       info("graft_bloom_agg",
-        "graft_bloom_agg(col) - bloom filter binary over a bigint column"),
-      (args: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(args(0))))
+        "graft_bloom_agg(col[, expectedItems]) - bloom binary over bigints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, IntegerLiteral(n)) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n.toLong)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions
+            .Literal(n: Long, _)) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case other => throw new IllegalArgumentException(
+          "graft_bloom_agg takes (col) or (col, int-literal expectedItems), " +
+            s"got $other")
+      }))
     e.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       info("graft_might_contain",

@@ -31,8 +31,8 @@ class LayoutSpec extends AnyFunSuite {
     // user_id fits 8 bits, minute-of-day 11: MSB alignment is what makes
     // the narrow column cluster at all (see zorderKey2 doc)
     Layout.writeZOrdered(events, s"$base/z", col("user_id"), col("minute"),
-      files = 8, bits = 11, aBits = 8, bBits = 11)
-    events.repartition(8).write.mode("overwrite").parquet(s"$base/naive")
+      files = 16, bits = 11, aBits = 8, bBits = 11)
+    events.repartition(16).write.mode("overwrite").parquet(s"$base/naive")
 
     def spans(path: String, c: String): Seq[Long] =
       spark.read.parquet(path)
@@ -44,12 +44,15 @@ class LayoutSpec extends AnyFunSuite {
 
     // round-robin gives every file the FULL range of both keys; the
     // z-layout must narrow both (this is what lets parquet min/max stats
-    // prune files for filters on either column)
+    // prune files for filters on either column). Margins are statistical:
+    // repartitionByRange picks boundaries from a sample (seeded off the
+    // RDD id, so session history shifts them slightly) and files that
+    // straddle a curve-quadrant boundary span wider than the quadrant.
     val (zu, nu) = (spans(s"$base/z", "user_id"), spans(s"$base/naive", "user_id"))
     val (zm, nm) = (spans(s"$base/z", "minute"), spans(s"$base/naive", "minute"))
-    assert(zu.size == 8, s"expected 8 files, got ${zu.size}")
-    assert(avg(zu) < 0.7 * avg(nu), s"user span ${avg(zu)} vs naive ${avg(nu)}")
-    assert(avg(zm) < 0.7 * avg(nm), s"minute span ${avg(zm)} vs naive ${avg(nm)}")
+    assert(zu.size == 16, s"expected 16 files, got ${zu.size}")
+    assert(avg(zu) < 0.75 * avg(nu), s"user span ${avg(zu)} vs naive ${avg(nu)}")
+    assert(avg(zm) < 0.75 * avg(nm), s"minute span ${avg(zm)} vs naive ${avg(nm)}")
   }
 
   test("compact folds small files to the byte-target count, content intact") {
