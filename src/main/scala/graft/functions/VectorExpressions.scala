@@ -66,6 +66,115 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric per-vector int8 quantization: scale = max|x|/127,
+  * q_i = round(x_i/scale), emitted as `array<tinyint>`.
+  *
+  * Why this exists at 100 TB: float32 embeddings dominate the byte volume
+  * of an ANN corpus; int8 cuts scan, shuffle, and cache traffic 4× while
+  * COSINE similarity loses nothing structural — the per-vector scale
+  * cancels in (sa·sb·qa·qb)/(sa|qa|·sb|qb|), so ranking needs only the
+  * quantized arrays (see [[DotI8]]). Zero vectors quantize to zeros. */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+
+  override def prettyName: String = "graft_quantize_i8"
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeI8.quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.QuantizeI8.quantize($x);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeI8 = copy(child = newChild)
+}
+
+object QuantizeI8 {
+  /** Shared by interpreted eval and generated code. */
+  def quantize(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0.0) {
+      val inv = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        val q = math.round(x.getDouble(i) * inv)
+        out(i) = (if (q > 127) 127 else if (q < -127) -127 else q).toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(out.map(b => b: Any))
+  }
+}
+
+/** Integer dot product over two `array<tinyint>` columns (fused loop,
+  * long accumulator — exact for any realistic dimensionality). Combined
+  * with [[QuantizeI8]]: cosine ≈ dotI8(qa,qb)/sqrt(dotI8(qa,qa)·
+  * dotI8(qb,qb)), all-integer until the final division. */
+case class DotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.ByteType, _),
+            ArrayType(org.apache.spark.sql.types.ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<tinyint> arguments, got $l / $r")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_dot_i8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotI8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All sign-LSH band keys of one embedding in a single fused loop.
   *
   * The composable formulation — `bands × bitsPerBand` separate

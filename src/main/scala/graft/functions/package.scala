@@ -138,6 +138,26 @@ package object functions {
       seedIndexed))
   }
 
+  /** Symmetric per-vector int8 quantization via [[QuantizeI8]]. */
+  def quantizeI8(emb: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(QuantizeI8(
+      GraftSqlBridge.expression(emb.cast("array<double>"))))
+  }
+
+  /** Integer dot product over two int8 vectors via [[DotI8]]. */
+  def dotI8(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(DotI8(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
+  /** Quantized cosine similarity: per-vector scales cancel, so the whole
+    * computation runs over int8 arrays with integer accumulation. */
+  def cosineSimI8(qa: Column, qb: Column): Column =
+    dotI8(qa, qb).cast("double") /
+      sqrt(dotI8(qa, qa).cast("double") * dotI8(qb, qb).cast("double"))
+
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -38,6 +38,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rn")
   }
 
+  /** Quantized brute-force top-k: embeddings symmetric-int8-quantized
+    * ([[graft.functions.QuantizeI8]]) before scoring, cosine computed
+    * all-integer over the int8 arrays ([[graft.functions.DotI8]] — the
+    * per-vector scale cancels in cosine, so no dequantization anywhere).
+    *
+    * The 100 TB rationale: the corpus scan of exact top-k is bandwidth-
+    * bound on float32 embeddings; int8 moves 4× less through scan, cache,
+    * and (in the bucketed variants) shuffle, at a ranking error the spec
+    * pins against the exact path. Same plan shape as [[bruteForceTopK]]:
+    * query set broadcast, corpus scanned once, per-query window. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantizeI8(col(embCol)).as("q_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeI8(col(embCol)).as("q_c"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineSimI8(col("q_q"), col("q_c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim", "rn")
+  }
+
   /** Sign-LSH bucket id: `nBits` random-hyperplane signs packed into a long.
     * Vectors with the same bucket are likely neighbors (cosine LSH).
     * Backed by the fused [[graft.functions.LshBandKeys]] expression (one

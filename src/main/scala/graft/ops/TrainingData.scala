@@ -121,6 +121,16 @@ object TrainingData {
         element_at(col("features"), 4).as("stripe3"))
       .orderBy("asset_id")
 
+  // ---------------------------------------------------------------- q75
+  /** Int8-quantized brute-force top-k (approximate by quantization →
+    * rows-only; recall vs the exact float path is spec-checked). */
+  def q75AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   // ---------------------------------------------------------------- q49
   /** Native expression-level MinHash near-dup pairs (banding approximate →
     * rows-only; candidate recall pinned by spec, surviving pairs carry the
@@ -142,7 +152,8 @@ object TrainingData {
     "q39_fingerprint" -> q39Fingerprint _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_ann_lsh" -> q41AnnLsh _,
-    "q42_multimodal_stub" -> q42MultimodalStub _)
+    "q42_multimodal_stub" -> q42MultimodalStub _,
+    "q75_ann_quantized" -> q75AnnQuantized _)
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(

@@ -37,6 +37,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head._2 == 1L, s"expected neighbor 1 first, got ${top.head}")
   }
 
+  test("int8 quantization: cosine error small, top-k recall high vs exact") {
+    // expression-level accuracy on synthetic vectors
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("f32"),
+        round(cosineSimI8(quantizeI8(col("a.embedding")),
+          quantizeI8(col("b.embedding"))), 6).as("i8"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (f, q) =>
+      assert(math.abs(f - q) < 0.02, s"cosine drift: f32=$f i8=$q") }
+    // recall@5 on the real corpus against the exact float path
+    val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, ns) =>
+      (ns intersect quant.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / exact.size
+    assert(recall >= 0.8, s"recall@5 $recall below 0.8")
+  }
+
   test("IVF recall on the real corpus: top-1 matches brute force for most queries") {
     val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
