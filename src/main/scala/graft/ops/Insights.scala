@@ -192,9 +192,52 @@ object Insights {
         numericCols = Set("o_orderkey", "o_custkey", "o_totalprice"))
       .orderBy("col_name")
 
+  // ---------------------------------------------------------------- q76
+  /** Last-touch attribution: each purchase credits the user's latest
+    * strictly-earlier non-purchase event; revenue rolls up by touch type.
+    * The attribution pass is ONE window over (user, time) — max of a
+    * (ts, id, type) struct, lexicographic so ties resolve on event id —
+    * with no self-join; purchases with no prior touch credit 'none'. */
+  def q76LastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "events")
+      .withColumn("prev",
+        max(when(col("event_type") =!= "purchase",
+          struct(col("ts"), col("event_id"), col("event_type")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("value"),
+        coalesce(col("prev.event_type"), lit("none")).as("touch_type"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("sum_value"))
+      .orderBy("touch_type")
+  }
+
+  // ---------------------------------------------------------------- q77
+  /** Day-over-day revenue deltas: daily aggregate, then lag over the
+    * (post-aggregate, bounded) day series — the standard time-series
+    * report; the global-order window never sees the raw fact table. */
+  def q77DailyRevenueDelta(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("delta", round(col("revenue") - col("prev_revenue"), 4))
+      .withColumn("pct_change",
+        when(col("prev_revenue") =!= 0.0,
+          round((col("revenue") - col("prev_revenue")) * 100.0 /
+            col("prev_revenue"), 6)))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_table_profile" -> q71TableProfile _,
+    "q76_last_touch_attribution" -> q76LastTouchAttribution _,
+    "q77_daily_revenue_delta" -> q77DailyRevenueDelta _,
     "q64_tfidf_top_terms" -> q64TfidfTopTerms _,
     "q65_token_zipf" -> q65TokenZipf _,
     "q66_event_funnel" -> q66EventFunnel _,
@@ -203,6 +246,38 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q76: DuckDB struct max is lexicographic by field order exactly like
+    // Spark's struct ordering, so (ts, id, typ) resolves identically.
+    "q76_last_touch_attribution" ->
+      s"""WITH a AS (
+         |  SELECT value, event_type,
+         |         (max(CASE WHEN event_type <> 'purchase'
+         |               THEN {'ts': ts, 'id': event_id, 'typ': event_type}
+         |              END)
+         |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |         ).typ AS touch_type
+         |  FROM events)
+         |SELECT COALESCE(touch_type, 'none') AS touch_type,
+         |       COUNT(*) AS n_purchases,
+         |       ${dsumSql("value")} AS sum_value
+         |FROM a WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q77_daily_revenue_delta" ->
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         |         COUNT(*) AS n_orders,
+         |         ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT day, n_orders, revenue,
+         |       lag(revenue, 1) OVER (ORDER BY day) AS prev_revenue,
+         |       round(revenue - lag(revenue, 1) OVER (ORDER BY day), 4)
+         |         AS delta,
+         |       CASE WHEN lag(revenue, 1) OVER (ORDER BY day) <> 0
+         |            THEN round((revenue - lag(revenue, 1) OVER (ORDER BY day))
+         |                   * 100.0 / lag(revenue, 1) OVER (ORDER BY day), 6)
+         |       END AS pct_change
+         |FROM d ORDER BY day""".stripMargin,
     "q71_table_profile" -> {
       val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
       Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",

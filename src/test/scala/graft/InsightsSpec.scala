@@ -107,6 +107,30 @@ class InsightsSpec extends AnyFunSuite {
     assert(!rows(0).getBoolean(2) && rows(2).getBoolean(2))
   }
 
+  test("last-touch attribution partitions every purchase exactly once") {
+    val events = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "events")
+    val nPurchases = events.filter(col("event_type") === "purchase").count()
+    val rows = graft.ops.Insights
+      .q76LastTouchAttribution(spark, TestSpark.sfDir)
+      .select("touch_type", "n_purchases").as[(String, Long)].collect()
+    assert(rows.map(_._2).sum == nPurchases,
+      "every purchase must be attributed to exactly one touch type")
+    assert(rows.forall(r => r._1 == "none" || r._1 != "purchase"),
+      "a purchase never attributes to another purchase")
+  }
+
+  test("daily revenue deltas are self-consistent") {
+    val rows = graft.ops.Insights
+      .q77DailyRevenueDelta(spark, TestSpark.sfDir)
+      .select("revenue", "prev_revenue", "delta").collect()
+    assert(rows.head.isNullAt(1), "first day has no predecessor")
+    rows.drop(1).foreach { r =>
+      val (rev, prev, d) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs((rev - prev) - d) < 1e-3, s"$rev - $prev != $d")
+    }
+  }
+
   test("corpus share percentages sum to ~100") {
     val pct = Insights.q69CorpusShare(spark, TestSpark.sfDir)
       .select("pct_docs").as[Double].collect()
