@@ -89,12 +89,14 @@ object Bench {
       passTotals += passTotal
     }
 
-    // Milliseconds are the honest resolution here; full-precision doubles
-    // tripled the line length and overflowed the harness's tail capture
-    // (BENCH_r02 "parsed": null), losing the whole perf signal.
+    // Centiseconds are honest resolution for per-query numbers;
+    // full-precision doubles tripled the line length and overflowed the
+    // harness's tail capture (BENCH_r02 "parsed": null), losing the whole
+    // perf signal — keep the one line comfortably under ~2.5KB.
     def sec(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    def csec(v: Double): Double = math.round(v * 100).toDouble / 100
     def jstr(s: String) = JsonEscape.str(s)
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${csec(v)}" }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""

@@ -318,7 +318,11 @@ object Corpus {
     decontaminateBloom(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
-        "text", "doc_id", n = 2, minOverlap = 5)
+        "text", "doc_id", n = 2, minOverlap = 5,
+        // capacity sized for this corpus's bench split: the bloom binary
+        // ships with every stage, so a production-sized (4M-item, ~4MB)
+        // filter over a ~15k-gram benchmark is pure task-serialization tax
+        expectedBenchGrams = 1L << 17)
       .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
       .orderBy("doc_id")
   }
