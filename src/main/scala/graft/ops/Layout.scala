@@ -84,21 +84,32 @@ object Layout {
     require(bytes > 0, s"compact: no parquet data found under $path")
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new Path(p.getParent, p.getName + "._compacting")
-    val old = new Path(p.getParent, p.getName + "._precompact")
     spark.read.parquet(path)
       .repartition(files)
       .write.mode("overwrite").parquet(tmp.toString)
-    // two renames, no delete-before-swap: the source stays recoverable at
-    // `._precompact` until the rewrite is in place; a crash between the
-    // renames leaves the data findable (and the second rename re-runnable)
-    // instead of a window where NO copy exists at any expected location
-    if (!fs.rename(p, old))
-      throw new java.io.IOException(s"compact: rename $p -> $old failed")
+    swapInto(spark, tmp.toString, path)
+    files
+  }
+
+  /** Crash-safe directory swap: two renames, no delete-before-swap. The
+    * target stays recoverable at `._pre` until the replacement is in
+    * place; a crash between the renames leaves the data findable (and the
+    * second rename re-runnable) instead of a window where NO copy exists
+    * at any expected location. Rolls the target back if the swap-in
+    * fails. */
+  def swapInto(spark: SparkSession, tmpDir: String, target: String): Unit = {
+    val p = new Path(target)
+    val tmp = new Path(tmpDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(p.getParent, p.getName + "._pre")
+    fs.delete(old, true) // clear a leftover from a previous crashed swap
+    val hadTarget = fs.exists(p)
+    if (hadTarget && !fs.rename(p, old))
+      throw new java.io.IOException(s"swapInto: rename $p -> $old failed")
     if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // roll back; source untouched
-      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+      if (hadTarget) fs.rename(old, p) // roll back; target untouched
+      throw new java.io.IOException(s"swapInto: rename $tmp -> $p failed")
     }
     fs.delete(old, true)
-    files
   }
 }

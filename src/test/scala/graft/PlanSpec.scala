@@ -86,6 +86,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q72/q73/q76 temporal windows plan without any join") {
+    for (qid <- Seq("q72_latest_snapshot", "q73_scd2_intervals",
+        "q76_last_touch_attribution")) {
+      val p = finalPlan(qid)
+      assert(!p.contains("Join"), s"$qid must be join-free:\n${p.take(2000)}")
+    }
+  }
+
   test("q22 exact dedup shuffles digests, not documents") {
     val p = finalPlan("q22_dedup_exact")
     assert(p.contains("sha2"), p.take(3000))

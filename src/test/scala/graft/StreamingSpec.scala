@@ -69,6 +69,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert snapshot sink materializes the latest row per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "upsert").toString
+    val q = Streams.upsertSnapshotSink(input.toDF(), Seq("user_id"), "ts",
+      "event_id", s"$dir/snapshot", s"$dir/ckpt")
+    try {
+      input.addData(
+        Streams.Event(1L, ts(0), 10L, "state_a", 1.0),
+        Streams.Event(2L, ts(1), 20L, "state_x", 2.0))
+      q.processAllAvailable()
+      // second batch: newer state for user 10, duplicate delivery for 20
+      input.addData(
+        Streams.Event(3L, ts(5), 10L, "state_b", 3.0),
+        Streams.Event(2L, ts(1), 20L, "state_x", 2.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(s"$dir/snapshot")
+        .select("user_id", "event_type").as[(Long, String)].collect().toMap
+      assert(snap == Map(10L -> "state_b", 20L -> "state_x"), snap.toString)
+      assert(spark.read.parquet(s"$dir/snapshot").count() == 2,
+        "duplicate delivery must not duplicate snapshot rows")
+    } finally q.stop()
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
