@@ -254,6 +254,25 @@ object Analytics {
         col("price_p95_approx"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q78
+  /** Skew-salted fact-to-dim join, aggregated: the lineitem fact side is
+    * salted (deterministic per-row hash), the orders side replicated
+    * salt-factor×, and the join key becomes (key, salt) — so one hot order
+    * key spreads over `factor` tasks instead of pinning one. Results are
+    * EXACTLY the plain join's (the oracle is the unsalted SQL); this is
+    * the explicit-salting escape hatch for power-law keys that overwhelm
+    * even AQE's skew-join splitting at 100 TB. */
+  def q78SaltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, ord, "l_orderkey", factor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---------------------------------------------------------------- q60
   /** Sliding (hopping) windows: 1-hour windows every 30 minutes, so each
     * event lands in two overlapping windows. Same incremental shape as
@@ -329,6 +348,7 @@ object Analytics {
     "q58_pivot" -> q58Pivot _,
     "q59_percentiles" -> q59Percentiles _,
     "q70_approx_percentiles" -> q70ApproxPercentiles _,
+    "q78_salted_join_agg" -> q78SaltedJoinAgg _,
     "q60_sliding_window" -> q60SlidingWindow _,
     "q61_event_gaps" -> q61EventGaps _,
     "q62_grouping_sets" -> q62GroupingSets _)
@@ -336,6 +356,13 @@ object Analytics {
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL sketch)
     * are rows-only — no entries. */
   val oracle: Map[String, String] = Map(
+    // q78: the oracle is the UNSALTED join — salting must be invisible in
+    // the result.
+    "q78_salted_join_agg" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q21_group_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       COUNT(*) AS n,

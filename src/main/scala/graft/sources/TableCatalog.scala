@@ -71,6 +71,16 @@ object TableCatalog {
     else df
   }
 
+  /** Schema-evolution read: merge parquet footers across files written at
+    * different schema versions — columns added later read as null for
+    * older files. Spark leaves `mergeSchema` off by default because the
+    * footer merge costs a listing pass over every file; an evolving
+    * staging directory (the normal state of a long-lived ingest path)
+    * needs it explicitly. */
+  def loadEvolved(spark: SparkSession, dirPath: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(normalizeScheme(dirPath))
+
   /** Register every corpus table as a temp view so `spark.sql` works
     * (analogue of the reference's pushdown-SQL entry point,
     * /root/reference/utils/db_utils.py:97-117 — Catalyst executes instead of

@@ -69,6 +69,22 @@ class WorkflowSpec extends AnyFunSuite {
     assert(TableCatalog.load(spark, work, "orders_inc").count() == o.count())
   }
 
+  test("loadEvolved merges schema versions; old files read new columns null") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/staged"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30.0)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(dir)
+    val merged = TableCatalog.loadEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2"))
+    val byId = merged.select("id", "v2").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty && byId(3L).contains(30.0))
+    // the default (non-merging) read keeps whichever footer it sampled —
+    // the evolved read is the only safe way to see the union schema
+  }
+
   test("variance: reference guard prev==0 -> 0.0; symmetry of abs") {
     val prop = Prop.forAll(
       Gen.chooseNum(0L, 1000000L), Gen.chooseNum(0L, 1000000L)) {
