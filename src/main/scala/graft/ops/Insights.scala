@@ -233,8 +233,47 @@ object Insights {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- q79
+  /** Trailing 7-day revenue per day — a RANGE-frame window (value-based,
+    * vs q25's ROWS frame): each day sums the revenue of days within
+    * [day-6, day], regardless of how many day-rows exist (gaps count as
+    * zero, which a ROWS frame would get wrong). The window runs over the
+    * bounded post-aggregate day series keyed by an integer day number so
+    * both engines frame identically. */
+  def q79TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("trailing_7d",
+        round(sum(col("revenue")).over(w), 4))
+      .select("day", "revenue", "trailing_7d")
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------- q80
+  /** Customer deciles by account balance (ntile) with per-decile stats —
+    * the quantile-bucketing reporting pattern; ntile is deterministic
+    * under a total order, so the decile assignment itself is
+    * oracle-checkable. */
+  def q80CustomerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("decile")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_trailing_window" -> q79TrailingWindow _,
+    "q80_customer_deciles" -> q80CustomerDeciles _,
     "q71_table_profile" -> q71TableProfile _,
     "q76_last_touch_attribution" -> q76LastTouchAttribution _,
     "q77_daily_revenue_delta" -> q77DailyRevenueDelta _,
@@ -246,6 +285,30 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    "q79_trailing_window" ->
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         |         ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |n AS (
+         |  SELECT day, revenue,
+         |         date_diff('day', TIMESTAMP '1970-01-01 00:00:00', day)
+         |           AS day_num
+         |  FROM d)
+         |SELECT day, revenue,
+         |       round(SUM(revenue) OVER (ORDER BY day_num
+         |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         |         AS trailing_7d
+         |FROM n ORDER BY day""".stripMargin,
+    "q80_customer_deciles" ->
+      s"""WITH t AS (
+         |  SELECT c_acctbal,
+         |         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+         |  FROM customer)
+         |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
+         |       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+         |       ${dsumSql("c_acctbal")} AS sum_bal
+         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
     // q76: DuckDB struct max is lexicographic by field order exactly like
     // Spark's struct ordering, so (ts, id, typ) resolves identically.
     "q76_last_touch_attribution" ->

@@ -131,6 +131,24 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("trailing 7-day window bounds below by the day's own revenue") {
+    val rows = graft.ops.Insights.q79TrailingWindow(spark, TestSpark.sfDir)
+      .select("revenue", "trailing_7d").as[(Double, Double)].collect()
+    rows.foreach { case (rev, t7) =>
+      assert(t7 >= rev - 1e-6, s"trailing $t7 must include today's $rev") }
+  }
+
+  test("deciles partition all customers into near-equal buckets") {
+    val total = spark.read
+      .parquet(s"${TestSpark.sfDir}/customer.parquet").count()
+    val rows = graft.ops.Insights.q80CustomerDeciles(spark, TestSpark.sfDir)
+      .select("decile", "n").as[(Long, Long)].collect().toMap
+    assert(rows.keySet == (1L to 10L).toSet)
+    assert(rows.values.sum == total)
+    assert(rows.values.max - rows.values.min <= 1,
+      s"ntile sizes differ by at most one: $rows")
+  }
+
   test("corpus share percentages sum to ~100") {
     val pct = Insights.q69CorpusShare(spark, TestSpark.sfDir)
       .select("pct_docs").as[Double].collect()
