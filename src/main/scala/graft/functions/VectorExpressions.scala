@@ -120,7 +120,9 @@ object QuantizeI8 {
         i += 1
       }
     }
-    new GenericArrayData(out.map(b => b: Any))
+    // primitive byte[] constructor — boxing per element here would put an
+    // Object[] + n Byte allocations on the per-embedding hot path
+    new GenericArrayData(out)
   }
 }
 

@@ -14,8 +14,11 @@ import graft.sources.TableCatalog
   * after the dedup/filter/mix stages reshape it.
   *
   * All pure DataFrame transforms: hash-aggregated with map-side partials,
-  * window functions only over bounded post-aggregate frames, small stat
-  * tables broadcast back against the fact scan. No UDFs, no collects.
+  * window functions over bounded post-aggregate frames (one documented
+  * exception: q80's ntile, which is total-order by definition and
+  * restricted to dimension-sized inputs — see its scaladoc for the
+  * fact-scale alternative), small stat tables broadcast back against the
+  * fact scan. No UDFs, no collects.
   */
 object Insights {
 
@@ -257,7 +260,14 @@ object Insights {
   /** Customer deciles by account balance (ntile) with per-decile stats —
     * the quantile-bucketing reporting pattern; ntile is deterministic
     * under a total order, so the decile assignment itself is
-    * oracle-checkable. */
+    * oracle-checkable.
+    *
+    * Scale contract: exact ntile REQUIRES a total order (Spark plans the
+    * un-partitioned window as a single-task sort), so this operator is
+    * for dimension-sized inputs — customers, not fact rows. Bucketing a
+    * fact-scale column goes through `approx_percentile` boundaries (q70)
+    * applied as a map-side width/CASE bucket (q68 shape): same report,
+    * no global sort. */
   def q80CustomerDeciles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
     t(spark, dir, "customer")

@@ -91,6 +91,31 @@ object Layout {
     files
   }
 
+  /** Repair the aftermath of a [[swapInto]] that crashed mid-swap. MUST
+    * run before READING a swap-managed directory (not just before the next
+    * swap): a crash between the two renames leaves the target missing and
+    * `._pre` holding the only copy — a reader that treats the missing
+    * directory as "empty/first run" would rebuild from nothing and the
+    * next swap would then discard the `._pre` history. */
+  def recoverSwap(spark: SparkSession, target: String): Unit = {
+    val p = new Path(target)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(p.getParent, p.getName + "._pre")
+    if (fs.exists(old)) {
+      if (fs.exists(p)) {
+        // crashed after the swap-in but before cleanup: the target is the
+        // newer data, ._pre is the superseded copy
+        fs.delete(old, true)
+      } else {
+        // crashed BETWEEN the renames: ._pre holds the only copy —
+        // restore it (deleting it would destroy exactly the data the
+        // two-rename design protects)
+        if (!fs.rename(old, p)) throw new java.io.IOException(
+          s"recoverSwap: rename $old -> $p failed")
+      }
+    }
+  }
+
   /** Crash-safe directory swap: two renames, no delete-before-swap. The
     * target stays recoverable at `._pre` until the replacement is in
     * place; a crash between the renames leaves the data findable (and the
@@ -102,7 +127,7 @@ object Layout {
     val tmp = new Path(tmpDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val old = new Path(p.getParent, p.getName + "._pre")
-    fs.delete(old, true) // clear a leftover from a previous crashed swap
+    recoverSwap(spark, target)
     val hadTarget = fs.exists(p)
     if (hadTarget && !fs.rename(p, old))
       throw new java.io.IOException(s"swapInto: rename $p -> $old failed")

@@ -23,13 +23,20 @@ object Similarity {
   def simRounded(a: Column, b: Column): Column = round(cosineSim(a, b), 6)
 
   /** Exact brute-force top-k: corpus scanned once, query set broadcast.
-    * Output: (query_id, neighbor_id, sim, rn). */
+    * Each side's L2 norm is staged ONCE per row before the join — inside
+    * the per-pair scoring it would be recomputed |Q|× per corpus row
+    * (3 O(d) walks per pair where 1 suffices). Numerically identical:
+    * sqrt of the same self-dot, multiplied in the same order. Output:
+    * (query_id, neighbor_id, sim, rn). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      embCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"), l2norm(col(embCol)).as("q_n"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"), l2norm(col(embCol)).as("c_n"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", simRounded(col("q_emb"), col("c_emb")))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_n") * col("c_n")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
@@ -50,12 +57,17 @@ object Similarity {
     * query set broadcast, corpus scanned once, per-query window. */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     embCol: String, k: Int): DataFrame = {
+    // quantize AND self-norm once per row, before the join: in-pair
+    // cosineSimI8 would walk each array 3× per (query, corpus) pair
     val q = queries.select(col(idCol).as("query_id"),
-      quantizeI8(col(embCol)).as("q_q"))
+        quantizeI8(col(embCol)).as("q_q"))
+      .withColumn("q_n", sqrt(dotI8(col("q_q"), col("q_q")).cast("double")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantizeI8(col(embCol)).as("q_c"))
+        quantizeI8(col(embCol)).as("q_c"))
+      .withColumn("c_n", sqrt(dotI8(col("q_c"), col("q_c")).cast("double")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosineSimI8(col("q_q"), col("q_c")), 6))
+      .withColumn("sim", round(dotI8(col("q_q"), col("q_c")).cast("double") /
+        (col("q_n") * col("c_n")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored

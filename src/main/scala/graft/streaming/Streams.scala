@@ -112,6 +112,10 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        // a swap that crashed between its renames leaves the snapshot dir
+        // missing with the data parked at ._pre — repair BEFORE reading,
+        // or the "first batch" fallback below would rebuild from nothing
+        graft.ops.Layout.recoverSwap(spark, snapshotDir)
         val existing =
           try spark.read.parquet(snapshotDir)
           catch { case _: org.apache.spark.sql.AnalysisException =>
@@ -121,7 +125,11 @@ object Streams {
           }
         val merged = graft.ops.Temporal.latestSnapshot(
           existing.unionByName(batch.toDF()), keyCols, tsCol, tieCol)
-        val tmp = snapshotDir + "._merging"
+        // sibling path via Path (string concat breaks on a trailing slash,
+        // nesting tmp INSIDE the target it is about to replace)
+        val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+        val tmp = new org.apache.hadoop.fs.Path(snapPath.getParent,
+          snapPath.getName + "._merging").toString
         merged.write.mode("overwrite").parquet(tmp)
         graft.ops.Layout.swapInto(spark, tmp, snapshotDir)
       }

@@ -116,7 +116,7 @@ class InsightsSpec extends AnyFunSuite {
       .select("touch_type", "n_purchases").as[(String, Long)].collect()
     assert(rows.map(_._2).sum == nPurchases,
       "every purchase must be attributed to exactly one touch type")
-    assert(rows.forall(r => r._1 == "none" || r._1 != "purchase"),
+    assert(rows.forall(_._1 != "purchase"),
       "a purchase never attributes to another purchase")
   }
 

@@ -74,6 +74,30 @@ class LayoutSpec extends AnyFunSuite {
       df.as[(Long, String)].collect().toSet, "content must survive compaction")
   }
 
+  test("recoverSwap restores a target lost between swap renames") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "swap").toString
+    val target = s"$base/t"
+    Seq((1L, "history")).toDF("id", "v").write.parquet(target)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash between swapInto's two renames: target moved to
+    // ._pre, replacement never arrived
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(s"$base/t._pre")))
+    graft.ops.Layout.recoverSwap(spark, target)
+    assert(spark.read.parquet(target).as[(Long, String)].collect()
+      .toSet == Set((1L, "history")), "the ._pre copy must be restored")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/t._pre")))
+    // stale-._pre case (crash after swap-in): target wins, ._pre dropped
+    Seq((2L, "newer")).toDF("id", "v").write.parquet(s"$base/t._pre")
+    graft.ops.Layout.recoverSwap(spark, target)
+    assert(spark.read.parquet(target).as[(Long, String)].collect()
+      .toSet == Set((1L, "history")), "existing target must be kept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/t._pre")))
+  }
+
   test("q70 approx percentiles sit inside the sketch envelope vs exact q59") {
     val exact = SparkEntry.queries("q59_percentiles")(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) ->
