@@ -280,10 +280,42 @@ object Insights {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------- q81
+  /** Weekly cohort retention: users grouped by their FIRST active week,
+    * tracked across subsequent weeks. Shape: distinct (user, week)
+    * activity joins the per-user cohort assignment on user_id (both
+    * sides user-keyed — co-partitioned shuffle, no broadcast needed at
+    * any scale), aggregates to the cohort×week matrix, and the retention
+    * denominator (cohort size = week-0 actives, since every user is
+    * active in their own first week) comes from a window over the
+    * bounded post-aggregate matrix. */
+  def q81CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val active = e.distinct()
+    val matrix = active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("week_offset",
+        expr("datediff(week, cohort_week) div 7"))
+    val w = Window.partitionBy(col("cohort_week"))
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(w))
+      .withColumn("retention_pct",
+        round(col("n_active") * 100.0 / col("cohort_size"), 6))
+      .select("cohort_week", "week", "week_offset", "n_active",
+        "cohort_size", "retention_pct")
+      .orderBy("cohort_week", "week")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_trailing_window" -> q79TrailingWindow _,
     "q80_customer_deciles" -> q80CustomerDeciles _,
+    "q81_cohort_retention" -> q81CohortRetention _,
     "q71_table_profile" -> q71TableProfile _,
     "q76_last_touch_attribution" -> q76LastTouchAttribution _,
     "q77_daily_revenue_delta" -> q77DailyRevenueDelta _,
@@ -295,6 +327,26 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q81: both engines truncate weeks to ISO Monday starts.
+    "q81_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY 1),
+        |m AS (
+        |  SELECT cohort_week, week, COUNT(DISTINCT a.user_id) AS n_active,
+        |         date_diff('day', cohort_week, week) // 7 AS week_offset
+        |  FROM a JOIN c ON a.user_id = c.user_id
+        |  GROUP BY 1, 2, 4)
+        |SELECT cohort_week, week, CAST(week_offset AS BIGINT) AS week_offset,
+        |       n_active,
+        |       MAX(CASE WHEN week_offset = 0 THEN n_active END)
+        |         OVER (PARTITION BY cohort_week) AS cohort_size,
+        |       round(n_active * 100.0 /
+        |         MAX(CASE WHEN week_offset = 0 THEN n_active END)
+        |           OVER (PARTITION BY cohort_week), 6) AS retention_pct
+        |FROM m ORDER BY cohort_week, week""".stripMargin,
     "q79_trailing_window" ->
       s"""WITH d AS (
          |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,

@@ -149,6 +149,16 @@ class InsightsSpec extends AnyFunSuite {
       s"ntile sizes differ by at most one: $rows")
   }
 
+  test("cohort retention: week zero is 100%, retention never exceeds it") {
+    val rows = graft.ops.Insights.q81CohortRetention(spark, TestSpark.sfDir)
+      .select("week_offset", "retention_pct").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (off, pct) =>
+      if (off == 0L) assert(pct == 100.0, s"week-0 retention must be 100: $pct")
+      assert(pct > 0.0 && pct <= 100.0, s"offset $off pct $pct out of range")
+    }
+  }
+
   test("corpus share percentages sum to ~100") {
     val pct = Insights.q69CorpusShare(spark, TestSpark.sfDir)
       .select("pct_docs").as[Double].collect()
