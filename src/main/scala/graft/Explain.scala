@@ -15,7 +15,9 @@ object Explain {
     val qids =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q03_flagship_sql", "q08_date_range_filter", "q21_group_agg",
-        "q24_cosine_topk", "q28_topk", "q33_dedup_ngram_jaccard")
+        "q24_cosine_topk", "q28_topk", "q33_dedup_ngram_jaccard",
+        "q55_dedup_clusters", "q63_bloom_decontaminate",
+        "q75_ann_quantized", "q78_salted_join_agg")
     val spark = GraftSession
       .builder("local[4]", shufflePartitions = 4, appName = "graft-explain")
       .config("spark.ui.enabled", "false")

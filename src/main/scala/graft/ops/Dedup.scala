@@ -207,8 +207,12 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels one propagation step ahead: label₀ = min(id, min
+    // neighbor) comes out of the same aggregate that would otherwise
+    // just dedup the node list, saving a full join round on every graph
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
