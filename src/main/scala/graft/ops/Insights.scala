@@ -292,9 +292,13 @@ object Insights {
   def q81CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-    val cohort = e.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort_week"))
     val active = e.distinct()
+    // cohort derives from the DISTINCTED frame (min over distinct weeks ==
+    // min over raw): both join branches then share one identical
+    // scan+distinct Exchange, which ReuseExchange executes once — the raw
+    // projection would read and shuffle the fact table twice
+    val cohort = active.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
     val matrix = active.join(cohort, "user_id")
       .groupBy(col("cohort_week"), col("week"))
       .agg(countDistinct(col("user_id")).as("n_active"))

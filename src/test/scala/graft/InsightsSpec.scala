@@ -159,6 +159,30 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort retention pins offsets and ratios on a churning fixture") {
+    // the sf0.001 corpus has every user active every week (all-100%
+    // retention), so semantics need a synthetic frame with real churn:
+    // cohort W0 = {u1, u2, u3}; only u1 returns in W1; u4 starts in W1
+    def ev(id: Long, u: Long, day: String) =
+      (id, java.sql.Timestamp.valueOf(s"2026-01-$day 10:00:00"), u, "view",
+        1.0, "{}")
+    val events = Seq(
+      ev(1, 1, "05"), ev(2, 2, "06"), ev(3, 3, "07"), // ISO week Jan 5-11
+      ev(4, 1, "12"), ev(5, 4, "13") //  week Jan 12-18
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cohort").toString
+    events.write.parquet(s"$dir/events.parquet")
+    val out = graft.ops.Insights.q81CohortRetention(spark, dir)
+      .select("week_offset", "n_active", "cohort_size", "retention_pct")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (0L, 3L, 3L, 100.0),  // W0 cohort, week 0
+      (1L, 1L, 3L, 33.333333), // only u1 returned: 1/3
+      (0L, 1L, 1L, 100.0)   // u4's own cohort, week 0
+    ), out.toString)
+  }
+
   test("corpus share percentages sum to ~100") {
     val pct = Insights.q69CorpusShare(spark, TestSpark.sfDir)
       .select("pct_docs").as[Double].collect()
