@@ -91,13 +91,19 @@ object Insights {
         mm(c, max).as(s"${c}__mx"))
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
-    one.selectExpr("__n AS n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, nn, n_distinct, min_num, max_num)")
-      .select(col("col_name"), col("n_rows"),
-        (col("n_rows") - col("nn")).as("n_null"),
-        col("n_distinct"), col("min_num"), col("max_num"))
+    // unpivot via explode-of-structs built with the Column API: column
+    // names ride as lit() DATA, never interpolated into parsed SQL text,
+    // so a quote or backtick in a name cannot break or corrupt the plan
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__nn").as("nn"),
+        col(s"${c}__nd").as("n_distinct"), col(s"${c}__mn").as("min_num"),
+        col(s"${c}__mx").as("max_num"))
+    }
+    one.select(col("__n").as("n_rows"), explode(array(entries: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("n_rows"),
+        (col("n_rows") - col("m.nn")).as("n_null"),
+        col("m.n_distinct").as("n_distinct"), col("m.min_num").as("min_num"),
+        col("m.max_num").as("max_num"))
   }
 
   // ---------------------------------------------------------------- q64
@@ -128,11 +134,13 @@ object Insights {
     perUser.agg(
       count(lit(1)).as("n_users"),
       count(col("t_view")).as("n_view"),
-      sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L))
-        .as("n_view_click"),
-      sum(when(col("t_click") > col("t_view") &&
-          col("t_purchase") > col("t_click"), 1L).otherwise(0L))
-        .as("n_full_funnel"))
+      // coalesce: over an empty/click-free slice SUM yields NULL while the
+      // oracle COALESCEs to 0 — match it so the funnel is total on any input
+      coalesce(sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)),
+        lit(0L)).as("n_view_click"),
+      coalesce(sum(when(col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1L).otherwise(0L)),
+        lit(0L)).as("n_full_funnel"))
   }
 
   // ---------------------------------------------------------------- q67

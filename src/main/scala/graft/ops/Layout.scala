@@ -70,6 +70,11 @@ object Layout {
     * incoming partition count. Returns the new file count. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
+    // the target is swap-managed (compact itself swaps): honor
+    // recoverSwap's contract and repair a crashed prior swap BEFORE
+    // listing/reading — otherwise the data sits at `._pre` and compact
+    // fails on the missing path instead of repairing it
+    recoverSwap(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val entries = fs.listStatus(p)
