@@ -171,6 +171,33 @@ object NgramUtil {
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** Shannon entropy (nats) over the UTF-16 characters of a string
+    * (codegen entry point for [[CharEntropy]]); 0.0 for the empty string.
+    * Distinct characters are folded in ascending char order so the
+    * double summation order is deterministic run-to-run. */
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0.0
+    val counts = new mutable.HashMap[Char, Int]()
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      counts.update(c, counts.getOrElse(c, 0) + 1)
+      i += 1
+    }
+    val keys = counts.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    var h = 0.0
+    var k = 0
+    while (k < keys.length) {
+      val p = counts(keys(k)).toDouble / n
+      h -= p * math.log(p)
+      k += 1
+    }
+    h
+  }
 }
 
 /** Fused lowercased word tokenizer (see [[NgramUtil]] scaladoc). */
@@ -337,4 +364,36 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
 
   override protected def withNewChildInternal(
       newChild: Expression): WordNgrams = copy(child = newChild)
+}
+
+/** Per-document character-entropy (nats) — the classic cheap detector of
+  * degenerate/garbage text (base64 blobs, key-mash, repeated filler all
+  * sit far from natural-language entropy). Per-document math, so it runs
+  * as ONE fused projection over the scan — zero shuffle — where the
+  * relational formulation (explode per character → two keyed aggregates)
+  * would shuffle |corpus in characters| rows at 100 TB. The DuckDB oracle
+  * uses exactly that relational form, checking the fused loop
+  * bit-for-bit (modulo the round(6) both sides apply). */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got $t")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "graft_char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NgramUtil.charEntropy($x);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharEntropy = copy(child = newChild)
 }

@@ -130,6 +130,12 @@ package object functions {
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
   }
 
+  /** One-pass character Shannon entropy via [[CharEntropy]]. */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(text)))
+  }
+
   /** k seeded MinHash minima via the fused [[MinHashes]] expression. */
   def minHashes(shingles: Column, k: Int,
                 seedIndexed: Boolean = true): Column = {

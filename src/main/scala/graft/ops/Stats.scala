@@ -1,0 +1,429 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.TableCatalog
+
+/** Statistical / reshaping / maintenance operators rounding out the
+  * relational surface: unpivot (wide→long reshape), exact correlation
+  * matrices, grouped median+mode, per-document character entropy, grouped
+  * argmax, batch merge-upsert (CDC apply), exponentially-decayed trailing
+  * averages, embedding component statistics, date-spine gap filling, and
+  * distribution ranks (percent_rank / cume_dist).
+  *
+  * Everything is a pure DataFrame transform with deterministic,
+  * DuckDB-mirrorable semantics: double aggregates route through exact
+  * decimal sums ([[graft.functions.dsum]]-style), argmax ties resolve
+  * through lexicographic struct ordering, and decayed weights use
+  * power-of-two decay so every weighted term is correctly rounded the
+  * same way in both engines.
+  */
+object Stats {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  /** Wide→long unpivot of aggregate metric columns (the reshape every
+    * reporting sink wants). Runs AFTER aggregation, so the unpivot
+    * multiplies a |groups|-row frame, never the fact table. */
+  def unpivotMetrics(df: DataFrame, id: String, metrics: Seq[String],
+                     varCol: String = "metric",
+                     valCol: String = "mval"): DataFrame =
+    df.unpivot(Array(col(id)), metrics.map(col).toArray, varCol, valCol)
+
+  /** Batch merge-upsert (the MERGE INTO / CDC-apply primitive): rows of
+    * `base` whose key appears in `changes` are replaced by the change row
+    * (op 'U'), keys flagged 'D' are deleted, and new keys (op 'I') append.
+    *
+    * Scale shape: ONE anti-join keyed on `keyCol` (a typical CDC batch is
+    * tiny next to the base snapshot, so AQE broadcasts it and the base
+    * never shuffles) plus a union with the surviving change rows. This is
+    * the batch-table twin of the streaming upsert sink
+    * ([[graft.streaming.Streams]]); q72's latest-wins snapshot compacts a
+    * change LOG, this applies a resolved batch to a base table. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
+                  opCol: String = "op"): DataFrame = {
+    val kept = base.join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+    kept.unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
+  /** Exponentially-decayed trailing average over a (bounded) keyed series:
+    * value at t averages the series' values over the trailing `window`
+    * positions with weight 2^-(t-k) — the smoothing curve of monitoring
+    * and trend reports. Decay is a POWER OF TWO by design: each weighted
+    * term is then an exact exponent shift of the input double, so after a
+    * fixed decimal rounding both engines sum identical terms in exact
+    * decimal arithmetic and the result is bit-stable — an arbitrary alpha
+    * would make the float summation order observable.
+    *
+    * Candidate pairing is the q48 bucket pattern (each row joins its own
+    * and the previous `window`-sized bucket, residual-filtered), so the
+    * join stays equi-keyed and near-linear; the frame is post-aggregate
+    * (days, not facts), bounded at any corpus scale. */
+  def decayedTrailingAvg(series: DataFrame, posCol: String, valCol: String,
+                         window: Int = 30): DataFrame = {
+    val a = series.select(col("*"),
+      (col(posCol) / window).cast("long").as("bucket_a"))
+    val b = series.select(col(posCol).as("pos_b"), col(valCol).as("val_b"))
+      .withColumn("bucket",
+        explode(array((col("pos_b") / window).cast("long"),
+          (col("pos_b") / window).cast("long") + 1)))
+    val paired = a.join(b,
+        col("bucket_a") === col("bucket") &&
+          col("pos_b").between(col(posCol) - (window - 1), col(posCol)))
+      .withColumn("diff", (col(posCol) - col("pos_b")).cast("int"))
+    val term = (col("val_b") /
+      call_function("shiftleft", lit(1L), col("diff")))
+      .cast("decimal(38,25)")
+    val weight = (lit(1.0) /
+      call_function("shiftleft", lit(1L), col("diff")))
+      .cast("decimal(38,30)")
+    paired
+      .groupBy(series.columns.map(col): _*)
+      .agg(round(sum(term).cast("double") / sum(weight).cast("double"), 6)
+        .as("decayed_avg"))
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** Per-returnflag metric sums reshaped long via `Dataset.unpivot`. */
+  def q82UnpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val agg = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+    unpivotMetrics(agg, "l_returnflag",
+        Seq("sum_qty", "sum_price", "sum_disc"))
+      .orderBy("l_returnflag", "metric")
+  }
+
+  // ---------------------------------------------------------------- q83
+  /** Exact Pearson correlation matrix over the lineitem measures. All
+    * moments (Σx, Σx², Σxy) ride ONE aggregate pass as exact decimal sums
+    * — so both engines derive bit-identical correlations — and the 3
+    * output rows unfold from the single moment row with no second scan.
+    * (Spark's own `corr` streams float partials whose merge order is
+    * nondeterministic; the moment form is the scale-stable way.) */
+  def q83CorrelationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val q = col("l_quantity"); val p = col("l_extendedprice")
+    val d = col("l_discount")
+    def d18(c: Column) = sum(c.cast("decimal(18,4)")).cast("double")
+    def d28(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      d18(q).as("sq"), d18(p).as("sp"), d18(d).as("sd"),
+      d28(q * q).as("sqq"), d28(p * p).as("spp"), d28(d * d).as("sdd"),
+      d28(q * p).as("sqp"), d28(q * d).as("sqd"), d28(p * d).as("spd"))
+    def corrOf(sx: String, sy: String, sxy: String, sxx: String,
+               syy: String): Column =
+      round((col("n") * col(sxy) - col(sx) * col(sy)) /
+        (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+          sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+    val rows = array(
+      struct(lit("extendedprice").as("var_x"), lit("discount").as("var_y"),
+        corrOf("sp", "sd", "spd", "spp", "sdd").as("corr_v")),
+      struct(lit("quantity").as("var_x"), lit("discount").as("var_y"),
+        corrOf("sq", "sd", "sqd", "sqq", "sdd").as("corr_v")),
+      struct(lit("quantity").as("var_x"), lit("extendedprice").as("var_y"),
+        corrOf("sq", "sp", "sqp", "sqq", "spp").as("corr_v")))
+    m.select(explode(rows).as("r"), col("n"))
+      .select(col("r.var_x").as("var_x"), col("r.var_y").as("var_y"),
+        col("r.corr_v").as("corr_v"), col("n"))
+      .orderBy("var_x", "var_y")
+  }
+
+  // ---------------------------------------------------------------- q84
+  /** Grouped median + deterministic mode: exact interpolated median of
+    * quantity per returnflag, and the most frequent linestatus with ties
+    * broken lexicographically (Spark's own `mode` is tie-nondeterministic;
+    * the count+rank form is reproducible in any engine). */
+  def q84MedianMode(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(median(col("l_quantity")).as("median_qty"))
+    val counts = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_linestatus").asc)
+    val mode = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_linestatus").as("mode_status"),
+        col("n").as("mode_n"))
+    med.join(mode, "l_returnflag").orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q85
+  /** Character-entropy quality signal per document (fused
+    * [[graft.functions.CharEntropy]] — one projection, zero shuffle; the
+    * oracle recomputes it relationally, char-exploded). */
+  def q85CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_t"),
+        round(charEntropy(col("text")), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q86
+  /** Grouped argmax: each market segment's top customer by account
+    * balance, ties to the smallest custkey — ONE aggregate over a
+    * lexicographic (−balance, custkey) struct; no window, no join, no
+    * second pass (max_by ties are undefined; struct-min ties are not). */
+  def q86GroupArgmax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(min(struct((-col("c_acctbal")).as("na"),
+        col("c_custkey").as("k"))).as("m"))
+      .select(col("c_mktsegment"), col("m.k").as("top_custkey"),
+        (-col("m.na")).as("top_acctbal"))
+      .orderBy("c_mktsegment")
+
+  // ---------------------------------------------------------------- q87
+  /** MERGE INTO semantics over orders: a deterministic synthetic change
+    * batch (price bumps on keys %10, deletes on keys %97, re-keyed
+    * inserts on keys %13) applied via [[mergeUpsert]]. */
+  def q87MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+    val k = col("o_orderkey")
+    val upd = base.filter(k % 10 === 0 && k % 97 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("op", lit("U"))
+    val del = base.filter(k % 97 === 0).withColumn("op", lit("D"))
+    val ins = base.filter(k % 13 === 0)
+      .withColumn("o_orderkey", k + 100000000L)
+      .withColumn("op", lit("I"))
+    val changes = upd.unionByName(del).unionByName(ins)
+    mergeUpsert(base, changes, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q88
+  /** Decayed trailing average of daily revenue (half-per-day decay,
+    * 30-day window) via [[decayedTrailingAvg]]. */
+  def q88DecayedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("1970-01-01")).cast("long"))
+    decayedTrailingAvg(daily, "day_num", "revenue", window = 30)
+      .select("day", "revenue", "decayed_avg")
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------- q89
+  /** Embedding component statistics: dimension, L2 norm (validates the
+    * corpus's normalization invariant), min/max component per vector.
+    * Pure fused projections ([[graft.functions.DotProduct]] for the norm)
+    * — zero shuffle at any corpus size. */
+  def q89EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(l2norm(col("embedding")), 6).as("norm"),
+        array_min(col("embedding")).cast("double").as("min_c"),
+        array_max(col("embedding")).cast("double").as("max_c"))
+      .orderBy("vec_id")
+
+  // ---------------------------------------------------------------- q90
+  /** Date-spine gap fill: a generated continuous day spine left-joins the
+    * daily aggregate so missing days surface as explicit zero rows — the
+    * difference between a time series a forecaster can consume and one
+    * with silent holes. The spine is O(days) (explodes from the one-row
+    * min/max aggregate) and the daily frame joins it broadcast-small. */
+  def q90DateSpineGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------- q91
+  /** Distribution position of every customer inside its segment:
+    * percent_rank + cume_dist over account balance (value-based, so ties
+    * are deterministic) — per-partition windows, no global sort. */
+  def q91PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_unpivot_metrics" -> q82UnpivotMetrics _,
+    "q83_correlation_matrix" -> q83CorrelationMatrix _,
+    "q84_median_mode" -> q84MedianMode _,
+    "q85_char_entropy" -> q85CharEntropy _,
+    "q86_group_argmax" -> q86GroupArgmax _,
+    "q87_merge_upsert" -> q87MergeUpsert _,
+    "q88_decayed_revenue" -> q88DecayedRevenue _,
+    "q89_embedding_stats" -> q89EmbeddingStats _,
+    "q90_date_spine_gapfill" -> q90DateSpineGapfill _,
+    "q91_percent_rank" -> q91PercentRank _)
+
+  val oracle: Map[String, String] = Map(
+    "q82_unpivot_metrics" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag,
+         |         ${dsumSql("l_quantity")} AS sum_qty,
+         |         ${dsumSql("l_extendedprice")} AS sum_price,
+         |         ${dsumSql("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS mval FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price', sum_price FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+         |ORDER BY l_returnflag, metric""".stripMargin,
+    "q83_correlation_matrix" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sqp,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sqd,
+        |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT 'extendedprice' AS var_x, 'discount' AS var_y,
+        |       round((n * spd - sp * sd) /
+        |         (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+        |         AS corr_v, n
+        |FROM m
+        |UNION ALL
+        |SELECT 'quantity', 'discount',
+        |       round((n * sqd - sq * sd) /
+        |         (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6), n
+        |FROM m
+        |UNION ALL
+        |SELECT 'quantity', 'extendedprice',
+        |       round((n * sqp - sq * sp) /
+        |         (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6), n
+        |FROM m
+        |ORDER BY var_x, var_y""".stripMargin,
+    "q84_median_mode" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, median(l_quantity) AS median_qty
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, l_linestatus, n,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY n DESC, l_linestatus) AS rn
+        |  FROM c)
+        |SELECT med.l_returnflag, med.median_qty,
+        |       r.l_linestatus AS mode_status, r.n AS mode_n
+        |FROM med JOIN r ON med.l_returnflag = r.l_returnflag AND r.rn = 1
+        |ORDER BY med.l_returnflag""".stripMargin,
+    "q85_char_entropy" ->
+      """WITH cs AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE len(text) > 0),
+        |f AS (SELECT doc_id, ch, COUNT(*) AS c FROM cs GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM f GROUP BY 1)
+        |SELECT f.doc_id, CAST(tot.n AS BIGINT) AS n_chars_t,
+        |       round(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
+        |         6) AS entropy
+        |FROM f JOIN tot USING (doc_id)
+        |GROUP BY f.doc_id, tot.n ORDER BY f.doc_id""".stripMargin,
+    "q86_group_argmax" ->
+      """SELECT c_mktsegment,
+        |       (MIN({'na': -c_acctbal, 'k': c_custkey})).k AS top_custkey,
+        |       -((MIN({'na': -c_acctbal, 'k': c_custkey})).na) AS top_acctbal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q87_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+        |         o_orderpriority, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'D'
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority, 'I'
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT * FROM (
+        |  SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+        |         b.o_orderdate, b.o_orderpriority
+        |  FROM orders b
+        |  WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM ch WHERE op <> 'D')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q88_decayed_revenue" ->
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         |         ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |n AS (
+         |  SELECT day, revenue,
+         |         date_diff('day', TIMESTAMP '1970-01-01 00:00:00', day)
+         |           AS day_num
+         |  FROM d),
+         |p AS (
+         |  SELECT a.day, a.revenue,
+         |         CAST(a.day_num - b.day_num AS INTEGER) AS diff,
+         |         b.revenue AS val_b
+         |  FROM n a JOIN n b
+         |    ON b.day_num BETWEEN a.day_num - 29 AND a.day_num)
+         |SELECT day, revenue,
+         |       round(
+         |         CAST(SUM(CAST(val_b / (1::BIGINT << diff)
+         |                       AS DECIMAL(38,25))) AS DOUBLE) /
+         |         CAST(SUM(CAST(1.0 / (1::BIGINT << diff)
+         |                       AS DECIMAL(38,30))) AS DOUBLE), 6)
+         |         AS decayed_avg
+         |FROM p GROUP BY day, revenue ORDER BY day""".stripMargin,
+    "q89_embedding_stats" ->
+      """SELECT vec_id, label,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+        |       CAST(list_min(embedding) AS DOUBLE) AS min_c,
+        |       CAST(list_max(embedding) AS DOUBLE) AS max_c
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q90_date_spine_gapfill" ->
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         |         COUNT(*) AS n_orders,
+         |         ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d),
+         |    INTERVAL 1 DAY)) AS day)
+         |SELECT spine.day,
+         |       COALESCE(d.n_orders, 0) AS n_orders,
+         |       COALESCE(d.revenue, 0.0) AS revenue
+         |FROM spine LEFT JOIN d ON spine.day = d.day
+         |ORDER BY spine.day""".stripMargin,
+    "q91_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       round(percent_rank() OVER (PARTITION BY c_mktsegment
+        |                                  ORDER BY c_acctbal), 6) AS pr,
+        |       round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |                               ORDER BY c_acctbal), 6) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+}

