@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,44 @@ object Analytics {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
+
+  /** Mergeable distinct-count sketches — the incremental-analytics pattern
+    * q27's one-shot `approx_count_distinct` can't express: build a compact
+    * HLL sketch PER FINE BUCKET (here per day), store it, and answer any
+    * coarser rollup (week, month, all-time) by UNIONING sketches — no
+    * re-scan of the fact data, which at 100 TB is the difference between a
+    * metadata query and a day-long job. Spark's Datasketches-backed
+    * `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate` do the
+    * heavy lifting; sketches are a few KB each, so the rollup aggregate
+    * moves |buckets|·KB, never the corpus. */
+  def hllSketchBuckets(df: DataFrame, bucket: Column, item: Column,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(call_function("hll_sketch_agg", item, lit(lgK)).as("sketch"))
+
+  /** Roll fine-bucket sketches up to a coarser grain and estimate. */
+  def hllRollup(sketches: DataFrame, coarse: Column): DataFrame =
+    sketches.groupBy(coarse.as("grain"))
+      .agg(call_function("hll_sketch_estimate",
+        call_function("hll_union_agg", col("sketch"))).as("est_distinct"))
+
+  // ---------------------------------------------------------------- q93
+  /** Weekly distinct users via daily HLL sketches unioned per week, with
+    * the exact count alongside. No oracle (DuckDB's HLL differs); the
+    * spec pins the estimate inside the sketch's error envelope. */
+  def q93HllWeeklyUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val daily = hllSketchBuckets(e, date_trunc("day", col("ts")),
+      col("user_id"))
+    val weekly = hllRollup(daily, date_trunc("week", col("bucket")))
+    val exact = e.groupBy(date_trunc("week", col("ts")).as("grain"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    weekly.join(exact, "grain")
+      .select(col("grain").as("week"),
+        col("est_distinct").cast("long").as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("week")
+  }
 
   // ---------------------------------------------------------------- q28
   /** Top-k: ORDER BY + LIMIT fused by Spark into TakeOrderedAndProject —
@@ -336,6 +374,7 @@ object Analytics {
     "q25_window_rank" -> q25WindowRank _,
     "q26_tumbling_window" -> q26TumblingWindow _,
     "q27_approx_distinct" -> q27ApproxDistinct _,
+    "q93_hll_weekly_users" -> q93HllWeeklyUsers _,
     "q28_topk" -> q28Topk _,
     "q29_setops" -> q29Setops _,
     "q30_rollup" -> q30Rollup _,

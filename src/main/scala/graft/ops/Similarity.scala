@@ -193,9 +193,160 @@ object Similarity {
     transform(slice(array_sort(scored), 1, n), s => s.getField("cid"))
   }
 
+  /** Highest cosine similarity from `emb` to any centroid in the literal
+    * codebook — a single fused projection (no join/shuffle); used by the
+    * farthest-first seeder and the empty-cell re-seeder. */
+  private def bestSimTo(emb: Column,
+                        centEmbs: Array[Array[Double]]): Column = {
+    val embs = typedlit(centEmbs)
+    array_max(transform(sequence(lit(0), lit(centEmbs.length - 1)),
+      i => simRounded(emb, element_at(embs, i + 1))))
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column — the "fit
+    * offline at scale" path that produces a real IVF codebook (vs
+    * [[ivfTopK]]'s default stride-sampled stand-in). Returns
+    * (cent_id, cent_emb, cluster size) rows.
+    *
+    * Scale shape per iteration:
+    *   1. assignment is a pure projection against the literal codebook
+    *      (same zero-shuffle [[nearestCells]] used at query time);
+    *   2. the mean update explodes each vector to (cell, dim, value) and
+    *      aggregates — map-side partial aggregation collapses that to
+    *      |cells|·dim rows of shuffle per executor core, NOT |corpus|·dim:
+    *      the classic combiner-friendly formulation;
+    *   3. only the k·dim codebook (kilobytes) ever reaches the driver,
+    *      exactly like a fitted MLlib model.
+    *
+    * Init is deterministic farthest-first traversal: seed 1 is the
+    * smallest-id-hash point (a seeded uniform draw with no RNG state),
+    * each further seed the point least similar to ALL chosen seeds (id
+    * tie-break). Farthest-first places one seed per well-separated
+    * cluster by construction — uniform hash sampling can drop two seeds
+    * into one tight cluster, and Lloyd never escapes that local minimum
+    * (the doubled cluster keeps both centroids populated while two true
+    * clusters share one cell). Each traversal step is one TakeOrdered
+    * scan against a ≤k-literal codebook; for codebooks beyond a few
+    * thousand centroids swap in k-means‖ oversampling — the iterate
+    * contract is unchanged. An EMPTY cell (possible once Lloyd moves
+    * centroids) re-seeds the same way: worst-represented point first.
+    * Cosine geometry: means of unit vectors are NOT unit — centroids are
+    * re-normalized each round (spherical k-means), matching the cosine
+    * metric the ANN queries rank with. */
+  def trainKMeans(corpus: DataFrame, idCol: String, embCol: String,
+                  k: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    val base = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("emb"))
+    // farthest-first seeding: start from the smallest id-hash, then
+    // repeatedly take the point with the lowest best-similarity to the
+    // seeds chosen so far (each step a TakeOrderedAndProject scan)
+    val first = base
+      .select(col("id"), col("emb"), xxhash64(col("id")).as("h"))
+      .orderBy(col("h"), col("id")).limit(1)
+      .collect().head.getSeq[Double](1).toArray
+    val seedBuf = scala.collection.mutable.ArrayBuffer(first)
+    while (seedBuf.length < k) {
+      val next = base
+        .withColumn("best_sim", bestSimTo(col("emb"), seedBuf.toArray))
+        .orderBy(col("best_sim").asc, col("id").asc)
+        .limit(1)
+        .collect().head.getSeq[Double](1).toArray
+      seedBuf += next
+    }
+    var cents: Array[(Long, Array[Double])] =
+      seedBuf.toArray.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val ids = cents.map(_._1)
+      val embs = cents.map(_._2)
+      val assigned = base.withColumn("cell",
+        element_at(nearestCells(col("emb"), ids, embs, 1), 1))
+      // element-wise sums: explode to (cell, dim, v); partial aggregation
+      // makes the shuffle |cells|·dim per core regardless of corpus size
+      val sums = assigned
+        .select(col("cell"), posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      // cent_ids are the array index by construction, so an assignment's
+      // best-sim is a direct element_at against the literal codebook
+      val emptyCells = ids.filterNot(byCell.contains)
+      val reseeds: Array[Array[Double]] =
+        if (emptyCells.isEmpty) Array.empty
+        else assigned
+          .withColumn("best_sim", bestSimTo(col("emb"), embs))
+          .orderBy(col("best_sim").asc, col("id").asc)
+          .limit(emptyCells.length)
+          .collect().map(_.getSeq[Double](1).toArray)
+      val reseedFor = emptyCells.zip(reseeds).toMap
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val mean = new Array[Double](dim)
+            rows.foreach { (r: Row) =>
+              mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+            }
+            val norm = math.sqrt(mean.map(x => x * x).sum)
+            (cid, if (norm > 0) mean.map(_ / norm) else old)
+          case None => (cid, reseedFor.getOrElse(cid, old))
+        }
+      }
+    }
+    val ids = cents.map(_._1)
+    val embs = cents.map(_._2)
+    val sizes = base.withColumn("cell",
+        element_at(nearestCells(col("emb"), ids, embs, 1), 1))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val codebook = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.toSeq.map { case (cid, e) =>
+        Row(cid, e.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent_emb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+    codebook.join(sizes, col("cent_id") === col("cell"), "left")
+      .select(col("cent_id"), col("cent_emb"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** IVF top-k over a TRAINED codebook (spherical k-means via
+    * [[trainKMeans]]) instead of the stride-sampled stand-in. Same
+    * zero-shuffle assignment plan as [[ivfTopK]]. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int, nCentroids: Int = 16,
+                     iters: Int = 3, nprobe: Int = 3): DataFrame = {
+    val codebook = trainKMeans(corpus, idCol, embCol, nCentroids, iters)
+      .select(col("cent_id"), col("cent_emb")).collect()
+    val centIds = codebook.map(_.getLong(0))
+    val centEmbs = codebook.map(_.getSeq[Double](1).toArray)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+      .withColumn("cell",
+        element_at(nearestCells(col("c_emb"), centIds, centEmbs, 1), 1))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("cell",
+        explode(nearestCells(col("q_emb"), centIds, centEmbs, nprobe)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", simRounded(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim", "rn")
+  }
+
   /** IVF (inverted-file) approximate top-k. Centroids are a deterministic
     * corpus sample (every `centroidStride`-th id — stands in for k-means,
-    * which would be fit offline at scale). Every corpus vector is assigned
+    * which is [[trainKMeans]] when a fitted codebook is wanted). Every
+    * corpus vector is assigned
     * to its nearest centroid once; a query probes its `nprobe` nearest
     * centroid cells and ranks only those candidates.
     *

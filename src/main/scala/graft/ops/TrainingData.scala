@@ -91,6 +91,19 @@ object TrainingData {
       .orderBy("query_id", "rn")
   }
 
+  // ---------------------------------------------------------------- q92
+  /** Spherical k-means codebook over the embedding corpus: 16 centroids,
+    * 3 Lloyd rounds, reported as (cent_id, cluster size) — the IVF
+    * training step run in-engine ([[Similarity.trainKMeans]]; assignment
+    * is a zero-shuffle projection, the mean update a combiner-friendly
+    * (cell, dim) aggregate). No oracle: centroid means are float
+    * summation-order dependent. */
+  def q92KmeansCells(spark: SparkSession, dir: String): DataFrame =
+    Similarity.trainKMeans(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", k = 16, iters = 3)
+      .select(col("cent_id"), col("n"))
+      .orderBy("cent_id")
+
   // ---------------------------------------------------------------- q41
   /** Banded sign-LSH approximate nearest neighbors (rows-only). */
   def q41AnnLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -152,6 +165,7 @@ object TrainingData {
     "q39_fingerprint" -> q39Fingerprint _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_ann_lsh" -> q41AnnLsh _,
+    "q92_kmeans_cells" -> q92KmeansCells _,
     "q42_multimodal_stub" -> q42MultimodalStub _,
     "q75_ann_quantized" -> q75AnnQuantized _)
 

@@ -147,6 +147,34 @@ object Streams {
                     key: String): DataFrame =
     events.join(broadcast(dim), key)
 
+  /** Stream-stream interval join: match each click to the view that led to
+    * it — same user, click no later than `horizon` after the view. The
+    * canonical two-firehose join: BOTH sides are unbounded, so Spark keeps
+    * per-key join state and the watermarks + the time-range predicate are
+    * what let it evict state (a view older than max(click watermark) −
+    * horizon can never match again and is dropped) — without them state
+    * grows with the stream and the query dies at scale. Inner join,
+    * equi-keyed on user, so the state store is hash-partitioned on the
+    * same key both sides shuffle on. */
+  def joinViewsToClicks(views: DataFrame, clicks: DataFrame,
+                        horizon: String = "30 minutes",
+                        watermark: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+      v("user_id") === c("user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"interval $horizon"))
+      .select(v("user_id"), col("view_id"), col("view_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** File-source stream over the corpus events table. The parquet carries
     * TIMESTAMP(NANOS), which file streams must schema past explicitly (the
     * nanosAsLong session conf covers inference only on the batch path);

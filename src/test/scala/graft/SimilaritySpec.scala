@@ -134,4 +134,60 @@ class SimilaritySpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(b1 == b2)
   }
+
+  test("trainKMeans: codebook invariants (k rows, unit centroids, full cover)") {
+    val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
+    val total = emb.count()
+    val cb = Similarity.trainKMeans(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val rows = cb.collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(2)).sum == total,
+      "every corpus vector lands in exactly one cell")
+    rows.foreach { r =>
+      val norm = math.sqrt(r.getSeq[Double](1).map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9,
+        s"spherical k-means centroids are unit vectors, got $norm")
+    }
+    assert(rows.count(_.getLong(2) > 0) >= 4,
+      "most cells should be populated on a uniform corpus")
+  }
+
+  test("trainKMeans recovers well-separated clusters") {
+    // 3 tight orthogonal-direction clusters; ids spread so the hash-seeded
+    // init is what it would be in production (no cherry-picking)
+    val pts = for {
+      (axis, base) <- Seq(0, 1, 2).zip(Seq(0L, 100L, 200L))
+      i <- 0 until 10
+    } yield {
+      val v = Array.fill(4)(0.02 * ((i % 3) - 1))
+      v(axis) = 1.0
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (base + i, v.map(_ / n).toSeq)
+    }
+    val df = spark.createDataFrame(pts).toDF("vec_id", "embedding")
+    val cb = Similarity.trainKMeans(df, "vec_id", "embedding",
+      k = 3, iters = 6)
+    val rows = cb.collect()
+    assert(rows.map(_.getLong(2)).sum == 30)
+    // each populated centroid must point dominantly along one axis
+    rows.filter(_.getLong(2) > 0).foreach { r =>
+      val e = r.getSeq[Double](1)
+      assert(e.max > 0.95, s"centroid not aligned to a cluster axis: $e")
+    }
+  }
+
+  test("trained IVF reaches useful recall vs brute force") {
+    val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val trained = Similarity.ivfTopKTrained(emb, queries, "vec_id",
+        "embedding", k = 5, nCentroids = 4, iters = 2, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & trained).size.toDouble / exact.size
+    assert(recall >= 0.4,
+      s"trained-IVF recall vs exact too low: $recall (nprobe=2 of 4 cells)")
+  }
 }

@@ -144,6 +144,18 @@ class StatsSpec extends AnyFunSuite {
     assert(out.filter(col("o_orderkey") >= 100000000L).count() > 0)
   }
 
+  test("q93 HLL weekly estimates sit inside the sketch error envelope") {
+    val out = graft.ops.Analytics.q93HllWeeklyUsers(spark, TestSpark.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getLong(1)
+      val exact = r.getLong(2)
+      assert(math.abs(est - exact).toDouble / math.max(exact, 1L) < 0.1,
+        s"HLL estimate outside 10% envelope: $r")
+    }
+  }
+
   test("q89 embedding stats: norms are 1 (normalized corpus), min<max") {
     val out = Stats.q89EmbeddingStats(spark, TestSpark.sfDir)
     val bad = out.filter(abs(col("norm") - 1.0) > 1e-3).count()

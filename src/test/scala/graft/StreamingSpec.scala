@@ -221,4 +221,33 @@ class StreamingSpec extends AnyFunSuite {
     // user 10: events at 0,5 (one session) and 45 (another)
     assert(sessions.count() == 2)
   }
+
+  test("stream-stream interval join matches clicks to in-horizon views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Streams.Event]
+    val clicks = MemoryStream[Streams.Event]
+    views.addData(
+      Streams.Event(1L, ts(0), 10L, "view", 0.0),
+      Streams.Event(2L, ts(0), 20L, "view", 0.0))
+    clicks.addData(
+      Streams.Event(101L, ts(5), 10L, "click", 0.0),  // in horizon
+      Streams.Event(102L, ts(50), 20L, "click", 0.0), // beyond 30 min
+      Streams.Event(103L, ts(2), 30L, "click", 0.0))  // no view at all
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.joinViewsToClicks(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_test")
+        .select("user_id", "view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((10L, 1L, 101L)),
+        s"only the in-horizon same-user pair joins: $got")
+    } finally q.stop()
+  }
 }
