@@ -256,6 +256,47 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_root")
   }
 
+  /** Edit-distance-≤1 pairs via deletion-neighborhood blocking — fuzzy
+    * matching of short strings (names, codes, titles) without the O(n²)
+    * cross join a naive levenshtein filter needs. Completeness argument:
+    * two strings at distance ≤ 1 ALWAYS share a member of each other's
+    * {identity + single-deletion} variant set (substitution → delete the
+    * differing position from both; insert/delete → the shorter string IS
+    * a deletion variant of the longer; equality → identity), so the
+    * variant equi-join loses nothing and the exact levenshtein verify
+    * trims the false candidates. Output is therefore bit-identical to the
+    * brute-force formulation, which is exactly what the oracle runs.
+    *
+    * Scale: |variants| = len+1 per string, the join ships (id, variant),
+    * and the verify join touches only candidates. Per-element lambdas here
+    * are CodegenFallback, acceptable for dimension-sized string tables —
+    * a corpus-scale variant would fuse the neighborhood generation like
+    * [[graft.functions.WordNgrams]]. Skewed variant blocks (a deletion
+    * neighborhood shared by many strings) concentrate the join the same
+    * way hot grams do in [[ngramJaccardPairs]]; a df-cutoff there would
+    * make results approximate, so it is deliberately NOT applied. */
+  def editDistancePairs(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val base = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), col(textCol).as("s"))
+    val variants = base.select(col("id"), explode(array_distinct(concat(
+        array(col("s")),
+        transform(sequence(lit(1), length(col("s"))),
+          i => concat(col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s")) - i)))))).as("v"))
+    val a = variants.select(col("id").as("id_a"), col("v"))
+    val b = variants.select(col("id").as("id_b"), col("v"))
+    val cand = a.join(b, "v").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val na = base.select(col("id").as("id_a"), col("s").as("name_a"))
+    val nb = base.select(col("id").as("id_b"), col("s").as("name_b"))
+    cand.join(na, "id_a").join(nb, "id_b")
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+  }
+
   /** Word n-gram Jaccard near-dup pairs, pure relational formulation:
     * explode each document into its distinct n-gram shingles, self-join on
     * shingle (inverted index — only documents sharing a shingle ever meet),

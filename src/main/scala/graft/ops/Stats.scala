@@ -247,6 +247,54 @@ object Stats {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- q94
+  /** Ancestor-chain rollup via SQL `WITH RECURSIVE` (Spark 4's recursive
+    * CTE): each order's parent is `o_orderkey div 10` (a synthetic but
+    * deterministic forest — the org-chart / bill-of-materials shape),
+    * and the recursion carries every node's ROOT and DEPTH down the tree.
+    * The recursive term is a plain equi-join against the previous
+    * iteration's frontier, so each round is one shuffle over the frontier
+    * only (Spark's recursive CTE supports UNION ALL — monotone
+    * accumulation; cyclic closures still go through
+    * [[Dedup.connectedComponents]]). Closed-form check: with contiguous
+    * keys, depth(k) = digits(k) − 1 and root(k) = leading digit. */
+  def q94RecursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").select(col("o_orderkey"))
+      .createOrReplaceTempView("q94_orders")
+    spark.sql(
+      """WITH RECURSIVE h(k, root, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0L FROM q94_orders
+        |  WHERE o_orderkey <= 9
+        |  UNION ALL
+        |  SELECT o.o_orderkey, h.root, h.depth + 1L
+        |  FROM q94_orders o JOIN h ON o.o_orderkey div 10 = h.k
+        |  WHERE o.o_orderkey > 9)
+        |SELECT k AS o_orderkey, root AS root_key, depth
+        |FROM h ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q95
+  /** Last-observation-carried-forward over the gap-filled day spine: gap
+    * days inherit the most recent observed revenue instead of q90's zero
+    * — the imputation a forecaster wants for stock-like series. One
+    * `last(..., ignoreNulls)` window over the bounded day spine (never
+    * the fact table); `is_gap` keeps imputed rows distinguishable. */
+  def q95LocfGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 day"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), col("revenue").isNull.as("is_gap"),
+        last(col("revenue"), ignoreNulls = true).over(w)
+          .as("revenue_filled"))
+      .orderBy("day")
+  }
+
   // ---------------------------------------------------------------- q91
   /** Distribution position of every customer inside its segment:
     * percent_rank + cume_dist over account balance (value-based, so ties
@@ -271,7 +319,9 @@ object Stats {
     "q88_decayed_revenue" -> q88DecayedRevenue _,
     "q89_embedding_stats" -> q89EmbeddingStats _,
     "q90_date_spine_gapfill" -> q90DateSpineGapfill _,
-    "q91_percent_rank" -> q91PercentRank _)
+    "q91_percent_rank" -> q91PercentRank _,
+    "q94_recursive_hierarchy" -> q94RecursiveHierarchy _,
+    "q95_locf_gapfill" -> q95LocfGapfill _)
 
   val oracle: Map[String, String] = Map(
     "q82_unpivot_metrics" ->
@@ -417,6 +467,32 @@ object Stats {
          |SELECT spine.day,
          |       COALESCE(d.n_orders, 0) AS n_orders,
          |       COALESCE(d.revenue, 0.0) AS revenue
+         |FROM spine LEFT JOIN d ON spine.day = d.day
+         |ORDER BY spine.day""".stripMargin,
+    "q94_recursive_hierarchy" ->
+      """WITH RECURSIVE h(k, root, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT) FROM orders
+        |  WHERE o_orderkey <= 9
+        |  UNION ALL
+        |  SELECT o.o_orderkey, h.root, h.depth + 1
+        |  FROM orders o JOIN h ON o.o_orderkey // 10 = h.k
+        |  WHERE o.o_orderkey > 9)
+        |SELECT k AS o_orderkey, root AS root_key, CAST(depth AS BIGINT) AS depth
+        |FROM h ORDER BY o_orderkey""".stripMargin,
+    "q95_locf_gapfill" ->
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         |         ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d),
+         |    INTERVAL 1 DAY)) AS day)
+         |SELECT spine.day, d.revenue IS NULL AS is_gap,
+         |       last_value(d.revenue IGNORE NULLS)
+         |         OVER (ORDER BY spine.day
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS revenue_filled
          |FROM spine LEFT JOIN d ON spine.day = d.day
          |ORDER BY spine.day""".stripMargin,
     "q91_percent_rank" ->

@@ -114,13 +114,88 @@ object Temporal {
         "is_current")
       .orderBy("user_id", "valid_from", "event_id")
 
+  /** Peak interval overlap (max concurrency) per day — the sweep-line
+    * classic: every interval contributes a +1 delta at its (clipped) start
+    * and a −1 at its end, a running sum over (time, delta) gives the live
+    * count, and its max per day is the answer. Intervals are half-open
+    * [start, end): the `delta asc` tie order releases an ending interval
+    * BEFORE an equal-instant start claims its slot.
+    *
+    * Scale design: the window partitions by DAY, not globally — intervals
+    * crossing midnight are split into per-day segments first (explode over
+    * the day span), so each day's sweep is independent and the global sort
+    * a naive formulation needs never exists. An interval alive at day
+    * start contributes its +1 at the clipped segment start, preserving
+    * carry-over counts across the split. */
+  def maxConcurrency(intervals: DataFrame, startCol: String,
+                     endCol: String): DataFrame = {
+    val seg = intervals
+      .select(col(startCol).as("s"), col(endCol).as("e"))
+      .withColumn("d", explode(sequence(to_date(col("s")),
+        // end is exclusive: an interval ending exactly at midnight has no
+        // segment in that day
+        to_date(col("e") - expr("interval 1 microsecond")))))
+      .withColumn("seg_s", greatest(col("s"), col("d").cast("timestamp_ntz")))
+      .withColumn("seg_e", least(col("e"),
+        (col("d") + expr("interval 1 day")).cast("timestamp_ntz")))
+    val deltas = seg.select(col("d"), col("seg_s").as("t"),
+        lit(1).as("delta"))
+      .unionAll(seg.select(col("d"), col("seg_e").as("t"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy(col("d"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("live", sum(col("delta")).over(w))
+      .groupBy(col("d").as("day"))
+      .agg(max(col("live")).as("max_concurrent"))
+  }
+
+  // ---------------------------------------------------------------- q96
+  /** Peak concurrent sessions per day, sessions being [ts, ts+30 min). */
+  def q96MaxConcurrency(spark: SparkSession, dir: String): DataFrame =
+    maxConcurrency(
+        t(spark, dir, "events")
+          .select(col("ts").as("s"),
+            (col("ts") + expr("interval 30 minutes")).as("e")),
+        "s", "e")
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_prev_purchase" -> q44AsofPrevPurchase _,
     "q48_time_range_join" -> q48TimeRangeJoin _,
     "q72_latest_snapshot" -> q72LatestSnapshot _,
-    "q73_scd2_intervals" -> q73Scd2Intervals _)
+    "q73_scd2_intervals" -> q73Scd2Intervals _,
+    "q96_max_concurrency" -> q96MaxConcurrency _)
 
   val oracle: Map[String, String] = Map(
+    "q96_max_concurrency" ->
+      """WITH iv AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS s,
+        |         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+        |  FROM events),
+        |seg AS (
+        |  SELECT s, e,
+        |         unnest(generate_series(CAST(s AS DATE),
+        |           CAST(e - INTERVAL 1 MICROSECOND AS DATE),
+        |           INTERVAL 1 DAY)) AS dts
+        |  FROM iv),
+        |seg2 AS (
+        |  SELECT CAST(dts AS DATE) AS d,
+        |         greatest(s, CAST(CAST(dts AS DATE) AS TIMESTAMP)) AS seg_s,
+        |         least(e, CAST(CAST(dts AS DATE) AS TIMESTAMP)
+        |                  + INTERVAL 1 DAY) AS seg_e
+        |  FROM seg),
+        |deltas AS (
+        |  SELECT d, seg_s AS t, 1 AS delta FROM seg2
+        |  UNION ALL
+        |  SELECT d, seg_e, -1 FROM seg2),
+        |live AS (
+        |  SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM deltas)
+        |SELECT d AS day, CAST(MAX(live) AS BIGINT) AS max_concurrent
+        |FROM live GROUP BY d ORDER BY day""".stripMargin,
     "q44_asof_prev_purchase" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |       CAST(MAX(CASE WHEN event_type = 'purchase' THEN ts END)

@@ -91,6 +91,16 @@ object TrainingData {
       .orderBy("query_id", "rn")
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Fuzzy entity dedup: customer-name pairs within edit distance 1, via
+    * [[Dedup.editDistancePairs]] deletion-neighborhood blocking (the
+    * oracle brute-forces the same answer with an O(n²) levenshtein join —
+    * an INDEPENDENT formulation, so blocking completeness is what's
+    * checked). */
+  def q97FuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(t(spark, dir, "customer"), "c_name", "c_custkey")
+      .orderBy("id_a", "id_b")
+
   // ---------------------------------------------------------------- q92
   /** Spherical k-means codebook over the embedding corpus: 16 centroids,
     * 3 Lloyd rounds, reported as (cent_id, cluster size) — the IVF
@@ -166,11 +176,22 @@ object TrainingData {
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_ann_lsh" -> q41AnnLsh _,
     "q92_kmeans_cells" -> q92KmeansCells _,
+    "q97_fuzzy_name_pairs" -> q97FuzzyNamePairs _,
     "q42_multimodal_stub" -> q42MultimodalStub _,
     "q75_ann_quantized" -> q75AnnQuantized _)
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    // q97's oracle is deliberately the brute-force O(n²) formulation —
+    // independent of the engine's deletion-neighborhood blocking, so the
+    // compare checks blocking completeness, not just arithmetic
+    "q97_fuzzy_name_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q33_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,

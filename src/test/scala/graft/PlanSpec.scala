@@ -99,4 +99,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("sha2"), p.take(3000))
     assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
   }
+
+  test("q86 argmax is one aggregate — no window, no join") {
+    val p = finalPlan("q86_group_argmax")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(3000))
+  }
+
+  test("q85/q89 fused projections: no join, no hash-partition shuffle") {
+    for (qid <- Seq("q85_char_entropy", "q89_embedding_stats")) {
+      val p = finalPlan(qid)
+      assert(!p.contains("Join"), s"$qid must not join:\n${p.take(2000)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$qid must not shuffle beyond its output sort:\n${p.take(2000)}")
+    }
+  }
+
+  test("q96 sweep-line windows per day — never a single-partition window") {
+    val p = finalPlan("q96_max_concurrency")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"day-partitioned sweep must not serialize:\n${p.take(3000)}")
+  }
 }

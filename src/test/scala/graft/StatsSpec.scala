@@ -144,6 +144,70 @@ class StatsSpec extends AnyFunSuite {
     assert(out.filter(col("o_orderkey") >= 100000000L).count() > 0)
   }
 
+  test("q95 LOCF: gap days inherit the previous observed revenue") {
+    val out = Stats.q95LocfGapfill(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    // after the first day (observed by construction of the spine bounds),
+    // every row must be filled
+    assert(out.forall(r => !r.isNullAt(2)), "no unfilled rows")
+    // every gap row's filled value equals the nearest preceding observed one
+    var lastObserved = Double.NaN
+    out.foreach { r =>
+      val isGap = r.getBoolean(1)
+      val filled = r.getDouble(2)
+      if (!isGap) lastObserved = filled
+      else assert(filled == lastObserved,
+        s"gap day ${r.get(0)} must carry $lastObserved, got $filled")
+    }
+    assert(out.exists(_.getBoolean(1)), "fixture has at least one gap day")
+  }
+
+  test("maxConcurrency: overlap counting and midnight split carry-over") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val iv = Seq(
+      // three overlapping in the evening + one disjoint
+      (t("2026-03-01 20:00:00"), t("2026-03-01 21:00:00")),
+      (t("2026-03-01 20:30:00"), t("2026-03-01 21:30:00")),
+      (t("2026-03-01 20:45:00"), t("2026-03-01 22:00:00")),
+      (t("2026-03-01 09:00:00"), t("2026-03-01 09:30:00")),
+      // crosses midnight: must count as 1 live at the start of Mar 2
+      (t("2026-03-01 23:30:00"), t("2026-03-02 00:30:00")),
+      // back-to-back at the same instant: half-open, so never 2 live
+      (t("2026-03-03 10:00:00"), t("2026-03-03 11:00:00")),
+      (t("2026-03-03 11:00:00"), t("2026-03-03 12:00:00")))
+      .toDF("s", "e")
+      .select(col("s").cast("timestamp_ntz").as("s"),
+        col("e").cast("timestamp_ntz").as("e"))
+    val out = graft.ops.Temporal.maxConcurrency(iv, "s", "e")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out("2026-03-01") == 3, s"evening triple overlaps: $out")
+    assert(out("2026-03-02") == 1, s"midnight carry-over: $out")
+    assert(out("2026-03-03") == 1, s"half-open back-to-back: $out")
+  }
+
+  test("editDistancePairs finds exactly the distance<=1 pairs") {
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"),
+        (5L, "abc"))
+      .toDF("id", "name")
+    val out = graft.ops.Dedup.editDistancePairs(df, "name", "id")
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (1L, 5L, 0L), (2L, 5L, 1L), (3L, 5L, 1L)), s"got $out")
+  }
+
+  test("q94 recursive hierarchy: depth = digits-1, root = leading digit") {
+    val out = Stats.q94RecursiveHierarchy(spark, TestSpark.sfDir).collect()
+    // contiguous keys 0..1499: every ancestor exists, so all rows resolve
+    assert(out.length == 1500, s"all keys resolve, got ${out.length}")
+    out.foreach { r =>
+      val k = r.getLong(0); val root = r.getLong(1); val depth = r.getLong(2)
+      assert(depth == k.toString.length - 1, s"depth of $k")
+      assert(root == k.toString.take(1).toLong, s"root of $k")
+    }
+  }
+
   test("q93 HLL weekly estimates sit inside the sketch error envelope") {
     val out = graft.ops.Analytics.q93HllWeeklyUsers(spark, TestSpark.sfDir)
       .collect()
