@@ -218,18 +218,16 @@ object Similarity {
     *   3. only the k·dim codebook (kilobytes) ever reaches the driver,
     *      exactly like a fitted MLlib model.
     *
-    * Init is deterministic farthest-first traversal: seed 1 is the
-    * smallest-id-hash point (a seeded uniform draw with no RNG state),
-    * each further seed the point least similar to ALL chosen seeds (id
-    * tie-break). Farthest-first places one seed per well-separated
-    * cluster by construction — uniform hash sampling can drop two seeds
-    * into one tight cluster, and Lloyd never escapes that local minimum
-    * (the doubled cluster keeps both centroids populated while two true
-    * clusters share one cell). Each traversal step is one TakeOrdered
-    * scan against a ≤k-literal codebook; for codebooks beyond a few
+    * Init is deterministic farthest-first traversal over a hash-ordered
+    * uniform sample (one TakeOrdered job; the traversal itself is
+    * driver-side arithmetic). Farthest-first places one seed per
+    * well-separated cluster by construction — plain uniform seeding can
+    * drop two seeds into one tight cluster, and Lloyd never escapes that
+    * local minimum (the doubled cluster keeps both centroids populated
+    * while two true clusters share one cell). For codebooks beyond a few
     * thousand centroids swap in k-means‖ oversampling — the iterate
     * contract is unchanged. An EMPTY cell (possible once Lloyd moves
-    * centroids) re-seeds the same way: worst-represented point first.
+    * centroids) re-seeds to the worst-represented corpus point.
     * Cosine geometry: means of unit vectors are NOT unit — centroids are
     * re-normalized each round (spherical k-means), matching the cosine
     * metric the ANN queries rank with. */
@@ -239,22 +237,41 @@ object Similarity {
     import org.apache.spark.sql.Row
     val base = corpus.select(col(idCol).as("id"),
       col(embCol).cast("array<double>").as("emb"))
-    // farthest-first seeding: start from the smallest id-hash, then
-    // repeatedly take the point with the lowest best-similarity to the
-    // seeds chosen so far (each step a TakeOrderedAndProject scan)
-    val first = base
+    // farthest-first seeding over a hash-ordered uniform sample: ONE
+    // TakeOrderedAndProject collects max(8k, 256) candidate vectors, then
+    // the traversal runs driver-side over that sample (k·|sample|·dim
+    // flops — microseconds). Running it over the full corpus would cost k
+    // sequential cluster scans for an init whose quality a uniform sample
+    // already delivers (each separated cluster is represented in the
+    // sample with overwhelming probability).
+    val sampleN = math.max(8 * k, 256)
+    val sample: Array[Array[Double]] = base
       .select(col("id"), col("emb"), xxhash64(col("id")).as("h"))
-      .orderBy(col("h"), col("id")).limit(1)
-      .collect().head.getSeq[Double](1).toArray
-    val seedBuf = scala.collection.mutable.ArrayBuffer(first)
-    while (seedBuf.length < k) {
-      val next = base
-        .withColumn("best_sim", bestSimTo(col("emb"), seedBuf.toArray))
-        .orderBy(col("best_sim").asc, col("id").asc)
-        .limit(1)
-        .collect().head.getSeq[Double](1).toArray
-      seedBuf += next
+      .orderBy(col("h"), col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "trainKMeans: empty corpus")
+    def simOf(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      s / math.sqrt(na * nb)
     }
+    val seedBuf = scala.collection.mutable.ArrayBuffer(sample.head)
+    val bestSim = Array.fill(sample.length)(Double.NegativeInfinity)
+    while (seedBuf.length < math.min(k, sample.length)) {
+      var worstIdx = -1; var worstSim = Double.PositiveInfinity
+      var i = 0
+      while (i < sample.length) {
+        val s = math.max(bestSim(i), simOf(sample(i), seedBuf.last))
+        bestSim(i) = s
+        if (s < worstSim) { worstSim = s; worstIdx = i }
+        i += 1
+      }
+      seedBuf += sample(worstIdx)
+    }
+    // fewer sample points than k (tiny corpora): duplicate-pad; Lloyd's
+    // empty-cell re-seed diversifies the duplicates from the full corpus
+    while (seedBuf.length < k) seedBuf += sample(seedBuf.length % sample.length)
     var cents: Array[(Long, Array[Double])] =
       seedBuf.toArray.zipWithIndex.map { case (e, i) => (i.toLong, e) }
     val dim = cents.head._2.length

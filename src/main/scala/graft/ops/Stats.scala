@@ -308,6 +308,57 @@ object Stats {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Two-system reconciliation via FULL OUTER join — the audit query every
+    * pipeline migration runs: per-key activity from both sides, rows kept
+    * even when a key exists in only one system, tagged with presence.
+    * Both sides pre-aggregate BEFORE the join (the join then moves
+    * |keys| rows, not |facts|) and share the key hash partitioning. */
+  def q98FullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = t(spark, dir, "events").groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_orders").isNull, "events_only")
+          .when(col("n_events").isNull, "orders_only")
+          .otherwise("both").as("presence"))
+      .orderBy("key")
+  }
+
+  // ---------------------------------------------------------------- q99
+  /** Dense reporting grid: CROSS JOIN of two small dimensions (regions ×
+    * order priorities) left-joined against the fact rollup, zero-filled —
+    * so every cell exists even with no data (the report shape BI tools
+    * demand). The only cross join in the engine is |dims|×|dims| (25
+    * rows); the fact side aggregates before joining and the 4-table
+    * dimension chain broadcasts. */
+  def q99DenseGrid(spark: SparkSession, dir: String): DataFrame = {
+    val regions = t(spark, dir, "region").select(col("r_regionkey"),
+      col("r_name"))
+    val prios = t(spark, dir, "orders")
+      .select(col("o_orderpriority")).distinct()
+    val facts = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    regions.crossJoin(prios)
+      .join(facts.withColumnRenamed("o_orderpriority", "f_prio"),
+        col("r_regionkey") === col("n_regionkey") &&
+          col("o_orderpriority") === col("f_prio"),
+        "left")
+      .select(col("r_name"), col("o_orderpriority"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("r_name", "o_orderpriority")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_unpivot_metrics" -> q82UnpivotMetrics _,
@@ -321,7 +372,9 @@ object Stats {
     "q90_date_spine_gapfill" -> q90DateSpineGapfill _,
     "q91_percent_rank" -> q91PercentRank _,
     "q94_recursive_hierarchy" -> q94RecursiveHierarchy _,
-    "q95_locf_gapfill" -> q95LocfGapfill _)
+    "q95_locf_gapfill" -> q95LocfGapfill _,
+    "q98_full_outer_reconcile" -> q98FullOuterReconcile _,
+    "q99_dense_grid" -> q99DenseGrid _)
 
   val oracle: Map[String, String] = Map(
     "q82_unpivot_metrics" ->
@@ -469,6 +522,36 @@ object Stats {
          |       COALESCE(d.revenue, 0.0) AS revenue
          |FROM spine LEFT JOIN d ON spine.day = d.day
          |ORDER BY spine.day""".stripMargin,
+    "q98_full_outer_reconcile" ->
+      """WITH o AS (SELECT o_custkey AS key, COUNT(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS key, COUNT(*) AS n_events
+        |      FROM events GROUP BY 1)
+        |SELECT COALESCE(o.key, e.key) AS key,
+        |       COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(n_events, 0) AS n_events,
+        |       CASE WHEN n_orders IS NULL THEN 'events_only'
+        |            WHEN n_events IS NULL THEN 'orders_only'
+        |            ELSE 'both' END AS presence
+        |FROM o FULL OUTER JOIN e ON o.key = e.key
+        |ORDER BY key""".stripMargin,
+    "q99_dense_grid" ->
+      s"""WITH prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+         |facts AS (
+         |  SELECT n.n_regionkey, o.o_orderpriority,
+         |         COUNT(*) AS n_orders,
+         |         ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT r.r_name, p.o_orderpriority,
+         |       COALESCE(f.n_orders, 0) AS n_orders,
+         |       COALESCE(f.revenue, 0.0) AS revenue
+         |FROM region r CROSS JOIN prios p
+         |LEFT JOIN facts f ON r.r_regionkey = f.n_regionkey
+         |                 AND p.o_orderpriority = f.o_orderpriority
+         |ORDER BY r.r_name, p.o_orderpriority""".stripMargin,
     "q94_recursive_hierarchy" ->
       """WITH RECURSIVE h(k, root, depth) AS (
         |  SELECT o_orderkey, o_orderkey, CAST(0 AS BIGINT) FROM orders

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
 
 import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
 
-import graft.functions.{DotProduct, MinHashes, SimHash64, WordChunks, WordNgrams, WordTokens}
+import graft.functions.{CharEntropy, DotProduct, MinHashes, SimHash64, WordChunks, WordNgrams, WordTokens}
 
 /** SparkSessionExtensions module: registers the engine's native expressions
   * as SQL functions so `spark.sql("SELECT graft_dot(a,b) ...")` works.
@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_minhashes: k must be an integer literal, got $other")
       }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(text) - character Shannon entropy (nats)"),
+      (args: Seq[Expression]) => CharEntropy(args(0))))
     e.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64",

@@ -208,6 +208,33 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q98 full-outer reconcile: presence tags match the zero sides") {
+    val out = Stats.q98FullOuterReconcile(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (no, ne, p) = (r.getLong(1), r.getLong(2), r.getString(3))
+      p match {
+        case "orders_only" => assert(no > 0 && ne == 0)
+        case "events_only" => assert(no == 0 && ne > 0)
+        case "both" => assert(no > 0 && ne > 0)
+      }
+    }
+    // the corpus has customers without events — the full-outer must keep them
+    assert(out.exists(_.getString(3) == "orders_only"))
+  }
+
+  test("q99 dense grid covers every (region, priority) cell exactly once") {
+    val out = Stats.q99DenseGrid(spark, TestSpark.sfDir)
+    val regions = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "region").count()
+    val prios = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "orders")
+      .select("o_orderpriority").distinct().count()
+    assert(out.count() == regions * prios)
+    assert(out.select("r_name", "o_orderpriority").distinct().count()
+      == regions * prios)
+  }
+
   test("q93 HLL weekly estimates sit inside the sketch error envelope") {
     val out = graft.ops.Analytics.q93HllWeeklyUsers(spark, TestSpark.sfDir)
       .collect()
