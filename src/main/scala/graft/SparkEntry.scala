@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Corpus, Insights, Relational, Stats, Temporal, TrainingData}
+import graft.ops.{Analytics, Corpus, Insights, Mining, Relational, Stats, Temporal, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ TrainingData.queries ++
-      Temporal.queries ++ Corpus.queries ++ Insights.queries ++ Stats.queries
+      Temporal.queries ++ Corpus.queries ++ Insights.queries ++
+      Stats.queries ++ Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ TrainingData.oracle ++
-      Temporal.oracle ++ Corpus.oracle ++ Insights.oracle ++ Stats.oracle
+      Temporal.oracle ++ Corpus.oracle ++ Insights.oracle ++
+      Stats.oracle ++ Mining.oracle
 }

@@ -164,6 +164,17 @@ package object functions {
     dotI8(qa, qb).cast("double") /
       sqrt(dotI8(qa, qa).cast("double") * dotI8(qb, qb).cast("double"))
 
+  /** Probe a serialized Count-Min sketch (must be a literal — collect the
+    * `count_min_sketch` aggregate first) for a bigint item's estimated
+    * count. See [[CmsEstimate]]. */
+  def cmsEstimate(sketchBytes: Array[Byte], item: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    GraftSqlBridge.column(CmsEstimate(Literal(sketchBytes, BinaryType),
+      GraftSqlBridge.expression(item)))
+  }
+
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -162,17 +162,36 @@ object Dedup {
     * guarantees one identical chunk), then verify by exact Hamming distance.
     * Avoids the O(n²) cross join the naive formulation needs. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    val sig = simhash64(df, textCol, idCol)
+                          maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(simhash64(df, textCol, idCol), idCol, "simhash",
+      maxHamming)
+
+  /** Banded Hamming self-join over ANY 64-bit signature column (SimHash,
+    * perceptual hash, quantized sketch): signatures are split into
+    * `64/bandBits` chunks, candidates share at least one chunk (pigeonhole:
+    * Hamming ≤ chunks−1 guarantees a match), and survivors verify by exact
+    * [[hamming64]]. The join ships only (id, band, band_key) triples —
+    * near-linear candidate volume instead of the O(n²) cross join, same
+    * scale shape as the MinHash band join. `maxHamming` must stay below the
+    * chunk count or the pigeonhole completeness argument breaks (asserted,
+    * not silently weakened). */
+  def hammingBandPairs(sig: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
+    val bands = 64 / bandBits
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs >$maxHamming bands; " +
+        s"bandBits=$bandBits gives only $bands (pigeonhole fails)")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val banded = sig.select(
-      col(idCol), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
+      col(idCol), col(sigCol),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key",
-        call_function("shiftright", col("simhash"), col("band") * 16)
-          .bitwiseAND(0xFFFFL))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+        call_function("shiftright", col(sigCol), col("band") * bandBits)
+          .bitwiseAND(mask))
+    val a = banded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
       col("band"), col("band_key"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+    val b = banded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"),
       col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))

@@ -1,0 +1,409 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.TableCatalog
+
+/** Corpus/event mining tier: sketch-estimated frequencies, corpus
+  * familiarity scoring, Markov transitions, robust (MAD) outliers,
+  * winsorization, GDPR-style tombstone cascades, mergeable partial-
+  * aggregate rollups, perceptual-hash media dedup, weighted sampling,
+  * and exact-under-capacity approximate top-k.
+  *
+  * Scale notes live on each operator; the common thread is that every
+  * "approximate" structure here (CMS, frequent-items sketch, perceptual
+  * hash) is MERGEABLE — partial states combine map-side, so only
+  * KB-sized summaries cross the shuffle, never per-row state. That is
+  * the property that lets the same query run at 100 TB: the data-sized
+  * side of every plan stays embarrassingly parallel, and the merged
+  * side is bounded by sketch size, not corpus size.
+  */
+object Mining {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  // --------------------------------------------------------------- q100
+  /** Count-Min-sketch frequency estimates for the exact top-20 heavy
+    * hitters. The sketch is ONE mergeable binary (eps=1e-4 → 20k×7
+    * counters, ~1.1 MB) aggregated in a single pass — at 100 TB the
+    * per-partition partials merge map-side and only the sketch crosses
+    * the wire, the collect ships one row, and probes run as codegen
+    * against the deserialized sketch ([[graft.functions.CmsEstimate]]).
+    * CMS never under-counts, so `cms_est >= exact_cnt` always; the spec
+    * pins the eps·N over-count envelope. The exact counts double as the
+    * in-query ground truth (the pattern a production pipeline uses to
+    * VALIDATE its sketch config before trusting it unmetered). */
+  def q100CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val sk = li
+      .agg(expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+      .limit(20)
+      .withColumn("cms_est", cmsEstimate(sk, col("l_partkey")))
+  }
+
+  // --------------------------------------------------------------- q101
+  /** Corpus-familiarity score: for each document, the average document
+    * frequency of its distinct word bigrams — a cheap, fully-exact
+    * "how much does this doc look like the rest of the corpus" signal
+    * (low = novel/noisy, high = boilerplate), the integer-arithmetic
+    * cousin of LM-perplexity filtering.
+    *
+    * Scale shape: bigrams come from the fused [[graft.functions.WordNgrams]]
+    * expression (one pass, per-doc distinct), document frequency is one
+    * gram-keyed count (map-side combine), and the rejoin ships (gram, df)
+    * pairs — never document text. */
+  def q101BigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(wordNgrams(col("text"), 2)).as("gram"))
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("df")).as("df_sum"))
+      .withColumn("familiarity",
+        round(col("df_sum").cast("double") / col("n_bigrams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q102
+  /** First-order Markov transition matrix over per-user event streams:
+    * count (previous event_type → event_type) steps, with each pair's
+    * global share. One lag window co-partitioned by user (the same
+    * shuffle any per-user sequence op pays), then a 25-row aggregate —
+    * the post-agg share division never touches the fact table. */
+  def q102EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n").cast("double") / col("total").cast("double"), 6))
+      .select("from_type", "to_type", "n", "share")
+      .orderBy("from_type", "to_type")
+  }
+
+  // --------------------------------------------------------------- q103
+  /** Robust outliers via median absolute deviation: flag documents whose
+    * length sits more than 2 MADs from their language's median. Two
+    * exact-median aggregates (medians/MADs are per-language scalars that
+    * broadcast back); MAD is preferred over q67's z-score when the metric
+    * itself is heavy-tailed — one 10 GB document shifts a mean and
+    * stddev, but not a median. */
+  def q103MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val med = docs.groupBy(col("lang"))
+      .agg(expr("median(n_chars)").as("med"))
+    val j = docs.join(broadcast(med), "lang")
+    val mad = j.groupBy(col("lang"))
+      .agg(expr("median(abs(n_chars - med))").as("mad"))
+    j.join(broadcast(mad), "lang")
+      .filter(abs(col("n_chars") - col("med")) > lit(2) * col("mad"))
+      .select("doc_id", "lang", "n_chars", "med", "mad")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q104
+  /** Winsorization accounting: per returnflag, clamp extended price to its
+    * exact [p05, p95] percentile band and report the clip counts, band
+    * bounds, the in-band exact-decimal sum, and the winsorized total
+    * (in-band sum + clipped rows at their clamp value). The percentile
+    * pass ships group values once; the second pass is a broadcast-joined
+    * scan — no row ever carries more than two scalar bounds. */
+  def q104Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val pct = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.05)").as("p05"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    li.join(broadcast(pct), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L))
+          .as("n_high"),
+        max(col("p05")).as("p05"),
+        max(col("p95")).as("p95"),
+        sum(when(
+          col("l_extendedprice").between(col("p05"), col("p95")),
+          col("l_extendedprice").cast("decimal(18,4)")))
+          .cast("double").as("within_sum"))
+      .withColumn("winsor_total",
+        round(col("within_sum") + col("n_low") * col("p05") +
+          col("n_high") * col("p95"), 2))
+      .orderBy("l_returnflag")
+  }
+
+  // --------------------------------------------------------------- q105
+  /** GDPR-style tombstone cascade: given a deletion cohort (customers of
+    * one nation), report per-table before/deleted/after counts as the
+    * cascade reaches customer → orders → lineitem. The tombstone key set
+    * broadcasts (deletion batches are small next to facts), so every
+    * fact table resolves its deletions in a broadcast join with zero
+    * fact-side shuffle — the plan a compliance sweep needs at 100 TB. */
+  def q105TombstoneCascade(spark: SparkSession, dir: String): DataFrame = {
+    val tomb = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_7")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+
+    val custRow = customer
+      .join(broadcast(tomb.withColumn("del", lit(1L))), Seq("c_custkey"),
+        "left")
+      .agg(count(lit(1)).as("rows_before"),
+        coalesce(sum(col("del")), lit(0L)).as("rows_deleted"))
+      .select(lit("customer").as("table_name"), col("rows_before"),
+        col("rows_deleted"))
+    val ordRow = orders
+      .join(broadcast(tomb.withColumn("del", lit(1L))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("rows_before"),
+        coalesce(sum(col("del")), lit(0L)).as("rows_deleted"))
+      .select(lit("orders").as("table_name"), col("rows_before"),
+        col("rows_deleted"))
+    val delOrders = orders
+      .join(broadcast(tomb), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .select(col("o_orderkey")).withColumn("del", lit(1L))
+    val liRow = lineitem
+      .join(broadcast(delOrders), col("l_orderkey") === col("o_orderkey"),
+        "left")
+      .agg(count(lit(1)).as("rows_before"),
+        coalesce(sum(col("del")), lit(0L)).as("rows_deleted"))
+      .select(lit("lineitem").as("table_name"), col("rows_before"),
+        col("rows_deleted"))
+
+    custRow.unionByName(ordRow).unionByName(liRow)
+      .withColumn("rows_after", col("rows_before") - col("rows_deleted"))
+      .orderBy("table_name")
+  }
+
+  // --------------------------------------------------------------- q106
+  /** Mergeable partial-aggregate rollup: daily (day, flag) partials —
+    * count + EXACT DECIMAL quantity sum — rolled up to weeks by summing
+    * partials only. This is the incremental-pipeline contract: at 100 TB
+    * the daily pass runs once per day's partition, and any coarser
+    * report (week/month/all-time) is a re-aggregation of tiny partial
+    * rows with no fact re-scan. Keeping the partial sum in decimal until
+    * the final cast makes the merge EXACT, so the rollup is value-
+    * identical to a direct weekly aggregation (which is what the oracle
+    * computes). */
+  def q106PartialAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("qty_dec"))
+    daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"),
+        col("l_returnflag"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("qty_dec")).cast("double").as("sum_qty"))
+      .orderBy("week", "l_returnflag")
+  }
+
+  // --------------------------------------------------------------- q107
+  /** Perceptual-hash media dedup report: every asset's 64-bit signature
+    * (stub decoder — [[Multimodal.decodeSignatures]]) plus how many
+    * near-duplicate assets share it within Hamming ≤ 3, found by the
+    * banded Hamming self-join ([[Dedup.hammingBandPairs]] — candidates
+    * share a 16-bit band, never an O(n²) cross join). Output is one row
+    * per asset so the report is stable even when the corpus has no
+    * near-dups; the spec drives planted duplicates through the same
+    * pipeline and asserts detection. */
+  def q107PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      t(spark, dir, "documents"), "doc_id", "text", "image/stub")
+    val sigs = Multimodal.decodeSignatures(media).toDF()
+    val pairs = Dedup.hammingBandPairs(sigs, "asset_id", "phash",
+      maxHamming = 3)
+    val perAsset = pairs.select(col("id_a").as("asset_id"))
+      .unionAll(pairs.select(col("id_b").as("asset_id")))
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("n_neardup"))
+    sigs.select(col("asset_id"), col("n_bytes"), col("phash"))
+      .join(perAsset, Seq("asset_id"), "left")
+      .withColumn("n_neardup", coalesce(col("n_neardup"), lit(0L)))
+      .orderBy("asset_id")
+  }
+
+  // --------------------------------------------------------------- q108
+  /** Weight-proportional Bernoulli sampling: each document keeps with
+    * probability min(n_chars,499)/500 — longer documents are likelier
+    * survivors — decided by comparing an md5-derived hex key against a
+    * per-row integer threshold. Pure projection+filter: deterministic
+    * across runs, partitionings and engines, no RNG state, no shuffle;
+    * the same content always draws the same ticket (re-ingestion cannot
+    * double-sample). */
+  def q108WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(substring(md5(col("text")), 1, 8) <
+        lpad(lower(hex(expr("(least(n_chars, 499) * 4294967296) div 500"))),
+          8, "0"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------------- q109
+  /** Approximate top-k via the frequent-items sketch (`approx_top_k`),
+    * configured so capacity (8192 tracked items) exceeds the supplier
+    * cardinality — under capacity the sketch does no eviction, so counts
+    * are EXACT and the result is value-identical to the exact group-by
+    * (which is the oracle). The 100 TB contract: sketch state is
+    * O(capacity) per partition and mergeable, so the full-corpus pass
+    * ships KBs per partition; when cardinality exceeds capacity the same
+    * query degrades to ±eps counts instead of OOMing — the opposite
+    * failure mode of an exact group-by top-k. Deterministic re-rank
+    * (count desc, item) happens outside the sketch. */
+  def q109ApproxTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(expr("approx_top_k(l_suppkey, 4096, 8192)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("l_suppkey"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(10)
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_cms_heavy_hitters" -> q100CmsHeavyHitters _,
+    "q101_bigram_familiarity" -> q101BigramFamiliarity _,
+    "q102_event_transitions" -> q102EventTransitions _,
+    "q103_mad_outliers" -> q103MadOutliers _,
+    "q104_winsorize" -> q104Winsorize _,
+    "q105_tombstone_cascade" -> q105TombstoneCascade _,
+    "q106_partial_agg_rollup" -> q106PartialAggRollup _,
+    "q107_phash_neardup" -> q107PhashNeardup _,
+    "q108_weighted_sample" -> q108WeightedSample _,
+    "q109_approx_topk" -> q109ApproxTopk _)
+
+  /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
+    * (FNV perceptual hash) are engine-internal → rows-only; their
+    * correctness envelopes live in MiningSpec. */
+  val oracle: Map[String, String] = Map(
+    "q101_bigram_familiarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(
+        |             range(1, greatest(len(tk) - 1, 1) + 1),
+        |             i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        |    FROM toks) z),
+        |d AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(df) AS BIGINT) AS df_sum,
+        |       round(CAST(SUM(df) AS DOUBLE) / COUNT(*), 6) AS familiarity
+        |FROM grams JOIN d USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q102_event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST((SELECT SUM(n) FROM c) AS DOUBLE), 6) AS share
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q103_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT lang, median(n_chars) AS med FROM documents GROUP BY 1),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, m.med
+        |  FROM documents d JOIN med m USING (lang)),
+        |mad AS (
+        |  SELECT lang, median(abs(n_chars - med)) AS mad FROM j GROUP BY 1)
+        |SELECT doc_id, lang, n_chars, med, mad
+        |FROM j JOIN mad USING (lang)
+        |WHERE abs(n_chars - med) > 2 * mad
+        |ORDER BY doc_id""".stripMargin,
+    "q104_winsorize" ->
+      """WITH pct AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.05) AS p05,
+        |         quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_low,
+        |       CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_high,
+        |       MAX(p05) AS p05, MAX(p95) AS p95,
+        |       CAST(SUM(CASE WHEN l_extendedprice BETWEEN p05 AND p95
+        |                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
+        |                END) AS DOUBLE) AS within_sum,
+        |       round(CAST(SUM(CASE WHEN l_extendedprice BETWEEN p05 AND p95
+        |                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+        |                      END) AS DOUBLE)
+        |             + CAST(SUM(CASE WHEN l_extendedprice < p05 THEN 1
+        |                             ELSE 0 END) AS BIGINT) * MAX(p05)
+        |             + CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1
+        |                             ELSE 0 END) AS BIGINT) * MAX(p95),
+        |             2) AS winsor_total
+        |FROM lineitem JOIN pct USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q105_tombstone_cascade" ->
+      """WITH tomb AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'),
+        |del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+        |rows_ AS (
+        |  SELECT 'customer' AS table_name,
+        |         (SELECT COUNT(*) FROM customer) AS rows_before,
+        |         (SELECT COUNT(*) FROM tomb) AS rows_deleted
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM del_orders)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem
+        |          WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)))
+        |SELECT table_name, rows_before, rows_deleted,
+        |       rows_before - rows_deleted AS rows_after
+        |FROM rows_ ORDER BY table_name""".stripMargin,
+    "q106_partial_agg_rollup" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day, l_returnflag,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(date_trunc('week', day) AS DATE) AS week, l_returnflag,
+        |       CAST(SUM(n) AS BIGINT) AS n,
+        |       CAST(SUM(qty_dec) AS DOUBLE) AS sum_qty
+        |FROM daily GROUP BY 1, 2 ORDER BY week, l_returnflag""".stripMargin,
+    "q108_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(text), 1, 8) <
+        |      printf('%08x', (least(n_chars, 499) * 4294967296) // 500)
+        |ORDER BY doc_id""".stripMargin,
+    "q109_approx_topk" ->
+      """SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin)
+}

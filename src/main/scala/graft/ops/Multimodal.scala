@@ -150,4 +150,38 @@ object Multimodal {
                           targetBytesPerPartition: Long): Dataset[MediaFeatures] =
     decodeFeatures(media,
       partitionsForBytes(media, targetBytesPerPartition))
+
+  /** One asset's 64-bit perceptual signature. */
+  case class MediaSignature(asset_id: Long, n_bytes: Long, phash: Long)
+
+  /** STUB perceptual hash: 64 FNV-1a lanes striped over payload bytes
+    * (byte i feeds lane i mod 64), signature bit b = parity of lane b.
+    * Locality property the real pHash also has (and that the dedup join
+    * downstream relies on): a payload differing in k bytes flips at most
+    * min(k, 64) lanes → Hamming distance ≤ k. The stub is NOT robust to
+    * byte insertion/deletion (a real DCT-based pHash is; this one shifts
+    * every later stripe) — document-level near-dup over re-encoded media
+    * needs the real decoder dropped into this body. Same partition-batched
+    * execution shape as [[decodeFeatures]]. */
+  def decodeSignatures(media: Dataset[MediaRow]): Dataset[MediaSignature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // real impl: val codec = Codec.open() — once per partition
+      rows.map { r =>
+        val fnv = Array.fill(64)(0xcbf29ce484222325L)
+        var i = 0
+        val n = if (r.payload == null) 0 else r.payload.length
+        while (i < n) {
+          val lane = i & 63
+          fnv(lane) = (fnv(lane) ^ (r.payload(i) & 0xffL)) * 0x100000001b3L
+          i += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { sig |= (fnv(b) & 1L) << b; b += 1 }
+        MediaSignature(r.asset_id, r.n_bytes, sig)
+      }
+    }
+  }
 }

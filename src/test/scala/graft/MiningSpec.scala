@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Mining, Multimodal}
+
+class MiningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- q100 CMS
+
+  test("CMS estimates never under-count and respect the eps*N envelope") {
+    val out = Mining.q100CmsHeavyHitters(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (exact, est)
+    assert(out.nonEmpty)
+    val n = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "lineitem").count()
+    val envelope = math.ceil(1e-4 * n).toLong
+    out.foreach { case (exact, est) =>
+      assert(est >= exact, s"CMS under-counted: $est < $exact")
+      assert(est <= exact + envelope,
+        s"CMS over-envelope: $est > $exact + $envelope")
+    }
+  }
+
+  test("cmsEstimate probes a hand-built sketch exactly (no collisions)") {
+    val df = Seq.fill(7)(42L).map(Tuple1(_)).toDF("k")
+      .union(Seq.fill(3)(99L).map(Tuple1(_)).toDF("k"))
+    val sk = df.agg(expr("count_min_sketch(k, 0.001d, 0.99d, 1)"))
+      .head().getAs[Array[Byte]](0)
+    val probed = Seq(42L, 99L, 7L).toDF("k")
+      .select(col("k"), graft.functions.cmsEstimate(sk, col("k")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed(42L) == 7L && probed(99L) == 3L && probed(7L) == 0L)
+  }
+
+  // ------------------------------------------- q107 perceptual-hash dedup
+
+  test("byte-substitution edits stay within Hamming budget; banded join finds them") {
+    // base payload + a copy with 2 bytes substituted + an unrelated payload
+    val base = ("x" * 200).getBytes
+    val near = base.clone(); near(10) = 'Y'; near(150) = 'Z'
+    val other = Array.tabulate[Byte](200)(i => ((i * 37 + 11) % 251).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/stub", base.length.toLong, base),
+      Multimodal.MediaRow(2L, "image/stub", near.length.toLong, near),
+      Multimodal.MediaRow(3L, "image/stub", other.length.toLong, other)
+    ).toDS()
+    val sigs = Multimodal.decodeSignatures(media).toDF()
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(java.lang.Long.bitCount(byId(1L) ^ byId(2L)) <= 2,
+      "2-byte edit must flip at most 2 signature bits")
+    val pairs = Dedup.hammingBandPairs(sigs, "asset_id", "phash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair not found")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated payload wrongly paired")
+  }
+
+  test("hammingBandPairs pigeonhole: distance exactly maxHamming is found") {
+    // two signatures differing in 3 bits spread across 3 different bands
+    val a = 0L
+    val b = (1L << 0) | (1L << 16) | (1L << 32)
+    val sigs = Seq((1L, a), (2L, b)).toDF("id", "sig")
+    val pairs = Dedup.hammingBandPairs(sigs, "id", "sig", maxHamming = 3)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 3)
+    // and distance 4 across all four bands is correctly NOT a candidate
+    val c = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val sigs2 = Seq((1L, a), (2L, c)).toDF("id", "sig")
+    assert(Dedup.hammingBandPairs(sigs2, "id", "sig", 3).isEmpty)
+  }
+
+  test("q107 report is one row per asset with non-negative neardup counts") {
+    val out = Mining.q107PhashNeardup(spark, TestSpark.sfDir)
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents").count()
+    assert(out.count() == docs)
+    assert(out.filter(col("n_neardup") < 0).isEmpty)
+  }
+
+  // -------------------------------------------------- q109 approx top-k
+
+  test("approx_top_k under capacity equals the exact group-by top-k") {
+    val approx = Mining.q109ApproxTopk(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(approx == exact)
+  }
+
+  // ------------------------------------------------------- q101 / q102
+
+  test("bigram familiarity: identical docs score the corpus-max familiarity") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "entirely novel content here")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    docs.createOrReplaceTempView("t_fam")
+    // run the operator body against a temp dir is heavier than needed:
+    // recompute via the same public pieces
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.wordNgrams(col("text"), 2)).as("gram"))
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val fam = grams.join(dfreq, "gram").groupBy(col("doc_id"))
+      .agg((sum(col("df")) / count(lit(1))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fam(1L) == 2.0 && fam(2L) == 2.0 && fam(3L) == 1.0)
+  }
+
+  test("event transitions: shares partition to 1 and counts match pair total") {
+    val out = Mining.q102EventTransitions(spark, TestSpark.sfDir)
+      .collect()
+    val totalShare = out.map(_.getDouble(3)).sum
+    assert(math.abs(totalShare - 1.0) < 1e-3,
+      s"shares should sum to ~1, got $totalShare")
+    val nPairs = out.map(_.getLong(2)).sum
+    val events = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "events")
+    val users = events.select(col("user_id")).distinct().count()
+    assert(nPairs == events.count() - users,
+      "per-user chains of length n yield n-1 transitions")
+  }
+
+  // ------------------------------------------------- q103 / q104 sanity
+
+  test("MAD outliers: planted extreme value is flagged, center is not") {
+    val docs = (1L to 99L).map(i => (i, "en", 100L + (i % 3))) :+
+      ((100L, "en", 5000L))
+    val df = docs.toDF("doc_id", "lang", "n_chars")
+    val med = df.groupBy("lang").agg(expr("median(n_chars)").as("med"))
+    val j = df.join(broadcast(med), "lang")
+    val mad = j.groupBy("lang")
+      .agg(expr("median(abs(n_chars - med))").as("mad"))
+    val flagged = j.join(broadcast(mad), "lang")
+      .filter(abs(col("n_chars") - col("med")) > lit(3) * col("mad"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(100L))
+    assert(!flagged.contains(1L))
+  }
+
+  test("winsorize accounting: clip counts ~5% tails, winsor_total within band sums") {
+    val out = Mining.q104Winsorize(spark, TestSpark.sfDir).collect()
+    out.foreach { r =>
+      val n = r.getLong(1); val lo = r.getLong(2); val hi = r.getLong(3)
+      assert(lo <= math.ceil(n * 0.05).toLong + 1)
+      assert(hi <= math.ceil(n * 0.05).toLong + 1)
+      val p05 = r.getDouble(4); val p95 = r.getDouble(5)
+      assert(p05 <= p95)
+      val within = r.getDouble(6); val total = r.getDouble(7)
+      // winsorized total replaces each clipped row by its clamp value
+      assert(total >= within + lo * p05 + hi * p95 - 0.01 &&
+        total <= within + lo * p05 + hi * p95 + 0.01)
+    }
+  }
+
+  // ------------------------------------------------------- q105 / q106
+
+  test("tombstone cascade: deletions are consistent across the FK chain") {
+    val rows = Mining.q105TombstoneCascade(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.values.foreach { case (before, del, after) =>
+      assert(after == before - del && del >= 0 && after >= 0)
+    }
+    // cascade monotonicity: deleting a customer cohort deletes at least
+    // one order per deleted customer on this fixture only if orders exist;
+    // weaker invariant that always holds: if no customers deleted, no
+    // orders deleted
+    if (rows("customer")._2 == 0) assert(rows("orders")._2 == 0)
+  }
+
+  test("partial-agg rollup equals direct weekly aggregation exactly") {
+    val rolled = Mining.q106PartialAggRollup(spark, TestSpark.sfDir)
+    val li = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "lineitem")
+    val direct = li
+      .groupBy(date_trunc("week", to_date(col("l_shipdate")))
+        .cast("date").as("week"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+    assert(rolled.exceptAll(direct).isEmpty &&
+      direct.exceptAll(rolled).isEmpty)
+  }
+
+  // ------------------------------------------------------------- q108
+
+  test("weighted sample: keep rate grows with weight band") {
+    val out = Mining.q108WeightedSample(spark, TestSpark.sfDir)
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+    val kept = out.count().toDouble
+    assert(kept > 0 && kept < docs.count())
+    // documents near the cap (>=499 chars) keep at ~499/500; short docs
+    // keep at ~n/500 — verify the aggregate keep rate sits between the
+    // min and max per-row rates
+    val rates = docs.select(
+      (least(col("n_chars"), lit(499)) / 500.0).as("r"))
+    val lo = rates.agg(min("r")).head().getDouble(0)
+    val hi = rates.agg(max("r")).head().getDouble(0)
+    val rate = kept / docs.count()
+    assert(rate >= lo - 0.05 && rate <= hi + 0.05)
+  }
+}

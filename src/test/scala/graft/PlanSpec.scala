@@ -119,4 +119,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"day-partitioned sweep must not serialize:\n${p.take(3000)}")
   }
+
+  test("q105 tombstone cascade: every fact-side deletion join broadcasts") {
+    val p = finalPlan("q105_tombstone_cascade")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"tombstones must broadcast, facts must not shuffle:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q104 winsorize: percentile bounds broadcast back to the scan") {
+    val p = finalPlan("q104_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
+
+  test("q100 CMS probe fuses into the top-k projection — no extra stage") {
+    val p = finalPlan("q100_cms_heavy_hitters")
+    // the probe projection (cms_est) rides TakeOrderedAndProject's output
+    // directly — no separate Project/Exchange stage after the top-k
+    assert("TakeOrderedAndProject.*cms_est".r.findFirstIn(p).isDefined,
+      s"probe must fuse into the fused top-k operator:\n${p.take(3000)}")
+  }
+
+  test("q107 perceptual dedup: banded join only — no cartesian/nested loop") {
+    val p = finalPlan("q107_phash_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
