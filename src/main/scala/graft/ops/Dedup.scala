@@ -172,22 +172,30 @@ object Dedup {
     * Hamming ≤ chunks−1 guarantees a match), and survivors verify by exact
     * [[hamming64]]. The join ships only (id, band, band_key) triples —
     * near-linear candidate volume instead of the O(n²) cross join, same
-    * scale shape as the MinHash band join. `maxHamming` must stay below the
-    * chunk count or the pigeonhole completeness argument breaks (asserted,
-    * not silently weakened). */
+    * scale shape as the MinHash band join. The chunk count must exceed
+    * `maxHamming` for the pigeonhole completeness argument to hold, so by
+    * default (`bandBits = 0`) the band width auto-sizes to the WIDEST
+    * chunk that still guarantees it — wider chunks mean fewer, more
+    * selective buckets, i.e. fewer false candidates; an explicit width
+    * that breaks the guarantee is rejected, never silently weakened. */
   def hammingBandPairs(sig: DataFrame, idCol: String, sigCol: String,
-                       maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
-    require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
-    val bands = 64 / bandBits
+                       maxHamming: Int = 3, bandBits: Int = 0): DataFrame = {
+    require(maxHamming < 64, s"maxHamming=$maxHamming must be < 64")
+    val chosenBits =
+      if (bandBits != 0) bandBits
+      else Seq(32, 16, 8, 4, 2, 1).find(b => 64 / b > maxHamming).get
+    require(64 % chosenBits == 0,
+      s"bandBits must divide 64, got $chosenBits")
+    val bands = 64 / chosenBits
     require(maxHamming < bands,
       s"maxHamming=$maxHamming needs >$maxHamming bands; " +
-        s"bandBits=$bandBits gives only $bands (pigeonhole fails)")
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+        s"bandBits=$chosenBits gives only $bands (pigeonhole fails)")
+    val mask = if (chosenBits == 64) -1L else (1L << chosenBits) - 1
     val banded = sig.select(
       col(idCol), col(sigCol),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key",
-        call_function("shiftright", col(sigCol), col("band") * bandBits)
+        call_function("shiftright", col(sigCol), col("band") * chosenBits)
           .bitwiseAND(mask))
     val a = banded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"),
       col("band"), col("band_key"))
@@ -217,8 +225,22 @@ object Dedup {
     * localCheckpoint (an iterative DataFrame loop otherwise compounds the
     * plan each round); the convergence probe rides the checkpointed frame
     * so it costs one cheap aggregate, not a recompute. For adversarial
-    * web-scale graphs swap in large-star/small-star; contract unchanged. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * web-scale graphs swap in large-star/small-star; contract unchanged.
+    *
+    * Single-task fast path: near-dup edge lists are usually MUCH smaller
+    * than the corpus that produced them (the expensive part is pair
+    * GENERATION; the surviving graph is the dup fraction only). When the
+    * materialized edge count is below `singleTaskEdges`, the component
+    * problem fits one executor task, so it is solved there with a
+    * path-compressed union-find (`coalesce(1).mapPartitions` — data stays
+    * on executors, nothing collects to the driver) instead of paying
+    * O(log diameter) shuffle-barrier rounds of fixed scheduler cost.
+    * Identical output by construction (union-by-min ⇒ min reachable id);
+    * the spec runs both paths over the same graph and asserts equality.
+    * Above the threshold the distributed loop runs unchanged — THAT is
+    * the 100 TB path; the threshold only removes the small-graph tax. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          singleTaskEdges: Long = 4_000_000L): DataFrame = {
     // both orientations from ONE pass over the (possibly expensive) pair
     // subplan — a self-union would execute it twice
     val edges = pairs.select(explode(array(
@@ -226,6 +248,40 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    // materializes the persist — the same work round 1 would do anyway
+    val edgeCount = edges.count()
+    if (edgeCount <= singleTaskEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val out = edges.filter(col("src") < col("dst"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          val seen = scala.collection.mutable.LongMap.empty[Unit]
+          it.foreach { case (a, b) =>
+            seen(a) = (); seen(b) = ()
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { // union by min: the root IS the smallest id
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          seen.keysIterator.map(n => (n, find(n)))
+        }
+        .toDF("id", "cluster_root")
+        .localCheckpoint(true)
+      edges.unpersist()
+      return out
+    }
     // seed labels one propagation step ahead: label₀ = min(id, min
     // neighbor) comes out of the same aggregate that would otherwise
     // just dedup the node list, saving a full join round on every graph

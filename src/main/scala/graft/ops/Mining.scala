@@ -125,9 +125,12 @@ object Mining {
     * scan — no row ever carries more than two scalar bounds. */
   def q104Winsorize(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    val pct = li.groupBy(col("l_returnflag")).agg(
-      expr("percentile(l_extendedprice, 0.05)").as("p05"),
-      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    // one percentile STATE for both bounds (array form) — the exact
+    // percentile ships every distinct group value once, not twice
+    val pct = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("p"))
+      .select(col("l_returnflag"), col("p")(0).as("p05"),
+        col("p")(1).as("p95"))
     li.join(broadcast(pct), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(

@@ -102,11 +102,28 @@ class DedupSpec extends AnyFunSuite {
 
   test("connectedComponents converges in O(log diameter) via pointer jumps") {
     // 0-1-2-...-40 chain: plain neighbor propagation needs 40 rounds;
-    // pointer jumping must land it within 10
+    // pointer jumping must land it within 10. singleTaskEdges=0 forces the
+    // distributed loop (the 100 TB path) — the fast path would hide it.
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val roots = Dedup.connectedComponents(chain, maxIter = 10)
+    val roots = Dedup.connectedComponents(chain, maxIter = 10,
+        singleTaskEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(roots.size == 41 && roots.values.forall(_ == 0L), roots.toString)
+  }
+
+  test("single-task union-find path ≡ distributed label-propagation path") {
+    // mixed shapes: a chain, a star, a triangle with a tail, singleton pair
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L)) ++ // chain
+      Seq((10L, 11L), (10L, 12L), (10L, 13L)) ++ // star
+      Seq((20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L)) ++ // tri + tail
+      Seq((30L, 31L))).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val loop = Dedup.connectedComponents(pairs, singleTaskEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop, s"paths disagree: fast=$fast loop=$loop")
+    assert(fast(4L) == 1L && fast(13L) == 10L && fast(23L) == 20L &&
+      fast(31L) == 30L)
   }
 
   test("ngram jaccard: exact dup scores 1.0, near dup high, unrelated low") {
