@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Corpus, Insights, Mining, Relational, Stats, Temporal, TrainingData}
+import graft.ops.{Analytics, Audit, Corpus, Insights, Mining, Relational, Stats, Temporal, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ TrainingData.queries ++
       Temporal.queries ++ Corpus.queries ++ Insights.queries ++
-      Stats.queries ++ Mining.queries
+      Stats.queries ++ Mining.queries ++ Audit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ TrainingData.oracle ++
       Temporal.oracle ++ Corpus.oracle ++ Insights.oracle ++
-      Stats.oracle ++ Mining.oracle
+      Stats.oracle ++ Mining.oracle ++ Audit.oracle
 }

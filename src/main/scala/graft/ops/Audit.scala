@@ -1,0 +1,375 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.TableCatalog
+
+/** Data-quality auditing and behavioral analytics tier: constraint audits
+  * (uniqueness / referential integrity / domain rules), weekly
+  * retention-churn accounting, reset-bounded running balances, day-of-week
+  * seasonality, Benford first-digit screening, and sessionized funnel
+  * conversion.
+  *
+  * These are the checks and reports an ETL platform runs ON its tables —
+  * the reference's variance check (etl_service.py's rows-delta alarm) is
+  * the seed of this tier; each operator here is the corpus-scale version
+  * of a question a pipeline owner actually asks ("is my FK still intact",
+  * "did this week's cohort stick", "does this amount column look
+  * fabricated").
+  */
+object Audit {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableCatalog.load(spark, dir, name)
+
+  // --------------------------------------------------------------- q110
+  /** Constraint audit across the star schema: primary-key uniqueness,
+    * referential integrity along customer→orders→lineitem, and domain
+    * rules, one (check, table, total, violations) row each.
+    *
+    * Scale shape: each check is a single aggregate or broadcast anti-join
+    * over one fact table — no check shuffles fact rows; the FK probes
+    * ship only the key column and AQE broadcasts the dimension side. An
+    * all-green report costs one pass per table; the point of keeping
+    * totals alongside violations is that "0 violations over 0 rows" and
+    * "0 over 600k" are very different healths. */
+  def q110QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+
+    val pkOrders = orders.agg(
+        count(lit(1)).as("n_total"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+      .select(lit("pk_orders_unique").as("check_name"),
+        lit("orders").as("table_name"), col("n_total"), col("n_violations"))
+    val pkCustomer = customer.agg(
+        count(lit(1)).as("n_total"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations"))
+      .select(lit("pk_customer_unique").as("check_name"),
+        lit("customer").as("table_name"), col("n_total"), col("n_violations"))
+    val fkOrders = orders
+      .join(broadcast(customer.select(col("c_custkey")).distinct()
+        .withColumn("hit", lit(1L))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"))
+      .select(lit("fk_orders_customer").as("check_name"),
+        lit("orders").as("table_name"), col("n_total"), col("n_violations"))
+    val fkLineitem = lineitem
+      .join(broadcast(orders.select(col("o_orderkey")).distinct()
+        .withColumn("hit", lit(1L))),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"))
+      .select(lit("fk_lineitem_orders").as("check_name"),
+        lit("lineitem").as("table_name"), col("n_total"), col("n_violations"))
+    val domain = lineitem.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("l_quantity") <= 0 || col("l_extendedprice") <= 0 ||
+          col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("domain_lineitem_ranges").as("check_name"),
+        lit("lineitem").as("table_name"), col("n_total"), col("n_violations"))
+    val notNull = orders.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("o_custkey").isNull || col("o_orderdate").isNull, 1L)
+          .otherwise(0L)).as("n_violations"))
+      .select(lit("not_null_orders").as("check_name"),
+        lit("orders").as("table_name"), col("n_total"), col("n_violations"))
+
+    pkOrders.unionByName(pkCustomer).unionByName(fkOrders)
+      .unionByName(fkLineitem).unionByName(domain).unionByName(notNull)
+      .orderBy("check_name")
+  }
+
+  // --------------------------------------------------------------- q111
+  /** Weekly retention/churn ledger over event-active users: per week, how
+    * many users were active, how many were new (first-ever week), retained
+    * (also active the immediately previous week), and lapsed (not active
+    * the immediately following week — the final week lapses everyone by
+    * definition, consistently in both engines).
+    *
+    * Scale shape: everything runs on the distinct (user, week) frame —
+    * |users|·|weeks| at most, shuffled once by user for the lag/lead pass
+    * and once by week for the final count; the raw event table is touched
+    * only by the initial distinct. */
+  def q111WeeklyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val uw = t(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val flagged = uw
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("next_week", lead(col("week"), 1).over(w))
+      .withColumn("is_new", when(col("prev_week").isNull, 1L).otherwise(0L))
+      .withColumn("is_retained",
+        when(datediff(col("week"), col("prev_week")) === 7, 1L).otherwise(0L))
+      .withColumn("is_lapsed",
+        when(col("next_week").isNull ||
+          datediff(col("next_week"), col("week")) =!= 7, 1L).otherwise(0L))
+    flagged.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("is_new")).as("n_new"),
+        sum(col("is_retained")).as("n_retained"),
+        sum(col("is_lapsed")).as("n_lapsed"))
+      .orderBy("week")
+  }
+
+  // --------------------------------------------------------------- q112
+  /** Running balance with resets: per user, the cumulative event value
+    * since that user's latest 'signup' event (signup rows restart the
+    * balance at their own value). The classic gaps-and-islands pattern as
+    * two stacked windows — a reset-group id (running count of signups),
+    * then a running sum within (user, reset_group). Both windows share
+    * the SAME user-keyed shuffle and total (ts, event_id) order, so the
+    * whole query is one exchange; values accumulate in exact decimal in
+    * a deterministic order, making the running sum engine-stable. */
+  def q112BalanceResets(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byGroup = Window.partitionBy(col("user_id"), col("reset_group"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("reset_group",
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .over(byUser))
+      .withColumn("balance",
+        sum(col("value").cast("decimal(18,4)")).over(byGroup)
+          .cast("double"))
+      .select("event_id", "user_id", "ts", "reset_group", "balance")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  // --------------------------------------------------------------- q113
+  /** Day-of-week seasonality of order volume and revenue: per ISO weekday,
+    * order count, exact-decimal revenue, share of total, and a seasonality
+    * index (count vs the uniform-week expectation). The whole report is a
+    * 7-row post-aggregate; the share/index divisions never see the fact
+    * table. */
+  def q113DowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val perDow = t(spark, dir, "orders")
+      .groupBy(weekday(col("o_orderdate")).cast("long").as("iso_weekday"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+    val total = perDow.agg(sum(col("n_orders")).as("n_all"))
+    perDow.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_orders").cast("double") / col("n_all").cast("double"),
+          6))
+      .withColumn("season_idx",
+        round(col("n_orders").cast("double") * 7.0 /
+          col("n_all").cast("double"), 4))
+      .select("iso_weekday", "n_orders", "revenue", "share", "season_idx")
+      .orderBy("iso_weekday")
+  }
+
+  // --------------------------------------------------------------- q114
+  /** Benford first-digit screen on extended price: observed first
+    * significant digit distribution vs Benford's log10(1 + 1/d)
+    * expectation — the standard fabricated-amounts tripwire. The digit is
+    * derived through exact integer cents (round → bigint → string head),
+    * never through float log/pow, so the bucketing is engine-exact; the
+    * 9-row share/expectation math happens post-aggregate. */
+  def q114BenfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = t(spark, dir, "lineitem")
+      .select(substring(
+        round(col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_all"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n").cast("double") / col("n_all").cast("double"), 6))
+      .withColumn("benford_expected",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .select("digit", "n", "share", "benford_expected")
+      .orderBy("digit")
+  }
+
+  // --------------------------------------------------------------- q115
+  /** Sessionized funnel: sessions are user activity islands separated by
+    * >30 min of silence (lag + running count — the same single user-keyed
+    * exchange as q112); within each session the view→click→purchase
+    * progression uses q66's conditional-min trick (strictly-increasing
+    * stage timestamps). One row of corpus-level session conversion
+    * counters. */
+  def q115SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_session",
+        when(lag(col("ts"), 1).over(byUser).isNull, 1L)
+          .otherwise(when(
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(lag(col("ts"), 1).over(byUser)
+                .cast("timestamp")) > 1800L * 1000000L, 1L)
+            .otherwise(0L)))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    val perSession = sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase"))
+    perSession.agg(
+      count(lit(1)).as("n_sessions"),
+      coalesce(sum(when(col("t_view").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_with_view"),
+      coalesce(sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)),
+        lit(0L)).as("n_view_click"),
+      coalesce(sum(when(col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L)), lit(0L))
+        .as("n_full_funnel"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_quality_audit" -> q110QualityAudit _,
+    "q111_weekly_churn" -> q111WeeklyChurn _,
+    "q112_balance_resets" -> q112BalanceResets _,
+    "q113_dow_seasonality" -> q113DowSeasonality _,
+    "q114_benford_digits" -> q114BenfordDigits _,
+    "q115_session_funnel" -> q115SessionFunnel _)
+
+  val oracle: Map[String, String] = Map(
+    "q110_quality_audit" ->
+      """WITH checks AS (
+        |  SELECT 'pk_orders_unique' AS check_name, 'orders' AS table_name,
+        |         (SELECT COUNT(*) FROM orders) AS n_total,
+        |         (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |           AS n_violations
+        |  UNION ALL
+        |  SELECT 'pk_customer_unique', 'customer',
+        |         (SELECT COUNT(*) FROM customer),
+        |         (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer', 'orders',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |            (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', 'lineitem',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+        |            (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'domain_lineitem_ranges', 'lineitem',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem
+        |          WHERE l_quantity <= 0 OR l_extendedprice <= 0
+        |             OR l_discount < 0 OR l_discount > 1)
+        |  UNION ALL
+        |  SELECT 'not_null_orders', 'orders',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM orders
+        |          WHERE o_custkey IS NULL OR o_orderdate IS NULL))
+        |SELECT check_name, table_name, n_total,
+        |       CAST(n_violations AS BIGINT) AS n_violations
+        |FROM checks ORDER BY check_name""".stripMargin,
+    "q111_weekly_churn" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |f AS (
+        |  SELECT week,
+        |         lag(week) OVER (PARTITION BY user_id ORDER BY week)
+        |           AS prev_week,
+        |         lead(week) OVER (PARTITION BY user_id ORDER BY week)
+        |           AS next_week
+        |  FROM uw)
+        |SELECT week, COUNT(*) AS n_active,
+        |       CAST(SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new,
+        |       CAST(SUM(CASE WHEN date_diff('day', prev_week, week) = 7
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |       CAST(SUM(CASE WHEN next_week IS NULL
+        |                       OR date_diff('day', week, next_week) <> 7
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lapsed
+        |FROM f GROUP BY week ORDER BY week""".stripMargin,
+    "q112_balance_resets" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS reset_group
+        |  FROM events)
+        |SELECT event_id, user_id, ts,
+        |       CAST(reset_group AS BIGINT) AS reset_group,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |              OVER (PARTITION BY user_id, reset_group
+        |                    ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS balance
+        |FROM g ORDER BY user_id, ts, event_id""".stripMargin,
+    "q113_dow_seasonality" ->
+      s"""WITH d AS (
+         |  SELECT CAST(isodow(o_orderdate) - 1 AS BIGINT) AS iso_weekday,
+         |         COUNT(*) AS n_orders,
+         |         ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT iso_weekday, n_orders, revenue,
+         |       round(CAST(n_orders AS DOUBLE) /
+         |             CAST((SELECT SUM(n_orders) FROM d) AS DOUBLE), 6)
+         |         AS share,
+         |       round(CAST(n_orders AS DOUBLE) * 7.0 /
+         |             CAST((SELECT SUM(n_orders) FROM d) AS DOUBLE), 4)
+         |         AS season_idx
+         |FROM d ORDER BY iso_weekday""".stripMargin,
+    "q114_benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0)
+        |           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT digit, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST((SELECT SUM(n) FROM d) AS DOUBLE), 6) AS share,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+        |FROM d ORDER BY digit""".stripMargin,
+    "q115_session_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         SUM(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING)
+        |           AS session_id
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+        |           AS t_purchase
+        |  FROM g GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_sessions,
+        |       COALESCE(CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1
+        |                               ELSE 0 END) AS BIGINT), 0)
+        |         AS n_with_view,
+        |       COALESCE(CAST(SUM(CASE WHEN t_click > t_view THEN 1
+        |                               ELSE 0 END) AS BIGINT), 0)
+        |         AS n_view_click,
+        |       COALESCE(CAST(SUM(CASE WHEN t_click > t_view
+        |                                AND t_purchase > t_click THEN 1
+        |                               ELSE 0 END) AS BIGINT), 0)
+        |         AS n_full_funnel
+        |FROM p""".stripMargin)
+}

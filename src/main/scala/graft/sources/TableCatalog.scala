@@ -104,6 +104,20 @@ object TableCatalog {
             mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).options(writeOptions(dir)).parquet(path(dir, table))
 
+  /** Hive-partitioned overwrite-write: `partition_col=value/` directory
+    * layout, the 100 TB table contract — a reader filtering on the
+    * partition column PRUNES whole directories at planning time
+    * (`PartitionFilters` in the scan, zero IO for excluded partitions),
+    * and downstream incremental jobs rewrite only touched partitions.
+    * Partition columns should be low-cardinality (a date, a region):
+    * per-value directories below ~128 MB recreate the small-file problem
+    * [[graft.ops.Layout.compact]] exists to fix. */
+  def writePartitioned(df: DataFrame, dir: String, table: String,
+                       partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).options(writeOptions(dir))
+      .partitionBy(partitionCols: _*).parquet(path(dir, table))
+
   /** Reference JDBC connection defaults
     * (/root/reference/utils/db_utils.py:44-47,55-56,64-65). */
   val jdbcDefaults: Map[String, String] =

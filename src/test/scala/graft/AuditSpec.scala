@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Audit
+import graft.sources.TableCatalog
+
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quality audit: fixture star schema is all-green with real totals") {
+    val rows = Audit.q110QualityAudit(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size == 6)
+    rows.foreach { case (check, (total, viol)) =>
+      assert(total > 0, s"$check audited an empty table")
+      assert(viol == 0L, s"$check found $viol violations on clean fixtures")
+    }
+  }
+
+  test("weekly churn: ledger identities hold (new<=active, last week lapses all)") {
+    val rows = Audit.q111WeeklyChurn(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (active, nw, ret, lap) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nw <= active && ret <= active && lap <= active)
+      assert(nw + ret <= active + ret) // sanity: disjoint flags bounded
+    }
+    // first week: everyone is new; last week: everyone lapses
+    assert(rows.head.getLong(2) == rows.head.getLong(1))
+    assert(rows.last.getLong(4) == rows.last.getLong(1))
+  }
+
+  test("balance resets: signup rows restart the running balance") {
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val ev = Seq(
+      (1L, 7L, t0, "view", 10.0),
+      (2L, 7L, t0.plusMinutes(1), "signup", 5.0),
+      (3L, 7L, t0.plusMinutes(2), "click", 2.5),
+      (4L, 7L, t0.plusMinutes(3), "signup", 1.0),
+      (5L, 7L, t0.plusMinutes(4), "purchase", 4.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("reset_group"))
+      .orderBy(col("ts"), col("event_id"))
+    val out = ev
+      .withColumn("reset_group",
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .over(byUser))
+      .withColumn("balance",
+        sum(col("value").cast("decimal(18,4)")).over(byGroup)
+          .cast("double"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 10.0), (2L, 1L, 5.0), (3L, 1L, 7.5),
+      (4L, 2L, 1.0), (5L, 2L, 5.0)))
+  }
+
+  test("dow seasonality: shares sum to 1, index averages to ~1 over 7 days") {
+    val rows = Audit.q113DowSeasonality(spark, TestSpark.sfDir).collect()
+    assert(rows.length == 7)
+    val share = rows.map(_.getDouble(3)).sum
+    assert(math.abs(share - 1.0) < 1e-3, s"shares sum $share")
+    val idxAvg = rows.map(_.getDouble(4)).sum / 7
+    assert(math.abs(idxAvg - 1.0) < 0.01, s"index mean $idxAvg")
+  }
+
+  test("benford digits: 9 buckets, shares partition, expectations decrease") {
+    val rows = Audit.q114BenfordDigits(spark, TestSpark.sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    val exp = rows.map(_.getDouble(3))
+    assert(exp.zip(exp.tail).forall { case (a, b) => a > b },
+      "Benford expectation must be monotone decreasing")
+    assert(math.abs(exp.head - 0.301030) < 1e-6)
+  }
+
+  test("session funnel: counters are monotone and bounded by session count") {
+    val r = Audit.q115SessionFunnel(spark, TestSpark.sfDir).head()
+    val (n, v, vc, full) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && v <= n && vc <= v && full <= vc)
+  }
+
+  test("partitioned write: reader prunes non-matching partitions at plan time") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_part").toString
+    val df = Seq(
+      ("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0),
+      ("2024-01-02", 3L, 30.0), ("2024-01-03", 4L, 40.0)
+    ).toDF("day", "id", "v")
+    TableCatalog.writePartitioned(df, dir, "facts", Seq("day"))
+    val read = spark.read.parquet(s"$dir/facts.parquet")
+      .filter(col("day") === "2024-01-02")
+    assert(read.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"expected partition filters in scan:\n${plan.take(2000)}")
+    // pruning is observable: only the matching partition's files are read
+    val scanned = read.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("day=2024-01-01") ||
+      scanned.contains("PartitionFilters"), scanned.take(500))
+  }
+}
