@@ -281,6 +281,62 @@ object Mining {
       .orderBy(col("cnt").desc, col("l_suppkey"))
       .limit(10)
 
+  // --------------------------------------------------------------- q116
+  /** Tokenizer-vocabulary coverage: per document, the fraction of token
+    * OCCURRENCES outside the corpus top-20 vocabulary — the OOV-rate gate
+    * every tokenizer/corpus pairing is screened with before training.
+    * Vocabulary selection is a deterministic top-k (count desc, token);
+    * at scale it fuses to TakeOrderedAndProject and the tiny vocab
+    * broadcasts back, so the fact-side pass is scan + broadcast probe. */
+  def q116VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(wordTokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+      .select(col("tok")).withColumn("in_vocab", lit(1))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("in_vocab").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q117
+  /** PCA projection of the embedding corpus onto its top-2 principal
+    * components. Three-stage 100 TB shape: (1) ONE moment pass via the
+    * mergeable [[graft.functions.EmbeddingMoments]] Aggregator — O(d²)
+    * state per partition, map-side combined, row data never shuffles;
+    * (2) the d×d eigen problem solves on the DRIVER (power iteration with
+    * deflation — d is 64, this is microseconds and needs no cluster);
+    * (3) the corpus projects through the eigenvectors as LITERAL arrays —
+    * a pure fused projection, zero shuffle, exactly the
+    * literal-codebook pattern of [[Similarity]]'s IVF assignment.
+    * Floating merge order perturbs last ulps → outputs round to 6
+    * decimals; rows-only check, invariants pinned by spec. */
+  def q117PcaEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val dim = 64
+    val emb = t(spark, dir, "embeddings")
+    val spark2 = emb.sparkSession
+    import spark2.implicits._
+    val state = emb.select(col("embedding").cast("array<double>"))
+      .as[Array[Double]]
+      .select(new EmbeddingMoments(dim).toColumn)
+      .head()
+    val cov = EmbeddingMoments.covariance(state, dim)
+    val mean = state.sums.map(_ / state.n)
+    val eig = EmbeddingMoments.topEigenvectors(cov, k = 2)
+    val centered = zip_with(col("embedding").cast("array<double>"),
+      typedlit(mean.toSeq), (x, m) => x - m)
+    emb.select(col("vec_id"), col("label"),
+        round(dot(centered, typedlit(eig(0)._2.toSeq)), 6).as("pc1"),
+        round(dot(centered, typedlit(eig(1)._2.toSeq)), 6).as("pc2"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,7 +349,9 @@ object Mining {
     "q106_partial_agg_rollup" -> q106PartialAggRollup _,
     "q107_phash_neardup" -> q107PhashNeardup _,
     "q108_weighted_sample" -> q108WeightedSample _,
-    "q109_approx_topk" -> q109ApproxTopk _)
+    "q109_approx_topk" -> q109ApproxTopk _,
+    "q116_vocab_coverage" -> q116VocabCoverage _,
+    "q117_pca_embeddings" -> q117PcaEmbeddings _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
     * (FNV perceptual hash) are engine-internal → rows-only; their
@@ -408,5 +466,22 @@ object Mining {
         |ORDER BY doc_id""".stripMargin,
     "q109_approx_topk" ->
       """SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
-        |GROUP BY 1 ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin)
+        |GROUP BY 1 ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+    "q116_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+        |    ORDER BY cnt DESC, tok LIMIT 20) v)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       round(CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        |FROM toks LEFT JOIN vocab USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -118,6 +118,18 @@ object TableCatalog {
     df.write.mode(mode).options(writeOptions(dir))
       .partitionBy(partitionCols: _*).parquet(path(dir, table))
 
+  /** Incremental partition rewrite: dynamic partition overwrite replaces
+    * ONLY the `partition_col=value` directories present in `updates`,
+    * leaving all other partitions byte-identical — the daily-merge
+    * contract at 100 TB (rewrite the touched days, never the table).
+    * Pair with [[writePartitioned]] for the initial load. */
+  def rewritePartitions(updates: DataFrame, dir: String, table: String,
+                        partitionCols: Seq[String]): Unit =
+    updates.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .options(writeOptions(dir))
+      .partitionBy(partitionCols: _*).parquet(path(dir, table))
+
   /** Reference JDBC connection defaults
     * (/root/reference/utils/db_utils.py:44-47,55-56,64-65). */
   val jdbcDefaults: Map[String, String] =

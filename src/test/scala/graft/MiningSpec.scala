@@ -192,6 +192,79 @@ class MiningSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- q108
 
+  // ------------------------------------------------------ q116 / q117
+
+  test("vocab coverage: rates in [0,1]; every doc audited") {
+    val out = Mining.q116VocabCoverage(spark, TestSpark.sfDir)
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents").count()
+    assert(out.count() == docs)
+    assert(out.filter(col("oov_rate") < 0 || col("oov_rate") > 1).isEmpty)
+    assert(out.filter(col("n_oov") > col("n_tokens")).isEmpty)
+  }
+
+  test("moments aggregator matches direct covariance on a tiny matrix") {
+    val xs = Seq(Array(1.0, 2.0), Array(3.0, 5.0), Array(5.0, 4.0))
+    val ds = xs.toDF("e").select(col("e")).as[Array[Double]]
+    val s = ds.select(new graft.functions.EmbeddingMoments(2).toColumn)
+      .head()
+    val cov = graft.functions.EmbeddingMoments.covariance(s, 2)
+    // direct: mean = (3, 11/3); population covariance
+    val mx = 3.0; val my = 11.0 / 3
+    val cxx = xs.map(a => (a(0) - mx) * (a(0) - mx)).sum / 3
+    val cxy = xs.map(a => (a(0) - mx) * (a(1) - my)).sum / 3
+    assert(math.abs(cov(0)(0) - cxx) < 1e-9)
+    assert(math.abs(cov(0)(1) - cxy) < 1e-9)
+    assert(cov(0)(1) == cov(1)(0))
+  }
+
+  test("power iteration recovers a planted principal direction") {
+    // points spread along (1,1)/√2 with small orthogonal noise
+    val pts = (0 until 200).map { i =>
+      val t = (i - 100) / 10.0
+      val noise = ((i * 37 % 11) - 5) / 50.0
+      Array(t + noise, t - noise)
+    }
+    val ds = pts.toDF("e").select(col("e")).as[Array[Double]]
+    val s = ds.select(new graft.functions.EmbeddingMoments(2).toColumn)
+      .head()
+    val cov = graft.functions.EmbeddingMoments.covariance(s, 2)
+    val eig = graft.functions.EmbeddingMoments.topEigenvectors(cov, 2)
+    val v1 = eig.head._2
+    val alignment = math.abs(v1(0) * 1 + v1(1) * 1) / math.sqrt(2)
+    assert(alignment > 0.99, s"v1 = ${v1.toSeq}, alignment $alignment")
+    assert(eig(0)._1 >= eig(1)._1, "eigenvalues must be ordered")
+  }
+
+  test("q117 PCA projection: pc1 variance dominates pc2") {
+    val out = Mining.q117PcaEmbeddings(spark, TestSpark.sfDir).collect()
+    assert(out.length == 500)
+    def varOf(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = varOf(out.map(_.getDouble(2)).toSeq)
+    val v2 = varOf(out.map(_.getDouble(3)).toSeq)
+    assert(v1 >= v2 - 1e-9, s"pc1 var $v1 < pc2 var $v2")
+  }
+
+  test("rewritePartitions replaces touched partitions, preserves the rest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rewrite").toString
+    val base = Seq(("d1", 1L), ("d1", 2L), ("d2", 3L), ("d3", 4L))
+      .toDF("day", "id")
+    graft.sources.TableCatalog
+      .writePartitioned(base, dir, "t", Seq("day"))
+    val updates = Seq(("d2", 30L), ("d2", 31L)).toDF("day", "id")
+    graft.sources.TableCatalog
+      .rewritePartitions(updates, dir, "t", Seq("day"))
+    val after = spark.read.parquet(s"$dir/t.parquet")
+      .collect().map(r => (r.getAs[String]("day"), r.getAs[Long]("id")))
+      .toSet
+    assert(after == Set(("d1", 1L), ("d1", 2L), ("d2", 30L), ("d2", 31L),
+      ("d3", 4L)), after.toString)
+  }
+
   test("weighted sample: keep rate grows with weight band") {
     val out = Mining.q108WeightedSample(spark, TestSpark.sfDir)
     val docs = graft.sources.TableCatalog
