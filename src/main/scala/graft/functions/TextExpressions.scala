@@ -58,6 +58,32 @@ object NgramUtil {
     new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
   }
 
+  /** Identity + every single-codepoint deletion, first-occurrence-distinct
+    * (codegen entry point for [[DeletionNeighbors]]). Codepoint-based to
+    * match Spark's substring semantics on non-BMP text. */
+  def deletionNeighbors(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(str)
+    var i = 0
+    while (i < cps.length) {
+      val sb = new java.lang.StringBuilder(str.length)
+      var j = 0
+      while (j < cps.length) {
+        if (j != i) sb.appendCodePoint(cps(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** k seeded xxhash64 minima over a shingle array (codegen entry point
     * for [[MinHashes]]); null on empty input, matching array_min. */
   def minHashes(shingles: ArrayData, k: Int, seedIndexed: Boolean): ArrayData = {
@@ -223,6 +249,40 @@ case class WordTokens(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): WordTokens = copy(child = newChild)
+}
+
+/** Deletion neighborhood of a string in one pass: the identity plus every
+  * single-codepoint deletion, first-occurrence-distinct — byte-identical
+  * to the composable `array_distinct(concat(array(s),
+  * transform(sequence(1, length(s)), i → substr-splice)))` form, whose
+  * per-element HOF interpretation made it the hot loop of edit-distance
+  * blocking ([[graft.ops.Dedup.editDistancePairs]]). One compiled loop
+  * over the codepoints; generated code calls the same method (string
+  * assembly dominates, so interpreted-vs-codegen call overhead is
+  * immaterial — the win is replacing len interpreted Catalyst substring
+  * trees per row with one tight Java loop). */
+case class DeletionNeighbors(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_deletion_neighbors"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.deletionNeighbors(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NgramUtil.deletionNeighbors($x);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DeletionNeighbors = copy(child = newChild)
 }
 
 /** k seeded MinHash minima of a shingle set in one pass.

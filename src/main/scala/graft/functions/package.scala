@@ -164,6 +164,13 @@ package object functions {
     dotI8(qa, qb).cast("double") /
       sqrt(dotI8(qa, qa).cast("double") * dotI8(qb, qb).cast("double"))
 
+  /** Identity + single-deletion variants via the fused
+    * [[DeletionNeighbors]] expression. */
+  def deletionNeighbors(s: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(DeletionNeighbors(GraftSqlBridge.expression(s)))
+  }
+
   /** Probe a serialized Count-Min sketch (must be a literal — collect the
     * `count_min_sketch` aggregate first) for a bigint item's estimated
     * count. See [[CmsEstimate]]. */

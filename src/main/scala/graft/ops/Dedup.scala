@@ -343,22 +343,20 @@ object Dedup {
     * brute-force formulation, which is exactly what the oracle runs.
     *
     * Scale: |variants| = len+1 per string, the join ships (id, variant),
-    * and the verify join touches only candidates. Per-element lambdas here
-    * are CodegenFallback, acceptable for dimension-sized string tables —
-    * a corpus-scale variant would fuse the neighborhood generation like
-    * [[graft.functions.WordNgrams]]. Skewed variant blocks (a deletion
-    * neighborhood shared by many strings) concentrate the join the same
-    * way hot grams do in [[ngramJaccardPairs]]; a df-cutoff there would
-    * make results approximate, so it is deliberately NOT applied. */
+    * and the verify join touches only candidates. Neighborhood generation
+    * is the fused [[graft.functions.DeletionNeighbors]] expression — one
+    * compiled loop per row instead of len interpreted Catalyst substring
+    * trees (the round-4 profile had the HOF form as q97's hot loop).
+    * Skewed variant blocks (a deletion neighborhood shared by many
+    * strings) concentrate the join the same way hot grams do in
+    * [[ngramJaccardPairs]]; a df-cutoff there would make results
+    * approximate, so it is deliberately NOT applied. */
   def editDistancePairs(df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
     val base = df.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("id"), col(textCol).as("s"))
-    val variants = base.select(col("id"), explode(array_distinct(concat(
-        array(col("s")),
-        transform(sequence(lit(1), length(col("s"))),
-          i => concat(col("s").substr(lit(1), i - 1),
-            col("s").substr(i + 1, length(col("s")) - i)))))).as("v"))
+    val variants = base.select(col("id"),
+      explode(graft.functions.deletionNeighbors(col("s"))).as("v"))
     val a = variants.select(col("id").as("id_a"), col("v"))
     val b = variants.select(col("id").as("id_b"), col("v"))
     val cand = a.join(b, "v").filter(col("id_a") < col("id_b"))

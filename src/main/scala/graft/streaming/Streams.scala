@@ -74,6 +74,63 @@ object Streams {
     * watermark to advance; update emits incremental rows). */
   val defaultOutputMode: OutputMode = OutputMode.Update()
 
+  /** One finalized monitoring window: current vs previous count and the
+    * reference's run-over-run variance (see
+    * [[graft.workflow.Pipeline.variancePct]]). */
+  case class WindowVariance(key: String, window_start: java.sql.Timestamp,
+                            n: Long, prev_n: Long, variance_pct: Double,
+                            alert: Boolean)
+
+  /** Internal per-key monitor state (public only for encoder codegen). */
+  case class MonitorState(windowStartMs: Long, n: Long, prevN: Long)
+
+  /** Streaming run-over-run variance monitor — the reference's batch
+    * variance alarm (rows-delta > threshold%,
+    * /root/reference/services/jcap_pa_etl_service.py:355-372) re-expressed
+    * over a live stream: per key, count events into tumbling windows; when
+    * a window closes (an event for a LATER window arrives), emit it with
+    * the variance against the previous window and the alert flag.
+    *
+    * State is one (window, count, prev count) triple per key —
+    * `flatMapGroupsWithState`, because the built-in windowed aggregation
+    * cannot see the PREVIOUS window's result (stateful operators cannot
+    * stack on a streaming aggregation). Late events belonging to an
+    * already-closed window fold into the CURRENT window rather than
+    * resurrecting the closed one — the monitoring tradeoff (alarm
+    * latency over retroactive exactness), documented, bounded, and the
+    * reason this operator needs no watermark to keep state finite. */
+  def varianceMonitor(events: DataFrame, keyCol: String, tsCol: String,
+                      windowSeconds: Long = 60,
+                      thresholdPct: Double = 5.0): Dataset[WindowVariance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState[MonitorState, WindowVariance](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key: String, batch: Iterator[(String, java.sql.Timestamp)],
+       state: GroupState[MonitorState]) =>
+        val winMs = windowSeconds * 1000
+        var st = state.getOption.getOrElse(MonitorState(-1L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[WindowVariance]
+        batch.foreach { case (_, ts) =>
+          val w = ts.getTime / winMs * winMs
+          if (st.windowStartMs < 0) st = MonitorState(w, 1L, 0L)
+          else if (w > st.windowStartMs) {
+            val v = graft.workflow.Pipeline.variancePct(st.n, st.prevN)
+            out += WindowVariance(key,
+              new java.sql.Timestamp(st.windowStartMs), st.n, st.prevN, v,
+              st.prevN > 0 && v > thresholdPct)
+            st = MonitorState(w, 1L, st.n)
+          } else st = st.copy(n = st.n + 1) // same or late window: fold in
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+
   /** Ingest-time exact dedup: drop re-deliveries of the same content while
     * the stream runs — the streaming counterpart of
     * [[graft.ops.Dedup.exactByHash]]. Keyed on a 256-bit content digest

@@ -250,4 +250,41 @@ class StreamingSpec extends AnyFunSuite {
         s"only the in-horizon same-user pair joins: $got")
     } finally q.stop()
   }
+
+  test("variance monitor: window-over-window delta alarms past the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    // minute windows: m0 has 10 events, m1 has 16 (+60% → alert),
+    // m2 has 16 (0% → calm), m3 only OPENS windows m0-m2 for emission
+    def at(min: Int, sec: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:$sec%02d")
+    var id = 0L
+    def burst(min: Int, n: Int): Seq[Streams.Event] =
+      (0 until n).map { i =>
+        id += 1; Streams.Event(id, at(min, i % 60), 1L, "click", 1.0)
+      }
+    input.addData(burst(0, 10) ++ burst(1, 16) ++ burst(2, 16) ++
+      burst(3, 1): _*)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.varianceMonitor(input.toDF(), "event_type", "ts",
+        windowSeconds = 60, thresholdPct = 5.0)
+      .writeStream.format("memory").queryName("varmon_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("varmon_test")
+        .orderBy("window_start")
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))
+      assert(rows.length == 3, s"three closed windows: ${rows.toSeq}")
+      // first window: no previous run → variance 0, never alerts
+      assert(rows(0) == ((10L, 0L, 0.0, false)))
+      assert(rows(1) == ((16L, 10L, 60.0, true)))
+      assert(rows(2) == ((16L, 16L, 0.0, false)))
+    } finally q.stop()
+  }
 }

@@ -125,4 +125,20 @@ class TextSpec extends AnyFunSuite {
     assert(fp(0L) == fp(1L))
     assert(fp(0L) != fp(2L))
   }
+
+  test("DeletionNeighbors ≡ the composable substring-splice HOF form") {
+    import org.apache.spark.sql.functions._
+    val df = Seq("abc", "a", "aa", "Customer#000000001", "ab£d", "")
+      .toDF("s").filter(length(col("s")) > 0)
+    val fused = df.select(col("s"),
+      graft.functions.deletionNeighbors(col("s")).as("v"))
+    val hof = df.select(col("s"), array_distinct(concat(
+      array(col("s")),
+      transform(sequence(lit(1), length(col("s"))),
+        i => concat(col("s").substr(lit(1), i - 1),
+          col("s").substr(i + 1, length(col("s")) - i))))).as("v"))
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty)
+    val abc = fused.filter(col("s") === "abc").head.getSeq[String](1)
+    assert(abc == Seq("abc", "bc", "ac", "ab"))
+  }
 }
