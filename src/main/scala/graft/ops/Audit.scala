@@ -233,6 +233,72 @@ object Audit {
         .as("n_full_funnel"))
   }
 
+  // --------------------------------------------------------------- q118
+  /** Entity resolution end-to-end: fuzzy-match customer names (edit
+    * distance ≤ 1 via deletion-neighborhood blocking —
+    * [[Dedup.editDistancePairs]]), resolve match-graph components to a
+    * canonical id ([[Dedup.connectedComponents]]), and emit every customer
+    * with its canonical survivor. The full dedup pipeline a master-data
+    * system runs: block → score → cluster → survivorship (min-id rule).
+    * The oracle recomputes it INDEPENDENTLY — brute-force O(n²)
+    * levenshtein join + recursive-CTE reachability — so the compare
+    * certifies blocking completeness AND clustering equivalence, not just
+    * arithmetic. */
+  def q118EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val pairs = Dedup.editDistancePairs(customer, "c_name", "c_custkey")
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponents(pairs)
+    customer.select(col("c_custkey"), col("c_name"))
+      .join(clusters, col("c_custkey") === col("id"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("cluster_root"), col("c_custkey")).as("canonical_id"))
+      .orderBy("c_custkey")
+  }
+
+  // --------------------------------------------------------------- q119
+  /** Equi-depth histogram: ntile(10) bins of extended price per return
+    * flag — each bin holds the same row count and reports its value range
+    * (the quantile-sketch-free complement of q68's fixed-width buckets).
+    * Deterministic under the total (price, orderkey, linenumber) order;
+    * one partitioned sort, the same shuffle any per-group ranking pays. */
+  def q119EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bin", ntile(10).over(w).cast("long"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("l_returnflag", "bin")
+  }
+
+  // --------------------------------------------------------------- q120
+  /** Ordered string aggregation (LISTAGG/string_agg surface): per
+    * (returnflag, linestatus), the three smallest order keys as a
+    * comma-joined string. Top-3 selection happens via a ranked window on
+    * the DISTINCT key frame (bounded), so the listagg only ever
+    * concatenates 3 elements per group — the pattern that keeps string
+    * aggregation safe at corpus scale (never aggregate unbounded strings). */
+  def q120OrderedListagg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("l_orderkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("l_orderkey"))),
+          k => k.cast("string")), ",").as("top_keys"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -241,7 +307,10 @@ object Audit {
     "q112_balance_resets" -> q112BalanceResets _,
     "q113_dow_seasonality" -> q113DowSeasonality _,
     "q114_benford_digits" -> q114BenfordDigits _,
-    "q115_session_funnel" -> q115SessionFunnel _)
+    "q115_session_funnel" -> q115SessionFunnel _,
+    "q118_entity_resolution" -> q118EntityResolution _,
+    "q119_equidepth_histogram" -> q119EquidepthHistogram _,
+    "q120_ordered_listagg" -> q120OrderedListagg _)
 
   val oracle: Map[String, String] = Map(
     "q110_quality_audit" ->
@@ -371,5 +440,52 @@ object Audit {
         |                                AND t_purchase > t_click THEN 1
         |                               ELSE 0 END) AS BIGINT), 0)
         |         AS n_full_funnel
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+    // q118: the oracle is deliberately INDEPENDENT of the engine's
+    // blocking — brute-force levenshtein join + recursive reachability
+    // (the q55 closure pattern) — so the compare certifies completeness.
+    "q118_entity_resolution" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
+        |SELECT c.c_custkey, c.c_name,
+        |       COALESCE(roots.root, c.c_custkey) AS canonical_id
+        |FROM customer c LEFT JOIN roots ON c.c_custkey = roots.id
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q119_equidepth_histogram" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         CAST(ntile(10) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |           AS BIGINT) AS bin
+        |  FROM lineitem)
+        |SELECT l_returnflag, bin, COUNT(*) AS n,
+        |       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin,
+    "q120_ordered_listagg" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_returnflag, l_linestatus, l_orderkey
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey,
+        |         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |                            ORDER BY l_orderkey) AS rn
+        |  FROM d)
+        |SELECT l_returnflag, l_linestatus,
+        |       string_agg(CAST(l_orderkey AS VARCHAR), ','
+        |                  ORDER BY l_orderkey) AS top_keys
+        |FROM r WHERE rn <= 3
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)
 }

@@ -89,6 +89,43 @@ class AuditSpec extends AnyFunSuite {
     assert(n > 0 && v <= n && vc <= v && full <= vc)
   }
 
+  test("entity resolution: canonical ids are cluster minima and cover all rows") {
+    val out = Audit.q118EntityResolution(spark, TestSpark.sfDir)
+    val customers = TableCatalog
+      .load(spark, TestSpark.sfDir, "customer").count()
+    assert(out.count() == customers, "one row per customer")
+    // canonical id never exceeds the member id (min-id survivorship)
+    assert(out.filter(col("canonical_id") > col("c_custkey")).isEmpty)
+    // at least one non-trivial cluster on this fixture (one-digit names)
+    assert(out.filter(col("canonical_id") =!= col("c_custkey")).count() > 0)
+  }
+
+  test("equi-depth histogram: bins are contiguous, ordered, near-equal depth") {
+    val rows = Audit.q119EquidepthHistogram(spark, TestSpark.sfDir)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 10L))
+      val depths = sorted.map(_.getLong(2))
+      assert(depths.max - depths.min <= 1, s"equi-depth: ${depths.toSeq}")
+      // value ranges must not regress across bins
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3) + 1e-9,
+          s"bin ranges overlap: ${a.getDouble(4)} > ${b.getDouble(3)}")
+      }
+    }
+  }
+
+  test("ordered listagg: exactly the 3 smallest keys, ascending, comma-joined") {
+    val rows = Audit.q120OrderedListagg(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val keys = r.getString(2).split(",").map(_.toLong)
+      assert(keys.length <= 3)
+      assert(keys.sorted.toSeq == keys.toSeq, "keys must be ascending")
+    }
+  }
+
   test("partitioned write: reader prunes non-matching partitions at plan time") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_part").toString
