@@ -20,7 +20,8 @@ object Explain {
       // an opaque checkpointed-RDD scan with nothing to audit
       else Seq("q03_flagship_sql", "q08_date_range_filter", "q21_group_agg",
         "q24_cosine_topk", "q28_topk", "q33_dedup_ngram_jaccard",
-        "q75_ann_quantized", "q78_salted_join_agg")
+        "q75_ann_quantized", "q78_salted_join_agg",
+        "q104_winsorize", "q105_tombstone_cascade", "q119_equidepth_histogram")
     val spark = GraftSession
       .builder("local[4]", shufflePartitions = 4, appName = "graft-explain")
       .config("spark.ui.enabled", "false")

@@ -115,6 +115,30 @@ class TextSpec extends AnyFunSuite {
     assert((0 to 2).forall(i => diffs.getLong(i) == 0), diffs.toString)
   }
 
+  test("property: deletion neighbors are distinct, distance<=1, identity-first") {
+    import org.scalacheck.{Arbitrary, Gen}
+    val strs = Gen.listOfN(150, Arbitrary.arbitrary[String])
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(13572468L))
+      .getOrElse(sys.error("gen failed"))
+      .filter(_.nonEmpty)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val out = df.select($"s",
+        graft.functions.deletionNeighbors($"s").as("v"))
+      .select($"s", explode($"v").as("variant"),
+        levenshtein($"s", col("variant")).as("d"))
+    // every variant is within edit distance 1 of the source
+    assert(out.filter($"d" > 1).isEmpty)
+    // distinctness + identity membership
+    val per = df.select($"s",
+        graft.functions.deletionNeighbors($"s").as("v"))
+      .select($"s", size($"v").as("n"),
+        size(array_distinct($"v")).as("nd"),
+        element_at($"v", 1).as("first"))
+    assert(per.filter($"n" =!= $"nd").isEmpty, "variants must be distinct")
+    assert(per.filter($"first" =!= $"s").isEmpty, "identity comes first")
+  }
+
   test("fingerprint is deterministic and shared by identical docs") {
     val df = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"),
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
