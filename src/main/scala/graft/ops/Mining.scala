@@ -337,6 +337,71 @@ object Mining {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- q121
+  /** Theta-sketch audience set algebra: per event-type pair, the distinct-
+    * user counts of each side plus their intersection, union and Jaccard,
+    * computed entirely over KB-sized theta sketches — the sketch family
+    * whose defining power over HLL is INTERSECTION/DIFFERENCE, i.e.
+    * audience-overlap questions without re-scanning facts. One fact pass
+    * builds a mergeable sketch per type; all pairwise set algebra runs on
+    * the 5-row sketch frame. lgNomEntries=16 (65k retained hashes) keeps
+    * the sketches in exact mode at every test SF, so estimates are exact
+    * distinct counts and the DuckDB oracle can verify them value-for-value
+    * (at production cardinalities the same query degrades gracefully to
+    * ±1.6% estimates instead of a quadratic distinct join). */
+  def q121ThetaAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sk = t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id, 16)").as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("theta_sketch_estimate(sk_a)").cast("long").as("n_a"),
+        expr("theta_sketch_estimate(sk_b)").cast("long").as("n_b"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+          .cast("long").as("n_intersection"),
+        expr("theta_sketch_estimate(theta_union(sk_a, sk_b))")
+          .cast("long").as("n_union"))
+      .withColumn("jaccard",
+        round(col("n_intersection").cast("double") /
+          col("n_union").cast("double"), 6))
+      .orderBy("type_a", "type_b")
+  }
+
+  // --------------------------------------------------------------- q122
+  /** KLL-sketch quantile bands with a merge rollup: per-returnflag price
+    * quantiles from one KLL sketch per group, plus an 'ALL' row whose
+    * quantiles come from MERGING the group sketches — no second fact
+    * scan. This is the streaming/partitioned-quantile contract at 100 TB:
+    * per-partition sketches are O(k log n) and mergeable, so any rollup
+    * level is sketch algebra, while exact percentile (q59) ships every
+    * distinct value per group. KLL compaction is randomized → estimates
+    * carry rank error (±~1.7% at default k) and vary run-to-run within
+    * it: rows-only check; the spec pins the rank-error envelope against
+    * exact q59 values. */
+  def q122KllQuantileBands(spark: SparkSession, dir: String): DataFrame = {
+    val perFlag = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk"))
+    val rows = perFlag.select(col("l_returnflag"),
+      expr("kll_sketch_get_quantile_double(sk, array(0.25D, 0.5D, 0.75D))")
+        .as("q"))
+    // kll_sketch_merge_double is a pairwise scalar — fold the (3-element)
+    // group-sketch list in-plan; no fact re-scan, no driver collect
+    val all = perFlag
+      .agg(collect_list(col("sk")).as("sks"))
+      .select(lit("ALL").as("l_returnflag"),
+        expr("kll_sketch_get_quantile_double(" +
+          "aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
+          "(acc, x) -> kll_sketch_merge_double(acc, x)), " +
+          "array(0.25D, 0.5D, 0.75D))").as("q"))
+    rows.unionByName(all)
+      .select(col("l_returnflag"), col("q")(0).as("p25"),
+        col("q")(1).as("p50"), col("q")(2).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -351,7 +416,9 @@ object Mining {
     "q108_weighted_sample" -> q108WeightedSample _,
     "q109_approx_topk" -> q109ApproxTopk _,
     "q116_vocab_coverage" -> q116VocabCoverage _,
-    "q117_pca_embeddings" -> q117PcaEmbeddings _)
+    "q117_pca_embeddings" -> q117PcaEmbeddings _,
+    "q121_theta_audience_overlap" -> q121ThetaAudienceOverlap _,
+    "q122_kll_quantile_bands" -> q122KllQuantileBands _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
     * (FNV perceptual hash) are engine-internal → rows-only; their
@@ -483,5 +550,25 @@ object Mining {
         |       round(CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)
         |                  AS DOUBLE) / COUNT(*), 6) AS oov_rate
         |FROM toks LEFT JOIN vocab USING (tok)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q121: the sketches run in exact mode at test SFs (lgNomEntries=16 >
+    // distinct users), so the oracle is the exact distinct-set algebra.
+    "q121_theta_audience_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         COUNT(*) AS inter
+        |  FROM u a JOIN u b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |       ca.n AS n_a, cb.n AS n_b,
+        |       COALESCE(i.inter, 0) AS n_intersection,
+        |       ca.n + cb.n - COALESCE(i.inter, 0) AS n_union,
+        |       round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+        |             (ca.n + cb.n - COALESCE(i.inter, 0)), 6) AS jaccard
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin)
 }

@@ -248,6 +248,42 @@ class MiningSpec extends AnyFunSuite {
     assert(v1 >= v2 - 1e-9, s"pc1 var $v1 < pc2 var $v2")
   }
 
+  test("theta set algebra in exact mode equals exact distinct-set algebra") {
+    val out = Mining.q121ThetaAudienceOverlap(spark, TestSpark.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val u = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (u(ta), u(tb))
+      assert(r.getLong(2) == sa.size && r.getLong(3) == sb.size)
+      assert(r.getLong(4) == (sa & sb).size, s"intersection $ta/$tb")
+      assert(r.getLong(5) == (sa | sb).size, s"union $ta/$tb")
+    }
+  }
+
+  test("KLL quantile bands stay inside the rank-error envelope of exact") {
+    val bands = Mining.q122KllQuantileBands(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val li = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "lineitem")
+    // envelope check via rank: the estimated quantile's true rank must be
+    // within eps of the requested rank (KLL default k ⇒ eps ≈ 1.7%)
+    val eps = 0.03
+    val n = li.count().toDouble
+    for ((q, idx) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+      val est = bands("ALL").productElement(idx).asInstanceOf[Double]
+      val rank = li.filter(col("l_extendedprice") <= est).count() / n
+      assert(math.abs(rank - q) <= eps, s"ALL p$q: est $est rank $rank")
+    }
+    assert(bands.size == 4 && bands.contains("ALL"))
+  }
+
   test("rewritePartitions replaces touched partitions, preserves the rest") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_rewrite").toString
