@@ -30,61 +30,65 @@ object Audit {
     * referential integrity along customer→orders→lineitem, and domain
     * rules, one (check, table, total, violations) row each.
     *
-    * Scale shape: each check is a single aggregate or broadcast anti-join
-    * over one fact table — no check shuffles fact rows; the FK probes
-    * ship only the key column and AQE broadcasts the dimension side. An
-    * all-green report costs one pass per table; the point of keeping
-    * totals alongside violations is that "0 violations over 0 rows" and
-    * "0 over 600k" are very different healths. */
+    * Scale shape: ONE scan per audited table — all of a table's checks
+    * (pk uniqueness, null-safe FK probe, not-null, domain ranges) ride a
+    * single aggregate over that scan, with the FK side broadcast as keys
+    * only; the six report rows then unfold from the three one-row
+    * aggregates. FK semantics are standard SQL: a NULL foreign key is a
+    * not-null finding, NOT a referential violation (also what the
+    * oracle's `NOT IN` computes). Totals are reported beside violations
+    * because "0 violations over 0 rows" and "0 over 600k" are very
+    * different healths. */
   def q110QualityAudit(spark: SparkSession, dir: String): DataFrame = {
     val customer = t(spark, dir, "customer")
     val orders = t(spark, dir, "orders")
     val lineitem = t(spark, dir, "lineitem")
 
-    val pkOrders = orders.agg(
-        count(lit(1)).as("n_total"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
-      .select(lit("pk_orders_unique").as("check_name"),
-        lit("orders").as("table_name"), col("n_total"), col("n_violations"))
-    val pkCustomer = customer.agg(
-        count(lit(1)).as("n_total"),
-        (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations"))
-      .select(lit("pk_customer_unique").as("check_name"),
-        lit("customer").as("table_name"), col("n_total"), col("n_violations"))
-    val fkOrders = orders
+    def unfold(agg: DataFrame, table: String,
+               checks: Seq[(String, String)]): DataFrame =
+      agg.select(col("n_total"), explode(array(checks.map {
+          case (name, violCol) => struct(lit(name).as("check_name"),
+            col(violCol).as("n_violations"))
+        }: _*)).as("c"))
+        .select(col("c.check_name"), lit(table).as("table_name"),
+          col("n_total"), col("c.n_violations"))
+
+    val custAgg = customer.agg(
+      count(lit(1)).as("n_total"),
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("pk_dupes"))
+    val ordAgg = orders
       .join(broadcast(customer.select(col("c_custkey")).distinct()
         .withColumn("hit", lit(1L))),
         col("o_custkey") === col("c_custkey"), "left")
-      .agg(count(lit(1)).as("n_total"),
-        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_violations"))
-      .select(lit("fk_orders_customer").as("check_name"),
-        lit("orders").as("table_name"), col("n_total"), col("n_violations"))
-    val fkLineitem = lineitem
+      .agg(
+        count(lit(1)).as("n_total"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dupes"),
+        coalesce(sum(when(col("o_custkey").isNotNull && col("hit").isNull,
+          1L).otherwise(0L)), lit(0L)).as("fk_misses"),
+        coalesce(sum(when(col("o_custkey").isNull ||
+          col("o_orderdate").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("nulls"))
+    val liAgg = lineitem
       .join(broadcast(orders.select(col("o_orderkey")).distinct()
         .withColumn("hit", lit(1L))),
         col("l_orderkey") === col("o_orderkey"), "left")
-      .agg(count(lit(1)).as("n_total"),
-        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_violations"))
-      .select(lit("fk_lineitem_orders").as("check_name"),
-        lit("lineitem").as("table_name"), col("n_total"), col("n_violations"))
-    val domain = lineitem.agg(
+      .agg(
         count(lit(1)).as("n_total"),
-        sum(when(col("l_quantity") <= 0 || col("l_extendedprice") <= 0 ||
-          col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
-          .as("n_violations"))
-      .select(lit("domain_lineitem_ranges").as("check_name"),
-        lit("lineitem").as("table_name"), col("n_total"), col("n_violations"))
-    val notNull = orders.agg(
-        count(lit(1)).as("n_total"),
-        sum(when(col("o_custkey").isNull || col("o_orderdate").isNull, 1L)
-          .otherwise(0L)).as("n_violations"))
-      .select(lit("not_null_orders").as("check_name"),
-        lit("orders").as("table_name"), col("n_total"), col("n_violations"))
+        coalesce(sum(when(col("l_orderkey").isNotNull && col("hit").isNull,
+          1L).otherwise(0L)), lit(0L)).as("fk_misses"),
+        coalesce(sum(when(col("l_quantity") <= 0 ||
+          col("l_extendedprice") <= 0 || col("l_discount") < 0 ||
+          col("l_discount") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("domain_viols"))
 
-    pkOrders.unionByName(pkCustomer).unionByName(fkOrders)
-      .unionByName(fkLineitem).unionByName(domain).unionByName(notNull)
+    unfold(custAgg, "customer", Seq("pk_customer_unique" -> "pk_dupes"))
+      .unionByName(unfold(ordAgg, "orders", Seq(
+        "pk_orders_unique" -> "pk_dupes",
+        "fk_orders_customer" -> "fk_misses",
+        "not_null_orders" -> "nulls")))
+      .unionByName(unfold(liAgg, "lineitem", Seq(
+        "fk_lineitem_orders" -> "fk_misses",
+        "domain_lineitem_ranges" -> "domain_viols")))
       .orderBy("check_name")
   }
 
@@ -449,7 +453,8 @@ object Audit {
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
         |  FROM customer a JOIN customer b
         |    ON a.c_custkey < b.c_custkey
-        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |  WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
         |edges AS (
         |  SELECT id_a AS a, id_b AS b FROM pairs
         |  UNION ALL

@@ -186,11 +186,15 @@ object TrainingData {
     // independent of the engine's deletion-neighborhood blocking, so the
     // compare checks blocking completeness, not just arithmetic
     "q97_fuzzy_name_pairs" ->
+      // len > 0 mirrors the engine's empty-string exclusion (an empty
+      // name is within distance 1 of EVERY 1-char name — matching it is
+      // noise, so both sides skip empties)
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       a.c_name AS name_a, b.c_name AS name_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
     "q33_dedup_ngram_jaccard" ->
       """WITH toks AS (

@@ -115,7 +115,12 @@ object Streams {
         val winMs = windowSeconds * 1000
         var st = state.getOption.getOrElse(MonitorState(-1L, 0L, 0L))
         val out = scala.collection.mutable.ArrayBuffer.empty[WindowVariance]
-        batch.foreach { case (_, ts) =>
+        // flatMapGroupsWithState guarantees NO intra-group order — a
+        // multi-partition source can interleave windows within one batch,
+        // which would close windows early and missort counts. Sort the
+        // micro-batch by event time before folding (bounded by batch size,
+        // not stream length).
+        batch.toArray.sortBy(_._2.getTime).foreach { case (_, ts) =>
           val w = ts.getTime / winMs * winMs
           if (st.windowStartMs < 0) st = MonitorState(w, 1L, 0L)
           else if (w > st.windowStartMs) {

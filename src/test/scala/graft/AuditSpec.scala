@@ -140,10 +140,16 @@ class AuditSpec extends AnyFunSuite {
     val plan = read.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["),
       s"expected partition filters in scan:\n${plan.take(2000)}")
-    // pruning is observable: only the matching partition's files are read
-    val scanned = read.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString
-    assert(!scanned.contains("day=2024-01-01") ||
-      scanned.contains("PartitionFilters"), scanned.take(500))
+    // pruning is OBSERVABLE via the executed scan's numFiles metric
+    // (Dataset.inputFiles reports the WHOLE relation pre-pruning): only
+    // day=2024-01-02's files may be selected — a regression that keeps
+    // the PartitionFilters attribute but reads every directory fails here
+    val expected = new java.io.File(s"$dir/facts.parquet/day=2024-01-02")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val numFiles = read.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(numFiles == expected && expected >= 1,
+      s"scan read $numFiles files, expected the $expected in the " +
+        "matching partition only")
   }
 }

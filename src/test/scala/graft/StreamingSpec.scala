@@ -264,8 +264,12 @@ class StreamingSpec extends AnyFunSuite {
       (0 until n).map { i =>
         id += 1; Streams.Event(id, at(min, i % 60), 1L, "click", 1.0)
       }
-    input.addData(burst(0, 10) ++ burst(1, 16) ++ burst(2, 16) ++
-      burst(3, 1): _*)
+    // deliberately deliver the bursts out of window order within the one
+    // micro-batch: flatMapGroupsWithState guarantees no intra-group order,
+    // so the monitor must sort by event time before folding
+    val b0 = burst(0, 10); val b1 = burst(1, 16); val b2 = burst(2, 16)
+    val b3 = burst(3, 1)
+    input.addData(b2 ++ b0 ++ b3 ++ b1: _*)
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "strm").toString
     val q = Streams.varianceMonitor(input.toDF(), "event_type", "ts",
