@@ -38,10 +38,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // ContextCleaner only reclaims finished queries' broadcast and
       // shuffle state when the driver GCs; the default periodicGC interval
-      // (30 min) is longer than the whole bench, so without this the
+      // (30 min) is longer than the whole bench, so without help the
       // blocks of every query in the registry pile up in the one heap and
       // the tail of the run measures memory pressure instead of the query.
-      .config("spark.cleaner.periodicGC.interval", "45s")
+      // A 45s TIMER, though, lands inside whichever query's timed window
+      // its phase happens to hit — observed as a recurring one-query
+      // outlier (q35 spiked 2.4s→10-15s in 2 of 6 otherwise-identical
+      // runs). GC is instead triggered explicitly every GC_EVERY queries
+      // BETWEEN timed windows (below); the periodic timer stays only as a
+      // 5-minute backstop.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -57,6 +63,13 @@ object Bench {
     // shields the number against transient co-tenant load — round-1/2
     // driver runs swung individual queries 5-30× with no code change.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // deterministic cleanup cadence: a full GC (which lets the
+    // ContextCleaner reclaim finished queries' broadcast/shuffle blocks)
+    // every GC_EVERY queries, OUTSIDE any timed window. Per-query
+    // System.gc() measured ~15s slower overall; the 45s timer hit random
+    // timed windows — this is the middle ground.
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "25").toInt
+    var sinceGc = 0
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failedPasses = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -83,11 +96,10 @@ object Bench {
             errors(name) = e.toString.replaceAll("\\s+", " ").take(300)
         }
         // outside the timed window: drop dedup persists before the next
-        // query. Broadcast/shuffle state of finished queries is reclaimed
-        // by the ContextCleaner via the 45s periodicGC above — an explicit
-        // System.gc() here measured ~15s SLOWER overall (full-GC aftermath
-        // bleeds into the next query's timed window).
+        // query, and run the periodic full GC on its deterministic cadence
         spark.catalog.clearCache()
+        sinceGc += 1
+        if (sinceGc >= gcEvery) { System.gc(); sinceGc = 0 }
       }
       passTotals += passTotal
     }
