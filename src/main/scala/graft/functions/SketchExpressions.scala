@@ -34,11 +34,17 @@ case class CmsEstimate(sketch: Expression, item: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (sketch.dataType, item.dataType) match {
-      case (BinaryType, LongType) if sketch.foldable =>
+      // like BloomFilterMightContain: the sketch side must be a literal OR
+      // an uncorrelated scalar subquery (whose value is computed once
+      // before the probing plan runs) — either way eval() sees one
+      // constant binary the lazy deserialization below can cache
+      case (BinaryType, LongType) if sketch.foldable ||
+          sketch.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]] =>
         TypeCheckResult.TypeCheckSuccess
       case (BinaryType, LongType) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a foldable (literal) sketch — collect the " +
-          "count_min_sketch aggregate first")
+        s"$prettyName requires a foldable (literal) or scalar-subquery " +
+          "sketch — collect or subquery the count_min_sketch aggregate")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (binary, bigint) arguments, got ($l, $r)")
     }

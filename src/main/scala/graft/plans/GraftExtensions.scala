@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
 
 import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
 
-import graft.functions.{CharEntropy, DotProduct, MinHashes, SimHash64, WordChunks, WordNgrams, WordTokens}
+import graft.functions.{CharEntropy, CmsEstimate, DeletionNeighbors, DotProduct, MinHashes, SimHash64, WordChunks, WordNgrams, WordTokens}
 
 /** SparkSessionExtensions module: registers the engine's native expressions
   * as SQL functions so `spark.sql("SELECT graft_dot(a,b) ...")` works.
@@ -105,5 +105,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_deletion_neighbors"),
+      info("graft_deletion_neighbors",
+        "graft_deletion_neighbors(s) - identity + single-deletion variants"),
+      (args: Seq[Expression]) => DeletionNeighbors(args(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      info("graft_cms_estimate",
+        "graft_cms_estimate(sketch, item) - probe a count_min_sketch " +
+          "binary (sketch must be foldable, e.g. a scalar-subquery literal)"),
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
   }
 }

@@ -55,6 +55,22 @@ class VectorExprSpec extends AnyFunSuite {
     assert(viaApi.forall { case (k, v) => viaSql(k) == v })
   }
 
+  test("graft_deletion_neighbors / graft_cms_estimate resolve in SQL") {
+    TableCatalog.registerAll(spark, TestSpark.sfDir)
+    val v = spark.sql("SELECT graft_deletion_neighbors('abc') AS v").head()
+      .getSeq[String](0)
+    assert(v == Seq("abc", "bc", "ac", "ab"))
+    // CMS probe end-to-end in SQL: the sketch arrives as a scalar
+    // subquery, which Catalyst folds to a literal the probe can cache
+    val est = spark.sql(
+      """SELECT l_partkey,
+        |       graft_cms_estimate(
+        |         (SELECT count_min_sketch(l_partkey, 0.001d, 0.99d, 7)
+        |          FROM lineitem), l_partkey) AS est
+        |FROM lineitem LIMIT 5""".stripMargin).collect()
+    assert(est.forall(_.getLong(1) >= 1L))
+  }
+
   test("null array elements hash like Spark's null-skipping, no NPE") {
     // xxhash64 skips null inputs: xxhash64(s, NULL) == xxhash64(s), so the
     // null element must contribute exactly the bare per-seed hash
