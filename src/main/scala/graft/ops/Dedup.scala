@@ -423,4 +423,58 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
   }
+
+  /** INCREMENTAL n-gram Jaccard dedup: near-dup pairs between a fresh
+    * increment (rows where `freshCol` is true) and the existing corpus —
+    * the daily-ingest shape of corpus dedup. A full self-join re-pays the
+    * whole corpus every day; here the gram join is fresh×corpus only, so
+    * candidate volume scales with the INCREMENT (×df), not the corpus².
+    * At warehouse scale the corpus postings are a maintained table
+    * (bucketed by gram hash via [[graft.sources.TableCatalog
+    * .writeBucketed]]), so the daily job shuffles only the increment's
+    * postings into the corpus's bucketing; fresh-internal duplicates are
+    * the NEXT increment's corpus-side problem (or one tiny self-join over
+    * the increment), keeping each run linear in new data.
+    *
+    * Document frequency (the hot-gram cutoff) is computed over corpus ∪
+    * increment so the kept-gram universe — and therefore the Jaccard
+    * measure — is identical to what the full self-join ([[
+    * ngramJaccardPairs]]) uses; the oracle mirrors the same split. */
+  def incrementalJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                              freshCol: String, n: Int = 3,
+                              minJaccard: Double = 0.8,
+                              maxDocFreq: Int = 1000): DataFrame = {
+    val postings = shingles(df, textCol, n)
+      .select(col(idCol), col(freshCol).as("fresh"),
+        explode(col("shingles")).as("gram"))
+      .select(col(idCol), col("fresh"), xxhash64(col("gram")).as("gram_h"))
+    val dfWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram_h"))
+    val shingled = postings
+      .withColumn("gram_df", count(lit(1)).over(dfWindow))
+      .filter(col("gram_df") <= maxDocFreq)
+      .persist()
+    val sizes = shingled.groupBy(col(idCol), col("fresh"))
+      .agg(count(lit(1)).as("n_grams"))
+    val sa = sizes.filter(!col("fresh"))
+      .select(col(idCol).as("corpus_id"), col("n_grams").as("size_corpus"))
+    val sb = sizes.filter(col("fresh"))
+      .select(col(idCol).as("fresh_id"), col("n_grams").as("size_fresh"))
+    val joinable = shingled.filter(col("gram_df") >= 2)
+    val corpusSide = joinable.filter(!col("fresh"))
+      .select(col(idCol).as("corpus_id"), col("gram_h"))
+    val freshSide = joinable.filter(col("fresh"))
+      .select(col(idCol).as("fresh_id"), col("gram_h"))
+    corpusSide.join(freshSide, "gram_h")
+      .groupBy("corpus_id", "fresh_id")
+      .agg(count(lit(1)).as("common"))
+      .join(sa, "corpus_id")
+      .join(sb, "fresh_id")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_corpus") + col("size_fresh") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("corpus_id", "fresh_id", "common", "size_corpus",
+        "size_fresh", "jaccard")
+  }
 }

@@ -43,6 +43,19 @@ object TrainingData {
         "vec_id", "embedding", dim = 64, minSim = 0.3)
       .orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q123
+  /** Incremental dedup: near-dups of a fresh increment (md5-keyed ~1/16 of
+    * documents — a stand-in for "today's ingest") against the existing
+    * corpus via [[Dedup.incrementalJaccardPairs]] — candidate volume
+    * scales with the increment, never corpus². */
+  def q123IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("fresh", substring(md5(col("text")), 1, 1) === "f")
+    Dedup.incrementalJaccardPairs(docs, "text", "doc_id", "fresh",
+        n = 3, minJaccard = 0.05)
+      .orderBy("corpus_id", "fresh_id")
+  }
+
   // ---------------------------------------------------------------- q36
   /** Heuristic language ID vs the labeled lang column (rows-only; accuracy
     * itself is pinned by spec on curated multilingual strings — the corpus
@@ -166,6 +179,7 @@ object TrainingData {
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
+    "q123_incremental_dedup" -> q123IncrementalDedup _,
     "q49_minhash_native" -> q49MinhashNative _,
     "q34_dedup_simhash" -> q34DedupSimhash _,
     "q35_embedding_neardup" -> q35EmbeddingNeardup _,
@@ -196,6 +210,49 @@ object TrainingData {
         |WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // q123: q33's measure (same kept-gram universe over corpus ∪
+    // increment) with pairs restricted to corpus × fresh
+    "q123_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |fl AS (SELECT doc_id, substr(md5(text), 1, 1) = 'f' AS fresh
+        |       FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+2], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |kept AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, gram,
+        |           COUNT(*) OVER (PARTITION BY gram) AS gram_df
+        |    FROM grams)
+        |  WHERE gram_df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS corpus_id, b.doc_id AS fresh_id,
+        |         COUNT(*) AS common
+        |  FROM kept a
+        |  JOIN fl fa ON a.doc_id = fa.doc_id AND NOT fa.fresh
+        |  JOIN kept b ON a.gram = b.gram
+        |  JOIN fl fb ON b.doc_id = fb.doc_id AND fb.fresh
+        |  GROUP BY 1, 2)
+        |SELECT p.corpus_id, p.fresh_id, p.common,
+        |       sa.n_grams AS size_corpus, sb.n_grams AS size_fresh,
+        |       CAST(p.common AS DOUBLE)
+        |         / (sa.n_grams + sb.n_grams - p.common) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON p.corpus_id = sa.doc_id
+        |JOIN sizes sb ON p.fresh_id = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE)
+        |        / (sa.n_grams + sb.n_grams - p.common) >= 0.05
+        |ORDER BY corpus_id, fresh_id""".stripMargin,
     "q33_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,

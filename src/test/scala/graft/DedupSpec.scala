@@ -136,4 +136,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 2L)) > 0.5)
     assert(!pairs.contains((0L, 3L)) || pairs((0L, 3L)) < 0.1)
   }
+
+  test("incremental jaccard: only cross-side pairs, values match full self-join") {
+    // fresh = docs 1 (exact dup of corpus 0) and 2 (near dup of corpus 0);
+    // 3, 4 stay corpus-side — a fresh-internal 1~2 pair must NOT appear
+    val flagged = docs.withColumn("fresh", col("doc_id").isin(1L, 2L))
+    val inc = Dedup.incrementalJaccardPairs(flagged, "text", "doc_id",
+        "fresh", n = 3, minJaccard = 0.0)
+      .collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("fresh_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(inc((0L, 1L)) == 1.0)
+    assert(inc((0L, 2L)) > 0.5)
+    assert(inc.keys.forall { case (c, f) =>
+      Set(0L, 3L, 4L).contains(c) && Set(1L, 2L).contains(f) },
+      s"cross-side only: ${inc.keys}")
+    // the measure is IDENTICAL to the full self-join restricted to
+    // cross pairs (same kept-gram universe)
+    val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.0)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    inc.foreach { case ((c, f), j) =>
+      val key = if (c < f) (c, f) else (f, c)
+      assert(full(key) == j, s"pair $key: incremental $j != full ${full(key)}")
+    }
+  }
 }
