@@ -146,4 +146,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("q123 incremental dedup: gram equi-joins only — no cartesian/nested loop") {
+    val p = finalPlan("q123_incremental_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q116 vocab: top-k fuses and the vocab probe broadcasts") {
+    val p = finalPlan("q116_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab selection must fuse to top-k:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
