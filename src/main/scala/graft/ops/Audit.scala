@@ -303,6 +303,28 @@ object Audit {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  // --------------------------------------------------------------- q124
+  /** Top navigation paths: the ten most common 3-step event-type
+    * sequences across user streams (q102's Markov matrix generalized one
+    * order up — the "how do users actually move" report). Two stacked
+    * lags ride the SAME user-keyed window exchange; the path frame is at
+    * most |types|³ rows after aggregation, and the top-k fuses. */
+  def q124EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,7 +336,8 @@ object Audit {
     "q115_session_funnel" -> q115SessionFunnel _,
     "q118_entity_resolution" -> q118EntityResolution _,
     "q119_equidepth_histogram" -> q119EquidepthHistogram _,
-    "q120_ordered_listagg" -> q120OrderedListagg _)
+    "q120_ordered_listagg" -> q120OrderedListagg _,
+    "q124_event_paths" -> q124EventPaths _)
 
   val oracle: Map[String, String] = Map(
     "q110_quality_audit" ->
@@ -492,5 +515,15 @@ object Audit {
         |       string_agg(CAST(l_orderkey AS VARCHAR), ','
         |                  ORDER BY l_orderkey) AS top_keys
         |FROM r WHERE rn <= 3
-        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q124_event_paths" ->
+      """WITH s AS (
+        |  SELECT lag(event_type, 2) OVER w AS t1,
+        |         lag(event_type, 1) OVER w AS t2,
+        |         event_type AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+        |FROM s WHERE t1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)
 }

@@ -126,6 +126,18 @@ class AuditSpec extends AnyFunSuite {
     }
   }
 
+  test("event paths: 3-step sequences, counts bounded by transition total") {
+    val rows = Audit.q124EventPaths(spark, TestSpark.sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getString(0).split(">").length == 3)
+      assert(r.getLong(1) > 0)
+    }
+    // descending by count with path tiebreak
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("partitioned write: reader prunes non-matching partitions at plan time") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_part").toString
