@@ -78,4 +78,43 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("incremental dedup at rest: bucketed corpus postings, only the increment shuffles") {
+    // substantiates Dedup.incrementalJaccardPairs' maintained-postings
+    // claim: corpus postings persisted BUCKETED by gram hash; the daily
+    // increment's postings shuffle into that bucketing while the corpus
+    // side reads bucket-aligned with no exchange
+    spark.sql("DROP TABLE IF EXISTS corpus_postings")
+    new scala.reflect.io.Directory(
+      new java.io.File("/root/repo/target/spark-warehouse/corpus_postings"))
+      .deleteRecursively()
+    val docs = TableCatalog.load(spark, sf, "documents")
+    val corpusPostings = graft.ops.Dedup.shingles(docs, "text", 3)
+      .select(col("doc_id"), explode(col("shingles")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+    TableCatalog.writeBucketed(corpusPostings, "corpus_postings",
+      "gram_h", numBuckets = 8)
+    import spark.implicits._
+    val increment = Seq((9001L, "the quick brown fox jumps over the lazy " +
+      "dog and then runs far away")).toDF("doc_id", "text")
+    val incPostings = graft.ops.Dedup.shingles(increment, "text", 3)
+      .select(col("doc_id").as("inc_id"), explode(col("shingles")).as("gram"))
+      .select(col("inc_id"), xxhash64(col("gram")).as("gram_h"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("corpus_postings")
+        .join(incPostings.repartition(8, col("gram_h")), "gram_h")
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly ONE exchange: the increment's repartition; the corpus
+      // side must come straight off its buckets
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"corpus side must not shuffle (found $exchanges exchanges):\n" +
+          plan.take(3000))
+      assert(joined.count() >= 0) // executes
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
