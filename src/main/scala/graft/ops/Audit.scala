@@ -261,19 +261,39 @@ object Audit {
   }
 
   // --------------------------------------------------------------- q119
-  /** Equi-depth histogram: ntile(10) bins of extended price per return
-    * flag — each bin holds the same row count and reports its value range
-    * (the quantile-sketch-free complement of q68's fixed-width buckets).
-    * Deterministic under the total (price, orderkey, linenumber) order;
-    * one partitioned sort, the same shuffle any per-group ranking pays. */
-  def q119EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"))
-    t(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bin", ntile(10).over(w).cast("long"))
+  /** Equi-depth histogram via percentile BOUNDARIES applied map-side —
+    * never a per-group ntile sort. The previous ntile(10) form partitioned
+    * a window by the 3-value return flag: at 100× every flag's third of
+    * the fact table sorts in ONE task. Here the only per-group state is
+    * the boundary aggregate (9 doubles/group after map-side partials) and
+    * bin assignment is a broadcast join + counted comparison against the
+    * 9 boundaries — q68's fixed-width shape with data-driven widths.
+    *
+    * Boundary rule (mirrored verbatim in the DuckDB oracle): interior
+    * deciles of price as EXACT type-7 interpolated percentiles on DOUBLE,
+    * rounded to 6dp; a row lands in bin 1 + count(boundaries < price).
+    * Interpolation of 2dp prices at tenth-fractions has ≤3 true decimals,
+    * so the 6dp round absorbs last-ulp engine differences without ever
+    * sitting on a rounding edge. Ties at a boundary share a bin, so bin
+    * counts are equal-depth up to tie mass (exact ntile's equal counts
+    * are precisely what forces the non-scalable global sort).
+    *
+    * `exact=false` swaps the boundary aggregate for `approx_percentile`
+    * (q70's rationale: O(1/accuracy) mergeable sketch state instead of
+    * O(distinct values)) — the 100 TB default; sketch internals are
+    * engine-specific, so the oracle-checked registry entry keeps the
+    * exact aggregate. */
+  def equiDepthHistogram(li: DataFrame, exact: Boolean = true): DataFrame = {
+    val qs = (1 to 9).map(_ / 10.0).mkString("array(", ",", ")")
+    val boundExpr =
+      if (exact) s"percentile(cast(l_extendedprice as double), $qs)"
+      else s"approx_percentile(cast(l_extendedprice as double), $qs, 10000)"
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"transform($boundExpr, b -> round(b, 6))").as("bounds"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("bin",
+        (size(filter(col("bounds"), b => col("l_extendedprice") > b)) + 1)
+          .cast("long"))
       .groupBy(col("l_returnflag"), col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col("l_extendedprice")).as("lo"),
@@ -281,25 +301,26 @@ object Audit {
       .orderBy("l_returnflag", "bin")
   }
 
+  def q119EquidepthHistogram(spark: SparkSession, dir: String): DataFrame =
+    equiDepthHistogram(t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice")))
+
   // --------------------------------------------------------------- q120
   /** Ordered string aggregation (LISTAGG/string_agg surface): per
-    * (returnflag, linestatus), the three smallest order keys as a
-    * comma-joined string. Top-3 selection happens via a ranked window on
-    * the DISTINCT key frame (bounded), so the listagg only ever
-    * concatenates 3 elements per group — the pattern that keeps string
-    * aggregation safe at corpus scale (never aggregate unbounded strings). */
+    * (returnflag, linestatus), the three smallest DISTINCT order keys as
+    * a comma-joined string — via the bounded
+    * [[graft.functions.TopKMin]] aggregate. State is ≤3 longs per group
+    * with map-side partials, so the whole query is ONE exchange of six
+    * tiny states: no pre-`distinct` exchange, no row_number window whose
+    * 6-value partition key would sort a sixth of the distinct-key frame
+    * in one task at 100×. The listagg itself concatenates exactly k
+    * elements — string state stays bounded by construction. */
   def q120OrderedListagg(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
-      .orderBy(col("l_orderkey"))
+    val top3 = udaf(new graft.functions.TopKMin(3))
     t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(array_join(
-        transform(array_sort(collect_list(col("l_orderkey"))),
-          k => k.cast("string")), ",").as("top_keys"))
+      .agg(top3(col("l_orderkey")).as("top_keys"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -438,7 +459,8 @@ object Audit {
       """WITH s AS (
         |  SELECT user_id, ts, event_id, event_type,
         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
-        |              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   > 1800000000 THEN 1
         |              ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -493,13 +515,22 @@ object Audit {
         |FROM customer c LEFT JOIN roots ON c.c_custkey = roots.id
         |ORDER BY c.c_custkey""".stripMargin,
     "q119_equidepth_histogram" ->
-      """WITH b AS (
-        |  SELECT l_returnflag, l_extendedprice,
-        |         CAST(ntile(10) OVER (PARTITION BY l_returnflag
-        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber)
-        |           AS BIGINT) AS bin
-        |  FROM lineitem)
-        |SELECT l_returnflag, bin, COUNT(*) AS n,
+      // same boundary rule as the engine: exact type-7 deciles on DOUBLE
+      // rounded to 6dp, bin = 1 + count(boundaries < price)
+      """WITH bd AS (
+        |  SELECT l_returnflag,
+        |         list_transform(
+        |           quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |           b -> round(b, 6)) AS bounds
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT l.l_returnflag,
+        |         1 + len(list_filter(bd.bounds,
+        |                             x -> l.l_extendedprice > x)) AS bin,
+        |         l.l_extendedprice
+        |  FROM lineitem l JOIN bd USING (l_returnflag))
+        |SELECT l_returnflag, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
         |       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin,
     "q120_ordered_listagg" ->

@@ -253,7 +253,11 @@ object Dedup {
     if (edgeCount <= singleTaskEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val out = edges.filter(col("src") < col("dst"))
+      // <= not <: a degenerate self-pair (id_a == id_b) must still emit
+      // its node as (id, id) — the distributed path's least(src, min(dst))
+      // does, so the fast path keeps the (a,a) tuple (an idempotent union)
+      // rather than silently dropping the node
+      val out = edges.filter(col("src") <= col("dst"))
         .as[(Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>

@@ -116,7 +116,8 @@ class DedupSpec extends AnyFunSuite {
     val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L)) ++ // chain
       Seq((10L, 11L), (10L, 12L), (10L, 13L)) ++ // star
       Seq((20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L)) ++ // tri + tail
-      Seq((30L, 31L))).toDF("id_a", "id_b")
+      Seq((30L, 31L)) ++
+      Seq((40L, 40L))).toDF("id_a", "id_b") // degenerate self-pair
     val fast = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     val loop = Dedup.connectedComponents(pairs, singleTaskEdges = 0L)
@@ -124,6 +125,8 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == loop, s"paths disagree: fast=$fast loop=$loop")
     assert(fast(4L) == 1L && fast(13L) == 10L && fast(23L) == 20L &&
       fast(31L) == 30L)
+    assert(fast(40L) == 40L,
+      "a self-loop node must survive as its own singleton component")
   }
 
   test("ngram jaccard: exact dup scores 1.0, near dup high, unrelated low") {

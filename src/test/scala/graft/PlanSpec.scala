@@ -153,6 +153,51 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q119 equi-depth: boundary broadcast + map-side bins — no window sort") {
+    val p = finalPlan("q119_equidepth_histogram")
+    // the old ntile form sorted a third of the fact table per task; the
+    // boundary form must carry NO window operator at all
+    assert(!p.contains("Window"),
+      s"equi-depth must not window over a 3-value key:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boundaries must broadcast back to the scan:\n${p.take(3000)}")
+  }
+
+  test("q120 listagg: one bounded aggregate — no distinct pass, no window") {
+    val p = finalPlan("q120_ordered_listagg")
+    assert(!p.contains("Window"),
+      s"top-3 must come from the bounded TopKMin aggregate:\n${p.take(3000)}")
+    // one exchange for the group-by (plus the output sort) — the old
+    // form paid an extra distinct exchange before its window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected a single grouped exchange:\n${p.take(3000)}")
+  }
+
+  test("q112 balance resets: both windows ride ONE user-keyed exchange") {
+    val p = finalPlan("q112_balance_resets")
+    assert("Window \\[".r.findAllIn(p).size <= 2 &&
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"stacked windows must share the user shuffle:\n${p.take(3000)}")
+  }
+
+  test("q124 event paths: one exchange for both lags, fused top-k") {
+    val p = finalPlan("q124_event_paths")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"both lags must fuse into one window operator:\n${p.take(3000)}")
+    // user-keyed window shuffle + path-keyed aggregate shuffle only
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must fuse:\n${p.take(3000)}")
+  }
+
+  test("q118 entity resolution: blocking joins only — no cartesian/nested loop") {
+    val p = finalPlan("q118_entity_resolution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"deletion-neighborhood blocking must stay equi-join:\n${p.take(3000)}")
+  }
+
   test("q116 vocab: top-k fuses and the vocab probe broadcasts") {
     val p = finalPlan("q116_vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"),
