@@ -125,8 +125,13 @@ object Analytics {
 
   // ---------------------------------------------------------------- q93
   /** Weekly distinct users via daily HLL sketches unioned per week, with
-    * the exact count alongside. No oracle (DuckDB's HLL differs); the
-    * spec pins the estimate inside the sketch's error envelope. */
+    * the exact count alongside. Oracle: q121's exact-mode pattern —
+    * Datasketches HLL answers from its coupon list/set below ~2^lgK/4
+    * distinct items (lgK=12 default), so at test-scale cardinalities
+    * (150/week at sf0.01, 1500 at sf0.1) the estimate IS the exact
+    * count and the oracle can pin it to COUNT(DISTINCT). Beyond coupon
+    * capacity the estimate drifts inside the sketch envelope — the spec
+    * keeps that assert for the general case. */
   def q93HllWeeklyUsers(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
     val daily = hllSketchBuckets(e, date_trunc("day", col("ts")),
@@ -392,9 +397,17 @@ object Analytics {
     "q61_event_gaps" -> q61EventGaps _,
     "q62_grouping_sets" -> q62GroupingSets _)
 
-  /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL sketch)
-    * are rows-only — no entries. */
+  /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL++
+    * estimate with no exact-mode guarantee) are rows-only — no entries. */
   val oracle: Map[String, String] = Map(
+    // q93: exact-mode HLL (q121's pattern) — below coupon capacity the
+    // Datasketches estimate equals the exact distinct count, so BOTH
+    // output columns pin to COUNT(DISTINCT) at gate scale
+    "q93_hll_weekly_users" ->
+      """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_distinct,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
     // q78: the oracle is the UNSALTED join — salting must be invisible in
     // the result.
     "q78_salted_join_agg" ->
