@@ -88,6 +88,31 @@ object Similarity {
     element_at(lshBandKeys(embCol, dim, bands = 1, bitsPerBand = nBits,
       planeOffset = planeOffset), 1)
 
+  /** LSH resource sizing from corpus size — the knob that keeps the
+    * banded self-join LINEAR as the corpus grows. Random (non-near-dup)
+    * collisions cost ≈ bands · n²/2^bits exact-cosine verifications:
+    * any FIXED bits is therefore a quadratic time bomb — a 10× corpus
+    * pays 100× verify cost (measured: the sf1 scale tier put the old
+    * fixed 16×8 at 22× its sf0.1 time instead of ~10×). Sizing
+    * `bits = ⌈log₂(4n)⌉` pins expected random collisions to ≈ bands·n/4
+    * (linear), and `bands` then rises to hold ≥95% recall at the design
+    * similarity via the standard 1−(1−p^bits)^bands curve, where
+    * p = 1 − θ/π is the hyperplane-agreement probability. Bits are
+    * capped at 20 (a million buckets per band — beyond that, band keys
+    * should become join-bucketing columns); bands at 64 (the signature
+    * row stays ≤ 64 longs). */
+  private[graft] def lshAutoSize(n: Long, designSim: Double): (Int, Int) = {
+    val bits = math.min(20, math.max(6,
+      math.ceil(math.log(math.max(16.0, 4.0 * n)) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, designSim))) / math.Pi
+    val pBand = math.pow(p, bits)
+    val bands =
+      if (pBand >= 1.0) 8
+      else math.min(64, math.max(8,
+        math.ceil(math.log(0.05) / math.log(1.0 - pBand)).toInt))
+    (bands, bits)
+  }
+
   /** Banded sign-LSH near-duplicate pairs: `bands` independent hash tables
     * of `bitsPerBand` hyperplane signs each; a pair becomes a candidate iff
     * it collides in at least one band, and candidates are verified with the
@@ -95,19 +120,28 @@ object Similarity {
     *
     * Scale design (vs a single small-bucket table, which degenerates to a
     * ~n²/buckets self-join inside a handful of hot partitions): the bucket
-    * universe here is `bands · 2^bitsPerBand` (default 16·256 = 4096), so
-    * candidate generation spreads across thousands of join keys, while
-    * recall for a pair with per-hyperplane agreement p *rises* from p^4
-    * (round-1 single table) to 1−(1−p^bitsPerBand)^bands. The band join
-    * ships only (id, band, key) — embeddings are joined back onto the much
-    * smaller verified-candidate set, mirroring the native-MinHash pattern
-    * (Dedup.minhashNativePairs). */
+    * universe is `bands · 2^bitsPerBand`, so candidate generation spreads
+    * across thousands of join keys, while recall for a pair with
+    * per-hyperplane agreement p *rises* from p^4 (round-1 single table)
+    * to 1−(1−p^bitsPerBand)^bands. The band join ships only
+    * (id, band, key) — embeddings are joined back onto the much smaller
+    * verified-candidate set, mirroring the native-MinHash pattern
+    * (Dedup.minhashNativePairs).
+    *
+    * `bands`/`bitsPerBand` ≤ 0 (the default) auto-sizes from the corpus
+    * count via [[lshAutoSize]] — REQUIRED for linearity at scale; pass
+    * both explicitly only to pin a specific table layout. The design
+    * similarity for the recall target is max(0.9, minSim): recall is
+    * guaranteed where near-dups live, not at the report floor. */
   def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
-                      dim: Int, minSim: Double, bands: Int = 16,
-                      bitsPerBand: Int = 8): DataFrame = {
+                      dim: Int, minSim: Double, bands: Int = 0,
+                      bitsPerBand: Int = 0): DataFrame = {
+    val (bResolved, bitsResolved) =
+      if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
+      else lshAutoSize(emb.count(), math.max(0.9, minSim))
     val base = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
     val candidates = lshBandCandidates(emb, idCol, embCol, dim,
-      bands, bitsPerBand)
+      bResolved, bitsResolved)
     val ea = base.select(col("id").as("id_a"), col("emb").as("emb_a"))
     val eb = base.select(col("id").as("id_b"), col("emb").as("emb_b"))
     candidates
@@ -120,17 +154,21 @@ object Similarity {
 
   /** Candidate stage of [[lshNearDupPairs]]: distinct (id_a < id_b) pairs
     * colliding in ≥1 band. Public so candidate volume is testable — the
-    * quantity that must stay sub-quadratic at scale. */
+    * quantity that must stay sub-quadratic at scale. Defaults auto-size
+    * from the corpus count ([[lshAutoSize]], design similarity 0.9). */
   def lshBandCandidates(emb: DataFrame, idCol: String, embCol: String,
-                        dim: Int, bands: Int = 16,
-                        bitsPerBand: Int = 8): DataFrame = {
+                        dim: Int, bands: Int = 0,
+                        bitsPerBand: Int = 0): DataFrame = {
+    val (bandsN, bitsN) =
+      if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
+      else lshAutoSize(emb.count(), 0.9)
     // persist the NARROW (id, band, key) triple: it feeds both self-join
     // sides. The wide embedding column is deliberately NOT cached — the
     // verify stage re-reads it from the column-pruned scan, which at
     // corpus scale is cheaper than evicting everything else from storage
     // (harness releases the cache per query, see Dedup doc).
     val banded = emb.select(col(idCol).as("id"),
-      posexplode(lshBandKeys(col(embCol), dim, bands, bitsPerBand)))
+      posexplode(lshBandKeys(col(embCol), dim, bandsN, bitsN)))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
       .persist()
     val a = banded.select(col("id").as("id_a"), col("band"), col("key"))
@@ -332,13 +370,27 @@ object Similarity {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** IVF codebook sizing: k = ⌈√n⌉ (clamped to [16, 4096]) — the FAISS
+    * rule. With k FIXED, per-cell occupancy is n/k and probe-stage
+    * candidate volume is n·nprobe·(n/k) — QUADRATIC (measured: the sf1
+    * scale tier put fixed k=16 at 65× its sf0.1 time instead of ~10×).
+    * k = √n balances assignment flops (n·k·d) and probe volume
+    * (n·nprobe·√n) at n^1.5·d — the IVF contract; sublinear-per-query
+    * beyond that needs graph indexes, out of scope. */
+  private[graft] def ivfAutoK(n: Long): Int =
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   /** IVF top-k over a TRAINED codebook (spherical k-means via
     * [[trainKMeans]]) instead of the stride-sampled stand-in. Same
-    * zero-shuffle assignment plan as [[ivfTopK]]. */
+    * zero-shuffle assignment plan as [[ivfTopK]]. `nCentroids` ≤ 0 (the
+    * default) auto-sizes to [[ivfAutoK]] — required for the n^1.5 scale
+    * contract; a fixed k makes probe volume quadratic. */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     embCol: String, k: Int, nCentroids: Int = 16,
+                     embCol: String, k: Int, nCentroids: Int = 0,
                      iters: Int = 3, nprobe: Int = 3): DataFrame = {
-    val codebook = trainKMeans(corpus, idCol, embCol, nCentroids, iters)
+    val kResolved =
+      if (nCentroids > 0) nCentroids else ivfAutoK(corpus.count())
+    val codebook = trainKMeans(corpus, idCol, embCol, kResolved, iters)
       .select(col("cent_id"), col("cent_emb")).collect()
     val centIds = codebook.map(_.getLong(0))
     val centEmbs = codebook.map(_.getSeq[Double](1).toArray)
@@ -375,18 +427,29 @@ object Similarity {
     * |corpus|×|centroids| broadcast-explode + row_number shuffle that a
     * relational argmin would cost. The only corpus-side shuffle left is
     * ranking the probed candidates (a ~nprobe/|cells| fraction of the
-    * corpus) per query. */
+    * corpus) per query.
+    *
+    * `centroidStride` ≤ 0 (the default) auto-sizes to ⌈√n⌉ so the
+    * codebook is ~√n centroids ([[ivfAutoK]] rationale). A fixed stride
+    * is the MIRROR trap of a fixed cell count: occupancy stays constant
+    * (probe volume linear ✓) but the cell count grows linearly, so the
+    * per-row nearest-cell projection does n/stride·d flops and
+    * assignment turns quadratic. √n is the only growth rate that keeps
+    * both stages at n^1.5. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              embCol: String, k: Int, centroidStride: Int = 50,
+              embCol: String, k: Int, centroidStride: Int = 0,
               nprobe: Int = 3): DataFrame = {
+    val stride =
+      if (centroidStride > 0) centroidStride
+      else math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
     val cents = corpus
-      .filter(col(idCol) % centroidStride === 0)
+      .filter(col(idCol) % stride === 0)
       // normalize the element type driver-side so float AND double
       // embedding columns both work (cosineSim widens to double anyway)
       .select(col(idCol).cast("long").as("cent_id"),
         col(embCol).cast("array<double>").as("cent_emb"))
       .collect() // codebook: small by construction, driver-side by design
-    require(cents.nonEmpty, s"no centroids at stride $centroidStride")
+    require(cents.nonEmpty, s"no centroids at stride $stride")
     val centIds = cents.map(_.getLong(0))
     val centEmbs = cents.map(_.getSeq[Double](1).toArray)
     val assigned = corpus

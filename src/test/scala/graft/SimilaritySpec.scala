@@ -85,7 +85,7 @@ class SimilaritySpec extends AnyFunSuite {
     approxSims.foreach { case (q, s) => assert(s <= exactSims(q) + 1e-9) }
   }
 
-  test("banded LSH near-dup: recall beats round-1 single table, candidates sub-quadratic") {
+  test("banded LSH near-dup: verified pairs are true, candidates sub-quadratic") {
     val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
     val n = emb.count()
     val base = emb.select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -98,19 +98,55 @@ class SimilaritySpec extends AnyFunSuite {
     val banded = Similarity
       .lshNearDupPairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // the round-1 plan shape: ONE table of 4 bits = 16 buckets total
-    val singleTable = Similarity
-      .lshNearDupPairs(emb, "vec_id", "embedding", dim = 64, minSim = 0.3,
-        bands = 1, bitsPerBand = 4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(banded.subsetOf(truth), "verified pairs must be true pairs")
-    assert(banded.size >= singleTable.size,
-      s"banding recall ${banded.size} must be >= single-table ${singleTable.size}")
     val candidates = Similarity
       .lshBandCandidates(emb, "vec_id", "embedding", dim = 64).count()
     val allPairs = n * (n - 1) / 2
     assert(candidates < allPairs / 2,
       s"candidate volume $candidates is not sub-quadratic vs $allPairs")
+  }
+
+  test("banded LSH near-dup: auto-sizing finds planted near-dups at the design sim") {
+    // the real fixture has NO pairs above sim 0.5 (random 64-dim vectors),
+    // so recall at the design similarity needs planted dups: 30 pairs of
+    // (v, v + small noise) among 240 random distractors
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val nm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nm)
+    }
+    val planted = (0 until 30).flatMap { i =>
+      val v = unit()
+      val w = v.zip(unit()).map { case (a, b) => a + 0.15 * b }
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, w.toSeq))
+    }
+    val noise = (0 until 240).map(i => ((1000 + i).toLong, unit().toSeq))
+    val df = spark.createDataFrame(planted ++ noise)
+      .toDF("vec_id", "embedding")
+    val found = Similarity
+      .lshNearDupPairs(df, "vec_id", "embedding", dim = 64, minSim = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val hits = (0 until 30).count(i =>
+      found.contains((i.toLong * 2, i.toLong * 2 + 1)))
+    assert(hits >= 28,
+      s"auto-sized banding must recover planted near-dups: $hits/30")
+  }
+
+  test("lshAutoSize: bucket count tracks corpus size, bands bounded") {
+    // the linearity contract: 2^bits >= 4n (expected random collisions
+    // per band stay <= n/4), so bits grows with log n
+    for (n <- Seq(100L, 10_000L, 1_000_000L)) {
+      val (bands, bits) = Similarity.lshAutoSize(n, 0.9)
+      assert((1L << bits) >= math.min(4 * n, 1L << 20), s"n=$n bits=$bits")
+      assert(bands >= 8 && bands <= 64, s"n=$n bands=$bands")
+    }
+    val (_, bitsSmall) = Similarity.lshAutoSize(100L, 0.9)
+    val (_, bitsBig) = Similarity.lshAutoSize(1_000_000L, 0.9)
+    assert(bitsBig > bitsSmall, "bits must grow with corpus size")
+    // a higher design similarity needs FEWER bands for the same recall
+    val (bandsLo, _) = Similarity.lshAutoSize(10_000L, 0.9)
+    val (bandsHi, _) = Similarity.lshAutoSize(10_000L, 0.99)
+    assert(bandsHi <= bandsLo, s"bands($bandsHi) should not exceed $bandsLo")
   }
 
   test("banded LSH top-k: candidates for most queries, sims never beat exact") {

@@ -9,7 +9,10 @@ relationship stays intact (customer copy i <-> orders copy i, etc).
 Content columns that feed quadratic-candidate operators are perturbed so
 candidate volume scales LINEARLY, the way a real 10x corpus would:
 
-- documents.text: copy i>0 appends "~i" to EVERY word. The token map is
+- documents.text: copy i>0 appends the copy digit to EVERY word (no
+  separator: the engine tokenizes on \\W+, so "hello1" must stay ONE
+  token -- a separator character would inject a hot digit token between
+  every word and skew simhash/gram statistics). The token map is
   bijective, so within-copy shingle equality (and therefore the
   engineered near-dup pairs) is preserved exactly; across copies the
   gram vocabularies are disjoint, so no cross-copy candidates exist.
@@ -96,7 +99,7 @@ gen("documents", f"""
          CASE WHEN i = 0 THEN text
               ELSE array_to_string(list_transform(
                      string_split(text, ' '),
-                     w -> w || '~' || CAST(i AS VARCHAR)), ' ') END AS text,
+                     w -> w || CAST(i AS VARCHAR)), ' ') END AS text,
          lang, source, n_chars
   FROM '{SRC}/documents.parquet' CROSS JOIN copies""")
 
@@ -104,7 +107,7 @@ gen("embeddings", f"""
   SELECT vec_id + i*{K} AS vec_id,
          CASE WHEN i = 0 THEN embedding
               ELSE CAST(list_transform(embedding,
-                     (x, d) -> CASE WHEN (d*31 + i*17) % 3 = 0
+                     (x, d) -> CASE WHEN hash(d*131 + i*7919) % 2 = 0
                                THEN -x ELSE x END) AS FLOAT[])
          END AS embedding,
          label

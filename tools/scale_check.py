@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Compare an sf1 (10x) bench run against the recorded sf0.1 per-query
+baseline and flag superlinear scaling.
+
+Usage: python3 tools/scale_check.py [sf1_bench.json] [flag_ratio]
+
+A query that costs t at sf0.1 should cost ~10t at sf1 if its work is
+linear in data volume. Ratios meaningfully above 10 point at quadratic
+candidate generation, a partition strategy that stopped fitting, or a
+single-task stage (exactly what a 100 TB cluster run would hit). Small
+queries amortize fixed per-query costs (planning, codegen, task launch),
+so sub-second-baseline queries routinely show ratios FAR below 10 and
+only large ratios on them indicate real work growth; the flag threshold
+therefore applies to the measured seconds, not just the ratio.
+"""
+import json
+import sys
+
+BENCH = sys.argv[1] if len(sys.argv) > 1 else "target/bench_result.json"
+FLAG_RATIO = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
+BASELINE = "src/main/resources/graft/bench_baseline.txt"
+
+base = {}
+for line in open(BASELINE):
+    line = line.strip()
+    if line and not line.startswith("#"):
+        k, v = line.split()
+        base[k] = float(v)
+
+d = json.load(open(BENCH))
+qs = d["queries"]
+rows = []
+for k, t in qs.items():
+    b = base.get(k)
+    rows.append((k, b, t, (t / b) if b else None))
+
+rows.sort(key=lambda r: -(r[3] or 0))
+print(f"{'query':8} {'sf0.1':>7} {'sf1':>8} {'ratio':>7}")
+flagged = []
+for k, b, t, r in rows:
+    tag = ""
+    if r is not None and r > FLAG_RATIO and t > 2.0:
+        tag = "  <-- SUPERLINEAR?"
+        flagged.append(k)
+    print(f"{k:8} {b if b is not None else float('nan'):7.2f} "
+          f"{t:8.2f} {r if r is not None else float('nan'):7.1f}{tag}")
+
+total_b = sum(b for _, b, _, _ in rows if b)
+total_t = sum(t for _, _, t, _ in rows)
+print(f"\ntotal: sf0.1={total_b:.1f}s sf1={total_t:.1f}s "
+      f"ratio={total_t / total_b:.1f} (linear target ~10, below = "
+      f"fixed-cost amortization)")
+if flagged:
+    print(f"flagged ({FLAG_RATIO}x+ and >2s): {', '.join(flagged)}")
+    sys.exit(1)
+print("no superlinear outliers")
