@@ -20,6 +20,14 @@ BENCH = sys.argv[1] if len(sys.argv) > 1 else "target/bench_result.json"
 FLAG_RATIO = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
 BASELINE = "src/main/resources/graft/bench_baseline.txt"
 
+# operators with a documented superlinear-but-bounded contract get their
+# contract bound instead of the default flag ratio
+CONTRACT = {
+    # IVF with a sqrt(n) codebook is n^1.5 by design (Similarity.ivfAutoK):
+    # at 10x data the contract allows 10^1.5 ~= 31.6x
+    "q40": 32.0,
+}
+
 base = {}
 for line in open(BASELINE):
     line = line.strip()
@@ -39,9 +47,11 @@ print(f"{'query':8} {'sf0.1':>7} {'sf1':>8} {'ratio':>7}")
 flagged = []
 for k, b, t, r in rows:
     tag = ""
-    if r is not None and r > FLAG_RATIO and t > 2.0:
+    if r is not None and r > CONTRACT.get(k, FLAG_RATIO) and t > 2.0:
         tag = "  <-- SUPERLINEAR?"
         flagged.append(k)
+    elif r is not None and k in CONTRACT and r > FLAG_RATIO:
+        tag = f"  (within {CONTRACT[k]}x contract)"
     print(f"{k:8} {b if b is not None else float('nan'):7.2f} "
           f"{t:8.2f} {r if r is not None else float('nan'):7.1f}{tag}")
 
