@@ -177,7 +177,17 @@ object Dedup {
     * default (`bandBits = 0`) the band width auto-sizes to the WIDEST
     * chunk that still guarantees it — wider chunks mean fewer, more
     * selective buckets, i.e. fewer false candidates; an explicit width
-    * that breaks the guarantee is rejected, never silently weakened. */
+    * that breaks the guarantee is rejected, never silently weakened.
+    *
+    * Scale contract: unlike sign-LSH (whose bucket count is a free knob,
+    * `Similarity.lshAutoSize`), the bucket universe here is FIXED by the
+    * completeness guarantee — at most 2^(64/(maxHamming+1)) keys per band
+    * (65,536 at maxHamming 3). Random-collision candidates therefore grow
+    * ~n²/2^bandBits once n approaches the key space (~10⁵–10⁶ uniform
+    * signatures at 16-bit bands; measured linear through the 50k-doc sf1
+    * tier). Past that, collapse exact-duplicate signatures to one
+    * representative first (identical docs dominate real corpora and are
+    * Hamming-0 pairs by definition), or relax maxHamming to widen chunks. */
   def hammingBandPairs(sig: DataFrame, idCol: String, sigCol: String,
                        maxHamming: Int = 3, bandBits: Int = 0): DataFrame = {
     require(maxHamming < 64, s"maxHamming=$maxHamming must be < 64")
