@@ -53,6 +53,20 @@ object Bench {
         finally in.close()
       }.getOrElse(Map.empty)
 
+  /** The scale-factor directory the baseline was recorded at (the
+    * `# sf: <dir>` marker in the resource). The regression gate only
+    * applies when the bench runs at the SAME sf — comparing an sf1 run
+    * against sf0.1 times would flag every query, retry the whole
+    * registry, and bloat the JSON line past the driver's tail capture. */
+  def baselineSf(): Option[String] =
+    Option(getClass.getResourceAsStream("/graft/bench_baseline.txt"))
+      .flatMap { in =>
+        try scala.io.Source.fromInputStream(in).getLines()
+          .map(_.trim).find(_.startsWith("# sf:"))
+          .map(_.stripPrefix("# sf:").trim)
+        finally in.close()
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -152,7 +166,12 @@ object Bench {
     // reported under "outliers" — a named artifact instead of a buried
     // total.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val baseline = loadBaseline()
+    // the gate only applies at the baseline's own scale factor — at any
+    // other SF every query would trivially exceed 2.5× and the "gate"
+    // would retry the whole registry and overflow the result line
+    val baseline =
+      if (baselineSf().forall(_ == sfDir)) loadBaseline()
+      else Map.empty[String, Double]
     val fullByShort = timings.keys.map(n => shortKey(n) -> n).toMap
     def currentOutliers(): Map[String, Double] =
       outliers(timings.map { case (k, v) => shortKey(k) -> v }.toMap, baseline)

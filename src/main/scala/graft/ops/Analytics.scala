@@ -125,13 +125,15 @@ object Analytics {
 
   // ---------------------------------------------------------------- q93
   /** Weekly distinct users via daily HLL sketches unioned per week, with
-    * the exact count alongside. Oracle: q121's exact-mode pattern —
-    * Datasketches HLL answers from its coupon list/set below ~2^lgK/4
-    * distinct items (lgK=12 default), so at test-scale cardinalities
-    * (150/week at sf0.01, 1500 at sf0.1) the estimate IS the exact
-    * count and the oracle can pin it to COUNT(DISTINCT). Beyond coupon
-    * capacity the estimate drifts inside the sketch envelope — the spec
-    * keeps that assert for the general case. */
+    * the exact count alongside. Oracle design: the EXACT count pins
+    * value-exact at every scale, and the estimate is published as an
+    * in-engine envelope check (`est_ok` = within 5%, ~3σ for lgK=12) that
+    * the oracle expects TRUE — a broken sketch pipeline (wrong union,
+    * lost buckets) emits FALSE rows and hash-fails. The raw estimate is
+    * deliberately NOT a pinned column: Datasketches HLL is only
+    * coupon-exact below a few hundred distinct items (measured: exact
+    * through ~384 at lgK=12, est 1504.51 at 1500 true), so pinning it to
+    * COUNT(DISTINCT) would break at any scale past the sf0.01 gate. */
   def q93HllWeeklyUsers(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
     val daily = hllSketchBuckets(e, date_trunc("day", col("ts")),
@@ -140,9 +142,9 @@ object Analytics {
     val exact = e.groupBy(date_trunc("week", col("ts")).as("grain"))
       .agg(countDistinct(col("user_id")).as("exact_distinct"))
     weekly.join(exact, "grain")
-      .select(col("grain").as("week"),
-        col("est_distinct").cast("long").as("est_distinct"),
-        col("exact_distinct"))
+      .select(col("grain").as("week"), col("exact_distinct"),
+        (abs(col("est_distinct") - col("exact_distinct")) <=
+          col("exact_distinct").cast("double") * 0.05).as("est_ok"))
       .orderBy("week")
   }
 
@@ -400,13 +402,14 @@ object Analytics {
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL++
     * estimate with no exact-mode guarantee) are rows-only — no entries. */
   val oracle: Map[String, String] = Map(
-    // q93: exact-mode HLL (q121's pattern) — below coupon capacity the
-    // Datasketches estimate equals the exact distinct count, so BOTH
-    // output columns pin to COUNT(DISTINCT) at gate scale
+    // q93: the exact count pins value-exact; the estimate column is an
+    // in-engine 5% envelope check the oracle expects TRUE at every scale
+    // (the raw estimate is only coupon-exact below ~384 distinct at
+    // lgK=12, so it cannot be pinned to COUNT(DISTINCT) beyond the gate)
     "q93_hll_weekly_users" ->
       """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
-        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS est_distinct,
-        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |       TRUE AS est_ok
         |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
     // q78: the oracle is the UNSALTED join — salting must be invisible in
     // the result.

@@ -100,17 +100,23 @@ object Similarity {
     * p = 1 − θ/π is the hyperplane-agreement probability. Bits are
     * capped at 20 (a million buckets per band — beyond that, band keys
     * should become join-bucketing columns); bands at 64 (the signature
-    * row stays ≤ 64 longs). */
+    * row stays ≤ 64 longs). When the band cap would leave recall short
+    * (at the bits cap, 0.9-design recall needs 65 bands), bits BACK OFF
+    * until ≥95% fits within 64 bands — each step doubles the expected
+    * random-collision budget, so the guarantee bends the collision
+    * constant, never silently drops recall. */
   private[graft] def lshAutoSize(n: Long, designSim: Double): (Int, Int) = {
-    val bits = math.min(20, math.max(6,
-      math.ceil(math.log(math.max(16.0, 4.0 * n)) / math.log(2.0)).toInt))
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, designSim))) / math.Pi
-    val pBand = math.pow(p, bits)
-    val bands =
+    def bandsFor(bits: Int): Int = {
+      val pBand = math.pow(p, bits)
       if (pBand >= 1.0) 8
-      else math.min(64, math.max(8,
-        math.ceil(math.log(0.05) / math.log(1.0 - pBand)).toInt))
-    (bands, bits)
+      else math.max(8,
+        math.ceil(math.log(0.05) / math.log(1.0 - pBand)).toInt)
+    }
+    var bits = math.min(20, math.max(6,
+      math.ceil(math.log(math.max(16.0, 4.0 * n)) / math.log(2.0)).toInt))
+    while (bandsFor(bits) > 64 && bits > 6) bits -= 1
+    (math.min(64, bandsFor(bits)), bits)
   }
 
   /** Banded sign-LSH near-duplicate pairs: `bands` independent hash tables

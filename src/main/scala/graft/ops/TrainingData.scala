@@ -35,9 +35,11 @@ object TrainingData {
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------- q35
-  /** Embedding-cosine near-dup pairs via banded sign-LSH (16 bands × 8
-    * bits): only vectors colliding in at least one band are compared, then
-    * verified with the exact cosine (approximate → rows-only). */
+  /** Embedding-cosine near-dup pairs via banded sign-LSH, resources
+    * auto-sized from the corpus count ([[Similarity.lshAutoSize]]: 2^bits
+    * ≥ 4n buckets per band, bands from the ≥95%-recall curve at design
+    * sim 0.9): only vectors colliding in at least one band are compared,
+    * then verified with the exact cosine (approximate → rows-only). */
   def q35EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(t(spark, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, minSim = 0.3)

@@ -37,4 +37,13 @@ class BenchSpec extends AnyFunSuite {
       assert(k.startsWith("q") && v > 0.0, s"bad baseline row $k -> $v")
     }
   }
+
+  test("baseline records its scale factor so the gate skips other SFs") {
+    // without the marker an sf1 run would flag ~every query, retry the
+    // whole registry, and overflow the driver's 2.6KB tail capture
+    val sf = Bench.baselineSf()
+    assert(Bench.loadBaseline().isEmpty || sf.isDefined,
+      "a recorded baseline must carry its '# sf:' marker")
+    sf.foreach(d => assert(d.nonEmpty && !d.contains(" "), s"bad sf dir: $d"))
+  }
 }

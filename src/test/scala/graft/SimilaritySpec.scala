@@ -132,13 +132,19 @@ class SimilaritySpec extends AnyFunSuite {
       s"auto-sized banding must recover planted near-dups: $hits/30")
   }
 
-  test("lshAutoSize: bucket count tracks corpus size, bands bounded") {
-    // the linearity contract: 2^bits >= 4n (expected random collisions
-    // per band stay <= n/4), so bits grows with log n
-    for (n <- Seq(100L, 10_000L, 1_000_000L)) {
+  test("lshAutoSize: bucket count tracks corpus size, recall held, bands bounded") {
+    def recall(bands: Int, bits: Int, sim: Double): Double = {
+      val p = 1.0 - math.acos(sim) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+    }
+    for (n <- Seq(100L, 10_000L, 1_000_000L, 100_000_000L)) {
       val (bands, bits) = Similarity.lshAutoSize(n, 0.9)
-      assert((1L << bits) >= math.min(4 * n, 1L << 20), s"n=$n bits=$bits")
       assert(bands >= 8 && bands <= 64, s"n=$n bands=$bands")
+      assert(bits >= 6 && bits <= 20, s"n=$n bits=$bits")
+      // the recall guarantee holds even where the band cap binds and
+      // bits back off (e.g. n > 131k at design sim 0.9 needs bits=19)
+      assert(recall(bands, bits, 0.9) >= 0.95,
+        s"n=$n recall ${recall(bands, bits, 0.9)} with $bands x $bits")
     }
     val (_, bitsSmall) = Similarity.lshAutoSize(100L, 0.9)
     val (_, bitsBig) = Similarity.lshAutoSize(1_000_000L, 0.9)

@@ -236,13 +236,26 @@ class StatsSpec extends AnyFunSuite {
   }
 
   test("q93 HLL weekly estimates sit inside the sketch error envelope") {
+    // the registered query folds the envelope into an est_ok boolean the
+    // oracle pins TRUE; assert it here too, plus the RAW estimate
+    // envelope at the operator level (hllSketchBuckets/hllRollup)
     val out = graft.ops.Analytics.q93HllWeeklyUsers(spark, TestSpark.sfDir)
       .collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val est = r.getLong(1)
-      val exact = r.getLong(2)
-      assert(math.abs(est - exact).toDouble / math.max(exact, 1L) < 0.1,
+      assert(r.getBoolean(2), s"estimate outside the 5% envelope: $r")
+    }
+    val e = graft.sources.TableCatalog.load(spark, TestSpark.sfDir, "events")
+    val weekly = graft.ops.Analytics.hllRollup(
+      graft.ops.Analytics.hllSketchBuckets(e,
+        date_trunc("day", col("ts")), col("user_id")),
+      date_trunc("week", col("bucket")))
+    val exact = e.groupBy(date_trunc("week", col("ts")).as("grain"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    weekly.join(exact, "grain").collect().foreach { r =>
+      val est = r.getLong(1).toDouble
+      val ex = r.getLong(2)
+      assert(math.abs(est - ex) / math.max(ex, 1L) < 0.1,
         s"HLL estimate outside 10% envelope: $r")
     }
   }

@@ -55,11 +55,21 @@ for k, b, t, r in rows:
     print(f"{k:8} {b if b is not None else float('nan'):7.2f} "
           f"{t:8.2f} {r if r is not None else float('nan'):7.1f}{tag}")
 
-total_b = sum(b for _, b, _, _ in rows if b)
-total_t = sum(t for _, _, t, _ in rows)
-print(f"\ntotal: sf0.1={total_b:.1f}s sf1={total_t:.1f}s "
-      f"ratio={total_t / total_b:.1f} (linear target ~10, below = "
-      f"fixed-cost amortization)")
+# totals over the OVERLAP only, so queries missing a baseline row can't
+# inflate the ratio; bail with a diagnostic rather than divide by zero
+overlap = [(b, t) for _, b, t, _ in rows if b]
+if not overlap:
+    print("\nno bench query matches any baseline row - check that "
+          f"{BASELINE} is current (keys are qNN short names)")
+    sys.exit(2)
+total_b = sum(b for b, _ in overlap)
+total_t = sum(t for _, t in overlap)
+skipped = len(rows) - len(overlap)
+note = f"; {skipped} queries lack a baseline row and are excluded" \
+    if skipped else ""
+print(f"\ntotal ({len(overlap)} baselined queries): sf0.1={total_b:.1f}s "
+      f"sf1={total_t:.1f}s ratio={total_t / total_b:.1f} (linear target "
+      f"~10, below = fixed-cost amortization){note}")
 if flagged:
     print(f"flagged ({FLAG_RATIO}x+ and >2s): {', '.join(flagged)}")
     sys.exit(1)
