@@ -140,8 +140,9 @@ object TrainingData {
 
   // ---------------------------------------------------------------- q42
   /** Multimodal plumbing: binary payload table → partition-batched decode
-    * stub → typed features (rows-only; determinism + metadata equalities
-    * are spec-checked). The library API keeps the `features array<float>`
+    * stub → typed features, hash-verified against a DuckDB oracle that
+    * reproduces the deterministic stub decode byte-for-byte (plus
+    * determinism/metadata specs). The library API keeps the `features array<float>`
     * column; the registered query projects it to one scalar per stripe so
     * the driver's sort-based rows check can order the output (it cannot
     * sort array columns). */
@@ -198,6 +199,42 @@ object TrainingData {
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    // q42: the stub decode (FNV-1a over 4 byte-stripes) is deterministic,
+    // so the whole multimodal path — binary ingest schema, partition-
+    // batched mapPartitions decode, typed feature projection — is
+    // hash-verified byte-for-byte. DuckDB reproduces the fold with
+    // HUGEINT modular arithmetic (BIGINT multiply would overflow-error,
+    // not wrap); xor rides the low byte only, since the FNV xor operand
+    // is a single ASCII byte. All stripe values are <2^24/2^24 — exactly
+    // representable in FLOAT, so the float compare is bit-safe.
+    "q42_multimodal_stub" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+        |         CAST(len(text) AS BIGINT) AS n_bytes,
+        |         [ list_reduce(
+        |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |               list_transform(
+        |                 list_filter(range(1, len(text)+1),
+        |                             j -> (j-1)%4 = s),
+        |                 j -> CAST(ord(text[j]) AS HUGEINT))),
+        |             (acc, b) -> ((acc - acc%256 +
+        |                 xor(CAST(acc%256 AS BIGINT), CAST(b AS BIGINT)))
+        |               * 1099511628211)
+        |               % CAST('18446744073709551616' AS HUGEINT)
+        |           ) FOR s IN [0,1,2,3] ] AS fnv
+        |  FROM documents)
+        |SELECT asset_id, media_type, n_bytes,
+        |       CAST(n_bytes % 640 AS INTEGER) AS width,
+        |       CAST(n_bytes % 480 AS INTEGER) AS height,
+        |       CAST(CAST(fnv[1] // 1099511627776 AS DOUBLE)
+        |            / 16777216.0 AS FLOAT) AS stripe0,
+        |       CAST(CAST(fnv[2] // 1099511627776 AS DOUBLE)
+        |            / 16777216.0 AS FLOAT) AS stripe1,
+        |       CAST(CAST(fnv[3] // 1099511627776 AS DOUBLE)
+        |            / 16777216.0 AS FLOAT) AS stripe2,
+        |       CAST(CAST(fnv[4] // 1099511627776 AS DOUBLE)
+        |            / 16777216.0 AS FLOAT) AS stripe3
+        |FROM f ORDER BY asset_id""".stripMargin,
     // q97's oracle is deliberately the brute-force O(n²) formulation —
     // independent of the engine's deletion-neighborhood blocking, so the
     // compare checks blocking completeness, not just arithmetic
