@@ -39,19 +39,22 @@ object Bench {
       v > floorSec && baseline.get(k).exists(b => v > factor * b)
     }
 
+  private def baselineLines(): Seq[String] =
+    Option(getClass.getResourceAsStream("/graft/bench_baseline.txt"))
+      .map { in =>
+        try scala.io.Source.fromInputStream(in).getLines()
+          .map(_.trim).toSeq
+        finally in.close()
+      }.getOrElse(Seq.empty)
+
   /** Per-query baseline (qNN → seconds) from the classpath resource
     * recorded off a clean isolated run; empty map when absent so the
     * bench still runs in a fresh checkout. */
   def loadBaseline(): Map[String, Double] =
-    Option(getClass.getResourceAsStream("/graft/bench_baseline.txt"))
-      .map { in =>
-        try scala.io.Source.fromInputStream(in).getLines()
-          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map { l =>
-            val parts = l.split("\\s+"); parts(0) -> parts(1).toDouble }
-          .toMap
-        finally in.close()
-      }.getOrElse(Map.empty)
+    baselineLines()
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val parts = l.split("\\s+"); parts(0) -> parts(1).toDouble }
+      .toMap
 
   /** The scale-factor directory the baseline was recorded at (the
     * `# sf: <dir>` marker in the resource). The regression gate only
@@ -59,13 +62,8 @@ object Bench {
     * against sf0.1 times would flag every query, retry the whole
     * registry, and bloat the JSON line past the driver's tail capture. */
   def baselineSf(): Option[String] =
-    Option(getClass.getResourceAsStream("/graft/bench_baseline.txt"))
-      .flatMap { in =>
-        try scala.io.Source.fromInputStream(in).getLines()
-          .map(_.trim).find(_.startsWith("# sf:"))
-          .map(_.stripPrefix("# sf:").trim)
-        finally in.close()
-      }
+    baselineLines().find(_.startsWith("# sf:"))
+      .map(_.stripPrefix("# sf:").trim)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -178,9 +176,10 @@ object Bench {
     val retried = scala.collection.mutable.LinkedHashSet.empty[String]
     val maxRetryRounds = sys.env.getOrElse("SPARK_GRAFT_OUTLIER_RETRIES", "2").toInt
     var retryRound = 0
-    while (currentOutliers().nonEmpty && retryRound < maxRetryRounds) {
+    var remainingOutliers = currentOutliers()
+    while (remainingOutliers.nonEmpty && retryRound < maxRetryRounds) {
       System.gc()
-      currentOutliers().keys.toSeq.sorted.foreach { short =>
+      remainingOutliers.keys.toSeq.sorted.foreach { short =>
         val name = fullByShort(short)
         retried += short
         val t0 = System.nanoTime()
@@ -192,8 +191,8 @@ object Bench {
         spark.catalog.clearCache()
       }
       retryRound += 1
+      remainingOutliers = currentOutliers()
     }
-    val remainingOutliers = currentOutliers()
 
     // The harness captures only the last ~2.6KB of stdout: BENCH_r02
     // (full-precision doubles) AND BENCH_r03 (centiseconds but 81

@@ -144,6 +144,8 @@ object Similarity {
                       bitsPerBand: Int = 0): DataFrame = {
     val (bResolved, bitsResolved) =
       if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
+      // count() is one column-pruned scan — noise next to the banded
+      // self-join it sizes (and table statistics could replace it)
       else lshAutoSize(emb.count(), math.max(0.9, minSim))
     val base = emb.select(col(idCol).as("id"), col(embCol).as("emb"))
     val candidates = lshBandCandidates(emb, idCol, embCol, dim,
