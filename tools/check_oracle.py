@@ -39,8 +39,18 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
+    # ORACLE_SKIP: comma-separated qids to leave out — the deliberately
+    # brute-force oracles (q97/q118 are O(n^2) by design, so the compare
+    # checks blocking completeness) are infeasible for DuckDB itself at
+    # the 10x sf1 tier even though the ENGINE runs them fine there
+    skip = set(filter(None,
+                      __import__("os").environ.get("ORACLE_SKIP", "")
+                      .split(",")))
     n_pass = n_fail = 0
     for qid, sql in sorted(oracle.items()):
+        if qid in skip:
+            print(f"SKIP {qid} (ORACLE_SKIP)")
+            continue
         try:
             duck = con.execute(sql).fetch_arrow_table()
             spark = con.execute(
