@@ -402,6 +402,37 @@ object Mining {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------- q125
+  /** Rolling 7-day distinct users from mergeable per-day theta sketches.
+    * The naive formulation — `COUNT(DISTINCT user) OVER (RANGE 6 DAYS
+    * PRECEDING)` — re-processes every fact row once per window it falls
+    * in (7× fact volume through a distinct-capable window state); at
+    * 100 TB that is the canonical rolling-distinct trap. Here the fact
+    * table is touched ONCE to build a KB-sized theta sketch per day
+    * (map-side partials, one exchange of |days| rows); the rolling union
+    * then runs entirely on the tiny day-sketch frame — a |days|×7
+    * self-join of KB payloads, `theta_union_agg` per window. Any other
+    * window length is the same sketch algebra with no fact re-scan.
+    * lgNomEntries=16 keeps the sketches in exact mode at every test SF
+    * (max 7-day distinct at sf1 is ~15k < 65k retained hashes), so the
+    * DuckDB oracle verifies both counts value-for-value; at production
+    * cardinality the identical plan degrades gracefully to ±1.6%
+    * estimates. The first six days report their clipped (shorter)
+    * window, mirrored in the oracle. */
+  def q125RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val daySk = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("theta_sketch_agg(user_id, 16)").as("sk"))
+    val a = daySk.select(col("day"),
+      expr("theta_sketch_estimate(sk)").cast("long").as("n_day"))
+    val b = daySk.select(col("day").as("day_b"), col("sk"))
+    a.join(b, col("day_b").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day"), col("n_day"))
+      .agg(expr("theta_sketch_estimate(theta_union_agg(sk, 16))")
+        .cast("long").as("n_7d"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -418,7 +449,8 @@ object Mining {
     "q116_vocab_coverage" -> q116VocabCoverage _,
     "q117_pca_embeddings" -> q117PcaEmbeddings _,
     "q121_theta_audience_overlap" -> q121ThetaAudienceOverlap _,
-    "q122_kll_quantile_bands" -> q122KllQuantileBands _)
+    "q122_kll_quantile_bands" -> q122KllQuantileBands _,
+    "q125_rolling_distinct" -> q125RollingDistinct _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
     * (FNV perceptual hash) are engine-internal → rows-only; their
@@ -570,5 +602,18 @@ object Mining {
         |             (ca.n + cb.n - COALESCE(i.inter, 0)), 6) AS jaccard
         |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
         |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
-        |ORDER BY type_a, type_b""".stripMargin)
+        |ORDER BY type_a, type_b""".stripMargin,
+    // q125: theta sketches are exact at test SFs (lgNomEntries=16), so the
+    // oracle is the exact rolling distinct count (DATE - int = DATE in
+    // DuckDB; Spark side uses date_sub — same clipped leading windows)
+    "q125_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |cd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_day
+        |       FROM du GROUP BY day)
+        |SELECT cd.day, cd.n_day,
+        |       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_7d
+        |FROM cd JOIN du ON du.day BETWEEN cd.day - 6 AND cd.day
+        |GROUP BY cd.day, cd.n_day
+        |ORDER BY cd.day""".stripMargin)
 }

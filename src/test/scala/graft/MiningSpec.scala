@@ -266,6 +266,25 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling 7-day distinct from theta day-sketches equals exact") {
+    val out = Mining.q125RollingDistinct(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    val du = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    val byDay = du.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val window = byDay.view
+        .filterKeys(k => !k.isBefore(d.minusDays(6)) && !k.isAfter(d))
+        .values.foldLeft(Set.empty[Long])(_ ++ _)
+      assert(r.getLong(1) == byDay(d).size, s"n_day at $d")
+      assert(r.getLong(2) == window.size, s"n_7d at $d")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
+
   test("KLL quantile bands stay inside the rank-error envelope of exact") {
     val bands = Mining.q122KllQuantileBands(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) ->
