@@ -198,6 +198,24 @@ object NgramUtil {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** Distinct character n-grams, first-occurrence order (codegen entry
+    * point for [[CharNgrams]]) — the substring-index shingle. Matches
+    * `array_distinct(transform(sequence(1, len-n+1), i -> substr(s,i,n)))`
+    * on BMP text (UTF-16 code-unit windows); empty below n chars. */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= len) {
+      seen.add(s.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(
+      seen.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
   /** Shannon entropy (nats) over the UTF-16 characters of a string
     * (codegen entry point for [[CharEntropy]]); 0.0 for the empty string.
     * Distinct characters are folded in ascending char order so the
@@ -424,6 +442,37 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
 
   override protected def withNewChildInternal(
       newChild: Expression): WordNgrams = copy(child = newChild)
+}
+
+/** Distinct character n-gram shingles — the trigram-index building block
+  * (substring search, q127). One fused loop per row with a reused window
+  * buffer; the HOF form (`transform` over `sequence` + per-position
+  * `substr`) is CodegenFallback and allocates a Column-sized array of
+  * boxed positions per row before distincting. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramUtil.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NgramUtil.charNgrams($x, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharNgrams = copy(child = newChild)
 }
 
 /** Per-document character-entropy (nats) — the classic cheap detector of

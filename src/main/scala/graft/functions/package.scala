@@ -94,6 +94,12 @@ package object functions {
       distinct))
   }
 
+  /** Distinct character n-grams via the fused [[CharNgrams]] expression. */
+  def charNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(CharNgrams(GraftSqlBridge.expression(text), n))
+  }
+
   /** Bloom-filter aggregate over a bigint column (Spark's runtime-filter
     * BloomFilterAggregate): one binary value sized for `expectedItems`.
     * Undersizing saturates the filter and turns downstream probes into

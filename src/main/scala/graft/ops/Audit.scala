@@ -346,6 +346,31 @@ object Audit {
       .limit(10)
   }
 
+  // --------------------------------------------------------------- q128
+  /** Key-skew profile — the diagnostic that decides whether a join needs
+    * salting ([[Skew.saltedJoin]]) before it ships. One aggregate over
+    * the fact table (map-side partial on the key), then the heavy-hitter
+    * head: top-10 keys with their row share and skew factor
+    * (count ÷ mean-per-key). The global totals ride a 1-row broadcast
+    * cross join, so the whole profile is one shuffle of |keys| rows —
+    * at 100 TB the per-key count frame is what any groupBy already pays,
+    * and the top-10 head is a fused limit, never a full sort spill. A
+    * skew factor near 1 says hash partitioning balances; >>1 names the
+    * exact keys to salt and sizes the salt factor. */
+  def q128KeySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("n").desc, col("key")).limit(10)
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(col("n").cast("double") * col("n_keys") / col("total"), 6)
+          .as("skew"))
+      .orderBy(col("n").desc, col("key"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -358,7 +383,8 @@ object Audit {
     "q118_entity_resolution" -> q118EntityResolution _,
     "q119_equidepth_histogram" -> q119EquidepthHistogram _,
     "q120_ordered_listagg" -> q120OrderedListagg _,
-    "q124_event_paths" -> q124EventPaths _)
+    "q124_event_paths" -> q124EventPaths _,
+    "q128_key_skew_profile" -> q128KeySkewProfile _)
 
   val oracle: Map[String, String] = Map(
     "q110_quality_audit" ->
@@ -556,5 +582,16 @@ object Audit {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
         |FROM s WHERE t1 IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q128_key_skew_profile" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |             COUNT(*) AS n_keys FROM c)
+        |SELECT key, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |       round(CAST(n AS DOUBLE) * n_keys / total, 6) AS skew
+        |FROM (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10), t
+        |ORDER BY n DESC, key""".stripMargin)
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -490,5 +490,62 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("corpus_id", "fresh_id", "common", "size_corpus",
         "size_fresh", "jaccard")
+  }
+
+  /** Passage→corpus containment probe with ASYMMETRIC PREFIX FILTERING
+    * (AllPairs/PPJoin family, Bayardo et al. WWW'07): which corpus
+    * documents contain ≥ `minContainment` of a probe passage's n-gram
+    * shingles — the passage-level decontamination / attribution lookup.
+    *
+    * The exactness argument: fix any global total order on grams (here:
+    * ascending 64-bit gram hash). If C(p,d) = |p∩d|/|p| ≥ t, the
+    * intersection has ≥ ⌈t·|p|⌉ grams; were ALL of them outside the
+    * probe's prefix (its first |p| − ⌈t·|p|⌉ + 1 grams in that order),
+    * they would have to fit in the remaining ⌈t·|p|⌉ − 1 suffix slots —
+    * contradiction. So every qualifying pair shares a PREFIX gram of the
+    * probe, and joining probe prefixes against FULL corpus postings loses
+    * nothing; exact verification on the candidates makes the output
+    * identical to the brute-force inverted join (which is what the
+    * DuckDB oracle runs). At t=0.8 only ~20% of each probe's grams enter
+    * the join — a 5× cut in probe-side shuffle volume, and the corpus
+    * side is the inverted index a production pipeline already maintains
+    * (bucketed by gram hash → the probe shuffles only its prefix
+    * postings into that bucketing). Gram identity is the 64-bit hash, as
+    * everywhere in this family (8-byte postings; collision odds
+    * immaterial — see [[ngramJaccardPairs]]). */
+  def containmentProbe(corpus: DataFrame, corpusText: String,
+                       corpusId: String, probes: DataFrame,
+                       probeText: String, probeId: String, n: Int = 3,
+                       minContainment: Double = 0.8): DataFrame = {
+    def gramSet(c: Column): Column =
+      sort_array(array_distinct(
+        transform(graft.functions.wordNgrams(c, n), g => xxhash64(g))))
+    val cg = corpus
+      .select(col(corpusId), gramSet(col(corpusText)).as("grams_d"))
+      .persist()
+    val pg = probes
+      .select(col(probeId), gramSet(col(probeText)).as("grams_p"))
+      .withColumn("size_p", size(col("grams_p")))
+      .filter(col("size_p") > 0)
+      // prefix over the hash-sorted grams: |p| - ceil(t*|p|) + 1 elements
+      .withColumn("prefix", slice(col("grams_p"), lit(1),
+        (col("size_p") - ceil(lit(minContainment) * col("size_p")) +
+          lit(1)).cast("int")))
+      .persist()
+    val cand = pg.select(col(probeId), explode(col("prefix")).as("gram_h"))
+      .join(cg.select(col(corpusId), explode(col("grams_d")).as("gram_h")),
+        "gram_h")
+      .select(col(probeId), col(corpusId)).distinct()
+    cand
+      .join(pg.select(col(probeId), col("grams_p"), col("size_p")), probeId)
+      .join(cg, corpusId)
+      .withColumn("common",
+        size(array_intersect(col("grams_p"), col("grams_d"))).cast("long"))
+      .withColumn("containment",
+        col("common").cast("double") / col("size_p"))
+      .filter(col("containment") >= minContainment)
+      .select(col(probeId), col(corpusId), col("common"),
+        col("size_p").cast("long").as("size_p"),
+        round(col("containment"), 6).as("containment"))
   }
 }

@@ -433,6 +433,56 @@ object Mining {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------- q126
+  /** Token co-occurrence PMI over a bounded vocabulary — the association
+    * score behind collocation mining and topic drift checks on a training
+    * corpus. Unbounded pairwise co-occurrence is |vocab|² state (hopeless
+    * at web scale, where vocab is tens of millions); capping to the top-K
+    * document-frequency vocabulary bounds per-document pair expansion at
+    * K(K-1)/2 regardless of corpus size. Two passes, the standard
+    * fit/score split: pass 1 fits the vocabulary (one token-df aggregate,
+    * top-K collected — the same KB-sized fitted-model collect as the IVF
+    * codebook, `Similarity.scala`); pass 2 re-scans documents with the
+    * vocab as a LITERAL array + df map (broadcast in the truest sense:
+    * baked into the codegen'd plan, zero join, zero shuffle on the probe
+    * side), expands per-document sorted vocab-token pairs with
+    * index-aware HOFs, and pays ONE shuffle — the pair-count aggregate,
+    * ≤ K²/2 groups. PMI = ln(P(a,b)/(P(a)P(b))) at 6 dp (cross-engine-
+    * safe per the q85 ln+round precedent); n_ab ≥ 5 floors the support. */
+  def q126PmiCooccur(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vocabK = 40
+    // fit: top-K tokens by document frequency (ties broken by token)
+    val fitted = docs
+      .select(explode(array_distinct(wordTokens(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(vocabK)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val nDocs = docs.count()
+    val vocabArr = typedlit(fitted.map(_._1).sorted.toSeq)
+    val dfMap = typedlit(fitted.toMap)
+    // score: per-doc vocab-token pairs via index HOFs — no vocab join.
+    // tks is projected to an ATTRIBUTE first: referencing the tokenize+
+    // intersect EXPRESSION from inside each lambda would re-evaluate it
+    // per reference (no CSE across HOF boundaries — measured 3.7× slower)
+    val tks = col("tks")
+    val pairs = transform(tks, (x, i) => transform(
+      slice(tks, i + lit(2), greatest(size(tks) - i - lit(1), lit(0))),
+      y => struct(x.as("tok_a"), y.as("tok_b"))))
+    docs
+      .select(sort_array(array_intersect(
+        array_distinct(wordTokens(col("text"))), vocabArr)).as("tks"))
+      .select(explode(flatten(pairs)).as("p"))
+      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * nDocs /
+          (element_at(dfMap, col("tok_a")).cast("double") *
+            element_at(dfMap, col("tok_b")))), 6).as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -450,7 +500,8 @@ object Mining {
     "q117_pca_embeddings" -> q117PcaEmbeddings _,
     "q121_theta_audience_overlap" -> q121ThetaAudienceOverlap _,
     "q122_kll_quantile_bands" -> q122KllQuantileBands _,
-    "q125_rolling_distinct" -> q125RollingDistinct _)
+    "q125_rolling_distinct" -> q125RollingDistinct _,
+    "q126_pmi_cooccur" -> q126PmiCooccur _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
     * (FNV perceptual hash) are engine-internal → rows-only; their
@@ -615,5 +666,31 @@ object Mining {
         |       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_7d
         |FROM cd JOIN du ON du.day BETWEEN cd.day - 6 AND cd.day
         |GROUP BY cd.day, cd.n_day
-        |ORDER BY cd.day""".stripMargin)
+        |ORDER BY cd.day""".stripMargin,
+    // q126: same fit (top-40 df vocab, ties by token) + score (pair
+    // counts over distinct per-doc vocab tokens, n_ab >= 5, 6dp PMI)
+    "q126_pmi_cooccur" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |           string_split_regex(lower(text), '\W+'),
+        |           t -> len(t) > 0))) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok
+        |  ORDER BY df DESC, tok LIMIT 40),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |p AS (
+        |  SELECT a.tok AS tok_a, any_value(a.df) AS df_a,
+        |         b.tok AS tok_b, any_value(b.df) AS df_b,
+        |         COUNT(*) AS n_ab
+        |  FROM (SELECT tk.doc_id, tk.tok, vocab.df FROM tk
+        |        JOIN vocab ON vocab.tok = tk.tok) a
+        |  JOIN (SELECT tk.doc_id, tk.tok, vocab.df FROM tk
+        |        JOIN vocab ON vocab.tok = tk.tok) b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5)
+        |SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |       round(ln(CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n) /
+        |             (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
+        |FROM p ORDER BY tok_a, tok_b""".stripMargin)
 }

@@ -179,6 +179,67 @@ object TrainingData {
         maxDistance = 0.6)
       .orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q127
+  /** Substring search driven by a character-trigram inverted index — the
+    * `LIKE '%pattern%'` that doesn't scan the corpus. A plain contains()
+    * filter reads every byte of every document; the trigram-index
+    * formulation touches only the postings of the pattern's own trigrams
+    * (a scan-side IN predicate here; partition pruning on a materialized
+    * postings table bucketed by gram at warehouse scale), keeps the docs
+    * that hold ALL of them — a necessary condition for containing the
+    * pattern — and runs the exact contains() verification on that
+    * candidate sliver alone (semi-join back to the corpus, fetching just
+    * candidate documents). The index build below is the one-time cost a
+    * production deployment amortizes across every search; the probe side
+    * of the plan is what repeats. Verification makes the trigram recall
+    * question moot: output is exactly the brute-force filter's, which is
+    * what the oracle runs. */
+  def q127TrigramSearch(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "merge batch"
+    val grams = pattern.sliding(3).toSeq.distinct
+    val docs = t(spark, dir, "documents")
+    val cand = docs
+      .filter(length(col("text")) >= pattern.length)
+      // fused CharNgrams scan, intersected with the pattern-gram literal
+      // INSIDE the array before exploding: ships <=|pattern| rows per doc
+      // into the aggregate instead of one row per character of text
+      .select(col("doc_id"),
+        explode(array_intersect(
+          graft.functions.charNgrams(col("text"), 3),
+          typedlit(grams))).as("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("hit"))
+      .filter(col("hit") === grams.size)
+    docs.join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(col("text").contains(pattern))
+      .select(col("doc_id"),
+        instr(col("text"), pattern).cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q129
+  /** Passage-level contamination lookup: which corpus documents contain
+    * ≥80% of a probe passage's 3-gram shingles ([[Dedup
+    * .containmentProbe]], asymmetric prefix filtering — only ~20% of each
+    * probe's grams enter the join, losslessly). Probes are a deterministic
+    * md5-keyed ~1/8 slice of the corpus, each contributing its tokens
+    * 5–34 as the "leaked passage"; every probe therefore matches its own
+    * parent at containment 1.0, plus any near-dup that shares the
+    * passage. The oracle is the INDEPENDENT brute-force inverted join
+    * (no prefix filtering), so the compare checks the prefix scheme's
+    * losslessness, not just the arithmetic. */
+  def q129PassageContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val probes = docs
+      .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+      .select(col("doc_id").as("probe_id"),
+        array_join(slice(graft.functions.wordTokens(col("text")), 5, 30),
+          " ").as("passage"))
+    Dedup.containmentProbe(docs, "text", "doc_id",
+        probes, "passage", "probe_id", n = 3, minContainment = 0.8)
+      .orderBy("probe_id", "doc_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
@@ -195,7 +256,9 @@ object TrainingData {
     "q92_kmeans_cells" -> q92KmeansCells _,
     "q97_fuzzy_name_pairs" -> q97FuzzyNamePairs _,
     "q42_multimodal_stub" -> q42MultimodalStub _,
-    "q75_ann_quantized" -> q75AnnQuantized _)
+    "q75_ann_quantized" -> q75AnnQuantized _,
+    "q127_trigram_search" -> q127TrigramSearch _,
+    "q129_passage_containment" -> q129PassageContainment _)
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
@@ -391,5 +454,47 @@ object TrainingData {
         |            + (CASE WHEN alpha / greatest(n_toks, 1.0)
         |                      BETWEEN 3.0 AND 10.0
         |                    THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q127: the oracle IS the brute-force LIKE scan the index replaces —
+    // identical output because verification is exact
+    "q127_trigram_search" ->
+      """SELECT doc_id, CAST(strpos(text, 'merge batch') AS BIGINT) AS pos
+        |FROM documents WHERE contains(text, 'merge batch')
+        |ORDER BY doc_id""".stripMargin,
+    // q129: INDEPENDENT brute-force inverted join (no prefix filtering) —
+    // green means the prefix scheme lost no qualifying pair
+    "q129_passage_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(
+        |           list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |                i -> array_to_string(tk[i:i+2], ' ')),
+        |           g -> len(g) > 0))) AS gram
+        |  FROM tk),
+        |pgl AS (
+        |  SELECT doc_id AS probe_id,
+        |         list_distinct(list_filter(
+        |           list_transform(range(1, greatest(len(ptk) - 2, 0) + 1),
+        |                i -> array_to_string(ptk[i:i+2], ' ')),
+        |           g -> len(g) > 0)) AS grams
+        |  FROM (SELECT doc_id, tk[5:34] AS ptk FROM tk
+        |        WHERE substring(md5(text), 1, 1) IN ('0', '1'))),
+        |pg AS (SELECT probe_id, unnest(grams) AS gram FROM pgl),
+        |ps AS (SELECT probe_id, len(grams) AS size_p FROM pgl),
+        |j AS (
+        |  SELECT pg.probe_id, dg.doc_id, COUNT(*) AS common
+        |  FROM pg JOIN dg ON pg.gram = dg.gram
+        |  GROUP BY pg.probe_id, dg.doc_id)
+        |SELECT j.probe_id, j.doc_id, CAST(j.common AS BIGINT) AS common,
+        |       CAST(ps.size_p AS BIGINT) AS size_p,
+        |       round(CAST(j.common AS DOUBLE) / ps.size_p, 6)
+        |         AS containment
+        |FROM j JOIN ps ON ps.probe_id = j.probe_id
+        |WHERE CAST(j.common AS DOUBLE) / ps.size_p >= 0.8
+        |ORDER BY j.probe_id, j.doc_id""".stripMargin)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
 
 import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
 
-import graft.functions.{CharEntropy, CmsEstimate, DeletionNeighbors, DotProduct, MinHashes, SimHash64, WordChunks, WordNgrams, WordTokens}
+import graft.functions.{CharEntropy, CharNgrams, CmsEstimate, DeletionNeighbors, DotProduct, MinHashes, SimHash64, WordChunks, WordNgrams, WordTokens}
 
 /** SparkSessionExtensions module: registers the engine's native expressions
   * as SQL functions so `spark.sql("SELECT graft_dot(a,b) ...")` works.
@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case IntegerLiteral(k) => MinHashes(args(0), k)
         case other => throw new IllegalArgumentException(
           s"graft_minhashes: k must be an integer literal, got $other")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_char_ngrams"),
+      info("graft_char_ngrams",
+        "graft_char_ngrams(text, n) - distinct character n-gram shingles"),
+      (args: Seq[Expression]) => args(1) match {
+        case IntegerLiteral(n) => CharNgrams(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_char_ngrams: n must be an integer literal, got $other")
       }))
     e.injectFunction((
       new FunctionIdentifier("graft_char_entropy"),

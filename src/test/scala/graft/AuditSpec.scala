@@ -192,4 +192,24 @@ class AuditSpec extends AnyFunSuite {
       s"scan read $numFiles files, expected the $expected in the " +
         "matching partition only")
   }
+
+  test("key-skew profile: shares and skew consistent with raw counts") {
+    val out = Audit.q128KeySkewProfile(spark, TestSpark.sfDir).collect()
+    assert(out.length == 10)
+    val ns = out.map(_.getLong(1))
+    assert(ns.sameElements(ns.sortBy(-_)), "head must be count-descending")
+    val perKey = TableCatalog.load(spark, TestSpark.sfDir, "lineitem")
+      .groupBy("l_suppkey").count().collect().map(_.getLong(1))
+    val total = perKey.sum
+    val nKeys = perKey.length.toLong
+    assert(ns.head == perKey.max, "top key must be the global max")
+    out.foreach { r =>
+      val n = r.getLong(1)
+      assert(math.abs(r.getDouble(2) - n.toDouble / total) < 1e-6, "share")
+      assert(math.abs(r.getDouble(3) - n.toDouble * nKeys / total) < 1e-6,
+        "skew")
+    }
+    assert(out.head.getDouble(3) >= 1.0,
+      "heaviest key cannot be below the per-key mean")
+  }
 }

@@ -166,4 +166,55 @@ class DedupSpec extends AnyFunSuite {
       assert(full(key) == j, s"pair $key: incremental $j != full ${full(key)}")
     }
   }
+
+  test("containment probe: planted passage finds its sources, prefix is lossless") {
+    // probe = a verbatim slice of doc 0 → contained 1.0 in docs 0 and 1
+    // (exact dup) and partially in 2 (one word swapped); unrelated docs
+    // never qualify
+    val probe = Seq((100L, base.split(" ").slice(2, 14).mkString(" ")))
+      .toDF("probe_id", "passage")
+    val out = Dedup.containmentProbe(docs, "text", "doc_id",
+        probe, "passage", "probe_id", n = 3, minContainment = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("containment"))
+      .toMap
+    assert(out(0L) == 1.0 && out(1L) == 1.0, s"parents must hit 1.0: $out")
+    assert(!out.contains(3L) && !out.contains(4L), s"unrelated matched: $out")
+    // brute-force losslessness on the same inputs: every pair with
+    // containment >= t (computed directly from gram sets) is present
+    def grams(s: String): Set[String] = s.toLowerCase.split("\\W+")
+      .filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+    val pg = grams(base.split(" ").slice(2, 14).mkString(" "))
+    docs.collect().foreach { r =>
+      val c = grams(r.getString(1)).intersect(pg).size.toDouble / pg.size
+      assert((c >= 0.5) == out.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)}: brute containment $c vs engine $out")
+    }
+  }
+
+  test("q127 trigram search equals the brute-force contains scan") {
+    val hits = graft.ops.TrainingData
+      .q127TrigramSearch(spark, TestSpark.sfDir).collect()
+    val brute = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+      .filter(col("text").contains("merge batch"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(hits.map(_.getLong(0)).sameElements(brute))
+    // reported position is the real first occurrence
+    hits.foreach(r => assert(r.getLong(1) >= 1))
+  }
+
+  test("q129 passage containment: every probe matches its parent at 1.0") {
+    val out = graft.ops.TrainingData
+      .q129PassageContainment(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    val byProbe = out.groupBy(_.getLong(0))
+    byProbe.foreach { case (pid, rows) =>
+      val parent = rows.find(_.getLong(1) == pid)
+      assert(parent.isDefined, s"probe $pid missing its parent doc")
+      assert(parent.get.getAs[Double]("containment") == 1.0,
+        s"probe $pid parent containment != 1.0")
+    }
+  }
 }

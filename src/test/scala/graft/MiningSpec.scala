@@ -285,6 +285,35 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("PMI co-occurrence matches a brute-force recompute") {
+    val out = Mining.q126PmiCooccur(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    val docToks = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\W+").filter(_.nonEmpty).toSet)
+    val nDocs = docToks.length
+    val df_ = docToks.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val vocab = df_.toSeq.sortBy { case (tok, d) => (-d, tok) }
+      .take(40).map(_._1).toSet
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docToks.foreach { toks =>
+      val vt = toks.intersect(vocab).toSeq.sorted
+      for (i <- vt.indices; j <- i + 1 until vt.size)
+        pairCounts((vt(i), vt(j))) =
+          pairCounts.getOrElse((vt(i), vt(j)), 0L) + 1
+    }
+    assert(out.length == pairCounts.count(_._2 >= 5), "pair completeness")
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(pairCounts((a, b)) == r.getLong(2), s"n_ab for ($a,$b)")
+      val pmi = math.log(
+        r.getLong(2).toDouble * nDocs / (df_(a).toDouble * df_(b)))
+      assert(math.abs(pmi - r.getDouble(3)) < 1e-6, s"pmi for ($a,$b)")
+    }
+  }
+
   test("KLL quantile bands stay inside the rank-error envelope of exact") {
     val bands = Mining.q122KllQuantileBands(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) ->

@@ -198,6 +198,19 @@ class PlanSpec extends AnyFunSuite {
       s"deletion-neighborhood blocking must stay equi-join:\n${p.take(3000)}")
   }
 
+  test("q129 passage containment: prefix-filtered equi-joins only") {
+    val p = finalPlan("q129_passage_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must stay an equi-join:\n${p.take(3000)}")
+  }
+
+  test("q128 skew profile: heavy-hitter head fuses to top-k") {
+    val p = finalPlan("q128_key_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 head must fuse, not full-sort:\n${p.take(3000)}")
+  }
+
   test("q116 vocab: top-k fuses and the vocab probe broadcasts") {
     val p = finalPlan("q116_vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"),

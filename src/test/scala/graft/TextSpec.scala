@@ -94,6 +94,28 @@ class TextSpec extends AnyFunSuite {
     assert(fp == 0, "unseeded MinHashes must equal xxhash64 minima")
   }
 
+  test("fused CharNgrams is byte-identical to the HOF substring form") {
+    import graft.functions._
+    import graft.sources.TableCatalog
+    val docs = TableCatalog.load(spark, TestSpark.sfDir, "documents")
+      .select($"text")
+    val edge = Seq("", "ab", "abc", "abcd", "aaaaaa", "x y z",
+      "Hello, WORLD_42 — déjà vu 漢字 test")
+      .toDF("text")
+    val all = docs.unionByName(edge)
+    Seq(2, 3, 5).foreach { n =>
+      // guarded: sequence(1, 0) would count DOWN, so the HOF reference
+      // needs an explicit short-string branch
+      val hof = when(length($"text") >= n, array_distinct(transform(
+        sequence(lit(1), length($"text") - (n - 1)),
+        i => $"text".substr(i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val d = all.select(charNgrams($"text", n).as("a"), hof.as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(d == 0, s"CharNgrams($n) must equal the HOF substring form")
+    }
+  }
+
   test("property: fused expressions equal HOF forms on random unicode strings") {
     import graft.functions._
     import org.scalacheck.{Arbitrary, Gen}
