@@ -483,6 +483,139 @@ object Mining {
       .orderBy("tok_a", "tok_b")
   }
 
+  // --------------------------------------------------------------- q130
+  /** Weighted PageRank by power iteration, fully distributed: ranks stay
+    * a DataFrame end-to-end, each iteration is one broadcast join of the
+    * KB rank frame into the (huge, partitioned) edge table plus a
+    * dst-keyed aggregate — the shape that holds when the graph has 10⁹
+    * nodes and the rank frame itself no longer fits anywhere. Dangling
+    * mass (nodes without out-edges) is redistributed per the standard
+    * formulation, computed in-plan via an anti-join + 1-row cross join.
+    * `localCheckpoint` after each iteration caps the lineage at one
+    * round (10 chained iterations would otherwise compound into one
+    * giant re-derived DAG).
+    *
+    * Cross-engine determinism: every Σ(p·r) and the dangling Σr are
+    * summed as DECIMAL(28,12) — exact, order-free — then cast back; all
+    * remaining arithmetic is a fixed expression tree the oracle mirrors
+    * shape-for-shape ((1−d)/n, d·(s+dang/n)), so both engines do the
+    * same IEEE ops in the same order. Ranks round to 6 dp only at
+    * output. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, damping: Double = 0.85,
+               iters: Int = 10, driverMaxEdges: Long = 100000): DataFrame = {
+    val outTot = edges.groupBy(col(srcCol).as("src"))
+      .agg(sum(col(weightCol)).as("out"))
+    val p = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).as("w"))
+      .join(outTot, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("out").cast("double")).as("p"))
+      .persist()
+    val nodes = p.select(col("src").as("node"))
+      .union(p.select(col("dst"))).distinct().persist()
+    val srcs = p.select(col("src")).distinct()
+    val n = nodes.count()
+    if (p.count() <= driverMaxEdges) pageRankLocal(p, nodes, n, damping,
+      iters)
+    else pageRankDistributed(p, nodes, srcs, n, damping, iters)
+  }
+
+  /** Fast path for dimension-sized graphs (event types, categories —
+    * the q80-deciles contract): the probability matrix collects once
+    * (bounded by `driverMaxEdges`) and the power iteration runs on the
+    * driver — zero per-iteration job scheduling, which dominates the
+    * distributed loop's wall clock when the rank frame is KB-sized.
+    * Arithmetic mirrors the distributed path operation-for-operation
+    * (BigDecimal.valueOf = Spark's double→decimal cast, exact scale-12
+    * sums, the same IEEE update tree), so the two paths are spec-pinned
+    * bit-equal. */
+  private def pageRankLocal(p: DataFrame, nodes: DataFrame, n: Long,
+                            damping: Double, iters: Int): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec12(d: Double): JBD = JBD.valueOf(d).setScale(12,
+      RoundingMode.HALF_UP)
+    val nodeRows = nodes.collect()
+    val edgeArr = p.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+    val srcSet = edgeArr.map(_._1).toSet
+    var r: Map[Any, Double] =
+      nodeRows.map(_.get(0) -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[Any, JBD]
+      edgeArr.foreach { case (s, d, pv) =>
+        acc(d) = acc.getOrElse(d, JBD.ZERO).add(dec12(pv * r(s)))
+      }
+      val dang = nodeRows.iterator.map(_.get(0)).filterNot(srcSet)
+        .foldLeft(JBD.ZERO)((a, node) => a.add(dec12(r(node))))
+        .doubleValue()
+      r = nodeRows.map { row =>
+        val node = row.get(0)
+        val s = acc.get(node).map(_.doubleValue()).getOrElse(0.0)
+        node -> ((1.0 - damping) / n + damping * (s + dang / n))
+      }.toMap
+    }
+    val spark = nodes.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      nodes.schema.head.copy(name = "node"),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        nodeRows.toSeq.map(row =>
+          org.apache.spark.sql.Row(row.get(0), r(row.get(0)))), 1),
+      schema)
+  }
+
+  /** General path: ranks stay a DataFrame; one broadcast join of the rank
+    * frame into the (partitioned, arbitrarily large) edge table plus a
+    * dst-keyed aggregate per iteration; localCheckpoint caps lineage at
+    * one round. */
+  private def pageRankDistributed(p: DataFrame, nodes: DataFrame,
+                                  srcs: DataFrame, n: Long, damping: Double,
+                                  iters: Int): DataFrame = {
+    val dec = "decimal(28,12)"
+    var r = nodes.select(col("node"), (lit(1.0) / lit(n)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = p.join(broadcast(r), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum((col("p") * col("r")).cast(dec)).cast("double").as("s"))
+      val dang = r.join(broadcast(srcs), col("node") === col("src"),
+          "left_anti")
+        .agg(coalesce(sum(col("r").cast(dec)), lit(0).cast(dec))
+          .cast("double").as("dang"))
+      r = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(1.0 - damping) / lit(n) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("dang") / lit(n)))
+            .as("r"))
+        .localCheckpoint()
+    }
+    r
+  }
+
+  /** PageRank over the event-type transition graph: edges = consecutive
+    * same-user event pairs (the q102 derivation — the fact-table-sized,
+    * genuinely distributed part of the job), ranks by power iteration
+    * over the resulting weighted graph. Stationary importance of each
+    * event type under the empirical click model. */
+  def q130EventPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("dst_t"))
+      .withColumn("src_t", lag(col("dst_t"), 1).over(w))
+      .filter(col("src_t").isNotNull)
+      .groupBy(col("src_t"), col("dst_t"))
+      .agg(count(lit(1)).as("cnt"))
+    pageRank(edges, "src_t", "dst_t", "cnt")
+      .select(col("node").as("event_type"), round(col("r"), 6).as("rank"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -501,7 +634,8 @@ object Mining {
     "q121_theta_audience_overlap" -> q121ThetaAudienceOverlap _,
     "q122_kll_quantile_bands" -> q122KllQuantileBands _,
     "q125_rolling_distinct" -> q125RollingDistinct _,
-    "q126_pmi_cooccur" -> q126PmiCooccur _)
+    "q126_pmi_cooccur" -> q126PmiCooccur _,
+    "q130_event_pagerank" -> q130EventPagerank _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
     * (FNV perceptual hash) are engine-internal → rows-only; their
@@ -692,5 +826,56 @@ object Mining {
         |SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
         |       round(ln(CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n) /
         |             (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
-        |FROM p ORDER BY tok_a, tok_b""".stripMargin)
+        |FROM p ORDER BY tok_a, tok_b""".stripMargin,
+    // q130: 10 power iterations unrolled as CTEs, mirroring the engine's
+    // arithmetic tree exactly — decimal(28,12) sums are order-free, and
+    // (1 - 0.85)/n, 0.85*(s + dang/n) are the same IEEE ops in the same
+    // order on both engines (see pageRank's determinism note)
+    "q130_event_pagerank" -> {
+      // MATERIALIZED is load-bearing: each iteration references the
+      // previous rank CTE twice, so inlining would expand the chain
+      // 2^10-fold (and re-scan the parquet per copy)
+      def iterCte(k: Int): String =
+        s"""r$k AS MATERIALIZED (
+           |  SELECT nodes.node,
+           |         (1 - 0.85) / nn.n + 0.85 *
+           |           (COALESCE(c.s, 0.0) + dg.dang / nn.n) AS r
+           |  FROM nodes
+           |  LEFT JOIN (
+           |    SELECT p.dst,
+           |           CAST(SUM(CAST(p.p * pr.r AS DECIMAL(28,12)))
+           |                AS DOUBLE) AS s
+           |    FROM p JOIN r${k - 1} pr ON p.src = pr.node
+           |    GROUP BY p.dst) c ON c.dst = nodes.node
+           |  CROSS JOIN (
+           |    SELECT CAST(COALESCE(SUM(CAST(pr.r AS DECIMAL(28,12))), 0)
+           |                AS DOUBLE) AS dang
+           |    FROM (SELECT pr.r FROM r${k - 1} pr
+           |          LEFT JOIN srcs ON pr.node = srcs.src
+           |          WHERE srcs.src IS NULL) pr) dg
+           |  CROSS JOIN nn)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS src,
+         |         event_type AS dst
+         |  FROM events),
+         |ed AS (SELECT src, dst, COUNT(*) AS cnt FROM e
+         |       WHERE src IS NOT NULL GROUP BY 1, 2),
+         |ot AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS out
+         |       FROM ed GROUP BY 1),
+         |p AS MATERIALIZED (
+         |      SELECT ed.src, ed.dst,
+         |             CAST(ed.cnt AS DOUBLE) / CAST(ot.out AS DOUBLE) AS p
+         |      FROM ed JOIN ot ON ed.src = ot.src),
+         |nodes AS MATERIALIZED (
+         |          SELECT DISTINCT node FROM
+         |          (SELECT src AS node FROM p UNION SELECT dst FROM p)),
+         |srcs AS MATERIALIZED (SELECT DISTINCT src FROM p),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS MATERIALIZED (
+         |       SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         |${(1 to 10).map(iterCte).mkString(",\n")}
+         |SELECT node AS event_type, round(r, 6) AS rank
+         |FROM r10 ORDER BY event_type""".stripMargin
+    })
 }

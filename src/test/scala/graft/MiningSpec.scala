@@ -314,6 +314,52 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: ranks are a distribution; sinks and cycles behave") {
+    import spark.implicits._
+    // symmetric 3-cycle → uniform ranks
+    val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val rc = ops.Mining.pageRank(cyc, "src", "dst", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rc.values.forall(v => math.abs(v - 1.0 / 3) < 1e-9),
+      s"cycle must be uniform: $rc")
+    // a -> b (b dangling): b must outrank a, ranks sum to ~1
+    val chain = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val rh = ops.Mining.pageRank(chain, "src", "dst", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rh("b") > rh("a"), s"sink must accumulate rank: $rh")
+    assert(math.abs(rh.values.sum - 1.0) < 1e-6,
+      s"dangling redistribution must conserve mass: $rh")
+    // corpus query: a proper distribution over event types
+    val out = Mining.q130EventPagerank(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(1) > 0))
+    assert(math.abs(out.map(_.getDouble(1)).sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank local fast path is bit-equal to the distributed loop") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("dst_t"))
+      .withColumn("src_t", lag(col("dst_t"), 1).over(w))
+      .filter(col("src_t").isNotNull)
+      .groupBy(col("src_t"), col("dst_t"))
+      .agg(count(lit(1)).as("cnt"))
+    val local = ops.Mining.pageRank(edges, "src_t", "dst_t", "cnt")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = ops.Mining
+      .pageRank(edges, "src_t", "dst_t", "cnt", driverMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) =>
+      assert(v == dist(k), s"path divergence at $k: local $v vs ${dist(k)}")
+    }
+  }
+
   test("KLL quantile bands stay inside the rank-error envelope of exact") {
     val bands = Mining.q122KllQuantileBands(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) ->
