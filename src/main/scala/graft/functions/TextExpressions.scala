@@ -201,16 +201,26 @@ object NgramUtil {
   /** Distinct character n-grams, first-occurrence order (codegen entry
     * point for [[CharNgrams]]) — the substring-index shingle. Matches
     * `array_distinct(transform(sequence(1, len-n+1), i -> substr(s,i,n)))`
-    * on BMP text (UTF-16 code-unit windows); empty below n chars. */
+    * exactly: windows count CODE POINTS, like Spark's substr/length —
+    * a UTF-16-unit window would split surrogate pairs and emit mangled
+    * grams on astral-plane text. Empty below n code points. */
   def charNgrams(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    val len = s.length
-    if (len < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new mutable.LinkedHashSet[String]()
+    // code-point start offsets (UTF-16 indices of each code point)
+    val starts = new mutable.ArrayBuffer[Int]()
     var i = 0
-    while (i + n <= len) {
-      seen.add(s.substring(i, i + n))
-      i += 1
+    while (i < s.length) {
+      starts += i
+      i += Character.charCount(s.codePointAt(i))
+    }
+    val cp = starts.length
+    if (cp < n) return new GenericArrayData(Array.empty[Any])
+    starts += s.length // sentinel: end offset of the final window
+    val seen = new mutable.LinkedHashSet[String]()
+    var w = 0
+    while (w + n <= cp) {
+      seen.add(s.substring(starts(w), starts(w + n)))
+      w += 1
     }
     new GenericArrayData(
       seen.iterator.map(UTF8String.fromString).toArray[Any])

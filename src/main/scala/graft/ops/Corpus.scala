@@ -486,7 +486,7 @@ object Corpus {
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
         |           unnest(list_filter(
-        |             list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
         |                  i -> array_to_string(tk[i:i+2], ' ')),
         |             g -> len(g) > 0)) AS gram
         |    FROM toks)),
@@ -530,7 +530,7 @@ object Corpus {
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
         |           unnest(list_filter(
-        |             list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
         |                  i -> array_to_string(tk[i:i+2], ' ')),
         |             g -> len(g) > 0)) AS gram
         |    FROM toks)),

@@ -835,10 +835,14 @@ object Mining {
       // MATERIALIZED is load-bearing: each iteration references the
       // previous rank CTE twice, so inlining would expand the chain
       // 2^10-fold (and re-scan the parquet per copy)
+      // CAST(1 AS DOUBLE) is load-bearing: DuckDB evaluates a bare
+      // (1 - 0.85) in exact DECIMAL (→ 0.15), while the engine bakes the
+      // IEEE double 1.0-0.85 = 0.15000000000000002 — forcing the DOUBLE
+      // subtraction reproduces the engine's constant bit-for-bit
       def iterCte(k: Int): String =
         s"""r$k AS MATERIALIZED (
            |  SELECT nodes.node,
-           |         (1 - 0.85) / nn.n + 0.85 *
+           |         (CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 *
            |           (COALESCE(c.s, 0.0) + dg.dang / nn.n) AS r
            |  FROM nodes
            |  LEFT JOIN (
@@ -873,7 +877,8 @@ object Mining {
          |srcs AS MATERIALIZED (SELECT DISTINCT src FROM p),
          |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
          |r0 AS MATERIALIZED (
-         |       SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         |       SELECT node, CAST(1 AS DOUBLE) / nn.n AS r
+         |       FROM nodes CROSS JOIN nn),
          |${(1 to 10).map(iterCte).mkString(",\n")}
          |SELECT node AS event_type, round(r, 6) AS rank
          |FROM r10 ORDER BY event_type""".stripMargin

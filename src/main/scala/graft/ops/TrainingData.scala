@@ -207,8 +207,11 @@ object TrainingData {
         explode(array_intersect(
           graft.functions.charNgrams(col("text"), 3),
           typedlit(grams))).as("gram"))
+      // plain count: CharNgrams is distinct and the intersect with a
+      // distinct literal preserves that — countDistinct would add a
+      // second aggregate level for nothing
       .groupBy("doc_id")
-      .agg(countDistinct(col("gram")).as("hit"))
+      .agg(count(col("gram")).as("hit"))
       .filter(col("hit") === grams.size)
     docs.join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
       .filter(col("text").contains(pattern))
@@ -326,7 +329,7 @@ object TrainingData {
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
         |           unnest(list_filter(
-        |             list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
         |                  i -> array_to_string(tk[i:i+2], ' ')),
         |             g -> len(g) > 0)) AS gram
         |    FROM toks)),
@@ -365,7 +368,7 @@ object TrainingData {
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
         |           unnest(list_filter(
-        |             list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
         |                  i -> array_to_string(tk[i:i+2], ' ')),
         |             g -> len(g) > 0)) AS gram
         |    FROM toks)),
@@ -472,14 +475,14 @@ object TrainingData {
         |dg AS (
         |  SELECT doc_id,
         |         unnest(list_distinct(list_filter(
-        |           list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |           list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
         |                i -> array_to_string(tk[i:i+2], ' ')),
         |           g -> len(g) > 0))) AS gram
         |  FROM tk),
         |pgl AS (
         |  SELECT doc_id AS probe_id,
         |         list_distinct(list_filter(
-        |           list_transform(range(1, greatest(len(ptk) - 2, 0) + 1),
+        |           list_transform(range(1, greatest(len(ptk) - 2, 1) + 1),
         |                i -> array_to_string(ptk[i:i+2], ' ')),
         |           g -> len(g) > 0)) AS grams
         |  FROM (SELECT doc_id, tk[5:34] AS ptk FROM tk

@@ -182,9 +182,13 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains(3L) && !out.contains(4L), s"unrelated matched: $out")
     // brute-force losslessness on the same inputs: every pair with
     // containment >= t (computed directly from gram sets) is present
-    def grams(s: String): Set[String] = s.toLowerCase.split("\\W+")
-      .filter(_.nonEmpty).sliding(3).filter(_.length == 3)
-      .map(_.mkString(" ")).toSet
+    def grams(s: String): Set[String] = {
+      val tk = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (tk.isEmpty) Set.empty
+      // mirror WordNgrams: below n tokens, ONE whole-text shingle
+      else if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
     val pg = grams(base.split(" ").slice(2, 14).mkString(" "))
     docs.collect().foreach { r =>
       val c = grams(r.getString(1)).intersect(pg).size.toDouble / pg.size

@@ -100,7 +100,9 @@ class TextSpec extends AnyFunSuite {
     val docs = TableCatalog.load(spark, TestSpark.sfDir, "documents")
       .select($"text")
     val edge = Seq("", "ab", "abc", "abcd", "aaaaaa", "x y z",
-      "Hello, WORLD_42 — déjà vu 漢字 test")
+      "Hello, WORLD_42 — déjà vu 漢字 test",
+      // astral plane: windows must count code points, not UTF-16 units
+      "a😀bcd", "😀😁😂xy")
       .toDF("text")
     val all = docs.unionByName(edge)
     Seq(2, 3, 5).foreach { n =>
