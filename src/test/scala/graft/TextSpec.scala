@@ -131,12 +131,17 @@ class TextSpec extends AnyFunSuite {
       sequence(lit(0), greatest(size(hofToks) - n, lit(0))),
       i => concat_ws(" ", slice(hofToks, i + 1, lit(n)))),
       g => length(g) > 0))
+    val hofChar3 = when(length($"text") >= 3, array_distinct(transform(
+      sequence(lit(1), length($"text") - 2),
+      i => $"text".substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
     val diffs = df.select(
         (not(wordTokens($"text") <=> hofToks)).cast("int").as("d1"),
         (not(wordNgrams($"text", 2) <=> hofNgrams(2))).cast("int").as("d2"),
-        (not(wordNgrams($"text", 5) <=> hofNgrams(5))).cast("int").as("d3"))
-      .agg(sum($"d1"), sum($"d2"), sum($"d3")).head()
-    assert((0 to 2).forall(i => diffs.getLong(i) == 0), diffs.toString)
+        (not(wordNgrams($"text", 5) <=> hofNgrams(5))).cast("int").as("d3"),
+        (not(charNgrams($"text", 3) <=> hofChar3)).cast("int").as("d4"))
+      .agg(sum($"d1"), sum($"d2"), sum($"d3"), sum($"d4")).head()
+    assert((0 to 3).forall(i => diffs.getLong(i) == 0), diffs.toString)
   }
 
   test("property: deletion neighbors are distinct, distance<=1, identity-first") {
