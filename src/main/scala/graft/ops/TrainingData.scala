@@ -243,6 +243,55 @@ object TrainingData {
       .orderBy("probe_id", "doc_id")
   }
 
+  // ---------------------------------------------------------------- q131
+  /** BM25 keyword retrieval: top-20 documents for a 3-term query —
+    * Okapi BM25 (k1=1.2, b=0.75), the scoring function behind every
+    * Lucene-family search engine. The plan is the retrieval shape, not
+    * the scan shape: per-doc term frequencies come off a scan-side
+    * IN-filtered explode (on a materialized postings table this is a
+    * probe of the query terms' postings only), corpus statistics (N,
+    * avgdl, per-term df) ride a 1-row broadcast + a 3-row broadcast, and
+    * the top-20 head fuses. Per-document score = Σ over matched terms —
+    * summed as DECIMAL(28,12) (order-free) with the idf/tf arithmetic
+    * mirrored tree-for-tree in the oracle, so ranking and scores are
+    * hash-exact. Ordering is by the RAW double score (bit-equal across
+    * engines), doc_id tiebreak; the output column rounds to 6 dp. */
+  def q131Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("merge", "batch", "spark")
+    val docs = t(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        size(graft.functions.wordTokens(col("text"))).cast("long").as("dl"),
+        explode(graft.functions.wordTokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.select(
+        size(graft.functions.wordTokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // tf already holds one row per (doc, term) — plain count is df
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // k1=1.25, b=0.75: both exactly representable in binary AND decimal,
+    // so k1+1=2.25 and 1-b=0.25 fold to the same constant no matter
+    // whether an engine folds them in DOUBLE or exact DECIMAL (the
+    // q130 (1-0.85) lesson, solved by construction here)
+    val k1 = lit(1.25)
+    val b = lit(0.75)
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+        lit(1.0))
+    val score = idf * (col("tf") * (k1 + lit(1.0))) /
+      (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfT), "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(score.cast("decimal(28,12)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
@@ -261,7 +310,8 @@ object TrainingData {
     "q42_multimodal_stub" -> q42MultimodalStub _,
     "q75_ann_quantized" -> q75AnnQuantized _,
     "q127_trigram_search" -> q127TrigramSearch _,
-    "q129_passage_containment" -> q129PassageContainment _)
+    "q129_passage_containment" -> q129PassageContainment _,
+    "q131_bm25_retrieval" -> q131Bm25Retrieval _)
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
@@ -499,5 +549,43 @@ object TrainingData {
         |         AS containment
         |FROM j JOIN ps ON ps.probe_id = j.probe_id
         |WHERE CAST(j.common AS DOUBLE) / ps.size_p >= 0.8
-        |ORDER BY j.probe_id, j.doc_id""".stripMargin)
+        |ORDER BY j.probe_id, j.doc_id""".stripMargin,
+    // q131: BM25 mirrored tree-for-tree — divisions forced to DOUBLE
+    // (DuckDB would otherwise divide in DECIMAL with different rounding);
+    // constants 1.25/0.75/2.25/0.25/0.5 are exactly representable so
+    // decimal-vs-double folding cannot diverge; per-doc term sum in
+    // DECIMAL(28,12); ranking by the raw double score before rounding
+    "q131_bm25_retrieval" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tok,
+        |         COUNT(*) AS tf
+        |  FROM (SELECT doc_id, tk, unnest(tk) AS tok FROM tk)
+        |  WHERE tok IN ('merge', 'batch', 'spark')
+        |  GROUP BY doc_id, len(tk), tok),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM tk),
+        |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         ln(CAST(stats.n_docs - dft.df + 0.5 AS DOUBLE) /
+        |            CAST(dft.df + 0.5 AS DOUBLE) + 1.0)
+        |           * (tf.tf * 2.25) /
+        |           (tf.tf + 1.25 *
+        |             (0.25 + CAST(0.75 * tf.dl AS DOUBLE) / stats.avgdl))
+        |           AS s
+        |  FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN stats)
+        |SELECT doc_id,
+        |       round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |         AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) DESC,
+        |         doc_id
+        |LIMIT 20""".stripMargin)
 }

@@ -209,6 +209,26 @@ class DedupSpec extends AnyFunSuite {
     hits.foreach(r => assert(r.getLong(1) >= 1))
   }
 
+  test("q131 BM25: scores positive/descending, hits contain a query term") {
+    val out = graft.ops.TrainingData
+      .q131Bm25Retrieval(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending by score")
+    val terms = Set("merge", "batch", "spark")
+    val ids = out.map(_.getLong(0)).toSet
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val toks = r.getString(1).toLowerCase.split("\\W+").toSet
+      assert(toks.intersect(terms).nonEmpty,
+        s"doc ${r.getLong(0)} retrieved without any query term")
+    }
+  }
+
   test("q129 passage containment: every probe matches its parent at 1.0") {
     val out = graft.ops.TrainingData
       .q129PassageContainment(spark, TestSpark.sfDir).collect()

@@ -211,6 +211,15 @@ class PlanSpec extends AnyFunSuite {
       s"top-10 head must fuse, not full-sort:\n${p.take(3000)}")
   }
 
+  test("q131 BM25: stats broadcast and the top-20 head fuses") {
+    val p = finalPlan("q131_bm25_retrieval")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must fuse, not full-sort:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"df/stats frames must broadcast:\n${p.take(3000)}")
+  }
+
   test("q116 vocab: top-k fuses and the vocab probe broadcasts") {
     val p = finalPlan("q116_vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"),
