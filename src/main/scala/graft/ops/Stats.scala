@@ -136,6 +136,34 @@ object Stats {
       .orderBy("var_x", "var_y")
   }
 
+  // --------------------------------------------------------------- q132
+  /** Per-group ordinary least squares (price ~ quantity by returnflag):
+    * closed-form slope/intercept from the five exact sufficient moments
+    * (n, Σx, Σy, Σx², Σxy) — the q83 decimal-moment pattern, grouped.
+    * ONE pass over the fact table with map-side partials; the moment
+    * frame is |groups| rows, so the regression arithmetic is free at any
+    * scale, and adding groups (or a y per metric) never re-scans. The
+    * 2-dp inputs make every product exact in double before the exact
+    * DECIMAL sums, so slope/intercept are bit-identical to the oracle's
+    * mirrored formula. */
+  def q132GroupRegression(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    def d18(c: Column) = sum(c.cast("decimal(18,4)")).cast("double")
+    def d28(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    val m = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        d18(x).as("sx"), d18(y).as("sy"),
+        d28(x * x).as("sxx"), d28(x * y).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("l_returnflag"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6)
+          .as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- q84
   /** Grouped median + deterministic mode: exact interpolated median of
     * quantity per returnflag, and the most frequent linestatus with ties
@@ -363,6 +391,7 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_unpivot_metrics" -> q82UnpivotMetrics _,
     "q83_correlation_matrix" -> q83CorrelationMatrix _,
+    "q132_group_regression" -> q132GroupRegression _,
     "q84_median_mode" -> q84MedianMode _,
     "q85_char_entropy" -> q85CharEntropy _,
     "q86_group_argmax" -> q86GroupArgmax _,
@@ -419,6 +448,25 @@ object Stats {
         |         (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6), n
         |FROM m
         |ORDER BY var_x, var_y""".stripMargin,
+    // q132: the slope expression is spelled twice (slope, and inside
+    // intercept) with the exact tree the engine builds
+    "q132_group_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+        |      AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |         AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |             / n, 6) AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q84_median_mode" ->
       """WITH med AS (
         |  SELECT l_returnflag, median(l_quantity) AS median_qty

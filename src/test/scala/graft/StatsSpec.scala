@@ -266,4 +266,27 @@ class StatsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad vectors with non-unit norm")
     assert(out.filter(col("min_c") >= col("max_c")).count() == 0)
   }
+
+  test("grouped regression recovers slope/intercept and matches built-ins") {
+    // corpus: agree with Spark's covariance/variance-derived OLS
+    val out = Stats.q132GroupRegression(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    val ref = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg((covar_pop(col("l_quantity"), col("l_extendedprice")) /
+        var_pop(col("l_quantity"))).as("slope"),
+        avg(col("l_extendedprice")).as("my"),
+        avg(col("l_quantity")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2) - r.getDouble(1) * r.getDouble(3)))
+      .toMap
+    out.foreach { r =>
+      val (s, i) = ref(r.getString(0))
+      assert(math.abs(r.getDouble(2) - s) < 1e-4, s"slope ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - i) < 1e-2,
+        s"intercept ${r.getString(0)}")
+    }
+  }
 }
