@@ -206,21 +206,41 @@ object NgramUtil {
     * grams on astral-plane text. Empty below n code points. */
   def charNgrams(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    // code-point start offsets (UTF-16 indices of each code point)
-    val starts = new mutable.ArrayBuffer[Int]()
-    var i = 0
-    while (i < s.length) {
-      starts += i
-      i += Character.charCount(s.codePointAt(i))
+    val len = s.length
+    // surrogate-free fast path (the overwhelming case): code points ==
+    // UTF-16 units, so window directly without the offset table — keeps
+    // this hot fused-scan path allocation-free per character
+    var hasSurrogate = false
+    var k = 0
+    while (k < len && !hasSurrogate) {
+      if (Character.isHighSurrogate(s.charAt(k))) hasSurrogate = true
+      k += 1
     }
-    val cp = starts.length
-    if (cp < n) return new GenericArrayData(Array.empty[Any])
-    starts += s.length // sentinel: end offset of the final window
     val seen = new mutable.LinkedHashSet[String]()
-    var w = 0
-    while (w + n <= cp) {
-      seen.add(s.substring(starts(w), starts(w + n)))
-      w += 1
+    if (!hasSurrogate) {
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      var i = 0
+      while (i + n <= len) {
+        seen.add(s.substring(i, i + n))
+        i += 1
+      }
+    } else {
+      // code-point start offsets (UTF-16 indices of each code point)
+      val starts = new Array[Int](len + 1)
+      var cp = 0
+      var i = 0
+      while (i < len) {
+        starts(cp) = i
+        cp += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+      if (cp < n) return new GenericArrayData(Array.empty[Any])
+      starts(cp) = len // sentinel: end offset of the final window
+      var w = 0
+      while (w + n <= cp) {
+        seen.add(s.substring(starts(w), starts(w + n)))
+        w += 1
+      }
     }
     new GenericArrayData(
       seen.iterator.map(UTF8String.fromString).toArray[Any])

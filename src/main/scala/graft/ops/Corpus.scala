@@ -393,7 +393,7 @@ object Corpus {
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
         |           unnest(list_filter(
-        |             list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+        |             list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
         |                  i -> array_to_string(tk[i:i+1], ' ')),
         |             g -> len(g) > 0)) AS gram
         |    FROM toks)),
@@ -439,7 +439,7 @@ object Corpus {
         |g AS (
         |  SELECT doc_id, tk,
         |    list_filter(
-        |      list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+        |      list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
         |        i -> array_to_string(tk[i:i+1], ' ')),
         |      x -> len(x) > 0) AS bg
         |  FROM s)

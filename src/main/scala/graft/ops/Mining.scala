@@ -651,7 +651,7 @@ object Mining {
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
         |           unnest(list_transform(
-        |             range(1, greatest(len(tk) - 1, 0) + 1),
+        |             range(1, greatest(len(tk) - 1, 1) + 1),
         |             i -> array_to_string(tk[i:i+1], ' '))) AS gram
         |    FROM toks) z),
         |d AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1)

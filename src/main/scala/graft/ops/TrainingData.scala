@@ -196,7 +196,12 @@ object TrainingData {
     * what the oracle runs. */
   def q127TrigramSearch(spark: SparkSession, dir: String): DataFrame = {
     val pattern = "merge batch"
-    val grams = pattern.sliding(3).toSeq.distinct
+    // code-point windows, same rule as CharNgrams — String.sliding counts
+    // UTF-16 units and would emit surrogate-split grams the index never
+    // contains, silently zeroing recall for a non-BMP pattern
+    val cps = pattern.codePoints.toArray
+    val grams = cps.sliding(3).map(w => new String(w, 0, w.length))
+      .toSeq.distinct
     val docs = t(spark, dir, "documents")
     val cand = docs
       .filter(length(col("text")) >= pattern.length)
@@ -245,7 +250,7 @@ object TrainingData {
 
   // ---------------------------------------------------------------- q131
   /** BM25 keyword retrieval: top-20 documents for a 3-term query —
-    * Okapi BM25 (k1=1.2, b=0.75), the scoring function behind every
+    * Okapi BM25 (k1=1.25, b=0.75), the scoring function behind every
     * Lucene-family search engine. The plan is the retrieval shape, not
     * the scan shape: per-doc term frequencies come off a scan-side
     * IN-filtered explode (on a materialized postings table this is a

@@ -215,8 +215,11 @@ class PlanSpec extends AnyFunSuite {
     val p = finalPlan("q131_bm25_retrieval")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must fuse, not full-sort:\n${p.take(3000)}")
-    assert(p.contains("BroadcastHashJoin") ||
-      p.contains("BroadcastNestedLoopJoin"),
+    // the dfT equi-join must broadcast AND no join may fall back to
+    // sort-merge (an OR over broadcast kinds would let the 1-row stats
+    // cross join mask a dfT regression)
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("SortMergeJoin"),
       s"df/stats frames must broadcast:\n${p.take(3000)}")
   }
 
