@@ -198,6 +198,14 @@ class PlanSpec extends AnyFunSuite {
       s"deletion-neighborhood blocking must stay equi-join:\n${p.take(3000)}")
   }
 
+  test("q125 rolling distinct: ONE fact scan — sketch exchange is reused") {
+    val p = finalPlan("q125_rolling_distinct")
+    assert(p.contains("ReusedExchange"),
+      s"day-sketch aggregate must be built once:\n${p.take(3000)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"events must be scanned exactly once:\n${p.take(3000)}")
+  }
+
   test("q129 passage containment: prefix-filtered equi-joins only") {
     val p = finalPlan("q129_passage_containment")
     assert(!p.contains("CartesianProduct") &&
