@@ -264,6 +264,11 @@ object TrainingData {
   def q131Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("merge", "batch", "spark")
     val docs = t(spark, dir, "documents")
+    // two fully-codegen'd scans (tf stream; corpus stats) measure FASTER
+    // than a persisted shared-tokenize pass at bench scale — the filter
+    // HOF needed to share the frame is CodegenFallback and costs more
+    // than the saved scan; at true warehouse scale both the postings and
+    // the (N, avgdl, df) stats are precomputed index artifacts anyway
     val tf = docs
       .select(col("doc_id"),
         size(graft.functions.wordTokens(col("text"))).cast("long").as("dl"),
