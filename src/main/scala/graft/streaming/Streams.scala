@@ -237,26 +237,29 @@ object Streams {
         col("click_id"), col("click_ts"))
   }
 
-  /** File-source stream over the corpus events table. The parquet carries
-    * TIMESTAMP(NANOS), which file streams must schema past explicitly (the
-    * nanosAsLong session conf covers inference only on the batch path);
-    * nanos are normalized to TIMESTAMP_NTZ exactly like
-    * [[graft.sources.TableCatalog.load]]. */
+  /** File-source stream over the corpus events table. File streams need an
+    * explicit schema, and the corpus has shipped `ts` as both
+    * TIMESTAMP(NANOS) (readable only as a raw long via the nanosAsLong
+    * conf) and TIMESTAMP(MICROS) across generator versions — so the
+    * schema comes from a one-time batch footer read and the nanos→micros
+    * normalization branches on what the footer declares, exactly like
+    * [[graft.sources.TableCatalog.load]]. Either way the output `ts` is
+    * the LTZ TIMESTAMP type event-time watermarks require; with the
+    * engine's UTC session the wall-clock values are identical. */
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession,
                        dir: String,
                        glob: String = "events.parquet"): DataFrame = {
     import org.apache.spark.sql.types._
-    val raw = new StructType()
-      .add("event_id", LongType).add("ts", LongType)
-      .add("user_id", LongType).add("event_type", StringType)
-      .add("value", DoubleType).add("props", StringType)
-    spark.readStream
-      .schema(raw)
+    val batchSchema = spark.read
+      .option("pathGlobFilter", glob).parquet(dir).schema
+    val raw = spark.readStream
+      .schema(batchSchema)
       // the corpus ships one file per table in a shared dir; filter to ours
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      // TIMESTAMP (not NTZ): event-time watermarks require the LTZ type;
-      // with the engine's UTC session the wall-clock values are identical
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (batchSchema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 }
