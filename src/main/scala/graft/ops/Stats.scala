@@ -164,6 +164,104 @@ object Stats {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------- q133
+  /** Chi-squared test of independence between order status and order
+    * priority — the categorical-association screen (is priority assigned
+    * independently of status?) every data-quality / experiment pipeline
+    * runs. ONE pass over the fact table produces the r×c contingency
+    * cells; row totals, column totals, N, and the distinct-level counts
+    * are all re-aggregated from that |r·c|-row frame, so the statistic's
+    * arithmetic is free at any scale and the fact table is scanned
+    * exactly once. Expected counts and the (O−E)²/E terms evaluate in
+    * DOUBLE with the formula tree mirrored token-for-token in the
+    * oracle; the per-cell contributions sum as DECIMAL(28,12)
+    * (order-free) so the statistic is hash-exact. Also reports Cramér's
+    * V = sqrt(χ² / (N·min(r−1, c−1))), the [0,1] effect size that stays
+    * comparable as N grows. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // localCheckpoint materializes the r×c cell frame (bounded by the
+    // categorical domains, never by N) so the four derived aggregates
+    // below reuse it — without it each re-derives the subtree and the
+    // fact table is scanned four times instead of once (plan-asserted)
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint()
+    val rowT = cells.groupBy(col(aCol))
+      .agg(sum(col("obs")).as("row_tot"))
+    val colT = cells.groupBy(col(bCol))
+      .agg(sum(col("obs")).as("col_tot"))
+    val tot = cells.agg(
+      sum(col("obs")).as("n_total"),
+      countDistinct(col(aCol)).as("n_r"),
+      countDistinct(col(bCol)).as("n_c"))
+    val e = col("row_tot").cast("double") * col("col_tot").cast("double") /
+      col("n_total").cast("double")
+    val contrib = (col("obs").cast("double") - e) *
+      (col("obs").cast("double") - e) / e
+    val j = cells
+      .join(broadcast(rowT), aCol)
+      .join(broadcast(colT), bCol)
+      .crossJoin(broadcast(tot))
+      .select(col("n_total"), col("n_r"), col("n_c"),
+        contrib.cast("decimal(28,12)").as("term"))
+    val chi2 = sum(col("term")).cast("double")
+    j.groupBy(col("n_total"), col("n_r"), col("n_c"))
+      .agg(round(chi2, 6).as("chi2"),
+        round(sqrt(chi2 / (col("n_total").cast("double") *
+          least(col("n_r") - 1, col("n_c") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+      .select(col("n_total"),
+        ((col("n_r") - 1) * (col("n_c") - 1)).as("dof"),
+        col("chi2"), col("cramers_v"))
+  }
+
+  /** q133 entry: status × priority over orders. */
+  def q133ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquare(t(spark, dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+  // --------------------------------------------------------------- q136
+  /** Welch's unequal-variance t-test: does mean account balance differ
+    * between the BUILDING and MACHINERY customer segments? The whole
+    * test is ONE conditional-aggregate pass (n, Σx, Σx² per arm via
+    * FILTER-style `when` sums in exact decimal) — a 1-row frame at any
+    * scale, never a per-arm re-scan. Mean, sample variance, the t
+    * statistic, and the Welch–Satterthwaite degrees of freedom evaluate
+    * in DOUBLE from those exact moments with the expression tree
+    * mirrored in the oracle, so every output digit is hash-exact. The
+    * same shape extends to any A/B metric: add a `when` pair per arm. */
+  def welchTtest(df: DataFrame, valCol: String, groupCol: String,
+                 armA: String, armB: String): DataFrame = {
+    val c = df.filter(col(groupCol).isin(armA, armB))
+    def arm(seg: String): Column = col(groupCol) === seg
+    def n(seg: String): Column = count(when(arm(seg), lit(1)))
+    def s(seg: String): Column =
+      sum(when(arm(seg), col(valCol).cast("decimal(18,4)")))
+        .cast("double")
+    def ss(seg: String): Column =
+      sum(when(arm(seg), (col(valCol) * col(valCol))
+        .cast("decimal(28,6)"))).cast("double")
+    val m = c.agg(
+      n(armA).as("n1"), s(armA).as("s1"), ss(armA).as("ss1"),
+      n(armB).as("n2"), s(armB).as("s2"), ss(armB).as("ss2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val v1 = (n1 * col("ss1") - col("s1") * col("s1")) / (n1 * (n1 - lit(1.0)))
+    val v2 = (n2 * col("ss2") - col("s2") * col("s2")) / (n2 * (n2 - lit(1.0)))
+    val se2 = v1 / n1 + v2 / n2
+    val meanDiff = col("s1") / n1 - col("s2") / n2
+    val dof = se2 * se2 /
+      ((v1 / n1) * (v1 / n1) / (n1 - lit(1.0)) +
+        (v2 / n2) * (v2 / n2) / (n2 - lit(1.0)))
+    m.select(col("n1"), col("n2"),
+      round(meanDiff, 6).as("mean_diff"),
+      round(meanDiff / sqrt(se2), 6).as("t_stat"),
+      round(dof, 6).as("welch_dof"))
+  }
+
+  /** q136 entry: BUILDING vs MACHINERY on account balance. */
+  def q136WelchTtest(spark: SparkSession, dir: String): DataFrame =
+    welchTtest(t(spark, dir, "customer"), "c_acctbal", "c_mktsegment",
+      "BUILDING", "MACHINERY")
+
   // ---------------------------------------------------------------- q84
   /** Grouped median + deterministic mode: exact interpolated median of
     * quantity per returnflag, and the most frequent linestatus with ties
@@ -392,6 +490,8 @@ object Stats {
     "q82_unpivot_metrics" -> q82UnpivotMetrics _,
     "q83_correlation_matrix" -> q83CorrelationMatrix _,
     "q132_group_regression" -> q132GroupRegression _,
+    "q133_chi_square" -> q133ChiSquare _,
+    "q136_welch_ttest" -> q136WelchTtest _,
     "q84_median_mode" -> q84MedianMode _,
     "q85_char_entropy" -> q85CharEntropy _,
     "q86_group_argmax" -> q86GroupArgmax _,
@@ -467,6 +567,84 @@ object Stats {
         |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
         |             / n, 6) AS intercept
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // q133: the statistic's double tree is mirrored token-for-token
+    // (expected counts, (O-E)^2/E, decimal term sums); constants that
+    // enter double arithmetic are CAST(1 AS DOUBLE) so DuckDB doesn't
+    // evaluate them as exact DECIMAL (the q130 lesson).
+    "q133_chi_square" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS row_tot
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS col_tot
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_total,
+        |              COUNT(DISTINCT o_orderstatus) AS n_r,
+        |              COUNT(DISTINCT o_orderpriority) AS n_c FROM cells),
+        |j AS (
+        |  SELECT n_total, n_r, n_c,
+        |         CAST((CAST(obs AS DOUBLE) -
+        |               CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |                 / CAST(n_total AS DOUBLE)) *
+        |              (CAST(obs AS DOUBLE) -
+        |               CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |                 / CAST(n_total AS DOUBLE)) /
+        |              (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |                 / CAST(n_total AS DOUBLE))
+        |              AS DECIMAL(28,12)) AS term
+        |  FROM cells
+        |  JOIN rt USING (o_orderstatus)
+        |  JOIN ct USING (o_orderpriority)
+        |  CROSS JOIN tt)
+        |SELECT n_total, (n_r - 1) * (n_c - 1) AS dof,
+        |       round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+        |       round(sqrt(CAST(SUM(term) AS DOUBLE) /
+        |         (CAST(n_total AS DOUBLE) *
+        |          CAST(least(n_r - 1, n_c - 1) AS DOUBLE))), 6)
+        |         AS cramers_v
+        |FROM j GROUP BY n_total, n_r, n_c""".stripMargin,
+    // q136: exact decimal moments per arm, then the Welch arithmetic in
+    // DOUBLE with the identical tree (v1 term first in every sum).
+    "q136_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT
+        |    COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n1,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |      FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6)))
+        |      FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS ss1,
+        |    COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS n2,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |      FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6)))
+        |      FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS ss2
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |v AS (
+        |  SELECT n1, n2, s1, s2,
+        |    (CAST(n1 AS DOUBLE) * ss1 - s1 * s1) /
+        |      (CAST(n1 AS DOUBLE) *
+        |       (CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE))) AS v1,
+        |    (CAST(n2 AS DOUBLE) * ss2 - s2 * s2) /
+        |      (CAST(n2 AS DOUBLE) *
+        |       (CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE))) AS v2
+        |  FROM m),
+        |w AS (
+        |  SELECT n1, n2, s1, s2, v1, v2,
+        |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM v)
+        |SELECT n1, n2,
+        |  round(s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE), 6)
+        |    AS mean_diff,
+        |  round((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+        |        / sqrt(se2), 6) AS t_stat,
+        |  round(se2 * se2 /
+        |    ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) /
+        |       (CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE)) +
+        |     (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) /
+        |       (CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE))), 6) AS welch_dof
+        |FROM w""".stripMargin,
     "q84_median_mode" ->
       """WITH med AS (
         |  SELECT l_returnflag, median(l_quantity) AS median_qty

@@ -46,6 +46,55 @@ class StatsSpec extends AnyFunSuite {
     assert(fused.exceptAll(exploded).isEmpty && exploded.exceptAll(fused).isEmpty)
   }
 
+  test("chiSquare matches the scalar formula on a known 2x2 contingency") {
+    // cells: (a,x)=10 (a,y)=20 (b,x)=30 (b,y)=40
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val out = Stats.chiSquare(rows.toDF("g", "h"), "g", "h").collect().head
+    val n = 100.0
+    val expect = Seq((10.0, 30.0, 40.0), (20.0, 30.0, 60.0),
+      (30.0, 70.0, 40.0), (40.0, 70.0, 60.0))
+      .map { case (o, rt, ct) =>
+        val e = rt * ct / n; (o - e) * (o - e) / e
+      }.sum
+    assert(out.getAs[Long]("n_total") == 100L)
+    assert(out.getAs[Long]("dof") == 1L)
+    assert(math.abs(out.getAs[Double]("chi2") - expect) < 1e-6)
+    assert(math.abs(out.getAs[Double]("cramers_v") -
+      math.sqrt(expect / n)) < 1e-6)
+  }
+
+  test("chiSquare is ~zero when the factors are independent") {
+    // perfectly proportional table -> expected == observed -> chi2 = 0
+    val rows = for {
+      (g, gn) <- Seq("a" -> 1, "b" -> 2); (h, hn) <- Seq("x" -> 3, "y" -> 5)
+      _ <- 0 until gn * hn
+    } yield (g, h)
+    val out = Stats.chiSquare(rows.toDF("g", "h"), "g", "h").collect().head
+    assert(out.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("welchTtest matches the scalar Welch formulas") {
+    val xs = Seq(10.0, 12.0, 14.0, 11.0, 13.0)
+    val ys = Seq(20.0, 25.0, 30.0)
+    val df = (xs.map(("A", _)) ++ ys.map(("B", _))).toDF("arm", "v")
+    val out = Stats.welchTtest(df, "v", "arm", "A", "B").collect().head
+    def meanVar(s: Seq[Double]): (Double, Double) = {
+      val m = s.sum / s.size
+      (m, s.map(x => (x - m) * (x - m)).sum / (s.size - 1))
+    }
+    val (m1, v1) = meanVar(xs); val (m2, v2) = meanVar(ys)
+    val se2 = v1 / xs.size + v2 / ys.size
+    val t = (m1 - m2) / math.sqrt(se2)
+    val dof = se2 * se2 /
+      (math.pow(v1 / xs.size, 2) / (xs.size - 1) +
+        math.pow(v2 / ys.size, 2) / (ys.size - 1))
+    assert(out.getAs[Long]("n1") == 5L && out.getAs[Long]("n2") == 3L)
+    assert(math.abs(out.getAs[Double]("mean_diff") - (m1 - m2)) < 1e-6)
+    assert(math.abs(out.getAs[Double]("t_stat") - t) < 1e-6)
+    assert(math.abs(out.getAs[Double]("welch_dof") - dof) < 1e-6)
+  }
+
   test("mergeUpsert applies updates, deletes, inserts exactly") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "I"))
