@@ -483,6 +483,56 @@ object Mining {
       .orderBy("tok_a", "tok_b")
   }
 
+  // --------------------------------------------------------------- q134
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the domain-similarity score a corpus-mixing pipeline uses to weight
+    * (or flag) sources before training: KL(source ‖ corpus) = Σ_w
+    * p_s(w)·ln(p_s(w)/p_c(w)), low = representative, high = outlier
+    * domain. Every source word is by construction in the corpus
+    * distribution (the corpus is the union of sources), so the
+    * divergence is finite with no smoothing and the formula is exact.
+    *
+    * Scale shape: ONE tokenize pass builds the (source, token) count
+    * frame (map-side combine on the explode); source totals, token
+    * totals, and the corpus total are all RE-AGGREGATED from that frame
+    * — the document table is scanned exactly once and nothing
+    * document-sized crosses a shuffle twice. The token-total rejoin is
+    * vocab-keyed; source totals (|sources| rows) and the 1-row corpus
+    * total broadcast. Per-term contributions sum as DECIMAL(28,12)
+    * (order-free) with the double tree mirrored in the oracle, so the
+    * divergence is hash-exact. */
+  def sourceKl(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    // localCheckpoint materializes the (source, token) count frame —
+    // |sources|·|vocab| rows, orders of magnitude below the corpus — so
+    // the three derived totals and the final join all reuse ONE
+    // tokenize pass (plan-asserted; without it each total re-tokenizes)
+    val st = docs
+      .select(col(srcCol).as("source"),
+        explode(wordTokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val srcTot = st.groupBy(col("source")).agg(sum(col("cnt")).as("s_tot"))
+    val tokTot = st.groupBy(col("tok")).agg(sum(col("cnt")).as("t_tot"))
+    val corpTot = srcTot.agg(sum(col("s_tot")).as("c_tot"))
+    val ps = col("cnt").cast("double") / col("s_tot").cast("double")
+    val pc = col("t_tot").cast("double") / col("c_tot").cast("double")
+    st.join(tokTot, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpTot))
+      .groupBy(col("source"), col("s_tot"))
+      .agg(count(lit(1)).as("vocab"),
+        round(sum((ps * log(ps / pc)).cast("decimal(28,12)"))
+          .cast("double"), 6).as("kl_div"))
+      .select(col("source"), col("s_tot").as("n_tokens"),
+        col("vocab"), col("kl_div"))
+      .orderBy("source")
+  }
+
+  /** q134 entry: per-source divergence over the documents table. */
+  def q134SourceKl(spark: SparkSession, dir: String): DataFrame =
+    sourceKl(t(spark, dir, "documents"), "source", "text")
+
   // --------------------------------------------------------------- q130
   /** Weighted PageRank by power iteration, fully distributed: ranks stay
     * a DataFrame end-to-end, each iteration is one broadcast join of the
@@ -635,6 +685,7 @@ object Mining {
     "q122_kll_quantile_bands" -> q122KllQuantileBands _,
     "q125_rolling_distinct" -> q125RollingDistinct _,
     "q126_pmi_cooccur" -> q126PmiCooccur _,
+    "q134_source_kl" -> q134SourceKl _,
     "q130_event_pagerank" -> q130EventPagerank _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
@@ -827,6 +878,31 @@ object Mining {
         |       round(ln(CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n) /
         |             (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
         |FROM p ORDER BY tok_a, tok_b""".stripMargin,
+    // q134: same one-scan shape — source/token/corpus totals all derive
+    // from the (source, token) count frame; the p_s·ln(p_s/p_c) double
+    // tree is mirrored exactly and terms sum as DECIMAL(28,12)
+    "q134_source_kl" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS s_tot
+        |         FROM st GROUP BY 1),
+        |ttot AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS t_tot
+        |         FROM st GROUP BY 1),
+        |ctot AS (SELECT CAST(SUM(s_tot) AS BIGINT) AS c_tot FROM stot)
+        |SELECT source, s_tot AS n_tokens, COUNT(*) AS vocab,
+        |       round(CAST(SUM(CAST(
+        |         (CAST(cnt AS DOUBLE) / CAST(s_tot AS DOUBLE)) *
+        |         ln((CAST(cnt AS DOUBLE) / CAST(s_tot AS DOUBLE)) /
+        |            (CAST(t_tot AS DOUBLE) / CAST(c_tot AS DOUBLE)))
+        |         AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_div
+        |FROM st JOIN ttot USING (tok) JOIN stot USING (source)
+        |CROSS JOIN ctot
+        |GROUP BY source, s_tot
+        |ORDER BY source""".stripMargin,
     // q130: 10 power iterations unrolled as CTEs, mirroring the engine's
     // arithmetic tree exactly — decimal(28,12) sums are order-free, and
     // (1 - 0.85)/n, 0.85*(s + dang/n) are the same IEEE ops in the same

@@ -302,6 +302,48 @@ object TrainingData {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
   }
 
+  // ---------------------------------------------------------------- q135
+  /** Boilerplate-passage profile: chunk every document into
+    * NON-overlapping 8-token passages, flag passages that occur in ≥2
+    * distinct documents, and report each document's boilerplate fraction
+    * — the passage-level dedup signal (headers, footers, licence
+    * blurbs, navigation text) that whole-document dedup (q22) and
+    * near-dup pairing (q33) both miss, and the screen a corpus pipeline
+    * runs before trimming repeated spans out of training text.
+    *
+    * Scale shape: passages come off ONE fused tokenize+chunk pass per
+    * document ([[graft.functions.WordChunks]], stride = size → no
+    * overlap); everything past the scan is keyed by the passage's
+    * xxhash64, so the shuffles (distinct doc-passage pairs → passage
+    * document-frequency; df rejoin) ship 8-byte keys, never passage
+    * text — the q63 hash-join precedent (collisions immaterial at any
+    * realistic passage universe; the oracle groups by the passage text
+    * itself and must agree). Tokenizing twice (pdf side + rejoin side)
+    * mirrors the q131 two-scan finding: the fused scan is cheaper than
+    * persisting an exploded frame. */
+  def boilerplatePassages(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          size: Int = 8): DataFrame = {
+    def passages(d: DataFrame): DataFrame = d.select(col(idCol).as("doc_id"),
+      explode(transform(graft.functions.wordChunks(col(textCol), size, size),
+        c => xxhash64(c))).as("pkey"))
+    val pdf = passages(docs).distinct()
+      .groupBy(col("pkey")).agg(count(lit(1)).as("pdf"))
+    passages(docs).join(pdf, "pkey")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("pdf") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") /
+          col("n_passages").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** q135 entry: 8-token passages over the documents table. */
+  def q135BoilerplatePassages(spark: SparkSession, dir: String): DataFrame =
+    boilerplatePassages(t(spark, dir, "documents"))
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
@@ -321,7 +363,8 @@ object TrainingData {
     "q75_ann_quantized" -> q75AnnQuantized _,
     "q127_trigram_search" -> q127TrigramSearch _,
     "q129_passage_containment" -> q129PassageContainment _,
-    "q131_bm25_retrieval" -> q131Bm25Retrieval _)
+    "q131_bm25_retrieval" -> q131Bm25Retrieval _,
+    "q135_boilerplate_passages" -> q135BoilerplatePassages _)
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
@@ -597,5 +640,32 @@ object TrainingData {
         |FROM scored GROUP BY doc_id
         |ORDER BY CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) DESC,
         |         doc_id
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    // q135: the q74 chunk recipe at stride 8 = size 8 (non-overlapping;
+    // trailing partial chunk included); the engine groups/joins on
+    // xxhash64(passage), the oracle on the passage text — identical
+    // counts (q63 precedent). Within-doc repeats of a passage each count
+    // toward n_passages; pdf counts DISTINCT documents.
+    "q135_boilerplate_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk) + 1, 8),
+        |           s -> array_to_string(tk[s:s+7], ' '))) AS passage
+        |  FROM toks WHERE len(tk) > 0),
+        |pd AS (
+        |  SELECT passage, COUNT(DISTINCT doc_id) AS pdf
+        |  FROM ch GROUP BY passage)
+        |SELECT doc_id, COUNT(*) AS n_passages,
+        |       CAST(SUM(CASE WHEN pdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_boiler,
+        |       round(CAST(SUM(CASE WHEN pdf >= 2 THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |         AS boiler_frac
+        |FROM ch JOIN pd USING (passage)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -159,4 +159,33 @@ class CorpusSpec extends AnyFunSuite {
       .collect().toSet
     assert(grouped == Set(("a", 1L, 0L), ("a", 2L, 1L), ("b", 3L, 0L)))
   }
+
+  test("boilerplatePassages flags cross-doc shared passages, counts partial chunks") {
+    // 8-token passages: P1 is shared by docs 1 and 2; every other passage
+    // is unique. Doc 3 has 12 tokens -> one full + one partial chunk.
+    val p1 = (1 to 8).map(i => s"w$i").mkString(" ")
+    val uniq = (n: Int) => (1 to 8).map(i => s"u${n}t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p1 ${uniq(1)}"),         // P1 + unique        -> 1/2 boiler
+      (2L, s"${uniq(2)} $p1"),         // unique + P1        -> 1/2 boiler
+      (3L, s"${uniq(3)} x1 x2 x3 x4")) // unique + 4-tok tail-> 0/2 boiler
+      .toDF("doc_id", "text")
+    val out = graft.ops.TrainingData.boilerplatePassages(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boiler_frac")))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("boilerplatePassages: a passage repeated only within one doc is not boilerplate") {
+    val p = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, s"$p $p"), (2L, (1 to 8).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TrainingData.boilerplatePassages(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_boiler")).toMap
+    // doc 1 repeats p twice, but no OTHER doc carries it -> pdf = 1
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
 }

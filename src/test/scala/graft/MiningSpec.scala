@@ -411,4 +411,36 @@ class MiningSpec extends AnyFunSuite {
     val rate = kept / docs.count()
     assert(rate >= lo - 0.05 && rate <= hi + 0.05)
   }
+
+  test("sourceKl: identical source distributions diverge zero; skew matches hand formula") {
+    import spark.implicits._
+    // both sources have p = {x: 1/2, y: 1/2} == corpus -> KL = 0 exactly
+    val same = Seq(("a", "x y"), ("b", "y x")).toDF("source", "text")
+    val kl0 = Mining.sourceKl(same, "source", "text")
+      .select("kl_div").as[Double].collect()
+    assert(kl0.forall(_ == 0.0))
+    // a: {x:3/4, y:1/4}, b: {y:1}; corpus over 8 tokens: {x:3/8, y:5/8}
+    val skew = Seq(("a", "x x x y"), ("b", "y y y y")).toDF("source", "text")
+    val out = Mining.sourceKl(skew, "source", "text")
+      .select("source", "kl_div").as[(String, Double)].collect().toMap
+    def kl(ps: Seq[(Double, Double)]): Double =
+      ps.map { case (p, q) => p * math.log(p / q) }.sum
+    assert(math.abs(out("a") -
+      kl(Seq((0.75, 3.0 / 8), (0.25, 5.0 / 8)))) < 1e-6)
+    assert(math.abs(out("b") - kl(Seq((1.0, 5.0 / 8)))) < 1e-6)
+  }
+
+  test("sourceKl is non-negative across the corpus and totals reconcile") {
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+    val out = Mining.sourceKl(docs, "source", "text").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("kl_div") >= 0.0),
+      "KL(source||corpus) must be non-negative")
+    val totFromOut = out.map(_.getAs[Long]("n_tokens")).sum
+    val totDirect = docs.select(
+      sum(size(graft.functions.wordTokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    assert(totFromOut == totDirect)
+  }
 }

@@ -237,4 +237,38 @@ class PlanSpec extends AnyFunSuite {
       s"vocab selection must fuse to top-k:\n${p.take(3000)}")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("q133 chi-square: totals derive from the checkpointed cell frame, no fact re-scan") {
+    val p = finalPlan("q133_chi_square")
+    // the ONE orders scan runs inside the cells localCheckpoint job; the
+    // final plan must read only the materialized frame — a parquet scan
+    // here means a derived total re-scanned the fact table
+    assert(!p.contains("Scan parquet"),
+      s"derived totals must not re-scan orders:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD") || p.contains("Scan RDD"),
+      s"cell frame must come from the checkpoint:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"cell/total joins must broadcast:\n${p.take(3000)}")
+  }
+
+  test("q134 source KL: totals re-aggregate the checkpointed count frame, ONE tokenize") {
+    val p = finalPlan("q134_source_kl")
+    // same shape as q133: the single documents scan + tokenize lives in
+    // the (source, token) count frame's localCheckpoint job
+    assert(!p.contains("Scan parquet"),
+      s"derived totals must not re-tokenize documents:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD") || p.contains("Scan RDD"),
+      s"count frame must come from the checkpoint:\n${p.take(3000)}")
+    // the 1-row corpus-total cross join is a BroadcastNestedLoopJoin by
+    // construction; only an unkeyed data-sized product would be a bug
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q135 boilerplate: hash-keyed equi-joins only, no third tokenize pass") {
+    val p = finalPlan("q135_boilerplate_passages")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"at most the two documented tokenize scans:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
