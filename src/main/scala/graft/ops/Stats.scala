@@ -262,6 +262,94 @@ object Stats {
     welchTtest(t(spark, dir, "customer"), "c_acctbal", "c_mktsegment",
       "BUILDING", "MACHINERY")
 
+  // --------------------------------------------------------------- q137
+  /** Mann–Whitney U: the nonparametric (rank-based) counterpart of q136's
+    * t-test — does one arm stochastically dominate the other, with no
+    * normality assumption. Classic formulations rank every ROW under one
+    * global sort (the q119 single-task scale-killer); this one never
+    * ranks rows. One fact pass reduces to per-VALUE counts (cnt, arm-A
+    * cnt), and every rank quantity folds over that frame: with
+    * cum_before = Σ cnt of smaller values, the average rank of a value's
+    * tie group is cum_before + (cnt+1)/2, so the arm-A rank sum is
+    * R1 = Σ cnt_a·(cum_before + (cnt+1)/2) — computed as the INTEGER
+    * 2·R1 = Σ cnt_a·(2·cum_before + cnt + 1) in DECIMAL(38,0), exact at
+    * any scale, halved in double (exact: halves). Tie correction
+    * Σ(t³−t) folds over the same frame. The one ordered window runs on
+    * the DISTINCT-VALUE frame, bounded by the 2-dp currency domain
+    * (~1.1M values max regardless of row count — the q80
+    * bounded-dimension contract), never the fact table. U, z (with tie
+    * correction), and the rank-biserial effect size evaluate in DOUBLE
+    * with the tree mirrored in the oracle. */
+  def mannWhitney(df: DataFrame, valCol: String, groupCol: String,
+                  armA: String, armB: String): DataFrame = {
+    val c = df.filter(col(groupCol).isin(armA, armB))
+    val perVal = c.groupBy(col(valCol).as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col(groupCol) === armA, lit(1))).as("cnt_a"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = perVal.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val m = cum.agg(
+      sum(col("cnt")).as("n"),
+      sum(col("cnt_a")).as("n1"),
+      sum((col("cnt_a") * (lit(2L) * col("cum_before") + col("cnt") + 1))
+        .cast("decimal(38,0)")).as("r2"),
+      sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        .cast("decimal(38,0)")).as("tsum"))
+    val n1d = col("n1").cast("double")
+    val n2d = (col("n") - col("n1")).cast("double")
+    val nd = col("n").cast("double")
+    val r1 = col("r2").cast("double") / lit(2.0)
+    val u1 = r1 - n1d * (n1d + lit(1.0)) / lit(2.0)
+    val mu = n1d * n2d / lit(2.0)
+    val sigma = sqrt(n1d * n2d / lit(12.0) *
+      ((nd + lit(1.0)) - col("tsum").cast("double") / (nd * (nd - lit(1.0)))))
+    m.select(col("n1"), (col("n") - col("n1")).as("n2"),
+      round(u1, 6).as("u_stat"),
+      round((u1 - mu) / sigma, 6).as("z_stat"),
+      round(lit(1.0) - lit(2.0) * u1 / (n1d * n2d), 6).as("rank_biserial"))
+  }
+
+  /** q137 entry: BUILDING vs MACHINERY on account balance (the
+    * nonparametric twin of q136 on the same arms). */
+  def q137MannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitney(t(spark, dir, "customer"), "c_acctbal", "c_mktsegment",
+      "BUILDING", "MACHINERY")
+
+  // --------------------------------------------------------------- q138
+  /** Two-proportion z-test on purchase share: split users into
+    * deterministic A/B cohorts (the q52 md5-prefix hash split — the
+    * assignment a real experiment pipeline uses) and test whether the
+    * share of purchase events differs between cohorts under the pooled
+    * standard error. The whole test is ONE conditional-aggregate pass
+    * over the fact table — no per-user shuffle, a 1-row frame at any
+    * scale — then pure scalar double arithmetic mirrored in the oracle.
+    * The md5 split is reproduced verbatim in DuckDB, so cohort
+    * membership — not just the formula — is cross-checked. */
+  def q138TwoProportionZ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("cohort",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          lit("A")).otherwise(lit("B")))
+    val purchase = (col("event_type") === "purchase").cast("long")
+    val m = ev.agg(
+      count(when(col("cohort") === "A", lit(1))).as("n1"),
+      sum(when(col("cohort") === "A", purchase).otherwise(lit(0L)))
+        .as("x1"),
+      count(when(col("cohort") === "B", lit(1))).as("n2"),
+      sum(when(col("cohort") === "B", purchase).otherwise(lit(0L)))
+        .as("x2"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val p1 = col("x1").cast("double") / n1d
+    val p2 = col("x2").cast("double") / n2d
+    val pPool = (col("x1") + col("x2")).cast("double") / (n1d + n2d)
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / n1d + lit(1.0) / n2d))
+    m.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
+      round((p1 - p2) / se, 6).as("z_stat"))
+  }
+
   // ---------------------------------------------------------------- q84
   /** Grouped median + deterministic mode: exact interpolated median of
     * quantity per returnflag, and the most frequent linestatus with ties
@@ -492,6 +580,8 @@ object Stats {
     "q132_group_regression" -> q132GroupRegression _,
     "q133_chi_square" -> q133ChiSquare _,
     "q136_welch_ttest" -> q136WelchTtest _,
+    "q137_mann_whitney" -> q137MannWhitney _,
+    "q138_two_proportion_z" -> q138TwoProportionZ _,
     "q84_median_mode" -> q84MedianMode _,
     "q85_char_entropy" -> q85CharEntropy _,
     "q86_group_argmax" -> q86GroupArgmax _,
@@ -604,6 +694,82 @@ object Stats {
         |          CAST(least(n_r - 1, n_c - 1) AS DOUBLE))), 6)
         |         AS cramers_v
         |FROM j GROUP BY n_total, n_r, n_c""".stripMargin,
+    // q137: rank math folded over per-VALUE counts — 2·R1 stays integer
+    // (DECIMAL(38,0) sums) until the final halving; the scalar U/z/
+    // effect-size trees mirror the engine with CAST(k AS DOUBLE)
+    // constants throughout.
+    "q137_mann_whitney" ->
+      """WITH c AS (
+        |  SELECT c_acctbal AS v, c_mktsegment AS g FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |pv AS (
+        |  SELECT v, COUNT(*) AS cnt,
+        |         COUNT(*) FILTER (WHERE g = 'BUILDING') AS cnt_a
+        |  FROM c GROUP BY v),
+        |cum AS (
+        |  SELECT cnt, cnt_a,
+        |         COALESCE(SUM(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_before
+        |  FROM pv),
+        |m AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |         CAST(SUM(cnt_a) AS BIGINT) AS n1,
+        |         SUM(CAST(cnt_a * (2 * cum_before + cnt + 1)
+        |             AS DECIMAL(38,0))) AS r2,
+        |         SUM(CAST(cnt * cnt * cnt - cnt AS DECIMAL(38,0))) AS tsum
+        |  FROM cum),
+        |s AS (
+        |  SELECT n1, n - n1 AS n2,
+        |         CAST(n1 AS DOUBLE) AS n1d,
+        |         CAST(n - n1 AS DOUBLE) AS n2d,
+        |         CAST(n AS DOUBLE) AS nd,
+        |         CAST(r2 AS DOUBLE) / CAST(2 AS DOUBLE)
+        |           - CAST(n1 AS DOUBLE) *
+        |             (CAST(n1 AS DOUBLE) + CAST(1 AS DOUBLE))
+        |             / CAST(2 AS DOUBLE) AS u1,
+        |         CAST(tsum AS DOUBLE) AS tsumd
+        |  FROM m)
+        |SELECT n1, n2, round(u1, 6) AS u_stat,
+        |       round((u1 - n1d * n2d / CAST(2 AS DOUBLE)) /
+        |         sqrt(n1d * n2d / CAST(12 AS DOUBLE) *
+        |           ((nd + CAST(1 AS DOUBLE)) -
+        |            tsumd / (nd * (nd - CAST(1 AS DOUBLE))))), 6)
+        |         AS z_stat,
+        |       round(CAST(1 AS DOUBLE) -
+        |         CAST(2 AS DOUBLE) * u1 / (n1d * n2d), 6)
+        |         AS rank_biserial
+        |FROM s""".stripMargin,
+    // q138: the q52 md5-prefix cohort split reproduced verbatim, then
+    // the pooled-SE z tree in mirrored DOUBLE arithmetic.
+    "q138_two_proportion_z" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |              THEN 'A' ELSE 'B' END AS cohort,
+        |         event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT COUNT(*) FILTER (WHERE cohort = 'A') AS n1,
+        |         CAST(SUM(CASE WHEN cohort = 'A' AND event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |         COUNT(*) FILTER (WHERE cohort = 'B') AS n2,
+        |         CAST(SUM(CASE WHEN cohort = 'B' AND event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM ev),
+        |s AS (
+        |  SELECT n1, x1, n2, x2,
+        |         CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |         CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |         CAST(x1 + x2 AS DOUBLE) /
+        |           (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pp
+        |  FROM m)
+        |SELECT n1, x1, n2, x2,
+        |       round(p1, 6) AS rate_a, round(p2, 6) AS rate_b,
+        |       round((p1 - p2) /
+        |         sqrt(pp * (CAST(1 AS DOUBLE) - pp) *
+        |           (CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE) +
+        |            CAST(1 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS z_stat
+        |FROM s""".stripMargin,
     // q136: exact decimal moments per arm, then the Welch arithmetic in
     // DOUBLE with the identical tree (v1 term first in every sum).
     "q136_welch_ttest" ->

@@ -264,6 +264,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q137 Mann-Whitney: one fact scan; the ordered window runs on the value frame") {
+    val p = finalPlan("q137_mann_whitney")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"customer must be scanned exactly once:\n${p.take(3000)}")
+    // the window must sit ABOVE the per-value aggregate (bounded domain),
+    // not over raw rows: exactly one Window, and a partial_count feeding it
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("q138 two-proportion z: single pass — no join, no window, one scan") {
+    val p = finalPlan("q138_two_proportion_z")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(3000))
+  }
+
   test("q135 boilerplate: hash-keyed equi-joins only, no third tokenize pass") {
     val p = finalPlan("q135_boilerplate_passages")
     assert("Scan parquet".r.findAllIn(p).size <= 2,

@@ -95,6 +95,58 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("welch_dof") - dof) < 1e-6)
   }
 
+  test("mannWhitney matches an independent avg-rank reference, ties included") {
+    val a = Seq(1.0, 2.0, 2.0, 5.0)
+    val b = Seq(2.0, 3.0, 4.0)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("arm", "v")
+    val out = Stats.mannWhitney(df, "v", "arm", "A", "B").collect().head
+    // reference: pooled avg ranks by value
+    val pooled = (a.map((_, "A")) ++ b.map((_, "B"))).sortBy(_._1)
+    val avgRank = pooled.map(_._1).distinct.map { v =>
+      val idx = pooled.zipWithIndex.filter(_._1._1 == v).map(_._2 + 1)
+      v -> idx.sum.toDouble / idx.size
+    }.toMap
+    val r1 = pooled.filter(_._2 == "A").map(p => avgRank(p._1)).sum
+    val (n1, n2) = (a.size.toDouble, b.size.toDouble); val n = n1 + n2
+    val u1 = r1 - n1 * (n1 + 1) / 2
+    val tsum = pooled.groupBy(_._1).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val sigma = math.sqrt(n1 * n2 / 12 * ((n + 1) - tsum / (n * (n - 1))))
+    val z = (u1 - n1 * n2 / 2) / sigma
+    assert(out.getAs[Long]("n1") == 4L && out.getAs[Long]("n2") == 3L)
+    assert(math.abs(out.getAs[Double]("u_stat") - u1) < 1e-6)
+    assert(math.abs(out.getAs[Double]("z_stat") - z) < 1e-6)
+    assert(math.abs(out.getAs[Double]("rank_biserial") -
+      (1 - 2 * u1 / (n1 * n2))) < 1e-6)
+  }
+
+  test("mannWhitney: fully separated arms give U = 0 and rank-biserial 1") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(10.0, 11.0).map(("B", _))).toDF("arm", "v")
+    val out = Stats.mannWhitney(df, "v", "arm", "A", "B").collect().head
+    assert(out.getAs[Double]("u_stat") == 0.0)
+    assert(out.getAs[Double]("rank_biserial") == 1.0)
+  }
+
+  test("q138 two-proportion z reconciles with an independent recount") {
+    val out = Stats.q138TwoProportionZ(spark, TestSpark.sfDir)
+      .collect().head
+    val ev = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "events")
+      .withColumn("a", substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val n1 = ev.filter(col("a")).count()
+    val x1 = ev.filter(col("a") && col("event_type") === "purchase").count()
+    val n2 = ev.filter(!col("a")).count()
+    val x2 = ev.filter(!col("a") && col("event_type") === "purchase").count()
+    assert(out.getAs[Long]("n1") == n1 && out.getAs[Long]("x1") == x1)
+    assert(out.getAs[Long]("n2") == n2 && out.getAs[Long]("x2") == x2)
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val z = (p1 - p2) /
+      math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(out.getAs[Double]("z_stat") - z) < 1e-6)
+  }
+
   test("mergeUpsert applies updates, deletes, inserts exactly") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq((2L, "B", "U"), (3L, "c", "D"), (4L, "d", "I"))
