@@ -18,10 +18,14 @@ object Explain {
       // at construction (iterative checkpoints / driver-side bloom), so
       // "explaining" them runs the full pipeline and q55's final plan is
       // an opaque checkpointed-RDD scan with nothing to audit
+      // q133/q134 are also absent: their localCheckpoint of the bounded
+      // aggregate frame runs at construction; PlanSpec audits their
+      // post-checkpoint shape instead
       else Seq("q03_flagship_sql", "q08_date_range_filter", "q21_group_agg",
         "q24_cosine_topk", "q28_topk", "q33_dedup_ngram_jaccard",
         "q75_ann_quantized", "q78_salted_join_agg",
-        "q104_winsorize", "q105_tombstone_cascade", "q119_equidepth_histogram")
+        "q104_winsorize", "q105_tombstone_cascade", "q119_equidepth_histogram",
+        "q135_boilerplate_passages")
     val spark = GraftSession
       .builder("local[4]", shufflePartitions = 4, appName = "graft-explain")
       .config("spark.ui.enabled", "false")
