@@ -341,6 +341,42 @@ object Corpus {
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk_text"))
 
+  // ---------------------------------------------------------------- q139
+  /** Tokenize-to-ids encoding — the literal last step of a training-data
+    * pipeline: fit a top-K vocabulary over the corpus (total occurrence
+    * count, ties by token — the q116/q126 fit recipe), then encode every
+    * document as its id sequence, OOV → 0. Downstream this frame feeds
+    * q53's sequence packing; together they take raw text to packed
+    * training shards.
+    *
+    * Scale shape: the fit is one token-count aggregate with a fused
+    * top-K head and a K-row collect (the standard KB fitted-model
+    * pattern); the encode pass bakes the vocabulary into the plan as a
+    * LITERAL map — one corpus scan, zero joins, zero shuffles beyond
+    * the output sort, embarrassingly parallel at any corpus size. */
+  def encodeIds(docs: DataFrame, textCol: String, idCol: String,
+                vocabSize: Int = 256): DataFrame = {
+    val fitted = docs
+      .select(explode(graft.functions.wordTokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .collect().map(_.getString(0))
+    val vocabMap = typedlit(
+      fitted.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap)
+    val toks = col("toks")
+    docs
+      .select(col(idCol), graft.functions.wordTokens(col(textCol)).as("toks"))
+      .filter(size(toks) > 0)
+      .select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        transform(toks, t => coalesce(element_at(vocabMap, t), lit(0L)))
+          .as("ids"))
+      .orderBy(idCol)
+  }
+
+  /** q139 entry: 256-token vocabulary over the documents corpus. */
+  def q139EncodeIds(spark: SparkSession, dir: String): DataFrame =
+    encodeIds(t(spark, dir, "documents"), "text", "doc_id")
+
   // ---------------------------------------------------------------- q74
   /** 64-token chunks with a 32-token stride over the corpus. */
   def q74ChunkDocuments(spark: SparkSession, dir: String): DataFrame =
@@ -352,6 +388,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
     "q74_chunk_documents" -> q74ChunkDocuments _,
+    "q139_encode_ids" -> q139EncodeIds _,
     "q50_pii_scrub" -> q50PiiScrub _,
     "q51_repetition" -> q51Repetition _,
     "q52_hash_split" -> q52HashSplit _,
@@ -362,6 +399,28 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    // q139: same fit recipe (total count, ties by token, row_number id);
+    // the encode side re-derives ids by position join + ordered list()
+    // where the engine uses a literal-map lambda — same sequences.
+    "q139_encode_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |alltok AS (SELECT unnest(tk) AS tok FROM toks),
+        |vocab AS (
+        |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS id
+        |  FROM (SELECT tok, COUNT(*) AS cnt FROM alltok GROUP BY tok
+        |        ORDER BY cnt DESC, tok LIMIT 256)),
+        |pos AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |         generate_subscripts(tk, 1) AS pos
+        |  FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       list(COALESCE(v.id, 0) ORDER BY pos) AS ids
+        |FROM pos LEFT JOIN vocab v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q74: range(1, len+1, 32) generates the 1-based chunk starts;
     // tk[s:s+63] is DuckDB's inclusive 64-element slice (truncating at the
     // tail exactly like the fused expression).

@@ -160,6 +160,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(grouped == Set(("a", 1L, 0L), ("a", 2L, 1L), ("b", 3L, 0L)))
   }
 
+  test("encodeIds: frequency-ranked ids, lexicographic ties, OOV zero") {
+    // counts: b=3, a=2, c=1, z=1 -> ids b=1, a=2, c=3 (vocabSize 3); z OOV
+    val docs = Seq((1L, "a b c"), (2L, "b a z b")).toDF("doc_id", "text")
+    val out = Corpus.encodeIds(docs, "text", "doc_id", vocabSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(out(1L) == ((3L, List(2L, 1L, 3L))))
+    assert(out(2L) == ((4L, List(1L, 2L, 0L, 1L))))
+  }
+
+  test("encodeIds round-trips in-vocab tokens through the id map") {
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents").limit(100)
+    val enc = Corpus.encodeIds(docs, "text", "doc_id", vocabSize = 64)
+    val rows = enc.collect()
+    assert(rows.nonEmpty)
+    // every id is within [0, 64]; n_tokens matches the id sequence length
+    assert(rows.forall { r =>
+      val ids = r.getSeq[Long](2)
+      ids.size == r.getLong(1) && ids.forall(i => i >= 0L && i <= 64L)
+    })
+    // id frequencies are consistent with rank: id 1 is at least as
+    // frequent corpus-wide as id 2 (frequency-ordered vocabulary)
+    val freq = rows.flatMap(_.getSeq[Long](2)).filter(_ > 0)
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(freq.getOrElse(1L, 0) >= freq.getOrElse(2L, 0))
+  }
+
   test("boilerplatePassages flags cross-doc shared passages, counts partial chunks") {
     // 8-token passages: P1 is shared by docs 1 and 2; every other passage
     // is unique. Doc 3 has 12 tokens -> one full + one partial chunk.

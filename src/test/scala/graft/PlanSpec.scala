@@ -281,6 +281,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"), p.take(3000))
   }
 
+  test("q139 encode-ids: literal-map encode — one scan, zero joins") {
+    val p = finalPlan("q139_encode_ids")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"encode must be a single corpus scan:\n${p.take(3000)}")
+    assert(!p.contains("Join"),
+      s"vocabulary must be a plan literal, not a join:\n${p.take(3000)}")
+  }
+
   test("q135 boilerplate: hash-keyed equi-joins only, no third tokenize pass") {
     val p = finalPlan("q135_boilerplate_passages")
     assert("Scan parquet".r.findAllIn(p).size <= 2,
