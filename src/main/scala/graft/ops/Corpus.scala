@@ -384,8 +384,63 @@ object Corpus {
         size = 64, stride = 32)
       .orderBy("doc_id", "chunk_idx")
 
+  // --------------------------------------------------------------- q143
+  /** C4-style rule-based quality filter (Raffel et al., "Exploring the
+    * Limits of Transfer Learning…", JMLR 2020 §2.2 — public cleaning
+    * recipe, rules adapted to this corpus's single-line texts) with
+    * PER-RULE accounting: every document gets one boolean per rule plus
+    * the combined keep flag, so a pipeline can report exactly which rule
+    * costs how much data — the filter-audit table every corpus-cleaning
+    * run ships with.
+    *
+    * Rules (all thresholds compared in EXACT INTEGER arithmetic — the
+    * ratio comparisons are cross-multiplied, so no float rounding can
+    * disagree between engines):
+    *   - too_short:  fewer than 30 word tokens;
+    *   - word_len:   mean token length outside [3, 10] chars
+    *                 (sum_len < 3·n or sum_len > 10·n);
+    *   - repetition: most frequent token exceeds ⅛ of the document
+    *                 (8·max_cnt > n);
+    *   - stop_ratio: stopword share below 1% (100·stop_cnt < n) — the
+    *                 "not natural prose" heuristic.
+    *
+    * Scale shape: ONE tokenize pass; per-(doc, token) counts combine
+    * map-side, the doc-level rollup reduces token rows to one row per
+    * document. Nothing document-sized shuffles twice and no window is
+    * involved — embarrassingly parallel at any corpus size. */
+  def c4QualityFilter(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val stop = Seq("a", "the", "of", "and", "to", "in", "is", "it")
+    val perTok = docs
+      .select(col(idCol), explode(graft.functions.wordTokens(col(textCol)))
+        .as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = perTok.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(length(col("tok")) * col("cnt")).as("sum_len"),
+        max(col("cnt")).as("max_cnt"),
+        sum(when(col("tok").isin(stop: _*), col("cnt"))
+          .otherwise(lit(0L))).as("stop_cnt"))
+    perDoc.select(col(idCol), col("n_tokens"),
+        (col("n_tokens") < 30).as("fail_short"),
+        (col("sum_len") < col("n_tokens") * 3 ||
+          col("sum_len") > col("n_tokens") * 10).as("fail_word_len"),
+        (col("max_cnt") * 8 > col("n_tokens")).as("fail_repetition"),
+        (col("stop_cnt") * 100 < col("n_tokens")).as("fail_stop_ratio"))
+      .withColumn("keep",
+        !col("fail_short") && !col("fail_word_len") &&
+          !col("fail_repetition") && !col("fail_stop_ratio"))
+  }
+
+  /** q143 entry: the per-document filter-audit table over `documents`. */
+  def q143C4Filter(spark: SparkSession, dir: String): DataFrame =
+    c4QualityFilter(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_c4_quality_filter" -> q143C4Filter _,
     "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
     "q74_chunk_documents" -> q74ChunkDocuments _,
     "q139_encode_ids" -> q139EncodeIds _,
@@ -399,6 +454,33 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    "q143_c4_quality_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents,
+        |       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                          x -> len(x) > 0)) AS t(tok)),
+        |pt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, SUM(cnt) AS n_tokens,
+        |         SUM(len(tok) * cnt) AS sum_len,
+        |         MAX(cnt) AS max_cnt,
+        |         SUM(CASE WHEN tok IN ('a','the','of','and','to','in',
+        |                               'is','it') THEN cnt ELSE 0 END)
+        |           AS stop_cnt
+        |  FROM pt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       n_tokens < 30 AS fail_short,
+        |       (sum_len < n_tokens * 3 OR sum_len > n_tokens * 10)
+        |         AS fail_word_len,
+        |       max_cnt * 8 > n_tokens AS fail_repetition,
+        |       stop_cnt * 100 < n_tokens AS fail_stop_ratio,
+        |       NOT (n_tokens < 30)
+        |       AND NOT (sum_len < n_tokens * 3 OR sum_len > n_tokens * 10)
+        |       AND NOT (max_cnt * 8 > n_tokens)
+        |       AND NOT (stop_cnt * 100 < n_tokens) AS keep
+        |FROM pd ORDER BY doc_id""".stripMargin,
     // q139: same fit recipe (total count, ties by token, row_number id);
     // the encode side re-derives ids by position join + ordered list()
     // where the engine uses a literal-map lambda — same sequences.

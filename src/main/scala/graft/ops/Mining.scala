@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -533,6 +533,65 @@ object Mining {
   def q134SourceKl(spark: SparkSession, dir: String): DataFrame =
     sourceKl(t(spark, dir, "documents"), "source", "text")
 
+  // --------------------------------------------------------------- q141
+  /** DSIR-style importance weight (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — public
+    * method): score every document by how target-like its hashed-unigram
+    * distribution is, the per-token log-likelihood ratio
+    * (1/n)·Σ_w [ln p_target(h(w)) − ln p_corpus(h(w))] under
+    * add-one-smoothed bag-of-hashed-unigram models. High weight = looks
+    * like the target slice; a selection pipeline resamples the raw
+    * corpus proportionally to exp(weight·n) or thresholds the weight.
+    *
+    * Scale shape: hashing words into a FIXED `buckets`-bucket feature
+    * space bounds the model frame regardless of corpus vocabulary — the
+    * point of hashed features. ONE tokenize pass with a conditional
+    * aggregate builds (bucket, c_corpus, c_target); the grand totals
+    * re-aggregate from that checkpointed frame; the ≤`buckets`-row LLR
+    * model broadcasts into the scoring scan. Nothing document-sized
+    * shuffles: scoring is a broadcast probe + doc-keyed aggregate.
+    *
+    * Cross-engine determinism: bucket = first 4 hex digits of md5(token)
+    * (the q52 md5-prefix precedent) mod `buckets` — integer-exact in any
+    * engine; counts/totals are integers; the two ln terms are computed
+    * on identical doubles, per-token LLRs sum as DECIMAL(28,12)
+    * (order-free), and the per-token mean rounds to 6 dp at output per
+    * the q126/q134 ln precedent. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, textCol: String,
+                  buckets: Int = 4096): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(wordTokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+          % buckets)
+    // ≤`buckets` rows after one tokenize pass; checkpointed so the grand
+    // totals and the LLR projection reuse it instead of re-tokenizing
+    val counts = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_all"),
+        count(when(col("is_t"), 1)).as("c_t"))
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("c_all")).as("n_all"),
+      sum(col("c_t")).as("n_t"))
+    val llr = counts.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("c_t") + lit(1)).cast("double") /
+            (col("n_t") + lit(buckets)).cast("double")) -
+          log((col("c_all") + lit(1)).cast("double") /
+            (col("n_all") + lit(buckets)).cast("double"))).as("llr"))
+    tok.join(broadcast(llr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("llr").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** q141 entry: weight every document toward the English slice — the
+    * "select docs that look like the curated target" scorer. */
+  def q141DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(t(spark, dir, "documents"), col("lang") === "en", "text")
+
   // --------------------------------------------------------------- q130
   /** Weighted PageRank by power iteration, fully distributed: ranks stay
     * a DataFrame end-to-end, each iteration is one broadcast join of the
@@ -686,12 +745,36 @@ object Mining {
     "q125_rolling_distinct" -> q125RollingDistinct _,
     "q126_pmi_cooccur" -> q126PmiCooccur _,
     "q134_source_kl" -> q134SourceKl _,
-    "q130_event_pagerank" -> q130EventPagerank _)
+    "q130_event_pagerank" -> q130EventPagerank _,
+    "q141_dsir_weights" -> q141DsirWeights _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
     * (FNV perceptual hash) are engine-internal → rows-only; their
     * correctness envelopes live in MiningSpec. */
   val oracle: Map[String, String] = Map(
+    "q141_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |         ('0x' || substr(md5(t.tok), 1, 4))::BIGINT % 4096 AS bucket
+        |  FROM documents,
+        |       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                          x -> len(x) > 0)) AS t(tok)),
+        |counts AS (
+        |  SELECT bucket, COUNT(*) AS c_all,
+        |         COUNT(*) FILTER (is_t) AS c_t
+        |  FROM tok GROUP BY bucket),
+        |tot AS (SELECT SUM(c_all) AS n_all, SUM(c_t) AS n_t FROM counts),
+        |llr AS (
+        |  SELECT bucket,
+        |         ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + 4096 AS DOUBLE))
+        |         - ln(CAST(c_all + 1 AS DOUBLE)
+        |              / CAST(n_all + 4096 AS DOUBLE)) AS llr
+        |  FROM counts CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       round(CAST(SUM(CAST(llr AS DECIMAL(28,12))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS weight
+        |FROM tok JOIN llr USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q101_bigram_familiarity" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -86,6 +86,42 @@ object Temporal {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Keyless interval-overlap join: for every point event, how many
+    * intervals [start, start+length) drawn from the WHOLE stream contain
+    * it. Unlike [[timeRangePairs]] there is no user/equi key to hash on —
+    * the naive formulation is a broadcast-nested-loop (or cartesian)
+    * range join between two fact-sized inputs, the classic scale-killer.
+    * The rewrite buckets time at EXACTLY the interval length: an interval
+    * then overlaps at most two buckets (its own and the next), so
+    * replicating each interval into those two buckets turns the range
+    * join into an equi-join on bucket plus a residual containment filter.
+    * Shuffle volume is 2·|intervals| + |points|, never
+    * |points|·|intervals|; a replica in the start bucket's successor that
+    * can't match (interval flush on a boundary) is discarded by the
+    * residual, so no post-join dedup is needed — each interval has one
+    * replica per bucket and a point lives in exactly one bucket. */
+  def overlapCounts(points: DataFrame, intervals: DataFrame,
+                    lengthUs: Long): DataFrame = {
+    require(lengthUs > 0, "interval length must be positive")
+    val pts = points
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("p_us"))
+      .withColumn("bucket", expr(s"p_us div $lengthUs"))
+    val iv = intervals
+      .select(col("event_id").as("iid"),
+        unix_micros(col("ts").cast("timestamp")).as("i_us"))
+      .withColumn("bucket",
+        explode(array(expr(s"i_us div $lengthUs"),
+          expr(s"i_us div $lengthUs") + 1)))
+    pts.join(iv,
+        pts("bucket") === iv("bucket") &&
+          col("p_us") >= col("i_us") &&
+          col("p_us") < col("i_us") + lengthUs,
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("iid")).as("n_overlap"))
+  }
+
   // ------------------------------------------------------------ registry
   /** q44 — as-of previous purchase per event (window formulation). */
   def q44AsofPrevPurchase(spark: SparkSession, dir: String): DataFrame =
@@ -161,14 +197,35 @@ object Temporal {
         "s", "e")
       .orderBy("day")
 
+  // --------------------------------------------------------------- q140
+  /** q140 — keyless range join: per event, the number of high-value
+    * "incident" windows (value ≥ 150, [ts, ts+10 min)) that contain its
+    * timestamp. An incident's own point event counts itself — its ts is
+    * in its own window — matching the oracle's plain non-equi join. */
+  def q140IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    overlapCounts(ev, ev.filter(col("value") >= 150.0), 600000000L)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_prev_purchase" -> q44AsofPrevPurchase _,
     "q48_time_range_join" -> q48TimeRangeJoin _,
     "q72_latest_snapshot" -> q72LatestSnapshot _,
     "q73_scd2_intervals" -> q73Scd2Intervals _,
-    "q96_max_concurrency" -> q96MaxConcurrency _)
+    "q96_max_concurrency" -> q96MaxConcurrency _,
+    "q140_interval_overlap" -> q140IntervalOverlap _)
 
   val oracle: Map[String, String] = Map(
+    "q140_interval_overlap" ->
+      """WITH inc AS (
+        |  SELECT event_id AS iid, epoch_us(CAST(ts AS TIMESTAMP)) AS i_us
+        |  FROM events WHERE value >= 150.0)
+        |SELECT e.event_id, COUNT(i.iid) AS n_overlap
+        |FROM events e LEFT JOIN inc i
+        |  ON epoch_us(CAST(e.ts AS TIMESTAMP)) >= i.i_us
+        | AND epoch_us(CAST(e.ts AS TIMESTAMP)) < i.i_us + 600000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q96_max_concurrency" ->
       """WITH iv AS (
         |  SELECT CAST(ts AS TIMESTAMP) AS s,

@@ -344,6 +344,19 @@ object TrainingData {
   def q135BoilerplatePassages(spark: SparkSession, dir: String): DataFrame =
     boilerplatePassages(t(spark, dir, "documents"))
 
+  // --------------------------------------------------------------- q142
+  /** SemDeDup semantic pruning over the embedding corpus: √n-cell
+    * spherical k-means, within-cell cosine ≥ 0.3 groups, min-id
+    * survivors ([[Similarity.semDedup]]). No oracle: the trained
+    * codebook (float summation order) isn't SQL-expressible —
+    * SimilaritySpec pins survivor semantics against a brute-force
+    * recompute instead. */
+  def q142SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
@@ -364,7 +377,8 @@ object TrainingData {
     "q127_trigram_search" -> q127TrigramSearch _,
     "q129_passage_containment" -> q129PassageContainment _,
     "q131_bm25_retrieval" -> q131Bm25Retrieval _,
-    "q135_boilerplate_passages" -> q135BoilerplatePassages _)
+    "q135_boilerplate_passages" -> q135BoilerplatePassages _,
+    "q142_semdedup" -> q142SemDedup _)
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(

@@ -216,4 +216,33 @@ class CorpusSpec extends AnyFunSuite {
     // doc 1 repeats p twice, but no OTHER doc carries it -> pdf = 1
     assert(out(1L) == 0L && out(2L) == 0L)
   }
+
+  test("c4QualityFilter: each rule fires on exactly its crafted doc") {
+    // 40 varied tokens incl. stopwords -> passes everything
+    val good = ((1 to 38).map(i => s"word$i") ++ Seq("the", "of"))
+      .mkString(" ")
+    val short = "only five tokens right here"
+    // 20x the same token out of 40 (plus 'the' to satisfy stop rule)
+    val repetitive = (Seq.fill(20)("spam") ++
+      (1 to 19).map(i => s"word$i") ++ Seq("the")).mkString(" ")
+    // 35 distinct 2-char tokens incl. 2-char stopwords -> only word_len
+    val shortWords = ((0 until 33).map(i =>
+      "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar) ++
+      Seq("in", "is")).mkString(" ")
+    val noStops = (1 to 40).map(i => s"token$i").mkString(" ")
+    val docs = Seq((0L, good), (1L, short), (2L, repetitive),
+      (3L, shortWords), (4L, noStops)).toDF("doc_id", "text")
+    val out = Corpus.c4QualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6))).toMap
+    assert(out(0L) == (false, false, false, false, true), s"good: ${out(0L)}")
+    assert(out(1L)._1, "short doc fails too_short")
+    assert(out(2L) == (false, false, true, false, false),
+      s"repetitive: ${out(2L)}")
+    assert(out(3L)._2 && !out(3L)._3 && !out(3L)._4 && !out(3L)._5,
+      s"short-words: ${out(3L)}")
+    assert(out(4L) == (false, false, false, true, false),
+      s"no-stopwords: ${out(4L)}")
+  }
 }

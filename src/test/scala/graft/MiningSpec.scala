@@ -443,4 +443,57 @@ class MiningSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(totFromOut == totDirect)
   }
+
+  // ------------------------------------------------------------ q141 DSIR
+
+  test("dsirWeights: target-like docs score higher; values match an " +
+      "independent recompute") {
+    val docs = Seq(
+      (0L, "en", "alpha alpha beta gamma"),  // target
+      (1L, "en", "alpha beta beta delta"),   // target
+      (2L, "de", "omega omega psi chi"),     // raw-only vocabulary
+      (3L, "de", "alpha alpha alpha beta"),  // raw doc in target vocab
+      (4L, "de", "omega psi psi chi")
+    ).toDF("doc_id", "lang", "text")
+    val buckets = 64
+    val out = graft.ops.Mining
+      .dsirWeights(docs, col("lang") === "en", "text", buckets)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent recompute: same md5-prefix bucketing, add-one LLR
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val rows = Seq(
+      (0L, true, "alpha alpha beta gamma"),
+      (1L, true, "alpha beta beta delta"),
+      (2L, false, "omega omega psi chi"),
+      (3L, false, "alpha alpha alpha beta"),
+      (4L, false, "omega psi psi chi"))
+    val toks = rows.flatMap { case (id, t, s) =>
+      s.split(" ").map(w => (id, t, bucket(w))) }
+    val cAll = toks.groupBy(_._3).view.mapValues(_.size).toMap
+    val cT = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size).toMap
+    val nAll = toks.size
+    val nT = toks.count(_._2)
+    def llr(b: Long): Double =
+      math.log((cT.getOrElse(b, 0) + 1).toDouble / (nT + buckets)) -
+        math.log((cAll(b) + 1).toDouble / (nAll + buckets))
+    rows.foreach { case (id, _, s) =>
+      val ws = s.split(" ").map(w => llr(bucket(w)))
+      val expect = BigDecimal(ws.map(BigDecimal(_).setScale(12,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / ws.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, w) = out(id)
+      assert(n == ws.length)
+      assert(math.abs(w - expect) < 2e-6,
+        s"doc $id weight $w != recomputed $expect")
+    }
+    // docs made of target vocabulary outscore raw-only-vocabulary docs,
+    // regardless of their own lang label
+    assert(out(0L)._2 > out(2L)._2 && out(3L)._2 > out(4L)._2)
+  }
 }

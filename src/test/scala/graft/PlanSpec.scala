@@ -296,4 +296,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("q140 keyless range join: bucketed equi-join, never nested-loop") {
+    val p = finalPlan("q140_interval_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval containment must ride the bucket equi-join:\n${p.take(3000)}")
+  }
+
+  test("q141 DSIR: LLR model broadcasts into the scoring scan") {
+    val p = finalPlan("q141_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-LLR probe must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in q141 may sort-merge — the model side is ≤4096 rows:\n" +
+        p.take(3000))
+  }
 }

@@ -219,6 +219,53 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup: duplicate groups collapse to min-id survivors, " +
+      "survivors never near-dup within a cell") {
+    // exact duplicates (identical vectors assign to identical cells, so
+    // grouping is deterministic regardless of the trained codebook) plus
+    // well-separated singletons
+    val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val v2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val single = (5 until 10).map { i =>
+      val a = new Array[Float](4); a(i % 4) = 1.0f; a((i + 1) % 4) = 0.3f * i
+      (i.toLong, a)
+    }
+    val emb = (Seq((0L, v1), (1L, v1), (2L, v1), (3L, v2), (4L, v2)) ++
+      single).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.999, nCentroids = 2, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 10, "one row per input vector")
+    val byId = out.map(t => t._1 -> t).toMap
+    // the three copies of v1 share a group rooted at 0; only 0 keeps
+    assert(Seq(0L, 1L, 2L).map(byId(_)._3).distinct == Seq(0L))
+    assert(byId(0L)._4 && !byId(1L)._4 && !byId(2L)._4)
+    // v2 pair roots at 3
+    assert(byId(3L)._3 == 3L && byId(4L)._3 == 3L)
+    assert(byId(3L)._4 && !byId(4L)._4)
+    // keep flag is exactly "id == group_id" and groups keep exactly one
+    out.foreach { case (id, _, g, keep) => assert(keep == (id == g)) }
+    assert(out.filter(_._4).map(_._3).distinct.length ==
+      out.map(_._3).distinct.length)
+    // no two SURVIVORS in the same cell are still near-dups
+    val kept = out.filter(_._4)
+    val vecs = (Seq((0L, v1), (1L, v1), (2L, v1), (3L, v2), (4L, v2)) ++
+      single).toMap
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    for {
+      (ia, ca, _, _) <- kept
+      (ib, cb, _, _) <- kept
+      if ia < ib && ca == cb
+    } assert(sim(vecs(ia), vecs(ib)) < 0.999,
+      s"survivors $ia/$ib still near-dup in cell $ca")
+  }
+
   test("trained IVF reaches useful recall vs brute force") {
     val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)

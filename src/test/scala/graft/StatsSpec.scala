@@ -287,6 +287,39 @@ class StatsSpec extends AnyFunSuite {
     assert(out("2026-03-03") == 1, s"half-open back-to-back: $out")
   }
 
+  test("overlapCounts: bucketed keyless range join ≡ brute force, " +
+      "boundary-exact") {
+    import java.sql.Timestamp
+    // pseudorandom micro offsets from a hash so the case set is dense but
+    // deterministic; intervals are the value>=1 events, length 60s
+    val base = Timestamp.valueOf("2026-03-01 00:00:00").getTime * 1000L
+    val rows = (0L until 200L).map { i =>
+      val us = base + (i * 2654435761L) % 7200000000L // within 2h
+      (i, us, if (i % 7 == 0) 1.0 else 0.0)
+    } ++ Seq(
+      // hand-placed boundary cases against interval id=1000 below
+      (2000L, base + 600000000L, 0.0), // == interval start: counted
+      (2001L, base + 659999999L, 0.0), // last us inside: counted
+      (2002L, base + 660000000L, 0.0), // == exclusive end: NOT counted
+      (1000L, base + 600000000L, 1.0)) // the interval's own point event
+    val ev = rows.toDF("event_id", "us", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val out = graft.ops.Temporal
+      .overlapCounts(ev, ev.filter(col("value") >= 1.0), 60000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over the same rows
+    val ivs = rows.filter(_._3 >= 1.0).map(_._2)
+    val expected = rows.map { case (id, us, _) =>
+      id -> ivs.count(i => us >= i && us < i + 60000000L).toLong
+    }.toMap
+    assert(out == expected)
+    assert(out(2000L) >= 1L && out(2001L) >= 1L)
+    assert(out(2002L) == expected(2002L))
+    assert(out(1000L) >= 1L, "an incident's own point is inside its window")
+    assert(out.size == rows.size, "left semantics: zero-overlap rows kept")
+  }
+
   test("editDistancePairs finds exactly the distance<=1 pairs") {
     val df = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"),
         (5L, "abc"))

@@ -194,4 +194,5 @@ class TextSpec extends AnyFunSuite {
     val abc = fused.filter(col("s") === "abc").head.getSeq[String](1)
     assert(abc == Seq("abc", "bc", "ac", "ab"))
   }
+
 }
