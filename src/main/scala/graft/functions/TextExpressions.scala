@@ -536,3 +536,67 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(
       newChild: Expression): CharEntropy = copy(child = newChild)
 }
+
+/** Fitted-vocabulary token encoding: array<string> → array<bigint> via an
+  * O(1) hash lookup per token, OOV → 0 — semantics identical to
+  * `transform(toks, t -> coalesce(element_at(<literal map>, t), 0L))`.
+  *
+  * Why it exists: Catalyst's literal-map `element_at` backs onto
+  * `ArrayBasedMapData`, whose lookup is a LINEAR SCAN of all K entries
+  * with string equality per probe — and a vocabulary MISS (the common
+  * case on fresh corpora) always pays the full K compares. That made the
+  * q139 encode pass O(tokens·K·token_len): measured ~11 s at the sf1 tier
+  * (3M tokens × 256-entry vocab, ~90% OOV) for what is one hash probe per
+  * token. This expression holds the fitted vocabulary in a real HashMap
+  * (rebuilt once per executor via the transient-lazy fitted-model
+  * pattern) and encodes the whole token array in one compiled loop.
+  * The vocabulary is runtime-fitted data, so there is no SQL-function
+  * registration — construct via [[graft.functions.vocabEncode]]. */
+case class VocabEncode(child: Expression,
+                       vocab: Map[String, Long]) extends UnaryExpression {
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      math.max(8, vocab.size * 2))
+    vocab.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), java.lang.Long.valueOf(v)) }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "graft_vocab_encode"
+
+  /** One pass over the token array; called from both eval and codegen. */
+  def encode(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val id = lookup.get(arr.getUTF8String(i))
+      out(i) = if (id == null) 0L else id.longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabEncode", this,
+      classOf[VocabEncode].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.encode($x);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VocabEncode = copy(child = newChild)
+}

@@ -142,6 +142,15 @@ package object functions {
     GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(text)))
   }
 
+  /** Fitted-vocabulary token-id encoding (array<string> → array<bigint>,
+    * OOV → 0): one O(1) hash probe per token instead of `element_at`'s
+    * O(K) literal-map scan. See [[VocabEncode]]. */
+  def vocabEncode(tokens: Column, vocab: Map[String, Long]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(VocabEncode(GraftSqlBridge.expression(tokens),
+      vocab))
+  }
+
   /** k seeded MinHash minima via the fused [[MinHashes]] expression. */
   def minHashes(shingles: Column, k: Int,
                 seedIndexed: Boolean = true): Column = {

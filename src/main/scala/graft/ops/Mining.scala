@@ -533,6 +533,96 @@ object Mining {
   def q134SourceKl(spark: SparkSession, dir: String): DataFrame =
     sourceKl(t(spark, dir, "documents"), "source", "text")
 
+  // --------------------------------------------------------------- q144
+  /** Pairwise source vocabulary overlap: Jaccard similarity between every
+    * pair of sources' word-unigram vocabularies — the "which domains are
+    * lexically close" matrix a corpus-mixing pipeline reads next to
+    * [[sourceKl]]'s per-source divergence (KL says how far a source sits
+    * from the MIX; this says which sources sit near EACH OTHER, i.e.
+    * which are redundant to up-weight together).
+    *
+    * Scale shape: ONE tokenize pass reduces the corpus to the distinct
+    * (source, token) frame — bounded by |sources|·|vocab|, orders of
+    * magnitude below the corpus. The pair join is token-keyed on that
+    * frame (each token contributes its source list, so the join output
+    * is Σ_tok pairs(tok) ≤ |vocab|·|sources|²/2 — dimension-sized, never
+    * corpus-sized); per-source vocabulary sizes re-aggregate from the
+    * same frame and broadcast back. Counts are integers; the Jaccard
+    * divides them in double (identical IEEE op both engines) and rounds
+    * to 6 dp at output. */
+  def sourceOverlap(docs: DataFrame, srcCol: String,
+                    textCol: String): DataFrame = {
+    val st = docs
+      .select(col(srcCol).as("source"),
+        explode(wordTokens(col(textCol))).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    val vocab = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val common = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(vocab.select(col("source").as("source_a"),
+        col("v").as("v_a"))), "source_a")
+      .join(broadcast(vocab.select(col("source").as("source_b"),
+        col("v").as("v_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("v_a") + col("v_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q144 entry: the 20×20 source lexical-overlap matrix (upper
+    * triangle). */
+  def q144SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(t(spark, dir, "documents"), "source", "text")
+
+  // --------------------------------------------------------------- q145
+  /** Per-dimension embedding standardization (z-score): every component
+    * rescaled to zero mean / unit variance over the corpus — the feature-
+    * prep step before k-means or PCA when dimensions carry different
+    * scales. Output is the long form (vec_id, pos, z): totally ordered
+    * and scalar-typed, so the driver's sort-based compare can hash it.
+    *
+    * Scale shape: ONE posexplode pass; the per-dimension moment frame is
+    * |dim| rows (each a map-side-combined aggregate) and broadcasts back
+    * into a second scan — normalization itself is embarrassingly
+    * parallel, nothing vector-sized shuffles.
+    *
+    * Cross-engine determinism: component sums and squared-component sums
+    * run as DECIMAL(28,12) of bit-identical doubles (float widening and
+    * the x·x product are exact IEEE ops), so the moments are order-free;
+    * mean/variance/σ then evaluate in a mirrored double tree (sqrt is
+    * correctly rounded per IEEE in both engines) and z rounds to 6 dp at
+    * output. Zero-variance dimensions map to z = 0 in both engines. */
+  def standardizeEmbeddings(emb: DataFrame, idCol: String,
+                            embCol: String): DataFrame = {
+    val comps = emb.select(col(idCol),
+      posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+    val moments = comps.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).as("sq"))
+      .select(col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("m"),
+        sqrt((col("sq").cast("double") / col("n").cast("double")) -
+          (col("s").cast("double") / col("n").cast("double")) *
+            (col("s").cast("double") / col("n").cast("double"))).as("sd"))
+    comps.join(broadcast(moments), "pos")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        round(when(col("sd") === 0.0, lit(0.0))
+          .otherwise((col("x") - col("m")) / col("sd")), 6).as("z"))
+      .orderBy(idCol, "pos")
+  }
+
+  /** q145 entry: standardized embedding components, long form. */
+  def q145EmbeddingStandardize(spark: SparkSession, dir: String): DataFrame =
+    standardizeEmbeddings(t(spark, dir, "embeddings"), "vec_id", "embedding")
+
   // --------------------------------------------------------------- q141
   /** DSIR-style importance weight (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023 — public
@@ -746,12 +836,54 @@ object Mining {
     "q126_pmi_cooccur" -> q126PmiCooccur _,
     "q134_source_kl" -> q134SourceKl _,
     "q130_event_pagerank" -> q130EventPagerank _,
-    "q141_dsir_weights" -> q141DsirWeights _)
+    "q141_dsir_weights" -> q141DsirWeights _,
+    "q144_source_overlap" -> q144SourceOverlap _,
+    "q145_embedding_standardize" -> q145EmbeddingStandardize _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
     * (FNV perceptual hash) are engine-internal → rows-only; their
     * correctness envelopes live in MiningSpec. */
   val oracle: Map[String, String] = Map(
+    "q145_embedding_standardize" ->
+      """WITH comps AS (
+        |  SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) u(i)),
+        |m AS (
+        |  SELECT pos, COUNT(*) AS n,
+        |         SUM(CAST(x AS DECIMAL(28,12))) AS s,
+        |         SUM(CAST(x * x AS DECIMAL(28,12))) AS sq
+        |  FROM comps GROUP BY pos),
+        |mm AS (
+        |  SELECT pos,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+        |              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+        |  FROM m)
+        |SELECT vec_id, CAST(c.pos AS BIGINT) AS pos,
+        |       round(CASE WHEN sd = 0 THEN 0.0
+        |                  ELSE (x - mean) / sd END, 6) AS z
+        |FROM comps c JOIN mm ON mm.pos = c.pos
+        |ORDER BY vec_id, pos""".stripMargin,
+    "q144_source_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, t.tok
+        |  FROM documents,
+        |       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                          x -> len(x) > 0)) AS t(tok)),
+        |v AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+        |c AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         COUNT(*) AS common
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, common,
+        |       round(CAST(common AS DOUBLE)
+        |             / CAST(va.v + vb.v - common AS DOUBLE), 6) AS jaccard
+        |FROM c JOIN v va ON va.source = c.source_a
+        |       JOIN v vb ON vb.source = c.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q141_dsir_weights" ->
       """WITH tok AS (
         |  SELECT doc_id, (lang = 'en') AS is_t,

@@ -136,6 +136,103 @@ object Streams {
     }
   }
 
+  case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double,
+                        band: Int)
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** Ingest-time NEAR-dup detection: flag each arriving document whose
+    * MinHash signature collides with an earlier document in any LSH band
+    * and whose estimated Jaccard (matching-minhash fraction over the full
+    * k-signature) clears `minEstJaccard` — the streaming counterpart of
+    * the batch banded-LSH dedup family (q23/q49). Output is one row per
+    * band collision (doc_id, dup_of, est_jaccard, band); consumers
+    * min-reduce per doc_id batch-side, because a stateful operator cannot
+    * feed a streaming aggregation.
+    *
+    * State per band bucket: up to `maxPerBucket` (doc_id, signature)
+    * entries — each k longs, never document text — evicted wholesale
+    * after `stateTtlMs` of processing-time inactivity. Both caps make
+    * state size independent of stream length (the property that matters
+    * for unbounded ingest); a duplicate arriving after its original's
+    * bucket expired, or into a bucket past its cap, is missed here and
+    * caught by the periodic batch dedup pass — the same horizon
+    * trade-off [[dedupStream]] documents for exact dedup.
+    *
+    * Determinism: flatMapGroupsWithState guarantees no intra-group order,
+    * so each micro-batch's bucket group sorts by doc_id before folding —
+    * within a batch the LOWER id becomes the retained "original", matching
+    * the batch family's min-id survivor rule.
+    *
+    * `stateTtlMs` ≤ 0 disables the processing-time timeout (NoTimeout):
+    * use that in tests driven by `processAllAvailable()`, which livelocks
+    * against pending processing-time timeouts (the engine keeps running
+    * no-data micro-batches toward the deadline); a deployed query with a
+    * real trigger interval evaluates the timeout on its normal cadence. */
+  def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 16, bands: Int = 4,
+                    minEstJaccard: Double = 0.5,
+                    maxPerBucket: Int = 64,
+                    stateTtlMs: Long = 1800000L): Dataset[NearDupHit] = {
+    require(k % bands == 0, "bands must divide the signature length")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val useTtl = stateTtlMs > 0
+    val timeoutConf =
+      if (useTtl) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val rowsPerBand = k / bands
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        wordNgrams(col(textCol), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minHashes(col("sh"), k).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_", b.cast("string"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + lit(1),
+                lit(rowsPerBand)))
+              .cast("string")))))
+      .select(col("pos").as("band"), col("col").as("bucket"),
+        col("id"), col("sig"))
+      .as[(Int, String, Long, Seq[Long])]
+    banded.groupByKey(_._2)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), timeoutConf) {
+        (_: String, batch: Iterator[(Int, String, Long, Seq[Long])],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              BucketState(Seq.empty, Seq.empty))
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            batch.toArray.sortBy(_._3).foreach { case (band, _, id, s) =>
+              var i = 0
+              while (i < st.ids.length) {
+                if (st.ids(i) != id) {
+                  val prev = st.sigs(i)
+                  var m = 0; var j = 0
+                  while (j < s.length) {
+                    if (s(j) == prev(j)) m += 1; j += 1
+                  }
+                  val est = m.toDouble / s.length
+                  if (est >= minEstJaccard)
+                    out += NearDupHit(id, st.ids(i), est, band)
+                }
+                i += 1
+              }
+              if (!st.ids.contains(id) && st.ids.length < maxPerBucket)
+                st = BucketState(st.ids :+ id, st.sigs :+ s)
+            }
+            state.update(st)
+            if (useTtl) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Ingest-time exact dedup: drop re-deliveries of the same content while
     * the stream runs — the streaming counterpart of
     * [[graft.ops.Dedup.exactByHash]]. Keyed on a 256-bit content digest

@@ -496,4 +496,60 @@ class MiningSpec extends AnyFunSuite {
     // regardless of their own lang label
     assert(out(0L)._2 > out(2L)._2 && out(3L)._2 > out(4L)._2)
   }
+
+  // ----------------------------------------------------- q144 src overlap
+
+  test("sourceOverlap: jaccard over vocabularies, disjoint pairs absent") {
+    val docs = Seq(
+      ("A", "x y z"), ("A", "x y"),     // vocab {x,y,z}
+      ("B", "x y w"),                   // vocab {x,y,w}
+      ("C", "p q")                      // vocab {p,q}
+    ).toDF("source", "text")
+    val out = Mining.sourceOverlap(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // |A∩B|=2, |A∪B|=4 -> 0.5; C overlaps nothing -> no C rows at all
+    assert(out == Map(("A", "B") -> ((2L, 0.5))), out.toString)
+  }
+
+  // ------------------------------------------------- q145 standardization
+
+  test("standardizeEmbeddings: hand-computed z-scores, zero-variance " +
+      "dim maps to 0") {
+    val emb = Seq(
+      (0L, Array(1.0f, 10.0f, 7.0f)),
+      (1L, Array(2.0f, 10.0f, 7.0f)),
+      (2L, Array(3.0f, 10.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Mining.standardizeEmbeddings(emb, "vec_id",
+        "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 9)
+    // dim 0: mean 2, population sd sqrt(2/3)
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(math.abs(out((0L, 0L)) - (-1.0 / sd)) < 1e-6)
+    assert(out((1L, 0L)) == 0.0)
+    assert(math.abs(out((2L, 0L)) - (1.0 / sd)) < 1e-6)
+    // dims 1 and 2 are constant -> z = 0 everywhere, not NaN
+    (0L to 2L).foreach { id =>
+      assert(out((id, 1L)) == 0.0 && out((id, 2L)) == 0.0)
+    }
+  }
+
+  test("standardizeEmbeddings: corpus-wide per-dim moments land at " +
+      "mean 0 / sd 1") {
+    val emb = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "embeddings")
+    val out = graft.ops.Mining.standardizeEmbeddings(emb, "vec_id",
+      "embedding")
+    val checks = out.groupBy($"pos")
+      .agg(avg($"z").as("m"), stddev_pop($"z").as("sd"))
+      .collect()
+    assert(checks.nonEmpty)
+    checks.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-4, s"dim ${r.get(0)} mean off")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3, s"dim ${r.get(0)} sd off")
+    }
+  }
 }

@@ -304,6 +304,23 @@ class PlanSpec extends AnyFunSuite {
       s"interval containment must ride the bucket equi-join:\n${p.take(3000)}")
   }
 
+  test("q144 source overlap: token-keyed equi-joins on the distinct " +
+      "frame, vocab sizes broadcast") {
+    val p = finalPlan("q144_source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both vocab-size rejoins must broadcast:\n${p.take(3000)}")
+  }
+
+  test("q145 standardization: per-dim moments broadcast back, no " +
+      "vector-sized shuffle") {
+    val p = finalPlan("q145_embedding_standardize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |dim|-row moment frame must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q141 DSIR: LLR model broadcasts into the scoring scan") {
     val p = finalPlan("q141_dsir_weights")
     assert(p.contains("BroadcastHashJoin"),

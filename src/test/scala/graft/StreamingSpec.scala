@@ -291,4 +291,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(2) == ((16L, 16L, 0.0, false)))
     } finally q.stop()
   }
+
+  test("streaming near-dup flags banded-minhash collisions across " +
+      "micro-batches, distinct docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("theta", "CHANGED")
+    val distinct = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, base), (3L, distinct))
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.nearDupStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        bands = 8, minEstJaccard = 0.4, stateTtlMs = -1L)
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the near-dup arrives in a LATER micro-batch: only bucket state
+      // can link it back to doc 1
+      input.addData((2L, nearDup), (4L, base)) // 4 = exact re-delivery
+      q.processAllAvailable()
+      val hits = spark.table("neardup_test")
+        .select("doc_id", "dup_of", "est_jaccard")
+        .as[(Long, Long, Double)].collect()
+      val byDoc = hits.groupBy(_._1)
+      // doc 2 (one word changed) links to 1 with a high estimate
+      assert(byDoc.contains(2L), s"near-dup not flagged: ${hits.toSeq}")
+      assert(byDoc(2L).forall(_._2 == 1L))
+      assert(byDoc(2L).exists(_._3 >= 0.4))
+      // doc 4 (identical) links to 1 at estimate 1.0
+      assert(byDoc.contains(4L) && byDoc(4L).exists(h =>
+        h._2 == 1L && h._3 == 1.0), s"exact re-delivery: ${hits.toSeq}")
+      // the distinct doc is never flagged, and originals are not hits
+      assert(!byDoc.contains(3L) && !byDoc.contains(1L), hits.toSeq.toString)
+    } finally q.stop()
+  }
 }

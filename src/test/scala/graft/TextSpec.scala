@@ -144,6 +144,31 @@ class TextSpec extends AnyFunSuite {
     assert((0 to 3).forall(i => diffs.getLong(i) == 0), diffs.toString)
   }
 
+  test("VocabEncode is byte-identical to the literal-map element_at form") {
+    import graft.functions._
+    import graft.sources.TableCatalog
+    val docs = TableCatalog.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text")
+    val edge = Seq((9001L, ""), (9002L, "zz yy zz"), (9003L, "only oov"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val vocab = Map("zz" -> 1L, "table" -> 2L, "key" -> 3L, "a" -> 4L)
+    val vocabMap = typedlit(vocab)
+    val toks = wordTokens($"text")
+    val d = all.select(
+        vocabEncode(toks, vocab).as("fused"),
+        transform(toks, t => coalesce(element_at(vocabMap, t), lit(0L)))
+          .as("hof"))
+      .filter(not($"fused" <=> $"hof")).count()
+    assert(d == 0, "VocabEncode must equal the literal-map HOF form")
+    // spot values: hits map to their ids, OOV to 0, empty stays empty
+    val enc = edge.select($"doc_id", vocabEncode(wordTokens($"text"), vocab))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(9001L).isEmpty)
+    assert(enc(9002L) == Seq(1L, 0L, 1L))
+    assert(enc(9003L) == Seq(0L, 0L))
+  }
+
   test("property: deletion neighbors are distinct, distance<=1, identity-first") {
     import org.scalacheck.{Arbitrary, Gen}
     val strs = Gen.listOfN(150, Arbitrary.arbitrary[String])

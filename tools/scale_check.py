@@ -26,6 +26,9 @@ CONTRACT = {
     # IVF with a sqrt(n) codebook is n^1.5 by design (Similarity.ivfAutoK):
     # at 10x data the contract allows 10^1.5 ~= 31.6x
     "q40": 32.0,
+    # SemDeDup shares the same sqrt(n)-cells structure (Similarity.semDedup):
+    # within-cell comparisons are sum(s_c^2) ~= n^1.5 at sqrt(n) occupancy
+    "q142": 32.0,
 }
 
 base = {}
