@@ -574,7 +574,68 @@ object Stats {
   }
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------------- q146
+  /** Two-sample Kolmogorov–Smirnov drift statistic on BINNED values —
+    * the train/serve-skew monitor: D = max |F̂_A(x) − F̂_B(x)| between two
+    * arms' empirical CDFs, with the 5% critical value
+    * 1.358·√((n_A+n_B)/(n_A·n_B)) alongside and a drift verdict.
+    *
+    * Exact KS on a continuous column needs the globally sorted ECDF — a
+    * full-data sort, the q137 anti-pattern. Binning first (fixed width,
+    * `invBinWidth` = 1/width chosen so bin = floor(v·invBinWidth) is the
+    * same IEEE multiply+floor in any engine) bounds the ordered frame at
+    * |bins| rows: the cumulative window runs on the bin frame, never the
+    * data, making the statistic exact FOR THE BINNED distributions (the
+    * standard at-scale trade; D on bins ≤ true D, and the bin width
+    * bounds the gap). ONE conditional-aggregate pass over the fact
+    * table; everything after is |bins|-row math.
+    *
+    * Cross-engine determinism: bin ids and per-bin counts are integers;
+    * the CDF divisions and the max are the same IEEE doubles both sides
+    * (max is order-free); the 1.358 constant is CAST to double in the
+    * oracle so no decimal-vs-binary folding diverges; outputs round to
+    * 6 dp, the verdict compares unrounded bit-equal doubles. */
+  def ksDrift(df: DataFrame, valCol: String, groupCol: String,
+              armA: String, armB: String,
+              invBinWidth: Double = 2.0): DataFrame = {
+    val perBin = df.filter(col(groupCol).isin(armA, armB))
+      .select(floor(col(valCol).cast("double") * lit(invBinWidth))
+        .cast("long").as("bin"), col(groupCol).as("g"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("g") === armA, 1)).as("cnt_a"),
+        count(when(col("g") === armB, 1)).as("cnt_b"))
+    // bounded-frame contract: the unpartitioned window orders BINS
+    // (value_range·invBinWidth rows), never data rows — the same
+    // bounded-distinct contract as q137's rank fold
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin
+      .withColumn("cum_a", sum(col("cnt_a")).over(w))
+      .withColumn("cum_b", sum(col("cnt_b")).over(w))
+    val tot = perBin.agg(sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt_b")).as("n_b"))
+    val agg = cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double")))
+          .as("ks_d"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val crit = lit(1.358) * sqrt((nad + nbd) / (nad * nbd))
+    agg.select(col("n_a"), col("n_b"),
+      round(col("ks_d"), 6).as("ks_d"),
+      round(crit, 6).as("d_crit"),
+      (col("ks_d") > crit).as("drifted"))
+  }
+
+  /** q146 entry: purchase-vs-view drift on event value (bin width 0.5 —
+    * the ×2 multiply is exact in binary, so binning is bit-stable). */
+  def q146KsDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(t(spark, dir, "events"), "value", "event_type",
+      "purchase", "view")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_ks_drift" -> q146KsDrift _,
     "q82_unpivot_metrics" -> q82UnpivotMetrics _,
     "q83_correlation_matrix" -> q83CorrelationMatrix _,
     "q132_group_regression" -> q132GroupRegression _,
@@ -596,6 +657,36 @@ object Stats {
     "q99_dense_grid" -> q99DenseGrid _)
 
   val oracle: Map[String, String] = Map(
+    "q146_ks_drift" ->
+      """WITH pb AS (
+        |  SELECT CAST(floor(CAST(value AS DOUBLE) * 2.0) AS BIGINT) AS bin,
+        |         COUNT(*) FILTER (event_type = 'purchase') AS cnt_a,
+        |         COUNT(*) FILTER (event_type = 'view') AS cnt_b
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT SUM(cnt_a) OVER w AS cum_a, SUM(cnt_b) OVER w AS cum_b
+        |  FROM pb
+        |  WINDOW w AS (ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b FROM pb),
+        |agg AS (
+        |  SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |               - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |           AS ks_d,
+        |         MAX(n_a) AS n_a, MAX(n_b) AS n_b
+        |  FROM cum CROSS JOIN tot)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       round(ks_d, 6) AS ks_d,
+        |       round(CAST(1.358 AS DOUBLE)
+        |             * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))),
+        |             6) AS d_crit,
+        |       ks_d > CAST(1.358 AS DOUBLE)
+        |              * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |         AS drifted
+        |FROM agg""".stripMargin,
     "q82_unpivot_metrics" ->
       s"""WITH a AS (
          |  SELECT l_returnflag,

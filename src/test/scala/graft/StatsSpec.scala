@@ -287,6 +287,41 @@ class StatsSpec extends AnyFunSuite {
     assert(out("2026-03-03") == 1, s"half-open back-to-back: $out")
   }
 
+  test("ksDrift: identical arms D=0, separated arms D=1, mixed matches " +
+      "an independent ECDF recompute") {
+    def run(rows: Seq[(Double, String)]) =
+      Stats.ksDrift(rows.toDF("value", "g"), "value", "g", "A", "B")
+        .collect().head
+    val same = (1 to 20).flatMap(i =>
+      Seq((i.toDouble, "A"), (i.toDouble, "B")))
+    val r0 = run(same)
+    assert(r0.getDouble(2) == 0.0 && !r0.getBoolean(4), r0.toString)
+    val apart = (1 to 10).map(i => (i.toDouble, "A")) ++
+      (101 to 110).map(i => (i.toDouble, "B"))
+    val r1 = run(apart)
+    assert(r1.getDouble(2) == 1.0 && r1.getBoolean(4), r1.toString)
+    // mixed: deterministic pseudo-random values, recompute on binned ECDFs
+    val mixed = (0 until 60).map { i =>
+      val v = (i * 37 % 97) / 3.0
+      (v, if (i % 3 == 0) "A" else "B")
+    }
+    val r = run(mixed)
+    val binsOf = mixed.groupBy { case (v, _) => math.floor(v * 2.0).toLong }
+    val allBins = binsOf.keys.toSeq.sorted
+    val na = mixed.count(_._2 == "A").toDouble
+    val nb = mixed.count(_._2 == "B").toDouble
+    var ca = 0L; var cb = 0L; var d = 0.0
+    allBins.foreach { b =>
+      ca += binsOf(b).count(_._2 == "A")
+      cb += binsOf(b).count(_._2 == "B")
+      d = math.max(d, math.abs(ca / na - cb / nb))
+    }
+    assert(math.abs(r.getDouble(2) -
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9, s"engine ${r.getDouble(2)} vs recomputed $d")
+    assert(r.getLong(0) == na.toLong && r.getLong(1) == nb.toLong)
+  }
+
   test("overlapCounts: bucketed keyless range join ≡ brute force, " +
       "boundary-exact") {
     import java.sql.Timestamp
