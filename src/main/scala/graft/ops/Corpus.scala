@@ -441,9 +441,79 @@ object Corpus {
     c4QualityFilter(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  // --------------------------------------------------------------- q147
+  /** Per-domain document cap — the "no domain may dominate the corpus"
+    * guard every web-scale pipeline applies before mixing (boilerplate
+    * farms and crawler traps produce millions of pages per host). Keeps
+    * at most `cap` documents per group, chosen by smallest salted digest
+    * (i.e. a deterministic uniform sample of each domain — the standard
+    * policy, since "best by quality" is a separate ranked pass).
+    *
+    * Scale shape: the naive form is row_number() over a per-domain
+    * window — a full sort of every domain's rows. Here the per-domain
+    * selection threshold comes from [[graft.functions.KthSmallestStr]],
+    * a bounded aggregate whose state is ≤cap digests per group no matter
+    * how many pages the domain has: ONE map-side-combined aggregate pass
+    * over digests, a broadcast of (domain → cutoff), and a map-side
+    * `digest <= cutoff` filter. Nothing sorts, nothing document-sized
+    * shuffles; a 10M-page domain costs the same tiny threshold state as
+    * a 10-page one. The digest salts the text with the doc id, so
+    * byte-identical pages (pre-dedup input) still draw distinct tickets
+    * and the cap stays exact. */
+  def capPerDomain(docs: DataFrame, groupCol: String, idCol: String,
+                   textCol: String, cap: Int): DataFrame = {
+    // "g" sorts after every lowercase-hex md5 digest → keep-all sentinel
+    val kth = udaf(new graft.functions.KthSmallestStr(cap, "g"))
+    val keyed = docs.select(col(groupCol), col(idCol),
+      md5(concat(col(textCol), lit(":"), col(idCol))).as("ticket"))
+    val cut = keyed.groupBy(col(groupCol)).agg(kth(col("ticket")).as("cut"))
+    keyed.join(broadcast(cut), groupCol)
+      .filter(col("ticket") <= col("cut"))
+      .select(col(groupCol), col(idCol))
+  }
+
+  /** q147 entry: cap `documents` at 10 per source. */
+  def q147SourceCap(spark: SparkSession, dir: String): DataFrame =
+    capPerDomain(t(spark, dir, "documents"), "source", "doc_id", "text", 10)
+      .orderBy("source", "doc_id")
+
+  // --------------------------------------------------------------- q152
+  /** Vocabulary-fingerprint dedup: documents collapse to the md5 of their
+    * SORTED DISTINCT token set, so word order and token multiplicity are
+    * invisible — the cheap exact-arithmetic cousin of MinHash that
+    * catches shuffled/padded duplicates (template pages with reordered
+    * boilerplate, docs differing only in word repetition) which raw
+    * exact dedup (q22's byte-hash) misses entirely. A real pipeline runs
+    * this between exact and fuzzy passes: it is exact set equality, so
+    * unlike LSH there are no false positives to verify.
+    *
+    * Scale shape: identical to q22 — the tokenize+fingerprint fuses into
+    * the scan (one pass over text), then only (doc_id, 32-byte digest)
+    * pairs shuffle for the cluster aggregate and the rejoin; document
+    * text never crosses the wire. Cluster stats combine map-side. */
+  def tokenSetDedup(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol),
+      md5(array_join(array_sort(
+        graft.functions.wordNgrams(col(textCol), 1)), " ")).as("fp"))
+    val clusters = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col(idCol)).as("canonical_id"))
+    fp.join(clusters, "fp")
+      .select(col(idCol), col("cluster_size"),
+        (col(idCol) === col("canonical_id")).as("keep"))
+  }
+
+  /** q152 entry: token-set fingerprint dedup over `documents`. */
+  def q152TokensetDedup(spark: SparkSession, dir: String): DataFrame =
+    tokenSetDedup(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_c4_quality_filter" -> q143C4Filter _,
+    "q147_source_cap" -> q147SourceCap _,
+    "q152_tokenset_dedup" -> q152TokensetDedup _,
     "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
     "q74_chunk_documents" -> q74ChunkDocuments _,
     "q139_encode_ids" -> q139EncodeIds _,
@@ -457,6 +527,34 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    // q147: the oracle is the NAIVE window form the engine's bounded
+    // aggregate replaces — the cap policy must be invisible to the user.
+    "q147_source_cap" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |         md5(text || ':' || doc_id) AS ticket
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY ticket) AS rn
+        |  FROM h)
+        |SELECT source, doc_id FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+    "q152_tokenset_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0))), ' ')) AS fp
+        |  FROM documents),
+        |cl AS (SELECT fp, COUNT(*) AS cluster_size,
+        |              MIN(doc_id) AS canonical_id
+        |       FROM fp GROUP BY fp)
+        |SELECT f.doc_id, cl.cluster_size,
+        |       f.doc_id = cl.canonical_id AS keep
+        |FROM fp f JOIN cl USING (fp)
+        |ORDER BY f.doc_id""".stripMargin,
     "q143_c4_quality_filter" ->
       """WITH tok AS (
         |  SELECT doc_id, t.tok

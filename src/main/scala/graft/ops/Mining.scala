@@ -916,9 +916,10 @@ object Mining {
         |grams AS (
         |  SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id,
-        |           unnest(list_transform(
-        |             range(1, greatest(len(tk) - 1, 1) + 1),
-        |             i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+1], ' ')),
+        |             g -> len(g) > 0)) AS gram
         |    FROM toks) z),
         |d AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1)
         |SELECT doc_id, COUNT(*) AS n_bigrams,

@@ -634,8 +634,70 @@ object Stats {
     ksDrift(t(spark, dir, "events"), "value", "event_type",
       "purchase", "view")
 
+  // --------------------------------------------------------------- q149
+  /** Population-stability-index drift per segment: for every group,
+    * PSI = Σ_bins (p_g − p_ref)·ln(p_g/p_ref) between the group's
+    * binned value distribution and the GLOBAL (all-groups) reference —
+    * the monitoring metric risk/data teams read next to [[ksDrift]]
+    * (KS gives one worst-bin verdict for two arms; PSI scores every
+    * segment against the mix, with the usual 0.1 / 0.25 watch/act
+    * thresholds). Empty bins get Laplace smoothing (+½ per bin over the
+    * global bin set) so the log never sees zero and the metric stays
+    * defined for segments that miss bins entirely.
+    *
+    * Scale shape: ONE (group, bin) counting pass with map-side combine
+    * is the only fact-table work. The reference distribution folds from
+    * those partials (never re-scans), the dense group×bin grid is a
+    * cross join of two POST-AGGREGATE frames (|groups|·|bins| rows),
+    * and global totals broadcast. Per-term doubles round to
+    * decimal(28,12) before the per-group sum — q134's KL pattern — so
+    * the Σ is order-free and last-ulp ln() differences between engines
+    * are absorbed; fixed-width integer bins are bit-stable. */
+  def psiDrift(df: DataFrame, valCol: String, groupCol: String,
+               binWidth: Double): DataFrame = {
+    // scoped persist (q55/q123 pattern, released by the harness's
+    // clearCache): the one fact-table pass materializes the tiny
+    // (group, bin) frame once; the three derivations below re-read the
+    // cached partials instead of re-scanning the corpus
+    val counts = df.select(col(groupCol).as("g"),
+        floor(col(valCol).cast("double") / lit(binWidth))
+          .cast("long").as("bin"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val perGroup = counts.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val perBin = counts.groupBy(col("bin")).agg(sum(col("c")).as("c_ref"))
+    val tot = perBin.agg(sum(col("c_ref")).as("n_all"),
+      count(lit(1)).as("n_bins"))
+    val grid = perGroup.crossJoin(perBin)
+      .join(counts, Seq("g", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+    val half = lit(0.5)
+    val smoothB = half * col("n_bins").cast("double")
+    val pG = (col("c").cast("double") + half) /
+      (col("n_g").cast("double") + smoothB)
+    val pRef = (col("c_ref").cast("double") + half) /
+      (col("n_all").cast("double") + smoothB)
+    grid.select(col("g"), col("n_g"),
+        ((pG - pRef) * log(pG / pRef)).cast("decimal(28,12)").as("term"))
+      .groupBy(col("g"), col("n_g"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") >= 0.25, "act")
+          .when(col("psi") >= 0.1, "watch").otherwise("stable"))
+  }
+
+  /** q149 entry: per-source length-distribution drift vs the corpus mix
+    * (64-char bins over `n_chars`). */
+  def q149PsiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(t(spark, dir, "documents"), "n_chars", "source", 64.0)
+      .withColumnRenamed("g", "source")
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_ks_drift" -> q146KsDrift _,
+    "q149_psi_drift" -> q149PsiDrift _,
     "q82_unpivot_metrics" -> q82UnpivotMetrics _,
     "q83_correlation_matrix" -> q83CorrelationMatrix _,
     "q132_group_regression" -> q132GroupRegression _,
@@ -657,6 +719,49 @@ object Stats {
     "q99_dense_grid" -> q99DenseGrid _)
 
   val oracle: Map[String, String] = Map(
+    // q149: Laplace-smoothed PSI per source vs the global mix; per-term
+    // DECIMAL(28,12) rounding before the sum mirrors the engine exactly
+    // (q134's ln-parity pattern).
+    "q149_psi_drift" ->
+      """WITH c AS (
+        |  SELECT source AS g,
+        |         CAST(floor(CAST(n_chars AS DOUBLE) / 64.0) AS BIGINT)
+        |           AS bin,
+        |         COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM c GROUP BY g),
+        |pb AS (SELECT bin, SUM(c) AS c_ref FROM c GROUP BY bin),
+        |tot AS (SELECT SUM(c_ref) AS n_all, COUNT(*) AS n_bins FROM pb),
+        |grid AS (
+        |  SELECT pg.g, pg.n_g, pb.bin, pb.c_ref,
+        |         COALESCE(c.c, 0) AS c, tot.n_all, tot.n_bins
+        |  FROM pg CROSS JOIN pb
+        |  LEFT JOIN c ON c.g = pg.g AND c.bin = pb.bin
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT g, n_g,
+        |         CAST(((CAST(c AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |               / (CAST(n_g AS DOUBLE)
+        |                  + CAST(0.5 AS DOUBLE) * CAST(n_bins AS DOUBLE))
+        |             - (CAST(c_ref AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |               / (CAST(n_all AS DOUBLE)
+        |                  + CAST(0.5 AS DOUBLE) * CAST(n_bins AS DOUBLE)))
+        |           * ln(((CAST(c AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |               / (CAST(n_g AS DOUBLE)
+        |                  + CAST(0.5 AS DOUBLE) * CAST(n_bins AS DOUBLE)))
+        |              / ((CAST(c_ref AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |               / (CAST(n_all AS DOUBLE)
+        |                  + CAST(0.5 AS DOUBLE) * CAST(n_bins AS DOUBLE))))
+        |           AS DECIMAL(28,12)) AS term
+        |  FROM grid)
+        |SELECT g AS source, n_g,
+        |       round(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+        |       CASE WHEN round(CAST(SUM(term) AS DOUBLE), 6) >= 0.25
+        |              THEN 'act'
+        |            WHEN round(CAST(SUM(term) AS DOUBLE), 6) >= 0.1
+        |              THEN 'watch'
+        |            ELSE 'stable' END AS verdict
+        |FROM terms GROUP BY g, n_g ORDER BY source""".stripMargin,
     "q146_ks_drift" ->
       """WITH pb AS (
         |  SELECT CAST(floor(CAST(value AS DOUBLE) * 2.0) AS BIGINT) AS bin,

@@ -245,4 +245,59 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == (false, false, false, true, false),
       s"no-stopwords: ${out(4L)}")
   }
+
+  test("capPerDomain keeps exactly min(cap, |domain|) docs, a subset, " +
+      "deterministically") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"dom${i % 3}", s"text body number $i")).toDF("doc_id", "source",
+      "text")
+    val out = Corpus.capPerDomain(docs, "source", "doc_id", "text", 5)
+    val perDom = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 40 docs over 3 domains (14/13/13) — every domain caps at 5
+    assert(perDom == Map("dom0" -> 5L, "dom1" -> 5L, "dom2" -> 5L), perDom)
+    // a small domain is kept whole (keep-all sentinel path)
+    val tiny = (0L until 3L).map(i => (i, "only", s"t $i"))
+      .toDF("doc_id", "source", "text")
+    assert(Corpus.capPerDomain(tiny, "source", "doc_id", "text", 5)
+      .count() == 3)
+    // selection is a subset of the input and stable across runs
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Corpus.capPerDomain(docs, "source", "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+    assert(ids1.forall(_ < 40L))
+  }
+
+  test("capPerDomain threshold ≡ the row_number window it replaces") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"d${i % 4}", s"document $i payload")).toDF("doc_id", "source",
+      "text")
+    val fast = Corpus.capPerDomain(docs, "source", "doc_id", "text", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(col("text"), lit(":"), col("doc_id"))))
+    val naive = docs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fast == naive)
+  }
+
+  test("tokenSetDedup collapses reordered / repeated-token variants only") {
+    val docs = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "gamma beta alpha alpha"), // same token SET as 10
+      (12L, "alpha beta gamma delta"), // superset — different set
+      (13L, "alpha  beta   gamma")     // whitespace noise, same set as 10
+    ).toDF("doc_id", "text")
+    val out = Corpus.tokenSetDedup(docs, "doc_id", "text")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L) == ((3L, true)), out(10L)) // canonical = min doc_id
+    assert(out(11L) == ((3L, false)))
+    assert(out(13L) == ((3L, false)))
+    assert(out(12L) == ((1L, true)))
+  }
 }

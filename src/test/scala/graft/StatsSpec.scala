@@ -458,4 +458,46 @@ class StatsSpec extends AnyFunSuite {
         s"intercept ${r.getString(0)}")
     }
   }
+
+  test("psiDrift: mix-like segment ~0, shifted segment large, " +
+      "matches a direct computation") {
+    // seg "same" mirrors the global mix; seg "shift" sits 100 units away
+    val rows = (0 until 400).map { i =>
+      ("same", (i % 10) * 10.0)
+    } ++ (0 until 400).map { i => ("shift", 100.0 + (i % 10) * 10.0) }
+    val df = rows.toDF("seg", "v")
+    val out = graft.ops.Stats.psiDrift(df, "v", "seg", 20.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getString(3))).toMap
+    // each segment is exactly half the mass of every bin it occupies and
+    // zero elsewhere — both drift hard against the pooled reference;
+    // check the exact value for one segment against a direct calc
+    val bins = 10 // v/20 ∈ {0..4} ∪ {5..9}
+    def psi(cnt: Map[Long, Long], n: Long, ref: Map[Long, Long],
+            nAll: Long): Double = {
+      val b = bins * 0.5
+      val terms = (0L until 10L).map { k =>
+        val p = (cnt.getOrElse(k, 0L) + 0.5) / (n + b)
+        val q = (ref.getOrElse(k, 0L) + 0.5) / (nAll + b)
+        BigDecimal((p - q) * math.log(p / q))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (terms.sum.toDouble * 1e6).round / 1e6
+    }
+    val same = (0L until 5L).map(k => k -> 80L).toMap
+    val shift = (5L until 10L).map(k => k -> 80L).toMap
+    val ref = (0L until 10L).map(k => k -> 80L).toMap
+    assert(out("same")._1 == psi(same, 400, ref, 800),
+      s"${out("same")} vs ${psi(same, 400, ref, 800)}")
+    assert(out("shift")._1 == psi(shift, 400, ref, 800))
+    assert(out("same")._2 == "act" && out("shift")._2 == "act")
+    // a segment drawn AS the mix scores ~0 / stable
+    val calm = ((0 until 400).map(i => ("a", (i % 10) * 10.0)) ++
+      (0 until 400).map(i => ("b", (i % 10) * 10.0))).toDF("seg", "v")
+    val calmOut = graft.ops.Stats.psiDrift(calm, "v", "seg", 20.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getString(3))).toMap
+    assert(calmOut.values.forall(v => v._1 < 0.001 && v._2 == "stable"),
+      calmOut.toString)
+  }
 }
