@@ -323,8 +323,60 @@ object Insights {
       .orderBy("cohort_week", "week")
   }
 
+  // ---------------------------------------------------------------- q150
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * industry-standard upgrade of [[q76LastTouchAttribution]]: each
+    * purchase splits its credit over ALL the user's touches since their
+    * previous purchase (40% first touch, 40% last, the middle 20% split
+    * evenly; a lone touch takes 100%, a pair 50/50). Credit and touch
+    * counts roll up by touch event type.
+    *
+    * Scale shape: journeys are derived in ONE user-keyed window pass
+    * (journey id = running count of prior purchases — no self-join of
+    * events to purchases), and the per-journey position/size windows run
+    * on (user, journey) — a REFINEMENT of the user hash partitioning, so
+    * Catalyst inserts no second exchange, just a local sort. Per-journey
+    * state is bounded by a user's activity between purchases. Weights
+    * round to decimal(20,10) before the final sum (order-free, exact). */
+  def positionAttribution(events: DataFrame,
+                          convType: String = "purchase"): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events
+      .withColumn("jid",
+        count(when(col("event_type") === convType, 1)).over(wPrev))
+    // a journey converts iff its (user, jid) slice contains a conversion
+    val wJourney = Window.partitionBy(col("user_id"), col("jid"))
+    val touches = ev
+      .withColumn("converted",
+        max(when(col("event_type") === convType, 1).otherwise(0))
+          .over(wJourney))
+      .filter(col("event_type") =!= convType && col("converted") === 1)
+    val wPos = Window.partitionBy(col("user_id"), col("jid"))
+      .orderBy(col("ts"), col("event_id"))
+    val m = count(lit(1)).over(wJourney)
+    val pos = row_number().over(wPos)
+    val weight = when(m === 1, lit(1.0))
+      .when(m === 2, lit(0.5))
+      .when(pos === 1 || pos === m, lit(0.4))
+      .otherwise(lit(0.2) / (m - 2).cast("double"))
+    touches
+      .select(col("event_type").as("touch_type"),
+        round(weight, 10).cast("decimal(20,10)").as("w"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("w")).cast("double"), 6).as("credit"))
+      .orderBy("touch_type")
+  }
+
+  /** q150 entry: U-shaped credit for purchases over `events`. */
+  def q150PositionAttribution(spark: SparkSession, dir: String): DataFrame =
+    positionAttribution(t(spark, dir, "events"))
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_position_attribution" -> q150PositionAttribution _,
     "q79_trailing_window" -> q79TrailingWindow _,
     "q80_customer_deciles" -> q80CustomerDeciles _,
     "q81_cohort_retention" -> q81CohortRetention _,
@@ -339,6 +391,41 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q150: U-shaped credit; weights round to DECIMAL(20,10) pre-sum so
+    // the Σ is order-free and bit-equal across engines.
+    "q150_position_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         COUNT(*) FILTER (event_type = 'purchase') OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS jid
+        |  FROM events),
+        |j AS (
+        |  SELECT *,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id, jid) AS converted
+        |  FROM ev),
+        |tch AS (
+        |  SELECT user_id, jid, event_type,
+        |         row_number() OVER (PARTITION BY user_id, jid
+        |                            ORDER BY ts, event_id) AS pos,
+        |         COUNT(*) OVER (PARTITION BY user_id, jid) AS m
+        |  FROM j
+        |  WHERE event_type <> 'purchase' AND converted = 1),
+        |wts AS (
+        |  SELECT event_type AS touch_type,
+        |         CAST(round(
+        |           CASE WHEN m = 1 THEN CAST(1.0 AS DOUBLE)
+        |                WHEN m = 2 THEN CAST(0.5 AS DOUBLE)
+        |                WHEN pos = 1 OR pos = m THEN CAST(0.4 AS DOUBLE)
+        |                ELSE CAST(0.2 AS DOUBLE)
+        |                     / CAST(m - 2 AS DOUBLE) END,
+        |           10) AS DECIMAL(20,10)) AS w
+        |  FROM tch)
+        |SELECT touch_type, COUNT(*) AS n_touches,
+        |       round(CAST(SUM(w) AS DOUBLE), 6) AS credit
+        |FROM wts GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     // q81: both engines truncate weeks to ISO Monday starts.
     "q81_cohort_retention" ->
       """WITH a AS (

@@ -208,7 +208,61 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------- q153
+  /** Nearest-in-time join: for every purchase event, the SAME user's
+    * temporally closest `view` event in either direction — the
+    * bidirectional generalization of the backward-only as-of join
+    * ([[q44AsofPrevPurchase]]), the lookup behind "which impression drove
+    * this conversion". Ties (equal gap both sides) resolve backward, the
+    * as-of convention.
+    *
+    * Scale shape: NO event×event self-join — both candidates come from
+    * one user-keyed sorted window pass (running max of a (ts, id) struct
+    * strictly before the row, running min strictly after), so the cost
+    * is the single per-user sort every sequence op pays and state is two
+    * structs per row. Gap arithmetic is integer microseconds — exact in
+    * both engines. */
+  def nearestEvent(events: DataFrame, anchorType: String,
+                   targetType: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tgt = when(col("event_type") === targetType,
+      struct(col("us"), col("event_id")))
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        us.as("us"))
+      .withColumn("prev_t", max(tgt).over(wPrev))
+      .withColumn("next_t", min(tgt).over(wNext))
+      .filter(col("event_type") === anchorType)
+    val dPrev = col("us") - col("prev_t.us")
+    val dNext = col("next_t.us") - col("us")
+    ev.select(col("user_id"), col("event_id"),
+        when(col("prev_t").isNotNull &&
+            (col("next_t").isNull || dPrev <= dNext), lit("prev"))
+          .when(col("next_t").isNotNull, lit("next"))
+          .otherwise(lit("none")).as("direction"),
+        when(col("prev_t").isNotNull &&
+            (col("next_t").isNull || dPrev <= dNext),
+          col("prev_t.event_id"))
+          .when(col("next_t").isNotNull, col("next_t.event_id"))
+          .as("nearest_id"),
+        when(col("prev_t").isNotNull &&
+            (col("next_t").isNull || dPrev <= dNext), dPrev)
+          .when(col("next_t").isNotNull, dNext).as("gap_us"))
+  }
+
+  /** q153 entry: nearest view around each purchase. */
+  def q153NearestEvent(spark: SparkSession, dir: String): DataFrame =
+    nearestEvent(t(spark, dir, "events"), "purchase", "view")
+      .orderBy("user_id", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_nearest_event" -> q153NearestEvent _,
     "q44_asof_prev_purchase" -> q44AsofPrevPurchase _,
     "q48_time_range_join" -> q48TimeRangeJoin _,
     "q72_latest_snapshot" -> q72LatestSnapshot _,
@@ -217,6 +271,44 @@ object Temporal {
     "q140_interval_overlap" -> q140IntervalOverlap _)
 
   val oracle: Map[String, String] = Map(
+    // q153: struct MIN/MAX are lexicographic by field order in both
+    // engines (q76's pattern); gaps are integer microseconds.
+    "q153_nearest_event" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type = 'view'
+        |             THEN {'us': us, 'id': event_id} END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_t,
+        |    MIN(CASE WHEN event_type = 'view'
+        |             THEN {'us': us, 'id': event_id} END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_t
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  CASE WHEN prev_t IS NOT NULL
+        |            AND (next_t IS NULL
+        |                 OR us - prev_t.us <= next_t.us - us)
+        |         THEN 'prev'
+        |       WHEN next_t IS NOT NULL THEN 'next'
+        |       ELSE 'none' END AS direction,
+        |  CASE WHEN prev_t IS NOT NULL
+        |            AND (next_t IS NULL
+        |                 OR us - prev_t.us <= next_t.us - us)
+        |         THEN prev_t.id
+        |       WHEN next_t IS NOT NULL THEN next_t.id END AS nearest_id,
+        |  CASE WHEN prev_t IS NOT NULL
+        |            AND (next_t IS NULL
+        |                 OR us - prev_t.us <= next_t.us - us)
+        |         THEN us - prev_t.us
+        |       WHEN next_t IS NOT NULL THEN next_t.us - us END AS gap_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
     "q140_interval_overlap" ->
       """WITH inc AS (
         |  SELECT event_id AS iid, epoch_us(CAST(ts AS TIMESTAMP)) AS i_us

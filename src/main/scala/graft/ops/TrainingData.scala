@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.TableCatalog
@@ -357,8 +358,101 @@ object TrainingData {
       .withColumnRenamed("id", "vec_id")
       .orderBy("vec_id")
 
+  // --------------------------------------------------------------- q148
+  /** Unigram cross-entropy scoring: each document's mean −ln p(token)
+    * under the corpus's OWN unigram distribution — the cheap stand-in for
+    * LM-perplexity quality filtering (CCNet-style): low surprisal ≈
+    * boilerplate-common wording, high ≈ rare-token/noisy text. Differs
+    * from q141 (DSIR) which weighs ACROSS two corpora; this is one
+    * corpus against itself.
+    *
+    * Scale shape: one tokenize pass; (token, count) aggregates combine
+    * map-side; the token-frequency table joins back on the token key —
+    * the same shuffle any df-weighted text op pays (q101/q64) — and the
+    * per-document mean folds from decimal-rounded per-token surprisals
+    * (order-free Σ, ln ulp differences absorbed; q134's pattern). */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(graft.functions.wordTokens(col(textCol))).as("tok"))
+    val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n_total"))
+    val surp = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (-log(col("c").cast("double") / col("n_total").cast("double")))
+          .cast("decimal(28,12)").as("s"))
+    tok.join(surp, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("s")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("xent"))
+  }
+
+  /** q148 entry: per-document unigram cross-entropy over `documents`. */
+  def q148UnigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisal(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------------- q151
+  /** Token-budget corpus selection: rank documents by a quality score
+    * (type-token ratio here) and keep the best until a global token
+    * budget is exhausted — the "choose the best B tokens" step that cuts
+    * a filtered crawl down to a training mix's allocation.
+    *
+    * Scale shape: the textbook form is a cumulative-sum window over the
+    * GLOBAL (score desc, id) order — a total sort of the corpus. Instead
+    * the score axis is pre-bucketed (floor(score·40): bins nest the
+    * global order because floor is monotonic): per-bin token totals
+    * (tiny) take a bounded-frame cumulative window, bins that fit whole
+    * pass with NO per-doc ordering work, and only the single boundary
+    * bin — ~1/40th of the corpus, and shrinking as bins refine — runs an
+    * exact within-bin cumulative window to split at the budget point.
+    * Integer token counts make the running sums bit-stable; the ttr
+    * score rounds to 6 dp (int/int division, identical both engines). */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        budget: Long, bins: Int = 40): DataFrame = {
+    val scored = docs.select(col(idCol),
+        size(graft.functions.wordTokens(col(textCol))).cast("long")
+          .as("n_tokens"),
+        size(graft.functions.wordNgrams(col(textCol), 1)).cast("long")
+          .as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("score",
+        round(col("n_distinct").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("bin", floor(col("score") * bins).cast("long"))
+    val binTotals = scored.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+    // bounded frame: |bins| rows, never documents
+    val wBins = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binCum = binTotals.withColumn("cum_before",
+      coalesce(sum(col("bin_tokens")).over(wBins), lit(0L)))
+    val joined = scored.join(broadcast(binCum), "bin")
+    val fullKeep = joined
+      .filter(col("cum_before") + col("bin_tokens") <= budget)
+    // within-bin resolution only for the ONE bin straddling the budget
+    val wIn = Window.partitionBy(col("bin"))
+      .orderBy(col("score").desc, col(idCol))
+    val boundary = joined
+      .filter(col("cum_before") < budget &&
+        col("cum_before") + col("bin_tokens") > budget)
+      .withColumn("run", sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_before") + col("run") <= budget)
+      .drop("run")
+    fullKeep.unionByName(boundary)
+      .select(col(idCol), col("score"), col("n_tokens"))
+  }
+
+  /** q151 entry: best-ttr documents within an 8k-token budget. */
+  def q151TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelect(t(spark, dir, "documents"), "doc_id", "text", 8000L)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_unigram_surprisal" -> q148UnigramSurprisal _,
+    "q151_token_budget" -> q151TokenBudget _,
     "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
     "q123_incremental_dedup" -> q123IncrementalDedup _,
     "q49_minhash_native" -> q49MinhashNative _,
@@ -382,6 +476,51 @@ object TrainingData {
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    // q148: per-token surprisal rounds to DECIMAL(28,12) before the
+    // per-doc mean (order-free sum; ln ulp differences absorbed).
+    "q148_unigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents,
+        |       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                          x -> len(x) > 0)) AS t(tok)),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+        |surp AS (
+        |  SELECT tok,
+        |         CAST(-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |              AS DECIMAL(28,12)) AS s
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       round(CAST(SUM(s) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS xent
+        |FROM tok JOIN surp USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q151: the oracle is the NAIVE global cumulative window the engine's
+    // bin-bounded two-phase plan replaces — selection must be identical.
+    "q151_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(
+        |           string_split_regex(lower(text), '\W+'),
+        |           x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(list_filter(
+        |           string_split_regex(lower(text), '\W+'),
+        |           x -> len(x) > 0))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, n_tokens,
+        |         round(CAST(n_distinct AS DOUBLE)
+        |               / CAST(n_tokens AS DOUBLE), 6) AS score
+        |  FROM s WHERE n_tokens > 0),
+        |c AS (
+        |  SELECT doc_id, score, n_tokens,
+        |         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS run
+        |  FROM sc)
+        |SELECT doc_id, score, n_tokens FROM c
+        |WHERE run <= 8000 ORDER BY doc_id""".stripMargin,
     // q42: the stub decode (FNV-1a over 4 byte-stripes) is deterministic,
     // so the whole multimodal path — binary ingest schema, partition-
     // batched mapPartitions decode, typed feature projection — is

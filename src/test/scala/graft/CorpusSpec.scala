@@ -300,4 +300,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(13L) == ((3L, false)))
     assert(out(12L) == ((1L, true)))
   }
+
+  test("unigramSurprisal matches a hand computation; common text scores " +
+      "lower than rare text") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.ops.TrainingData.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def s(c: Int) = BigDecimal(-math.log(c / 5.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts: a=2, b=2, c=1 over 5 tokens
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == r6(BigDecimal((s(2) * 2 + s(2)).toDouble / 3)),
+      out.toString)
+    assert(out(2L)._2 == r6(BigDecimal((s(2) + s(1)).toDouble / 2)))
+    assert(out(2L)._2 > out(1L)._2, "rare token must raise surprisal")
+  }
+
+  test("tokenBudgetSelect ≡ the naive global cumulative window") {
+    // 60 docs, scores spread over many bins, budget splits inside a bin
+    val docs = (0L until 60L).map { i =>
+      val uniq = (1 + (i % 7)).toInt // distinct tokens per doc
+      val reps = (1 + (i % 3)).toInt
+      val toks = (0 until uniq).flatMap(k => Seq.fill(reps)(s"w${i}_$k"))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val budget = 150L
+    val fast = graft.ops.TrainingData
+      .tokenBudgetSelect(docs, "doc_id", "text", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val naive = docs.select(col("doc_id"),
+        size(graft.functions.wordTokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        size(graft.functions.wordNgrams(col("text"), 1)).cast("long")
+          .as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("score", round(col("n_distinct").cast("double") /
+        col("n_tokens").cast("double"), 6))
+      .withColumn("run", sum(col("n_tokens")).over(w))
+      .filter(col("run") <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fast == naive, s"fast=$fast naive=$naive")
+    assert(fast.nonEmpty && fast.size < 60, s"budget must bite: $fast")
+  }
 }

@@ -188,4 +188,27 @@ class InsightsSpec extends AnyFunSuite {
       .select("pct_docs").as[Double].collect()
     assert(math.abs(pct.sum - 100.0) < 1e-3, pct.sum.toString)
   }
+
+  test("positionAttribution: U-shaped weights on constructed journeys") {
+    def ts(m: Int) = java.time.LocalDateTime.of(2024, 1, 1, 0, m)
+    // u1: view,click,error → purchase (m=3: 0.4/0.2/0.4)
+    // u2: view → purchase (m=1: 1.0)
+    // u3: click,view → purchase (m=2: 0.5/0.5); trailing view never
+    //     converts and must draw no credit
+    val ev = Seq(
+      (1L, ts(1), 101L, "view"), (1L, ts(2), 102L, "click"),
+      (1L, ts(3), 103L, "error"), (1L, ts(4), 104L, "purchase"),
+      (2L, ts(1), 201L, "view"), (2L, ts(2), 202L, "purchase"),
+      (3L, ts(1), 301L, "click"), (3L, ts(2), 302L, "view"),
+      (3L, ts(3), 303L, "purchase"), (3L, ts(4), 304L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Insights.positionAttribution(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "view" -> ((3L, 1.9)), "click" -> ((2L, 0.7)),
+      "error" -> ((1L, 0.4))), out.toString)
+    // total credit == number of converted journeys
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-9)
+  }
 }

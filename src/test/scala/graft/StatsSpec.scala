@@ -459,6 +459,58 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestEvent ≡ brute-force nearest, ties resolve backward") {
+    def ts(u: Int, m: Int) = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .plusSeconds(m.toLong)
+    // deterministic pseudo-random layout incl. an exact tie at u=9:
+    // purchase at t=20 with views at 10 and 30 → 'prev' wins
+    val rows = (0 until 8).flatMap { u =>
+      (0 until 12).map { i =>
+        val typ = if ((u * 7 + i * 3) % 4 == 0) "purchase"
+          else if ((u + i) % 3 == 0) "view" else "click"
+        (u.toLong, ts(u, (i * 17 + u * 5) % 120), (u * 100 + i).toLong, typ)
+      }
+    } ++ Seq(
+      (9L, ts(9, 10), 901L, "view"), (9L, ts(9, 20), 902L, "purchase"),
+      (9L, ts(9, 30), 903L, "view"),
+      (10L, ts(10, 5), 1001L, "purchase")) // no views at all → 'none'
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Temporal.nearestEvent(df, "purchase", "view")
+      .collect().map(r => r.getLong(1) ->
+        (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // brute force on the driver
+    val byUser = rows.groupBy(_._1)
+    val expected = rows.filter(_._4 == "purchase").map { p =>
+      val views = byUser(p._1).filter(_._4 == "view")
+      if (views.isEmpty) p._3 -> (("none", None, None))
+      else {
+        def us(t: java.time.LocalDateTime) =
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+        val pUs = us(p._2)
+        // mirror the window semantics: order by (ts, id); 'prev' is the
+        // max (ts,id) struct strictly before the row in that order
+        val (before, after) = views.partition(v =>
+          us(v._2) < pUs || (us(v._2) == pUs && v._3 < p._3))
+        val prev = before.sortBy(v => (us(v._2), v._3)).lastOption
+        val next = after.sortBy(v => (us(v._2), v._3)).headOption
+        (prev, next) match {
+          case (Some(pv), nx) if nx.isEmpty ||
+              pUs - us(pv._2) <= us(nx.get._2) - pUs =>
+            p._3 -> (("prev", Some(pv._3), Some(pUs - us(pv._2))))
+          case (_, Some(nx)) =>
+            p._3 -> (("next", Some(nx._3), Some(us(nx._2) - pUs)))
+          case _ => p._3 -> (("none", None, None))
+        }
+      }
+    }.toMap
+    assert(out == expected,
+      out.toSeq.sortBy(_._1).zip(expected.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).take(3).toString)
+    assert(out(902L) == (("prev", Some(901L), Some(10000000L))))
+    assert(out(1001L) == (("none", None, None)))
+  }
+
   test("psiDrift: mix-like segment ~0, shifted segment large, " +
       "matches a direct computation") {
     // seg "same" mirrors the global mix; seg "shift" sits 100 units away
