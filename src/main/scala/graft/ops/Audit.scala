@@ -373,7 +373,38 @@ object Audit {
 
   // ------------------------------------------------------------ registry
 
+  // --------------------------------------------------------------- q154
+  /** Activity-burst (bot/abuse) detection: each user's maximum event
+    * count inside any trailing `windowUs`-microsecond window, flagged
+    * above `minEvents` — the rate-limit audit a pipeline runs before
+    * trusting event-derived signals (a crawler or replay bot poisons
+    * funnels, attribution, and session stats alike).
+    *
+    * Scale shape: the sliding count is a RANGE-framed window over each
+    * user's time-sorted events — the one user-keyed sort/exchange every
+    * per-user sequence op pays, state bounded by a user's events inside
+    * the time window — then a per-user max aggregate. No self-join, no
+    * global order; integer microsecond bounds are bit-stable. */
+  def burstDetect(events: DataFrame, windowUs: Long,
+                  minEvents: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("c", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("c")).as("max_burst"))
+      .withColumn("is_burst", col("max_burst") >= minEvents)
+  }
+
+  /** q154 entry: ≥5 events inside any trailing 6 h window. */
+  def q154BurstDetect(spark: SparkSession, dir: String): DataFrame =
+    burstDetect(t(spark, dir, "events"), 21600000000L, 5)
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_burst_detect" -> q154BurstDetect _,
     "q110_quality_audit" -> q110QualityAudit _,
     "q111_weekly_churn" -> q111WeeklyChurn _,
     "q112_balance_resets" -> q112BalanceResets _,
@@ -387,6 +418,21 @@ object Audit {
     "q128_key_skew_profile" -> q128KeySkewProfile _)
 
   val oracle: Map[String, String] = Map(
+    // q154: integer-microsecond RANGE frame — identical window semantics
+    // (inclusive [t-6h, t], peers share counts) in both engines.
+    "q154_burst_detect" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |b AS (
+        |  SELECT user_id,
+        |         COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+        |           RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+        |           AS c
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(MAX(c) AS BIGINT) AS max_burst,
+        |       MAX(c) >= 5 AS is_burst
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q110_quality_audit" ->
       """WITH checks AS (
         |  SELECT 'pk_orders_unique' AS check_name, 'orders' AS table_name,

@@ -623,6 +623,49 @@ object Mining {
   def q145EmbeddingStandardize(spark: SparkSession, dir: String): DataFrame =
     standardizeEmbeddings(t(spark, dir, "embeddings"), "vec_id", "embedding")
 
+  // --------------------------------------------------------------- q155
+  /** Per-vector anomaly score: diagonal-covariance Mahalanobis distance²
+    * — Σ_dims z², the standard "does this embedding sit inside the
+    * corpus distribution" gate that catches encoder failures, empty
+    * inputs, and domain outliers before ANN indexing or SemDeDup trusts
+    * the vectors. Under an in-distribution assumption the score is
+    * ~χ²(dims), so the flag threshold is `flagSigma²·dims` (mean z² per
+    * dim above flagSigma²).
+    *
+    * Scale shape: [[standardizeEmbeddings]]'s exact-moment pass — one
+    * posexplode with decimal-summed per-dim moments, a 64-row stats
+    * broadcast — followed by a vec-keyed fold of decimal-rounded z²
+    * terms (order-free Σ). Nothing embedding-sized shuffles twice. */
+  def embeddingOutliers(emb: DataFrame, idCol: String, embCol: String,
+                        flagSigma2: Double = 2.0): DataFrame = {
+    val comps = emb.select(col(idCol),
+      posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+    val moments = comps.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).as("sq"))
+      .select(col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("m"),
+        sqrt((col("sq").cast("double") / col("n").cast("double")) -
+          (col("s").cast("double") / col("n").cast("double")) *
+            (col("s").cast("double") / col("n").cast("double"))).as("sd"))
+    val z = when(col("sd") === 0.0, lit(0.0))
+      .otherwise((col("x") - col("m")) / col("sd"))
+    comps.join(broadcast(moments), "pos")
+      .select(col(idCol), (z * z).cast("decimal(28,12)").as("z2"),
+        col("pos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dims"),
+        round(sum(col("z2")).cast("double"), 6).as("maha2"))
+      .withColumn("is_outlier",
+        col("maha2") > col("dims").cast("double") * flagSigma2)
+  }
+
+  /** q155 entry: embedding distribution outliers over `embeddings`. */
+  def q155EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliers(t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   // --------------------------------------------------------------- q141
   /** DSIR-style importance weight (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023 — public
@@ -838,12 +881,46 @@ object Mining {
     "q130_event_pagerank" -> q130EventPagerank _,
     "q141_dsir_weights" -> q141DsirWeights _,
     "q144_source_overlap" -> q144SourceOverlap _,
-    "q145_embedding_standardize" -> q145EmbeddingStandardize _)
+    "q145_embedding_standardize" -> q145EmbeddingStandardize _,
+    "q155_embedding_outliers" -> q155EmbeddingOutliers _)
 
   /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
     * (FNV perceptual hash) are engine-internal → rows-only; their
     * correctness envelopes live in MiningSpec. */
   val oracle: Map[String, String] = Map(
+    // q155: per-dim z² rounds to DECIMAL(28,12) before the vec fold so
+    // the Σ is order-free; moments mirror q145 exactly.
+    "q155_embedding_outliers" ->
+      """WITH comps AS (
+        |  SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |       unnest(generate_series(1, len(embedding))) u(i)),
+        |m AS (
+        |  SELECT pos, COUNT(*) AS n,
+        |         SUM(CAST(x AS DECIMAL(28,12))) AS s,
+        |         SUM(CAST(x * x AS DECIMAL(28,12))) AS sq
+        |  FROM comps GROUP BY pos),
+        |mm AS (
+        |  SELECT pos,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+        |              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+        |  FROM m),
+        |z AS (
+        |  SELECT vec_id,
+        |         CAST((CASE WHEN sd = 0 THEN 0.0
+        |                    ELSE (x - mean) / sd END)
+        |              * (CASE WHEN sd = 0 THEN 0.0
+        |                      ELSE (x - mean) / sd END)
+        |              AS DECIMAL(28,12)) AS z2
+        |  FROM comps c JOIN mm ON mm.pos = c.pos)
+        |SELECT vec_id, COUNT(*) AS dims,
+        |       round(CAST(SUM(z2) AS DOUBLE), 6) AS maha2,
+        |       round(CAST(SUM(z2) AS DOUBLE), 6)
+        |         > CAST(COUNT(*) AS DOUBLE) * CAST(2.0 AS DOUBLE)
+        |         AS is_outlier
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q145_embedding_standardize" ->
       """WITH comps AS (
         |  SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS x

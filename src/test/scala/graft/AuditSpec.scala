@@ -212,4 +212,24 @@ class AuditSpec extends AnyFunSuite {
     assert(out.head.getDouble(3) >= 1.0,
       "heaviest key cannot be below the per-key mean")
   }
+
+  test("burstDetect: trailing window is inclusive, per-user max, flags " +
+      "only above threshold") {
+    def at(sec: Long) = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .plusNanos(sec * 1000000000L)
+    val ev = (Seq(0L, 10L, 30L, 59L, 60L).map(s => (1L, at(s))) ++
+      Seq(0L, 3600L, 7200L, 10800L).map(s => (2L, at(s))) ++
+      Seq(0L, 59L, 61L).map(s => (3L, at(s))))
+      .toDF("user_id", "ts")
+    val out = graft.ops.Audit.burstDetect(ev, 60000000L, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // user 1: events at 0,10,30,59,60 — the 60 s window at t=60 reaches
+    // back to t=0 INCLUSIVE, so all 5 count and the user flags
+    assert(out(1L) == ((5L, 5L, true)), out.toString)
+    // user 2: an hour apart — never more than 1 inside any minute
+    assert(out(2L) == ((4L, 1L, false)))
+    // user 3: at t=61 the t=0 event has left the window → max stays 2
+    assert(out(3L) == ((3L, 2L, false)))
+  }
 }

@@ -552,4 +552,34 @@ class MiningSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-3, s"dim ${r.get(0)} sd off")
     }
   }
+
+  test("embeddingOutliers: symmetric points tie, far point flags, " +
+      "zero-variance dim contributes nothing") {
+    val emb = Seq(
+      (1L, Array(0.0f, 5.0f)), (2L, Array(2.0f, 5.0f)),
+      (3L, Array(0.0f, 5.0f)), (4L, Array(2.0f, 5.0f)),
+      (5L, Array(40.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    // flagSigma2 = 1.0: with n=5 points a lone outlier's z2 tops out
+    // near n-1 < the default 2.0-per-dim threshold over 2 dims
+    val out = graft.ops.Mining
+      .embeddingOutliers(emb, "vec_id", "embedding", flagSigma2 = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // dim 1 is constant → sd 0 → contributes 0 to every score
+    // dim 0: values 0,2,0,2,40 — direct replication of the engine math
+    val xs = Seq(0.0, 2.0, 0.0, 2.0, 40.0)
+    val m = xs.sum / 5
+    val sd = math.sqrt(xs.map(x => x * x).sum / 5 - m * m)
+    def score(x: Double) = {
+      val z = (x - m) / sd
+      (BigDecimal(z * z).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6).round / 1e6
+    }
+    assert(out(1L) == ((2L, score(0.0), score(0.0) > 2.0)), out.toString)
+    assert(out(1L) == out(3L) && out(2L) == out(4L))
+    assert(out(5L)._2 == score(40.0) && out(5L)._3,
+      "the far point must flag")
+    assert(out(5L)._2 > out(1L)._2 && out(1L)._2 > out(2L)._2)
+  }
 }
