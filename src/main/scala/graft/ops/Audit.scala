@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -403,8 +403,49 @@ object Audit {
     burstDetect(t(spark, dir, "events"), 21600000000L, 5)
       .orderBy("user_id")
 
+  // --------------------------------------------------------------- q157
+  /** Z-order layout audit: interleave (l_partkey, l_suppkey) into a
+    * Morton key ([[Layout.zorderKey2]] — the clustering key
+    * [[Layout.writeZOrdered]] files data by) and report, per top-6-bit
+    * curve bucket, the row count and BOTH dimensions' min/max. The
+    * bounded per-bucket ranges on the two keys at once are exactly the
+    * parquet min/max statistics a Z-ordered layout gives every file —
+    * i.e. this query MEASURES the pruning power the writer buys.
+    *
+    * Scale shape: the key is a pure codegen'd bitwise fold in the scan;
+    * one 64-group aggregate with map-side combine. The oracle replicates
+    * the interleave bit-for-bit in SQL (integer ops only). */
+  def q157ZorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    // min/max rescale each dimension to a uniform 8-bit range first —
+    // zorderKey2's scaladoc demands it for skewed/narrow domains, and it
+    // keeps the curve meaningful at every scale factor. Integer inputs →
+    // identical IEEE divide+floor in any engine.
+    val mm = li.agg(min(col("l_partkey")).as("amin"),
+      max(col("l_partkey")).as("amax"),
+      min(col("l_suppkey")).as("bmin"),
+      max(col("l_suppkey")).as("bmax"))
+    def scale8(v: Column, lo: Column, hi: Column): Column =
+      floor(((v - lo) * 256).cast("double") /
+        (hi - lo + 1).cast("double")).cast("long")
+    li.crossJoin(broadcast(mm))
+      .withColumn("zkey", graft.ops.Layout.zorderKey2(
+        scale8(col("l_partkey"), col("amin"), col("amax")),
+        scale8(col("l_suppkey"), col("bmin"), col("bmax")), bits = 8))
+      .withColumn("bucket", shiftright(col("zkey"), 10))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("part_lo"),
+        max(col("l_partkey")).as("part_hi"),
+        min(col("l_suppkey")).as("supp_lo"),
+        max(col("l_suppkey")).as("supp_hi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_burst_detect" -> q154BurstDetect _,
+    "q157_zorder_stats" -> q157ZorderStats _,
     "q110_quality_audit" -> q110QualityAudit _,
     "q111_weekly_churn" -> q111WeeklyChurn _,
     "q112_balance_resets" -> q112BalanceResets _,
@@ -417,7 +458,42 @@ object Audit {
     "q124_event_paths" -> q124EventPaths _,
     "q128_key_skew_profile" -> q128KeySkewProfile _)
 
+  /** The 8-bit Morton interleave as pure-integer SQL, mirroring
+    * [[Layout.zorderKey2]](bits=8) term by term over the rescaled
+    * columns `sa`/`sb`. */
+  private val zorderSqlExpr: String = {
+    val a = "(sa & 255)"
+    val b = "(sb & 255)"
+    (0 until 8).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+  }
+
   val oracle: Map[String, String] = Map(
+    // q157: min/max 8-bit rescale (identical IEEE divide+floor), then
+    // the interleave replicated bit-for-bit with integer ops.
+    "q157_zorder_stats" ->
+      s"""WITH mm AS (
+         |  SELECT MIN(l_partkey) AS amin, MAX(l_partkey) AS amax,
+         |         MIN(l_suppkey) AS bmin, MAX(l_suppkey) AS bmax
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(floor(CAST((l_partkey - amin) * 256 AS DOUBLE)
+         |               / CAST(amax - amin + 1 AS DOUBLE)) AS BIGINT)
+         |      AS sa,
+         |    CAST(floor(CAST((l_suppkey - bmin) * 256 AS DOUBLE)
+         |               / CAST(bmax - bmin + 1 AS DOUBLE)) AS BIGINT)
+         |      AS sb
+         |  FROM lineitem CROSS JOIN mm),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         $zorderSqlExpr >> 10 AS bucket
+         |  FROM s)
+         |SELECT bucket, COUNT(*) AS n,
+         |       MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+         |       MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
     // q154: integer-microsecond RANGE frame — identical window semantics
     // (inclusive [t-6h, t], peers share counts) in both engines.
     "q154_burst_detect" ->

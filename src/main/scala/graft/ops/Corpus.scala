@@ -285,6 +285,32 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q156
+  /** Dedup-cluster survivorship by QUALITY: within every near-dup
+    * cluster keep the longest member (ties → smallest id) instead of
+    * [[Dedup.connectedComponents]]'s min-id root — the policy real
+    * pipelines want, since the canonical copy should be the best one,
+    * not the first-crawled one. Same cluster machinery as q55; the
+    * survivor election is ONE per-cluster struct-min aggregate
+    * (lexicographic (−length, id) — map-side combinable, no window),
+    * then a cluster-keyed join back. */
+  def q156ClusterSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.05)
+    val cl = Dedup.connectedComponents(pairs)
+    val sized = cl.join(
+      docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+    val surv = sized.groupBy(col("cluster_root"))
+      .agg(min(struct((-col("n_chars")).as("neg"),
+        col("id").as("sid"))).as("s"))
+      .select(col("cluster_root"), col("s.sid").as("survivor_id"))
+    sized.join(surv, "cluster_root")
+      .select(col("id").as("doc_id"), col("cluster_root"),
+        col("survivor_id"), (col("id") === col("survivor_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q56
   /** Language rebalancing: keep 25% of English, all of everything else,
     * selected deterministically by content hash. */
@@ -514,6 +540,7 @@ object Corpus {
     "q143_c4_quality_filter" -> q143C4Filter _,
     "q147_source_cap" -> q147SourceCap _,
     "q152_tokenset_dedup" -> q152TokensetDedup _,
+    "q156_cluster_survivor" -> q156ClusterSurvivor _,
     "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
     "q74_chunk_documents" -> q74ChunkDocuments _,
     "q139_encode_ids" -> q139EncodeIds _,
@@ -718,6 +745,63 @@ object Corpus {
     // q55 mirrors q33's pair derivation (same kept-gram universe), then
     // resolves clusters with a recursive reachability CTE: MIN(r) over all
     // roots reaching a node = the smallest id in its component.
+    // q156: q55's closure + a per-cluster (−n_chars, id) struct-min
+    // survivor election (struct MIN is lexicographic in both engines).
+    "q156_cluster_survivor" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+2], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |kept AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, gram,
+        |           COUNT(*) OVER (PARTITION BY gram) AS gram_df
+        |    FROM grams)
+        |  WHERE gram_df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM kept a JOIN kept b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM p
+        |  JOIN sizes sa ON p.id_a = sa.doc_id
+        |  JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE)
+        |          / (sa.n_grams + sb.n_grams - p.common) >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |cl AS (
+        |  SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id),
+        |sized AS (
+        |  SELECT cl.id, cl.cluster_root, d.n_chars
+        |  FROM cl JOIN documents d ON d.doc_id = cl.id),
+        |surv AS (
+        |  SELECT cluster_root,
+        |         MIN({'neg': -n_chars, 'sid': id}).sid AS survivor_id
+        |  FROM sized GROUP BY cluster_root)
+        |SELECT s.id AS doc_id, s.cluster_root, surv.survivor_id,
+        |       s.id = surv.survivor_id AS keep
+        |FROM sized s JOIN surv USING (cluster_root)
+        |ORDER BY doc_id""".stripMargin,
     "q55_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,

@@ -232,4 +232,29 @@ class AuditSpec extends AnyFunSuite {
     // user 3: at t=61 the t=0 event has left the window → max stays 2
     assert(out(3L) == ((3L, 2L, false)))
   }
+
+  test("q157 z-order buckets: exhaustive, bounded, and tighter than the " +
+      "global range on BOTH dims") {
+    val spark = TestSpark.spark
+    val out = graft.ops.Audit.q157ZorderStats(spark, TestSpark.sfDir)
+      .collect()
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    assert(out.map(_.getLong(1)).sum == li.count(), "every row bucketed")
+    assert(out.length <= 64 && out.length > 4, s"${out.length} buckets")
+    // locality: the MEAN per-bucket key range must beat the global range
+    // on both dimensions simultaneously (a sort on one key would fail
+    // the other) — the whole point of the interleave
+    val partSpread = out.map(r => r.getLong(3) - r.getLong(2)).sum.toDouble /
+      out.length
+    val suppSpread = out.map(r => r.getLong(5) - r.getLong(4)).sum.toDouble /
+      out.length
+    val g = li.agg(org.apache.spark.sql.functions.min("l_partkey"),
+      org.apache.spark.sql.functions.max("l_partkey"),
+      org.apache.spark.sql.functions.min("l_suppkey"),
+      org.apache.spark.sql.functions.max("l_suppkey")).head()
+    val gPart = (g.getLong(1) - g.getLong(0)).toDouble
+    val gSupp = (g.getLong(3) - g.getLong(2)).toDouble
+    assert(partSpread < gPart * 0.6, s"part $partSpread vs $gPart")
+    assert(suppSpread < gSupp * 0.6, s"supp $suppSpread vs $gSupp")
+  }
 }

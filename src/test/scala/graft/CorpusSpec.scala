@@ -349,4 +349,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(fast == naive, s"fast=$fast naive=$naive")
     assert(fast.nonEmpty && fast.size < 60, s"budget must bite: $fast")
   }
+
+  test("q156 survivorship: one keep per cluster, survivor is the " +
+      "longest member, clusters agree with q55") {
+    val out = Corpus.q156ClusterSurvivor(TestSpark.spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.nonEmpty, "fixture must form clusters")
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (root, rows) =>
+      assert(rows.count(_._4) == 1, s"cluster $root keep count")
+      val sid = rows.head._3
+      assert(rows.forall(_._3 == sid), s"cluster $root survivor differs")
+      assert(rows.exists(_._1 == sid), s"survivor $sid outside cluster")
+    }
+    val nchars = TestSpark.spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (root, rows) =>
+      val best = rows.map(r => (-nchars(r._1), r._1)).min._2
+      assert(rows.head._3 == best, s"cluster $root: wrong survivor")
+    }
+    val q55 = Corpus.q55DedupClusters(TestSpark.spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r._1 -> r._2).toMap == q55,
+      "cluster membership must match q55")
+  }
 }
