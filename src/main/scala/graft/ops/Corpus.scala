@@ -311,6 +311,33 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q159
+  /** Cross-source duplication leakage: near-dup PAIRS aggregated by
+    * (source, source) — which domains copy each other. Read next to
+    * q144's vocabulary overlap: that says sources LOOK alike, this says
+    * they literally share documents, the signal that decides whether a
+    * dedup pass must run across source boundaries (expensive) or within
+    * them (cheap). Pair detection is q33's exact inverted-index Jaccard
+    * join; the rollup joins each pair to the two docs' sources (id-keyed
+    * joins, pair-count-sized) and normalizes the pair with
+    * least/greatest so the matrix is upper-triangular. */
+  def q159SourceLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.05)
+    pairs
+      .join(src.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("source", "src_a"), "id_a")
+      .join(src.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("source", "src_b"), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   // ---------------------------------------------------------------- q56
   /** Language rebalancing: keep 25% of English, all of everything else,
     * selected deterministically by content hash. */
@@ -541,6 +568,7 @@ object Corpus {
     "q147_source_cap" -> q147SourceCap _,
     "q152_tokenset_dedup" -> q152TokensetDedup _,
     "q156_cluster_survivor" -> q156ClusterSurvivor _,
+    "q159_source_leakage" -> q159SourceLeakage _,
     "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
     "q74_chunk_documents" -> q74ChunkDocuments _,
     "q139_encode_ids" -> q139EncodeIds _,
@@ -745,6 +773,47 @@ object Corpus {
     // q55 mirrors q33's pair derivation (same kept-gram universe), then
     // resolves clusters with a recursive reachability CTE: MIN(r) over all
     // roots reaching a node = the smallest id in its component.
+    // q159: q33/q55's exact pair formulation rolled up by source pair.
+    "q159_source_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+2], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |kept AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, gram,
+        |           COUNT(*) OVER (PARTITION BY gram) AS gram_df
+        |    FROM grams)
+        |  WHERE gram_df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM kept a JOIN kept b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM p
+        |  JOIN sizes sa ON p.id_a = sa.doc_id
+        |  JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE)
+        |          / (sa.n_grams + sb.n_grams - p.common) >= 0.05)
+        |SELECT least(da.source, db.source) AS source_lo,
+        |       greatest(da.source, db.source) AS source_hi,
+        |       COUNT(*) AS n_pairs
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = pairs.id_a
+        |JOIN documents db ON db.doc_id = pairs.id_b
+        |GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin,
     // q156: q55's closure + a per-cluster (−n_chars, id) struct-min
     // survivor election (struct MIN is lexicographic in both engines).
     "q156_cluster_survivor" ->

@@ -695,9 +695,69 @@ object Stats {
       .withColumnRenamed("g", "source")
       .orderBy("source")
 
+  // --------------------------------------------------------------- q158
+  /** Per-segment quantile normalization: remap every value onto the
+    * GLOBAL distribution so that a value at its segment's p-th
+    * percentile becomes the global p-th-percentile value — the
+    * calibration step that makes quality scores comparable across
+    * domains whose raw scales differ (each source's scorer drifts; its
+    * RANK within the source is the trustworthy signal).
+    *
+    * Exact per-rank normalization needs a per-segment sort of the fact
+    * table. Binning first (the q146/q149 contract) bounds every ordered
+    * frame at the post-aggregate (segment, bin) grid: within-segment
+    * cumulative shares ride a window over |segments|·|bins| rows, the
+    * mapping "smallest global bin whose cumulative share covers mine"
+    * is a non-equi join of two POST-AGGREGATE frames, and the per-row
+    * remap is a broadcast (segment, bin)→target probe into the scan.
+    * Shares are int/int divisions — identical IEEE doubles both sides —
+    * and the normalized value is the target bin's inclusive upper edge
+    * ((bin+1)·width−1, integer). */
+  def quantileNormalize(df: DataFrame, valCol: String, groupCol: String,
+                        binWidth: Long): DataFrame = {
+    val binned = df.select(col(groupCol).as("g"), col(valCol).as("v"))
+      .withColumn("bin", floor(col("v").cast("double") /
+        lit(binWidth.toDouble)).cast("long"))
+    val counts = binned.groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("c")).persist()
+    val wSrc = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nSrc = Window.partitionBy(col("g"))
+    val srcShare = counts
+      .withColumn("share",
+        sum(col("c")).over(wSrc).cast("double") /
+          sum(col("c")).over(nSrc).cast("double"))
+    val gl = counts.groupBy(col("bin")).agg(sum(col("c")).as("cg"))
+    val wG = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gShare = gl
+      .withColumn("gshare", sum(col("cg")).over(wG).cast("double") /
+        sum(col("cg")).over(Window.partitionBy()).cast("double"))
+      .select(col("bin").as("gbin"), col("gshare"))
+    // smallest global bin covering the segment share — a non-equi join
+    // of two post-aggregate frames (|segments|·|bins| × |bins|)
+    val mapped = srcShare.join(gShare, col("gshare") >= col("share"))
+      .groupBy(col("g"), col("bin"))
+      .agg(min(col("gbin")).as("target_bin"))
+    binned.join(broadcast(mapped), Seq("g", "bin"))
+      .select(col("g"), col("v"),
+        ((col("target_bin") + 1) * binWidth - 1).as("norm_v"))
+  }
+
+  /** q158 entry: source-calibrated document lengths (16-char bins),
+    * aggregated per (source, raw bin edge) for a deterministic frame. */
+  def q158QuantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalize(t(spark, dir, "documents")
+        .select(col("source"), col("n_chars")), "n_chars", "source", 16L)
+      .groupBy(col("g").as("source"), col("norm_v"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("raw_lo"),
+        max(col("v")).as("raw_hi"))
+      .orderBy("source", "norm_v")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_ks_drift" -> q146KsDrift _,
     "q149_psi_drift" -> q149PsiDrift _,
+    "q158_quantile_normalize" -> q158QuantileNormalize _,
     "q82_unpivot_metrics" -> q82UnpivotMetrics _,
     "q83_correlation_matrix" -> q83CorrelationMatrix _,
     "q132_group_regression" -> q132GroupRegression _,
@@ -719,6 +779,38 @@ object Stats {
     "q99_dense_grid" -> q99DenseGrid _)
 
   val oracle: Map[String, String] = Map(
+    // q158: binned within-segment shares mapped to the smallest covering
+    // global bin; int/int share divisions are identical IEEE doubles.
+    "q158_quantile_normalize" ->
+      """WITH b AS (
+        |  SELECT source AS g, n_chars AS v,
+        |         CAST(floor(CAST(n_chars AS DOUBLE) / 16.0) AS BIGINT)
+        |           AS bin
+        |  FROM documents),
+        |c AS (SELECT g, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |ss AS (
+        |  SELECT g, bin,
+        |         CAST(SUM(c) OVER (PARTITION BY g ORDER BY bin
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS DOUBLE)
+        |         / CAST(SUM(c) OVER (PARTITION BY g) AS DOUBLE) AS share
+        |  FROM c),
+        |gl AS (SELECT bin, SUM(c) AS cg FROM c GROUP BY bin),
+        |gs AS (
+        |  SELECT bin AS gbin,
+        |         CAST(SUM(cg) OVER (ORDER BY bin
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS DOUBLE)
+        |         / CAST(SUM(cg) OVER () AS DOUBLE) AS gshare
+        |  FROM gl),
+        |m AS (
+        |  SELECT ss.g, ss.bin, MIN(gs.gbin) AS target_bin
+        |  FROM ss JOIN gs ON gs.gshare >= ss.share
+        |  GROUP BY 1, 2)
+        |SELECT b.g AS source, (m.target_bin + 1) * 16 - 1 AS norm_v,
+        |       COUNT(*) AS n, MIN(b.v) AS raw_lo, MAX(b.v) AS raw_hi
+        |FROM b JOIN m ON m.g = b.g AND m.bin = b.bin
+        |GROUP BY 1, 2 ORDER BY source, norm_v""".stripMargin,
     // q149: Laplace-smoothed PSI per source vs the global mix; per-term
     // DECIMAL(28,12) rounding before the sum mirrors the engine exactly
     // (q134's ln-parity pattern).

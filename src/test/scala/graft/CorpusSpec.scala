@@ -376,4 +376,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.map(r => r._1 -> r._2).toMap == q55,
       "cluster membership must match q55")
   }
+
+  test("q159 leakage matrix: totals reconcile with the raw pair set, " +
+      "matrix is upper-triangular") {
+    val spark = TestSpark.spark
+    val out = Corpus.q159SourceLeakage(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty, "fixture must produce near-dup pairs")
+    assert(out.forall(r => r._1 <= r._2), "least/greatest normalization")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val nPairs = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.05).count()
+    assert(out.map(_._3).sum == nPairs, "every pair lands in one cell")
+  }
 }

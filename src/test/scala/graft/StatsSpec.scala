@@ -511,6 +511,31 @@ class StatsSpec extends AnyFunSuite {
     assert(out(1001L) == (("none", None, None)))
   }
 
+
+  test("quantileNormalize aligns disjoint segment distributions onto " +
+      "the global quantile grid") {
+    // A occupies bins 0-1, B bins 2-3, 50 rows each — after calibration
+    // both segments must land on the SAME normalized values {31, 63}
+    val rows = (0 until 50).map(i => ("A", 3L)) ++
+      (0 until 50).map(i => ("A", 19L)) ++
+      (0 until 50).map(i => ("B", 35L)) ++
+      (0 until 50).map(i => ("B", 51L))
+    val df = rows.toDF("seg", "v")
+    val out = graft.ops.Stats.quantileNormalize(df, "v", "seg", 16L)
+      .groupBy("g", "norm_v").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("A", 31L) -> 50L, ("A", 63L) -> 50L,
+      ("B", 31L) -> 50L, ("B", 63L) -> 50L), out.toString)
+    // identity: a segment already distributed like the mix keeps its
+    // own quantile ladder (maps to in-place bin edges)
+    val same = ((0 until 50).map(_ => ("X", 3L)) ++
+      (0 until 50).map(_ => ("Y", 3L))).toDF("seg", "v")
+    val outSame = graft.ops.Stats.quantileNormalize(same, "v", "seg", 16L)
+      .select("norm_v").distinct().collect().map(_.getLong(0)).toSeq
+    assert(outSame == Seq(15L), outSame.toString)
+  }
+
   test("psiDrift: mix-like segment ~0, shifted segment large, " +
       "matches a direct computation") {
     // seg "same" mirrors the global mix; seg "shift" sits 100 units away
