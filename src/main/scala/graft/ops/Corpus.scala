@@ -338,6 +338,69 @@ object Corpus {
       .orderBy("source_lo", "source_hi")
   }
 
+  // --------------------------------------------------------------- q160
+  /** Leakage-safe train/val/test split: the split key is the near-dup
+    * CLUSTER, not the document — so a document and its near-duplicates
+    * can never straddle train and test (the eval-contamination failure
+    * mode of per-doc hashing, q52). Cluster membership is q55's
+    * components; unclustered docs are their own cluster. The assignment
+    * reuses q52's md5-prefix rule ('e' → val, 'f' → test, else train —
+    * deterministic, ~14/1/1) keyed on the cluster root.
+    *
+    * Scale shape: the split itself adds ONE id-keyed left join and a
+    * map-side hash to the cluster pass — the cluster computation is the
+    * whole cost, and a pipeline that already deduped has those
+    * components on hand. */
+  def q160ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, minJaccard = 0.05)
+    val clusters = Dedup.connectedComponents(pairs)
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_root"), col("doc_id")).as("cluster_root"))
+    val h = substring(md5(concat(lit("cluster:"), col("cluster_root"))),
+      1, 1)
+    keyed.withColumn("split",
+        when(h === "e", "val").when(h === "f", "test").otherwise("train"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q161
+  /** Pipeline yield funnel: per source, how many documents survive each
+    * curation stage — raw → C4 quality rules → token-set dedup →
+    * per-domain cap — the accounting table a data team reads to see
+    * WHERE a source's mass disappears (quality-filtered? duplicated?
+    * capped?). Stages compose the exact operators they audit (q143,
+    * q152, q147) on their real semantics: the cap draws from the
+    * quality+dedup SURVIVORS, as the production pipeline would.
+    *
+    * Scale shape: each stage is its own already-scale-shaped pass; the
+    * funnel adds only id-keyed joins of (doc_id, flag) frames and one
+    * per-source conditional aggregate. */
+  def q161PipelineYield(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val quality = c4QualityFilter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val dedup = tokenSetDedup(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("d_keep"))
+    val flags = docs.select(col("doc_id"), col("source"))
+      .join(quality, "doc_id").join(dedup, "doc_id")
+    val survivors = docs
+      .join(flags.filter(col("q_keep") && col("d_keep"))
+        .select(col("doc_id")), "doc_id")
+    val capped = capPerDomain(survivors, "source", "doc_id", "text", 10)
+      .select(col("doc_id"), lit(true).as("c_keep"))
+    flags.join(capped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("q_keep"), 1)).as("n_quality"),
+        count(when(col("q_keep") && col("d_keep"), 1)).as("n_dedup"),
+        count(when(col("c_keep"), 1)).as("n_final"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- q56
   /** Language rebalancing: keep 25% of English, all of everything else,
     * selected deterministically by content hash. */
@@ -569,6 +632,8 @@ object Corpus {
     "q152_tokenset_dedup" -> q152TokensetDedup _,
     "q156_cluster_survivor" -> q156ClusterSurvivor _,
     "q159_source_leakage" -> q159SourceLeakage _,
+    "q160_cluster_split" -> q160ClusterSplit _,
+    "q161_pipeline_yield" -> q161PipelineYield _,
     "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
     "q74_chunk_documents" -> q74ChunkDocuments _,
     "q139_encode_ids" -> q139EncodeIds _,
@@ -773,6 +838,108 @@ object Corpus {
     // q55 mirrors q33's pair derivation (same kept-gram universe), then
     // resolves clusters with a recursive reachability CTE: MIN(r) over all
     // roots reaching a node = the smallest id in its component.
+    // q160: q55's closure LEFT-joined to every document (singletons are
+    // their own cluster), then q52's md5-prefix split on the root.
+    "q160_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+2], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |kept AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, gram,
+        |           COUNT(*) OVER (PARTITION BY gram) AS gram_df
+        |    FROM grams)
+        |  WHERE gram_df <= 1000),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM kept a JOIN kept b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM p
+        |  JOIN sizes sa ON p.id_a = sa.doc_id
+        |  JOIN sizes sb ON p.id_b = sb.doc_id
+        |  WHERE CAST(p.common AS DOUBLE)
+        |          / (sa.n_grams + sb.n_grams - p.common) >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |cl AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |       COALESCE(cl.cluster_root, d.doc_id) AS cluster_root,
+        |       CASE substr(md5('cluster:'
+        |                       || COALESCE(cl.cluster_root, d.doc_id)),
+        |                   1, 1)
+        |         WHEN 'e' THEN 'val' WHEN 'f' THEN 'test'
+        |         ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q161: the three stage predicates inlined (q143 integer rules,
+    // q152 fingerprint, q147 capped draw over the survivors).
+    "q161_pipeline_yield" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents,
+        |       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                          x -> len(x) > 0)) AS t(tok)),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, SUM(cnt) AS n_tokens,
+        |         SUM(len(tok) * cnt) AS sum_len, MAX(cnt) AS max_cnt,
+        |         SUM(CASE WHEN tok IN ('a','the','of','and','to','in',
+        |                               'is','it') THEN cnt ELSE 0 END)
+        |           AS stop_cnt
+        |  FROM tc GROUP BY 1),
+        |q AS (
+        |  SELECT doc_id,
+        |         NOT (n_tokens < 30 OR sum_len < n_tokens * 3
+        |              OR sum_len > n_tokens * 10
+        |              OR max_cnt * 8 > n_tokens
+        |              OR stop_cnt * 100 < n_tokens) AS q_keep
+        |  FROM pd),
+        |fp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split_regex(lower(text), '\W+'),
+        |                       t -> len(t) > 0))), ' ')) AS fp
+        |  FROM documents),
+        |dk AS (
+        |  SELECT doc_id,
+        |         doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS d_keep
+        |  FROM fp),
+        |flags AS (
+        |  SELECT d.doc_id, d.source, d.text, q.q_keep, dk.d_keep
+        |  FROM documents d JOIN q USING (doc_id) JOIN dk USING (doc_id)),
+        |surv AS (SELECT * FROM flags WHERE q_keep AND d_keep),
+        |ranked AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(text || ':' || doc_id)) AS rn
+        |  FROM surv)
+        |SELECT f.source, COUNT(*) AS n_total,
+        |       COUNT(*) FILTER (f.q_keep) AS n_quality,
+        |       COUNT(*) FILTER (f.q_keep AND f.d_keep) AS n_dedup,
+        |       COUNT(*) FILTER (r.rn <= 10) AS n_final
+        |FROM flags f LEFT JOIN ranked r USING (doc_id)
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     // q159: q33/q55's exact pair formulation rolled up by source pair.
     "q159_source_leakage" ->
       """WITH toks AS (

@@ -389,4 +389,40 @@ class CorpusSpec extends AnyFunSuite {
       n = 3, minJaccard = 0.05).count()
     assert(out.map(_._3).sum == nPairs, "every pair lands in one cell")
   }
+
+  test("q160 cluster split: near-dup clusters never straddle splits, " +
+      "every doc assigned") {
+    val spark = TestSpark.spark
+    val out = Corpus.q160ClusterSplit(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet").count()
+    assert(out.length == nDocs, "every document gets a split")
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    out.groupBy(_._2).foreach { case (root, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $root straddles splits: ${rows.toSeq}")
+    }
+    // the fixture must actually exercise the property on a real cluster
+    assert(out.groupBy(_._2).exists(_._2.length > 1),
+      "fixture must contain at least one multi-doc cluster")
+  }
+
+  test("q161 yield funnel: monotone per source, cap respected, " +
+      "stage counts reconcile") {
+    val spark = TestSpark.spark
+    val out = Corpus.q161PipelineYield(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (s, (t, q, d, f)) =>
+      assert(t >= q && q >= d && d >= f, s"$s not monotone: $t $q $d $f")
+      assert(f <= 10, s"$s exceeds the cap: $f")
+    }
+    val qTotal = Corpus.c4QualityFilter(
+      spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet"),
+      "doc_id", "text").filter(col("keep")).count()
+    assert(out.values.map(_._2).sum == qTotal,
+      "per-source quality counts must sum to the corpus-level count")
+  }
 }

@@ -329,4 +329,36 @@ class PlanSpec extends AnyFunSuite {
       s"nothing in q141 may sort-merge — the model side is ≤4096 rows:\n" +
         p.take(3000))
   }
+
+  test("q147 domain cap: broadcast cutoffs, NO window over documents") {
+    val p = finalPlan("q147_source_cap")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-domain cutoffs must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("Window ["),
+      s"the cap must never row_number-sort domains:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q153 nearest-event: single user-keyed exchange, no join") {
+    val p = finalPlan("q153_nearest_event")
+    assert(!p.contains("Join"),
+      s"nearest-in-time must not self-join events:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"both direction windows must ride ONE exchange:\n${p.take(3000)}")
+  }
+
+  test("q150 attribution: journey windows reuse the user exchange") {
+    val p = finalPlan("q150_position_attribution")
+    // one exchange keys the user windows; the only other exchange is the
+    // final 4-row touch_type aggregate — never a (user, jid) re-shuffle
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"(user, jid) windows must refine the user partitioning:\n" +
+        p.take(3000))
+  }
+
+  test("q158 quantile normalize: per-row remap is a broadcast probe") {
+    val p = finalPlan("q158_quantile_normalize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (segment, bin)→target map must broadcast:\n${p.take(3000)}")
+  }
 }
