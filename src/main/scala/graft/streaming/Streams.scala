@@ -168,6 +168,50 @@ object Streams {
     * against pending processing-time timeouts (the engine keeps running
     * no-data micro-batches toward the deadline); a deployed query with a
     * real trigger interval evaluates the timeout on its normal cadence. */
+  /** A detected burst: the event time that crossed the threshold and the
+    * in-window count at that moment (capped at `minEvents` — see
+    * [[burstMonitor]]'s bounded-state contract). */
+  case class BurstAlert(user_id: Long, at: java.sql.Timestamp,
+                        n_in_window: Long)
+
+  /** Internal per-user burst state (public only for encoder codegen):
+    * ascending recent event-times, ≤ minEvents−1 entries. */
+  case class BurstState(recent: List[Long])
+
+  /** Streaming activity-burst (bot) monitor — the live twin of the batch
+    * audit (`Audit.burstDetect`/q154): alert the moment a user's
+    * `minEvents`-th event lands inside a trailing `windowMs` window.
+    *
+    * Bounded state by construction: detecting "k events within W" only
+    * needs the LAST k−1 event times per user — when event k arrives, the
+    * (k−1)-back timestamp decides. State is ≤(k−1) longs per user
+    * forever, no watermark needed; the emitted count therefore caps at k
+    * ("at least k in window"), the alarm semantics. Micro-batches sort
+    * by (time, id) before folding, the [[varianceMonitor]] contract. */
+  def burstMonitor(events: Dataset[Event], windowMs: Long,
+                   minEvents: Int): Dataset[BurstAlert] = {
+    require(minEvents >= 2, s"minEvents must be >= 2, got $minEvents")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, BurstAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[BurstState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstAlert]
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach {
+            e =>
+              val t = e.ts.getTime
+              val inWindow = (recent :+ t).filter(_ >= t - windowMs)
+              if (inWindow.length >= minEvents)
+                out += BurstAlert(uid, e.ts, inWindow.length.toLong)
+              recent = inWindow.takeRight(minEvents - 1)
+          }
+          state.update(BurstState(recent))
+          out.iterator
+      }
+  }
+
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 16, bands: Int = 4,
                     minEstJaccard: Double = 0.5,

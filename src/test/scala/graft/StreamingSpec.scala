@@ -333,4 +333,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(!byDoc.contains(3L) && !byDoc.contains(1L), hits.toSeq.toString)
     } finally q.stop()
   }
+
+  test("burstMonitor: alerts at the k-th in-window event, state crosses " +
+      "micro-batches, spread users stay silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, sec: Long) = Streams.Event(id,
+      new java.sql.Timestamp(1700000000000L + sec * 1000), uid, "click", 1.0)
+    val input = MemoryStream[Streams.Event]
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "burst").toString
+    val q = Streams.burstMonitor(input.toDS(), windowMs = 60000L,
+        minEvents = 3)
+      .writeStream.format("memory").queryName("burst_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // batch 1: u1 three events inside a minute -> alert at the third;
+      // u2 spread out -> silent
+      input.addData(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20),
+        ev(10, 2, 0), ev(11, 2, 100))
+      q.processAllAvailable()
+      // batch 2: u1's 30s event joins the carried [10s, 20s] state ->
+      // alert proves state survived the batch boundary; the 200s event
+      // finds an empty window -> silent
+      input.addData(ev(4, 1, 30), ev(5, 1, 200), ev(12, 2, 200))
+      q.processAllAvailable()
+      val alerts = spark.table("burst_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      val u1 = alerts.filter(_._1 == 1L).map(a =>
+        ((a._2 - 1700000000000L) / 1000, a._3)).sortBy(_._1)
+      assert(u1.toSeq == Seq((20L, 3L), (30L, 3L)), alerts.toSeq.toString)
+      assert(!alerts.exists(_._1 == 2L), "spread user must stay silent")
+    } finally q.stop()
+  }
 }
