@@ -107,3 +107,62 @@ class KthSmallestStr(k: Int, keepAll: String)
     Encoders.product
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }
+
+/** Buffer of at most k (value, label) pairs, kept sorted by
+  * (value desc, label asc). */
+case class TopKByValueState(values: Array[Long], labels: Array[String])
+
+/** Bounded per-group top-k-by-value aggregate: keeps the k largest
+  * (value, label) pairs — descending value, ascending label on ties —
+  * with ≤k pairs of state per group, map-side reduce, and a k-bounded
+  * merge. This replaces the `row_number() OVER (PARTITION BY group
+  * ORDER BY cnt DESC)` shape for per-group leaderboards: with few
+  * groups that window sorts each group's whole frame in one task, while
+  * this ships k pairs per partition. `finish` emits the pairs in rank
+  * order as (value, label) structs for the caller to posexplode. */
+class TopKByValue(k: Int)
+    extends Aggregator[(Long, String), TopKByValueState,
+      Seq[(Long, String)]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def zero: TopKByValueState =
+    TopKByValueState(Array.emptyLongArray, Array.empty[String])
+
+  // ranks before: larger value first, then smaller label
+  private def beats(v1: Long, l1: String, v2: Long, l2: String): Boolean =
+    v1 > v2 || (v1 == v2 && l1 < l2)
+
+  override def reduce(s: TopKByValueState,
+                      x: (Long, String)): TopKByValueState = {
+    val n = s.values.length
+    if (n == k && !beats(x._1, x._2, s.values(n - 1), s.labels(n - 1)))
+      return s
+    // insertion point: first slot the candidate beats
+    var i = 0
+    while (i < n && !beats(x._1, x._2, s.values(i), s.labels(i))) i += 1
+    val grow = math.min(n + 1, k)
+    val vs = new Array[Long](grow); val ls = new Array[String](grow)
+    System.arraycopy(s.values, 0, vs, 0, i)
+    System.arraycopy(s.labels, 0, ls, 0, i)
+    vs(i) = x._1; ls(i) = x._2
+    System.arraycopy(s.values, i, vs, i + 1, grow - i - 1)
+    System.arraycopy(s.labels, i, ls, i + 1, grow - i - 1)
+    TopKByValueState(vs, ls)
+  }
+
+  override def merge(a: TopKByValueState,
+                     b: TopKByValueState): TopKByValueState = {
+    var acc = a; var i = 0
+    while (i < b.values.length) {
+      acc = reduce(acc, (b.values(i), b.labels(i))); i += 1
+    }
+    acc
+  }
+
+  override def finish(s: TopKByValueState): Seq[(Long, String)] =
+    s.values.toSeq.zip(s.labels.toSeq)
+
+  override def bufferEncoder: Encoder[TopKByValueState] = Encoders.product
+  override def outputEncoder: Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

@@ -401,6 +401,41 @@ object Corpus {
       .orderBy("source")
   }
 
+  // --------------------------------------------------------------- q164
+  /** Weighted sample WITHOUT replacement, fixed size k — the
+    * Efraimidis–Spirakis one-pass scheme (Inf. Proc. Letters 97(5),
+    * 2006, public algorithm): each row draws priority u^(1/w) from a
+    * uniform u and weight w, and the k highest priorities ARE a weighted
+    * sample without replacement. Complements q108 (Bernoulli by weight:
+    * random SIZE) and q56 (per-stratum rates): this pins the exact
+    * sample size under weights in one distributed pass.
+    *
+    * Determinism + scale: u derives from a 52-bit md5 slice of the
+    * content (+id salt) — the q52/q147 digest idiom, so the "random"
+    * draw is reproducible in any engine; comparisons use ln(u)/w
+    * (monotone in u^(1/w), no overflow); top-k fuses to
+    * TakeOrderedAndProject (per-partition heaps — never a global sort);
+    * priorities round to 9 dp only for OUTPUT, after selection. */
+  def weightedSample(docs: DataFrame, idCol: String, textCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val h = md5(concat(col(textCol), lit(":"), col(idCol)))
+    val u = (conv(substring(h, 1, 13), 16, 10).cast("long") + 1)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val key = log(u) / col(weightCol).cast("double")
+    docs.select(col(idCol), col(weightCol).as("weight"),
+        key.as("priority"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), round(col("priority"), 9)
+        .as("priority"))
+  }
+
+  /** q164 entry: 100 docs weighted by length. */
+  def q164WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(t(spark, dir, "documents"), "doc_id", "text",
+        "n_chars", 100)
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- q56
   /** Language rebalancing: keep 25% of English, all of everything else,
     * selected deterministically by content hash. */
@@ -634,6 +669,7 @@ object Corpus {
     "q159_source_leakage" -> q159SourceLeakage _,
     "q160_cluster_split" -> q160ClusterSplit _,
     "q161_pipeline_yield" -> q161PipelineYield _,
+    "q164_weighted_sample" -> q164WeightedSample _,
     "q63_bloom_decontaminate" -> q63BloomDecontaminate _,
     "q74_chunk_documents" -> q74ChunkDocuments _,
     "q139_encode_ids" -> q139EncodeIds _,
@@ -838,6 +874,39 @@ object Corpus {
     // q55 mirrors q33's pair derivation (same kept-gram universe), then
     // resolves clusters with a recursive reachability CTE: MIN(r) over all
     // roots reaching a node = the smallest id in its component.
+    // q164: the 52-bit digest slice decoded with a position fold
+    // (strpos arithmetic == the engine's conv(hex, 16, 10), integer-exact);
+    // ln(u)/w ordering matches bit-for-bit away from measure-zero ties.
+    "q164_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         md5(text || ':' || doc_id) AS hx
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST((CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) * 281474976710656)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS BIGINT) * 17592186044416)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 3, 1)) - 1 AS BIGINT) * 1099511627776)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS BIGINT) * 68719476736)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 5, 1)) - 1 AS BIGINT) * 4294967296)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 6, 1)) - 1 AS BIGINT) * 268435456)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 7, 1)) - 1 AS BIGINT) * 16777216)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 8, 1)) - 1 AS BIGINT) * 1048576)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 9, 1)) - 1 AS BIGINT) * 65536)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 10, 1)) - 1 AS BIGINT) * 4096)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 11, 1)) - 1 AS BIGINT) * 256)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 12, 1)) - 1 AS BIGINT) * 16)
+        |           + (CAST(strpos('0123456789abcdef', substr(hx, 13, 1)) - 1 AS BIGINT) * 1)
+        |           + 1 AS DOUBLE) / 4503599627370496.0 AS u
+        |  FROM h),
+        |p AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |         ln(u) / CAST(n_chars AS DOUBLE) AS priority
+        |  FROM u),
+        |sel AS (
+        |  SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 100)
+        |SELECT doc_id, weight, round(priority, 9) AS priority
+        |FROM sel ORDER BY doc_id""".stripMargin,
     // q160: q55's closure LEFT-joined to every document (singletons are
     // their own cluster), then q52's md5-prefix split on the root.
     "q160_cluster_split" ->

@@ -374,9 +374,36 @@ object Insights {
   def q150PositionAttribution(spark: SparkSession, dir: String): DataFrame =
     positionAttribution(t(spark, dir, "events"))
 
+  // ---------------------------------------------------------------- q162
+  /** Per-source top-k terms — the "what is each domain about" leaderboard
+    * — WITHOUT the row_number window: with few sources that window sorts
+    * each source's whole (token, count) frame in one task, while
+    * [[graft.functions.TopKByValue]] carries ≤k (count, token) pairs of
+    * state per source through one map-side-combined aggregate. Ranks are
+    * (count desc, token asc), the q64/q65 tie rule. */
+  def q162SourceTopTerms(spark: SparkSession, dir: String,
+                         k: Int = 5): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByValue(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long,
+        String)]())
+    val counts = t(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.wordTokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("source"))
+      .agg(topk(col("cnt"), col("tok")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("term"), col("col._1").as("cnt"))
+      .orderBy("source", "rnk")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_position_attribution" -> q150PositionAttribution _,
+    "q162_source_top_terms" -> ((s: SparkSession, d: String) =>
+      q162SourceTopTerms(s, d)),
     "q79_trailing_window" -> q79TrailingWindow _,
     "q80_customer_deciles" -> q80CustomerDeciles _,
     "q81_cohort_retention" -> q81CohortRetention _,
@@ -391,6 +418,22 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q162: the oracle is the NAIVE per-group window the bounded
+    // aggregate replaces.
+    "q162_source_top_terms" ->
+      """WITH tok AS (
+        |  SELECT source, t.tok
+        |  FROM documents,
+        |       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                          x -> len(x) > 0)) AS t(tok)),
+        |c AS (SELECT source, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, tok AS term, cnt,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY cnt DESC, tok) AS rnk
+        |  FROM c)
+        |SELECT source, rnk, term, cnt FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
     // q150: U-shaped credit; weights round to DECIMAL(20,10) pre-sum so
     // the Σ is order-free and bit-equal across engines.
     "q150_position_attribution" ->

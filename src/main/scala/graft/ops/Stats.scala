@@ -754,7 +754,52 @@ object Stats {
         max(col("v")).as("raw_hi"))
       .orderBy("source", "norm_v")
 
+  // --------------------------------------------------------------- q163
+  /** EXACT distributed quantile without a global sort — the two-pass
+    * selection a 100 TB engine uses when "approx_percentile is not
+    * admissible" (billing, SLAs, regulatory p99s): pass 1 bins values
+    * and counts (map-side combine; the cumulative window runs over the
+    * |bins|-row frame), the covering bin and the rank offset inside it
+    * fall out arithmetically, and pass 2 ranks ONLY that bin's rows —
+    * 1/|bins| of the data, and shrinking as bins refine — to pick the
+    * k-th smallest. Rank semantics: k = max(1, ceil(q·n)), the
+    * ORDER BY/OFFSET definition, duplicate-safe.
+    *
+    * The one unpartitioned window orders the single covering bin's rows
+    * — the documented bounded-frame contract (q146/q151), with the bin
+    * width as the knob. */
+  def exactQuantile(df: DataFrame, valCol: String, q: Double,
+                    binWidth: Double): DataFrame = {
+    val binned = df.select(col(valCol).cast("double").as("v"))
+      .withColumn("bin", floor(col("v") / lit(binWidth)).cast("long"))
+    val counts = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .persist()
+    val wBins = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum(col("c")).as("n"))
+      .withColumn("k",
+        greatest(lit(1L), ceil(lit(q) * col("n").cast("double"))
+          .cast("long")))
+    val target = counts.withColumn("cum", sum(col("c")).over(wBins))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k"))
+      .orderBy(col("bin")).limit(1)
+      .select(col("bin").as("tbin"), (col("cum") - col("c")).as("before"),
+        col("n"), col("k"))
+    val wIn = Window.orderBy(col("v"))
+    binned.join(broadcast(target), col("bin") === col("tbin"))
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .filter(col("rn") === col("k") - col("before"))
+      .select(col("n"), col("k"), col("v").as("value"))
+  }
+
+  /** q163 entry: exact median of l_extendedprice (unit-width bins). */
+  def q163ExactMedian(spark: SparkSession, dir: String): DataFrame =
+    exactQuantile(t(spark, dir, "lineitem").select(col("l_extendedprice")),
+      "l_extendedprice", 0.5, 100.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_exact_median" -> q163ExactMedian _,
     "q146_ks_drift" -> q146KsDrift _,
     "q149_psi_drift" -> q149PsiDrift _,
     "q158_quantile_normalize" -> q158QuantileNormalize _,
@@ -779,6 +824,19 @@ object Stats {
     "q99_dense_grid" -> q99DenseGrid _)
 
   val oracle: Map[String, String] = Map(
+    // q163: the oracle is the definitional ORDER BY/OFFSET selection the
+    // two-pass plan replaces.
+    "q163_exact_median" ->
+      """WITH t AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |nk AS (
+        |  SELECT COUNT(*) AS n,
+        |         greatest(1, CAST(ceil(0.5 * COUNT(*)) AS BIGINT)) AS k
+        |  FROM t)
+        |SELECT nk.n, nk.k,
+        |       (SELECT v FROM t ORDER BY v
+        |        LIMIT 1 OFFSET (SELECT k - 1 FROM nk)) AS value
+        |FROM nk""".stripMargin,
     // q158: binned within-segment shares mapped to the smallest covering
     // global bin; int/int share divisions are identical IEEE doubles.
     "q158_quantile_normalize" ->

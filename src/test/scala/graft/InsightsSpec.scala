@@ -211,4 +211,50 @@ class InsightsSpec extends AnyFunSuite {
     // total credit == number of converted journeys
     assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-9)
   }
+
+  test("TopKByValue aggregate ≡ the window form; state stays bounded") {
+    val agg = new graft.functions.TopKByValue(3)
+    // random-ish inserts through partial states merged in odd orders
+    val xs = Seq((5L, "e"), (9L, "a"), (9L, "b"), (2L, "z"), (7L, "m"),
+      (9L, "c"), (1L, "q"), (7L, "a"))
+    val (left, right) = xs.splitAt(3)
+    val s1 = left.foldLeft(agg.zero)(agg.reduce)
+    val s2 = right.foldLeft(agg.zero)(agg.reduce)
+    assert(s1.values.length <= 3 && s2.values.length <= 3)
+    val merged = agg.finish(agg.merge(s1, s2))
+    val expected = xs.sortBy { case (v, l) => (-v, l) }.take(3)
+    assert(merged == expected, s"$merged vs $expected")
+    // and end-to-end through the query against a window recompute
+    val out = Insights.q162SourceTopTerms(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("tok"))
+    val naive = docs.select(col("source"),
+        explode(graft.functions.wordTokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getString(1),
+        r.getLong(2))).toSet
+    assert(out.toSet == naive)
+  }
+
+  test("weightedSample: fixed size, deterministic, biased toward weight") {
+    val spark2 = spark
+    val docs = spark2.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val out = graft.ops.Corpus.weightedSample(docs, "doc_id", "text",
+      "n_chars", 60).collect()
+    assert(out.length == 60)
+    val again = graft.ops.Corpus.weightedSample(docs, "doc_id", "text",
+      "n_chars", 60).collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet, "must be reproducible")
+    val sampleAvg = out.map(_.getLong(1)).sum.toDouble / out.length
+    val corpusAvg = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleAvg > corpusAvg,
+      s"weighting must bias long docs: $sampleAvg vs $corpusAvg")
+  }
 }

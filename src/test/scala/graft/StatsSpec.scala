@@ -459,6 +459,24 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+
+  test("exactQuantile == the sort-based selection for several q, " +
+      "ties included") {
+    val values = ((1 to 400).map(_.toDouble) ++ Seq.fill(80)(250.0) ++
+      Seq.fill(40)(17.5)).map(Tuple1(_))
+    val df = values.toDF("x")
+    val sorted = values.map(_._1).sorted
+    for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+      val row = graft.ops.Stats.exactQuantile(df, "x", q, 25.0)
+        .collect().head
+      val n = sorted.length
+      val k = math.max(1, math.ceil(q * n).toLong).toInt
+      assert(row.getLong(0) == n && row.getLong(1) == k, s"q=$q")
+      assert(row.getDouble(2) == sorted(k - 1),
+        s"q=$q: ${row.getDouble(2)} vs ${sorted(k - 1)}")
+    }
+  }
+
   test("nearestEvent ≡ brute-force nearest, ties resolve backward") {
     def ts(u: Int, m: Int) = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
       .plusSeconds(m.toLong)
