@@ -198,7 +198,41 @@ object Similarity {
     * rises from p^bits to 1−(1−p^bitsPerBand)^bands. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, dim: Int, k: Int, bands: Int = 8,
-              bitsPerBand: Int = 8): DataFrame = {
+              bitsPerBand: Int = 8): DataFrame =
+    lshTopKFiltered(corpus, queries, idCol, embCol, dim, k, bands,
+      bitsPerBand, maxSim = None)
+
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * ANCHOR, its most similar corpus neighbors BELOW the duplicate
+    * threshold — similar enough to be informative negatives, dissimilar
+    * enough to not be positives (SemDeDup's complement: q142 removes
+    * what this keeps). Same banded sign-LSH candidate generation as
+    * [[lshTopK]]; the `sim < maxSim` cut runs before the per-anchor rank
+    * so true near-dups never crowd out the negatives.
+    *
+    * Anchors are the scaling contract: mining is per TRAINING BATCH
+    * (the production shape), so candidate volume is |anchors|·bucket
+    * occupancy — linear in the corpus for a bounded batch. An
+    * anchors==corpus call is the all-pairs mine and pays |corpus|² /
+    * buckets like any all-pairs similarity join. `bands`/`bitsPerBand`
+    * ≤ 0 (the default) auto-sizes from the corpus count at design
+    * similarity `maxSim` ([[lshAutoSize]]) — the recall target sits at
+    * the threshold boundary, where the hardest (most valuable)
+    * negatives live. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    embCol: String, dim: Int, maxSim: Double, k: Int,
+                    bands: Int = -1, bitsPerBand: Int = -1): DataFrame = {
+    val (b, bits) =
+      if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
+      else lshAutoSize(corpus.count(), maxSim)
+    lshTopKFiltered(corpus, anchors, idCol, embCol, dim, k, b,
+      bits, maxSim = Some(maxSim))
+  }
+
+  private def lshTopKFiltered(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, embCol: String, dim: Int,
+                              k: Int, bands: Int, bitsPerBand: Int,
+                              maxSim: Option[Double]): DataFrame = {
     def banded(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),
         posexplode(lshBandKeys(col(embCol), dim, bands, bitsPerBand)))
@@ -215,10 +249,11 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     // no broadcast hint: with a huge (self-join) query set these are
     // shuffle joins on ids; AQE broadcasts by itself when the set is small
-    candidates
+    val scored = candidates
       .join(q, "query_id")
       .join(c, "neighbor_id")
       .withColumn("sim", simRounded(col("q_emb"), col("c_emb")))
+    maxSim.fold(scored)(t => scored.filter(col("sim") < t))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim", "rn")

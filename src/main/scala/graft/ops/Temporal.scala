@@ -261,8 +261,57 @@ object Temporal {
     nearestEvent(t(spark, dir, "events"), "purchase", "view")
       .orderBy("user_id", "event_id")
 
+  // --------------------------------------------------------------- q165
+  /** Snapshot diff audit: align two versions of a table on its key and
+    * report, per compared column, how many rows were added, removed,
+    * changed, or untouched — the reconciliation a CDC/replication
+    * pipeline runs to PROVE an apply pass ([[Stats.mergeUpsert]]'s verb)
+    * did what it claimed. One full-outer join on the key (the minimal
+    * shuffle for the question), NULL-safe comparisons (`<=>`) so NULL↔
+    * value transitions count as changes, and a single global fold to
+    * the audit row.
+    *
+    * @param compareCols columns checked for value changes */
+  def snapshotDiff(base: DataFrame, next: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val b = base.select((keyCol +: compareCols).map(c =>
+      col(c).as(s"b_$c")): _*)
+    val n = next.select((keyCol +: compareCols).map(c =>
+      col(c).as(s"n_$c")): _*)
+    val joined = b.join(n, col(s"b_$keyCol") === col(s"n_$keyCol"),
+      "full_outer")
+    val changed = compareCols.map(c => !(col(s"b_$c") <=> col(s"n_$c")))
+      .reduce(_ || _)
+    joined.agg(
+      count(when(col(s"b_$keyCol").isNull, 1)).as("n_added"),
+      count(when(col(s"n_$keyCol").isNull, 1)).as("n_removed"),
+      count(when(col(s"b_$keyCol").isNotNull &&
+        col(s"n_$keyCol").isNotNull && changed, 1)).as("n_changed"),
+      count(when(col(s"b_$keyCol").isNotNull &&
+        col(s"n_$keyCol").isNotNull && !changed, 1)).as("n_unchanged"))
+  }
+
+  /** q165 entry: audit a deterministic synthetic second version of
+    * `orders` — keys ≡0 mod 97 deleted, prices ≡0 mod 31 bumped, keys
+    * ≡0 mod 113 re-inserted shifted by 10⁷ (inserts). */
+  def q165SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    val nextV = base.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 31 === 0,
+          round(col("o_totalprice") + 10.0, 2))
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.filter(col("o_orderkey") % 113 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    snapshotDiff(base, nextV, "o_orderkey",
+      Seq("o_totalprice", "o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_nearest_event" -> q153NearestEvent _,
+    "q165_snapshot_diff" -> q165SnapshotDiff _,
     "q44_asof_prev_purchase" -> q44AsofPrevPurchase _,
     "q48_time_range_join" -> q48TimeRangeJoin _,
     "q72_latest_snapshot" -> q72LatestSnapshot _,
@@ -271,6 +320,35 @@ object Temporal {
     "q140_interval_overlap" -> q140IntervalOverlap _)
 
   val oracle: Map[String, String] = Map(
+    // q165: same synthetic second version, NULL-safe compares via
+    // IS DISTINCT FROM (DuckDB's <=> negation).
+    "q165_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |nxt AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 31 = 0
+        |              THEN round(o_totalprice + 10.0, 2)
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderpriority
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+        |  FROM base WHERE o_orderkey % 113 = 0),
+        |j AS (
+        |  SELECT b.o_orderkey AS bk, n.o_orderkey AS nk,
+        |         (b.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |          OR b.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+        |           AS chg
+        |  FROM base b FULL OUTER JOIN nxt n
+        |    ON b.o_orderkey = n.o_orderkey)
+        |SELECT COUNT(*) FILTER (bk IS NULL) AS n_added,
+        |       COUNT(*) FILTER (nk IS NULL) AS n_removed,
+        |       COUNT(*) FILTER (bk IS NOT NULL AND nk IS NOT NULL
+        |                        AND chg) AS n_changed,
+        |       COUNT(*) FILTER (bk IS NOT NULL AND nk IS NOT NULL
+        |                        AND NOT chg) AS n_unchanged
+        |FROM j""".stripMargin,
     // q153: struct MIN/MAX are lexicographic by field order in both
     // engines (q76's pattern); gaps are integer microseconds.
     "q153_nearest_event" ->

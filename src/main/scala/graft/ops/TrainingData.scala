@@ -139,6 +139,18 @@ object TrainingData {
       .orderBy("query_id", "rn")
   }
 
+  // --------------------------------------------------------------- q166
+  /** Hard-negative pairs for contrastive training over `embeddings`:
+    * for a 200-anchor "training batch", the top-3 most-similar corpus
+    * neighbors BELOW cosine 0.8 (LSH internals → rows-only; semantics
+    * pinned by SimilaritySpec). */
+  def q166HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 200),
+        "vec_id", "embedding", dim = 64, maxSim = 0.8, k = 3)
+      .orderBy("query_id", "rn")
+  }
+
   // ---------------------------------------------------------------- q42
   /** Multimodal plumbing: binary payload table → partition-batched decode
     * stub → typed features, hash-verified against a DuckDB oracle that
@@ -464,6 +476,7 @@ object TrainingData {
     "q39_fingerprint" -> q39Fingerprint _,
     "q40_ann_ivf" -> q40AnnIvf _,
     "q41_ann_lsh" -> q41AnnLsh _,
+    "q166_hard_negatives" -> q166HardNegatives _,
     "q92_kmeans_cells" -> q92KmeansCells _,
     "q97_fuzzy_name_pairs" -> q97FuzzyNamePairs _,
     "q42_multimodal_stub" -> q42MultimodalStub _,

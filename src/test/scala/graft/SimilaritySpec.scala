@@ -279,4 +279,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4,
       s"trained-IVF recall vs exact too low: $recall (nprobe=2 of 4 cells)")
   }
+
+  test("hardNegatives: below the dup threshold, no self pairs, the " +
+      "planted moderate neighbor surfaces, near-dups never do") {
+    import spark.implicits._
+    // cluster of 3 near-identical vectors (sim ~1) + one moderately
+    // similar outsider (sim ~0.7) + junk
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = Array.tabulate(16)(i => if (i < 8) 1.0 else 0.1)
+    val nearA = base.clone(); nearA(15) += 0.01
+    val nearB = base.clone(); nearB(14) += 0.01
+    val moderate = Array.tabulate(16)(i => if (i < 5) 1.0 else 0.35)
+    val junk = Array.tabulate(16)(i => if (i % 2 == 0) -1.0 else 1.0)
+    val emb = Seq(
+      (1L, unit(base)), (2L, unit(nearA)), (3L, unit(nearB)),
+      (10L, unit(moderate)), (99L, unit(junk))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.hardNegatives(emb, emb, "vec_id",
+        "embedding", dim = 16, maxSim = 0.95, k = 2,
+        bands = 16, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(_._3 < 0.95), s"dup-threshold violated: ${out.toSeq}")
+    assert(out.forall(p => p._1 != p._2), "self pair")
+    // near-dups (sim ~1) must never appear as negatives of each other
+    val cluster = Set(1L, 2L, 3L)
+    assert(!out.exists(p => cluster(p._1) && cluster(p._2)),
+      s"near-dup leaked into negatives: ${out.toSeq}")
+    // the moderate outsider is the hard negative the cluster should find
+    assert(out.exists(p => cluster(p._1) && p._2 == 10L),
+      s"planted moderate neighbor missing: ${out.toSeq}")
+    // deterministic across runs (seeded hash projections)
+    val again = graft.ops.Similarity.hardNegatives(emb, emb, "vec_id",
+        "embedding", dim = 16, maxSim = 0.95, k = 2,
+        bands = 16, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSet == again.toSet)
+  }
 }

@@ -477,6 +477,22 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+
+  test("snapshotDiff counts adds/removes/changes with NULL-safe compares") {
+    val base = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, None: Option[Double], "c"), (4L, Some(40.0), "d"))
+      .toDF("k", "v", "s")
+    val next = Seq((1L, Some(10.0), "a"),     // unchanged
+      (2L, Some(25.0), "b"),                  // changed value
+      (3L, Some(30.0), "c"),                  // NULL -> value = changed
+      (5L, Some(50.0), "e"))                  // added; 4 removed
+      .toDF("k", "v", "s")
+    val r = graft.ops.Temporal.snapshotDiff(base, next, "k", Seq("v", "s"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 2L, 1L)), r.toString)
+  }
+
   test("nearestEvent ≡ brute-force nearest, ties resolve backward") {
     def ts(u: Int, m: Int) = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
       .plusSeconds(m.toLong)
