@@ -443,8 +443,134 @@ object Audit {
       .orderBy("bucket")
   }
 
+  // --------------------------------------------------------------- q167
+  /** Single-pass typed column profile — the building block of the q167
+    * drift audit below (the single-snapshot numeric profile report is
+    * [[Insights.profileTable]]/q71; this variant adds normalized
+    * min/max renderings for EVERY type and an approx-distinct scale
+    * mode, because drift comparison needs string-comparable extrema).
+    *
+    * Scale shape: ONE scan. All per-column (count, min, max) aggregates
+    * ride a single map-side-combined pass; the multi-column exact
+    * COUNT(DISTINCT) plans as Spark's standard Expand (one row per
+    * profiled column) + two-phase aggregate — data ×|cols|, the price of
+    * exactness. `exact=false` swaps in `approx_count_distinct` (HLL++,
+    * one pass, NO Expand) — the 100 TB default; the oracle-checked
+    * registry entry keeps the exact form. The final per-column rows
+    * unfold from the single 1-row aggregate with a literal-array explode
+    * — no second scan, no union of per-column subplans (a naive
+    * UNION-per-column profile scans the table |cols| times).
+    *
+    * Renderings are engine-portable by construction: integers/strings
+    * cast verbatim; doubles via C-style `%.2f` (half-even vs half-up
+    * printf differences need an EXACT decimal tie, which a stored binary
+    * double of a non-representable decimal can never be); timestamps via
+    * an explicit 6-digit-microsecond pattern. */
+  def columnProfile(df: DataFrame, cols: Seq[(String, Column => Column)],
+                    exact: Boolean = true): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +: cols.zipWithIndex.flatMap {
+      case ((name, render), i) =>
+        val c = col(name)
+        Seq(
+          count(c).as(s"_c$i"),
+          (if (exact) countDistinct(c) else approx_count_distinct(c))
+            .as(s"_d$i"),
+          render(min(c)).cast("string").as(s"_mn$i"),
+          render(max(c)).cast("string").as(s"_mx$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("col_name"), col("_n").as("n_rows"),
+        (col("_n") - col(s"_c$i")).as("n_nulls"),
+        col(s"_d$i").cast("long").as("n_distinct"),
+        col(s"_mn$i").as("min_s"), col(s"_mx$i").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Column-level profile DRIFT between two snapshots of the same feed —
+    * the schema-drift alarm an ETL platform runs when yesterday's load
+    * is replaced by today's: per column, row counts, the null-rate
+    * delta, the distinct-cardinality ratio, and whether the value range
+    * moved. Complements q165 (row-level snapshot diff — WHICH rows
+    * changed) and q149 (value-distribution drift on one column) with the
+    * table-wide "did a column silently go sparse / constant / out of
+    * range" report.
+    *
+    * Scale shape: one single-pass profile per snapshot (see
+    * [[columnProfile]]), then a |cols|-row join — the fact tables are
+    * never joined or shuffled, only profiled. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+                   cols: Seq[(String, Column => Column)],
+                   exact: Boolean = true): DataFrame = {
+    val po = columnProfile(oldDf, cols, exact)
+    val pn = columnProfile(newDf, cols, exact)
+    po.select(col("col_name"), col("n_rows").as("n_old"),
+        col("n_nulls").as("nl_old"), col("n_distinct").as("d_old"),
+        col("min_s").as("mn_old"), col("max_s").as("mx_old"))
+      .join(pn.select(col("col_name"), col("n_rows").as("n_new"),
+        col("n_nulls").as("nl_new"), col("n_distinct").as("d_new"),
+        col("min_s").as("mn_new"), col("max_s").as("mx_new")), "col_name")
+      .select(col("col_name"), col("n_old"), col("n_new"),
+        round(col("nl_new").cast("double") / col("n_new") -
+          col("nl_old").cast("double") / col("n_old"), 6)
+          .as("null_rate_delta"),
+        round(col("d_new").cast("double") / col("d_old"), 6)
+          .as("distinct_ratio"),
+        (col("mn_old") =!= col("mn_new") || col("mx_old") =!= col("mx_new"))
+          .as("range_changed"))
+  }
+
+  /** q167 entry: orders split at 1999-01-01 as the old/new snapshots. */
+  def q167ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ident: Column => Column = c => c.cast("string")
+    val dbl: Column => Column = c => format_string("%.2f", c)
+    val tsr: Column => Column =
+      c => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val specs = Seq(
+      "o_orderkey" -> ident, "o_custkey" -> ident,
+      "o_orderstatus" -> ident, "o_totalprice" -> dbl,
+      "o_orderdate" -> tsr, "o_orderpriority" -> ident)
+    val o = t(spark, dir, "orders")
+    val cut = lit("1999-01-01").cast("timestamp")
+    profileDrift(o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut), specs)
+      .orderBy("col_name")
+  }
+
+  // --------------------------------------------------------------- q169
+  /** K-anonymity audit over a quasi-identifier set: group the table by
+    * the attributes an attacker could link externally (here nation ×
+    * market segment × coarse balance band) and flag equivalence classes
+    * smaller than k — the rows a release of this table would expose.
+    * The training-data angle is the same as the PII scrub (q50): before
+    * a corpus ships, governance asks "how re-identifiable is it".
+    *
+    * Scale shape: one hash aggregate with map-side partials; the result
+    * frame is bounded by the QI-domain product (|nations|×|segments|×
+    * |bands|), never by rows, so the at-risk flag is a pure projection
+    * over a tiny frame. Generalization (coarser bands) is the caller's
+    * lever: band width IS the k-anonymity/utility trade-off. */
+  def kAnonymityAudit(df: DataFrame, qi: Seq[Column], k: Int): DataFrame =
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+
+  /** q169 entry: customer QI = (nation, segment, 5000-wide balance band),
+    * k=5. */
+  def q169KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityAudit(
+        t(spark, dir, "customer").select(col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 5000.0).cast("long").as("bal_band")),
+        Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_band")),
+        k = 5)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_burst_detect" -> q154BurstDetect _,
+    "q167_profile_drift" -> q167ProfileDrift _,
+    "q169_k_anonymity" -> q169KAnonymity _,
     "q157_zorder_stats" -> q157ZorderStats _,
     "q110_quality_audit" -> q110QualityAudit _,
     "q111_weekly_churn" -> q111WeeklyChurn _,
@@ -470,6 +596,85 @@ object Audit {
   }
 
   val oracle: Map[String, String] = Map(
+    // q167: the oracle is the NAIVE per-column UNION profile (6 scans per
+    // snapshot) the engine's single-pass profile replaces; renderings
+    // match by construction (VARCHAR cast for integers/strings, printf
+    // %.2f for doubles, 6-digit-microsecond strftime for timestamps).
+    "q167_profile_drift" ->
+      """WITH old_t AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+        |new_t AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+        |po AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
+        |         COUNT(*) - COUNT(o_orderkey) AS nl,
+        |         COUNT(DISTINCT o_orderkey) AS d,
+        |         CAST(MIN(o_orderkey) AS VARCHAR) AS mn,
+        |         CAST(MAX(o_orderkey) AS VARCHAR) AS mx FROM old_t
+        |  UNION ALL SELECT 'o_custkey', COUNT(*),
+        |    COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM old_t
+        |  UNION ALL SELECT 'o_orderstatus', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
+        |    MAX(o_orderstatus) FROM old_t
+        |  UNION ALL SELECT 'o_totalprice', COUNT(*),
+        |    COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+        |    printf('%.2f', MIN(o_totalprice)),
+        |    printf('%.2f', MAX(o_totalprice)) FROM old_t
+        |  UNION ALL SELECT 'o_orderdate', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S.%f'),
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') FROM old_t
+        |  UNION ALL SELECT 'o_orderpriority', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+        |    MAX(o_orderpriority) FROM old_t),
+        |pn AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
+        |         COUNT(*) - COUNT(o_orderkey) AS nl,
+        |         COUNT(DISTINCT o_orderkey) AS d,
+        |         CAST(MIN(o_orderkey) AS VARCHAR) AS mn,
+        |         CAST(MAX(o_orderkey) AS VARCHAR) AS mx FROM new_t
+        |  UNION ALL SELECT 'o_custkey', COUNT(*),
+        |    COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM new_t
+        |  UNION ALL SELECT 'o_orderstatus', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
+        |    MAX(o_orderstatus) FROM new_t
+        |  UNION ALL SELECT 'o_totalprice', COUNT(*),
+        |    COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+        |    printf('%.2f', MIN(o_totalprice)),
+        |    printf('%.2f', MAX(o_totalprice)) FROM new_t
+        |  UNION ALL SELECT 'o_orderdate', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S.%f'),
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') FROM new_t
+        |  UNION ALL SELECT 'o_orderpriority', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+        |    MAX(o_orderpriority) FROM new_t)
+        |SELECT col_name, po.n AS n_old, pn.n AS n_new,
+        |       round(CAST(pn.nl AS DOUBLE) / pn.n
+        |             - CAST(po.nl AS DOUBLE) / po.n, 6) AS null_rate_delta,
+        |       round(CAST(pn.d AS DOUBLE) / po.d, 6) AS distinct_ratio,
+        |       (po.mn <> pn.mn OR po.mx <> pn.mx) AS range_changed
+        |FROM po JOIN pn USING (col_name)
+        |ORDER BY col_name""".stripMargin,
+    // q169: integer-domain grouping; the band divide is the identical
+    // IEEE double divide+floor in both engines.
+    "q169_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS bal_band,
+        |       COUNT(*) AS n, COUNT(*) < 5 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
     // q157: min/max 8-bit rescale (identical IEEE divide+floor), then
     // the interleave replicated bit-for-bit with integer ops.
     "q157_zorder_stats" ->

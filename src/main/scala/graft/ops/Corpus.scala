@@ -661,7 +661,43 @@ object Corpus {
       .orderBy("doc_id")
 
   // ------------------------------------------------------------ registry
+  // --------------------------------------------------------------- q170
+  /** Embargoed temporal split — the time-axis member of the split family
+    * (content-hash q52, cluster-safe q160): train is everything strictly
+    * before `cutoff`, test is everything from `cutoff + embargoDays` on,
+    * and the embargo gap between them is DROPPED, so no test example
+    * is temporally adjacent to a train example (the purged-split rule
+    * that kills look-ahead leakage through lagged/rolling features whose
+    * windows straddle the boundary). Output is the per-user audit: how
+    * many of each user's events land in each zone, and whether the user
+    * straddles the boundary at all (time splits intentionally allow
+    * this — the audit makes the overlap measurable instead of silent).
+    *
+    * Scale shape: ONE conditional aggregate over the fact scan (the
+    * three zone counters are sums of when()-flags — no triple scan, no
+    * join); the boundary literals fold into the scan's pushed filters
+    * when a caller splits rather than audits. */
+  def embargoSplitAudit(events: DataFrame, cutoff: String,
+                        embargoDays: Int): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val testStart = cut + expr(s"INTERVAL $embargoDays DAYS")
+    events.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("ts") >= cut && col("ts") < testStart, 1L)
+          .otherwise(0L)).as("n_embargo"),
+        sum(when(col("ts") >= testStart, 1L).otherwise(0L)).as("n_test"))
+      .withColumn("straddles",
+        col("n_train") > 0 && col("n_test") > 0)
+  }
+
+  /** q170 entry: cutoff 2024-01-20, 2-day embargo, per-user audit. */
+  def q170EmbargoSplit(spark: SparkSession, dir: String): DataFrame =
+    embargoSplitAudit(t(spark, dir, "events"), "2024-01-20 00:00:00", 2)
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_embargo_split" -> q170EmbargoSplit _,
     "q143_c4_quality_filter" -> q143C4Filter _,
     "q147_source_cap" -> q147SourceCap _,
     "q152_tokenset_dedup" -> q152TokensetDedup _,
@@ -683,6 +719,22 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    // q170: pure timestamp comparisons against literal boundaries —
+    // integer counters, no float math anywhere.
+    "q170_embargo_split" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |            AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |  (SUM(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+        |       THEN 1 ELSE 0 END) > 0
+        |   AND SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |       THEN 1 ELSE 0 END) > 0) AS straddles
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q147: the oracle is the NAIVE window form the engine's bounded
     // aggregate replaces — the cap policy must be invisible to the user.
     "q147_source_cap" ->

@@ -309,7 +309,55 @@ object Temporal {
       Seq("o_totalprice", "o_orderpriority"))
   }
 
+  // --------------------------------------------------------------- q168
+  /** Seasonal-residual anomaly detection on a daily event series: each
+    * (day, event_type) count is compared against the LEAVE-ONE-OUT mean
+    * of the same weekday's other occurrences — the seasonal-naive
+    * baseline that doesn't let a spike inflate its own expectation. Days
+    * whose count is ≥1.5× or ≤⅔ of that expectation are flagged. The
+    * detection complement of [[Audit.q113DowSeasonality]] (which reports
+    * the weekday PROFILE) and of q154 (which catches per-user
+    * minute-scale bursts; this catches corpus-level day-scale shifts —
+    * an ingest gap, a bot flood, a broken feed).
+    *
+    * Scale shape: one (day, type) hash aggregate over the fact table;
+    * everything after runs on the bounded |days|×|types| frame — the
+    * weekday baseline is a second tiny aggregate broadcast back, so no
+    * window ever touches fact rows. LOO mean = (Σ_dow − n)/(cnt − 1):
+    * integer subtraction then one double divide — engine-exact.
+    * Weekdays with a single occurrence have no peer baseline and are
+    * emitted unflagged with NULL expectation (a 4-week frame never hits
+    * this; a 1-week one would). */
+  def seasonalAnomalies(events: DataFrame, hi: Double = 1.5,
+                        lo: Double = 2.0 / 3.0): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("dow_sum"), count(lit(1)).as("dow_cnt"))
+    daily.join(broadcast(byDow), Seq("event_type", "dow"))
+      .withColumn("expected",
+        when(col("dow_cnt") > 1,
+          round((col("dow_sum") - col("n")).cast("double") /
+            (col("dow_cnt") - 1).cast("double"), 6)))
+      .withColumn("ratio",
+        when(col("expected").isNotNull && col("expected") > 0,
+          round(col("n").cast("double") / col("expected"), 6)))
+      .withColumn("anomaly",
+        coalesce(col("ratio") >= hi || col("ratio") <= lo, lit(false)))
+      .select(col("day"), col("event_type"), col("n"), col("expected"),
+        col("ratio"), col("anomaly"))
+  }
+
+  /** q168 entry: daily anomalies across the 30-day event window. */
+  def q168SeasonalAnomalies(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalies(t(spark, dir, "events"))
+      .orderBy("day", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_seasonal_anomalies" -> q168SeasonalAnomalies _,
     "q153_nearest_event" -> q153NearestEvent _,
     "q165_snapshot_diff" -> q165SnapshotDiff _,
     "q44_asof_prev_purchase" -> q44AsofPrevPurchase _,
@@ -320,6 +368,35 @@ object Temporal {
     "q140_interval_overlap" -> q140IntervalOverlap _)
 
   val oracle: Map[String, String] = Map(
+    // q168: LOO mean over integer (sum, cnt) then one double divide; the
+    // ratio divides by the ROUNDED expectation exactly as the engine
+    // does. dow numbering differs across engines but is only a grouping
+    // key, never output.
+    "q168_seasonal_anomalies" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, dayofweek(day) AS dow FROM daily),
+        |b AS (SELECT event_type, dow, SUM(n) AS dow_sum,
+        |             COUNT(*) AS dow_cnt
+        |      FROM d2 GROUP BY 1, 2),
+        |e AS (
+        |  SELECT day, event_type, n,
+        |         CASE WHEN dow_cnt > 1
+        |              THEN round(CAST(dow_sum - n AS DOUBLE)
+        |                         / (dow_cnt - 1), 6) END AS expected
+        |  FROM d2 JOIN b USING (event_type, dow)),
+        |r AS (
+        |  SELECT *, CASE WHEN expected IS NOT NULL AND expected > 0
+        |                 THEN round(CAST(n AS DOUBLE) / expected, 6)
+        |            END AS ratio
+        |  FROM e)
+        |SELECT CAST(day AS TIMESTAMP) AS day, event_type,
+        |       CAST(n AS BIGINT) AS n, expected, ratio,
+        |       coalesce(ratio >= 1.5 OR ratio <= 2.0/3.0, false)
+        |         AS anomaly
+        |FROM r ORDER BY day, event_type""".stripMargin,
     // q165: same synthetic second version, NULL-safe compares via
     // IS DISTINCT FROM (DuckDB's <=> negation).
     "q165_snapshot_diff" ->

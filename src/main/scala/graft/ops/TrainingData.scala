@@ -461,8 +461,122 @@ object TrainingData {
     tokenBudgetSelect(t(spark, dir, "documents"), "doc_id", "text", 8000L)
       .orderBy("doc_id")
 
+  // --------------------------------------------------------------- q171
+  /** Interpolated bigram cross-entropy: each document's mean
+    * −ln(λ·p(tᵢ|tᵢ₋₁) + (1−λ)·p(tᵢ)) under the corpus's own counts — the
+    * conditional-probability upgrade of [[unigramSurprisal]] (q148) and
+    * the closest SQL-exact stand-in for the KenLM-perplexity filters
+    * CCNet-style pipelines gate on: a document whose word PAIRS are
+    * corpus-typical scores low even when its individual words are
+    * common, so word-salad spam separates from prose q148 can't split.
+    * The unigram interpolation floors unseen-context mass the way
+    * Jelinek-Mercer smoothing does, so no position hits −ln 0.
+    *
+    * Scale shape: bigrams come from the fused [[graft.functions
+    * .WordNgrams]] expression in per-occurrence mode (one pass, no
+    * distinct); the model is two (key, count) aggregates with map-side
+    * combine; scoring rejoins on the bigram / previous-token / current-
+    * token keys — three df-weighted text-op shuffles (q148 pays one),
+    * shipping (key, count) pairs, never text. Per-position surprisals
+    * round to DECIMAL(28,12) before the per-doc Σ (order-free, exact —
+    * q148's recipe), and the interpolation is the SAME fixed-order
+    * λ·a + (1−λ)·b expression in both engines. */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.7): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(graft.functions.wordTokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n_total"))
+    val grams = docs.select(col(idCol),
+        explode(graft.functions.wordNgrams(col(textCol), 2,
+          distinct = false)).as("g"))
+      .withColumn("prev", split(col("g"), " ").getItem(0))
+      .withColumn("cur", split(col("g"), " ").getItem(1))
+    val big = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val cPrev = uni.select(col("tok").as("prev"), col("c1").as("c_prev"))
+    val cCur = uni.select(col("tok").as("cur"), col("c1").as("c_cur"))
+    grams.join(big, "g")
+      .join(cPrev, "prev")
+      .join(cCur, "cur")
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        lit(lambda) * (col("c2").cast("double") /
+          col("c_prev").cast("double")) +
+        lit(1.0 - lambda) * (col("c_cur").cast("double") /
+          col("n_total").cast("double")))
+      .withColumn("s", (-log(col("p"))).cast("decimal(28,12)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("s")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("xent"))
+  }
+
+  /** q171 entry: interpolated bigram cross-entropy over `documents`
+    * (λ=0.7); single-token documents have no bigram and drop, exactly
+    * as the oracle's gram unnest does. */
+  def q171BigramXent(spark: SparkSession, dir: String): DataFrame =
+    bigramCrossEntropy(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------------- q172
+  /** ANN recall audit: for a query sample, the fraction of the EXACT
+    * cosine top-k that each approximate index actually returned — the
+    * eval every ANN deployment needs before it replaces a brute-force
+    * scan ("we made it 40× cheaper" means nothing without "at 0.9
+    * recall"). Audits BOTH index families side by side — the banded
+    * sign-LSH table (auto-sized at `designSim`, [[Similarity
+    * .lshAutoSize]]) and the stride-IVF cells ([[Similarity.ivfTopK]]) —
+    * because which one wins depends on the corpus's similarity regime:
+    * sign-LSH needs many bands where true neighbors sit at low cosine,
+    * IVF degrades where cluster structure is weak. Per-query hit
+    * counts, not just a corpus mean, so tail queries (sparse buckets /
+    * wrong-cell assignments) stay visible.
+    *
+    * Scale shape: the exact side IS the audit's cost, which is why it
+    * runs on a bounded query SAMPLE (the production pattern: audit on a
+    * sample, serve with the index); all sides broadcast the same query
+    * set and the hit join ships (query_id, neighbor_id) pairs only.
+    * Hash-seeded LSH / data-dependent centroids ⇒ rows-only; the
+    * recall floors are spec-pinned. */
+  /** Per-query recall of an approximate result set against the exact
+    * one: left-join the exact top-k onto the approximate picks and count
+    * hits — queries the index failed entirely still appear (recall 0). */
+  def recallVsExact(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("k_exact"), 6))
+
+  def annRecallAudit(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, dim: Int, k: Int,
+                     designSim: Double = 0.3): DataFrame = {
+    val (b, bits) = Similarity.lshAutoSize(corpus.count(), designSim)
+    val exact = Similarity.bruteForceTopK(corpus, queries, idCol, embCol, k)
+    val lsh = Similarity.lshTopK(corpus, queries, idCol, embCol, dim, k,
+      b, bits)
+    val ivf = Similarity.ivfTopK(corpus, queries, idCol, embCol, k)
+    recallVsExact(exact, lsh).withColumn("index", lit("lsh"))
+      .unionByName(
+        recallVsExact(exact, ivf).withColumn("index", lit("ivf")))
+  }
+
+  /** q172 entry: recall@10 of the auto-sized sign-LSH index AND the
+    * stride-IVF index on a 20-query sample of the embeddings table. */
+  def q172AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    annRecallAudit(emb, emb.filter(col("vec_id") < 20), "vec_id",
+        "embedding", dim = 64, k = 10)
+      .orderBy("index", "query_id")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_bigram_xent" -> q171BigramXent _,
+    "q172_ann_recall" -> q172AnnRecall _,
     "q148_unigram_surprisal" -> q148UnigramSurprisal _,
     "q151_token_budget" -> q151TokenBudget _,
     "q33_dedup_ngram_jaccard" -> q33DedupNgramJaccard _,
@@ -489,6 +603,44 @@ object TrainingData {
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    // q171: per-position surprisal rounds to DECIMAL(28,12) before the
+    // per-doc mean (q148's recipe); the interpolation weight is written
+    // (1.0 - 0.7) — NOT 0.3 — because the engine computes 1−λ in IEEE
+    // doubles where 1.0−0.7 = 0.30000000000000004.
+    "q171_bigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents,
+        |       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                          x -> len(x) > 0)) AS t(tok)),
+        |uni AS (SELECT tok, COUNT(*) AS c1 FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_total FROM uni),
+        |tkl AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, tk[i] AS prev, tk[i+1] AS cur,
+        |         tk[i] || ' ' || tk[i+1] AS g
+        |  FROM tkl, unnest(range(1, greatest(len(tk), 1))) AS r(i)),
+        |big AS (SELECT g, COUNT(*) AS c2 FROM grams GROUP BY g),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(-ln(0.7 * (CAST(c2 AS DOUBLE)
+        |                         / CAST(cp.c1 AS DOUBLE))
+        |                  + (1.0 - 0.7) * (CAST(cc.c1 AS DOUBLE)
+        |                                   / CAST(n_total AS DOUBLE)))
+        |              AS DECIMAL(28,12)) AS s
+        |  FROM grams
+        |  JOIN big USING (g)
+        |  JOIN uni cp ON cp.tok = grams.prev
+        |  JOIN uni cc ON cc.tok = grams.cur
+        |  CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       round(CAST(SUM(s) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS xent
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q148: per-token surprisal rounds to DECIMAL(28,12) before the
     // per-doc mean (order-free sum; ln ulp differences absorbed).
     "q148_unigram_surprisal" ->

@@ -257,4 +257,42 @@ class AuditSpec extends AnyFunSuite {
     assert(partSpread < gPart * 0.6, s"part $partSpread vs $gPart")
     assert(suppSpread < gSupp * 0.6, s"supp $suppSpread vs $gSupp")
   }
+
+  test("profileDrift: null spike, cardinality collapse, and range shift " +
+      "each flagged on the right column") {
+    val ident: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c.cast("string")
+    val old = Seq((1L, Some("x"), "a"), (2L, Some("y"), "b"),
+      (3L, Some("z"), "c"), (4L, Some("w"), "d"))
+      .toDF("id", "v", "cat")
+    val nw = Seq((5L, Some("x"), "a"), (6L, None: Option[String], "a"),
+      (7L, Some("x"), "a"), (8L, None: Option[String], "a"))
+      .toDF("id", "v", "cat")
+    val out = graft.ops.Audit.profileDrift(old, nw,
+        Seq("id" -> ident, "v" -> ident, "cat" -> ident))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    // v: nulls 0/4 → 2/4 (delta 0.5), distinct 4 → 1, extrema moved
+    assert(out("v") == ((4L, 4L, 0.5, 0.25, true)), out("v").toString)
+    // cat: no nulls, 4 → 1 values, range collapsed onto 'a'
+    assert(out("cat") == ((4L, 4L, 0.0, 0.25, true)))
+    // id: same cardinality, no nulls, but the key range moved
+    assert(out("id") == ((4L, 4L, 0.0, 1.0, true)))
+  }
+
+  test("kAnonymityAudit flags equivalence classes below k with exact sizes") {
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq(("DE", "A"))).toDF("nat", "seg")
+    val out = graft.ops.Audit.kAnonymityAudit(df,
+        Seq(col("nat"), col("seg")), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(("US", "A")) == ((5L, false)))
+    assert(out(("US", "B")) == ((2L, true)))
+    assert(out(("DE", "A")) == ((1L, true)))
+    // at-risk row share derives from the audit output alone
+    val atRiskRows = out.values.filter(_._2).map(_._1).sum
+    assert(atRiskRows == 3L && out.values.map(_._1).sum == 8L)
+  }
 }

@@ -425,4 +425,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == qTotal,
       "per-source quality counts must sum to the corpus-level count")
   }
+
+  test("embargoSplitAudit: zone counters partition each user's events; " +
+      "boundaries land cutoff→embargo and cutoff+gap→test") {
+    def ts(day: Int, h: Int) =
+      java.time.LocalDateTime.of(2024, 1, day, h, 0)
+    val ev = Seq(
+      (1L, 1L, ts(18, 0)), (2L, 1L, ts(19, 23)),  // train
+      (3L, 1L, ts(20, 0)),                        // == cutoff → embargo
+      (4L, 1L, ts(22, 0)), (5L, 1L, ts(22, 1)), (6L, 1L, ts(25, 0)), // test
+      (7L, 2L, ts(10, 0)), (8L, 2L, ts(15, 0)),   // train only
+      (9L, 3L, ts(21, 12))                        // embargo only
+    ).toDF("event_id", "user_id", "ts")
+    val out = Corpus.embargoSplitAudit(ev, "2024-01-20 00:00:00", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((2L, 1L, 3L, true)), out(1L).toString)
+    assert(out(2L) == ((2L, 0L, 0L, false)))
+    assert(out(3L) == ((0L, 1L, 0L, false)))
+    // the three zones partition the event set
+    assert(out.values.map(v => v._1 + v._2 + v._3).sum == ev.count())
+  }
+
+  test("bigramCrossEntropy matches a hand computation; corpus-typical " +
+      "pairs score lower than novel pairs") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = graft.ops.TrainingData
+      .bigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // unigrams: a=3, b=2, c=1, N=6; bigrams: "a b"=2, "b a"=1, "a c"=1
+    def s(c2: Int, cPrev: Int, cCur: Int) = BigDecimal(
+        -math.log(0.7 * (c2.toDouble / cPrev) +
+          (1.0 - 0.7) * (cCur.toDouble / 6.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sAB = s(2, 3, 2); val sBA = s(1, 2, 3); val sAC = s(1, 3, 1)
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L)
+    assert(out(1L)._2 == r6(BigDecimal((sAB * 2 + sBA).toDouble / 3)),
+      out.toString)
+    assert(out(2L)._2 == r6(BigDecimal(sAC.toDouble / 1)))
+    assert(out(2L)._2 > out(1L)._2,
+      "novel pair must out-surprise the corpus-typical pairs")
+  }
 }

@@ -317,4 +317,41 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSet == again.toSet)
   }
+
+  test("recallVsExact: hit counting by hand, zero-hit queries kept") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val out = graft.ops.TrainingData.recallVsExact(exact, approx)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((5L, 2L, 0.4))) // 99 is a miss, not a hit
+    assert(out(2L) == ((2L, 0L, 0.0)), "zero-hit query must still appear")
+    assert(!out.contains(3L), "approx-only ids are not audited queries")
+  }
+
+  test("annRecallAudit on the real corpus: auto-sized LSH recalls most " +
+      "of the exact top-10; both indexes bounded and complete") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val out = graft.ops.TrainingData.annRecallAudit(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 15),
+        "vec_id", "embedding", dim = 64, k = 10)
+      .collect().map(r => (r.getString(4), r.getLong(0)) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val lsh = out.filter(_._1._1 == "lsh").values.toSeq
+    val ivf = out.filter(_._1._1 == "ivf").values.toSeq
+    assert(lsh.size == 15 && ivf.size == 15, "every query audited per index")
+    assert(out.values.forall { case (k10, hits, rec) =>
+      k10 == 10L && hits >= 0L && hits <= 10L &&
+        rec >= 0.0 && rec <= 1.0 && rec == hits / 10.0
+    }, out.toString)
+    val lshMean = lsh.map(_._3).sum / lsh.size
+    assert(lshMean >= 0.8, s"auto-sized LSH mean recall $lshMean below 0.8")
+    // low-cosine neighbor regime: the many-band LSH table must beat the
+    // 3-probe IVF here (the audit's whole point is making this visible)
+    val ivfMean = ivf.map(_._3).sum / ivf.size
+    assert(lshMean > ivfMean, s"lsh $lshMean vs ivf $ivfMean")
+  }
 }

@@ -611,4 +611,30 @@ class StatsSpec extends AnyFunSuite {
     assert(calmOut.values.forall(v => v._1 < 0.001 && v._2 == "stable"),
       calmOut.toString)
   }
+
+  test("seasonalAnomalies: 2x spike day flagged; its weekday peers and " +
+      "calm days stay quiet; expectation excludes the day itself") {
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    var id = 0L
+    val rows = (0 until 28).flatMap { d =>
+      val n = if (d == 9) 20 else 10 // Jan 10 doubles its Wednesday volume
+      (0 until n).map { i =>
+        id += 1
+        (id, t0.plusDays(d.toLong).plusMinutes(i.toLong), 1L, "a", 0.0)
+      }
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.Temporal.seasonalAnomalies(df)
+      .collect().map(r => r.getTimestamp(0).toLocalDateTime.getDayOfMonth ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out.size == 28)
+    // spike day: LOO expectation is its three calm Wednesday peers (10)
+    assert(out(10) == ((10.0, 2.0, true)), out(10).toString)
+    // a calm Wednesday: expectation (10+10+20)/3 — the spike inflates the
+    // baseline but not past the 2/3 low gate
+    val peer = out(3)
+    assert(peer._1 == 13.333333 && !peer._3, peer.toString)
+    // every non-Wednesday day: expectation exactly 10, ratio 1, quiet
+    assert(out.count(_._2._3) == 1, "exactly one anomaly")
+  }
 }
