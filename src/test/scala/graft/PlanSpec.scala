@@ -361,4 +361,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the (segment, bin)→target map must broadcast:\n${p.take(3000)}")
   }
+
+  test("q167 profile drift: snapshots are profiled, never joined row-wise") {
+    val p = finalPlan("q167_profile_drift")
+    // the only join is the cols-sized profile-row join (broadcast); a
+    // row-level snapshot join would shuffle the fact table
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the exact multi-distinct profile is the documented Expand plan
+    assert(p.contains("Expand"), p.take(3000))
+  }
+
+  test("q168 seasonal anomalies: weekday baseline broadcasts, no window " +
+      "touches fact rows") {
+    val p = finalPlan("q168_seasonal_anomalies")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"),
+      s"daily frame must use aggregates, not fact-side windows:\n" +
+        p.take(3000))
+  }
+
+  test("q170 embargo split: one conditional aggregate, no join, no window") {
+    val p = finalPlan("q170_embargo_split")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"three zone counters must ride ONE user-keyed exchange:\n" +
+        p.take(3000))
+  }
+
+  test("q171 bigram xent: model rejoins are hash joins; the only nested " +
+      "loop is the 1-row totals broadcast") {
+    val p = finalPlan("q171_bigram_xent")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the N-total scalar rides the same 1-row crossJoin(broadcast) shape
+    // as q148 — anything beyond that one is a real candidate explosion
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"bigram/prev/cur model rejoins must be hash joins:\n${p.take(3000)}")
+  }
 }
