@@ -858,9 +858,84 @@ object Mining {
       .orderBy("event_type")
   }
 
+  // --------------------------------------------------------------- q173
+  /** Count-Min counter frame: the CMS counter table as PLAIN aggregated
+    * rows — (hash-row d, bucket j, count). Buckets come from md5 (first
+    * 8 hex chars mod `width`, one salt per depth row), so the sketch is
+    * engine-portable and the DuckDB oracle reproduces it counter for
+    * counter — unlike Spark's `count_min_sketch` binary (q100), which is
+    * write-only to other engines. One pass: the depth replication is a
+    * projection-side explode (Spark's own multi-distinct Expand shape),
+    * then a (d, j) hash aggregate with map-side combine — at most
+    * depth·width rows survive regardless of input size. */
+  def cmsCounterFrame(df: DataFrame, key: Column, depth: Int,
+                      width: Int): DataFrame = {
+    val rows = (0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        (conv(substring(md5(concat_ws(":", lit(d.toString),
+          key.cast("string"))), 1, 8), 16, 10)
+          .cast("long") % width).as("j"))
+    }
+    df.select(explode(array(rows: _*)).as("e"))
+      .groupBy(col("e.d").as("d"), col("e.j").as("j"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Join-size estimation via the CMS inner product (AMS-style): the
+    * estimated size of `a ⋈ b` on a key is min over hash rows d of
+    * Σ_j cmsA[d][j]·cmsB[d][j] — the classic sketch a planner consults
+    * BEFORE committing to a join order, because it needs one cheap pass
+    * per side instead of the join itself. Never under-estimates (counters
+    * are non-negative; collisions only add), so `ok` = est ≥ exact is an
+    * invariant, and the exact size is computed alongside as the in-query
+    * ground truth (the validate-your-sketch-config pattern, q100).
+    *
+    * Scale shape: each side is one sketch pass (≤ depth·width surviving
+    * rows); the inner product joins the two SKETCH frames on (d, j).
+    * The exact half joins per-key COUNT frames — |keys| rows, not facts.
+    * At 100 TB only the sketches cross the wire; the exact half is the
+    * test-harness validation, dropped in production use. */
+  def joinSizeEstimate(a: DataFrame, aKey: Column, b: DataFrame,
+                       bKey: Column, depth: Int = 5,
+                       width: Int = 8192): DataFrame = {
+    val ca = cmsCounterFrame(a, aKey, depth, width)
+      .withColumnRenamed("c", "c1")
+    val cb = cmsCounterFrame(b, bKey, depth, width)
+      .withColumnRenamed("c", "c2")
+    val dots = ca.join(cb, Seq("d", "j"))
+      .groupBy(col("d")).agg(sum(col("c1") * col("c2")).as("dot"))
+    // a hash row whose buckets never overlap has inner product 0 — it
+    // must stay in the min (an inner-join-only min would silently drop
+    // the tightest row and report the min of the OTHER rows)
+    val depths = a.sparkSession.range(depth)
+      .select(col("id").cast("int").as("d"))
+    val est = depths.join(dots, Seq("d"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("cms_est"))
+    val xa = a.select(aKey.as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("ka"))
+    val xb = b.select(bKey.as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("kb"))
+    val ex = xa.join(xb, "k")
+      .agg(coalesce(sum(col("ka") * col("kb")), lit(0L)).as("exact_size"))
+    ex.crossJoin(est)
+      .select(col("exact_size"), col("cms_est"),
+        (col("cms_est") - col("exact_size")).as("over_count"),
+        when(col("exact_size") > 0,
+          round((col("cms_est") - col("exact_size")).cast("double") /
+            col("exact_size"), 6)).as("rel_err"),
+        (col("cms_est") >= col("exact_size")).as("ok"))
+  }
+
+  /** q173 entry: estimated vs exact size of events ⋈ orders on
+    * user/customer key. */
+  def q173JoinsizeEstimate(spark: SparkSession, dir: String): DataFrame =
+    joinSizeEstimate(t(spark, dir, "events"), col("user_id"),
+      t(spark, dir, "orders"), col("o_custkey"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_joinsize_estimate" -> q173JoinsizeEstimate _,
     "q100_cms_heavy_hitters" -> q100CmsHeavyHitters _,
     "q101_bigram_familiarity" -> q101BigramFamiliarity _,
     "q102_event_transitions" -> q102EventTransitions _,
@@ -888,6 +963,45 @@ object Mining {
     * (FNV perceptual hash) are engine-internal → rows-only; their
     * correctness envelopes live in MiningSpec. */
   val oracle: Map[String, String] = Map(
+    // q173: the md5-bucketed sketch is engine-portable, so the ESTIMATE
+    // itself is value-pinned (pure integer counters), not just the exact
+    // ground truth. DuckDB parses the hex head via the 0x-cast; Spark
+    // uses conv(_,16,10) — same 32-bit value.
+    "q173_joinsize_estimate" ->
+      """WITH ea AS (SELECT user_id AS k FROM events),
+        |ob AS (SELECT o_custkey AS k FROM orders),
+        |ca AS (
+        |  SELECT d,
+        |         CAST(CAST(concat('0x', substr(md5(concat(d, ':',
+        |           CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 8192
+        |           AS BIGINT) AS j,
+        |         COUNT(*) AS c1
+        |  FROM ea, unnest([0, 1, 2, 3, 4]) AS t(d) GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT d,
+        |         CAST(CAST(concat('0x', substr(md5(concat(d, ':',
+        |           CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 8192
+        |           AS BIGINT) AS j,
+        |         COUNT(*) AS c2
+        |  FROM ob, unnest([0, 1, 2, 3, 4]) AS t(d) GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT d, SUM(c1 * c2) AS dot
+        |  FROM ca JOIN cb USING (d, j) GROUP BY d),
+        |est AS (
+        |  SELECT CAST(MIN(coalesce(dot, 0)) AS BIGINT) AS cms_est
+        |  FROM unnest([0, 1, 2, 3, 4]) AS t(d) LEFT JOIN dots USING (d)),
+        |xa AS (SELECT k, COUNT(*) AS ka FROM ea GROUP BY k),
+        |xb AS (SELECT k, COUNT(*) AS kb FROM ob GROUP BY k),
+        |ex AS (
+        |  SELECT CAST(coalesce(SUM(ka * kb), 0) AS BIGINT) AS exact_size
+        |  FROM xa JOIN xb USING (k))
+        |SELECT exact_size, cms_est,
+        |       cms_est - exact_size AS over_count,
+        |       CASE WHEN exact_size > 0
+        |            THEN round(CAST(cms_est - exact_size AS DOUBLE)
+        |                       / exact_size, 6) END AS rel_err,
+        |       cms_est >= exact_size AS ok
+        |FROM ex, est""".stripMargin,
     // q155: per-dim z² rounds to DECIMAL(28,12) before the vec fold so
     // the Σ is order-free; moments mirror q145 exactly.
     "q155_embedding_outliers" ->

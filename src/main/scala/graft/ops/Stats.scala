@@ -509,6 +509,61 @@ object Stats {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------- q174
+  /** Linear-interpolation gap fill — the straight-line upgrade of q95's
+    * LOCF: a missing day's value is drawn on the line between its nearest
+    * observed neighbors, weighted by day distance (LOCF's step function
+    * biases trailing averages whenever a gap sits on a trend; sensor and
+    * revenue series conventionally interpolate). Observed days pass
+    * through untouched; the spine ends at the observed extremes, so both
+    * neighbors always exist.
+    *
+    * Scale shape: q95's exact contract — the spine and both
+    * direction windows run on the bounded post-aggregate DAY frame
+    * (the unpartitioned window rides |days| rows, never facts; the
+    * same documented bounded-frame contract). Interpolation arithmetic
+    * is fixed-order double ops on integer day distances, mirrored
+    * verbatim in the oracle. */
+  def linearInterpDaily(daily: DataFrame, dayCol: String,
+                        valCol: String): DataFrame = {
+    val spine = daily
+      .agg(min(col(dayCol)).as("mn"), max(col(dayCol)).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 day"))).as(dayCol))
+    val wb = Window.orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.orderBy(col(dayCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the spine spans [min(day), max(day)] of the OBSERVED series, so
+    // every row has an observed neighbor on both sides — no one-sided
+    // fallback branch exists (or could ever run)
+    spine.join(daily, Seq(dayCol), "left")
+      .withColumn("prev_v", last(col(valCol), ignoreNulls = true).over(wb))
+      .withColumn("prev_d",
+        last(when(col(valCol).isNotNull, col(dayCol)), ignoreNulls = true)
+          .over(wb))
+      .withColumn("next_v",
+        first(col(valCol), ignoreNulls = true).over(wf))
+      .withColumn("next_d",
+        first(when(col(valCol).isNotNull, col(dayCol)), ignoreNulls = true)
+          .over(wf))
+      .select(col(dayCol), col(valCol).isNull.as("is_gap"),
+        round(
+          when(col(valCol).isNotNull, col(valCol))
+            .otherwise(col("prev_v") +
+              (col("next_v") - col("prev_v")) *
+                (datediff(col(dayCol), col("prev_d")).cast("double") /
+                  datediff(col("next_d"), col("prev_d")).cast("double"))),
+          6).as(s"${valCol}_interp"))
+  }
+
+  def q174LinearInterp(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    linearInterpDaily(daily, "day", "revenue").orderBy("day")
+  }
+
   // ---------------------------------------------------------------- q91
   /** Distribution position of every customer inside its segment:
     * percent_rank + cume_dist over account balance (value-based, so ties
@@ -820,6 +875,7 @@ object Stats {
     "q91_percent_rank" -> q91PercentRank _,
     "q94_recursive_hierarchy" -> q94RecursiveHierarchy _,
     "q95_locf_gapfill" -> q95LocfGapfill _,
+    "q174_linear_interp" -> q174LinearInterp _,
     "q98_full_outer_reconcile" -> q98FullOuterReconcile _,
     "q99_dense_grid" -> q99DenseGrid _)
 
@@ -1300,6 +1356,41 @@ object Stats {
         |  WHERE o.o_orderkey > 9)
         |SELECT k AS o_orderkey, root AS root_key, CAST(depth AS BIGINT) AS depth
         |FROM h ORDER BY o_orderkey""".stripMargin,
+    // q174: the interpolation expression mirrors the engine's fixed
+    // operation order term by term (prev + (next−prev) · dayfrac, all
+    // DOUBLE); day distances are integer datediffs.
+    "q174_linear_interp" ->
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         |         ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d),
+         |    INTERVAL 1 DAY)) AS day),
+         |f AS (
+         |  SELECT spine.day, d.revenue,
+         |         last_value(d.revenue IGNORE NULLS) OVER wb AS prev_v,
+         |         last_value(CASE WHEN d.revenue IS NOT NULL
+         |                         THEN spine.day END IGNORE NULLS)
+         |           OVER wb AS prev_d,
+         |         first_value(d.revenue IGNORE NULLS) OVER wf AS next_v,
+         |         first_value(CASE WHEN d.revenue IS NOT NULL
+         |                          THEN spine.day END IGNORE NULLS)
+         |           OVER wf AS next_d
+         |  FROM spine LEFT JOIN d ON spine.day = d.day
+         |  WINDOW wb AS (ORDER BY spine.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (ORDER BY spine.day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT day, revenue IS NULL AS is_gap,
+         |       round(CASE
+         |         WHEN revenue IS NOT NULL THEN revenue
+         |         ELSE prev_v + (next_v - prev_v) *
+         |           (CAST(date_diff('day', prev_d, day) AS DOUBLE) /
+         |            CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+         |         END, 6) AS revenue_interp
+         |FROM f ORDER BY day""".stripMargin,
     "q95_locf_gapfill" ->
       s"""WITH d AS (
          |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,

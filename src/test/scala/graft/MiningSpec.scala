@@ -582,4 +582,41 @@ class MiningSpec extends AnyFunSuite {
       "the far point must flag")
     assert(out(5L)._2 > out(1L)._2 && out(1L)._2 > out(2L)._2)
   }
+
+  test("cmsCounterFrame: per-row counters conserve mass, buckets bounded") {
+    val df = Seq(1L, 1L, 2L, 7L, 7L, 7L).toDF("k")
+    val out = graft.ops.Mining.cmsCounterFrame(df, col("k"), depth = 4,
+        width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    (0 until 4).foreach { d =>
+      assert(out.filter(_._1 == d).map(_._3).sum == 6L,
+        s"row $d loses mass")
+    }
+    assert(out.forall(r => r._2 >= 0 && r._2 < 64))
+  }
+
+  test("joinSizeEstimate: single shared key is exact; estimate never " +
+      "under-counts on multi-key inputs") {
+    // one key on both sides: only its own buckets carry counts, so the
+    // inner product is exactly cA·cB in every hash row
+    val a1 = Seq(5L, 5L, 5L).toDF("x")
+    val b1 = Seq(5L, 5L).toDF("y")
+    val r1 = graft.ops.Mining.joinSizeEstimate(a1, col("x"), b1, col("y"))
+      .collect().head
+    assert(r1.getLong(0) == 6L && r1.getLong(1) == 6L &&
+      r1.getLong(2) == 0L && r1.getBoolean(4), r1.toString)
+    // multi-key: Σ cA(k)·cB(k) = 2·1 + 1·2 = 4; CMS may over-count on
+    // collisions but never under
+    val a2 = Seq(1L, 1L, 2L, 3L).toDF("x")
+    val b2 = Seq(1L, 2L, 2L, 9L).toDF("y")
+    val r2 = graft.ops.Mining.joinSizeEstimate(a2, col("x"), b2, col("y"))
+      .collect().head
+    assert(r2.getLong(0) == 4L, r2.toString)
+    assert(r2.getLong(1) >= 4L && r2.getBoolean(4))
+    // disjoint key sets: exact size 0, estimate still >= 0
+    val r3 = graft.ops.Mining.joinSizeEstimate(
+        Seq(1L).toDF("x"), col("x"), Seq(2L).toDF("y"), col("y"))
+      .collect().head
+    assert(r3.getLong(0) == 0L && r3.getBoolean(4), r3.toString)
+  }
 }

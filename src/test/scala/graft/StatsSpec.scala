@@ -637,4 +637,23 @@ class StatsSpec extends AnyFunSuite {
     // every non-Wednesday day: expectation exactly 10, ratio 1, quiet
     assert(out.count(_._2._3) == 1, "exactly one anomaly")
   }
+
+  test("linearInterpDaily: gap days sit on the line between neighbors, " +
+      "observed days pass through, LOCF step bias gone") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, day, 0, 0))
+    // observed days 1, 4, 5, 9 — gaps 2,3 (rising line) and 6,7,8 (falling)
+    val daily = Seq((d(1), 100.0), (d(4), 400.0), (d(5), 500.0),
+      (d(9), 100.0)).toDF("day", "v")
+    val out = graft.ops.Stats.linearInterpDaily(daily, "day", "v")
+      .collect().map(r => r.getTimestamp(0).toLocalDateTime.getDayOfMonth ->
+        (r.getBoolean(1), r.getDouble(2))).toMap
+    assert(out.size == 9)
+    assert(out(1) == ((false, 100.0)) && out(4) == ((false, 400.0)) &&
+      out(9) == ((false, 100.0)))
+    assert(out(2) == ((true, 200.0)) && out(3) == ((true, 300.0)),
+      out.toString)
+    assert(out(6) == ((true, 400.0)) && out(7) == ((true, 300.0)) &&
+      out(8) == ((true, 200.0)))
+  }
 }
