@@ -372,8 +372,45 @@ object Analytics {
          |         l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  // --------------------------------------------------------------- q175
+  /** 2-D skyline (Pareto frontier): the rows no other row beats on BOTH
+    * axes — here the parts where no alternative is simultaneously at
+    * least as large AND at least as cheap (strictly better on one axis).
+    * The multi-criteria answer a single weighted score can't give: every
+    * skyline point is optimal under SOME size/price trade-off.
+    *
+    * Scale shape: the naive form is the O(n²) dominance anti-join the
+    * ORACLE runs. Here dominance collapses onto the per-size minimum:
+    * a row survives iff it is the cheapest at its own size (per-size
+    * aggregate, map-side combine, |sizes| rows out) AND no strictly
+    * larger size is as cheap or cheaper (a strict running min over the
+    * size-DESC-ordered per-size frame — a window over |sizes| rows,
+    * never facts). The fact table is touched by exactly one aggregate
+    * and one broadcast-joined filter — no self-join, no global sort. */
+  def skyline2d(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val perMax = df.groupBy(col(maxCol))
+      .agg(min(col(minCol)).as("best_min"))
+    val wGt = Window.orderBy(col(maxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perMax
+      .withColumn("min_gt", min(col("best_min")).over(wGt))
+    df.join(broadcast(frontier), Seq(maxCol))
+      .filter(col(minCol) === col("best_min") &&
+        (col("min_gt").isNull || col("min_gt") > col(minCol)))
+      .drop("best_min", "min_gt")
+  }
+
+  /** q175 entry: the size/price-efficient frontier of the parts catalog. */
+  def q175Skyline(spark: SparkSession, dir: String): DataFrame =
+    skyline2d(t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        maxCol = "p_size", minCol = "p_retailprice")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_skyline" -> q175Skyline _,
     "q21_group_agg" -> q21GroupAgg _,
     "q22_dedup_exact" -> q22DedupExact _,
     "q23_neardup_minhash" -> q23NeardupMinhash _,
@@ -402,6 +439,20 @@ object Analytics {
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL++
     * estimate with no exact-mode guarantee) are rows-only — no entries. */
   val oracle: Map[String, String] = Map(
+    // q175: the oracle is the INDEPENDENT O(n²) dominance anti-join the
+    // engine's per-size-minimum formulation replaces — completeness of
+    // the frontier collapse is exactly what's checked. Raw stored values
+    // only, no float arithmetic.
+    "q175_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size
+        |         OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_partkey""".stripMargin,
     // q93: the exact count pins value-exact; the estimate column is an
     // in-engine 5% envelope check the oracle expects TRUE at every scale
     // (the raw estimate is only coupon-exact below ~384 distinct at

@@ -567,10 +567,61 @@ object Audit {
         k = 5)
       .orderBy("c_nationkey", "c_mktsegment", "bal_band")
 
+  // --------------------------------------------------------------- q176
+  /** Zero-clamped running balance (inventory semantics): per user, a
+    * running total that can never go below zero — each withdrawal draws
+    * only what's there. q112's reset-bounded balance is window-
+    * expressible because its reset points are DATA (signup rows); the
+    * clamp is not: max(0, ·) applies at EVERY step, so the fold is
+    * non-associative and no prefix-sum window can express it. This is
+    * the one operator family that is genuinely sequential per key.
+    *
+    * Scale shape — the spill-safe Spark form of "sequential per key":
+    * one hash repartition on user_id, an EXTERNAL sort within partitions
+    * on (user, ts, id), then a single forward pass with O(1) state (two
+    * longs), resetting at each key change. No per-group in-memory
+    * buffering (a groupByKey+flatMapGroups fold would materialize each
+    * user's history on the heap); a 100 TB key's history streams through
+    * the sorted iterator. Deltas are integer CENTS, so the fold is
+    * exact and engine-portable. */
+  def clampedBalance(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "click",
+          round(col("value") * 100).cast("long"))
+          .when(col("event_type") === "purchase",
+            -round(col("value") * 100).cast("long"))
+          .otherwise(0L).as("delta"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      // the narrow projection after the sort is exchange-free, so the
+      // partition-local (user, ts, id) order reaches the fold intact
+      .select(col("user_id"), col("event_id"), col("delta"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var bal = 0L
+        it.map { case (uid, eid, delta) =>
+          if (uid != cur) { cur = uid; bal = 0L }
+          bal = math.max(0L, bal + delta)
+          (uid, eid, bal)
+        }
+      }
+      .toDF("user_id", "event_id", "bal_cents")
+  }
+
+  /** q176 entry: clicks deposit, purchases draw, floors at zero. */
+  def q176ClampedBalance(spark: SparkSession, dir: String): DataFrame =
+    clampedBalance(t(spark, dir, "events"))
+      .orderBy("user_id", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_burst_detect" -> q154BurstDetect _,
     "q167_profile_drift" -> q167ProfileDrift _,
     "q169_k_anonymity" -> q169KAnonymity _,
+    "q176_clamped_balance" -> q176ClampedBalance _,
     "q157_zorder_stats" -> q157ZorderStats _,
     "q110_quality_audit" -> q110QualityAudit _,
     "q111_weekly_churn" -> q111WeeklyChurn _,
@@ -675,6 +726,29 @@ object Audit {
         |FROM customer
         |GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    // q176: the oracle replays each user's prefix with an O(n²)-per-user
+    // list_reduce — an INDEPENDENT formulation of the same clamped fold;
+    // integer cents keep it exact. The init 0 is prepended so the fold's
+    // accumulator starts at an empty balance.
+    "q176_clamped_balance" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'click'
+        |         THEN CAST(round(value * 100) AS BIGINT)
+        |         WHEN event_type = 'purchase'
+        |         THEN -CAST(round(value * 100) AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |l AS (SELECT user_id, list(delta ORDER BY rn) AS ds
+        |      FROM d GROUP BY user_id)
+        |SELECT d.user_id, d.event_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), ds[1:d.rn]),
+        |                   (acc, x) -> greatest(CAST(0 AS BIGINT),
+        |                                        acc + x)) AS bal_cents
+        |FROM d JOIN l USING (user_id)
+        |ORDER BY d.user_id, d.event_id""".stripMargin,
     // q157: min/max 8-bit rescale (identical IEEE divide+floor), then
     // the interleave replicated bit-for-bit with integer ops.
     "q157_zorder_stats" ->

@@ -295,4 +295,23 @@ class AuditSpec extends AnyFunSuite {
     val atRiskRows = out.values.filter(_._2).map(_._1).sum
     assert(atRiskRows == 3L && out.values.map(_._1).sum == 8L)
   }
+
+  test("clampedBalance: the floor absorbs overdraws — a prefix-sum window " +
+      "could not produce this sequence") {
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val ev = Seq(
+      (1L, 7L, t0, "click", 5.0),                  // +500 → 500
+      (2L, 7L, t0.plusMinutes(1), "purchase", 9.0), // -900 → clamp 0
+      (3L, 7L, t0.plusMinutes(2), "click", 3.0),   // +300 → 300 (NOT -100)
+      (4L, 7L, t0.plusMinutes(3), "view", 99.0),   // no-op → 300
+      (5L, 7L, t0.plusMinutes(4), "purchase", 1.0), // -100 → 200
+      (6L, 8L, t0, "purchase", 2.0)                // fresh user clamps at 0
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.ops.Audit.clampedBalance(ev)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 500L, 2L -> 0L, 3L -> 300L, 4L -> 300L,
+      5L -> 200L, 6L -> 0L), out.toString)
+    // the unclamped prefix sum would give event 3 a balance of -100:
+    // the clamp is the semantics, not a display floor
+  }
 }

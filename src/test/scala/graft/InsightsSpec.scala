@@ -257,4 +257,30 @@ class InsightsSpec extends AnyFunSuite {
     assert(sampleAvg > corpusAvg,
       s"weighting must bias long docs: $sampleAvg vs $corpusAvg")
   }
+
+  test("skyline2d ≡ brute-force dominance; ties share the frontier, " +
+      "equal-price larger size dominates") {
+    // (id, size↑, price↓): 3 duplicates 2 exactly; 4 matches their price
+    // at a LARGER size, so it dominates both (equal price + strictly
+    // larger size); 5 is strictly dominated by 4; 6 loses to 1 on price
+    // at the same size; the frontier is {4, 7, 1}
+    val rows = Seq((1L, 10, 5.0), (2L, 3, 1.0), (3L, 3, 1.0),
+      (4L, 5, 1.0), (5L, 4, 2.0), (6L, 10, 7.0), (7L, 8, 3.0),
+      (8L, 12, 9.0), (9L, 12, 9.0)) // identical frontier pair: both stay
+    val pts = rows.toDF("id", "sz", "price")
+    val out = graft.ops.Analytics.skyline2d(pts, "sz", "price")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // brute force on the driver
+    val expected = rows.filter { p =>
+      !rows.exists(q => q._2 >= p._2 && q._3 <= p._3 &&
+        (q._2 > p._2 || q._3 < p._3))
+    }.map(_._1).toSet
+    assert(out == expected, s"$out vs $expected")
+    assert(!out.contains(2L) && !out.contains(3L),
+      "equal-price larger size must dominate the smaller ties")
+    assert(out.contains(4L) && out.contains(1L) && out.contains(7L))
+    assert(out.contains(8L) && out.contains(9L),
+      "an identical pair on the frontier must BOTH survive")
+    assert(!out.contains(5L) && !out.contains(6L))
+  }
 }
