@@ -567,6 +567,48 @@ object Audit {
         k = 5)
       .orderBy("c_nationkey", "c_mktsegment", "bal_band")
 
+  // --------------------------------------------------------------- q178
+  /** Laplace-noised group counts — the differential-privacy release
+    * mechanism (sensitivity-1 counts + Laplace(1/ε) noise, here ε=0.5),
+    * the release-side complement of the q169 k-anonymity audit: q169
+    * measures who is exposed by exact counts, this is the standard way
+    * NOT to release exact counts. Noise is derived from a SEEDED md5
+    * inverse-CDF draw so the release is reproducible and oracle-testable;
+    * real DP requires the draw to be secret and single-use — the seed is
+    * the test harness's concession, swapped for a secure source in
+    * production (documented, not hidden). True counts ride along as the
+    * in-query ground truth (q100/q173's validate-the-mechanism pattern)
+    * and are dropped from a real release.
+    *
+    * Scale shape: one hash aggregate (the same frame as q169), then
+    * pure per-row arithmetic — the noise draw is a projection, no second
+    * pass, no collect. The (hexhead+0.5)/2³² uniform is strictly inside
+    * (0,1), so ln never sees 0; the draw rounds to 6 dp before release
+    * to absorb last-ulp libm differences across engines. */
+  def dpNoisyCounts(df: DataFrame, keys: Seq[String],
+                    epsilon: Double): DataFrame = {
+    val b = 1.0 / epsilon
+    val seed = concat_ws(":",
+      lit("dp") +: keys.map(k => col(k).cast("string")): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("v",
+        (conv(substring(md5(seed), 1, 8), 16, 10).cast("double") + 0.5) /
+          4294967296.0 - 0.5)
+      .withColumn("noise",
+        round(lit(-b) * signum(col("v")) *
+          log(lit(1.0) - lit(2.0) * abs(col("v"))), 6))
+      .withColumn("released",
+        greatest(lit(0L), round(col("n") + col("noise")).cast("long")))
+      .drop("v")
+  }
+
+  /** q178 entry: ε=0.5 noisy release of the (nation, segment) counts. */
+  def q178DpNoisyCounts(spark: SparkSession, dir: String): DataFrame =
+    dpNoisyCounts(t(spark, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), epsilon = 0.5)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   // --------------------------------------------------------------- q176
   /** Zero-clamped running balance (inventory semantics): per user, a
     * running total that can never go below zero — each withdrawal draws
@@ -622,6 +664,7 @@ object Audit {
     "q167_profile_drift" -> q167ProfileDrift _,
     "q169_k_anonymity" -> q169KAnonymity _,
     "q176_clamped_balance" -> q176ClampedBalance _,
+    "q178_dp_noisy_counts" -> q178DpNoisyCounts _,
     "q157_zorder_stats" -> q157ZorderStats _,
     "q110_quality_audit" -> q110QualityAudit _,
     "q111_weekly_churn" -> q111WeeklyChurn _,
@@ -726,6 +769,28 @@ object Audit {
         |FROM customer
         |GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    // q178: the md5 inverse-CDF draw is replicated term by term; the
+    // (hexhead+0.5)/2³² uniform is exact double arithmetic in both
+    // engines, and the 6-dp round on the draw absorbs libm ln ulps.
+    "q178_dp_noisy_counts" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |d AS (
+        |  SELECT *,
+        |    (CAST(CAST(concat('0x', substr(md5(concat('dp', ':',
+        |       CAST(c_nationkey AS VARCHAR), ':', c_mktsegment)), 1, 8))
+        |       AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS v
+        |  FROM g),
+        |r AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |         round(-2.0 * sign(v) * ln(1.0 - 2.0 * abs(v)), 6)
+        |           AS noise
+        |  FROM d)
+        |SELECT c_nationkey, c_mktsegment, n, noise,
+        |       greatest(CAST(0 AS BIGINT),
+        |                CAST(round(n + noise) AS BIGINT)) AS released
+        |FROM r ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // q176: the oracle replays each user's prefix with an O(n²)-per-user
     // list_reduce — an INDEPENDENT formulation of the same clamped fold;
     // integer cents keep it exact. The init 0 is prepended so the fold's

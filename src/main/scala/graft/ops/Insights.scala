@@ -399,8 +399,47 @@ object Insights {
       .orderBy("source", "rnk")
   }
 
+  // --------------------------------------------------------------- q177
+  /** Funnel time-to-convert: for every conversion, the time from the
+    * FIRST touch of its journey (the touches since the user's previous
+    * purchase — q150's journey segmentation) to the purchase, reported
+    * as weekly exact p50/p90. The latency half of funnel analysis: q66
+    * says HOW MANY convert, this says how long conversion takes, and the
+    * p90 tail is what a "did the new flow slow users down" review reads.
+    *
+    * Scale shape: journey id and journey start ride the SAME user-keyed
+    * exchange (the (user, jid) window refines the user partitioning —
+    * q150's asserted plan shape); conversions then collapse to a
+    * |weeks|-row exact-percentile aggregate over integer microsecond
+    * waits. Instant conversions (a purchase opening its own journey)
+    * count at 0 s. */
+  def timeToConvert(events: DataFrame,
+                    convType: String = "purchase"): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wJourney = Window.partitionBy(col("user_id"), col("jid"))
+    events
+      .withColumn("jid",
+        count(when(col("event_type") === convType, 1)).over(wPrev))
+      .withColumn("j_start_us",
+        min(unix_micros(col("ts").cast("timestamp"))).over(wJourney))
+      .filter(col("event_type") === convType)
+      .select(date_trunc("week", col("ts")).as("week"),
+        (unix_micros(col("ts").cast("timestamp")) - col("j_start_us"))
+          .as("wait_us"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(expr("percentile(wait_us, 0.5)") / 1000000.0, 3).as("p50_s"),
+        round(expr("percentile(wait_us, 0.9)") / 1000000.0, 3).as("p90_s"))
+  }
+
+  def q177TimeToConvert(spark: SparkSession, dir: String): DataFrame =
+    timeToConvert(t(spark, dir, "events")).orderBy("week")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_time_to_convert" -> q177TimeToConvert _,
     "q150_position_attribution" -> q150PositionAttribution _,
     "q162_source_top_terms" -> ((s: SparkSession, d: String) =>
       q162SourceTopTerms(s, d)),
@@ -418,6 +457,29 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q177: integer-microsecond waits feed the exact percentile
+    // (quantile_cont ≡ Spark percentile, q59's proven mirror); the /1e6
+    // second conversion happens AFTER interpolation in both engines.
+    "q177_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         COUNT(*) FILTER (event_type = 'purchase') OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS jid
+        |  FROM events),
+        |j AS (
+        |  SELECT *, MIN(epoch_us(ts)) OVER (PARTITION BY user_id, jid)
+        |           AS j_start_us
+        |  FROM ev),
+        |c AS (
+        |  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+        |         epoch_us(ts) - j_start_us AS wait_us
+        |  FROM j WHERE event_type = 'purchase')
+        |SELECT week, COUNT(*) AS n_conversions,
+        |       round(quantile_cont(wait_us, 0.5) / 1000000.0, 3) AS p50_s,
+        |       round(quantile_cont(wait_us, 0.9) / 1000000.0, 3) AS p90_s
+        |FROM c GROUP BY week ORDER BY week""".stripMargin,
     // q162: the oracle is the NAIVE per-group window the bounded
     // aggregate replaces.
     "q162_source_top_terms" ->

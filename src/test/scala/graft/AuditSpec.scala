@@ -314,4 +314,27 @@ class AuditSpec extends AnyFunSuite {
     // the unclamped prefix sum would give event 3 a balance of -100:
     // the clamp is the semantics, not a display floor
   }
+
+  test("dpNoisyCounts: reproducible draw, floor at zero, release " +
+      "consistent with its own noise column") {
+    val df = (Seq.fill(40)(("US", "A")) ++ Seq.fill(3)(("US", "B")) ++
+      Seq(("DE", "A"))).toDF("nat", "seg")
+    val out = graft.ops.Audit.dpNoisyCounts(df, Seq("nat", "seg"), 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out.size == 3)
+    out.foreach { case (k, (n, noise, released)) =>
+      assert(released >= 0L, s"$k negative release")
+      val expected = math.max(0L,
+        BigDecimal(n + noise).setScale(0,
+          BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(released == expected, s"$k: $released vs $expected")
+    }
+    assert(out.values.exists(_._2 != 0.0), "noise must actually perturb")
+    // same seed, same draw — the release is reproducible by design
+    val again = graft.ops.Audit.dpNoisyCounts(df, Seq("nat", "seg"), 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(again == out)
+  }
 }

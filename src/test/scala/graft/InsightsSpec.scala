@@ -283,4 +283,21 @@ class InsightsSpec extends AnyFunSuite {
       "an identical pair on the frontier must BOTH survive")
     assert(!out.contains(5L) && !out.contains(6L))
   }
+
+  test("time-to-convert: waits measured from each journey's first touch; " +
+      "instant conversions count at zero") {
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val ev = Seq(
+      (1L, 7L, t0, "view", 0.0),
+      (2L, 7L, t0.plusSeconds(60), "click", 0.0),
+      (3L, 7L, t0.plusSeconds(120), "purchase", 0.0), // wait 120 s
+      (4L, 7L, t0.plusSeconds(300), "purchase", 0.0)  // instant: wait 0 s
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Insights.timeToConvert(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // waits are [0, 120] s → interpolated p50 = 60 s, p90 = 108 s
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 60.0 &&
+      r.getDouble(3) == 108.0, r.toString)
+  }
 }
