@@ -399,4 +399,63 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"bigram/prev/cur model rejoins must be hash joins:\n${p.take(3000)}")
   }
+
+  test("q173 join-size estimate: sketch frames join broadcast — facts " +
+      "never meet in a sort-merge join") {
+    val p = finalPlan("q173_joinsize_estimate")
+    // both sides collapse to <= depth*width counter rows (and |keys|
+    // count rows for the exact half) BEFORE any join; the only
+    // nested-loop shapes are the 1-row est x exact combiners
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"sketch/count frames are tiny — every join must broadcast:\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q174 linear interp: both direction windows ride the bounded day " +
+      "frame, after the fact aggregate") {
+    val p = finalPlan("q174_linear_interp")
+    // the day-spine windows are unpartitioned by contract (|days| rows);
+    // what must never happen is a window or sort-merge join over the
+    // un-aggregated orders fact
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q175 skyline: per-size frontier broadcasts back — no self-join, " +
+      "no fact-side sort-merge") {
+    val p = finalPlan("q175_skyline")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier must broadcast into the fact filter:\n${p.take(3000)}")
+    assert(!p.toLowerCase.contains("sortmergejoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q176 clamped balance: one user exchange + external sort feed the " +
+      "sequential fold — no window, no join") {
+    val p = finalPlan("q176_clamped_balance")
+    assert(!p.contains("Window \\[") && !p.contains("Join"), p.take(3000))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"exactly the explicit user repartition:\n${p.take(3000)}")
+    assert(p.contains("Sort [user_id"),
+      s"the fold needs the partition-local (user, ts, id) sort:\n" +
+        p.take(3000))
+  }
+
+  test("q177 time-to-convert: journey windows ride ONE user exchange") {
+    val p = finalPlan("q177_time_to_convert")
+    // the (user, jid) journey-start window must refine the user
+    // partitioning (q150's asserted shape), not re-shuffle events
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"(user, jid) must reuse the user exchange:\n${p.take(3000)}")
+  }
+
+  test("q178 DP release: one hash aggregate, noise is a projection — " +
+      "no join, no window, no second pass") {
+    val p = finalPlan("q178_dp_noisy_counts")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the group counts shuffle once; noise rides the projection:\n" +
+        p.take(3000))
+  }
 }
