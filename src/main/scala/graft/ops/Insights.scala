@@ -437,8 +437,119 @@ object Insights {
   def q177TimeToConvert(spark: SparkSession, dir: String): DataFrame =
     timeToConvert(t(spark, dir, "events")).orderBy("week")
 
+  // --------------------------------------------------------------- q179
+  /** Market-basket association at brand granularity: for every unordered
+    * brand pair co-purchased inside one order, support, confidence and
+    * lift — the classic "what sells together" report, and the measure
+    * (lift) that separates genuine affinity from two brands merely both
+    * being popular.
+    *
+    * Scale shape: the fact table collapses to the DISTINCT (order, brand)
+    * incidence frame first (one hash aggregate; ≤ |orders|·|brands per
+    * order| rows), so the pair self-join runs on the condensed frame,
+    * equi-keyed on the order key — per-order pair fan-out is bounded by
+    * the order's own line count (TPC-H ≤7), never a cross product. Brand
+    * marginals (|brands| rows) and the order total (1 row) broadcast back
+    * into the pair frame. The part dimension broadcasts into the fact
+    * scan. Lift = n_ab·N / (n_a·n_b) computed as ONE integer-product
+    * division in both engines, so the doubles match bit-for-bit. */
+  def basketLift(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val items = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
+    val marginals = items.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+    val pairs = items
+      .join(items.select(col("okey"), col("brand").as("brand_b")), "okey")
+      .filter(col("brand") < col("brand_b"))
+      .groupBy(col("brand").as("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.select(col("brand").as("brand_a"),
+        col("n").as("n_a"))), "brand_a")
+      .join(broadcast(marginals.select(col("brand").as("brand_b"),
+        col("n").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6)
+          .as("confidence"),
+        round((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  def q179BasketLift(spark: SparkSession, dir: String): DataFrame =
+    basketLift(t(spark, dir, "lineitem"), t(spark, dir, "part"))
+
+  // --------------------------------------------------------------- q182
+  /** RFM segmentation: every customer scored 1–5 on Recency (days since
+    * last order, lower is better), Frequency (order count) and Monetary
+    * (lifetime revenue), binned at the exact quintile boundaries of each
+    * metric, then bucketed into the marketing segments those scores
+    * imply. The report is the segment histogram — the input to "who gets
+    * the win-back campaign".
+    *
+    * Scale shape: facts collapse to the per-customer (last, n, revenue)
+    * aggregate first; quintile BOUNDARIES are one percentile aggregate
+    * over that frame (12 doubles out) applied map-side via a broadcast —
+    * q119's boundary pattern, never an ntile window whose single
+    * partition would sort every customer in one task. `exact=false`
+    * swaps in `approx_percentile` for the 100 TB path (sketch state,
+    * same shape); the oracle-checked entry keeps the exact aggregate.
+    * Boundary rule mirrored in the oracle: type-7 quintiles on DOUBLE
+    * rounded to 6dp; score = 1 + count(boundaries < metric), recency
+    * scored on the NEGATED day count so smaller recency ⇒ higher score
+    * with the same rule. */
+  def rfmSegments(orders: DataFrame, exact: Boolean = true): DataFrame = {
+    val cust = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("f"),
+        dsum(col("o_totalprice")).as("m"))
+      .crossJoin(broadcast(
+        orders.agg(max(col("o_orderdate")).as("asof"))))
+      .select(col("o_custkey"),
+        (-datediff(col("asof"), col("last_order"))).cast("double").as("r"),
+        col("f").cast("double").as("f"), col("m"))
+    val qs = (1 to 4).map(_ / 5.0).mkString("array(", ",", ")")
+    def bounds(c: String) = {
+      val agg = if (exact) s"percentile($c, $qs)"
+      else s"approx_percentile($c, $qs, 10000)"
+      expr(s"transform($agg, b -> round(b, 6))").as(s"b_$c")
+    }
+    val bd = cust.agg(bounds("r"), bounds("f"), bounds("m"))
+    def score(c: String) =
+      (size(filter(col(s"b_$c"), b => col(c) > b)) + 1).cast("long")
+    cust.crossJoin(broadcast(bd))
+      .select(col("o_custkey"), col("m"),
+        score("r").as("r_score"), score("f").as("f_score"),
+        score("m").as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(dsum(col("m"), 18, 6) / count(lit(1)), 6).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  def q182RfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(t(spark, dir, "orders"))
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_basket_lift" -> q179BasketLift _,
+    "q182_rfm_segments" -> q182RfmSegments _,
     "q177_time_to_convert" -> q177TimeToConvert _,
     "q150_position_attribution" -> q150PositionAttribution _,
     "q162_source_top_terms" -> ((s: SparkSession, d: String) =>
@@ -457,6 +568,76 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q179: counts are exact integers; every ratio is ONE double divide
+    // of integer products, mirrored operand for operand.
+    "q179_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+        |m AS (SELECT brand, COUNT(*) AS n FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |         COUNT(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+        |       round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+        |       round(CAST(n_ab AS DOUBLE) / ma.n, 6) AS confidence,
+        |       round(CAST(n_ab * n_orders AS DOUBLE)
+        |             / CAST(ma.n * mb.n AS DOUBLE), 6) AS lift
+        |FROM p JOIN m ma ON p.brand_a = ma.brand
+        |       JOIN m mb ON p.brand_b = mb.brand, n
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    // q182: quintile boundaries mirror q119's proven recipe (type-7
+    // quantile_cont on DOUBLE, rounded 6dp, score = 1 + #(bounds <
+    // metric)); monetary means go through the decimal(18,6) re-sum.
+    "q182_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |         COUNT(*) AS fc,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           AS m
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(o_orderdate) AS t_ref FROM orders),
+        |c2 AS (
+        |  SELECT o_custkey,
+        |         -CAST(date_diff('day', last_order, t_ref) AS DOUBLE) AS r,
+        |         CAST(fc AS DOUBLE) AS f, m
+        |  FROM cust, mx),
+        |bd AS (
+        |  SELECT
+        |    list_transform(quantile_cont(r, [0.2,0.4,0.6,0.8]),
+        |                   b -> round(b, 6)) AS br,
+        |    list_transform(quantile_cont(f, [0.2,0.4,0.6,0.8]),
+        |                   b -> round(b, 6)) AS bf,
+        |    list_transform(quantile_cont(m, [0.2,0.4,0.6,0.8]),
+        |                   b -> round(b, 6)) AS bm
+        |  FROM c2),
+        |s AS (
+        |  SELECT o_custkey, m,
+        |         1 + len(list_filter(br, x -> r > x)) AS r_score,
+        |         1 + len(list_filter(bf, x -> f > x)) AS f_score,
+        |         1 + len(list_filter(bm, x -> m > x)) AS m_score
+        |  FROM c2, bd),
+        |l AS (
+        |  SELECT *, CASE
+        |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |      THEN 'champion'
+        |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |    ELSE 'regular' END AS segment
+        |  FROM s)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |       CAST(f_score AS BIGINT) AS f_score,
+        |       CAST(m_score AS BIGINT) AS m_score, segment,
+        |       COUNT(*) AS n_customers,
+        |       round(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS avg_monetary
+        |FROM l GROUP BY 1, 2, 3, 4
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
     // q177: integer-microsecond waits feed the exact percentile
     // (quantile_cont ≡ Spark percentile, q59's proven mirror); the /1e6
     // second conversion happens AFTER interpolation in both engines.

@@ -853,7 +853,88 @@ object Stats {
     exactQuantile(t(spark, dir, "lineitem").select(col("l_extendedprice")),
       "l_extendedprice", 0.5, 100.0)
 
+  // --------------------------------------------------------------- q180
+  /** Poisson bootstrap confidence interval for a mean — the distributed
+    * bootstrap: instead of resampling n rows with replacement (which
+    * needs global coordination), every row independently draws a
+    * Poisson(1) weight per replicate, which converges to the same
+    * resampling distribution (the classic bag-of-little-bootstraps /
+    * streaming-bootstrap trick). Reported: the full-sample mean and the
+    * rank-based 95% band (3rd / 98th order statistics of 100 replicate
+    * means).
+    *
+    * Determinism: the weight is the Poisson(1) inverse CDF evaluated on
+    * a seeded md5 uniform — the CDF steps are LITERAL double constants
+    * (e^{-1}·Σ 1/k!), so the draw is a pure comparison ladder both
+    * engines compute identically; weights ≥7 (mass 8e-5) truncate, a
+    * standard bounded-weight bootstrap. Replicate means divide a decimal
+    * weighted sum by an integer weight total — no FP accumulation-order
+    * drift; order statistics come from one array_sort, no interpolation.
+    *
+    * Scale shape: one projection-side explode (×R rows, the declared
+    * cost of R replicates — weights never materialize per-row state),
+    * then a hash aggregate onto R groups with map-side combine: the
+    * shuffle carries R partial rows per task regardless of input size.
+    * The R-length mean array lives in ONE final 1-row aggregate. */
+  def bootstrapCi(df: DataFrame, valCol: Column, idCol: Column,
+                  reps: Int = 100): DataFrame = {
+    require(reps % 4 == 0, "reps must pack into 4-lane md5 digests")
+    // P(Poisson(1) <= k) for k = 0..5, as exact literals
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183)
+    // one md5 digest per (row, 4 replicates): the 32 hex chars split
+    // into four independent 32-bit uniforms (lanes), so the digest
+    // count is reps/4 per row — the md5 is the dominant per-row cost
+    // and a one-digest-per-replicate draw measured 4-5x slower
+    val u = (conv(expr("substring(hx, 1 + 8 * lane, 8)"), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val w = cdf.map(c => when(u >= c, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val loK = math.max(1, math.ceil(0.025 * reps).toInt)    // 3 of 100
+    val hiK = math.min(reps, math.ceil(0.975 * reps).toInt) // 98 of 100
+    // the explode multiplies rows x reps/4: if the input arrives in
+    // fewer partitions than cores (one small parquet file), the whole
+    // replicate pipeline would run inside those few tasks — spread the
+    // SLIM (id, v) base first (measured 10x on a single-file input; a
+    // wide input at scale already exceeds defaultParallelism and skips
+    // the shuffle entirely)
+    val slim = df.select(idCol.as("id"), valCol.as("v"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = if (slim.rdd.getNumPartitions < par)
+      slim.repartition(par) else slim
+    val means = base
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(reps / 4 - 1))).as("b"))
+      .withColumn("hx", md5(concat_ws(":", lit("bs"),
+        col("id").cast("string"), col("b").cast("string"))))
+      .select(col("v"), col("b"),
+        explode(sequence(lit(0), lit(3))).as("lane"), col("hx"))
+      // integer CENTS keep the weighted sum exact in plain 64-bit
+      // arithmetic (a decimal(38,4) product here runs on BigDecimal and
+      // measured 3x slower over the xR exploded frame); exact while
+      // sum(w x cents) < 2^63 — ~9e16 dollars of replicate mass
+      .select((col("b") * 4 + col("lane")).as("r"),
+        (w * round(col("v") * 100).cast("long")).as("wc"), w.as("w"))
+      .groupBy(col("r"))
+      .agg(round(sum(col("wc")).cast("double") / sum(col("w")) / 100.0, 6)
+        .as("mean_r"))
+    val full = df.agg(round(davg(valCol), 6).as("full_mean"))
+    means
+      .agg(array_sort(collect_list(col("mean_r"))).as("ms"))
+      .crossJoin(broadcast(full))
+      .select(lit(reps.toLong).as("n_replicates"), col("full_mean"),
+        element_at(col("ms"), loK).as("ci_lo"),
+        element_at(col("ms"), hiK).as("ci_hi"))
+  }
+
+  /** q180 entry: bootstrap 95% CI for the mean order price. */
+  def q180BootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCi(t(spark, dir, "orders"), col("o_totalprice"),
+      col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_bootstrap_ci" -> q180BootstrapCi _,
     "q163_exact_median" -> q163ExactMedian _,
     "q146_ks_drift" -> q146KsDrift _,
     "q149_psi_drift" -> q149PsiDrift _,
@@ -880,6 +961,51 @@ object Stats {
     "q99_dense_grid" -> q99DenseGrid _)
 
   val oracle: Map[String, String] = Map(
+    // q180: the seeded md5 uniform and the LITERAL Poisson CDF ladder are
+    // replicated term by term (q178's hex-head recipe); replicate means
+    // divide a decimal sum by an integer weight total, and the CI ends
+    // are order statistics of one sorted list — no interpolation
+    // anywhere.
+    "q180_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS v FROM orders),
+        |e AS (SELECT id, v, unnest(range(25)) AS b FROM base),
+        |h AS (
+        |  SELECT id, v, b,
+        |         md5(concat('bs', ':', CAST(id AS VARCHAR), ':',
+        |                    CAST(b AS VARCHAR))) AS hx
+        |  FROM e),
+        |l AS (
+        |  SELECT v, b * 4 + lane AS r,
+        |         substr(hx, 1 + 8 * lane::INT, 8) AS hex8
+        |  FROM h, (SELECT unnest(range(4)) AS lane)),
+        |d AS (
+        |  SELECT r, v,
+        |    (CAST(CAST(concat('0x', hex8) AS BIGINT) AS DOUBLE) + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM l),
+        |w AS (
+        |  SELECT r, CAST(round(v * 100) AS BIGINT) AS cents,
+        |    CAST(u >= 0.36787944117144233 AS BIGINT)
+        |    + CAST(u >= 0.7357588823428847 AS BIGINT)
+        |    + CAST(u >= 0.9196986029286058 AS BIGINT)
+        |    + CAST(u >= 0.9810118431238463 AS BIGINT)
+        |    + CAST(u >= 0.9963401531726563 AS BIGINT)
+        |    + CAST(u >= 0.9994058151824183 AS BIGINT) AS w
+        |  FROM d),
+        |m AS (
+        |  SELECT r,
+        |    round(CAST(CAST(SUM(w * cents) AS BIGINT) AS DOUBLE)
+        |          / SUM(w) / 100.0, 6) AS mean_r
+        |  FROM w GROUP BY r),
+        |s AS (SELECT list_sort(list(mean_r)) AS ms FROM m),
+        |f AS (
+        |  SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |               AS DOUBLE) / COUNT(o_totalprice), 6) AS full_mean
+        |  FROM orders)
+        |SELECT CAST(100 AS BIGINT) AS n_replicates, full_mean,
+        |       ms[3] AS ci_lo, ms[98] AS ci_hi
+        |FROM s, f""".stripMargin,
     // q163: the oracle is the definitional ORDER BY/OFFSET selection the
     // two-pass plan replaces.
     "q163_exact_median" ->

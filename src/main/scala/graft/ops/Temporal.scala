@@ -356,7 +356,49 @@ object Temporal {
     seasonalAnomalies(t(spark, dir, "events"))
       .orderBy("day", "event_type")
 
+  // --------------------------------------------------------------- q181
+  /** Time-weighted average event value per user: each event's value
+    * "holds" until the user's next event, and the average weights every
+    * value by how long it held — the correct mean for any
+    * sampled-on-change series (sensor readings, account balances, spot
+    * prices), where the plain row mean over-counts bursts of rapid
+    * updates.
+    *
+    * Determinism: weights are integer MICROSECOND gaps and values are
+    * integer CENTS; each interval's value·duration product is one
+    * bounded long (≤ ~5e17), summed exactly as decimal(38,0) — the one
+    * double divide happens at the very end, mirrored operand for
+    * operand in the oracle.
+    *
+    * Scale shape: one user-keyed exchange feeds the lead window, then
+    * the same partitioning feeds the per-user aggregate — no join, no
+    * second shuffle, no per-user state beyond the running sums. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    // ordering by the integer microsecond image of ts is the same total
+    // order (epoch_us is monotone), so ts itself never travels
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .select(col("user_id"), (col("next_us") - col("us")).as("wus"),
+        (col("cents") * (col("next_us") - col("us"))).as("cwus"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("wus")).as("span_us"),
+        round(sum(col("cwus").cast("decimal(38,0)")).cast("double") /
+          sum(col("wus")) / 100.0, 6).as("twa_value"))
+      .orderBy("user_id")
+  }
+
+  def q181TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedAvg(t(spark, dir, "events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_time_weighted_avg" -> q181TimeWeightedAvg _,
     "q168_seasonal_anomalies" -> q168SeasonalAnomalies _,
     "q153_nearest_event" -> q153NearestEvent _,
     "q165_snapshot_diff" -> q165SnapshotDiff _,
@@ -368,6 +410,25 @@ object Temporal {
     "q140_interval_overlap" -> q140IntervalOverlap _)
 
   val oracle: Map[String, String] = Map(
+    // q181: integer-microsecond gaps x integer cents, summed exactly;
+    // the double divide and /100 rescale happen last, in the same order.
+    "q181_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         lead(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS next_us
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, next_us - us AS wus,
+        |         cents * (next_us - us) AS cwus
+        |  FROM e WHERE next_us IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |       CAST(SUM(wus) AS BIGINT) AS span_us,
+        |       round(CAST(SUM(CAST(cwus AS DECIMAL(38,0))) AS DOUBLE)
+        |             / CAST(SUM(wus) AS BIGINT) / 100.0, 6) AS twa_value
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
     // q168: LOO mean over integer (sum, cnt) then one double divide; the
     // ratio divides by the ROUNDED expectation exactly as the engine
     // does. dow numbering differs across engines but is only a grouping

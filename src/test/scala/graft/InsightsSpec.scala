@@ -300,4 +300,53 @@ class InsightsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L && r.getDouble(2) == 60.0 &&
       r.getDouble(3) == 108.0, r.toString)
   }
+
+  test("basketLift: pair counts, support, confidence, lift by hand; " +
+      "repeats inside one order count once") {
+    val part = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("p_partkey", "p_brand")
+    // o1:{A,B} (A twice via two parts), o2:{A,B}, o3:{A,C}, o4:{B}
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 3L),
+      (30L, 2L), (30L, 4L), (40L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Insights.basketLift(li, part).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C")))
+    val ab = out(("A", "B"))
+    // n_ab=2, n_a=3, n_b=3, N=4 → lift = 2*4/9
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 3L &&
+      ab.getLong(4) == 3L, ab.toString)
+    assert(ab.getDouble(5) == 0.5 &&
+      math.abs(ab.getDouble(6) - 0.666667) < 1e-9 &&
+      math.abs(ab.getDouble(7) - 0.888889) < 1e-9, ab.toString)
+    val ac = out(("A", "C"))
+    // n_ac=1, n_c=1 → confidence 1/3, lift 1*4/(3*1)
+    assert(ac.getLong(2) == 1L &&
+      math.abs(ac.getDouble(7) - 1.333333) < 1e-9, ac.toString)
+  }
+
+  test("rfmSegments: scores stay in 1..5, segment labels follow the " +
+      "score rules, customer counts add up") {
+    val out = Insights.q182RfmSegments(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    var total = 0L
+    for (r <- out) {
+      val (rs, fs, ms) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val seg = r.getString(3)
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 &&
+        ms >= 1 && ms <= 5, r.toString)
+      val expected =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs >= 4 && fs <= 2) "new"
+        else if (rs <= 2 && fs >= 4) "at_risk_loyal"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(seg == expected, r.toString)
+      total += r.getLong(4)
+    }
+    val nCust = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "orders")
+      .select(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(total == nCust, s"segment counts $total != customers $nCust")
+  }
 }

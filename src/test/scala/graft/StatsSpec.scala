@@ -656,4 +656,47 @@ class StatsSpec extends AnyFunSuite {
     assert(out(6) == ((true, 400.0)) && out(7) == ((true, 300.0)) &&
       out(8) == ((true, 200.0)))
   }
+
+  test("bootstrapCi: deterministic, ordered band that brackets the " +
+      "full-sample mean and stays inside the data range") {
+    val df = (1 to 400).map(i => (i.toLong, (i % 50) * 10.0))
+      .toDF("id", "v")
+    def run() = graft.ops.Stats
+      .bootstrapCi(df, col("v"), col("id"), reps = 100).head
+    val r1 = run(); val r2 = run()
+    assert(r1 == r2, "seeded draw must be reproducible")
+    val (lo, hi, mean) = (r1.getDouble(2), r1.getDouble(3),
+      r1.getDouble(1))
+    assert(r1.getLong(0) == 100L)
+    assert(lo <= hi, r1.toString)
+    // the 95% band must cover the point estimate of a well-behaved
+    // sample and stay strictly inside the data's extremes
+    assert(lo <= mean && mean <= hi, r1.toString)
+    assert(lo > 0.0 && hi < 490.0, r1.toString)
+  }
+
+  test("timeWeightedAvg: duration-weighted by hand; single-event users " +
+      "drop; burst of rapid updates does not drag the mean") {
+    def ts(s: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(s))
+    val ev = Seq(
+      // user 1: 10 held 10 s, then 20 held 30 s → (100+600)/40 = 17.5
+      (1L, 1L, ts(0), "click", 10.0),
+      (2L, 1L, ts(10), "click", 20.0),
+      (3L, 1L, ts(40), "click", 5.0),
+      // user 2: one event — no interval, must not appear
+      (4L, 2L, ts(0), "click", 99.0),
+      // user 3: value 100 held 99 s, then a 1-s burst of 0s — the row
+      // mean would be ~33, the time-weighted mean stays near 100
+      (5L, 3L, ts(0), "click", 100.0),
+      (6L, 3L, ts(99), "click", 0.0),
+      (7L, 3L, ts(100), "click", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.ops.Temporal.timeWeightedAvg(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == ((2L, 40000000L, 17.5)), out(1L).toString)
+    assert(out(3L) == ((2L, 100000000L, 99.0)), out(3L).toString)
+  }
 }
