@@ -458,4 +458,46 @@ class PlanSpec extends AnyFunSuite {
       s"the group counts shuffle once; noise rides the projection:\n" +
         p.take(3000))
   }
+
+  test("q179 basket lift: dims and marginals broadcast; the pair " +
+      "self-join is equi-keyed on the order key, never a cross product") {
+    val p = finalPlan("q179_basket_lift")
+    assert(!p.contains("CartesianProduct"),
+      s"pair expansion must stay per-order:\n${p.take(3000)}")
+    // part dim + two marginal frames + the 1-row order total all
+    // broadcast (the 1-row total may plan as a nested-loop broadcast)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part + both marginals must broadcast:\n${p.take(3000)}")
+  }
+
+  test("q180 bootstrap: slim base spreads BEFORE the replicate explode; " +
+      "no window anywhere") {
+    val p = finalPlan("q180_bootstrap_ci")
+    // the sf0.001 orders parquet is one partition — the guard must
+    // insert the round-robin spread or the whole x25 pipeline runs in
+    // a single task (measured 16x at sf0.1)
+    assert(p.contains("Exchange roundrobinpartitioning") ||
+      p.contains("Exchange RoundRobinPartitioning"),
+      s"single-partition input must spread before the explode:\n" +
+        p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q181 time-weighted avg: lead window and per-user aggregate ride " +
+      "ONE user exchange — no join") {
+    val p = finalPlan("q181_time_weighted_avg")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"the aggregate must reuse the window's user partitioning:\n" +
+        p.take(3000))
+  }
+
+  test("q182 RFM: quintile boundaries broadcast back map-side — no " +
+      "ntile window over the customer frame") {
+    val p = finalPlan("q182_rfm_segments")
+    assert(!p.contains("Window"),
+      s"scores must come from boundary comparison, not ntile:\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
