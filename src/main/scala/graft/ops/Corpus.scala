@@ -696,7 +696,55 @@ object Corpus {
     embargoSplitAudit(t(spark, dir, "events"), "2024-01-20 00:00:00", 2)
       .orderBy("user_id")
 
+  // --------------------------------------------------------------- q189
+  /** FK-coherent dev slice: sample the ROOT entity (customers) by a
+    * deterministic hash threshold, then take every child row that
+    * belongs to a sampled root — orders by customer, line items by
+    * sampled order. The standard "cut me a 1/16 dev copy" operation;
+    * independent per-table sampling would shred referential integrity
+    * (an order whose customer is missing), this keeps every FK chain
+    * intact by construction. Reported per table: total rows, kept rows,
+    * achieved ratio.
+    *
+    * Scale shape: the root filter is a pure scan-side predicate (the
+    * md5-prefix threshold — q56's stratified-sample recipe); children
+    * keep via LEFT SEMI equi-joins down the FK chain, each shuffling
+    * only its join keys. Counts are one aggregate per table; nothing
+    * materializes the slice here (writers reuse the same predicates).
+    *
+    * Determinism: the 8-hex-digit prefix compare is engine-portable
+    * string ordering; counts are exact; the achieved ratio is one
+    * double divide per table. */
+  def coherentSlice(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, rate: Double): DataFrame = {
+    val kc = customer
+      .filter(substring(md5(concat(lit("cs:"),
+        col("c_custkey").cast("string"))), 1, 8) <
+        lit(rateThreshold(rate)))
+      .select(col("c_custkey"))
+    val ko = orders.join(kc, col("o_custkey") === col("c_custkey"),
+      "left_semi")
+    val kl = lineitem.join(ko.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    def row(name: String, total: DataFrame, kept: DataFrame) =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+        .select(lit(name).as("tbl"), col("n_total"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_total"), 6)
+            .as("ratio"))
+    row("customer", customer, kc)
+      .unionAll(row("lineitem", lineitem, kl))
+      .unionAll(row("orders", orders, ko))
+      .orderBy("tbl")
+  }
+
+  /** q189 entry: 1/16 slice rooted at customers. */
+  def q189CoherentSlice(spark: SparkSession, dir: String): DataFrame =
+    coherentSlice(t(spark, dir, "customer"), t(spark, dir, "orders"),
+      t(spark, dir, "lineitem"), 1.0 / 16.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_coherent_slice" -> q189CoherentSlice _,
     "q170_embargo_split" -> q170EmbargoSplit _,
     "q143_c4_quality_filter" -> q143C4Filter _,
     "q147_source_cap" -> q147SourceCap _,
@@ -719,6 +767,33 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    // q189: the md5-prefix root sample and both FK chains replicated
+    // verbatim; '10000000' is rateThreshold(1/16). Integer counts, one
+    // double divide per row.
+    "q189_coherent_slice" ->
+      """WITH kc AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE substr(md5(concat('cs:', CAST(c_custkey AS VARCHAR))),
+        |              1, 8) < '10000000'),
+        |ko AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM kc)),
+        |u AS (
+        |  SELECT 'customer' AS tbl,
+        |         (SELECT COUNT(*) FROM customer) AS n_total,
+        |         (SELECT COUNT(*) FROM kc) AS n_kept
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM ko)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem
+        |          WHERE l_orderkey IN (SELECT o_orderkey FROM ko)))
+        |SELECT tbl, n_total, n_kept,
+        |       round(CAST(n_kept AS DOUBLE) / n_total, 6) AS ratio
+        |FROM u ORDER BY tbl""".stripMargin,
     // q170: pure timestamp comparisons against literal boundaries —
     // integer counters, no float math anywhere.
     "q170_embargo_split" ->

@@ -932,9 +932,77 @@ object Mining {
     joinSizeEstimate(t(spark, dir, "events"), col("user_id"),
       t(spark, dir, "orders"), col("o_custkey"))
 
+  // --------------------------------------------------------------- q187
+  /** Triangle census of the co-purchase graph: parts are nodes, an edge
+    * connects parts co-ordered in ≥ `minSupport` distinct orders, and
+    * the report is the global triangle count plus the transitivity ratio
+    * 3·triangles/wedges — the one-number answer to "does co-purchase
+    * cluster into communities or is it hub-and-spoke?".
+    *
+    * Scale shape: the classic degree-ordered orientation (MapReduce
+    * triangle counting, Suri & Vassilvitskii WWW'11): every undirected
+    * edge points from its lower-(degree, id) endpoint to the higher, so
+    * a node's out-degree is O(√m) and the wedge self-join generates
+    * Σ d_out² = O(m^1.5) candidates WORST-case instead of Σ d² (a hub
+    * with degree h spawns h²/2 wedges unoriented but ≤ 2m oriented).
+    * Pair fan-out per order is C(lines,2) ≤ 21 — bounded by the order,
+    * never a cross product. Three equi-joins total; the closing-edge
+    * probe is a LEFT SEMI join.
+    *
+    * Determinism: pure integer counts; the transitivity divide is the
+    * single double op, mirrored in the oracle — which counts triangles
+    * by the INDEPENDENT a<b<c triple-join formulation, so the oracle
+    * also proves the orientation argument. */
+  def triangleCensus(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val inc = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = inc
+      .join(inc.withColumnRenamed("pk", "pk2"), "ok")
+      .filter(col("pk") < col("pk2"))
+      .groupBy(col("pk").as("u"), col("pk2").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select(col("u"), col("v"))
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    // orient toward the higher-(degree, id) endpoint; carry the head's
+    // degree so wedge pairs can be ordered by the SAME relation
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val or = ed.select(
+      when(fwd, col("u")).otherwise(col("v")).as("s"),
+      when(fwd, col("v")).otherwise(col("u")).as("t"),
+      when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+    val tri = or.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
+      .join(or.select(col("s"), col("t").as("t2"), col("dt").as("d2")),
+        "s")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("t1") < col("t2")))
+      .join(or.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1) div 2)").as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("transitivity"))
+  }
+
+  def q187TriangleCensus(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(t(spark, dir, "lineitem"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_triangle_census" -> q187TriangleCensus _,
     "q173_joinsize_estimate" -> q173JoinsizeEstimate _,
     "q100_cms_heavy_hitters" -> q100CmsHeavyHitters _,
     "q101_bigram_familiarity" -> q101BigramFamiliarity _,
@@ -963,6 +1031,35 @@ object Mining {
     * (FNV perceptual hash) are engine-internal → rows-only; their
     * correctness envelopes live in MiningSpec. */
   val oracle: Map[String, String] = Map(
+    // q187: the oracle counts triangles by the INDEPENDENT a<b<c
+    // triple-join over the undirected edge list — a different algorithm
+    // than the engine's degree-ordered orientation, so a hash match
+    // also certifies the orientation argument. Integer counts; one
+    // double divide.
+    "q187_triangle_census" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT COUNT(*) AS t
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |w AS (
+        |  SELECT COUNT(*) AS n_nodes,
+        |         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+        |       round(3.0 * t / n_wedges, 6) AS transitivity
+        |FROM w, ne, tri""".stripMargin,
     // q173: the md5-bucketed sketch is engine-portable, so the ESTIMATE
     // itself is value-pinned (pure integer counters), not just the exact
     // ground truth. DuckDB parses the hex head via the 0x-cast; Spark

@@ -853,6 +853,60 @@ object Stats {
     exactQuantile(t(spark, dir, "lineitem").select(col("l_extendedprice")),
       "l_extendedprice", 0.5, 100.0)
 
+  // --------------------------------------------------------------- q188
+  /** EXACT WEIGHTED quantile — q163's two-pass selection generalized to
+    * per-row weights: the weighted p-quantile is the smallest value
+    * whose cumulative weight reaches k = max(1, ⌈p·W⌉). What
+    * approx_percentile's accuracy argument can't give you when rows
+    * aren't equal (a median price weighted by units sold; a latency
+    * percentile weighted by request volume).
+    *
+    * Same scale shape as q163: pass 1 bins WEIGHT MASS per bin
+    * (map-side combine; cumulative window over the |bins|-row frame),
+    * the covering bin falls out arithmetically, pass 2 runs the
+    * cumulative weight over ONLY that bin's rows. Weights are integer;
+    * the threshold is the only double op and is mirrored in the oracle.
+    * Zero/negative weights are dropped on entry (both sides), so a
+    * massless row can never become the reported value. */
+  def weightedQuantile(df: DataFrame, valCol: String, wCol: String,
+                       q: Double, binWidth: Double): DataFrame = {
+    val base = df
+      .select(col(valCol).cast("double").as("v"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+    val binned = base.withColumn("bin",
+      floor(col("v") / lit(binWidth)).cast("long"))
+    val counts = binned.groupBy(col("bin")).agg(sum(col("w")).as("c"))
+      .persist()
+    val wBins = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum(col("c")).as("wtot"))
+      .withColumn("k",
+        greatest(lit(1L), ceil(lit(q) * col("wtot").cast("double"))
+          .cast("long")))
+    val target = counts.withColumn("cum", sum(col("c")).over(wBins))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k"))
+      .orderBy(col("bin")).limit(1)
+      .select(col("bin").as("tbin"), (col("cum") - col("c")).as("before"),
+        col("wtot"), col("k"))
+    val wIn = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.join(broadcast(target), col("bin") === col("tbin"))
+      .withColumn("cw", sum(col("w")).over(wIn))
+      .filter(col("before") + col("cw") >= col("k"))
+      .orderBy(col("v")).limit(1)
+      .select(col("wtot"), col("k"), col("v").as("value"))
+  }
+
+  /** q188 entry: median sale price weighted by units sold — "the price
+    * at which the median UNIT ships", not the median line. */
+  def q188WeightedMedian(spark: SparkSession, dir: String): DataFrame =
+    weightedQuantile(
+      t(spark, dir, "lineitem").select(col("l_extendedprice"),
+        col("l_quantity")),
+      "l_extendedprice", "l_quantity", 0.5, 100.0)
+
   // --------------------------------------------------------------- q180
   /** Poisson bootstrap confidence interval for a mean — the distributed
     * bootstrap: instead of resampling n rows with replacement (which
@@ -933,7 +987,187 @@ object Stats {
     bootstrapCi(t(spark, dir, "orders"), col("o_totalprice"),
       col("o_orderkey"))
 
+  // --------------------------------------------------------------- q184
+  /** EXACT per-group Gini coefficient without ranking individual rows.
+    * The rank-weighted sum Σᵢ Rᵢ·xᵢ that Gini needs collapses onto the
+    * DISTINCT-VALUE frame: every tie block shares one x, so its rank sum
+    * is c·C_prev + c(c+1)/2 regardless of tie order. The engine therefore
+    * aggregates members to integer cents, groups BY VALUE, and runs the
+    * cumulative window over the (group, distinct-cents) frame — whose
+    * size is bounded by the value DOMAIN (cents of a bounded price
+    * range), not by the member count. At 100 TB the per-group window
+    * frame stays domain-sized while the member frame grows 1000×; no
+    * per-member ranking, sort, or ntile anywhere.
+    *
+    * Determinism: everything is integer (cents, counts, rank sums) up to
+    * decimal(38,0) products; Gini = (2·Σx·S − (n+1)·T) / (n·T) is ONE
+    * double divide at the end, mirrored operand for operand.
+    *
+    * Gini here is the standard relative mean-difference form over
+    * per-customer lifetime revenue, grouped by nation. */
+  def giniByGroup(members: DataFrame, groupCol: String,
+                  centsCol: String): DataFrame = {
+    val byValue = members
+      .groupBy(col(groupCol), col(centsCol).as("cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("cprev", sum(col("c")).over(w) - col("c"))
+      .select(col(groupCol), col("cents"), col("c"),
+        // integer div: c·(c+1) is always even, so `div` is exact
+        expr("c * cprev + c * (c + 1) div 2").as("s"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"),
+        sum(col("cents") * col("c").cast("decimal(38,0)")).as("t"),
+        sum(col("cents") * col("s").cast("decimal(38,0)")).as("xs"))
+      .select(col(groupCol), col("n"),
+        round(col("t").cast("double") / 100.0, 2).as("total_value"),
+        round(
+          (lit(2) * col("xs") - (col("n") + 1) * col("t")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("t")).cast("double"),
+          6).as("gini"))
+      .orderBy(groupCol)
+  }
+
+  /** q184 entry: revenue-concentration Gini per nation over per-customer
+    * lifetime order revenue. */
+  def q184GiniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("cents"))
+    giniByGroup(cust, "nation", "cents")
+  }
+
+  // --------------------------------------------------------------- q185
+  /** Lag-k autocorrelation (ACF) of a daily revenue series, k = 1..7 —
+    * the first diagnostic anyone runs on a business time series (weekly
+    * seasonality shows up as a k=7 spike).
+    *
+    * Scale shape: the fact table collapses to the |days|-row daily frame
+    * first (one hash aggregate, map-side combined); the lag window and
+    * the per-k Pearson aggregates all ride that bounded frame (a date
+    * span is a domain, not a data volume — q174's documented contract).
+    * One unpartitioned window over ≤ thousands of rows, then a 7-group
+    * aggregate.
+    *
+    * Determinism: daily values are integer cents; all Pearson moments
+    * are exact decimal sums; the two sqrt's and the final divide run in
+    * doubles identically in both engines (IEEE sqrt is correctly
+    * rounded). */
+  def dailyAcf(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val w = Window.orderBy(col("day"))
+    val lagged = daily.select(col("x") +:
+      (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
+    val pairs = lagged
+      .select(col("x"), posexplode(
+        array((1 to maxLag).map(k => col(s"l$k")): _*)))
+      .select((col("pos") + 1).as("k"), col("x"), col("col").as("y"))
+      .filter(col("y").isNotNull)
+    // cast BEFORE the product: daily-cents squares overflow a long past
+    // ~sf0.3; decimal(38,0) x long products stay exact
+    def d(c: Column) = sum(c)
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    pairs
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        d(dd(col("x"))).as("sx"), d(dd(col("y"))).as("sy"),
+        d(dd(col("x")) * col("y")).as("sxy"),
+        d(dd(col("x")) * col("x")).as("sxx"),
+        d(dd(col("y")) * col("y")).as("syy"))
+      .select(col("k").cast("long").as("k"), col("n_pairs"),
+        round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("acf"))
+      .orderBy("k")
+  }
+
+  def q185DailyAcf(spark: SparkSession, dir: String): DataFrame =
+    dailyAcf(t(spark, dir, "orders"))
+
+  // --------------------------------------------------------------- q186
+  /** Theil-T inequality decomposition — q184's Gini tells you HOW unequal
+    * revenue is; Theil tells you WHERE the inequality lives, because it
+    * decomposes additively: total = Σ_g share_g·T_g (within groups)
+    * + Σ_g share_g·ln(μ_g/μ) (between groups) — the property Gini lacks.
+    * Output: per group, its member count, revenue share, internal Theil
+    * T_g, and its within/between contributions to the corpus total.
+    *
+    * Scale shape: ONE pass over the member frame collects the three
+    * sufficient moments (n_g, Σx, Σ x·lnx) per group; the global moments
+    * are a second aggregate over the |groups|-row frame, broadcast back.
+    * No window, no ranking, no second fact scan.
+    *
+    * Determinism: x·ln(x) terms are rounded to 6dp and summed as
+    * decimal(38,6) — the float sum would be ORDER-dependent across
+    * partitions, the rounded-then-decimal sum is not (q171's recipe).
+    * All downstream arithmetic runs on those exact sums in a fixed
+    * operand order. */
+  def theilDecomposition(members: DataFrame, groupCol: String,
+                         centsCol: String): DataFrame = {
+    val g = members
+      .filter(col(centsCol) > 0)
+      .select(col(groupCol), col(centsCol).as("cents"),
+        round(col(centsCol).cast("double") *
+          log(col(centsCol).cast("double")), 6).as("xlx"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum(col("xlx").cast("decimal(38,6)")).as("sl"))
+    val tot = g.agg(sum(col("n")).as("tn"),
+      sum(col("sx")).as("ts"), sum(col("sl")).as("tl"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"),
+        (col("sx").cast("double") / col("n")).as("mu_g"),
+        (col("ts").cast("double") / col("tn")).as("mu"),
+        (col("sx").cast("double") / col("ts").cast("double"))
+          .as("share"),
+        (col("sl").cast("double") / col("sx").cast("double")).as("lbar"))
+      .select(col(groupCol), col("n"),
+        round(col("share"), 6).as("revenue_share"),
+        round(col("lbar") - log(col("mu_g")), 6).as("theil_g"),
+        round(col("share") * (col("lbar") - log(col("mu_g"))), 6)
+          .as("within_contrib"),
+        round(col("share") * log(col("mu_g") / col("mu")), 6)
+          .as("between_contrib"))
+      .orderBy(groupCol)
+  }
+
+  /** q186 entry: within/between-nation decomposition of customer revenue
+    * inequality — the companion readout to q184's per-nation Gini. */
+  def q186TheilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("cents"))
+    theilDecomposition(cust, "nation", "cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_gini_revenue" -> q184GiniRevenue _,
+    "q185_daily_acf" -> q185DailyAcf _,
+    "q186_theil_decomposition" -> q186TheilDecomposition _,
+    "q188_weighted_median" -> q188WeightedMedian _,
     "q180_bootstrap_ci" -> q180BootstrapCi _,
     "q163_exact_median" -> q163ExactMedian _,
     "q146_ks_drift" -> q146KsDrift _,
@@ -961,6 +1195,124 @@ object Stats {
     "q99_dense_grid" -> q99DenseGrid _)
 
   val oracle: Map[String, String] = Map(
+    // q184: the rank-weighted sum collapses onto the distinct-cents
+    // frame exactly as the engine computes it; integers end-to-end, one
+    // double divide last.
+    "q184_gini_revenue" ->
+      """WITH cust AS (
+        |  SELECT n_name AS nation, cents
+        |  FROM (
+        |    SELECT o_custkey,
+        |           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |    FROM orders GROUP BY o_custkey) o
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |byv AS (
+        |  SELECT nation, cents, COUNT(*) AS c FROM cust GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT nation, cents, c,
+        |         SUM(c) OVER (PARTITION BY nation ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |           AS cprev
+        |  FROM byv),
+        |s AS (
+        |  SELECT nation, SUM(c) AS n,
+        |         SUM(cents * CAST(c AS DECIMAL(38,0))) AS t,
+        |         SUM(cents * CAST(c * cprev + c * (c + 1) // 2
+        |                          AS DECIMAL(38,0))) AS xs
+        |  FROM rk GROUP BY 1)
+        |SELECT nation, CAST(n AS BIGINT) AS n,
+        |       round(CAST(t AS DOUBLE) / 100.0, 2) AS total_value,
+        |       round(CAST(2 * xs - (n + 1) * t AS DOUBLE) /
+        |             CAST(CAST(n AS DECIMAL(38,0)) * t AS DOUBLE), 6)
+        |         AS gini
+        |FROM s ORDER BY nation""".stripMargin,
+    // q185: exact decimal Pearson moments over the daily cents frame;
+    // sqrt and the last divide in doubles, same operand order.
+    "q185_daily_acf" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT x,
+        |         [lag(x, 1) OVER w, lag(x, 2) OVER w, lag(x, 3) OVER w,
+        |          lag(x, 4) OVER w, lag(x, 5) OVER w, lag(x, 6) OVER w,
+        |          lag(x, 7) OVER w] AS ls
+        |  FROM daily WINDOW w AS (ORDER BY day)),
+        |pairs AS (
+        |  SELECT u.k, x, ls[u.k] AS y
+        |  FROM lagged, (SELECT unnest(range(1, 8)) AS k) u
+        |  WHERE ls[u.k] IS NOT NULL),
+        |m AS (
+        |  SELECT k, COUNT(*) AS n_pairs,
+        |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |  FROM pairs GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k, n_pairs,
+        |       round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |             (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |              sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+        |         AS acf
+        |FROM m ORDER BY k""".stripMargin,
+    // q188: the DEFINITIONAL one-sort formulation — the smallest value
+    // whose running weight reaches k — which the engine's two-pass
+    // binned selection must reproduce exactly.
+    "q188_weighted_median" ->
+      """WITH base AS (
+        |  SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem WHERE l_quantity > 0),
+        |tot AS (
+        |  SELECT CAST(SUM(w) AS BIGINT) AS wtot,
+        |         greatest(CAST(1 AS BIGINT),
+        |           CAST(ceil(0.5 * CAST(SUM(w) AS DOUBLE)) AS BIGINT))
+        |           AS k
+        |  FROM base),
+        |c AS (
+        |  SELECT v, SUM(w) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM base)
+        |SELECT tot.wtot, tot.k,
+        |       (SELECT min(v) FROM c WHERE cw >= tot.k) AS value
+        |FROM tot""".stripMargin,
+    // q186: the x·ln(x) terms are rounded to 6dp and summed as exact
+    // decimals in BOTH engines (order-independent); every later step is
+    // plain double arithmetic in the engine's operand order.
+    "q186_theil_decomposition" ->
+      """WITH cust AS (
+        |  SELECT n_name AS nation, cents
+        |  FROM (
+        |    SELECT o_custkey,
+        |           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |    FROM orders GROUP BY o_custkey) o
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE cents > 0),
+        |g AS (
+        |  SELECT nation, COUNT(*) AS n,
+        |         SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(round(CAST(cents AS DOUBLE) *
+        |               ln(CAST(cents AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |           AS sl
+        |  FROM cust GROUP BY 1),
+        |tot AS (
+        |  SELECT SUM(n) AS tn, SUM(sx) AS ts, SUM(sl) AS tl FROM g),
+        |m AS (
+        |  SELECT nation, n,
+        |         CAST(sx AS DOUBLE) / n AS mu_g,
+        |         CAST(ts AS DOUBLE) / tn AS mu,
+        |         CAST(sx AS DOUBLE) / CAST(ts AS DOUBLE) AS share,
+        |         CAST(sl AS DOUBLE) / CAST(sx AS DOUBLE) AS lbar
+        |  FROM g, tot)
+        |SELECT nation, CAST(n AS BIGINT) AS n,
+        |       round(share, 6) AS revenue_share,
+        |       round(lbar - ln(mu_g), 6) AS theil_g,
+        |       round(share * (lbar - ln(mu_g)), 6) AS within_contrib,
+        |       round(share * ln(mu_g / mu), 6) AS between_contrib
+        |FROM m ORDER BY nation""".stripMargin,
     // q180: the seeded md5 uniform and the LITERAL Poisson CDF ladder are
     // replicated term by term (q178's hex-head recipe); replicate means
     // divide a decimal sum by an integer weight total, and the CI ends

@@ -397,7 +397,69 @@ object Temporal {
   def q181TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
     timeWeightedAvg(t(spark, dir, "events"))
 
+  // --------------------------------------------------------------- q183
+  /** Kaplan–Meier survival curve over subject lifetimes: for each
+    * observed lifetime (days from a subject's first to last activity),
+    * the risk set, the churn events, the right-censored exits (subjects
+    * still active within `censorGapDays` of the observation horizon),
+    * and the product-limit survival estimate S(t) = Π_{s≤t} (1 − d_s/n_s)
+    * — the censoring-correct retention curve (Kaplan & Meier 1958),
+    * where the naive "% still active after t days" is biased by subjects
+    * who simply weren't observed long enough.
+    *
+    * Scale shape: the fact table collapses to one (first, last) row per
+    * subject (hash aggregate), then to one row per distinct lifetime DAY
+    * — a frame bounded by the observation span (a domain, not a data
+    * volume). The cumulative windows ride that day frame; nothing
+    * per-subject ever sorts or windows.
+    *
+    * Determinism: lifetimes are exact datediff day counts; risk sets and
+    * event counts are exact longs. S(t) is exp(Σ ln(1−d/n)) with each
+    * ratio produced by ONE double divide — the same transcendental
+    * evaluation order as the oracle (the q171 cross-entropy recipe). */
+  def kaplanMeier(subjects: DataFrame, keyCol: String, tsCol: String,
+                  censorGapDays: Int = 90): DataFrame = {
+    val perKey = subjects
+      .groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("first_d"), max(col(tsCol)).as("last_d"))
+    val horizon = perKey.agg(max(col("last_d")).as("max_d"))
+    val lifetimes = perKey
+      .crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("last_d"), col("first_d")).cast("long")
+          .as("lifetime_d"),
+        (datediff(col("max_d"), col("last_d")) > censorGapDays)
+          .cast("long").as("churned"))
+    val byDay = lifetimes
+      .groupBy(col("lifetime_d"))
+      .agg(sum(col("churned")).as("d"),
+        sum(lit(1) - col("churned")).as("c"))
+    val wCum = Window.orderBy(col("lifetime_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRev = Window.orderBy(col("lifetime_d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byDay
+      // everyone whose lifetime is >= t is still at risk at t
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wRev))
+      .withColumn("lnterm",
+        when(col("d") > 0,
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("survival",
+        round(exp(sum(col("lnterm")).over(wCum)), 6))
+      .filter(col("d") > 0)
+      .select(col("lifetime_d"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("survival"))
+      .orderBy("lifetime_d")
+  }
+
+  /** q183 entry: customer survival over order activity — "still a
+    * customer" = ordered within 90 days of the dataset horizon. */
+  def q183KaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    kaplanMeier(t(spark, dir, "orders"), "o_custkey", "o_orderdate")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_kaplan_meier" -> q183KaplanMeier _,
     "q181_time_weighted_avg" -> q181TimeWeightedAvg _,
     "q168_seasonal_anomalies" -> q168SeasonalAnomalies _,
     "q153_nearest_event" -> q153NearestEvent _,
@@ -410,6 +472,43 @@ object Temporal {
     "q140_interval_overlap" -> q140IntervalOverlap _)
 
   val oracle: Map[String, String] = Map(
+    // q183: exact day-count lifetimes; risk sets and counts exact;
+    // ln/exp evaluated in the same operand order as the engine (one
+    // divide inside the ln).
+    "q183_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT max(l) AS mx FROM pu),
+        |lt AS (
+        |  SELECT date_diff('day', f, l) AS lifetime_d,
+        |         CAST(date_diff('day', l, mx) > 90 AS BIGINT) AS churned
+        |  FROM pu, h),
+        |bd AS (
+        |  SELECT lifetime_d, SUM(churned) AS d, SUM(1 - churned) AS c
+        |  FROM lt GROUP BY 1),
+        |r AS (
+        |  SELECT lifetime_d, d, c,
+        |         SUM(d + c) OVER (ORDER BY lifetime_d
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS n_risk
+        |  FROM bd),
+        |s AS (
+        |  SELECT lifetime_d, d, c, n_risk,
+        |         CASE WHEN d > 0
+        |           THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+        |           ELSE 0.0 END AS lnterm
+        |  FROM r),
+        |f AS (
+        |  SELECT lifetime_d, d, c, n_risk,
+        |         round(exp(SUM(lnterm) OVER (ORDER BY lifetime_d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |           AS survival
+        |  FROM s)
+        |SELECT lifetime_d, CAST(n_risk AS BIGINT) AS n_risk,
+        |       CAST(d AS BIGINT) AS n_events,
+        |       CAST(c AS BIGINT) AS n_censored, survival
+        |FROM f WHERE d > 0 ORDER BY lifetime_d""".stripMargin,
     // q181: integer-microsecond gaps x integer cents, summed exactly;
     // the double divide and /100 rescale happen last, in the same order.
     "q181_time_weighted_avg" ->

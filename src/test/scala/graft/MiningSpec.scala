@@ -619,4 +619,35 @@ class MiningSpec extends AnyFunSuite {
       .collect().head
     assert(r3.getLong(0) == 0L && r3.getBoolean(4), r3.toString)
   }
+
+  test("triangleCensus: hand-built graph — one triangle, a pendant " +
+      "edge, and a below-support pair that must not become an edge") {
+    // orders 1,2 both contain parts {1,2,3} -> edges 12,13,23 (w=2);
+    // orders 3,4 contain {3,4} -> edge 34 (w=2);
+    // order 5 contains {1,4} once -> below minSupport, no edge.
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L),
+      (4L, 3L), (4L, 4L),
+      (5L, 1L), (5L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = Mining.triangleCensus(li).collect().head
+    // degrees 1:2 2:2 3:3 4:1 -> wedges 1+1+3+0 = 5; one triangle;
+    // transitivity 3*1/5 = 0.6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((4L, 4L, 5L, 1L, 0.6)), r.toString)
+  }
+
+  test("triangleCensus: a 4-clique counts C(4,3)=4 triangles under " +
+      "orientation (every wedge closes)") {
+    // two orders over the same 4 parts -> complete graph K4 at w=2
+    val li = (1L to 2L).flatMap(o => (1L to 4L).map(p => (o, p)))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Mining.triangleCensus(li).collect().head
+    // K4: 6 edges, deg 3 each -> wedges 4*3 = 12, triangles 4,
+    // transitivity 3*4/12 = 1.0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((4L, 6L, 12L, 4L, 1.0)), r.toString)
+  }
 }

@@ -500,4 +500,59 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q183 Kaplan-Meier: windows ride the bounded lifetime-day frame " +
+      "after two hash aggregates — no sort-merge join, no cartesian") {
+    val p = finalPlan("q183_kaplan_meier")
+    assert(!p.toLowerCase.contains("sortmergejoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q184 Gini: ONE window, over the distinct-cents frame — no " +
+      "per-member ranking") {
+    val p = finalPlan("q184_gini_revenue")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"only the distinct-value cumulative may window:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q185 daily ACF: one window on the post-aggregate day frame; " +
+      "no join anywhere") {
+    val p = finalPlan("q185_daily_acf")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Window".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("q186 Theil: pure aggregate pipeline — no window, no ranking, " +
+      "no cartesian") {
+    val p = finalPlan("q186_theil_decomposition")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("q187 triangles: closing-edge probe is a LEFT SEMI equi-join; " +
+      "no cartesian, no nested-loop on the big frames") {
+    val p = finalPlan("q187_triangle_census")
+    assert(p.contains("LeftSemi"),
+      s"the closing probe must be a semi join:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q188 weighted median: pass-2 probe broadcasts the 1-row target " +
+      "bin — the fact frame never sort-merge joins") {
+    val p = finalPlan("q188_weighted_median")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the covering-bin probe must broadcast:\n${p.take(3000)}")
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
+
+  test("q189 coherent slice: both FK chains keep via LEFT SEMI joins; " +
+      "no cartesian") {
+    val p = finalPlan("q189_coherent_slice")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"orders and lineitem must both keep via semi joins:\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -699,4 +699,103 @@ class StatsSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 40000000L, 17.5)), out(1L).toString)
     assert(out(3L) == ((2L, 100000000L, 99.0)), out(3L).toString)
   }
+
+  test("giniByGroup: hand-computed with ties; perfect equality is 0") {
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 2L), // G = (2*9 - 4*4)/(3*4) = 1/6
+      ("b", 5L), ("b", 5L), ("b", 5L)  // all equal -> 0
+    ).toDF("g", "cents")
+    val out = Stats.giniByGroup(df, "g", "cents").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out("a") == ((3L, 0.166667)), out("a").toString)
+    assert(out("b") == ((3L, 0.0)), out("b").toString)
+  }
+
+  test("theilDecomposition: equal group has T_g=0; equal group means " +
+      "zero the between terms; within_contrib = share * theil_g") {
+    val df = Seq(
+      ("a", 100L), ("a", 100L),        // T_a = 0
+      ("b", 50L), ("b", 150L)          // T_b ~ 0.13081
+    ).toDF("g", "cents")
+    val rows = Stats.theilDecomposition(df, "g", "cents").collect()
+    val m = rows.map(r => r.getString(0) ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val (shareA, tA, withinA, betweenA) = m("a")
+    val (shareB, tB, withinB, betweenB) = m("b")
+    assert(tA == 0.0 && withinA == 0.0, m("a").toString)
+    // both groups hold 200 of 400 cents at the same mean -> between = 0
+    assert(shareA == 0.5 && shareB == 0.5)
+    assert(math.abs(betweenA) < 1e-6 && math.abs(betweenB) < 1e-6)
+    assert(math.abs(tB - 0.130812) < 1e-4, tB.toString)
+    assert(math.abs(withinB - shareB * tB) < 1e-6)
+  }
+
+  test("dailyAcf: a linear daily series is perfectly autocorrelated at " +
+      "every lag; pair counts shrink by one per lag") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(i.toLong))
+    val orders = (0 until 40).map(i =>
+      (i.toLong, i.toLong, "O", 100.0 + i, d(i), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = graft.ops.Stats.dailyAcf(orders).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == (1L to 7L).toSet)
+    (1 to 7).foreach { k =>
+      assert(out(k.toLong) == (((40 - k).toLong, 1.0)),
+        s"k=$k: ${out(k.toLong)}")
+    }
+  }
+
+  test("weightedQuantile: mass decides, not row count; zero-weight rows " +
+      "can never be the answer; unit weights reduce to exactQuantile") {
+    val df = Seq((1.0, 1L), (2.0, 1L), (2.5, 0L), (3.0, 10L))
+      .toDF("v", "w")
+    // W=12, k=6; cum mass 1,2,12 -> the 6th unit sits at v=3
+    val r = Stats.weightedQuantile(df, "v", "w", 0.5, 1.0).head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((12L, 6L, 3.0)),
+      r.toString)
+    // unit weights: weighted k-th = plain k-th order statistic
+    val u = Seq(10.0, 20.0, 30.0, 40.0).map((_, 1L)).toDF("v", "w")
+    val rw = Stats.weightedQuantile(u, "v", "w", 0.5, 7.0).head
+    val re = Stats.exactQuantile(u.select(col("v")), "v", 0.5, 7.0).head
+    assert(rw.getDouble(2) == re.getDouble(2) && rw.getDouble(2) == 20.0)
+  }
+
+  test("coherentSlice: FK chains stay intact — child keep-counts are " +
+      "exact multiples of the sampled roots; root rate lands near 1/16") {
+    val cust = (1L to 1000L).toDF("c_custkey")
+    val ords = (1L to 1000L).flatMap(c => Seq(c * 10, c * 10 + 1)
+      .map(o => (o, c))).toDF("o_orderkey", "o_custkey")
+    val li = ords.select(col("o_orderkey")).as[Long].collect()
+      .flatMap(o => Seq((o, 1), (o, 2))).toSeq
+      .toDF("l_orderkey", "l_linenumber")
+    val out = graft.ops.Corpus.coherentSlice(cust, ords, li, 1.0 / 16.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val kc = out("customer")._2
+    assert(out("customer")._1 == 1000L)
+    assert(out("orders") == ((2000L, kc * 2)), out.toString)
+    assert(out("lineitem") == ((4000L, kc * 4)), out.toString)
+    assert(kc > 20 && kc < 150, s"1/16 of 1000 wildly off: $kc")
+  }
+
+  test("kaplanMeier: hand-computed product-limit curve with censoring") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2020, 1, 1, 0, 0).plusDays(i.toLong))
+    // A,B churn at lifetime 5, C churns at 8, D runs to the horizon
+    // (censored). S(5) = 1 - 2/4 = 0.5; S(8) = 0.5 * (1 - 1/2) = 0.25
+    val df = Seq(
+      (1L, d(0)), (1L, d(5)),
+      (2L, d(2)), (2L, d(7)),
+      (3L, d(0)), (3L, d(8)),
+      (4L, d(0)), (4L, d(100))
+    ).toDF("k", "ts")
+    val out = graft.ops.Temporal.kaplanMeier(df, "k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq((5L, 4L, 2L, 0L, 0.5), (8L, 2L, 1L, 0L, 0.25)),
+      out.mkString(", "))
+  }
 }
