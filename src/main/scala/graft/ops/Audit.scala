@@ -659,7 +659,59 @@ object Audit {
     clampedBalance(t(spark, dir, "events"))
       .orderBy("user_id", "event_id")
 
+  // --------------------------------------------------------------- q190
+  /** Partition-layout advisor: for each CANDIDATE partition key, the
+    * numbers that decide whether `PARTITIONED BY (candidate)` is a good
+    * idea at scale — value count (too few ⇒ no pruning, too many ⇒
+    * small-file explosion), the largest partition's row share, and the
+    * max/avg skew ratio (one hot partition serializes every write and
+    * straggles every scan). The verdict encodes the standard contract:
+    * 8–10 000 values and skew < 10.
+    *
+    * Scale shape: ALL candidates are profiled in ONE fact pass — each
+    * row explodes into (candidate, value) pairs (×|candidates|, the
+    * declared cost), one hash aggregate counts pairs map-side-combined,
+    * and the per-candidate rollup runs on the tiny (candidate, value)
+    * frame. Compare k separate GROUP BYs: k fact scans.
+    *
+    * Determinism: integer counts; the skew ratio multiplies before its
+    * ONE divide so both engines evaluate identically. */
+  def partitionAdvisor(df: DataFrame,
+                       candidates: Seq[(String, Column)]): DataFrame = {
+    val pairs = df.select(explode(array(candidates.map { case (n, c) =>
+      struct(lit(n).as("cand"), c.cast("string").as("v"))
+    }: _*)).as("p")).select(col("p.cand").as("cand"), col("p.v").as("v"))
+    pairs
+      .groupBy(col("cand"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cand"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_rows"))
+      .select(col("cand"), col("n_values"), col("n_rows"),
+        col("max_rows"),
+        round((col("max_rows") * col("n_values")).cast("double") /
+          col("n_rows"), 6).as("skew"))
+      .withColumn("verdict",
+        when(col("n_values") < 8, "too_few")
+          .when(col("n_values") > 10000, "too_many")
+          .when((col("max_rows") * col("n_values")).cast("double") /
+            col("n_rows") >= 10.0, "skewed")
+          .otherwise("good"))
+      .orderBy("cand")
+  }
+
+  /** q190 entry: candidate keys for partitioning lineitem — flag,
+    * status, ship month, and a 64-way supplier bucket. */
+  def q190PartitionAdvisor(spark: SparkSession, dir: String): DataFrame =
+    partitionAdvisor(t(spark, dir, "lineitem"), Seq(
+      "returnflag" -> col("l_returnflag"),
+      "linestatus" -> col("l_linestatus"),
+      "ship_month" -> date_format(col("l_shipdate"), "yyyy-MM"),
+      "supp_bucket" -> pmod(col("l_suppkey"), lit(64))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q154_burst_detect" -> q154BurstDetect _,
     "q167_profile_drift" -> q167ProfileDrift _,
     "q169_k_anonymity" -> q169KAnonymity _,
@@ -690,6 +742,36 @@ object Audit {
   }
 
   val oracle: Map[String, String] = Map(
+    // q190: the stacked one-pass profile re-expressed as a UNION of
+    // per-candidate GROUP BYs — an independent formulation; integer
+    // counts, multiply-before-the-one-divide skew.
+    "q190_partition_advisor" ->
+      """WITH pv AS (
+        |  SELECT 'returnflag' AS cand, l_returnflag AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'linestatus', l_linestatus FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ship_month', strftime(l_shipdate, '%Y-%m')
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'supp_bucket', CAST(l_suppkey % 64 AS VARCHAR)
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT cand, v, COUNT(*) AS c FROM pv GROUP BY 1, 2),
+        |s AS (
+        |  SELECT cand, COUNT(*) AS n_values,
+        |         CAST(SUM(c) AS BIGINT) AS n_rows,
+        |         CAST(MAX(c) AS BIGINT) AS max_rows
+        |  FROM c GROUP BY 1)
+        |SELECT cand, n_values, n_rows, max_rows,
+        |       round(CAST(max_rows * n_values AS DOUBLE) / n_rows, 6)
+        |         AS skew,
+        |       CASE WHEN n_values < 8 THEN 'too_few'
+        |            WHEN n_values > 10000 THEN 'too_many'
+        |            WHEN CAST(max_rows * n_values AS DOUBLE) / n_rows
+        |                 >= 10.0 THEN 'skewed'
+        |            ELSE 'good' END AS verdict
+        |FROM s ORDER BY cand""".stripMargin,
     // q167: the oracle is the NAIVE per-column UNION profile (6 scans per
     // snapshot) the engine's single-pass profile replaces; renderings
     // match by construction (VARCHAR cast for integers/strings, printf

@@ -999,9 +999,61 @@ object Mining {
   def q187TriangleCensus(spark: SparkSession, dir: String): DataFrame =
     triangleCensus(t(spark, dir, "lineitem"))
 
+  // --------------------------------------------------------------- q191
+  /** Markov next-event baseline, evaluated honestly: users split
+    * train/eval by a deterministic hash, the per-state argmax of the
+    * TRAIN transition counts becomes the predictor, and the report is
+    * top-1 accuracy per source state on EVAL transitions only — the
+    * train/eval discipline every "can we predict the next action"
+    * question needs before anyone reaches for a model (this baseline is
+    * what the model must beat).
+    *
+    * Scale shape: one user-keyed exchange builds consecutive pairs (the
+    * q102 window); the model lives on the |types|²-row frame (its argmax
+    * window is domain-bounded) and BROADCASTS into the eval side; the
+    * final rollup groups by |types| keys. No second fact shuffle.
+    *
+    * Determinism: the 75% split is an md5-prefix compare ('c0000000' =
+    * 0.75·16⁸); argmax ties break by smallest successor name; counts
+    * exact, one divide per row. */
+  def markovHoldout(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .withColumn("is_train",
+        substring(md5(concat(lit("mk:"), col("user_id").cast("string"))),
+          1, 8) < lit("c0000000"))
+    val model = pairs.filter(col("is_train"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val best = model
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("from_type"))
+        .orderBy(col("n").desc, col("to_type").asc)))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    pairs.filter(!col("is_train"))
+      .join(broadcast(best), Seq("from_type"), "left")
+      .groupBy(col("from_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_pairs"), 6))
+      .orderBy("from_type")
+  }
+
+  def q191MarkovHoldout(spark: SparkSession, dir: String): DataFrame =
+    markovHoldout(t(spark, dir, "events"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_markov_holdout" -> q191MarkovHoldout _,
     "q187_triangle_census" -> q187TriangleCensus _,
     "q173_joinsize_estimate" -> q173JoinsizeEstimate _,
     "q100_cms_heavy_hitters" -> q100CmsHeavyHitters _,
@@ -1031,6 +1083,38 @@ object Mining {
     * (FNV perceptual hash) are engine-internal → rows-only; their
     * correctness envelopes live in MiningSpec. */
   val oracle: Map[String, String] = Map(
+    // q191: split, model, argmax and scoring replicated; ties break by
+    // smallest successor in both engines; unseen eval states predict
+    // NULL and score zero.
+    "q191_markov_holdout" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS to_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |         substr(md5(concat('mk:', CAST(user_id AS VARCHAR))),
+        |               1, 8) < 'c0000000' AS is_train
+        |  FROM events),
+        |pp AS (SELECT * FROM p WHERE from_type IS NOT NULL),
+        |m AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM pp WHERE is_train GROUP BY 1, 2),
+        |b AS (
+        |  SELECT from_type, to_type AS predicted FROM (
+        |    SELECT from_type, to_type,
+        |           row_number() OVER (PARTITION BY from_type
+        |             ORDER BY n DESC, to_type ASC) AS rn
+        |    FROM m) WHERE rn = 1),
+        |e AS (
+        |  SELECT pp.from_type, pp.to_type, b.predicted
+        |  FROM pp LEFT JOIN b ON pp.from_type = b.from_type
+        |  WHERE NOT pp.is_train)
+        |SELECT from_type, COUNT(*) AS n_pairs,
+        |       CAST(SUM(CASE WHEN to_type = predicted THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_correct,
+        |       round(CAST(SUM(CASE WHEN to_type = predicted
+        |                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |         AS accuracy
+        |FROM e GROUP BY 1 ORDER BY from_type""".stripMargin,
     // q187: the oracle counts triangles by the INDEPENDENT a<b<c
     // triple-join over the undirected edge list — a different algorithm
     // than the engine's degree-ordered orientation, so a hash match

@@ -337,4 +337,26 @@ class AuditSpec extends AnyFunSuite {
         (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
     assert(again == out)
   }
+
+  test("partitionAdvisor: verdicts by hand — uniform is good, binary " +
+      "is too_few, one hot value past 10x average is skewed") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = (0 until 100).toDF("i").select(
+      (col("i") % 10).as("uniform10"),
+      (col("i") % 2).as("binary"),
+      when(col("i") < 81, lit(0)).otherwise(col("i")).as("hot"))
+    val out = graft.ops.Audit.partitionAdvisor(df, Seq(
+      "uniform10" -> col("uniform10"),
+      "binary" -> col("binary"),
+      "hot" -> col("hot")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getString(5)))
+      .toMap
+    assert(out("uniform10") == ((10L, 10L, 1.0, "good")),
+      out("uniform10").toString)
+    assert(out("binary") == ((2L, 50L, 1.0, "too_few")),
+      out("binary").toString)
+    // 81 rows in one of 20 values: skew 81*20/100 = 16.2
+    assert(out("hot") == ((20L, 81L, 16.2, "skewed")), out("hot").toString)
+  }
 }

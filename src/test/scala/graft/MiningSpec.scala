@@ -639,6 +639,30 @@ class MiningSpec extends AnyFunSuite {
       r.getDouble(4)) == ((4L, 4L, 5L, 1L, 0.6)), r.toString)
   }
 
+  test("markovHoldout: a deterministic cycle is predicted perfectly on " +
+      "the held-out users; every transition is scored exactly once") {
+    def ts(s: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(s))
+    val cycle = Vector("a", "b", "c")
+    val ev = (1L to 60L).flatMap { u =>
+      (0 until 4).map(i =>
+        (u * 10 + i, u, ts(i.toLong), cycle(i % 3), 0.0))
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Mining.markovHoldout(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // the a->b->c->a rule is learnable from any train subset and holds
+    // on every eval pair
+    assert(out.nonEmpty)
+    out.foreach { case (from, (n, correct, acc)) =>
+      assert(n == correct && acc == 1.0, s"$from: $n/$correct")
+    }
+    // eval side scores every transition of the ~25% held-out users:
+    // 3 transitions per user, total divisible by 3
+    val totalEval = out.values.map(_._1).sum
+    assert(totalEval > 0 && totalEval % 3 == 0, totalEval.toString)
+  }
+
   test("triangleCensus: a 4-clique counts C(4,3)=4 triangles under " +
       "orientation (every wedge closes)") {
     // two orders over the same 4 parts -> complete graph K4 at w=2

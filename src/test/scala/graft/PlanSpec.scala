@@ -555,4 +555,20 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q190 partition advisor: ALL candidates profile in ONE fact " +
+      "scan — the stacked explode, not one GROUP BY per candidate") {
+    val p = finalPlan("q190_partition_advisor")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"k candidates must not mean k scans:\n${p.take(3000)}")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q191 Markov holdout: the model broadcasts into the eval side; " +
+      "no sort-merge join") {
+    val p = finalPlan("q191_markov_holdout")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|^2 model must broadcast:\n${p.take(3000)}")
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
 }
