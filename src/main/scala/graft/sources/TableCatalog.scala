@@ -154,6 +154,16 @@ object TableCatalog {
           .load(s"${normalizeScheme(spec.path)}/$table")
     }
 
+  /** Schema-ful file-format read: CSV/JSON carry no (or weak) embedded
+    * schema, and `inferSchema` costs a full extra pass over the data —
+    * at 100 TB the schema is a contract you DECLARE, not something you
+    * re-derive per read. ORC/parquet readers may also pass a schema here
+    * to get projection pushdown validated against an expected shape. */
+  def readFrom(spark: SparkSession, spec: SourceSpec, table: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.format(spec.format).options(spec.options).schema(schema)
+      .load(s"${normalizeScheme(spec.path)}/$table")
+
   /** Pushdown-SQL read: the query text executes on the remote engine as a
     * derived table, exactly the reference's `(sql) AS spark_query` wrap
     * (/root/reference/utils/db_utils.py:97-117). Spark sees only the

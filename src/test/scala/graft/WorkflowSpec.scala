@@ -246,4 +246,26 @@ class WorkflowSpec extends AnyFunSuite {
     assert(stats.totalRows == 15)
     assert(stats.successRate == 1.0)
   }
+
+  test("csv/json/orc round-trip value-exact through the SourceSpec seam " +
+      "(declared schema on the schemaless formats, no inferSchema pass)") {
+    val orig = TableCatalog.load(spark, sf, "orders")
+    val schema = orig.schema
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0)
+    val expect = orig.collect().sortBy(key).map(_.toString).toSeq
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val dir = tmpDir()
+      val opts = if (fmt == "csv") Map("header" -> "true") else
+        Map.empty[String, String]
+      val spec = graft.sources.SourceSpec(fmt, dir, opts)
+      TableCatalog.writeTo(orig, spec, "orders_rt")
+      val back =
+        if (fmt == "orc") TableCatalog.readFrom(spark, spec, "orders_rt")
+        else TableCatalog.readFrom(spark, spec, "orders_rt", schema)
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        schema.map(f => (f.name, f.dataType)), s"$fmt schema drift")
+      val got = back.collect().sortBy(key).map(_.toString).toSeq
+      assert(got == expect, s"$fmt round-trip drift")
+    }
+  }
 }
