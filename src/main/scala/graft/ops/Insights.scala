@@ -546,8 +546,60 @@ object Insights {
   def q182RfmSegments(spark: SparkSession, dir: String): DataFrame =
     rfmSegments(t(spark, dir, "orders"))
 
+  // --------------------------------------------------------------- q193
+  /** Fulfillment cycle-time distribution: days from order to line-item
+    * ship, as an exact day histogram with cumulative share and the
+    * exact p50/p90/p99 read off it — the SLA readout ("99% of units
+    * ship within N days") where an approx-percentile answer is exactly
+    * what the contract forbids.
+    *
+    * Scale shape: the one big-big equi-join (lineitem ⋈ orders on the
+    * FK) shuffles both sides once — the join every fulfillment question
+    * pays; everything after collapses to the |distinct days| frame (a
+    * domain bounded by the shipping window, not data volume), where the
+    * cumulative window and the rank-threshold percentile picks are
+    * arithmetic. Percentile semantics are q163's k = ⌈q·n⌉ ORDER
+    * BY/OFFSET definition, duplicate-safe, exact.
+    *
+    * Determinism: day counts are exact longs; each row's cumulative
+    * share is ONE double divide. */
+  def cycleTimeHistogram(lineitem: DataFrame,
+                         orders: DataFrame): DataFrame = {
+    val days = lineitem
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate"))
+        .cast("long").as("days"))
+      .groupBy(col("days")).agg(count(lit(1)).as("n"))
+      // tiny domain-bounded frame, read by both the marks aggregate and
+      // the final projection — persist so the FK join runs ONCE
+      .persist()
+    val w = Window.orderBy(col("days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = days
+      .withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(days.agg(sum(col("n")).as("total"))))
+    def kOf(q: Double) = ceil(lit(q) * col("total").cast("double"))
+      .cast("long")
+    val marks = cum
+      .agg(min(when(col("cum") >= kOf(0.5), col("days"))).as("p50_days"),
+        min(when(col("cum") >= kOf(0.9), col("days"))).as("p90_days"),
+        min(when(col("cum") >= kOf(0.99), col("days"))).as("p99_days"))
+    cum.crossJoin(broadcast(marks))
+      .select(col("days"), col("n"),
+        round(col("cum").cast("double") / col("total"), 6)
+          .as("cum_share"),
+        col("p50_days"), col("p90_days"), col("p99_days"))
+      .orderBy("days")
+  }
+
+  def q193CycleTime(spark: SparkSession, dir: String): DataFrame =
+    cycleTimeHistogram(t(spark, dir, "lineitem"), t(spark, dir, "orders"))
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_cycle_time" -> q193CycleTime _,
     "q179_basket_lift" -> q179BasketLift _,
     "q182_rfm_segments" -> q182RfmSegments _,
     "q177_time_to_convert" -> q177TimeToConvert _,
@@ -568,6 +620,31 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q193: exact day counts off the FK join; rank-threshold percentile
+    // picks (k = ceil(q*n)) and one double divide per row.
+    "q193_cycle_time" ->
+      """WITH d AS (
+        |  SELECT date_diff('day', o_orderdate, l_shipdate) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT days, COUNT(*) AS n FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT days, n, SUM(n) OVER (ORDER BY days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h),
+        |m AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= CAST(ceil(0.5 * CAST(total AS DOUBLE))
+        |          AS BIGINT) THEN days END) AS p50_days,
+        |    min(CASE WHEN cum >= CAST(ceil(0.9 * CAST(total AS DOUBLE))
+        |          AS BIGINT) THEN days END) AS p90_days,
+        |    min(CASE WHEN cum >= CAST(ceil(0.99 * CAST(total AS DOUBLE))
+        |          AS BIGINT) THEN days END) AS p99_days
+        |  FROM c, t)
+        |SELECT days, n,
+        |       round(CAST(cum AS DOUBLE) / total, 6) AS cum_share,
+        |       p50_days, p90_days, p99_days
+        |FROM c, t, m ORDER BY days""".stripMargin,
     // q179: counts are exact integers; every ratio is ONE double divide
     // of integer products, mirrored operand for operand.
     "q179_basket_lift" ->

@@ -1099,6 +1099,56 @@ object Stats {
   def q185DailyAcf(spark: SparkSession, dir: String): DataFrame =
     dailyAcf(t(spark, dir, "orders"))
 
+  // --------------------------------------------------------------- q192
+  /** Lead–lag cross-correlation between two daily series: corr(x_t,
+    * y_{t+lag}) for lag = 0..maxLag — the diagnostic that finds HOW LONG
+    * one process trails another (here: revenue booked by order date vs
+    * revenue recognized by ship date; the argmax lag is the typical
+    * fulfillment delay, read straight off the curve).
+    *
+    * Scale shape: both facts collapse to their |days|-row daily frames
+    * first; the lag alignment is an equi-join of the ×|lags| exploded
+    * driver frame against the second day frame — tens of thousands of
+    * rows however big the facts are. Pearson per lag from exact decimal
+    * moments (q185's recipe, cast-before-multiply). */
+  def dailyXcorr(driver: DataFrame, dayColX: Column, valX: Column,
+                 follower: DataFrame, dayColY: Column, valY: Column,
+                 maxLag: Int = 14): DataFrame = {
+    def daily(df: DataFrame, d: Column, v: Column, out: String) =
+      df.groupBy(d.cast("date").as("day"))
+        .agg(sum(round(v * 100).cast("long")).as(out))
+    val dx = daily(driver, dayColX, valX, "x")
+    val dy = daily(follower, dayColY, valY, "y")
+    val pairs = dx
+      .select(col("day"), col("x"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+      .join(dy.select(col("day").as("yday"), col("y")),
+        expr("date_add(day, lag) = yday"))
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    pairs
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dd(col("x"))).as("sx"), sum(dd(col("y"))).as("sy"),
+        sum(dd(col("x")) * col("y")).as("sxy"),
+        sum(dd(col("x")) * col("x")).as("sxx"),
+        sum(dd(col("y")) * col("y")).as("syy"))
+      .select(col("lag").cast("long").as("lag"), col("n_days"),
+        round(
+          (col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n_days") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  /** q192 entry: order-date revenue leading ship-date revenue. */
+  def q192ShipLagXcorr(spark: SparkSession, dir: String): DataFrame =
+    dailyXcorr(
+      t(spark, dir, "orders"), col("o_orderdate"), col("o_totalprice"),
+      t(spark, dir, "lineitem"), col("l_shipdate"), col("l_extendedprice"))
+
   // --------------------------------------------------------------- q186
   /** Theil-T inequality decomposition — q184's Gini tells you HOW unequal
     * revenue is; Theil tells you WHERE the inequality lives, because it
@@ -1168,6 +1218,7 @@ object Stats {
     "q185_daily_acf" -> q185DailyAcf _,
     "q186_theil_decomposition" -> q186TheilDecomposition _,
     "q188_weighted_median" -> q188WeightedMedian _,
+    "q192_ship_lag_xcorr" -> q192ShipLagXcorr _,
     "q180_bootstrap_ci" -> q180BootstrapCi _,
     "q163_exact_median" -> q163ExactMedian _,
     "q146_ks_drift" -> q146KsDrift _,
@@ -1258,6 +1309,35 @@ object Stats {
         |              sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |         AS acf
         |FROM m ORDER BY k""".stripMargin,
+    // q192: daily cents frames, integer lag alignment by date_add,
+    // exact decimal Pearson moments — q185's recipe across two series.
+    "q192_ship_lag_xcorr" ->
+      """WITH dx AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |dy AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS y
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT l.lag, dx.x, dy.y
+        |  FROM dx, (SELECT unnest(range(0, 15)) AS lag) l
+        |  JOIN dy ON dy.day = dx.day + CAST(l.lag AS INT)),
+        |m AS (
+        |  SELECT lag, COUNT(*) AS n_days,
+        |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+        |       round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |             (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+        |              sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
+        |         AS xcorr
+        |FROM m ORDER BY lag""".stripMargin,
     // q188: the DEFINITIONAL one-sort formulation — the smallest value
     // whose running weight reaches k — which the engine's two-pass
     // binned selection must reproduce exactly.

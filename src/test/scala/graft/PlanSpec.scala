@@ -571,4 +571,25 @@ class PlanSpec extends AnyFunSuite {
       s"the |types|^2 model must broadcast:\n${p.take(3000)}")
     assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
   }
+
+  test("q192 cross-correlation: lag alignment joins the bounded day " +
+      "frames — the facts themselves never join, no window anywhere") {
+    val p = finalPlan("q192_ship_lag_xcorr")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // both inputs aggregate to day frames BEFORE the lag join
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+  }
+
+  test("q193 cycle time: the day histogram persists so the FK join runs " +
+      "once; windows ride the histogram, never the joined fact") {
+    val p = finalPlan("q193_cycle_time")
+    // marks + final projection both read the persisted histogram, so
+    // the fact is scanned and FK-joined exactly once
+    assert(p.contains("InMemoryTableScan"),
+      s"the day histogram must persist:\n${p.take(3000)}")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"the fact must be scanned once:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -781,6 +781,43 @@ class StatsSpec extends AnyFunSuite {
     assert(kc > 20 && kc < 150, s"1/16 of 1000 wildly off: $kc")
   }
 
+  test("dailyXcorr: a follower that exactly replays the driver 3 days " +
+      "late peaks at lag 3 with correlation 1.0") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(i.toLong))
+    def v(i: Int) = ((i * 37) % 101 + 1).toDouble
+    val driver = (0 until 60).map(i => (d(i), v(i)))
+      .toDF("dday", "dval")
+    val follower = (3 until 63).map(i => (d(i), v(i - 3)))
+      .toDF("fday", "fval")
+    val out = graft.ops.Stats.dailyXcorr(
+      driver, col("dday"), col("dval"),
+      follower, col("fday"), col("fval"), maxLag = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(3L) == 1.0, out.toString)
+    (0 to 7).filter(_ != 3).foreach(l =>
+      assert(out(l.toLong) < 0.999, s"lag $l: ${out(l.toLong)}"))
+  }
+
+  test("cycleTimeHistogram: hand histogram, cumulative shares, and " +
+      "rank-threshold percentile marks") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(i.toLong))
+    val gaps = Seq(1, 1, 2, 2, 2, 3, 4, 5, 6, 10)
+    val orders = Seq((1L, d(0))).toDF("o_orderkey", "o_orderdate")
+    val li = gaps.zipWithIndex.map { case (g, i) => (1L, i, d(g)) }
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate")
+    val out = graft.ops.Insights.cycleTimeHistogram(li, orders).collect()
+    val byDay = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(byDay(1L) == ((2L, 0.2)) && byDay(2L) == ((3L, 0.5)) &&
+      byDay(10L) == ((1L, 1.0)), byDay.toString)
+    // k50 = 5 -> day 2; k90 = 9 -> day 6; k99 = ceil(9.9) = 10 -> day 10
+    val r0 = out.head
+    assert((r0.getLong(3), r0.getLong(4), r0.getLong(5)) ==
+      ((2L, 6L, 10L)), r0.toString)
+  }
+
   test("kaplanMeier: hand-computed product-limit curve with censoring") {
     def d(i: Int) = java.sql.Timestamp.valueOf(
       java.time.LocalDateTime.of(2020, 1, 1, 0, 0).plusDays(i.toLong))
