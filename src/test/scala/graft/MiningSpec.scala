@@ -663,6 +663,43 @@ class MiningSpec extends AnyFunSuite {
     assert(totalEval > 0 && totalEval % 3 == 0, totalEval.toString)
   }
 
+  test("property: triangleCensus matches a brute-force census on random " +
+      "incidence sets") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 8L)))
+    (1 to 5).foreach { seed =>
+      val inc = gen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed * 7919L))
+        .getOrElse(sys.error("gen failed")).distinct
+      val li = inc.toDF("l_orderkey", "l_partkey")
+      val r = Mining.triangleCensus(li).collect().head
+      // brute force: same edge rule, then count triangles directly
+      val byOrder = inc.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val pairCount = scala.collection.mutable.Map
+        .empty[(Long, Long), Int].withDefaultValue(0)
+      byOrder.values.foreach { ps =>
+        val s = ps.distinct.sorted
+        for (i <- s.indices; j <- i + 1 until s.size)
+          pairCount((s(i), s(j))) += 1
+      }
+      val edges = pairCount.filter(_._2 >= 2).keySet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      val deg = nodes.map(n =>
+        n -> edges.count(e => e._1 == n || e._2 == n)).toMap
+      val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+      val ns = nodes.toSeq.sorted
+      val tris = (for {
+        i <- ns.indices; j <- i + 1 until ns.size; k <- j + 1 until ns.size
+        if edges((ns(i), ns(j))) && edges((ns(j), ns(k))) &&
+          edges((ns(i), ns(k)))
+      } yield 1).size
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((nodes.size.toLong, edges.size.toLong, wedges, tris.toLong)),
+        s"seed $seed: ${r.toString} vs ($nodes, $edges, $wedges, $tris)")
+    }
+  }
+
   test("triangleCensus: a 4-clique counts C(4,3)=4 triangles under " +
       "orientation (every wedge closes)") {
     // two orders over the same 4 parts -> complete graph K4 at w=2

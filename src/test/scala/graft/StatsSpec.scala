@@ -781,6 +781,63 @@ class StatsSpec extends AnyFunSuite {
     assert(kc > 20 && kc < 150, s"1/16 of 1000 wildly off: $kc")
   }
 
+  test("property: giniByGroup equals the sorted rank-sum formula, is " +
+      "scale-invariant, and stays in [0, 1)") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(25, Gen.choose(1L, 500L))
+    (1 to 5).foreach { seed =>
+      val xs = gen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed * 104729L))
+        .getOrElse(sys.error("gen failed"))
+      def gini(vals: Seq[Long]): Double = {
+        val out = Stats.giniByGroup(
+          vals.map(("g", _)).toDF("g", "cents"), "g", "cents")
+          .collect().head
+        out.getDouble(3)
+      }
+      val g = gini(xs)
+      // direct formula on the sorted list, in exact integers up to the
+      // same single double divide (ties share values, so any consistent
+      // order gives the same sum)
+      val s = xs.sorted
+      val n = s.size
+      val num = s.zipWithIndex.map { case (x, i) =>
+        BigInt(2L * (i + 1) - n - 1) * x }.sum
+      val den = BigInt(n) * s.sum
+      val direct = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(g == direct, s"seed $seed: $g vs $direct")
+      assert(g >= 0.0 && g < 1.0, g.toString)
+      assert(gini(xs.map(_ * 7)) == g, "scale invariance")
+    }
+  }
+
+  test("property: weightedQuantile equals the brute-force weighted " +
+      "order statistic on random data") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0, 200), Gen.choose(0L, 5L)))
+    (1 to 5).foreach { seed =>
+      val rows = gen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed * 15485863L))
+        .getOrElse(sys.error("gen failed"))
+        .map { case (v, w) => (v.toDouble, w) }
+      val wtot = rows.map(_._2).sum
+      if (wtot > 0) {
+        for (q <- Seq(0.1, 0.5, 0.9)) {
+          val r = Stats.weightedQuantile(
+            rows.toDF("v", "w"), "v", "w", q, 13.0).head
+          val k = math.max(1L, math.ceil(q * wtot).toLong)
+          val expect = rows.filter(_._2 > 0).sortBy(_._1)
+            .scanLeft((0.0, 0L)) { case ((_, c), (v, w)) => (v, c + w) }
+            .drop(1).find(_._2 >= k).get._1
+          assert(r.getDouble(2) == expect,
+            s"seed $seed q=$q: ${r.getDouble(2)} vs $expect")
+        }
+      }
+    }
+  }
+
   test("dailyXcorr: a follower that exactly replays the driver 3 days " +
       "late peaks at lag 3 with correlation 1.0") {
     def d(i: Int) = java.sql.Timestamp.valueOf(
