@@ -1143,6 +1143,84 @@ object Stats {
       .orderBy("lag")
   }
 
+  // --------------------------------------------------------------- q194
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    * the adjusted metric ȳ_arm − θ·(x̄_arm − x̄) removes the part of the
+    * outcome the PRE-experiment covariate already predicted, shrinking
+    * the A/B confidence interval by 1−ρ² with zero bias (assignment is
+    * independent of the pre-period). The standard trick that cuts
+    * experiment runtimes in half; θ = cov(x,y)/var(x) is fit on the
+    * pooled population.
+    *
+    * Scale shape: one pass collapses the fact to per-subject (pre, post)
+    * cents; the pooled moments are ONE tiny aggregate broadcast back
+    * into the 2-row per-arm frame. Nothing beyond the subject aggregate
+    * ever shuffles.
+    *
+    * Determinism: all moments are exact decimal sums of integer cents
+    * (cast-before-multiply); θ, ρ² and each adjusted mean are fixed-
+    * order double arithmetic mirrored in the oracle. */
+  def cupedReadout(orders: DataFrame, cutoff: String): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp_ntz")
+    val subj = orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderdate") < cut,
+          round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+          .as("x"),
+        sum(when(col("o_orderdate") >= cut,
+          round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+          .as("y"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit("ab:"),
+          col("o_custkey").cast("string"))), 1, 8) < lit("80000000"),
+          "treatment").otherwise("control"))
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    // ONE fact pass: per-arm sufficient moments; the pooled moments are
+    // the 2-row sums (decimal addition is associative, so this is
+    // bit-identical to aggregating the population directly)
+    val armMoments = subj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(dd(col("x"))).as("sx"), sum(dd(col("y"))).as("sy"),
+        sum(dd(col("x")) * col("y")).as("sxy"),
+        sum(dd(col("x")) * col("x")).as("sxx"),
+        sum(dd(col("y")) * col("y")).as("syy"))
+      .persist()
+    val pooled = armMoments.agg(
+      sum(col("n")).as("n"),
+      sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"),
+      sum(col("syy")).as("syy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("theta"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))).as("rho2"),
+        (col("sx").cast("double") / col("n")).as("xbar_all"))
+    armMoments.select(col("arm"), col("n"), col("sx"), col("sy"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n"),
+        round(col("sx").cast("double") / col("n") / 100.0, 6)
+          .as("mean_pre"),
+        round(col("sy").cast("double") / col("n") / 100.0, 6)
+          .as("mean_post"),
+        round((col("sy").cast("double") / col("n") -
+          col("theta") * (col("sx").cast("double") / col("n") -
+            col("xbar_all"))) / 100.0, 6).as("mean_adjusted"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("var_reduction"))
+      .orderBy("arm")
+  }
+
+  /** q194 entry: pre-period before 1996, outcome after; hash-split
+    * arms. */
+  def q194CupedReadout(spark: SparkSession, dir: String): DataFrame =
+    cupedReadout(t(spark, dir, "orders"), "1996-01-01 00:00:00")
+
   /** q192 entry: order-date revenue leading ship-date revenue. */
   def q192ShipLagXcorr(spark: SparkSession, dir: String): DataFrame =
     dailyXcorr(
@@ -1219,6 +1297,7 @@ object Stats {
     "q186_theil_decomposition" -> q186TheilDecomposition _,
     "q188_weighted_median" -> q188WeightedMedian _,
     "q192_ship_lag_xcorr" -> q192ShipLagXcorr _,
+    "q194_cuped_readout" -> q194CupedReadout _,
     "q180_bootstrap_ci" -> q180BootstrapCi _,
     "q163_exact_median" -> q163ExactMedian _,
     "q146_ks_drift" -> q146KsDrift _,
@@ -1309,6 +1388,53 @@ object Stats {
         |              sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |         AS acf
         |FROM m ORDER BY k""".stripMargin,
+    // q194: integer-cents moments, cast-before-multiply; theta / rho2 /
+    // adjusted means replicated in the engine's operand order.
+    "q194_cuped_readout" ->
+      """WITH subj AS (
+        |  SELECT o_custkey,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |        ELSE 0 END) AS x,
+        |    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |        ELSE 0 END) AS y,
+        |    CASE WHEN substr(md5(concat('ab:',
+        |          CAST(o_custkey AS VARCHAR))), 1, 8) < '80000000'
+        |      THEN 'treatment' ELSE 'control' END AS arm
+        |  FROM orders GROUP BY o_custkey),
+        |pooled AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |  FROM subj),
+        |pp AS (
+        |  SELECT
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) *
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |       CAST(n * syy - sy * sy AS DOUBLE)) AS rho2,
+        |    CAST(sx AS DOUBLE) / n AS xbar_all
+        |  FROM pooled),
+        |a AS (
+        |  SELECT arm, COUNT(*) AS n,
+        |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(38,0))) AS sy
+        |  FROM subj GROUP BY arm)
+        |SELECT arm, n,
+        |       round(CAST(sx AS DOUBLE) / n / 100.0, 6) AS mean_pre,
+        |       round(CAST(sy AS DOUBLE) / n / 100.0, 6) AS mean_post,
+        |       round((CAST(sy AS DOUBLE) / n - theta *
+        |              (CAST(sx AS DOUBLE) / n - xbar_all)) / 100.0, 6)
+        |         AS mean_adjusted,
+        |       round(theta, 6) AS theta,
+        |       round(rho2, 6) AS var_reduction
+        |FROM a, pp ORDER BY arm""".stripMargin,
     // q192: daily cents frames, integer lag alignment by date_add,
     // exact decimal Pearson moments — q185's recipe across two series.
     "q192_ship_lag_xcorr" ->

@@ -581,6 +581,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
   }
 
+  test("q194 CUPED: subject aggregate is the only fact exchange; the " +
+      "pooled moments broadcast — no window, no sort-merge join") {
+    val p = finalPlan("q194_cuped_readout")
+    assert(!p.contains("Window") &&
+      !p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"only the custkey and 2-row arm aggregates may shuffle:\n" +
+        p.take(3000))
+  }
+
   test("q193 cycle time: the day histogram persists so the FK join runs " +
       "once; windows ride the histogram, never the joined fact") {
     val p = finalPlan("q193_cycle_time")

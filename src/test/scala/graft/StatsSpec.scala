@@ -838,6 +838,30 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("cupedReadout: an outcome perfectly predicted by the pre-period " +
+      "gives theta=2, full variance reduction, and identical adjusted " +
+      "means across arms") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val rows = (1L to 200L).flatMap { c =>
+      val p = (c % 37 + 1) * 10.0
+      Seq((c, d("1995-06-01"), p),      // pre-period
+        (c, d("1996-06-01"), 2.0 * p))  // outcome = exactly 2x pre
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.ops.Stats.cupedReadout(rows, "1996-01-01 00:00:00")
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getDouble(5) == 2.0, s"theta: $r")
+      assert(r.getDouble(6) == 1.0, s"rho2: $r")
+    }
+    // the raw post means differ between arms (different customers), the
+    // adjusted means agree exactly: CUPED removed all explained variance
+    assert(out(0).getDouble(4) == out(1).getDouble(4),
+      out.mkString(", "))
+    assert(out(0).getDouble(3) != out(1).getDouble(3),
+      "arms should differ pre-adjustment for the test to mean anything")
+  }
+
   test("dailyXcorr: a follower that exactly replays the driver 3 days " +
       "late peaks at lag 3 with correlation 1.0") {
     def d(i: Int) = java.sql.Timestamp.valueOf(
