@@ -597,9 +597,49 @@ object Insights {
   def q193CycleTime(spark: SparkSession, dir: String): DataFrame =
     cycleTimeHistogram(t(spark, dir, "lineitem"), t(spark, dir, "orders"))
 
+  // --------------------------------------------------------------- q195
+  /** Wilson-lower-bound ranking: order items by the LOWER 95% confidence
+    * bound of their success rate, not the raw rate — the classic fix for
+    * "5/5 beats 950/1000" that every rating / defect-rate leaderboard
+    * needs (Wilson 1927; the reddit/Evan Miller sort). Here: brands
+    * ranked by return rate evidence.
+    *
+    * Scale shape: one fact pass with a broadcast dim join collapses to
+    * the |brands|-row frame; the Wilson algebra is a projection and the
+    * ranking is a tiny-frame sort.
+    *
+    * Determinism: n and k are exact longs; the closed form is evaluated
+    * in ONE fixed operand order (z² terms as exact literals, IEEE sqrt),
+    * mirrored in the oracle. */
+  def wilsonRanking(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val z = 1.96
+    val counts = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (lit(2.0) * nD) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD))) / (lit(1.0) + z2 / nD)
+    counts
+      .select(col("brand"), col("n"), col("k"),
+        round(p, 6).as("rate"),
+        round(lb, 6).as("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("brand"))
+  }
+
+  def q195WilsonRanking(spark: SparkSession, dir: String): DataFrame =
+    wilsonRanking(t(spark, dir, "lineitem"), t(spark, dir, "part"))
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_cycle_time" -> q193CycleTime _,
+    "q195_wilson_ranking" -> q195WilsonRanking _,
     "q179_basket_lift" -> q179BasketLift _,
     "q182_rfm_segments" -> q182RfmSegments _,
     "q177_time_to_convert" -> q177TimeToConvert _,
@@ -620,6 +660,29 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q195: exact counts; the Wilson closed form replicated term for
+    // term in the same operand order (z-squared terms as literals).
+    "q195_wilson_ranking" ->
+      """WITH c AS (
+        |  SELECT p_brand AS brand, COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+        |              END) AS BIGINT) AS k
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT brand, n, k,
+        |       round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |       round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |              + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE))
+        |              - 1.96 * sqrt(
+        |                  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) *
+        |                  (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / CAST(n AS DOUBLE)
+        |                  + 3.8415999999999997 /
+        |                    (4.0 * CAST(n AS DOUBLE)
+        |                         * CAST(n AS DOUBLE))))
+        |             / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)),
+        |             6) AS wilson_lb
+        |FROM c ORDER BY wilson_lb DESC, brand""".stripMargin,
     // q193: exact day counts off the FK join; rank-threshold percentile
     // picks (k = ceil(q*n)) and one double divide per row.
     "q193_cycle_time" ->

@@ -349,4 +349,28 @@ class InsightsSpec extends AnyFunSuite {
       .select(countDistinct(col("o_custkey"))).head.getLong(0)
     assert(total == nCust, s"segment counts $total != customers $nCust")
   }
+
+  test("wilsonRanking: 950/1000 outranks 5/5 — the lower bound rewards " +
+      "evidence, not just rate; values match the closed form") {
+    val part = Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")
+    val li = ((1 to 5).map(_ => (1L, "R")) ++
+      (1 to 950).map(_ => (2L, "R")) ++
+      (1 to 50).map(_ => (2L, "N")))
+      .toDF("l_partkey", "l_returnflag")
+    val out = graft.ops.Insights.wilsonRanking(li, part).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("B", "A"),
+      out.mkString(", "))
+    def wilson(k: Long, n: Long): Double = {
+      val z = 1.96; val z2 = z * z
+      val p = k.toDouble / n
+      val lb = (p + z2 / (2.0 * n) -
+        z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) /
+        (1.0 + z2 / n)
+      BigDecimal(lb).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val m = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(m("A") == ((5L, 5L, wilson(5, 5))), m("A").toString)
+    assert(m("B") == ((1000L, 950L, wilson(950, 1000))), m("B").toString)
+  }
 }
