@@ -212,6 +212,85 @@ object Streams {
       }
   }
 
+  /** A user whose estimated event count first crossed the alert
+    * threshold: the Space-Saving estimate and its maximum possible
+    * overcount at that moment. */
+  case class HeavyHitter(shard: Int, user_id: Long, est_count: Long,
+                         max_overcount: Long, at: java.sql.Timestamp)
+
+  /** Internal per-shard Space-Saving summary (public only for encoder
+    * codegen): parallel id/count/overcount seqs, ≤ capacity entries,
+    * plus the already-alerted ids. */
+  case class HHState(ids: Seq[Long], counts: Seq[Long], errs: Seq[Long],
+                     alerted: Seq[Long])
+
+  /** Streaming heavy-hitter monitor via Space-Saving (Metwally et al.,
+    * ICDT'05): alert the first time a user's estimated event count
+    * crosses `minCount`, over an UNBOUNDED user population, with state
+    * that never grows past `capacity` counters per shard.
+    *
+    * Why not a plain streaming groupBy count: per-user state grows with
+    * the user population — unbounded on an open stream. Space-Saving
+    * keeps only `capacity` counters; when a new user arrives at a full
+    * summary it inherits the minimum counter (+1) and records that floor
+    * as its possible overcount. Guarantees: every user with true count
+    * > N/capacity (N = shard stream length) is IN the summary, and each
+    * estimate overcounts by at most its recorded `max_overcount` —
+    * `est − err` is a certain lower bound, so `minCount + err` crossings
+    * are definite. Shards (`user_id mod nShards`) bound the per-task
+    * summary and parallelize the fold; totals are per-shard exact shares
+    * of the user's traffic only if a user maps to one shard — which the
+    * mod guarantees.
+    *
+    * Determinism: micro-batches sort by (ts, event_id) before folding
+    * (the [[varianceMonitor]] contract); eviction picks the
+    * (count, id)-minimal victim. */
+  def heavyHittersMonitor(events: Dataset[Event], capacity: Int,
+                          minCount: Long,
+                          nShards: Int = 16): Dataset[HeavyHitter] = {
+    require(capacity >= 1 && nShards >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => math.floorMod(e.user_id, nShards.toLong).toInt)
+      .flatMapGroupsWithState[HHState, HeavyHitter](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[Event], state: GroupState[HHState]) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[
+            Long, (Long, Long)]
+          state.getOption.foreach { s =>
+            s.ids.indices.foreach(i =>
+              m(s.ids(i)) = (s.counts(i), s.errs(i)))
+          }
+          var alerted = state.getOption.map(_.alerted.toSet)
+            .getOrElse(Set.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[HeavyHitter]
+          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach {
+            e =>
+              val u = e.user_id
+              m.get(u) match {
+                case Some((c, err)) => m(u) = (c + 1, err)
+                case None if m.size < capacity => m(u) = (1L, 0L)
+                case None =>
+                  val (victim, (vc, _)) =
+                    m.minBy { case (id, (c, _)) => (c, id) }
+                  m.remove(victim)
+                  alerted -= victim
+                  m(u) = (vc + 1, vc)
+              }
+              val (c, err) = m(u)
+              if (c >= minCount && !alerted(u)) {
+                alerted += u
+                out += HeavyHitter(shard, u, c, err, e.ts)
+              }
+          }
+          val ids = m.keys.toSeq
+          state.update(HHState(ids, ids.map(m(_)._1), ids.map(m(_)._2),
+            alerted.toSeq.sorted))
+          out.iterator
+      }
+  }
+
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 16, bands: Int = 4,
                     minEstJaccard: Double = 0.5,

@@ -368,4 +368,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(!alerts.exists(_._1 == 2L), "spread user must stay silent")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: the hot user alerts once across batch " +
+      "boundaries; a flood of one-off users can neither evict it nor " +
+      "false-alert past its overcount bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var id = 0L
+    def ev(uid: Long, sec: Long) = {
+      id += 1
+      Streams.Event(id,
+        new java.sql.Timestamp(1700000000000L + sec * 1000), uid,
+        "click", 1.0)
+    }
+    val input = MemoryStream[Streams.Event]
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "hh").toString
+    // one shard so the hot user and the noise contend for ONE summary
+    val q = Streams.heavyHittersMonitor(input.toDS(), capacity = 10,
+        minCount = 40L, nShards = 1)
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // batch 1: 30 hot events — below threshold, silent
+      input.addData((1 to 30).map(i => ev(7L, i.toLong)): _*)
+      q.processAllAvailable()
+      assert(spark.table("hh_test").count() == 0)
+      // batch 2: 100 one-off users churn the summary, then 15 more hot
+      // events — the hot counter survives (Space-Saving never evicts
+      // the max) and crosses 40 exactly once
+      input.addData(((100 to 199).map(u => ev(u.toLong, 50L)) ++
+        (1 to 15).map(i => ev(7L, 60L + i))): _*)
+      q.processAllAvailable()
+      val alerts = spark.table("hh_test").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val hot = alerts.filter(_._1 == 7L)
+      assert(hot.length == 1, alerts.toSeq.toString)
+      // estimate >= true count crossed, overcount bounded by the
+      // summary's min counter when the user (re)entered
+      val (_, est, err) = hot.head
+      assert(est >= 40L && est - err <= 45L, hot.head.toString)
+      // no one-off user may alert: est - err for them is at most the
+      // inherited floor + 1, far below the threshold... unless err
+      // covers it — assert none did at all (threshold 40 >> floor+1)
+      assert(alerts.forall(_._1 == 7L), alerts.toSeq.toString)
+    } finally q.stop()
+  }
 }
