@@ -636,10 +636,98 @@ object Insights {
   def q195WilsonRanking(spark: SparkSession, dir: String): DataFrame =
     wilsonRanking(t(spark, dir, "lineitem"), t(spark, dir, "part"))
 
+  // --------------------------------------------------------------- q196
+  /** Net revenue retention by acquisition cohort: for each first-order
+    * year and horizon k, the cohort's revenue k years on as a fraction
+    * of its acquisition-year revenue — the DOLLAR-weighted retention
+    * curve (count-based q81 says how many came back; NRR says whether
+    * the money did, expansion included).
+    *
+    * Scale shape: one fact pass to the (customer, year) frame; the
+    * customer's cohort year is a min-aggregate over that same frame
+    * joined back customer-keyed (co-partitioned — both sides hash on
+    * the customer); everything after lives on the |years|² cohort
+    * frame, where the base-revenue divisor broadcasts.
+    *
+    * Determinism: integer cents end-to-end; one double divide per row. */
+  def revenueRetention(orders: DataFrame, maxK: Int = 3): DataFrame = {
+    val cy = orders
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .persist()
+    val cohort = cy.groupBy(col("o_custkey")).agg(min(col("y")).as("y0"))
+    val frame = cy.join(cohort, "o_custkey")
+      .withColumn("k", col("y") - col("y0"))
+      .filter(col("k").between(0, maxK))
+      .groupBy(col("y0").as("cohort_year"), col("k"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    val base = frame.filter(col("k") === 0)
+      .select(col("cohort_year").as("by"), col("rev_cents").as("base"))
+    frame.join(broadcast(base), col("cohort_year") === col("by"))
+      .select(col("cohort_year").cast("long").as("cohort_year"),
+        col("k").cast("long").as("k"), col("n_active"),
+        round(col("rev_cents").cast("double") / 100.0, 2).as("revenue"),
+        round(col("rev_cents").cast("double") /
+          col("base").cast("double"), 6).as("nrr"))
+      .orderBy("cohort_year", "k")
+  }
+
+  def q196RevenueRetention(spark: SparkSession, dir: String): DataFrame =
+    revenueRetention(t(spark, dir, "orders"))
+
+  // --------------------------------------------------------------- q197
+  /** Price–volume bridge: decompose each brand's revenue change between
+    * two years into the part explained by price movement and the part
+    * explained by volume movement — the Laspeyres/Paasche identity
+    * Δrev = (p₁−p₀)·q₁ + p₀·(q₁−q₀), which holds exactly. The finance
+    * close's "why did revenue move" in one pass.
+    *
+    * Scale shape: ONE fact pass of conditional aggregates per brand
+    * (broadcast part dim); the bridge algebra is a projection over the
+    * |brands| frame. No join between years, no window.
+    *
+    * Determinism: quantities and revenue cents are exact integers; unit
+    * prices and the two effect terms are fixed-order double arithmetic
+    * mirrored in the oracle. */
+  def priceVolumeBridge(lineitem: DataFrame, part: DataFrame,
+                        year0: Int, year1: Int): DataFrame = {
+    def inYear(yr: Int, c: Column) =
+      sum(when(year(col("l_shipdate")) === yr, c).otherwise(0L))
+    val f = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        inYear(year0, round(col("l_quantity")).cast("long")).as("q0"),
+        inYear(year1, round(col("l_quantity")).cast("long")).as("q1"),
+        inYear(year0, round(col("l_extendedprice") * 100).cast("long"))
+          .as("r0"),
+        inYear(year1, round(col("l_extendedprice") * 100).cast("long"))
+          .as("r1"))
+      .filter(col("q0") > 0 && col("q1") > 0)
+    val p0 = col("r0").cast("double") / col("q0")
+    val p1 = col("r1").cast("double") / col("q1")
+    f.select(col("brand"), col("q0"), col("q1"),
+      round(col("r0").cast("double") / 100.0, 2).as("rev0"),
+      round(col("r1").cast("double") / 100.0, 2).as("rev1"),
+      round((col("r1") - col("r0")).cast("double") / 100.0, 2)
+        .as("delta"),
+      round((p1 - p0) * col("q1") / 100.0, 2).as("price_effect"),
+      round(p0 * (col("q1") - col("q0")) / 100.0, 2).as("volume_effect"))
+      .orderBy("brand")
+  }
+
+  def q197PriceVolumeBridge(spark: SparkSession, dir: String): DataFrame =
+    priceVolumeBridge(t(spark, dir, "lineitem"), t(spark, dir, "part"),
+      1995, 1996)
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_cycle_time" -> q193CycleTime _,
     "q195_wilson_ranking" -> q195WilsonRanking _,
+    "q196_revenue_retention" -> q196RevenueRetention _,
+    "q197_price_volume_bridge" -> q197PriceVolumeBridge _,
     "q179_basket_lift" -> q179BasketLift _,
     "q182_rfm_segments" -> q182RfmSegments _,
     "q177_time_to_convert" -> q177TimeToConvert _,
@@ -660,6 +748,57 @@ object Insights {
     "q69_corpus_share" -> q69CorpusShare _)
 
   val oracle: Map[String, String] = Map(
+    // q196: integer cents, co-keyed cohort join, one divide per row.
+    "q196_revenue_retention" ->
+      """WITH cy AS (
+        |  SELECT o_custkey, year(o_orderdate) AS y,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |cohort AS (
+        |  SELECT o_custkey, MIN(y) AS y0 FROM cy GROUP BY 1),
+        |f AS (
+        |  SELECT y0 AS cohort_year, y - y0 AS k,
+        |         COUNT(*) AS n_active,
+        |         CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM cy JOIN cohort USING (o_custkey)
+        |  WHERE y - y0 BETWEEN 0 AND 3
+        |  GROUP BY 1, 2)
+        |SELECT CAST(f.cohort_year AS BIGINT) AS cohort_year,
+        |       CAST(f.k AS BIGINT) AS k, f.n_active,
+        |       round(CAST(f.rev_cents AS DOUBLE) / 100.0, 2) AS revenue,
+        |       round(CAST(f.rev_cents AS DOUBLE)
+        |             / CAST(b.rev_cents AS DOUBLE), 6) AS nrr
+        |FROM f JOIN f b
+        |  ON b.cohort_year = f.cohort_year AND b.k = 0
+        |ORDER BY cohort_year, k""".stripMargin,
+    // q197: exact integer quantities/cents; unit prices and both effect
+    // terms in the engine's operand order.
+    "q197_price_volume_bridge" ->
+      """WITH f AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995
+        |       THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+        |       AS BIGINT) AS q0,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+        |       THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+        |       AS BIGINT) AS q1,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995
+        |       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |       ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+        |       THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |       ELSE 0 END) AS BIGINT) AS r1
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT brand, q0, q1,
+        |       round(CAST(r0 AS DOUBLE) / 100.0, 2) AS rev0,
+        |       round(CAST(r1 AS DOUBLE) / 100.0, 2) AS rev1,
+        |       round(CAST(r1 - r0 AS DOUBLE) / 100.0, 2) AS delta,
+        |       round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+        |             * q1 / 100.0, 2) AS price_effect,
+        |       round(CAST(r0 AS DOUBLE) / q0 * (q1 - q0) / 100.0, 2)
+        |         AS volume_effect
+        |FROM f WHERE q0 > 0 AND q1 > 0 ORDER BY brand""".stripMargin,
     // q195: exact counts; the Wilson closed form replicated term for
     // term in the same operand order (z-squared terms as literals).
     "q195_wilson_ranking" ->

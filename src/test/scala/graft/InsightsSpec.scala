@@ -350,6 +350,38 @@ class InsightsSpec extends AnyFunSuite {
     assert(total == nCust, s"segment counts $total != customers $nCust")
   }
 
+  test("revenueRetention: hand cohort — dollars retained, not heads; " +
+      "base year is always nrr 1.0") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, d("2000-03-01"), 60.0), (1L, d("2000-09-01"), 40.0),
+      (1L, d("2001-05-01"), 50.0),
+      (2L, d("2000-06-01"), 100.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.ops.Insights.revenueRetention(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out((2000L, 0L)) == ((2L, 200.0, 1.0)), out.toString)
+    assert(out((2000L, 1L)) == ((1L, 50.0, 0.25)), out.toString)
+    assert(out.size == 2)
+  }
+
+  test("priceVolumeBridge: the Laspeyres identity holds by hand — " +
+      "price and volume effects sum to the revenue delta") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val part = Seq((1L, "X")).toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, d("1995-05-01"), 10.0, 100.0),
+      (1L, d("1996-05-01"), 20.0, 300.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val r = graft.ops.Insights.priceVolumeBridge(li, part, 1995, 1996)
+      .collect().head
+    // p0 = 10.00/unit, p1 = 15.00/unit: price (15-10)*20 = 100,
+    // volume 10*(20-10) = 100, delta = 200
+    assert((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6),
+      r.getDouble(7)) == ((10L, 20L, 200.0, 100.0, 100.0)), r.toString)
+  }
+
   test("wilsonRanking: 950/1000 outranks 5/5 — the lower bound rewards " +
       "evidence, not just rate; values match the closed form") {
     val part = Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")

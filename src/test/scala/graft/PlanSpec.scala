@@ -591,6 +591,23 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
   }
 
+  test("q196 NRR: the (customer, year) frame persists — orders scans " +
+      "once for cohorts, horizons and the base divisor") {
+    val p = finalPlan("q196_revenue_retention")
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"the fact must be scanned once:\n${p.take(3000)}")
+  }
+
+  test("q197 price-volume bridge: ONE fact pass of conditional " +
+      "aggregates — no year self-join, no window") {
+    val p = finalPlan("q197_price_volume_bridge")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"both years must come from one scan:\n${p.take(3000)}")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q193 cycle time: the day histogram persists so the FK join runs " +
       "once; windows ride the histogram, never the joined fact") {
     val p = finalPlan("q193_cycle_time")
