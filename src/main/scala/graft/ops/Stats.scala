@@ -1221,6 +1221,57 @@ object Stats {
   def q194CupedReadout(spark: SparkSession, dir: String): DataFrame =
     cupedReadout(t(spark, dir, "orders"), "1996-01-01 00:00:00")
 
+  // --------------------------------------------------------------- q198
+  /** Classical seasonal index via ratio-to-centered-moving-average: each
+    * calendar month's index is the average of (month revenue / centered
+    * 12-month moving average) across years — the multiplicative
+    * decomposition every demand-planning forecast starts from (index
+    * 1.1 = "this month runs 10% hot after detrending"). q113 reads
+    * day-of-week seasonality off raw means; this one removes TREND
+    * first, which is what makes indices comparable across a growing
+    * business.
+    *
+    * Scale shape: the fact collapses to the |months|-row series (one
+    * hash aggregate); the centered MA is one window over that bounded
+    * frame (a calendar is a domain, not a data volume — q174's
+    * contract), and the per-month average is a 12-row aggregate.
+    *
+    * Determinism: monthly cents are exact; the centered MA is the
+    * standard 2×12 form — (half the 6-back + full 5-back..5-fwd + half
+    * the 6-fwd)/12 — computed over exact integer window sums, one
+    * double ratio per month, ratios rounded to 6dp before the decimal
+    * mean (q186's order-independence recipe). */
+  def seasonalIndex(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(trunc(col("o_orderdate"), "month").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("m"))
+    def lagN(n: Int) = lag(col("cents"), n).over(w)
+    def leadN(n: Int) = lead(col("cents"), n).over(w)
+    // 2x12 centered MA: needs all 13 neighbors present (interior months)
+    val inner = (-5 to 5).map(i =>
+      if (i < 0) lagN(-i) else if (i > 0) leadN(i) else col("cents"))
+      .reduce(_ + _)
+    val ma2x12 = (lagN(6) + leadN(6) + inner * 2).cast("double") / 24.0
+    monthly
+      .withColumn("ma", ma2x12)
+      .filter(col("ma").isNotNull)
+      .select(month(col("m")).as("month"),
+        round(col("cents") / col("ma"), 6).as("ratio"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_years"),
+        // exact decimal sum / count, NOT avg(): DuckDB's AVG returns a
+        // float accumulation, which is order-dependent
+        round(sum(col("ratio").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("seasonal_index"))
+      .select(col("month").cast("long").as("month"), col("n_years"),
+        col("seasonal_index"))
+      .orderBy("month")
+  }
+
+  def q198SeasonalIndex(spark: SparkSession, dir: String): DataFrame =
+    seasonalIndex(t(spark, dir, "orders"))
+
   /** q192 entry: order-date revenue leading ship-date revenue. */
   def q192ShipLagXcorr(spark: SparkSession, dir: String): DataFrame =
     dailyXcorr(
@@ -1298,6 +1349,7 @@ object Stats {
     "q188_weighted_median" -> q188WeightedMedian _,
     "q192_ship_lag_xcorr" -> q192ShipLagXcorr _,
     "q194_cuped_readout" -> q194CupedReadout _,
+    "q198_seasonal_index" -> q198SeasonalIndex _,
     "q180_bootstrap_ci" -> q180BootstrapCi _,
     "q163_exact_median" -> q163ExactMedian _,
     "q146_ks_drift" -> q146KsDrift _,
@@ -1388,6 +1440,31 @@ object Stats {
         |              sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
         |         AS acf
         |FROM m ORDER BY k""".stripMargin,
+    // q198: explicit lag/lead neighbors (NULL kills edge months exactly
+    // as in the engine); integer window sums, one double ratio, 6dp
+    // rounding before the exact-decimal mean.
+    "q198_seasonal_index" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |wv AS (
+        |  SELECT m, cents,
+        |    lag(cents, 6) OVER w + lead(cents, 6) OVER w +
+        |    (cents + lag(cents, 1) OVER w + lag(cents, 2) OVER w +
+        |     lag(cents, 3) OVER w + lag(cents, 4) OVER w +
+        |     lag(cents, 5) OVER w + lead(cents, 1) OVER w +
+        |     lead(cents, 2) OVER w + lead(cents, 3) OVER w +
+        |     lead(cents, 4) OVER w + lead(cents, 5) OVER w) * 2 AS s24
+        |  FROM monthly WINDOW w AS (ORDER BY m)),
+        |r AS (
+        |  SELECT month(m) AS month,
+        |         round(cents / (CAST(s24 AS DOUBLE) / 24.0), 6) AS ratio
+        |  FROM wv WHERE s24 IS NOT NULL)
+        |SELECT CAST(month AS BIGINT) AS month, COUNT(*) AS n_years,
+        |       round(CAST(SUM(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS seasonal_index
+        |FROM r GROUP BY 1 ORDER BY month""".stripMargin,
     // q194: integer-cents moments, cast-before-multiply; theta / rho2 /
     // adjusted means replicated in the engine's operand order.
     "q194_cuped_readout" ->

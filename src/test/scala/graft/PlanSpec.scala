@@ -591,6 +591,13 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
   }
 
+  test("q198 seasonal index: one window on the bounded month frame, " +
+      "no join") {
+    val p = finalPlan("q198_seasonal_index")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Window".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("q196 NRR: the (customer, year) frame persists — orders scans " +
       "once for cohorts, horizons and the base divisor") {
     val p = finalPlan("q196_revenue_retention")

@@ -862,6 +862,24 @@ class StatsSpec extends AnyFunSuite {
       "arms should differ pre-adjustment for the test to mean anything")
   }
 
+  test("seasonalIndex: a 12-periodic spike detrends to exact indices — " +
+      "the 2x12 MA weighs every calendar month 1/12 at any position") {
+    def d(y: Int, m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(y, m, 15, 0, 0))
+    val orders = (for (y <- 2000 to 2002; m <- 1 to 12)
+      yield (y.toLong * 100 + m, d(y, m),
+        if (m == 12) 24.0 else 12.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.ops.Stats.seasonalIndex(orders).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == (1L to 12L).toSet)
+    // MA is exactly (11*1200 + 2400)/12 = 1300 cents at EVERY interior
+    // month; Dec ratio 2400/1300, others 1200/1300
+    (1L to 11L).foreach(m =>
+      assert(out(m) == ((2L, 0.923077)), s"month $m: ${out(m)}"))
+    assert(out(12L) == ((2L, 1.846154)), out(12L).toString)
+  }
+
   test("dailyXcorr: a follower that exactly replays the driver 3 days " +
       "late peaks at lag 3 with correlation 1.0") {
     def d(i: Int) = java.sql.Timestamp.valueOf(
