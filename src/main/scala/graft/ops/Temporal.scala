@@ -458,7 +458,61 @@ object Temporal {
   def q183KaplanMeier(spark: SparkSession, dir: String): DataFrame =
     kaplanMeier(t(spark, dir, "orders"), "o_custkey", "o_orderdate")
 
+  // --------------------------------------------------------------- q199
+  /** Repeat-purchase cadence: the distribution of gaps between a
+    * customer's consecutive orders (day histogram with cumulative
+    * share), plus the exponential-model readout — MLE rate λ̂ = gaps/Σd
+    * and the implied P(next order ≤ 30d) = 1 − e^{−30λ̂} — against the
+    * EMPIRICAL 30-day share, so the one-number model and the data sit
+    * side by side (a large gap between them says "don't model cadence
+    * as memoryless").
+    *
+    * Scale shape: one user-keyed exchange for the lag window, then the
+    * gap frame collapses to the day histogram (domain-bounded by the
+    * date span); the model scalars ride a 1-row broadcast.
+    *
+    * Determinism: gaps are exact datediff days; λ̂ is one divide; exp is
+    * IEEE on an identical operand; shares are one divide per row. */
+  def purchaseCadence(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev")).cast("long")
+        .as("gap_d"))
+      .groupBy(col("gap_d")).agg(count(lit(1)).as("n"))
+      .persist()
+    val model = gaps.agg(
+      sum(col("n")).as("n_gaps"),
+      sum(col("gap_d") * col("n")).as("sum_d"),
+      sum(when(col("gap_d") <= 30, col("n")).otherwise(0L))
+        .as("n_le30"))
+      .select(col("n_gaps"),
+        (col("n_gaps").cast("double") / col("sum_d")).as("lambda"),
+        (col("n_le30").cast("double") / col("n_gaps"))
+          .as("emp_le30"))
+    val wCum = Window.orderBy(col("gap_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(model))
+      .select(col("gap_d"), col("n"),
+        round(col("cum").cast("double") / col("n_gaps"), 6)
+          .as("cum_share"),
+        round(col("lambda"), 6).as("lambda_hat"),
+        round(lit(1.0) - exp(lit(-30.0) * col("lambda")), 6)
+          .as("model_p_le30"),
+        round(col("emp_le30"), 6).as("empirical_p_le30"))
+      .orderBy("gap_d")
+  }
+
+  def q199PurchaseCadence(spark: SparkSession, dir: String): DataFrame =
+    purchaseCadence(t(spark, dir, "orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_purchase_cadence" -> q199PurchaseCadence _,
     "q183_kaplan_meier" -> q183KaplanMeier _,
     "q181_time_weighted_avg" -> q181TimeWeightedAvg _,
     "q168_seasonal_anomalies" -> q168SeasonalAnomalies _,
@@ -472,6 +526,36 @@ object Temporal {
     "q140_interval_overlap" -> q140IntervalOverlap _)
 
   val oracle: Map[String, String] = Map(
+    // q199: exact day gaps; one divide for lambda, IEEE exp on an
+    // identical operand, one divide per histogram row.
+    "q199_purchase_cadence" ->
+      """WITH g AS (
+        |  SELECT date_diff('day',
+        |           lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey),
+        |           o_orderdate) AS gap_d
+        |  FROM orders),
+        |h AS (
+        |  SELECT gap_d, COUNT(*) AS n FROM g
+        |  WHERE gap_d IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_gaps,
+        |         CAST(SUM(n) AS BIGINT) /
+        |           CAST(CAST(SUM(gap_d * n) AS BIGINT) AS DOUBLE)
+        |           AS lambda,
+        |         CAST(SUM(CASE WHEN gap_d <= 30 THEN n ELSE 0 END)
+        |              AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS emp
+        |  FROM h),
+        |c AS (
+        |  SELECT gap_d, n, SUM(n) OVER (ORDER BY gap_d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT gap_d, n,
+        |       round(CAST(cum AS DOUBLE) / n_gaps, 6) AS cum_share,
+        |       round(lambda, 6) AS lambda_hat,
+        |       round(1.0 - exp(-30.0 * lambda), 6) AS model_p_le30,
+        |       round(emp, 6) AS empirical_p_le30
+        |FROM c, m ORDER BY gap_d""".stripMargin,
     // q183: exact day-count lifetimes; risk sets and counts exact;
     // ln/exp evaluated in the same operand order as the engine (one
     // divide inside the ln).

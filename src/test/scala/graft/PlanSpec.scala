@@ -591,6 +591,14 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
   }
 
+  test("q199 purchase cadence: gap histogram persists — one fact scan " +
+      "feeds the model scalars and the cumulative readout") {
+    val p = finalPlan("q199_purchase_cadence")
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"the fact must be scanned once:\n${p.take(3000)}")
+  }
+
   test("q198 seasonal index: one window on the bounded month frame, " +
       "no join") {
     val p = finalPlan("q198_seasonal_index")

@@ -917,6 +917,29 @@ class StatsSpec extends AnyFunSuite {
       ((2L, 6L, 10L)), r0.toString)
   }
 
+  test("purchaseCadence: hand gaps — histogram, cumulative share, MLE " +
+      "rate and the exponential readout vs the empirical share") {
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(i.toLong))
+    // customer 1 orders at days 0,10,20 -> gaps 10,10
+    // customer 2 orders at days 0,40   -> gap 40
+    val orders = Seq((1L, 1L, d(0)), (1L, 2L, d(10)), (1L, 3L, d(20)),
+      (2L, 4L, d(0)), (2L, 5L, d(40)))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val out = graft.ops.Temporal.purchaseCadence(orders).collect()
+    val m = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(10L) == ((2L, 0.666667)) && m(40L) == ((1L, 1.0)),
+      m.toString)
+    val r0 = out.head
+    // lambda = 3/60 = 0.05; model P(<=30) = 1 - e^-1.5; empirical 2/3
+    assert(r0.getDouble(3) == 0.05, r0.toString)
+    val expect = BigDecimal(1.0 - math.exp(-30.0 * 0.05))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getDouble(4) == expect, r0.toString)
+    assert(r0.getDouble(5) == 0.666667, r0.toString)
+  }
+
   test("kaplanMeier: hand-computed product-limit curve with censoring") {
     def d(i: Int) = java.sql.Timestamp.valueOf(
       java.time.LocalDateTime.of(2020, 1, 1, 0, 0).plusDays(i.toLong))
