@@ -940,6 +940,44 @@ class StatsSpec extends AnyFunSuite {
     assert(r0.getDouble(5) == 0.666667, r0.toString)
   }
 
+  test("property: kaplanMeier matches a direct product-limit " +
+      "computation on random lifetime/censoring patterns") {
+    import org.scalacheck.Gen
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2020, 1, 1, 0, 0).plusDays(i.toLong))
+    val gen = Gen.listOfN(40, Gen.choose(0, 200))
+    (1 to 4).foreach { seed =>
+      val lasts = gen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed * 6700417L))
+        .getOrElse(sys.error("gen failed"))
+      val df = lasts.zipWithIndex.flatMap { case (last, i) =>
+        Seq((i.toLong, d(0)), (i.toLong, d(last)))
+      }.toDF("k", "ts")
+      val out = graft.ops.Temporal.kaplanMeier(df, "k", "ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+      // direct computation in plain Scala with the same censor rule
+      val mx = lasts.max
+      val subjects = lasts.map(l => (l.toLong, (mx - l) > 90))
+      val byDay = subjects.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (t, xs) =>
+          (t, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+      var atRisk = subjects.size.toLong
+      var logS = 0.0
+      val expect = byDay.flatMap { case (t, dd, cc) =>
+        val row = if (dd > 0) {
+          logS += math.log((atRisk - dd).toDouble / atRisk)
+          val s = BigDecimal(math.exp(logS))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((t, atRisk, dd, cc, s))
+        } else None
+        atRisk -= dd + cc
+        row
+      }
+      assert(out.toSeq == expect, s"seed $seed:\n${out.toSeq}\n$expect")
+    }
+  }
+
   test("kaplanMeier: hand-computed product-limit curve with censoring") {
     def d(i: Int) = java.sql.Timestamp.valueOf(
       java.time.LocalDateTime.of(2020, 1, 1, 0, 0).plusDays(i.toLong))
