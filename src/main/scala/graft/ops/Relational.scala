@@ -304,8 +304,52 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "overall_case")
   }
 
+  // --------------------------------------------------------------- q200
+  /** Pure-SQL capstone: the engine driven entirely through `spark.sql`
+    * — corpus temp views plus the natively registered Catalyst
+    * functions ([[graft.plans.GraftExtensions]]) — semantic top-3 per
+    * probe embedding via `graft_cosine`, enriched with each neighbor
+    * document's `graft_word_tokens` count and `graft_char_entropy`. A
+    * user of the SQL surface writes exactly this text; nothing here
+    * touches the DataFrame API.
+    *
+    * Scale shape: identical plan to q24's brute-force top-k (probes
+    * broadcast, codegen'd cosine expression, per-probe top-k window)
+    * plus one equi-join to the documents dim — SQL and the Column API
+    * compile to the same Catalyst operators by construction.
+    *
+    * Determinism: cosine rounds to 6dp like q24; token counts are exact;
+    * entropy follows q85's oracle-proven recipe. */
+  def q200SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    TableCatalog.registerAll(spark, dir)
+    spark.sql("""
+      WITH probes AS (
+        SELECT vec_id AS query_id,
+               CAST(embedding AS ARRAY<DOUBLE>) AS q
+        FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round(graft_cosine(p.q,
+                 CAST(c.embedding AS ARRAY<DOUBLE>)), 6) AS sim
+        FROM embeddings c CROSS JOIN probes p
+        WHERE c.vec_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rn
+        FROM scored)
+      SELECT t.query_id, t.neighbor_id, t.sim,
+             CAST(t.rn AS BIGINT) AS rn,
+             CAST(size(graft_word_tokens(d.text)) AS BIGINT) AS n_tokens,
+             round(graft_char_entropy(d.text), 6) AS entropy
+      FROM ranked t LEFT JOIN documents d ON d.doc_id = t.neighbor_id
+      WHERE t.rn <= 3
+      ORDER BY t.query_id, t.rn""")
+  }
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_sql_surface" -> q200SqlSurface _,
     "q01_scan_limit" -> q01ScanLimit _,
     "q02_add_literal_project" -> q02AddLiteralProject _,
     "q03_flagship_sql" -> q03FlagshipSql _,
@@ -330,6 +374,49 @@ object Relational {
   /** DuckDB-dialect oracle SQL, column-name- and value-identical to the
     * Spark results (NULLS FIRST matches Spark's asc default). */
   val oracle: Map[String, String] = Map(
+    // q200: cosine via dot/(sqrt·sqrt) in q24's proven operand order;
+    // token recipe from q63/q101; entropy recipe from q85.
+    "q200_sql_surface" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT p.query_id, c.neighbor_id,
+        |         round(list_dot_product(p.q, c.e) /
+        |               (sqrt(list_dot_product(p.q, p.q)) *
+        |                sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+        |  FROM c, probes p WHERE c.neighbor_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM scored),
+        |top3 AS (SELECT * FROM ranked WHERE rn <= 3),
+        |cs AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE len(text) > 0),
+        |f AS (SELECT doc_id, ch, COUNT(*) AS c FROM cs GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM f GROUP BY 1),
+        |ent AS (
+        |  SELECT f.doc_id,
+        |         round(-SUM((CAST(c AS DOUBLE) / n) *
+        |                    ln(CAST(c AS DOUBLE) / n)), 6) AS entropy
+        |  FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id, tot.n),
+        |tok AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(
+        |           string_split_regex(lower(text), '\W+'),
+        |           t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT t.query_id, t.neighbor_id, t.sim,
+        |       CAST(t.rn AS BIGINT) AS rn, tok.n_tokens, ent.entropy
+        |FROM top3 t
+        |LEFT JOIN tok ON tok.doc_id = t.neighbor_id
+        |LEFT JOIN ent ON ent.doc_id = t.neighbor_id
+        |ORDER BY t.query_id, t.rn""".stripMargin,
     "q01_scan_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem

@@ -591,6 +591,17 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
   }
 
+  test("q200 SQL surface: probes broadcast into the codegen'd cosine " +
+      "scan; one top-k window; no sort-merge join") {
+    val p = finalPlan("q200_sql_surface")
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+    // count the Window node itself — Spark 4 also plans WindowGroupLimit
+    // rank-pushdown nodes around it (a good thing, not a second window)
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q199 purchase cadence: gap histogram persists — one fact scan " +
       "feeds the model scalars and the cumulative readout") {
     val p = finalPlan("q199_purchase_cadence")

@@ -73,4 +73,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(total ==
       graft.sources.TableCatalog.load(spark, sf, "lineitem").count())
   }
+
+  test("q200 SQL surface: the pure-SQL top-k agrees row-for-row with " +
+      "the Column-API brute force — same Catalyst, two front doors") {
+    val out = graft.ops.Relational.q200SqlSurface(spark, sf).collect()
+    assert(out.length == 15, out.length.toString)
+    val sqlTop = out.map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toSeq
+    val emb = graft.sources.TableCatalog.load(spark, sf, "embeddings")
+    val api = graft.ops.Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 5),
+        idCol = "vec_id", embCol = "embedding", k = 3)
+      .orderBy("query_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(sqlTop == api, s"\nsql: $sqlTop\napi: $api")
+  }
 }
