@@ -1560,7 +1560,7 @@ object Stats {
         |  FROM base)
         |SELECT tot.wtot, tot.k,
         |       (SELECT min(v) FROM c WHERE cw >= tot.k) AS value
-        |FROM tot""".stripMargin,
+        |FROM tot WHERE tot.wtot IS NOT NULL""".stripMargin,
     // q186: the x·ln(x) terms are rounded to 6dp and summed as exact
     // decimals in BOTH engines (order-independent); every later step is
     // plain double arithmetic in the engine's operand order.
