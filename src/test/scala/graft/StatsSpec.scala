@@ -812,6 +812,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: Theil decomposition is additive — within + between " +
+      "contributions reconstruct the pooled Theil on random data") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(1L, 400L)))
+    (1 to 5).foreach { seed =>
+      val rows = gen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed * 2147483647L))
+        .getOrElse(sys.error("gen failed"))
+      val out = Stats.theilDecomposition(
+        rows.toDF("g", "cents"), "g", "cents").collect()
+      val total = out.map(r => r.getDouble(4) + r.getDouble(5)).sum
+      // direct pooled Theil T = (1/n) sum (x/mu) ln(x/mu)
+      val xs = rows.map(_._2.toDouble)
+      val mu = xs.sum / xs.size
+      val direct = xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.size
+      assert(math.abs(total - direct) < 1e-4,
+        s"seed $seed: $total vs $direct")
+      // every group's internal Theil is nonnegative (Jensen)
+      out.foreach(r => assert(r.getDouble(3) >= -1e-9, r.toString))
+    }
+  }
+
   test("property: weightedQuantile equals the brute-force weighted " +
       "order statistic on random data") {
     import org.scalacheck.Gen
