@@ -416,4 +416,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(alerts.forall(_._1 == 7L), alerts.toSeq.toString)
     } finally q.stop()
   }
+
+  test("heavy-hitters summary survives a checkpointed restart: counts " +
+      "accumulated before the stop decide the alert after it") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "hhr").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    var id = 0L
+    def ev(uid: Long, sec: Long) = {
+      id += 1
+      Streams.Event(id,
+        new java.sql.Timestamp(1700000000000L + sec * 1000), uid,
+        "click", 1.0)
+    }
+    def mkFile(name: String, evs: Seq[Streams.Event]): Unit = {
+      val stage = s"$base/stage_$name"
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val events = Streams.eventsFileStream(spark, in, "*.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      val q = Streams.heavyHittersMonitor(events, capacity = 10,
+          minCount = 40L, nShards = 1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: 30 hot events — under threshold, no alert, state = 30
+    mkFile("b1", (1 to 30).map(i => ev(7L, i.toLong)))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 0)
+    // run 2 (fresh query, same checkpoint): 15 more — 45 crosses 40
+    // ONLY if the summary carried the 30 across the restart
+    mkFile("b2", (1 to 15).map(i => ev(7L, 100L + i)))
+    runOnce()
+    val alerts = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(alerts.toSeq == Seq((7L, 40L, 0L)), alerts.toSeq.toString)
+  }
 }
