@@ -710,7 +710,52 @@ object Audit {
       "ship_month" -> date_format(col("l_shipdate"), "yyyy-MM"),
       "supp_bucket" -> pmod(col("l_suppkey"), lit(64))))
 
+  // --------------------------------------------------------------- q201
+  /** Partition content checksums — the reproducibility manifest: for
+    * each partition key, the row count and an ORDER-INDEPENDENT additive
+    * digest of the rows' content hashes. Two pipeline runs (or a primary
+    * and its replica) diff by comparing |partitions| manifest rows
+    * instead of re-reading the data; q165's row-level snapshot diff then
+    * runs only on the partitions whose checksums moved.
+    *
+    * Scale shape: the digest is a SUM of per-row 52-bit md5 slices —
+    * commutative and associative, so it partial-aggregates map-side and
+    * merges across any partitioning; nothing sorts, nothing
+    * collect_lists a partition's rows. This additivity is the whole
+    * design: a per-file manifest rolls up to a per-partition manifest
+    * rolls up to a table digest by plain addition (the Iceberg/Delta
+    * manifest idea, expressed as a query).
+    *
+    * Determinism: rows serialize with a \u0001 field separator —
+    * WITHOUT one, ("12","3") and ("1","23") would share a digest; md5
+    * is engine-portable; the 52-bit slice fits a long exactly; sums
+    * ride decimal(38,0). Collision note: additive 52-bit sums are a
+    * CHANGE detector, not a cryptographic commitment — the contract
+    * matches how manifests are used. */
+  def partitionChecksums(df: DataFrame, partCol: Column,
+                         contentCols: Seq[Column]): DataFrame = {
+    val rowDigest = conv(substring(
+      md5(concat_ws("\u0001", contentCols: _*)), 1, 13), 16, 10)
+      .cast("long")
+    df.groupBy(partCol.as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowDigest.cast("decimal(38,0)")).as("checksum"))
+      .orderBy("part")
+  }
+
+  /** q201 entry: lineitem manifest by ship month over the full row
+    * content. */
+  def q201PartitionChecksums(spark: SparkSession, dir: String): DataFrame =
+    partitionChecksums(t(spark, dir, "lineitem"),
+      date_format(col("l_shipdate"), "yyyy-MM"),
+      Seq(col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"),
+        col("l_partkey").cast("string"),
+        round(col("l_extendedprice") * 100).cast("long").cast("string"),
+        col("l_returnflag")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_partition_checksums" -> q201PartitionChecksums _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q154_burst_detect" -> q154BurstDetect _,
     "q167_profile_drift" -> q167ProfileDrift _,
@@ -742,6 +787,21 @@ object Audit {
   }
 
   val oracle: Map[String, String] = Map(
+    // q201: identical row serialization, identical 52-bit md5 slice,
+    // exact decimal sum — order-independent on both sides.
+    "q201_partition_checksums" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |       COUNT(*) AS n_rows,
+        |       SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(l_orderkey AS VARCHAR),
+        |             CAST(l_linenumber AS VARCHAR),
+        |             CAST(l_partkey AS VARCHAR),
+        |             CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                  AS VARCHAR),
+        |             l_returnflag)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS checksum
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     // q190: the stacked one-pass profile re-expressed as a UNION of
     // per-candidate GROUP BYs — an independent formulation; integer
     // counts, multiply-before-the-one-divide skew.

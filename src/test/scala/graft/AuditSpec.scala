@@ -338,6 +338,32 @@ class AuditSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("partitionChecksums: manifests MERGE by addition, and flipping " +
+      "one row's content moves exactly that partition's checksum") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Audit.partitionChecksums(df, col("p"), Seq(col("v")))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).toBigInteger)).toMap
+    val base = (1 to 100).map(i => (s"p${i % 4}", s"row$i")).toDF("p", "v")
+    val whole = run(base)
+    // additivity: checksums of two halves sum to the whole's
+    val h1 = run(base.filter(col("v") < "row5"))
+    val h2 = run(base.filter(!(col("v") < "row5")))
+    whole.foreach { case (p, (n, cs)) =>
+      val (n1, c1) = h1.getOrElse(p, (0L, java.math.BigInteger.ZERO))
+      val (n2, c2) = h2.getOrElse(p, (0L, java.math.BigInteger.ZERO))
+      assert(n == n1 + n2 && cs == c1.add(c2), s"$p not additive")
+    }
+    // change detection: mutate one row in partition p1
+    val mutated = run(base.withColumn("v",
+      when(col("v") === "row1", concat(col("v"), lit("x")))
+        .otherwise(col("v"))))
+    assert(mutated("p1")._2 != whole("p1")._2, "change must move p1")
+    Seq("p0", "p2", "p3").foreach(p =>
+      assert(mutated(p) == whole(p), s"$p must be untouched"))
+  }
+
   test("partitionAdvisor: verdicts by hand — uniform is good, binary " +
       "is too_few, one hot value past 10x average is skewed") {
     import org.apache.spark.sql.functions.{col, lit, when}

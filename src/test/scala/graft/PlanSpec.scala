@@ -591,6 +591,15 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
   }
 
+  test("q201 partition checksums: one scan, map-side partial digests — " +
+      "no join, no window") {
+    val p = finalPlan("q201_partition_checksums")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("partial_sum"),
+      s"the additive digest must combine map-side:\n${p.take(3000)}")
+  }
+
   test("q200 SQL surface: probes broadcast into the codegen'd cosine " +
       "scan; one top-k window; no sort-merge join") {
     val p = finalPlan("q200_sql_surface")
