@@ -744,7 +744,10 @@ object Audit {
   }
 
   /** q201 entry: lineitem manifest by ship month over the full row
-    * content. */
+    * content. The digest is re-emitted as its exact decimal STRING: the
+    * additive sum exceeds 2^53, so any float64 step in a downstream
+    * consumer's canonicalization would corrupt the integer — a string
+    * survives every hash/compare path bit-exactly. */
   def q201PartitionChecksums(spark: SparkSession, dir: String): DataFrame =
     partitionChecksums(t(spark, dir, "lineitem"),
       date_format(col("l_shipdate"), "yyyy-MM"),
@@ -753,6 +756,7 @@ object Audit {
         col("l_partkey").cast("string"),
         round(col("l_extendedprice") * 100).cast("long").cast("string"),
         col("l_returnflag")))
+      .withColumn("checksum", col("checksum").cast("string"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,
@@ -788,18 +792,20 @@ object Audit {
 
   val oracle: Map[String, String] = Map(
     // q201: identical row serialization, identical 52-bit md5 slice,
-    // exact decimal sum — order-independent on both sides.
+    // exact decimal sum — order-independent on both sides. The sum is
+    // emitted as its exact VARCHAR rendering (it exceeds 2^53; a float
+    // step anywhere in comparison tooling would corrupt the integer).
     "q201_partition_checksums" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS part,
         |       COUNT(*) AS n_rows,
-        |       SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
         |             CAST(l_orderkey AS VARCHAR),
         |             CAST(l_linenumber AS VARCHAR),
         |             CAST(l_partkey AS VARCHAR),
         |             CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
         |                  AS VARCHAR),
         |             l_returnflag)), 1, 13)) AS BIGINT)
-        |           AS DECIMAL(38,0))) AS checksum
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum
         |FROM lineitem
         |GROUP BY 1 ORDER BY part""".stripMargin,
     // q190: the stacked one-pass profile re-expressed as a UNION of

@@ -527,9 +527,15 @@ object Corpus {
       .orderBy(idCol)
   }
 
-  /** q139 entry: 256-token vocabulary over the documents corpus. */
+  /** q139 entry: 256-token vocabulary over the documents corpus. The id
+    * sequence is emitted space-joined as a STRING — downstream
+    * comparison tooling can sort/hash a scalar where a LIST column
+    * cannot be lexsorted; the array form stays available via
+    * [[encodeIds]]. */
   def q139EncodeIds(spark: SparkSession, dir: String): DataFrame =
     encodeIds(t(spark, dir, "documents"), "text", "doc_id")
+      .withColumn("ids",
+        array_join(transform(col("ids"), _.cast("string")), " "))
 
   // ---------------------------------------------------------------- q74
   /** 64-token chunks with a 32-token stride over the corpus. */
@@ -866,8 +872,9 @@ object Corpus {
         |       AND NOT (stop_cnt * 100 < n_tokens) AS keep
         |FROM pd ORDER BY doc_id""".stripMargin,
     // q139: same fit recipe (total count, ties by token, row_number id);
-    // the encode side re-derives ids by position join + ordered list()
-    // where the engine uses a literal-map lambda — same sequences.
+    // the encode side re-derives ids by position join + ordered
+    // string_agg where the engine uses a fitted-model expression +
+    // array_join — same space-joined sequences, scalar (hashable) form.
     "q139_encode_ids" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -884,7 +891,8 @@ object Corpus {
         |         generate_subscripts(tk, 1) AS pos
         |  FROM toks WHERE len(tk) > 0)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |       list(COALESCE(v.id, 0) ORDER BY pos) AS ids
+        |       string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' '
+        |                  ORDER BY pos) AS ids
         |FROM pos LEFT JOIN vocab v USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q74: range(1, len+1, 32) generates the 1-based chunk starts;
