@@ -971,15 +971,31 @@ object Stats {
       .select((col("b") * 4 + col("lane")).as("r"),
         (w * round(col("v") * 100).cast("long")).as("wc"), w.as("w"))
       .groupBy(col("r"))
-      .agg(round(sum(col("wc")).cast("double") / sum(col("w")) / 100.0, 6)
+      // guard the divide: a replicate with zero total weight has no mean
+      // (NULL here; under ANSI the raw divide would throw a generic
+      // DIVIDE_BY_ZERO) — the size assert below turns it into a specific
+      // failure instead of a silent order-statistic shift
+      .agg(when(sum(col("w")) > 0,
+        round(sum(col("wc")).cast("double") / sum(col("w")) / 100.0, 6))
         .as("mean_r"))
     val full = df.agg(round(davg(valCol), 6).as("full_mean"))
+    // a replicate whose total Poisson weight is 0 (P = e^{-n}, only
+    // reachable on tiny inputs) has NULL mean_r, and collect_list drops
+    // NULLs SILENTLY — the order statistics would then index a shorter
+    // array and return shifted CI bounds. Fail loudly instead: the
+    // element_at index only resolves once assert_true vouches that all
+    // `reps` replicate means survived.
+    def checkedIdx(k: Int) = when(
+      assert_true(size(col("ms")) === reps,
+        lit(s"bootstrapCi: a zero-weight replicate produced a NULL " +
+          s"mean (input too small for a Poisson bootstrap of $reps " +
+          "replicates)")).isNull, lit(k))
     means
       .agg(array_sort(collect_list(col("mean_r"))).as("ms"))
       .crossJoin(broadcast(full))
       .select(lit(reps.toLong).as("n_replicates"), col("full_mean"),
-        element_at(col("ms"), loK).as("ci_lo"),
-        element_at(col("ms"), hiK).as("ci_hi"))
+        element_at(col("ms"), checkedIdx(loK)).as("ci_lo"),
+        element_at(col("ms"), checkedIdx(hiK)).as("ci_hi"))
   }
 
   /** q180 entry: bootstrap 95% CI for the mean order price. */

@@ -365,10 +365,13 @@ object Temporal {
     * updates.
     *
     * Determinism: weights are integer MICROSECOND gaps and values are
-    * integer CENTS; each interval's value·duration product is one
-    * bounded long (≤ ~5e17), summed exactly as decimal(38,0) — the one
-    * double divide happens at the very end, mirrored operand for
-    * operand in the oracle.
+    * integer CENTS; each interval's value·duration product is formed
+    * AFTER casting cents to decimal(38,0) — a long·long product would
+    * silently wrap in non-ANSI Spark for a large value held across a
+    * multi-year gap, exactly where the oracle's BIGINT multiply errors
+    * instead (the cast-before-multiply discipline of q185/q194). Sums
+    * stay decimal(38,0); the one double divide happens at the very end,
+    * mirrored operand for operand in the oracle.
     *
     * Scale shape: one user-keyed exchange feeds the lead window, then
     * the same partitioning feeds the per-user aggregate — no join, no
@@ -385,11 +388,12 @@ object Temporal {
       .withColumn("next_us", lead(col("us"), 1).over(w))
       .filter(col("next_us").isNotNull)
       .select(col("user_id"), (col("next_us") - col("us")).as("wus"),
-        (col("cents") * (col("next_us") - col("us"))).as("cwus"))
+        (col("cents").cast("decimal(38,0)") *
+          (col("next_us") - col("us"))).as("cwus"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("wus")).as("span_us"),
-        round(sum(col("cwus").cast("decimal(38,0)")).cast("double") /
+        round(sum(col("cwus")).cast("double") /
           sum(col("wus")) / 100.0, 6).as("twa_value"))
       .orderBy("user_id")
   }
@@ -605,11 +609,11 @@ object Temporal {
         |  FROM events),
         |i AS (
         |  SELECT user_id, next_us - us AS wus,
-        |         cents * (next_us - us) AS cwus
+        |         CAST(cents AS HUGEINT) * (next_us - us) AS cwus
         |  FROM e WHERE next_us IS NOT NULL)
         |SELECT user_id, COUNT(*) AS n_intervals,
         |       CAST(SUM(wus) AS BIGINT) AS span_us,
-        |       round(CAST(SUM(CAST(cwus AS DECIMAL(38,0))) AS DOUBLE)
+        |       round(CAST(SUM(cwus) AS DOUBLE)
         |             / CAST(SUM(wus) AS BIGINT) / 100.0, 6) AS twa_value
         |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
     // q168: LOO mean over integer (sum, cnt) then one double divide; the

@@ -220,7 +220,8 @@ object Streams {
 
   /** Internal per-shard Space-Saving summary (public only for encoder
     * codegen): parallel id/count/overcount seqs, ≤ capacity entries,
-    * plus the already-alerted ids. */
+    * plus the already-alerted ids in alert order (oldest first — the
+    * aging order of the suppression cap). */
   case class HHState(ids: Seq[Long], counts: Seq[Long], errs: Seq[Long],
                      alerted: Seq[Long])
 
@@ -244,7 +245,16 @@ object Streams {
     *
     * Determinism: micro-batches sort by (ts, event_id) before folding
     * (the [[varianceMonitor]] contract); eviction picks the
-    * (count, id)-minimal victim. */
+    * (count, id)-minimal victim.
+    *
+    * Alert-once contract: a user alerts the FIRST time their estimate
+    * crosses `minCount`, and the suppression SURVIVES counter eviction —
+    * an alerted user churned out of the summary and returning later must
+    * not alert twice. The suppression set is still bounded: it holds at
+    * most `64 × capacity` ids, aged oldest-alert-first; only past that
+    * cap (a shard with >64·capacity distinct alerted users — alerts are
+    * rare by construction, each needs true count ≳ N/capacity) do the
+    * oldest suppressions age out and alerts degrade to at-least-once. */
   def heavyHittersMonitor(events: Dataset[Event], capacity: Int,
                           minCount: Long,
                           nShards: Int = 16): Dataset[HeavyHitter] = {
@@ -262,8 +272,10 @@ object Streams {
             s.ids.indices.foreach(i =>
               m(s.ids(i)) = (s.counts(i), s.errs(i)))
           }
-          var alerted = state.getOption.map(_.alerted.toSet)
-            .getOrElse(Set.empty[Long])
+          // insertion-ordered so the suppression cap ages oldest-first
+          val alerted = scala.collection.mutable.LinkedHashSet.empty[Long]
+          state.getOption.foreach(s => alerted ++= s.alerted)
+          val alertedCap = 64 * capacity
           val out = scala.collection.mutable.ArrayBuffer.empty[HeavyHitter]
           batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach {
             e =>
@@ -275,18 +287,21 @@ object Streams {
                   val (victim, (vc, _)) =
                     m.minBy { case (id, (c, _)) => (c, id) }
                   m.remove(victim)
-                  alerted -= victim
+                  // the victim's suppression stays: an alerted user that
+                  // churns out and returns must not alert a second time
                   m(u) = (vc + 1, vc)
               }
               val (c, err) = m(u)
               if (c >= minCount && !alerted(u)) {
                 alerted += u
+                if (alerted.size > alertedCap)
+                  alerted -= alerted.head // age the oldest suppression
                 out += HeavyHitter(shard, u, c, err, e.ts)
               }
           }
           val ids = m.keys.toSeq
           state.update(HHState(ids, ids.map(m(_)._1), ids.map(m(_)._2),
-            alerted.toSeq.sorted))
+            alerted.toSeq))
           out.iterator
       }
   }

@@ -700,6 +700,38 @@ class StatsSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 100000000L, 99.0)), out(3L).toString)
   }
 
+  test("bootstrapCi fails loudly when a replicate draws zero total " +
+      "weight instead of silently shifting the order statistics") {
+    // n=1: each replicate keeps the row with P = 1 - e^{-1}, so among
+    // 100 deterministic hash-driven replicates some draw weight 0
+    val one = Seq((1L, 42.0)).toDF("id", "v")
+    val e = intercept[Exception] {
+      graft.ops.Stats.bootstrapCi(one, col("v"), col("id")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("zero-weight replicate")),
+      e.toString)
+  }
+
+  test("timeWeightedAvg: a huge value held across a multi-year gap does " +
+      "not wrap (cents cast to decimal BEFORE the duration multiply)") {
+    def ts(d: java.time.LocalDateTime) = java.sql.Timestamp.valueOf(d)
+    val t0 = java.time.LocalDateTime.of(2020, 1, 1, 0, 0)
+    val t1 = t0.plusYears(3) // gap ~9.47e13 µs
+    val ev = Seq(
+      // 1e9 dollars = 1e11 cents; cents * gap_us ~ 9.5e24 >> 2^63
+      (1L, 1L, ts(t0), "click", 1.0e9),
+      (2L, 1L, ts(t1), "click", 1.0e9)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = graft.ops.Temporal.timeWeightedAvg(ev).collect().head
+    val gapUs = java.time.Duration.between(t0, t1).toNanos / 1000L
+    assert(r.getLong(2) == gapUs)
+    // constant series: the time-weighted mean is exactly the held value
+    assert(r.getDouble(3) == 1.0e9, r.toString)
+  }
+
   test("giniByGroup: hand-computed with ties; perfect equality is 0") {
     val df = Seq(
       ("a", 1L), ("a", 1L), ("a", 2L), // G = (2*9 - 4*4)/(3*4) = 1/6

@@ -417,6 +417,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavy hitters alert-once survives eviction: an alerted user " +
+      "churned out of the summary and returning does not re-alert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var id = 0L
+    def ev(uid: Long, sec: Long) = {
+      id += 1
+      Streams.Event(id,
+        new java.sql.Timestamp(1700000000000L + sec * 1000), uid,
+        "click", 1.0)
+    }
+    val input = MemoryStream[Streams.Event]
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "hhev").toString
+    // capacity 2, threshold 3: easy to alert and easy to evict
+    val q = Streams.heavyHittersMonitor(input.toDS(), capacity = 2,
+        minCount = 3L, nShards = 1)
+      .writeStream.format("memory").queryName("hh_evict_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // user 7 alerts at its 3rd event
+      input.addData((1 to 3).map(i => ev(7L, i.toLong)): _*)
+      q.processAllAvailable()
+      assert(spark.table("hh_evict_test").count() == 1)
+      // users 8 and 9 flood until BOTH summary slots exceed user 7's
+      // counter, evicting it (7 holds the min counter of 3 once both
+      // flooders pass it)
+      input.addData(((1 to 5).flatMap(i =>
+        Seq(ev(8L, 10L + i), ev(9L, 10L + i)))): _*)
+      q.processAllAvailable()
+      // user 7 returns: inherits a floor >= 3, crosses minCount again —
+      // but its suppression survived eviction, so NO second alert
+      input.addData(ev(7L, 30L), ev(7L, 31L))
+      q.processAllAvailable()
+      val alerts = spark.table("hh_evict_test").collect()
+        .map(r => r.getLong(1))
+      assert(alerts.count(_ == 7L) == 1,
+        s"user 7 must alert exactly once, got ${alerts.toSeq}")
+    } finally q.stop()
+  }
+
   test("heavy-hitters summary survives a checkpointed restart: counts " +
       "accumulated before the stop decide the alert after it") {
     import spark.implicits._
