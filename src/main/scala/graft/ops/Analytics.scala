@@ -92,15 +92,22 @@ object Analytics {
       .orderBy("window_start", "event_type")
 
   // ---------------------------------------------------------------- q27
-  /** Approximate distinct via HLL++ next to the exact count. Sketch
-    * internals are engine-specific → rows-only check; the spec asserts the
-    * ±5% envelope instead. */
+  /** Approximate distinct via HLL++ next to the exact count. The HLL
+    * estimate itself is engine-specific, so the query emits the q93
+    * envelope form the oracle CAN check: the exact count (value-exact
+    * both sides) plus an in-engine boolean that the estimate landed
+    * inside the ±5% envelope (rsd 0.02), which the oracle expects TRUE.
+    * Spark's HLL++ is deterministic for a given input set, so the
+    * boolean is a stable claim, not a flaky one. */
   def q27ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.05).as("est_ok"))
       .orderBy("l_returnflag")
 
   /** Mergeable distinct-count sketches — the incremental-analytics pattern
@@ -281,22 +288,36 @@ object Analytics {
     * for): `approx_percentile` merges bounded-size histograms map-side, so
     * per-group state is O(1/accuracy) instead of O(distinct values) —
     * exact `percentile` ships every distinct value of the group through
-    * the shuffle. Sketch internals are engine-specific → rows-only check;
-    * the spec pins each estimate inside the sketch's rank-error envelope
-    * against the exact q59 values. */
+    * the shuffle. The sketch values themselves are engine-specific, so
+    * the query emits the q93 envelope form the oracle CAN check: per
+    * group, one boolean per estimate asserting it landed between the
+    * EXACT percentiles at q ± 0.01 — a 10× margin over the sketch's
+    * rank-error bound of 1/accuracy = 0.001 — which the oracle expects
+    * TRUE. (The exact side is the audit, same as q93's exact
+    * countDistinct beside the HLL; production rollups run the sketch
+    * alone.) */
   def q70ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
-          .as("qty_approx"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)")
-          .as("price_p95_approx"))
+          .as("qa"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("pa"),
+        expr("percentile(l_quantity, array(0.24, 0.26, 0.49, 0.51, " +
+          "0.74, 0.76))").as("qb"),
+        expr("percentile(l_extendedprice, array(0.94, 0.96))").as("pb"))
       .select(col("l_returnflag"),
-        element_at(col("qty_approx"), 1).as("p25"),
-        element_at(col("qty_approx"), 2).as("p50"),
-        element_at(col("qty_approx"), 3).as("p75"),
-        col("price_p95_approx"))
+        element_at(col("qa"), 1)
+          .between(element_at(col("qb"), 1), element_at(col("qb"), 2))
+          .as("p25_ok"),
+        element_at(col("qa"), 2)
+          .between(element_at(col("qb"), 3), element_at(col("qb"), 4))
+          .as("p50_ok"),
+        element_at(col("qa"), 3)
+          .between(element_at(col("qb"), 5), element_at(col("qb"), 6))
+          .as("p75_ok"),
+        col("pa").between(element_at(col("pb"), 1), element_at(col("pb"), 2))
+          .as("price_p95_ok"))
       .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- q78
@@ -436,9 +457,26 @@ object Analytics {
     "q61_event_gaps" -> q61EventGaps _,
     "q62_grouping_sets" -> q62GroupingSets _)
 
-  /** Oracle SQL (DuckDB dialect). q23 (LSH internals) and q27 (HLL++
-    * estimate with no exact-mode guarantee) are rows-only — no entries. */
+  /** Oracle SQL (DuckDB dialect). q23 (LSH internals) is rows-only — no
+    * entry; q27 and q70 carry the q93 envelope form (exact values pinned,
+    * estimate-in-envelope booleans the oracle expects TRUE). */
   val oracle: Map[String, String] = Map(
+    // q27: exact distinct pinned value-exact; the HLL++ estimate is an
+    // in-engine ±5% envelope boolean (rsd 0.02, deterministic sketch)
+    "q27_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       TRUE AS est_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q70: each sketch estimate must land between the exact percentiles
+    // at q ± 0.01 (10x the sketch's 1/1000 rank-error bound) — the
+    // booleans are the oracle-checkable claim; the raw estimates are
+    // engine-specific by design
+    "q70_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok,
+        |       TRUE AS price_p95_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // q175: the oracle is the INDEPENDENT O(n²) dominance anti-join the
     // engine's per-size-minimum formulation replaces — completeness of
     // the frontier collapse is exactly what's checked. Raw stored values

@@ -265,20 +265,42 @@ object Insights {
   }
 
   // ---------------------------------------------------------------- q80
+  /** Hard bound for operators that plan an un-partitioned exact window
+    * (single-task global sort): inputs past this are fact-scale and must
+    * use the boundary-based shapes instead. 10M rows of a slim dimension
+    * projection sort in one task in seconds; past that the single task
+    * becomes the job. */
+  val DimensionRowBound = 10_000_000L
+
+  /** Enforce the dimension-size contract for single-task exact-sort
+    * operators: fail fast (after reading at most `bound + 1` rows — the
+    * probe is a limit-count, not a full scan) instead of silently
+    * planning a global sort over fact-scale input. */
+  private[graft] def requireDimensionSized(df: DataFrame, op: String,
+      bound: Long = DimensionRowBound): DataFrame = {
+    val probe = df.limit((bound + 1).toInt).count()
+    require(probe <= bound,
+      s"$op: input exceeds $bound rows — exact ntile plans a SINGLE-TASK " +
+        "global sort, reserved for dimension-sized inputs. Fact-scale " +
+        "bucketing goes through percentile boundaries applied map-side " +
+        "(q70 approx boundaries + q68 CASE bucket / q119 shape).")
+    df
+  }
+
   /** Customer deciles by account balance (ntile) with per-decile stats —
     * the quantile-bucketing reporting pattern; ntile is deterministic
     * under a total order, so the decile assignment itself is
     * oracle-checkable.
     *
-    * Scale contract: exact ntile REQUIRES a total order (Spark plans the
-    * un-partitioned window as a single-task sort), so this operator is
-    * for dimension-sized inputs — customers, not fact rows. Bucketing a
-    * fact-scale column goes through `approx_percentile` boundaries (q70)
-    * applied as a map-side width/CASE bucket (q68 shape): same report,
-    * no global sort. */
+    * Scale contract — ENFORCED by [[requireDimensionSized]]: exact ntile
+    * REQUIRES a total order (Spark plans the un-partitioned window as a
+    * single-task sort), so this operator is for dimension-sized inputs —
+    * customers, not fact rows. Bucketing a fact-scale column goes
+    * through `approx_percentile` boundaries (q70) applied as a map-side
+    * width/CASE bucket (q68 shape): same report, no global sort. */
   def q80CustomerDeciles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    t(spark, dir, "customer")
+    requireDimensionSized(t(spark, dir, "customer"), "q80_customer_deciles")
       .withColumn("decile", ntile(10).over(w).cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),

@@ -149,6 +149,20 @@ class InsightsSpec extends AnyFunSuite {
       s"ntile sizes differ by at most one: $rows")
   }
 
+  test("the dimension-size contract is ENFORCED: exact-ntile input past " +
+      "the row bound fails fast and points at the fact-scale path") {
+    val big = spark.range(0, 50).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Insights.requireDimensionSized(big, "test_op", bound = 10L)
+    }
+    assert(e.getMessage.contains("SINGLE-TASK") &&
+      e.getMessage.contains("q70"), e.getMessage)
+    // inside the bound the frame passes through untouched
+    val ok = graft.ops.Insights.requireDimensionSized(
+      big.limit(5), "test_op", bound = 10L)
+    assert(ok.count() == 5L)
+  }
+
   test("cohort retention: week zero is 100%, retention never exceeds it") {
     val rows = graft.ops.Insights.q81CohortRetention(spark, TestSpark.sfDir)
       .select("week_offset", "retention_pct").as[(Long, Double)].collect()

@@ -58,11 +58,12 @@ class RelationalSpec extends AnyFunSuite {
     assert(v == math.abs(cur - prev) * 100.0 / prev)
   }
 
-  test("q27 approx distinct within 5% of exact") {
-    Analytics.q27ApproxDistinct(spark, sf).collect().foreach {
-      case Row(_, approx: Long, exact: Long) =>
-        assert(math.abs(approx - exact).toDouble / exact < 0.05,
-          s"approx $approx vs exact $exact")
+  test("q27 approx distinct within 5% of exact (envelope boolean TRUE)") {
+    val rows = Analytics.q27ApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach {
+      case Row(flag, exact: Long, ok: Boolean) =>
+        assert(exact > 0L && ok, s"flag $flag exact $exact est_ok $ok")
     }
   }
 
