@@ -268,4 +268,97 @@ class WorkflowSpec extends AnyFunSuite {
       assert(got == expect, s"$fmt round-trip drift")
     }
   }
+
+  /** One-message in-JVM SMTP server: accepts a single session, records
+    * the DATA payload, replies per RFC 5321. */
+  private def withMiniSmtp(f: Int => Unit): String = {
+    val server = new java.net.ServerSocket(0)
+    val received = new java.lang.StringBuilder
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        s.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val out = new java.io.PrintWriter(s.getOutputStream, false)
+      def reply(r: String): Unit = { out.print(r + "\r\n"); out.flush() }
+      reply("220 mini ESMTP")
+      var line = in.readLine()
+      var inData = false
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; reply("250 OK queued") }
+          else received.append(
+            if (line.startsWith("..")) line.substring(1) else line)
+            .append("\n")
+        } else line.takeWhile(_ != ' ').takeWhile(_ != ':') match {
+          case "EHLO" | "HELO" => reply("250-mini\r\n250 OK")
+          case "MAIL" | "RCPT" => reply("250 OK")
+          case "DATA" => inData = true; reply("354 go ahead")
+          case "QUIT" => reply("221 bye"); line = null
+          case _ => reply("500 what")
+        }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    try f(server.getLocalPort) finally { t.join(10000); server.close() }
+    received.toString
+  }
+
+  test("SMTP alerter delivers the reference's variance-alert fields " +
+      "through a real socket session on threshold breach") {
+    import graft.workflow.Alerting
+    val mail = withMiniSmtp { port =>
+      val alerter = new Alerting.SmtpAlerter("127.0.0.1", port,
+        "etl@graft.local", Seq("dna-team@graft.local"))
+      // 8000 -> 10000 rows = 25% variance over a 5% threshold -> alert
+      val v = Alerting.validateVarianceAlert("jcap_pa_etl",
+        current = 10000L, previous = 8000L, thresholdPct = 5.0,
+        alerter = alerter, timestamp = "2026-08-14 00:00:00 UTC")
+      assert(v == 25.0)
+    }
+    // the reference's message fields (email_service.py:51-99)
+    assert(mail.contains("Subject: Data Variance Alert - jcap_pa_etl"), mail)
+    assert(mail.contains("From: etl@graft.local"), mail)
+    assert(mail.contains("To: dna-team@graft.local"), mail)
+    assert(mail.contains("Job: jcap_pa_etl"), mail)
+    assert(mail.contains("Previous Count: 8,000 rows"), mail)
+    assert(mail.contains("Current Count: 10,000 rows"), mail)
+    assert(mail.contains("Variance: 25.00%"), mail)
+    assert(mail.contains("Threshold: 5.00%"), mail)
+    assert(mail.contains("Timestamp: 2026-08-14 00:00:00 UTC"), mail)
+  }
+
+  test("variance inside the threshold sends nothing; webhook alerter " +
+      "POSTs JSON on breach and fails loudly on a non-2xx sink") {
+    import graft.workflow.Alerting
+    // no alert inside the threshold — a throwing alerter proves silence
+    val boom: Pipeline.Alerter = (_, _) => fail("must not alert at 2%")
+    assert(Alerting.validateVarianceAlert("j", 102L, 100L, 5.0, boom) == 2.0)
+    // webhook: capture the POST
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    @volatile var posted = ""
+    server.createContext("/hook",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        posted = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, 0); ex.close()
+      })
+    server.createContext("/dead",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(500, 0); ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      new Alerting.WebhookAlerter(s"$base/hook")
+        .alert("Data Variance Alert - j2", "Variance: 50.00%")
+      assert(posted.contains("\"Data Variance Alert - j2\""), posted)
+      assert(posted.contains("Variance: 50.00%"), posted)
+      intercept[IllegalArgumentException] {
+        new Alerting.WebhookAlerter(s"$base/dead").alert("s", "b")
+      }
+    } finally server.stop(0)
+  }
 }
