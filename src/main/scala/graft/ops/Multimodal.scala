@@ -151,6 +151,156 @@ object Multimodal {
     decodeFeatures(media,
       partitionsForBytes(media, targetBytesPerPartition))
 
+  // ------------------------------------------------------------------
+  // REAL image decode path (pure-JVM javax.imageio — PNG/JPEG/BMP/GIF).
+  // The stub decoders above stay for payloads with no container codec;
+  // these run on actual pixels, same partition-batched execution shape.
+  // ------------------------------------------------------------------
+
+  /** Decode real image bytes with javax.imageio: true width/height plus
+    * an 8-float feature head (mean R, G, B, global luma, quadrant lumas)
+    * — the shape a real embedding model's preprocessing emits. Rows
+    * whose payload no codec accepts are DROPPED (flatMap), the standard
+    * ingest posture for a web-scale media corpus where a fraction of
+    * blobs is always truncated or mislabeled; count in vs out to audit.
+    * ImageIO is initialized per JVM, re-used across the partition — the
+    * same once-per-task amortization as [[decodeFeatures]]. */
+  def decodeImageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readImage(r.payload).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          val quad = new Array[Double](4)
+          val quadN = new Array[Long](4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val red = (p >> 16) & 0xff
+              val green = (p >> 8) & 0xff
+              val blue = p & 0xff
+              sr += red; sg += green; sb += blue
+              val luma = 0.299 * red + 0.587 * green + 0.114 * blue
+              val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+              quad(q) += luma; quadN(q) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          MediaFeatures(r.asset_id, r.media_type, r.n_bytes, w, h,
+            Array((sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+              (sb / n / 255.0).toFloat,
+              ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0).toFloat,
+              (quad(0) / math.max(quadN(0), 1) / 255.0).toFloat,
+              (quad(1) / math.max(quadN(1), 1) / 255.0).toFloat,
+              (quad(2) / math.max(quadN(2), 1) / 255.0).toFloat,
+              (quad(3) / math.max(quadN(3), 1) / 255.0).toFloat))
+        }
+      }
+    }
+  }
+
+  /** The REAL DCT perceptual hash (pHash; Zauner, "Implementation and
+    * Benchmarking of Perceptual Image Hash Functions", 2010 — public
+    * method) over actually-decoded pixels: grayscale → 32×32 box-average
+    * resize → 2-D DCT-II → the low-frequency 8×8 block (DC dropped) →
+    * bit b = coefficient > median. Robust to re-encoding, scaling and
+    * small noise — the properties the byte-stripe stub documents it
+    * lacks. Undecodable payloads are dropped, as in
+    * [[decodeImageFeatures]]. */
+  def decodeImageSignatures(media: Dataset[MediaRow]): Dataset[MediaSignature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => readImage(r.payload)
+        .map(img => MediaSignature(r.asset_id, r.n_bytes, dctPhash(img))))
+    }
+  }
+
+  private def readImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** 32×32 box-average grayscale resize + 2-D DCT-II + 8×8 low-frequency
+    * median threshold — the published pHash recipe on real pixels. */
+  private[graft] def dctPhash(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val w = img.getWidth; val h = img.getHeight
+    val gray = Array.ofDim[Double](N, N)
+    var ty = 0
+    while (ty < N) {
+      val y0 = ty * h / N; val y1 = math.max((ty + 1) * h / N, y0 + 1)
+      var tx = 0
+      while (tx < N) {
+        val x0 = tx * w / N; val x1 = math.max((tx + 1) * w / N, x0 + 1)
+        var s = 0.0; var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val p = img.getRGB(x, y)
+            s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        gray(ty)(tx) = s / ((math.min(y1, h) - y0).max(1) *
+          (math.min(x1, w) - x0).max(1))
+        tx += 1
+      }
+      ty += 1
+    }
+    // separable DCT-II: rows then columns (cos table built once per call;
+    // a partition-wide decoder would hoist it, the cost is negligible
+    // beside getRGB)
+    val cos = Array.tabulate(N, N)((k, n) =>
+      math.cos(math.Pi / N * (n + 0.5) * k))
+    val tmp = Array.ofDim[Double](N, N)
+    var k = 0
+    while (k < N) {
+      var y = 0
+      while (y < N) {
+        var s = 0.0; var n = 0
+        while (n < N) { s += gray(y)(n) * cos(k)(n); n += 1 }
+        tmp(y)(k) = s
+        y += 1
+      }
+      k += 1
+    }
+    val dct = Array.ofDim[Double](N, N)
+    var kx = 0
+    while (kx < N) {
+      var ky = 0
+      while (ky < N) {
+        var s = 0.0; var n = 0
+        while (n < N) { s += tmp(n)(kx) * cos(ky)(n); n += 1 }
+        dct(ky)(kx) = s
+        ky += 1
+      }
+      kx += 1
+    }
+    // low-frequency 8×8 block, DC coefficient dropped from the median
+    val coefs = for (y <- 0 until 8; x <- 0 until 8 if x != 0 || y != 0)
+      yield dct(y)(x)
+    val sorted = coefs.sorted
+    val median = sorted(31) // 63 coefficients -> exact middle
+    var sig = 0L
+    var b = 0
+    for (y <- 0 until 8; x <- 0 until 8; if x != 0 || y != 0) {
+      if (dct(y)(x) > median) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** One asset's 64-bit perceptual signature. */
   case class MediaSignature(asset_id: Long, n_bytes: Long, phash: Long)
 

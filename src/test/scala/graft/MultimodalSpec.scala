@@ -57,6 +57,113 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1).frame.toSeq == payload.slice(2000, 2500).toSeq)
   }
 
+  // ---- real javax.imageio decode path --------------------------------
+
+  /** Deterministic synthetic photo-like PNG: smooth gradients + a few
+    * rectangles, with optional per-pixel noise and a brightness shift. */
+  private def pngBytes(seed: Int, w: Int, h: Int, noise: Int = 0,
+                       brighten: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    val rects = Array.fill(4)((rnd.nextInt(w), rnd.nextInt(h),
+      rnd.nextInt(w / 2) + 4, rnd.nextInt(h / 2) + 4, rnd.nextInt(256)))
+    val nrnd = new scala.util.Random(seed * 31 + 7)
+    for (y <- 0 until h; x <- 0 until w) {
+      var v = (x * 255 / w + y * 128 / h) / 2 + 40
+      rects.foreach { case (rx, ry, rw, rh, rv) =>
+        if (x >= rx && x < rx + rw && y >= ry && y < ry + rh) v = rv
+      }
+      if (noise > 0) v += nrnd.nextInt(2 * noise + 1) - noise
+      v = math.max(0, math.min(255, v + brighten))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: true dimensions, sane features, undecodable " +
+      "payloads dropped not fatal") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", 0L, pngBytes(1, 64, 48)),
+      Multimodal.MediaRow(2L, "image/png", 0L, pngBytes(2, 33, 77)),
+      Multimodal.MediaRow(3L, "image/png", 0L,
+        Array[Byte](1, 2, 3, 4)) // garbage: must be dropped, not fatal
+    ).toDS()
+    val out = Multimodal.decodeImageFeatures(rows).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).width == 64 && out(1L).height == 48)
+    assert(out(2L).width == 33 && out(2L).height == 77)
+    out.values.foreach { f =>
+      assert(f.features.length == 8)
+      assert(f.features.forall(v => v >= 0f && v <= 1f), f.features.toSeq)
+      // grayscale synthesis: R, G, B means coincide
+      assert(math.abs(f.features(0) - f.features(2)) < 1e-6)
+    }
+  }
+
+  test("DCT pHash on actually-decoded pixels: invariant to re-scaling, " +
+      "robust to noise and brightness, far for distinct images; the " +
+      "Hamming-banded dedup join finds exactly the planted pairs") {
+    import spark.implicits._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = pngBytes(42, 96, 72)
+    val noisy = pngBytes(42, 96, 72, noise = 6)
+    val bright = pngBytes(42, 96, 72, brighten = 25)
+    val distinct1 = pngBytes(7, 96, 72)
+    val distinct2 = pngBytes(9, 96, 72)
+    // the same scene re-rendered at a different size ~ a re-encoded copy
+    val rescaled = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))
+      val small = new java.awt.image.BufferedImage(48, 36,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.drawImage(img.getScaledInstance(48, 36,
+        java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(small, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", base.length.toLong, base),
+      Multimodal.MediaRow(2L, "image/png", noisy.length.toLong, noisy),
+      Multimodal.MediaRow(3L, "image/png", bright.length.toLong, bright),
+      Multimodal.MediaRow(4L, "image/png", rescaled.length.toLong, rescaled),
+      Multimodal.MediaRow(5L, "image/png", distinct1.length.toLong, distinct1),
+      Multimodal.MediaRow(6L, "image/png", distinct2.length.toLong, distinct2)
+    ).toDS()
+    val sigs = Multimodal.decodeImageSignatures(media)
+    val m = sigs.collect().map(s => s.asset_id -> s.phash).toMap
+    assert(m.size == 6)
+    // near-dups of asset 1 stay within the standard pHash dedup radius
+    // (~6 of 64): brightness CLAMPS at 255 inside the bright rectangles
+    // and resampling shifts block borders — genuine small structural
+    // changes, a few bits each, nowhere near distinct-content distance
+    assert(ham(m(1L), m(2L)) <= 6, s"noise ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) <= 6, s"brightness ${ham(m(1L), m(3L))}")
+    assert(ham(m(1L), m(4L)) <= 6, s"rescale ${ham(m(1L), m(4L))}")
+    // distinct content is far — the byte-stripe stub has NO such property
+    // across re-encodes, the pixel-level hash must
+    assert(ham(m(1L), m(5L)) >= 16, s"distinct ${ham(m(1L), m(5L))}")
+    assert(ham(m(1L), m(6L)) >= 16, s"distinct ${ham(m(1L), m(6L))}")
+    assert(ham(m(5L), m(6L)) >= 16, s"distinct ${ham(m(5L), m(6L))}")
+    // end-to-end: the q107-shaped banded join over REAL signatures
+    val pairs = graft.ops.Dedup.hammingBandPairs(
+        sigs.toDF(), "asset_id", "phash", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val dupCluster = Set(1L, 2L, 3L, 4L)
+    pairs.foreach { case (a, b) =>
+      assert(dupCluster(a) && dupCluster(b), s"false pair ($a,$b)")
+    }
+    assert(pairs.exists { case (a, b) => Set(a, b) == Set(1L, 2L) } ||
+      ham(m(1L), m(2L)) == 0, "noise pair must surface")
+  }
+
   test("resize scales dimensions into the box preserving aspect ratio") {
     val spark2 = spark
     import spark2.implicits._
