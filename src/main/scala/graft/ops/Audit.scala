@@ -521,7 +521,58 @@ object Audit {
           .as("range_changed"))
   }
 
-  /** q167 entry: orders split at 1999-01-01 as the old/new snapshots. */
+  /** Profile drift when both snapshots live in ONE frame, told apart by
+    * a tag expression — the common "old and new load share the feed
+    * table" case. One fact scan total: the profile aggregate groups by
+    * the tag (2 groups), the per-column rows unfold from those two rows,
+    * and the old-vs-new alignment is a conditional aggregate over the
+    * 2·|cols|-row frame — never a join, never a second scan (the
+    * two-frame [[profileDrift]] pays one scan per snapshot, twice this
+    * one's IO when the snapshots share a table).
+    *
+    * Contract: both snapshots non-empty (an empty side has no group row
+    * and surfaces as NULL counts, exactly like a missing feed should). */
+  def profileDriftTagged(df: DataFrame, isNew: Column,
+                         cols: Seq[(String, Column => Column)],
+                         exact: Boolean = true): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +: cols.zipWithIndex.flatMap {
+      case ((name, render), i) =>
+        val c = col(name)
+        Seq(
+          count(c).as(s"_c$i"),
+          (if (exact) countDistinct(c) else approx_count_distinct(c))
+            .as(s"_d$i"),
+          render(min(c)).cast("string").as(s"_mn$i"),
+          render(max(c)).cast("string").as(s"_mx$i"))
+    }
+    val two = df.groupBy(isNew.as("_new")).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("col_name"), col("_n").as("n_rows"),
+        (col("_n") - col(s"_c$i")).as("n_nulls"),
+        col(s"_d$i").cast("long").as("n_distinct"),
+        col(s"_mn$i").as("min_s"), col(s"_mx$i").as("max_s"))
+    }
+    val prof = two.select(col("_new"), explode(array(rows: _*)).as("p"))
+      .select(col("_new"), col("p.*"))
+    def side(isNewSide: Boolean, c: String) =
+      max(when(col("_new") === isNewSide, col(c)))
+    prof.groupBy(col("col_name"))
+      .agg(
+        side(false, "n_rows").as("n_old"),
+        side(true, "n_rows").as("n_new"),
+        round(side(true, "n_nulls").cast("double") / side(true, "n_rows") -
+          side(false, "n_nulls").cast("double") / side(false, "n_rows"), 6)
+          .as("null_rate_delta"),
+        round(side(true, "n_distinct").cast("double") /
+          side(false, "n_distinct"), 6).as("distinct_ratio"),
+        (side(false, "min_s") =!= side(true, "min_s") ||
+          side(false, "max_s") =!= side(true, "max_s")).as("range_changed"))
+  }
+
+  /** q167 entry: orders split at 1999-01-01 as the old/new snapshots —
+    * both sides of one table, so the one-pass tagged profile applies
+    * (plan-asserted single scan; the former two-frame form scanned the
+    * fact twice). */
   def q167ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
     val ident: Column => Column = c => c.cast("string")
     val dbl: Column => Column = c => format_string("%.2f", c)
@@ -533,8 +584,7 @@ object Audit {
       "o_orderdate" -> tsr, "o_orderpriority" -> ident)
     val o = t(spark, dir, "orders")
     val cut = lit("1999-01-01").cast("timestamp")
-    profileDrift(o.filter(col("o_orderdate") < cut),
-        o.filter(col("o_orderdate") >= cut), specs)
+    profileDriftTagged(o, col("o_orderdate") >= cut, specs)
       .orderBy("col_name")
   }
 

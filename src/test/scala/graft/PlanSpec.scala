@@ -362,14 +362,19 @@ class PlanSpec extends AnyFunSuite {
       s"the (segment, bin)→target map must broadcast:\n${p.take(3000)}")
   }
 
-  test("q167 profile drift: snapshots are profiled, never joined row-wise") {
+  test("q167 profile drift: ONE fact scan (tagged one-pass profile), " +
+      "no join anywhere") {
     val p = finalPlan("q167_profile_drift")
-    // the only join is the cols-sized profile-row join (broadcast); a
-    // row-level snapshot join would shuffle the fact table
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+    // the tagged profile needs no join at all: the old/new alignment is
+    // a conditional aggregate over the 2*|cols| profile rows
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       p.take(3000))
     // the exact multi-distinct profile is the documented Expand plan
     assert(p.contains("Expand"), p.take(3000))
+    // both snapshots from a single scan of orders — the former two-frame
+    // form scanned the fact once per side
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one orders scan:\n${p.take(3000)}")
   }
 
   test("q168 seasonal anomalies: weekday baseline broadcasts, no window " +
