@@ -269,6 +269,44 @@ class WorkflowSpec extends AnyFunSuite {
     }
   }
 
+  test("secrets: env overrides the JSON secret document, dev/prod files " +
+      "share a key schema, missing keys fall soft, require() fails loud") {
+    import graft.workflow.Secrets
+    val dir = tmpDir()
+    def writeDoc(name: String, json: String): String = {
+      val p = s"$dir/$name"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+      p
+    }
+    // dev/prod carry the SAME keys with different values (the reference's
+    // environment-aware design)
+    val dev = writeDoc("dev.json",
+      """{"REDSHIFT_HOST": "dev-host", "REDSHIFT_PASSWORD": "devpw"}""")
+    val prod = writeDoc("prod.json",
+      """{"REDSHIFT_HOST": "prod-host", "REDSHIFT_PASSWORD": "prodpw"}""")
+    val devP = Secrets.standard(Map("GRAFT_SECRET_FILE" -> dev))
+    val prodP = Secrets.standard(Map("GRAFT_SECRET_FILE" -> prod))
+    assert(devP.get("REDSHIFT_HOST").contains("dev-host"))
+    assert(devP.get("REDSHIFT_PASSWORD").contains("devpw"))
+    assert(prodP.get("REDSHIFT_HOST").contains("prod-host"))
+    // explicit env wins over the document
+    val overridden = Secrets.standard(
+      Map("GRAFT_SECRET_FILE" -> dev, "REDSHIFT_HOST" -> "env-host"))
+    assert(overridden.get("REDSHIFT_HOST").contains("env-host"))
+    assert(overridden.get("REDSHIFT_PASSWORD").contains("devpw"))
+    // fail-soft: absent key, malformed file, missing file
+    assert(devP.get("NOPE").isEmpty)
+    val bad = Secrets.standard(Map("GRAFT_SECRET_FILE" ->
+      writeDoc("bad.json", """{"REDSHIFT_HOST": ["nested"]}""")))
+    assert(bad.get("REDSHIFT_HOST").isEmpty)
+    assert(Secrets.standard(Map("GRAFT_SECRET_FILE" -> s"$dir/absent"))
+      .get("X").isEmpty)
+    // fail-loud option and masked rendering
+    intercept[IllegalStateException] { Secrets.require(devP, "NOPE") }
+    assert(Secrets.masked("supersecretvalue") == "********")
+    assert(Secrets.masked("pw") == "**")
+  }
+
   /** One-message in-JVM SMTP server: accepts a single session, records
     * the DATA payload, replies per RFC 5321. */
   private def withMiniSmtp(f: Int => Unit): String = {
