@@ -378,10 +378,15 @@ object Mining {
     * level is sketch algebra, while exact percentile (q59) ships every
     * distinct value per group. KLL compaction is randomized → estimates
     * carry rank error (±~1.7% at default k) and vary run-to-run within
-    * it: rows-only check; the spec pins the rank-error envelope against
-    * exact q59 values. */
+    * it, so the RAW estimates cannot be oracle-pinned; the entry emits
+    * the q93/q70 envelope form instead — per band, a boolean that the
+    * sketch estimate landed between the EXACT percentiles at q ± 0.05
+    * (≈3× the sketch's 99%-confidence rank error; crossing it is a
+    * vanishing-tail event) — which the oracle expects TRUE, for the
+    * per-group rows AND the merged-rollup 'ALL' row. */
   def q122KllQuantileBands(spark: SparkSession, dir: String): DataFrame = {
-    val perFlag = t(spark, dir, "lineitem")
+    val li = t(spark, dir, "lineitem")
+    val perFlag = li
       .groupBy(col("l_returnflag"))
       .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk"))
     val rows = perFlag.select(col("l_returnflag"),
@@ -396,9 +401,22 @@ object Mining {
           "aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
           "(acc, x) -> kll_sketch_merge_double(acc, x)), " +
           "array(0.25D, 0.5D, 0.75D))").as("q"))
-    rows.unionByName(all)
+    val bands = rows.unionByName(all)
       .select(col("l_returnflag"), col("q")(0).as("p25"),
         col("q")(1).as("p50"), col("q")(2).as("p75"))
+    // exact q±0.05 bounds per group and for the whole table (the exact
+    // side is the audit, as in q93/q70; production rollups run the
+    // sketch alone)
+    val bExpr = "percentile(cast(l_extendedprice as double), " +
+      "array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))"
+    val bounds = li.groupBy(col("l_returnflag")).agg(expr(bExpr).as("b"))
+      .unionByName(li.agg(expr(bExpr).as("b"))
+        .select(lit("ALL").as("l_returnflag"), col("b")))
+    bands.join(bounds, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("p25").between(col("b")(0), col("b")(1)).as("p25_ok"),
+        col("p50").between(col("b")(2), col("b")(3)).as("p50_ok"),
+        col("p75").between(col("b")(4), col("b")(5)).as("p75_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -1083,6 +1101,16 @@ object Mining {
     * (FNV perceptual hash) are engine-internal → rows-only; their
     * correctness envelopes live in MiningSpec. */
   val oracle: Map[String, String] = Map(
+    // q122: the randomized KLL estimates live inside exact q±0.05
+    // percentile bounds, per group and for the merged 'ALL' rollup —
+    // the oracle expects every envelope boolean TRUE
+    "q122_kll_quantile_bands" ->
+      """SELECT l_returnflag, TRUE AS p25_ok, TRUE AS p50_ok,
+        |       TRUE AS p75_ok
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', TRUE, TRUE, TRUE
+        |ORDER BY l_returnflag""".stripMargin,
     // q191: split, model, argmax and scoring replicated; ties break by
     // smallest successor in both engines; unseen eval states predict
     // NULL and score zero.

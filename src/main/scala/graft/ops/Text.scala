@@ -120,10 +120,12 @@ object Text {
     * documents sharing long runs of text collide on fingerprints; grouping
     * by `min_fp` buckets candidates for containment checks. */
   def fingerprint(df: DataFrame, textCol: String, idCol: String,
-                  w: Int = 8): DataFrame =
-    Dedup.shingles(df, textCol, w)
-      .select(col(idCol),
-        element_at(graft.functions.minHashes(col("shingles"), 1,
-          seedIndexed = false), 1).as("min_fp"),
-        size(col("shingles")).as("n_shingles"))
+                  w: Int = 8, keepText: Boolean = false): DataFrame = {
+    val base = Seq(col(idCol),
+      element_at(graft.functions.minHashes(col("shingles"), 1,
+        seedIndexed = false), 1).as("min_fp"),
+      size(col("shingles")).as("n_shingles"))
+    val projected = if (keepText) base :+ col(textCol) else base
+    Dedup.shingles(df, textCol, w).select(projected: _*)
+  }
 }

@@ -91,11 +91,24 @@ object TrainingData {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- q39
-  /** Winnowing-style min-hash fingerprint per document (xxhash64 →
-    * rows-only). */
-  def q39Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Text.fingerprint(t(spark, dir, "documents"), "text", "doc_id", w = 8)
+  /** Winnowing-style min-hash fingerprint per document. The raw xxhash64
+    * fingerprint is engine-internal, so the entry emits the two claims
+    * an oracle CAN check: the exact distinct-shingle count, and a
+    * content-functionality boolean — every document whose TEXT equals
+    * another's must carry the SAME fingerprint (a window over the text
+    * groups; the oracle expects TRUE on every row). The raw-fingerprint
+    * form stays available via [[Text.fingerprint]]. */
+  def q39Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Text.fingerprint(t(spark, dir, "documents"), "text", "doc_id",
+      w = 8, keepText = true)
+    // partition by the 64-bit text hash, not the text itself: the one
+    // shuffle carries an 8-byte key per row instead of the document body
+    val byText = Window.partitionBy(xxhash64(col("text")))
+    fp.select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+        (size(collect_set(col("min_fp")).over(byText)) === 1)
+          .as("fp_consistent"))
       .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------- q40
   /** IVF approximate nearest neighbors for 10 query vectors (approximate →
@@ -603,6 +616,28 @@ object TrainingData {
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    // q39: the exact distinct 8-token-shingle count (same short-doc
+    // whole-text-gram rule as the engine's WordNgrams) plus the
+    // content-functionality boolean — equal texts must share a
+    // fingerprint — which the oracle expects TRUE everywhere.
+    "q39_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, COUNT(DISTINCT gram) AS n_shingles FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 7, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+7], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(g.n_shingles, 0) AS n_shingles,
+        |       TRUE AS fp_consistent
+        |FROM documents d LEFT JOIN grams g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q171: per-position surprisal rounds to DECIMAL(28,12) before the
     // per-doc mean (q148's recipe); the interpolation weight is written
     // (1.0 - 0.7) — NOT 0.3 — because the engine computes 1−λ in IEEE

