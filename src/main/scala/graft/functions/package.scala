@@ -151,6 +151,23 @@ package object functions {
       vocab))
   }
 
+  /** Fitted-BPE subword encoding (array<string> tokens → array<bigint>
+    * subword ids); see [[BpeEncode]]. */
+  def bpeEncode(tokens: Column, merges: Seq[(String, String)],
+                vocab: Map[String, Long]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(tokens),
+      merges, vocab))
+  }
+
+  /** Fitted-BPE decode (array<bigint> subword ids → the space-joined
+    * token string); see [[BpeDecode]]. */
+  def bpeDecode(ids: Column, idToSymbol: Map[Long, String]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(BpeDecode(GraftSqlBridge.expression(ids),
+      idToSymbol))
+  }
+
   /** k seeded MinHash minima via the fused [[MinHashes]] expression. */
   def minHashes(shingles: Column, k: Int,
                 seedIndexed: Boolean = true): Column = {

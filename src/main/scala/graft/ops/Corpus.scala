@@ -749,7 +749,127 @@ object Corpus {
     coherentSlice(t(spark, dir, "customer"), t(spark, dir, "orders"),
       t(spark, dir, "lineitem"), 1.0 / 16.0)
 
+  // --------------------------------------------------------------- q202
+  /** Fitted byte-pair-encoding model: the ordered merge list plus the
+    * symbol vocabulary (alphabet + merged symbols → ids; id 0 reserved
+    * for unknown). */
+  case class BpeModel(merges: Seq[(String, String)],
+                      vocab: Map[String, Long]) {
+    lazy val idToSymbol: Map[Long, String] = vocab.map(_.swap)
+  }
+
+  /** Train a REAL byte-pair-encoding tokenizer (Sennrich, Haddow &
+    * Birch, ACL 2016 — the public subword recipe): start from the
+    * corpus character alphabet, repeatedly merge the most frequent
+    * adjacent symbol pair, stop after `numMerges` merges or when no
+    * pair repeats.
+    *
+    * Scale shape — the standard trainer split: the DISTRIBUTED work is
+    * one token-count aggregate (map-side combined; the same pass q139's
+    * word-vocab fit runs) plus one distinct-character aggregate over
+    * the distinct-word frame for the alphabet; the merge LOOP runs
+    * driver-side over the top-`maxWords` word-frequency dictionary —
+    * exactly how every production BPE trainer works (merges depend on
+    * weighted pair counts over the word dictionary, not the corpus, so
+    * a bounded dictionary is the published algorithm, not a shortcut).
+    * The fitted model is KBs and bakes into the encode plan as a
+    * literal ([[graft.functions.BpeEncode]]), making the encode pass a
+    * pure projection: one corpus scan, zero joins, zero shuffle.
+    *
+    * Determinism: ties in pair frequency break lexicographically; the
+    * dictionary cut breaks count ties by word; vocabulary ids are the
+    * sorted alphabet followed by merge-order symbols. */
+  def bpeFit(docs: DataFrame, textCol: String, numMerges: Int = 200,
+             maxWords: Int = 50000): BpeModel = {
+    val eow = graft.functions.BpeEncode.EndOfWord
+    val wordCounts = docs
+      .select(explode(graft.functions.wordTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist()
+    // alphabet over ALL distinct words (not just the dictionary cut):
+    // coverage is what makes the encode lossless corpus-wide
+    val alphabet = wordCounts
+      .select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0)).sorted
+    val dict = wordCounts
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    wordCounts.unpersist()
+    // driver-side Sennrich merge loop over the word-frequency dictionary
+    val words: Array[(Array[String], Long)] = dict.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ eow, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var current = words
+    var go = true
+    while (go && merges.length < numMerges) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      current.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) go = false
+      else {
+        val (best, n) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (n < 2) go = false
+        else {
+          merges += best
+          val merged = best._1 + best._2
+          current = current.map { case (syms, c) =>
+            val out = new scala.collection.mutable.ArrayBuffer[String](
+              syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) {
+                out += merged; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+      }
+    }
+    val symbols = (alphabet :+ eow) ++ merges.map(p => p._1 + p._2)
+    BpeModel(merges.toSeq,
+      symbols.distinct.zipWithIndex.map { case (s, i) => s -> (i + 1L) }
+        .toMap)
+  }
+
+  /** q202 entry: fit 200 merges on the documents corpus, encode every
+    * document, and emit the oracle-checkable claims — the exact word
+    * count, a bounds boolean (each word yields between 1 and
+    * |chars|+1 subword symbols), and a LOSSLESS-ROUND-TRIP boolean
+    * (decoding the subword ids reproduces the token stream exactly;
+    * unknown ids decode to a replacement character so a lossy encode
+    * can never silently pass). The oracle pins n_words value-exact and
+    * expects both booleans TRUE. */
+  def q202BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = bpeFit(docs, "text")
+    val tk = graft.functions.wordTokens(col("text"))
+    docs
+      .select(col("doc_id"), tk.as("tk"),
+        graft.functions.bpeEncode(tk, model.merges, model.vocab).as("ids"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        (size(col("ids")) >= size(col("tk")) &&
+          size(col("ids")) <= size(col("tk")) +
+            aggregate(col("tk"), lit(0),
+              (acc, w) => acc + length(w))).as("bpe_in_bounds"),
+        (graft.functions.bpeDecode(col("ids"), model.idToSymbol) ===
+          array_join(col("tk"), " ")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_bpe_encode" -> q202BpeEncode _,
     "q189_coherent_slice" -> q189CoherentSlice _,
     "q170_embargo_split" -> q170EmbargoSplit _,
     "q143_c4_quality_filter" -> q143C4Filter _,
@@ -773,6 +893,19 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    // q202: the BPE model itself is a fitted artifact, but its CONTRACT
+    // is oracle-checkable — exact word counts, per-word subword bounds,
+    // and the lossless round-trip the algorithm guarantees by
+    // construction (merges only ever concatenate adjacent symbols)
+    "q202_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |       TRUE AS bpe_in_bounds, TRUE AS roundtrip_ok
+        |FROM toks ORDER BY doc_id""".stripMargin,
     // q189: the md5-prefix root sample and both FK chains replicated
     // verbatim; '10000000' is rateThreshold(1/16). Integer counts, one
     // double divide per row.

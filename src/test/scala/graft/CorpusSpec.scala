@@ -469,4 +469,67 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2,
       "novel pair must out-surprise the corpus-typical pairs")
   }
+
+  test("bpeFit: deterministic merges by hand — most frequent pair first, " +
+      "lexicographic ties, stop when no pair repeats") {
+    // words: ab x3, abc x1. pairs: (a,b)=4 > (b,</w>)=3 > rest
+    val docs = Seq((1L, "ab ab"), (2L, "ab abc")).toDF("doc_id", "text")
+    val m = Corpus.bpeFit(docs, "text", numMerges = 10)
+    assert(m.merges == Seq(("a", "b"), ("ab", "</w>")), m.merges.toString)
+    // alphabet a,b,c + </w> + the two merged symbols, ids from 1
+    assert(m.vocab.keySet ==
+      Set("a", "b", "c", "</w>", "ab", "ab</w>"), m.vocab.toString)
+    assert(!m.vocab.values.exists(_ == 0L), "id 0 is reserved for unknown")
+    // encode: "ab" collapses to ONE symbol, "abc" to three
+    val enc = Seq((1L, "ab abc")).toDF("doc_id", "text")
+      .select(graft.functions.bpeEncode(
+        graft.functions.wordTokens(col("text")), m.merges, m.vocab).as("ids"))
+      .head.getSeq[Long](0)
+    assert(enc.length == 4, enc.toString) // [ab</w>] + [ab, c, </w>]
+    assert(enc.head == m.vocab("ab</w>"))
+    assert(enc.drop(1) ==
+      Seq(m.vocab("ab"), m.vocab("c"), m.vocab("</w>")))
+  }
+
+  test("q202 BPE: lossless round-trip and per-word bounds hold on the " +
+      "real corpus; compression is real (fewer symbols than characters)") {
+    val out = Corpus.q202BpeEncode(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2), s"bounds violated at doc ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"round-trip failed at doc ${r.getLong(0)}")
+    }
+    // the fitted merges actually compress: total subword count across
+    // the corpus is strictly below character count (chars + markers)
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+    val model = Corpus.bpeFit(docs, "text")
+    val tk = graft.functions.wordTokens(col("text"))
+    val sums = docs.select(
+        size(graft.functions.bpeEncode(tk, model.merges, model.vocab))
+          .cast("long").as("n_bpe"),
+        (size(tk) + aggregate(tk, lit(0), (a, w) => a + length(w)))
+          .cast("long").as("n_chars_marked"))
+      .agg(sum(col("n_bpe")), sum(col("n_chars_marked"))).head
+    assert(sums.getLong(0) < sums.getLong(1),
+      s"no compression: ${sums.getLong(0)} vs ${sums.getLong(1)}")
+  }
+
+  test("BPE encode of a character outside the fitted alphabet yields the " +
+      "unknown id and a round-trip that visibly fails") {
+    val fitDocs = Seq((1L, "alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val m = Corpus.bpeFit(fitDocs, "text", numMerges = 20)
+    val enc = Seq((1L, "alpha x7")).toDF("doc_id", "text")
+      .select(graft.functions.bpeEncode(
+        graft.functions.wordTokens(col("text")), m.merges, m.vocab).as("ids"))
+    val ids = enc.head.getSeq[Long](0)
+    assert(ids.contains(0L), s"digit 7 is outside the alphabet: $ids")
+    val decoded = enc
+      .select(graft.functions.bpeDecode(col("ids"), m.idToSymbol))
+      .head.getString(0)
+    assert(decoded.contains("�"),
+      s"unknown must decode to the replacement char: $decoded")
+    assert(decoded != "alpha x7")
+  }
 }

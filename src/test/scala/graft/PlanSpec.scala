@@ -362,6 +362,18 @@ class PlanSpec extends AnyFunSuite {
       s"the (segment, bin)→target map must broadcast:\n${p.take(3000)}")
   }
 
+  test("q202 BPE encode: the fitted model is a plan literal — encode is " +
+      "a pure projection, no join, no aggregation over the corpus") {
+    val p = finalPlan("q202_bpe_encode")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // the only exchange is the output sort; the encode/decode/bounds
+    // projections ride the single corpus scan
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one documents scan:\n${p.take(3000)}")
+    assert(!p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("q167 profile drift: ONE fact scan feeding both profile " +
       "aggregates via the checkpointed slim frame; NO Expand") {
     val p = finalPlan("q167_profile_drift")
