@@ -655,4 +655,42 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim", "rn")
   }
+
+  /** Sharded IVF top-k — the documented scale path PAST the 65536
+    * codebook ceiling (n ≳ 4.3B vectors, see [[ivfAutoK]]) made
+    * executable: hash-partition the corpus into `nShards` shards, build
+    * an independent √(n/S) codebook per shard, probe every shard with
+    * the query set, and keep the global top-k by exact cosine across
+    * the per-shard candidates.
+    *
+    * Scale shape: per-shard codebooks stay under the plan-literal bound
+    * for another S× corpus growth; each shard's probe volume keeps the
+    * n^1.5 IVF contract on its own n/S vectors, so total probe volume
+    * is S·(n/S)^1.5 = n^1.5/√S — sharding is strictly sublinear ON TOP
+    * of the contract. The merge is a per-query window over S·k
+    * candidate rows — KBs. In production the shards are partition
+    * directories (one codebook artifact each); here the shard filter
+    * rides the scan. Recall: every shard is probed, so sharding loses
+    * NOTHING over single-index IVF with the same per-shard nprobe —
+    * the spec pins recall against brute force.
+    *
+    * Determinism: the shard hash is the engine's xxhash64; candidates
+    * carry exact rounded cosines, merged with the (sim desc, id asc)
+    * tiebreak every ANN operator in this module uses. */
+  def shardedIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int, nShards: Int = 4,
+                     nprobe: Int = 3): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val shardCol = pmod(xxhash64(col(idCol)), lit(nShards))
+    val perShard = (0 until nShards).map { s =>
+      ivfTopK(corpus.filter(shardCol === s), queries, idCol, embCol,
+        k, nprobe = nprobe)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    perShard.map(_.drop("rn")).reduce(_.unionByName(_))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim", "rn")
+  }
 }

@@ -120,6 +120,19 @@ object TrainingData {
       .orderBy("query_id", "rn")
   }
 
+  // --------------------------------------------------------------- q203
+  /** Sharded IVF ANN — the executable form of the past-the-codebook-
+    * ceiling contract ([[Similarity.shardedIvfTopK]]): 4 hash shards,
+    * independent per-shard codebooks, exact-cosine global merge
+    * (approximate → rows-only; recall vs brute force and the
+    * every-shard-probed property are spec-checked). */
+  def q203AnnShardedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.shardedIvfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nShards = 4)
+      .orderBy("query_id", "rn")
+  }
+
   // ---------------------------------------------------------------- q97
   /** Fuzzy entity dedup: customer-name pairs within edit distance 1, via
     * [[Dedup.editDistancePairs]] deletion-neighborhood blocking (the
@@ -602,6 +615,7 @@ object TrainingData {
     "q38_token_count" -> q38TokenCount _,
     "q39_fingerprint" -> q39Fingerprint _,
     "q40_ann_ivf" -> q40AnnIvf _,
+    "q203_ann_sharded_ivf" -> q203AnnShardedIvf _,
     "q41_ann_lsh" -> q41AnnLsh _,
     "q166_hard_negatives" -> q166HardNegatives _,
     "q92_kmeans_cells" -> q92KmeansCells _,

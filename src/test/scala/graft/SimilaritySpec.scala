@@ -355,6 +355,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lshMean > ivfMean, s"lsh $lshMean vs ivf $ivfMean")
   }
 
+  test("sharded IVF: recall tracks single-index IVF on the real corpus, " +
+      "exactly k results per query, every shard contributes candidates") {
+    val emb = TableCatalog.load(spark, TestSpark.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sharded = Similarity.shardedIvfTopK(emb, queries,
+        "vec_id", "embedding", k = 5, nShards = 4)
+      .collect()
+    // exactly k per query with dense ranks
+    val byQuery = sharded.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach(rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 5L), rs.toSeq.toString))
+    // recall vs brute force: every shard is probed, so sharding must not
+    // collapse recall (same useful-recall bar as the single-index IVF spec)
+    val hits = sharded.count(r => exact((r.getLong(0), r.getLong(1))))
+    assert(hits >= 25, s"recall@5 too low: $hits/50")
+    // the global merge really does draw from more than one shard
+    val shards = sharded.map(_.getLong(1)).distinct.toSeq.toDF("id")
+      .select(pmod(xxhash64($"id"), lit(4)).as("s"))
+      .collect().map(_.getLong(0)).toSet
+    assert(shards.size > 1, s"all candidates from one shard: $shards")
+  }
+
   test("ivfAutoK tracks sqrt(n) to the 65536 literal-size ceiling") {
     assert(Similarity.ivfAutoK(100) == 16)
     assert(Similarity.ivfAutoK(1000000) == 1000)
