@@ -868,7 +868,73 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q204
+  /** Corpus data card — the one-call summary a training-data release
+    * ships (datasheet/data-card practice): document and token volumes,
+    * exact duplicate rate, language coverage and distribution entropy,
+    * and the short-document share, as one labeled metric frame.
+    *
+    * Scale shape: TWO passes total — one corpus-scan aggregate where
+    * token counting rides the fused [[graft.functions.WordTokens]]
+    * inside a plain sum (no explode: the per-doc token count is a
+    * projection), plus one bounded language group frame for the
+    * entropy. Exact integer counts; ratios are one double divide at
+    * 6 dp; entropy is Σ −p·ln p with the divide-then-ln evaluation
+    * order mirrored in the oracle (the q171 transcendental recipe). */
+  def q204CorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tk = graft.functions.wordTokens(col("text"))
+    val agg = docs.select(
+        size(tk).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_ch"),
+        md5(col("text")).as("h"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_ch")).as("n_chars"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("n_tok") < 30, 1L).otherwise(0L)).as("n_short"))
+    // each term −p·ln p rounds to DECIMAL(28,12) before the sum (the
+    // q171 recipe): the decimal sum is exact, so accumulation order —
+    // nondeterministic in both engines — cannot drift the last bits
+    val entropy = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .agg(sum(lit(1.0) * col("nl")).as("n"),
+        collect_list(col("nl").cast("double")).as("ns"))
+      .select(aggregate(col("ns"),
+        lit(0).cast("decimal(28,12)"),
+        (acc, nl) => (acc +
+          (-(nl / col("n")) * log(nl / col("n"))).cast("decimal(28,12)"))
+          .cast("decimal(28,12)"))
+        .cast("double").as("lang_entropy"))
+    val metrics = agg.crossJoin(entropy).select(explode(array(
+      struct(lit("n_docs").as("metric"),
+        col("n_docs").cast("double").as("value")),
+      struct(lit("n_tokens").as("metric"),
+        col("n_tokens").cast("double").as("value")),
+      struct(lit("n_chars").as("metric"),
+        col("n_chars").cast("double").as("value")),
+      struct(lit("n_langs").as("metric"),
+        col("n_langs").cast("double").as("value")),
+      struct(lit("exact_dup_rate").as("metric"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs"), 6).as("value")),
+      struct(lit("mean_tokens_per_doc").as("metric"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("value")),
+      struct(lit("short_doc_share").as("metric"),
+        round(col("n_short").cast("double") / col("n_docs"), 6)
+          .as("value")),
+      struct(lit("lang_entropy").as("metric"),
+        round(col("lang_entropy"), 6).as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy("metric")
+    metrics
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_corpus_report" -> q204CorpusReport _,
     "q202_bpe_encode" -> q202BpeEncode _,
     "q189_coherent_slice" -> q189CoherentSlice _,
     "q170_embargo_split" -> q170EmbargoSplit _,
@@ -893,6 +959,44 @@ object Corpus {
     "q57_corpus_mix" -> q57CorpusMix _)
 
   val oracle: Map[String, String] = Map(
+    // q204: exact counts; ratios one double divide at 6 dp; entropy
+    // terms round to DECIMAL(28,12) before the exact sum (q171 recipe)
+    // so accumulation order can't drift either engine
+    "q204_corpus_report" ->
+      """WITH base AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '\W+'),
+        |             t -> len(t) > 0)) AS n_tok,
+        |         length(text) AS n_ch, md5(text) AS h, lang
+        |  FROM documents),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        |         SUM(n_ch) AS n_chars,
+        |         COUNT(DISTINCT h) AS n_distinct_texts,
+        |         COUNT(DISTINCT lang) AS n_langs,
+        |         SUM(CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) AS n_short
+        |  FROM base),
+        |lc AS (SELECT lang, COUNT(*) AS nl FROM base GROUP BY 1),
+        |ent AS (
+        |  SELECT CAST(SUM(CAST(
+        |           -(CAST(nl AS DOUBLE) / n) * ln(CAST(nl AS DOUBLE) / n)
+        |           AS DECIMAL(28,12))) AS DOUBLE) AS lang_entropy
+        |  FROM lc, (SELECT SUM(1.0 * nl) AS n FROM lc))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+        |  FROM agg
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM agg
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM agg
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+        |  UNION ALL SELECT 'exact_dup_rate',
+        |    round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6)
+        |  FROM agg
+        |  UNION ALL SELECT 'mean_tokens_per_doc',
+        |    round(CAST(n_tokens AS DOUBLE) / n_docs, 6) FROM agg
+        |  UNION ALL SELECT 'short_doc_share',
+        |    round(CAST(n_short AS DOUBLE) / n_docs, 6) FROM agg
+        |  UNION ALL SELECT 'lang_entropy', round(lang_entropy, 6)
+        |  FROM ent)
+        |ORDER BY metric""".stripMargin,
     // q202: the BPE model itself is a fitted artifact, but its CONTRACT
     // is oracle-checkable — exact word counts, per-word subword bounds,
     // and the lossless round-trip the algorithm guarantees by
