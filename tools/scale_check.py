@@ -34,6 +34,9 @@ CONTRACT = {
     # SemDeDup shares the same sqrt(n)-cells structure (Similarity.semDedup):
     # within-cell comparisons are sum(s_c^2) ~= n^1.5 at sqrt(n) occupancy
     "q142": 32.0,
+    # sharded IVF rides the same n^1.5 contract per shard; total probe
+    # volume is n^1.5/sqrt(S), so the q40 bound covers it with slack
+    "q203": 32.0,
 }
 
 base = {}
