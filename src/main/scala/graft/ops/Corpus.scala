@@ -459,6 +459,77 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- q206
+  /** Token-budget waterfilling across corpus groups — the mixing-weight
+    * SOLVER the q57/q147 family assumes someone already ran: given a
+    * total token budget B, allocate tokens to maximize balance across
+    * groups subject to per-group availability. The optimum is the
+    * classic waterfill: a level λ with every group allocated
+    * min(available, λ) and Σ allocations = B — small groups keep
+    * everything ("saturated"), dominant groups are levelled down. This
+    * is exactly how a multilingual corpus caps its English share under
+    * a budget.
+    *
+    * All-integer arithmetic, closed form (no iterative solve): groups
+    * sorted by availability ascending; the boundary is the first rank j
+    * where prefix(j−1) + available(j)·(n−j+1) ≥ B; groups below it keep
+    * everything, the rest split the remaining budget evenly with the
+    * ⌊R/m⌋ remainder going one token each to the smallest groups.
+    * Σ allocated = min(B, Σ available) exactly.
+    *
+    * Scale shape: one map-side-combined token-count aggregate over the
+    * corpus (the only data-sized pass), then windows over the POST-AGG
+    * frame — one row per group, dimension-sized by contract (languages,
+    * sources, domains after q147 capping). Budget is a num/den fraction
+    * of total supply so the same call is scale-free. */
+  def waterfillBudget(docs: DataFrame, groupCol: String, tokens: Column,
+                      budgetNum: Long, budgetDen: Long): DataFrame = {
+    val caps = docs.groupBy(col(groupCol))
+      .agg(sum(tokens).cast("long").as("available"))
+    val ord = Window.orderBy(col("available").asc, col(groupCol).asc)
+    val all = Window.partitionBy()
+    caps
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("n_groups", count(lit(1)).over(all))
+      .withColumn("cum_before", coalesce(
+        sum(col("available")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("available")).over(all))
+      .withColumn("budget",
+        expr(s"(total * ${budgetNum}L) DIV ${budgetDen}L"))
+      .withColumn("cand",
+        col("cum_before") +
+          col("available") * (col("n_groups") - col("rn") + 1) >=
+          col("budget"))
+      .withColumn("boundary_rn",
+        min(when(col("cand"), col("rn"))).over(all))
+      .withColumn("cum_b",
+        max(when(col("rn") === col("boundary_rn"), col("cum_before")))
+          .over(all))
+      .withColumn("m_b", col("n_groups") - col("boundary_rn") + 1)
+      .withColumn("base", expr("(budget - cum_b) DIV m_b"))
+      .withColumn("bonus",
+        when(col("rn") - col("boundary_rn") <
+          (col("budget") - col("cum_b")) % col("m_b"), 1L).otherwise(0L))
+      .withColumn("allocated",
+        when(col("boundary_rn").isNull || col("rn") < col("boundary_rn"),
+          col("available"))
+          .otherwise(col("base") + col("bonus")))
+      // "kept everything" — incl. a boundary group whose levelled share
+      // happens to equal its availability (budget = total supply edge)
+      .select(col(groupCol), col("available"), col("allocated"),
+        (col("allocated") === col("available")).as("saturated"))
+  }
+
+  /** q206 entry: waterfill a ⌊4/5·total⌋ token budget across languages —
+    * the four minor languages saturate (kept whole), English is levelled
+    * down to fund them. */
+  def q206TokenWaterfill(spark: SparkSession, dir: String): DataFrame =
+    waterfillBudget(t(spark, dir, "documents"), "lang",
+        size(graft.functions.wordTokens(col("text"))).cast("long"),
+        budgetNum = 4L, budgetDen = 5L)
+      .orderBy("lang")
+
   // ---------------------------------------------------------------- q63
   /** Bloom-prefiltered decontamination against a pseudo-benchmark (every
     * 97th document), bigrams, ≥5 shared. Output is exactly the exact-join
@@ -956,9 +1027,55 @@ object Corpus {
     "q54_decontaminate" -> q54Decontaminate _,
     "q55_dedup_clusters" -> q55DedupClusters _,
     "q56_stratified_sample" -> q56StratifiedSample _,
-    "q57_corpus_mix" -> q57CorpusMix _)
+    "q57_corpus_mix" -> q57CorpusMix _,
+    "q206_token_waterfill" -> q206TokenWaterfill _)
 
   val oracle: Map[String, String] = Map(
+    // q206: all-integer closed-form waterfill — the oracle replays the
+    // same boundary/remainder arithmetic over the post-agg frame, so
+    // the compare is hash-exact (DuckDB // and % match Spark DIV and %
+    // on the nonnegative operands used here)
+    "q206_token_waterfill" ->
+      """WITH caps AS (
+        |  SELECT lang, CAST(SUM(len(list_filter(
+        |           string_split_regex(lower(text), '\W+'),
+        |           t -> len(t) > 0))) AS BIGINT) AS available
+        |  FROM documents GROUP BY 1),
+        |st AS (
+        |  SELECT lang, available,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY available, lang)
+        |              AS BIGINT) AS rn,
+        |         COUNT(*) OVER () AS n_groups,
+        |         CAST(COALESCE(SUM(available) OVER (
+        |           ORDER BY available, lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS cum_before,
+        |         CAST((SUM(available) OVER ()) * 4 // 5 AS BIGINT)
+        |           AS budget
+        |  FROM caps),
+        |b1 AS (
+        |  SELECT *, MIN(CASE WHEN cum_before +
+        |                          available * (n_groups - rn + 1) >= budget
+        |                     THEN rn END) OVER () AS boundary_rn
+        |  FROM st),
+        |b2 AS (
+        |  SELECT *, MAX(CASE WHEN rn = boundary_rn THEN cum_before END)
+        |              OVER () AS cum_b
+        |  FROM b1),
+        |b3 AS (
+        |  SELECT lang, available,
+        |         CAST(CASE WHEN boundary_rn IS NULL OR rn < boundary_rn
+        |              THEN available
+        |              ELSE (budget - cum_b) // (n_groups - boundary_rn + 1)
+        |                   + CASE WHEN rn - boundary_rn <
+        |                       (budget - cum_b) %
+        |                         (n_groups - boundary_rn + 1)
+        |                     THEN 1 ELSE 0 END
+        |         END AS BIGINT) AS allocated
+        |  FROM b2)
+        |SELECT lang, available, allocated,
+        |       allocated = available AS saturated
+        |FROM b3 ORDER BY lang""".stripMargin,
     // q204: exact counts; ratios one double divide at 6 dp; entropy
     // terms round to DECIMAL(28,12) before the exact sum (q171 recipe)
     // so accumulation order can't drift either engine

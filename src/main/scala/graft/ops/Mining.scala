@@ -33,20 +33,29 @@ object Mining {
     * per-partition partials merge map-side and only the sketch crosses
     * the wire, the collect ships one row, and probes run as codegen
     * against the deserialized sketch ([[graft.functions.CmsEstimate]]).
-    * CMS never under-counts, so `cms_est >= exact_cnt` always; the spec
-    * pins the eps·N over-count envelope. The exact counts double as the
-    * in-query ground truth (the pattern a production pipeline uses to
-    * VALIDATE its sketch config before trusting it unmetered). */
+    * CMS never under-counts, so `cms_est >= exact_cnt` always. The exact
+    * counts double as the in-query ground truth (the pattern a production
+    * pipeline uses to VALIDATE its sketch config before trusting it
+    * unmetered), and the estimate is emitted as the q93/q70-style
+    * envelope boolean — `cms_ok` = exact ≤ est ≤ exact + ⌈eps·N⌉, the
+    * sketch's published guarantee — so the whole row is oracle-checkable
+    * (the raw estimate itself is sketch-internal; the spec still probes
+    * it directly). */
   def q100CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    val sk = li
-      .agg(expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").as("sk"))
-      .head().getAs[Array[Byte]](0)
+    val first = li
+      .agg(expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n"))
+      .head()
+    val sk = first.getAs[Array[Byte]](0)
+    val envelope = math.ceil(1e-4 * first.getAs[Long](1)).toLong
     li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("l_partkey"))
       .limit(20)
-      .withColumn("cms_est", cmsEstimate(sk, col("l_partkey")))
+      .withColumn("cms_ok",
+        cmsEstimate(sk, col("l_partkey")).between(
+          col("exact_cnt"), col("exact_cnt") + lit(envelope)))
   }
 
   // --------------------------------------------------------------- q101
@@ -1100,10 +1109,18 @@ object Mining {
     "q145_embedding_standardize" -> q145EmbeddingStandardize _,
     "q155_embedding_outliers" -> q155EmbeddingOutliers _)
 
-  /** Oracles for the SQL-expressible subset. q100 (CMS binary) and q107
-    * (FNV perceptual hash) are engine-internal → rows-only; their
-    * correctness envelopes live in MiningSpec. */
+  /** Oracles for the SQL-expressible subset. q107 (FNV perceptual hash)
+    * is engine-internal → rows-only; its correctness envelope lives in
+    * MiningSpec. */
   val oracle: Map[String, String] = Map(
+    // q100: the top-20 selection and exact counts are fully
+    // oracle-computable; the CMS estimate is emitted as its published
+    // guarantee (exact ≤ est ≤ exact + ⌈eps·N⌉) which the oracle
+    // expects TRUE on every row
+    "q100_cms_heavy_hitters" ->
+      """SELECT l_partkey, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+        |FROM lineitem GROUP BY 1
+        |ORDER BY exact_cnt DESC, l_partkey LIMIT 20""".stripMargin,
     // q122: the randomized KLL estimates live inside exact q±0.05
     // percentile bounds, per group and for the merged 'ALL' rollup —
     // the oracle expects every envelope boolean TRUE

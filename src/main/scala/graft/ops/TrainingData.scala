@@ -300,9 +300,17 @@ object TrainingData {
     * mirrored tree-for-tree in the oracle, so ranking and scores are
     * hash-exact. Ordering is by the RAW double score (bit-equal across
     * engines), doc_id tiebreak; the output column rounds to 6 dp. */
-  def q131Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("merge", "batch", "spark")
-    val docs = t(spark, dir, "documents")
+  def q131Bm25Retrieval(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(t(spark, dir, "documents"),
+        Seq("merge", "batch", "spark"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  /** Raw BM25 scores per matched document (see [[q131Bm25Retrieval]] for
+    * the full scoring notes). Returns (doc_id, score) with the RAW double
+    * score so callers choose their own head/rounding. */
+  def bm25Scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
     // two fully-codegen'd scans (tf stream; corpus stats) measure FASTER
     // than a persisted shared-tokenize pass at bench scale — the filter
     // HOF needed to share the frame is CodegenFallback and costs more
@@ -336,9 +344,59 @@ object TrainingData {
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(sum(score.cast("decimal(28,12)")).cast("double").as("score"))
+  }
+
+  // --------------------------------------------------------------- q205
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009): fuse the BM25 keyword ranking ([[bm25Scores]], q131's exact
+    * arithmetic) with the exact dense-cosine ranking ([[Similarity
+    * .bruteForceTopK]], q24's rounding recipe) by
+    * rrf = Σ 1/(60 + rank) over the lists that returned the doc — the
+    * standard lexical+dense fusion every production retrieval stack
+    * runs, scoreless by design (ranks only), so the two lists'
+    * incomparable score scales never touch.
+    *
+    * Determinism: each list is deterministically ranked (BM25 by raw
+    * double score then doc_id; cosine by 6-dp-rounded sim then id), each
+    * rrf term is one IEEE divide of exact integers, and the two-term sum
+    * is order-free (IEEE addition is commutative) — so fusion order,
+    * rounding, and the final (raw rrf, doc_id) head are bit-identical
+    * cross-engine. Absent-from-list is emitted as rank 0 (contribution
+    * 0), keeping the output scalar-sortable.
+    *
+    * Scale shape: both heads are top-K (TakeOrdered / per-query window
+    * over a broadcast singleton query), so the fusion join touches 2K
+    * rows total — the corpus-sized work is exactly one BM25 postings
+    * pass and one dense scan (swap in q40/q203's IVF for the dense side
+    * at index scale; the fusion stage is unchanged). */
+  def q205HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val lex = bm25Scores(t(spark, dir, "documents"),
+        Seq("merge", "batch", "spark"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
-      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .limit(k)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("r_lex"))
+    val emb = t(spark, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k)
+      .select(col("neighbor_id").as("doc_id"), col("rn").as("r_dense"))
+    val rrfRaw =
+      when(col("r_lex") > 0, lit(1.0) / (lit(60L) + col("r_lex")))
+        .otherwise(lit(0.0)) +
+      when(col("r_dense") > 0, lit(1.0) / (lit(60L) + col("r_dense")))
+        .otherwise(lit(0.0))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .withColumn("rrf_raw", rrfRaw)
+      .orderBy(col("rrf_raw").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        round(col("rrf_raw"), 6).as("rrf"))
   }
 
   // ---------------------------------------------------------------- q135
@@ -625,6 +683,7 @@ object TrainingData {
     "q127_trigram_search" -> q127TrigramSearch _,
     "q129_passage_containment" -> q129PassageContainment _,
     "q131_bm25_retrieval" -> q131Bm25Retrieval _,
+    "q205_hybrid_rrf" -> q205HybridRrf _,
     "q135_boilerplate_passages" -> q135BoilerplatePassages _,
     "q142_semdedup" -> q142SemDedup _)
 
@@ -975,6 +1034,79 @@ object TrainingData {
     // constants 1.25/0.75/2.25/0.25/0.5 are exactly representable so
     // decimal-vs-double folding cannot diverge; per-doc term sum in
     // DECIMAL(28,12); ranking by the raw double score before rounding
+    // q205: the q131 BM25 ranking and the q24 cosine ranking, fused by
+    // reciprocal rank — every rrf term is 1.0/(60+rank) in DOUBLE (the
+    // 1.0 cast matters: DuckDB's bare 1.0 is DECIMAL), the two-term sum
+    // is IEEE-commutative, and the head orders by the RAW fused score
+    "q205_hybrid_rrf" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tok,
+        |         COUNT(*) AS tf
+        |  FROM (SELECT doc_id, tk, unnest(tk) AS tok FROM tk)
+        |  WHERE tok IN ('merge', 'batch', 'spark')
+        |  GROUP BY doc_id, len(tk), tok),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM tk),
+        |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         ln(CAST(stats.n_docs - dft.df + 0.5 AS DOUBLE) /
+        |            CAST(dft.df + 0.5 AS DOUBLE) + 1.0)
+        |           * (tf.tf * 2.25) /
+        |           (tf.tf + 1.25 *
+        |             (0.25 + CAST(0.75 * tf.dl AS DOUBLE) / stats.avgdl))
+        |           AS s
+        |  FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN stats),
+        |lexs AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS sc
+        |  FROM scored GROUP BY doc_id),
+        |lexr AS (
+        |  SELECT doc_id, r_lex FROM (
+        |    SELECT doc_id,
+        |           CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id)
+        |                AS BIGINT) AS r_lex
+        |    FROM lexs) WHERE r_lex <= 20),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+        |      FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS doc_id,
+        |             CAST(embedding AS DOUBLE[]) AS c_emb
+        |      FROM embeddings WHERE vec_id <> 0),
+        |dsc AS (
+        |  SELECT c.doc_id,
+        |         ROUND(list_dot_product(q.q_emb, c.c_emb) /
+        |               (SQRT(list_dot_product(q.q_emb, q.q_emb)) *
+        |                SQRT(list_dot_product(c.c_emb, c.c_emb))), 6) AS sim
+        |  FROM c, q),
+        |denser AS (
+        |  SELECT doc_id, r_dense FROM (
+        |    SELECT doc_id,
+        |           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+        |                AS BIGINT) AS r_dense
+        |    FROM dsc) WHERE r_dense <= 20),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |         COALESCE(l.r_lex, 0) AS r_lex,
+        |         COALESCE(d.r_dense, 0) AS r_dense
+        |  FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id),
+        |fin AS (
+        |  SELECT doc_id, r_lex, r_dense,
+        |         (CASE WHEN r_lex > 0
+        |               THEN CAST(1.0 AS DOUBLE) / (60 + r_lex)
+        |               ELSE CAST(0.0 AS DOUBLE) END +
+        |          CASE WHEN r_dense > 0
+        |               THEN CAST(1.0 AS DOUBLE) / (60 + r_dense)
+        |               ELSE CAST(0.0 AS DOUBLE) END) AS rrf_raw
+        |  FROM fused)
+        |SELECT doc_id, r_lex, r_dense, ROUND(rrf_raw, 6) AS rrf
+        |FROM fin ORDER BY rrf_raw DESC, doc_id LIMIT 10""".stripMargin,
     "q131_bm25_retrieval" ->
       """WITH tk AS (
         |  SELECT doc_id,

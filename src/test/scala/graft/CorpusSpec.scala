@@ -133,6 +133,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.map(_._1).toSet, "sample must be order-independent")
   }
 
+  test("waterfillBudget: exact budget, saturation order, fair remainder") {
+    val docs = Seq(
+      ("a", 10L), ("b", 100L), ("c", 1000L), ("d", 1000L), ("e", 5000L)
+    ).flatMap { case (g, n) => Seq((g, ("x " * n.toInt).trim)) }
+      .toDF("lang", "text")
+    val out = Corpus.waterfillBudget(docs, "lang",
+        size(graft.functions.wordTokens(col("text"))).cast("long"),
+        budgetNum = 1L, budgetDen = 2L) // B = 7110/2 = 3555
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // total=7110, B=3555; levelling e down to c/d's 1000 frees only
+    // 4000 of the needed 3555 cut, so a..d all saturate (2110) and e is
+    // levelled to the 1445 that spends the budget exactly
+    assert(out("a") == ((10L, 10L, true)))
+    assert(out("b") == ((100L, 100L, true)))
+    assert(out("c") == ((1000L, 1000L, true)))
+    assert(out("d") == ((1000L, 1000L, true)))
+    assert(out("e") == ((5000L, 1445L, false)))
+    assert(out.values.map(_._2).sum == 3555L, "allocations spend B exactly")
+
+    // remainder path: three equal groups, B = 30*2/3 = 20 -> base 6,
+    // remainder 2 goes one token each to the first two in (avail, lang)
+    // order
+    val eq = Seq("p", "q", "r").map(g => (g, "x x x x x x x x x x"))
+      .toDF("lang", "text")
+    val rem = Corpus.waterfillBudget(eq, "lang",
+        size(graft.functions.wordTokens(col("text"))).cast("long"),
+        budgetNum = 2L, budgetDen = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rem == Map("p" -> 7L, "q" -> 7L, "r" -> 6L), rem.toString)
+
+    // budget >= total supply: every group saturates, nothing is cut
+    val all = Corpus.waterfillBudget(docs, "lang",
+        size(graft.functions.wordTokens(col("text"))).cast("long"),
+        budgetNum = 1L, budgetDen = 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(all.forall { case (av, al, sat) => al == av && sat })
+  }
+
   test("mixWithPriority keeps the highest-priority copy of each content") {
     val curated = Seq((10L, "shared body one"), (11L, "curated only"))
       .toDF("doc_id", "text")

@@ -229,6 +229,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q205 hybrid RRF: fused score matches the rank formula exactly") {
+    val out = graft.ops.TrainingData
+      .q205HybridRrf(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val rrfs = out.map(_.getDouble(3))
+    assert(rrfs.sameElements(rrfs.sortBy(-_)), "descending by fused score")
+    out.foreach { r =>
+      val (rLex, rDense, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(rLex > 0 || rDense > 0, "doc must come from at least one list")
+      assert(rLex >= 0 && rLex <= 20 && rDense >= 0 && rDense <= 20)
+      val expect =
+        (if (rLex > 0) 1.0 / (60 + rLex) else 0.0) +
+          (if (rDense > 0) 1.0 / (60 + rDense) else 0.0)
+      assert(math.abs(rrf - BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0,
+        s"rrf mismatch: got $rrf for ranks ($rLex, $rDense)")
+    }
+    // a doc on BOTH lists must outrank one on a single list at worse rank:
+    // the top fused doc is never a rank-20 singleton
+    assert(rrfs.head > 1.0 / 80)
+  }
+
   test("q129 passage containment: every probe matches its parent at 1.0") {
     val out = graft.ops.TrainingData
       .q129PassageContainment(spark, TestSpark.sfDir).collect()

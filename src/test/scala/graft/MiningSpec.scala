@@ -12,16 +12,25 @@ class MiningSpec extends AnyFunSuite {
   // ------------------------------------------------------------- q100 CMS
 
   test("CMS estimates never under-count and respect the eps*N envelope") {
+    // the query itself emits the envelope as cms_ok; re-derive the raw
+    // estimates here so the bound is checked against a direct probe too
+    val li = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "lineitem")
+    val sk = li
+      .agg(expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
     val out = Mining.q100CmsHeavyHitters(spark, TestSpark.sfDir)
-      .collect().map(r => (r.getLong(1), r.getLong(2))) // (exact, est)
-    assert(out.nonEmpty)
-    val n = graft.sources.TableCatalog
-      .load(spark, TestSpark.sfDir, "lineitem").count()
-    val envelope = math.ceil(1e-4 * n).toLong
-    out.foreach { case (exact, est) =>
+      .withColumn("cms_est",
+        graft.functions.cmsEstimate(sk, col("l_partkey")))
+      .collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(out.length == 20)
+    val envelope = math.ceil(1e-4 * li.count()).toLong
+    out.foreach { case (exact, ok, est) =>
       assert(est >= exact, s"CMS under-counted: $est < $exact")
       assert(est <= exact + envelope,
         s"CMS over-envelope: $est > $exact + $envelope")
+      assert(ok, s"cms_ok false for exact=$exact est=$est")
     }
   }
 

@@ -135,9 +135,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q100 CMS probe fuses into the top-k projection — no extra stage") {
     val p = finalPlan("q100_cms_heavy_hitters")
-    // the probe projection (cms_est) rides TakeOrderedAndProject's output
+    // the probe projection (cms_ok) rides TakeOrderedAndProject's output
     // directly — no separate Project/Exchange stage after the top-k
-    assert("TakeOrderedAndProject.*cms_est".r.findFirstIn(p).isDefined,
+    assert("TakeOrderedAndProject.*cms_ok".r.findFirstIn(p).isDefined,
       s"probe must fuse into the fused top-k operator:\n${p.take(3000)}")
   }
 
