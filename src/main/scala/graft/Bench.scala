@@ -119,9 +119,15 @@ object Bench {
     val failedPasses = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // dev-only subset filter (comma-separated query names, same contract
+    // as Verify's VERIFY_ONLY); the driver never sets it, so recorded
+    // rounds always time the full registry
+    val only = sys.env.get("BENCH_ONLY").map(_.split(",").toSet)
     for (pass <- 1 to passes) {
       var passTotal = 0.0
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           runToSink(spark, fn, sfDir)

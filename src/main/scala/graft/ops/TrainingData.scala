@@ -441,6 +441,262 @@ object TrainingData {
   def q135BoilerplatePassages(spark: SparkSession, dir: String): DataFrame =
     boilerplatePassages(t(spark, dir, "documents"))
 
+  // --------------------------------------------------------------- q207
+  /** Duplicated-span detection — the ExactSubstr dedup signal (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): hash the w-token window at EVERY token position and
+    * flag windows whose exact text occurs ≥2 times ANYWHERE in the
+    * corpus — another document or elsewhere in the same one. Stride 1
+    * is what makes the guarantee exact and alignment-independent: any
+    * verbatim span of ≥ w tokens repeated at two positions yields the
+    * identical window text at both (a strided variant silently loses
+    * this — two copies offset by ≢ 0 mod s never align on a common
+    * window). Windows are occurrence-counted, not distinct-doc like
+    * q135's non-overlapping-passage df — the paper's "any substring
+    * occurring twice" rule — so within-document self-repetition counts.
+    *
+    * Scale shape: one window row PER TOKEN POSITION — the linear-in-
+    * tokens cost exact substring dedup genuinely pays (the paper's
+    * suffix array is the same O(tokens) class). Windows come off ONE
+    * fused shingle pass ([[graft.functions.WordNgrams]] non-distinct ≡
+    * stride-1 windows); every shuffle past the scan is keyed by the
+    * window's xxhash64 — 8 bytes, never window text (q63/q135's
+    * hash-join precedent; the oracle groups by the window text itself
+    * and must agree). Occurrence counts combine map-side, the ≥2 filter
+    * drops the long unique tail BEFORE the LEFT SEMI rejoin, and
+    * n_windows is integer arithmetic on the token count — no second
+    * tokenize. When the full per-position index is too dear, q208's
+    * winnowing is the subsampled variant: 2/(W+1) density for a
+    * W + k − 1 detection floor. */
+  def duplicatedSpans(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", w: Int = 16): DataFrame = {
+    val wins = docs.select(col(idCol).as("doc_id"),
+        size(graft.functions.wordTokens(col(textCol))).cast("long")
+          .as("n_tok"),
+        explode(transform(
+          graft.functions.wordNgrams(col(textCol), w, distinct = false),
+          c => xxhash64(c))).as("h"))
+      // WordNgrams emits one whole-text shingle for docs under w tokens;
+      // those have no full window — drop them
+      .filter(col("n_tok") >= w)
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    wins.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_windows"), first(col("n_tok")).as("n_tok"))
+      .withColumn("n_windows", col("n_tok") - lit(w) + lit(1))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+        round(col("dup_windows").cast("double") /
+          col("n_windows").cast("double"), 6).as("dup_share"))
+      .orderBy("doc_id")
+  }
+
+  /** q207 entry: 16-token windows at every position over the documents
+    * table — flags any repeated span of ≥ 16 tokens, at any alignment. */
+  def q207DuplicatedSpans(spark: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(t(spark, dir, "documents"))
+
+  // --------------------------------------------------------------- q208
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): hash every k-token shingle, slide a
+    * W-hash window over the hash sequence, select each window's MINIMUM
+    * hash; the distinct selected values are the document's fingerprint
+    * set. The paper's guarantee: any shared span of ≥ W + k − 1 tokens
+    * yields at least one shared fingerprint, at an expected index
+    * density of 2/(W+1) of the full shingle set — so the pair index
+    * costs ~(W+1)/2× less than q33's full inverted index for the same
+    * detection floor. Output is the MOSS-style pair report: document
+    * pairs sharing ≥ minShared fingerprints.
+    *
+    * Determinism/oracle: the shingle hash is the first 13 hex chars of
+    * md5 — FIXED-WIDTH lowercase hex, so lexicographic min ≡ numeric
+    * min and DuckDB replays the selection exactly (the q164 digest
+    * precedent without the integer fold).
+    *
+    * Scale shape: fingerprint selection is a pure per-row projection
+    * (fused shingler + one transform over window starts — O(n·W) string
+    * compares against doc-bounded arrays); the pair join is q33's
+    * inverted-index shape over the winnowed set, with the same hot-key
+    * guard — fingerprints shared by more than maxDocFreq docs are
+    * corpus boilerplate and are dropped before the d² pair fan-out
+    * (singletons drop too: df ≥ 2 is necessary to ever pair). */
+  def winnowPairs(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", k: Int = 4, window: Int = 4,
+                  minShared: Int = 2, maxDocFreq: Int = 50): DataFrame = {
+    // hs is materialized as its own projection: it is referenced once
+    // per window position downstream, and CollapseProject refuses to
+    // inline a multiply-referenced non-cheap alias — without this the
+    // md5-shingle transform re-evaluates per POSITION, turning the
+    // selection from O(n·W) into O(n²) md5s per document (measured:
+    // 31 s → sub-second at sf0.1)
+    val hs = docs
+      .filter(size(graft.functions.wordTokens(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        transform(
+          graft.functions.wordNgrams(col(textCol), k, distinct = false),
+          g => substring(md5(g), 1, 13)).as("hs"))
+    val fp = hs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("hs")) - window + 1, lit(1))),
+        i => array_min(slice(col("hs"), i, lit(window)))))).as("fp"))
+    val kept = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDocFreq).select(col("fp"))
+    val f2 = fp.join(kept, Seq("fp"), "left_semi")
+    f2.as("a").join(f2.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q208 entry: 4-token shingles, window 4 (detection floor: shared
+    * spans of ≥ 7 tokens), pairs sharing ≥ 2 fingerprints. */
+  def q208WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(t(spark, dir, "documents"))
+
+  // --------------------------------------------------------------- q209
+  /** Chunk-level dedup WITH document reconstruction — the CCNet recipe
+    * (Wenzek et al., LREC 2020: paragraph-hash dedup keeping one copy
+    * corpus-wide, then documents rebuilt from their surviving
+    * paragraphs). q135 only PROFILES repeated passages; this operator
+    * actually produces the cleaned corpus: every non-overlapping
+    * `chunk`-token passage keeps exactly its globally FIRST occurrence
+    * (minimal (doc_id, position) — deterministic, order-free), all
+    * later occurrences — in other documents or later in the same one —
+    * are dropped, and each document's clean text is the concatenation
+    * of its surviving passages in position order.
+    *
+    * Scale shape — the reconstruction ships NO text through a shuffle:
+    * passages are keyed by xxhash64 (8 bytes; q63/q135 precedent — the
+    * oracle groups by passage text and must agree), the first-occurrence
+    * winner per hash is one `min(struct(doc_id, pos))` aggregate
+    * (map-side combinable), and what returns to each document is only
+    * its kept POSITION list (small ints). The clean text is then rebuilt
+    * by a pure projection over the original text — re-chunk, pick the
+    * kept indices, `concat_ws` — i.e. the only text-sized passes are the
+    * scans, exactly like q135's documented two-scan tokenize. A document
+    * whose every passage lost (an exact duplicate of earlier text)
+    * survives the left join with an empty keep-list → clean_text ''. */
+  def dedupChunksRebuild(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id",
+                         chunk: Int = 8): DataFrame = {
+    val base = docs
+      .filter(size(graft.functions.wordTokens(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val chunks = base.select(col("doc_id"),
+        posexplode(graft.functions.wordChunks(col("text"), chunk, chunk)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("h"))
+    // global first occurrence per passage: struct ordering is
+    // lexicographic (doc_id, then pos) — one map-side-combined min
+    val winners = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+    val keptPos = winners.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("keep"))
+    val arr = graft.functions.wordChunks(col("text"), chunk, chunk)
+    base.join(keptPos, Seq("doc_id"), "left")
+      .withColumn("keep",
+        coalesce(col("keep"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        size(arr).cast("long").as("n_chunks"),
+        size(col("keep")).cast("long").as("n_kept"),
+        array_join(transform(col("keep"),
+          p => element_at(arr, p.cast("int") + lit(1))), " ")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q209 entry: 8-token passages (q135's unit) over the documents
+    * table, rebuilt after global first-occurrence dedup. */
+  def q209ChunkDedupRebuild(spark: SparkSession, dir: String): DataFrame =
+    dedupChunksRebuild(t(spark, dir, "documents"))
+
+  // --------------------------------------------------------------- q210
+  /** Retrieval-quality evaluation with planted ground truth: the eval
+    * harness every retrieval stack runs before shipping an index. A
+    * deterministic md5-keyed ~1/64 slice of documents becomes the probe
+    * set, each probe's query being the DISTINCT tokens 5–12 of
+    * its own text — so the probe's parent document is a known-relevant
+    * answer. Every probe is scored against the whole corpus with q131's
+    * exact Okapi BM25 arithmetic (batch form: one tf pass serves ALL
+    * probes), and the parent's rank yields the standard metrics:
+    * hit@10 and reciprocal rank@10 (MRR's per-probe term; with a single
+    * relevant document nDCG@k is the same monotone signal, so it is
+    * deliberately not duplicated).
+    *
+    * Rank WITHOUT a global sort: parent_rank = 1 + count of candidates
+    * strictly better than the parent under the deterministic
+    * (score desc, doc_id asc) order — an aggregate over the per-probe
+    * candidate set, not a window over a sorted corpus; at index scale
+    * the candidate set is already top-k'd by the retrieval head, and
+    * this metric layer is unchanged.
+    *
+    * Determinism: scores are the q131 recipe (idf/tf tree mirrored
+    * token-for-token in the oracle, DECIMAL(28,12) order-free sum, cast
+    * double) — bit-equal cross-engine, so rank comparisons and the
+    * 1.0/rank IEEE divide are hash-exact. */
+  def retrievalEval(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", k: Int = 10): DataFrame = {
+    val toks = graft.functions.wordTokens(col(textCol))
+    // ~1/64 md5 slice: an eval PROBE SET is a bounded sample by design
+    // (industry retrieval evals run hundreds-to-thousands of queries
+    // regardless of corpus size); the batch-scoring cost is
+    // |probes| × |docs matching any probe term|, so the sample fraction
+    // — not the corpus — is the lever that keeps it linear in the corpus
+    val probes = docs
+      .filter(substring(md5(col(textCol)), 1, 2)
+          .isin("00", "01", "02", "03") &&
+        size(toks) >= 12)
+      .select(col(idCol).as("probe_id"),
+        explode(array_distinct(slice(toks, 5, 8))).as("tok"))
+    val terms = probes.select(col("tok")).distinct()
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("dl"), explode(toks).as("tok"))
+      .join(broadcast(terms), Seq("tok"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val k1 = lit(1.25)
+    val b = lit(0.75)
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+        lit(1.0))
+    val s = idf * (col("tf") * (k1 + lit(1.0))) /
+      (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
+    val scores = tf.join(broadcast(dfT), "tok")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(probes), Seq("tok"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(s.cast("decimal(28,12)")).cast("double").as("score"))
+    val parent = scores.filter(col("doc_id") === col("probe_id"))
+      .select(col("probe_id"), col("score").as("ps"))
+    scores.join(parent, Seq("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        (sum(when(col("score") > col("ps") ||
+            (col("score") === col("ps") &&
+              col("doc_id") < col("probe_id")), lit(1L))
+          .otherwise(lit(0L))) + lit(1L)).as("parent_rank"))
+      .select(col("probe_id"), col("n_cand"), col("parent_rank"),
+        when(col("parent_rank") <= k, lit(1L)).otherwise(lit(0L))
+          .as("hit10"),
+        when(col("parent_rank") <= k,
+          lit(1.0) / col("parent_rank")).otherwise(lit(0.0)).as("rr10"))
+      .orderBy("probe_id")
+  }
+
+  /** q210 entry: BM25 self-retrieval eval over the documents table —
+    * parent rank, hit@10, RR@10 per planted probe. */
+  def q210RetrievalEval(spark: SparkSession, dir: String): DataFrame =
+    retrievalEval(t(spark, dir, "documents"))
+
   // --------------------------------------------------------------- q142
   /** SemDeDup semantic pruning over the embedding corpus: √n-cell
     * spherical k-means, within-cell cosine ≥ 0.3 groups, min-id
@@ -685,10 +941,159 @@ object TrainingData {
     "q131_bm25_retrieval" -> q131Bm25Retrieval _,
     "q205_hybrid_rrf" -> q205HybridRrf _,
     "q135_boilerplate_passages" -> q135BoilerplatePassages _,
+    "q207_duplicated_spans" -> q207DuplicatedSpans _,
+    "q208_winnow_pairs" -> q208WinnowPairs _,
+    "q209_chunk_dedup_rebuild" -> q209ChunkDedupRebuild _,
+    "q210_retrieval_eval" -> q210RetrievalEval _,
     "q142_semdedup" -> q142SemDedup _)
 
   /** Oracles for the exact, SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    // q207: engine joins on xxhash64(window), oracle on the window text
+    // (q63's precedent — counts identical barring 64-bit collisions);
+    // range(1, len-14) generates every full-window start (stride 1)
+    "q207_duplicated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 14),
+        |         p -> array_to_string(tk[p:p+15], ' '))) AS win
+        |  FROM toks WHERE len(tk) >= 16),
+        |c AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows
+        |      FROM w JOIN c USING (win) GROUP BY doc_id),
+        |n AS (SELECT doc_id,
+        |             CAST(len(tk) - 15 AS BIGINT) AS n_windows
+        |      FROM toks WHERE len(tk) >= 16)
+        |SELECT n.doc_id, n.n_windows, d.dup_windows,
+        |       round(CAST(d.dup_windows AS DOUBLE) / n.n_windows, 6)
+        |         AS dup_share
+        |FROM n JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q208: the winnowing selection replayed value-for-value — the
+    // 13-hex-char md5 prefix is fixed-width lowercase hex, so DuckDB's
+    // list_min over VARCHAR picks the same hash the engine's array_min
+    // does; shingle semantics mirror WordNgrams(distinct=false)
+    // including the fewer-than-k-tokens → one-shingle-of-all edge
+    "q208_winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_transform(
+        |           list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
+        |              i -> array_to_string(tk[i:i+3], ' ')),
+        |           g -> substr(md5(g), 1, 13)) AS hs
+        |  FROM toks WHERE len(tk) > 0),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(hs) - 3, 1) + 1),
+        |           i -> list_min(hs[i:i+3])))) AS fp
+        |  FROM hs),
+        |kept AS (SELECT fp FROM fp GROUP BY fp
+        |         HAVING COUNT(*) BETWEEN 2 AND 50),
+        |f2 AS (SELECT f.doc_id, f.fp FROM fp f JOIN kept USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(COUNT(*) AS BIGINT) AS shared_fps
+        |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q209: the CCNet rebuild replayed on the passage TEXT (engine keys
+    // on xxhash64 — q63/q135 collision precedent); first occurrence =
+    // row_number over (doc_id, pos); chunk index (s-1)/8 matches the
+    // engine's 0-based posexplode; string_agg ORDER BY pos rebuilds the
+    // identical space-joined clean text
+    "q209_chunk_dedup_rebuild" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents WHERE len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), t -> len(t) > 0)) > 0),
+        |ch AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) + 1, 8)) AS s, tk
+        |  FROM toks),
+        |ch2 AS (
+        |  SELECT doc_id, CAST((s - 1) / 8 AS BIGINT) AS pos,
+        |         array_to_string(tk[s:s+7], ' ') AS passage
+        |  FROM ch),
+        |kept AS (
+        |  SELECT doc_id, pos, passage FROM (
+        |    SELECT doc_id, pos, passage,
+        |           row_number() OVER (PARTITION BY passage
+        |                              ORDER BY doc_id, pos) AS rn
+        |    FROM ch2) WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         string_agg(passage, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id,
+        |             CAST(len(range(1, len(tk) + 1, 8)) AS BIGINT)
+        |               AS n_chunks
+        |      FROM toks)
+        |SELECT n.doc_id, n.n_chunks,
+        |       COALESCE(a.n_kept, 0) AS n_kept,
+        |       COALESCE(a.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q210: q131's BM25 arithmetic tree verbatim (decimal-exact sums →
+    // bit-equal doubles), batched over the probe set; parent_rank is the
+    // same better-than count the engine aggregates — no window over the
+    // corpus on either side
+    "q210_retrieval_eval" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id AS probe_id, unnest(list_distinct(tk[5:12])) AS tok
+        |  FROM tk
+        |  WHERE substr(md5(text), 1, 2) IN ('00', '01', '02', '03')
+        |    AND len(tk) >= 12),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tok,
+        |         COUNT(*) AS tf
+        |  FROM (SELECT doc_id, tk, unnest(tk) AS tok FROM tk)
+        |  WHERE tok IN (SELECT DISTINCT tok FROM pr)
+        |  GROUP BY doc_id, len(tk), tok),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM tk),
+        |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         ln(CAST(stats.n_docs - dft.df + 0.5 AS DOUBLE) /
+        |            CAST(dft.df + 0.5 AS DOUBLE) + 1.0)
+        |           * (tf.tf * 2.25) /
+        |           (tf.tf + 1.25 *
+        |             (0.25 + CAST(0.75 * tf.dl AS DOUBLE) / stats.avgdl))
+        |           AS s
+        |  FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN stats),
+        |ps AS (
+        |  SELECT q.probe_id, s.doc_id,
+        |         CAST(SUM(CAST(s.s AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM scored s JOIN pr q ON s.tok = q.tok
+        |  GROUP BY q.probe_id, s.doc_id),
+        |par AS (SELECT probe_id, score AS pscore
+        |        FROM ps WHERE doc_id = probe_id),
+        |r AS (
+        |  SELECT ps.probe_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+        |         CAST(1 + SUM(CASE WHEN ps.score > par.pscore OR
+        |                (ps.score = par.pscore AND ps.doc_id < ps.probe_id)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS parent_rank
+        |  FROM ps JOIN par USING (probe_id) GROUP BY ps.probe_id)
+        |SELECT probe_id, n_cand, parent_rank,
+        |       CAST(CASE WHEN parent_rank <= 10 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS hit10,
+        |       CASE WHEN parent_rank <= 10
+        |            THEN CAST(1.0 AS DOUBLE) / parent_rank
+        |            ELSE CAST(0.0 AS DOUBLE) END AS rr10
+        |FROM r ORDER BY probe_id""".stripMargin,
     // q39: the exact distinct 8-token-shingle count (same short-doc
     // whole-text-gram rule as the engine's WordNgrams) plus the
     // content-functionality boolean — equal texts must share a

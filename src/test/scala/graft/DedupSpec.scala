@@ -251,6 +251,108 @@ class DedupSpec extends AnyFunSuite {
     assert(rrfs.head > 1.0 / 80)
   }
 
+  test("q207 duplicated spans: stride-1 guarantee at any alignment") {
+    val span = (1 to 20).map(i => s"w$i").mkString(" ") // 20-token span
+    val self = (1 to 17).map(i => s"d$i").mkString(" ") // 17-token span
+    val planted = Seq(
+      (0L, s"f1 f2 f3 $span"),                     // span at offset 3
+      (1L, s"$span g1 g2 g3 g4 g5"),               // span at offset 0
+      (2L, (1 to 30).map(i => s"u$i").mkString(" ")), // all unique
+      (3L, s"$self x1 $self"),                     // self-repetition
+      (4L, (1 to 10).map(i => s"s$i").mkString(" ")) // under 16 tokens
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TrainingData.duplicatedSpans(planted)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // a 20-token span has 5 full 16-token windows wherever it sits —
+    // different offsets in docs 0 and 1 must not break detection
+    assert(out(0L) == ((8L, 5L, 0.625)), out.toString) // 23 tok → 8 windows
+    assert(out(1L) == ((10L, 5L, 0.5)), out.toString)  // 25 tok → 10
+    // within-doc repetition counts: 2 windows per occurrence, both dup
+    assert(out(3L) == ((20L, 4L, 0.2)), out.toString)  // 35 tok → 20
+    // unique doc and sub-window doc never appear
+    assert(!out.contains(2L) && !out.contains(4L), out.toString)
+  }
+
+  test("q208 winnowing: W+k-1 detection floor, boilerplate guard") {
+    import graft.ops.TrainingData.winnowPairs
+    val shared = (1 to 7).map(i => s"c$i").mkString(" ") // = W+k-1 tokens
+    val pairDocs = Seq(
+      (0L, (1 to 10).map(i => s"a$i").mkString(" ") + " " + shared),
+      (1L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = winnowPairs(pairDocs, k = 4, window = 4,
+        minShared = 1, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the paper's guarantee: a shared span of >= W+k-1 tokens yields at
+    // least one shared fingerprint — regardless of alignment
+    assert(pairs.contains((0L, 1L)), pairs.toSeq.toString)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unique doc paired")
+
+    // fingerprints shared by more than maxDocFreq docs are dropped as
+    // corpus boilerplate: five identical docs, cap 3 → no pairs at all
+    val boiler = (0L to 4L).map(i => (i, "p q r s t u v w x y"))
+      .toDF("doc_id", "text")
+    assert(winnowPairs(boiler, k = 4, window = 4,
+      minShared = 1, maxDocFreq = 3).count() == 0L)
+    // raise the cap and all C(5,2)=10 pairs surface
+    assert(winnowPairs(boiler, k = 4, window = 4,
+      minShared = 1, maxDocFreq = 5).count() == 10L)
+  }
+
+  test("q209 chunk dedup rebuild: global first occurrence, clean text") {
+    val block = (1 to 8).map(i => s"p$i").mkString(" ") // one full chunk
+    val planted = Seq(
+      // doc 0 owns the block (pos 0) and a unique chunk
+      (0L, s"$block " + (1 to 8).map(i => s"a$i").mkString(" ")),
+      // doc 1 repeats the block at pos 1 — loses it, keeps its own two
+      (1L, (1 to 8).map(i => s"b$i").mkString(" ") + s" $block " +
+        (1 to 8).map(i => s"c$i").mkString(" ")),
+      // doc 2 is ONLY the block — every chunk lost → empty clean text
+      (2L, block),
+      // doc 3 repeats its own first chunk — within-doc dedup applies
+      (3L, s"$block".replace("p", "q") + " " + s"$block".replace("p", "q")),
+      // doc 4: trailing partial chunk is its own passage
+      (4L, (1 to 11).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TrainingData.dedupChunksRebuild(planted)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val q = block.replace("p", "q")
+    assert(out(0L) == ((2L, 2L, s"$block $a")), out.toString)
+    assert(out(1L) == ((3L, 2L, s"$b $c")), out.toString)
+    assert(out(2L) == ((1L, 0L, "")), out.toString)
+    assert(out(3L) == ((2L, 1L, q)), out.toString)
+    // 11 tokens → chunk at pos 0 (8 toks) + trailing partial (3 toks)
+    assert(out(4L)._1 == 2L && out(4L)._2 == 2L &&
+      out(4L)._3 == (1 to 11).map(i => s"t$i").mkString(" "), out.toString)
+  }
+
+  test("q210 retrieval eval: parent outranks rivals, rank arithmetic") {
+    val out = graft.ops.TrainingData
+      .q210RetrievalEval(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nCand = r.getAs[Long]("n_cand")
+      val rank = r.getAs[Long]("parent_rank")
+      val hit = r.getAs[Long]("hit10")
+      val rr = r.getAs[Double]("rr10")
+      assert(rank >= 1L && rank <= nCand, r.toString)
+      assert(hit == (if (rank <= 10) 1L else 0L), r.toString)
+      assert(rr == (if (rank <= 10) 1.0 / rank else 0.0), r.toString)
+    }
+    // self-retrieval with the parent's own tokens: the head of the
+    // probe set must place some parents in the top 10 (sanity that the
+    // metric is not degenerate-zero)
+    assert(out.map(_.getAs[Long]("hit10")).sum > 0L)
+  }
+
   test("q129 passage containment: every probe matches its parent at 1.0") {
     val out = graft.ops.TrainingData
       .q129PassageContainment(spark, TestSpark.sfDir).collect()
