@@ -530,6 +530,53 @@ object Corpus {
         budgetNum = 4L, budgetDen = 5L)
       .orderBy("lang")
 
+  // --------------------------------------------------------------- q212
+  /** Temperature-scaled sampling weights across corpus groups — the
+    * multilingual mixing rule (Arivazhagan et al. 2019 §5; XLM-R,
+    * Conneau et al. ACL 2020): sample group g with probability
+    * ∝ n_g^α, α < 1 flattening the natural distribution so
+    * low-resource groups are up-sampled without the budget cliff of a
+    * hard cap (q147) or full levelling (q206's waterfill). α is FIXED
+    * at 1/2: `sqrt` is correctly rounded under IEEE 754 (unlike `pow`),
+    * so the weights are bit-identical cross-engine by construction —
+    * the same reasoning that pins q131's k1/b to binary-exact values.
+    *
+    * Determinism recipe: each √n_g rounds to DECIMAL(28,12) before the
+    * order-free exact sum (q204's entropy-term precedent); every
+    * division then sees identical operands on both engines. Output per
+    * group: raw tokens, normalized weight, the ⌊B·w⌋ token allocation
+    * under a budget B, and the up/down-sampling factor relative to the
+    * natural share (factor > 1 = up-sampled).
+    *
+    * Scale shape: identical to q206 — ONE map-side-combined token
+    * aggregate is the only corpus-sized pass; everything after runs on
+    * the dimension-sized group frame. */
+  def temperatureMix(docs: DataFrame, groupCol: String, tokens: Column,
+                     budget: Long): DataFrame = {
+    val all = Window.partitionBy()
+    docs.groupBy(col(groupCol))
+      .agg(sum(tokens).cast("long").as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      .withColumn("wsum",
+        sum(col("w").cast("decimal(28,12)")).over(all).cast("double"))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .select(col(groupCol), col("n_tokens"),
+        round(col("w") / col("wsum"), 6).as("weight"),
+        floor(lit(budget) * col("w") / col("wsum")).cast("long")
+          .as("alloc_tokens"),
+        round(col("w") / col("wsum") * col("total").cast("double") /
+          col("n_tokens").cast("double"), 6).as("sampling_factor"))
+      .orderBy(groupCol)
+  }
+
+  /** q212 entry: α=1/2 temperature mix over languages at a 1M-token
+    * budget — minor languages up-sampled (factor > 1), the dominant one
+    * down-sampled, no group zeroed. */
+  def q212TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(t(spark, dir, "documents"), "lang",
+      size(graft.functions.wordTokens(col("text"))).cast("long"),
+      budget = 1000000L)
+
   // ---------------------------------------------------------------- q63
   /** Bloom-prefiltered decontamination against a pseudo-benchmark (every
     * 97th document), bigrams, ≥5 shared. Output is exactly the exact-join
@@ -1028,9 +1075,32 @@ object Corpus {
     "q55_dedup_clusters" -> q55DedupClusters _,
     "q56_stratified_sample" -> q56StratifiedSample _,
     "q57_corpus_mix" -> q57CorpusMix _,
-    "q206_token_waterfill" -> q206TokenWaterfill _)
+    "q206_token_waterfill" -> q206TokenWaterfill _,
+    "q212_temperature_mix" -> q212TemperatureMix _)
 
   val oracle: Map[String, String] = Map(
+    // q212: sqrt is IEEE-correctly-rounded (hence bit-equal), the √n
+    // terms round to DECIMAL(28,12) before the exact sum, and every
+    // divide sees identical operands — the whole frame is hash-exact
+    "q212_temperature_mix" ->
+      """WITH caps AS (
+        |  SELECT lang, CAST(SUM(len(list_filter(
+        |           string_split_regex(lower(text), '\W+'),
+        |           t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, n_tokens,
+        |         sqrt(CAST(n_tokens AS DOUBLE)) AS w,
+        |         CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+        |                AS DECIMAL(28,12))) OVER () AS DOUBLE) AS wsum,
+        |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+        |  FROM caps)
+        |SELECT lang, n_tokens,
+        |       round(w / wsum, 6) AS weight,
+        |       CAST(floor(1000000 * w / wsum) AS BIGINT) AS alloc_tokens,
+        |       round(w / wsum * CAST(total AS DOUBLE) /
+        |             CAST(n_tokens AS DOUBLE), 6) AS sampling_factor
+        |FROM w ORDER BY lang""".stripMargin,
     // q206: all-integer closed-form waterfill — the oracle replays the
     // same boundary/remainder arithmetic over the post-agg frame, so
     // the compare is hash-exact (DuckDB // and % match Spark DIV and %

@@ -697,6 +697,82 @@ object TrainingData {
   def q210RetrievalEval(spark: SparkSession, dir: String): DataFrame =
     retrievalEval(t(spark, dir, "documents"))
 
+  // --------------------------------------------------------------- q211
+  /** Trained document classifier — multinomial naive Bayes with Laplace
+    * smoothing (Manning/Raghavan/Schütze IR ch.13), the fastText-style
+    * linear-filter shape every LLM corpus pipeline runs (CCNet's quality
+    * model, GPT-3's WebText filter): a distributed FIT (per-class token
+    * counts + class priors — two map-side-combined aggregates), a
+    * broadcast MODEL (the dense class×vocab log-probability grid, zeros
+    * materialized so unseen (class,token) pairs get the smoothed floor),
+    * and a projection-shaped SCORE (token stream ⋈ broadcast grid,
+    * per-(doc,class) log-sum, argmax). Resubstitution eval: predicted
+    * class vs the document's true label, per doc.
+    *
+    * Determinism: per-(doc,class) log-likelihoods sum as DECIMAL(28,12)
+    * (order-free), the prior adds as one IEEE op, and argmax is
+    * `min(struct(-score, class))` — sign-flip is exact, struct order
+    * lexicographic — which the oracle replays as row_number() ORDER BY
+    * score DESC, class ASC. ln() is shared fdlibm behavior, proven
+    * hash-exact by q131.
+    *
+    * Scale shape: fit is two aggregates over the token stream; the
+    * model grid is |vocab|·|classes| — broadcast-sized for real
+    * vocabularies (cap via q116's top-V vocab + OOV bucket when it is
+    * not); scoring fans the token stream out |classes|× and immediately
+    * re-aggregates map-side to |docs|·|classes| rows. No corpus-sized
+    * sort or window anywhere. Token-less documents have no likelihood
+    * and are excluded by construction (documented). */
+  def naiveBayesClassify(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id",
+                         classCol: String = "lang"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(classCol).as("truth"),
+      explode(graft.functions.wordTokens(col(textCol))).as("tok"))
+    val cnt = toks.groupBy(col("truth").as("clazz"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("clazz")).agg(sum(col("cnt")).as("tot"))
+    val vocab = toks.select(col("tok")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val classes = docs.groupBy(col(classCol).as("clazz"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    // dense class×vocab grid: unseen pairs materialize cnt=0 so the
+    // smoothed floor ln(1/(tot+V)) is a real row, not a dropped token
+    val grid = vocab.crossJoin(classes.select(col("clazz")))
+      .join(cnt, Seq("clazz", "tok"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .join(tot, "clazz")
+      .crossJoin(vsize)
+      .select(col("clazz"), col("tok"),
+        log((col("cnt") + lit(1.0)) / (col("tot") + col("v")))
+          .as("logp"))
+    val priors = classes.crossJoin(nTotal)
+      .select(col("clazz"),
+        log(col("n_docs").cast("double") / col("n_total")).as("logprior"))
+    toks.join(broadcast(grid), Seq("tok"))
+      .groupBy(col("doc_id"), col("truth"), col("clazz"))
+      .agg(sum(col("logp").cast("decimal(28,12)")).cast("double")
+        .as("ll"))
+      .join(broadcast(priors), "clazz")
+      .withColumn("score", col("ll") + col("logprior"))
+      .groupBy(col("doc_id"), col("truth"))
+      .agg(min(struct((-col("score")).as("ns"), col("clazz").as("c")))
+        .as("m"))
+      .select(col("doc_id"), col("truth").as(classCol),
+        col("m.c").as("pred"),
+        when(col("truth") === col("m.c"), lit(1L)).otherwise(lit(0L))
+          .as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** q211 entry: naive-Bayes language classifier over the documents
+    * table — per-doc prediction vs true label (fit and eval on the same
+    * corpus; accuracy is data-dependent and NOT asserted, the fit/score
+    * machinery and its exact arithmetic are). */
+  def q211NaiveBayes(spark: SparkSession, dir: String): DataFrame =
+    naiveBayesClassify(t(spark, dir, "documents"))
+
   // --------------------------------------------------------------- q142
   /** SemDeDup semantic pruning over the embedding corpus: √n-cell
     * spherical k-means, within-cell cosine ≥ 0.3 groups, min-id
@@ -945,6 +1021,7 @@ object TrainingData {
     "q208_winnow_pairs" -> q208WinnowPairs _,
     "q209_chunk_dedup_rebuild" -> q209ChunkDedupRebuild _,
     "q210_retrieval_eval" -> q210RetrievalEval _,
+    "q211_naive_bayes" -> q211NaiveBayes _,
     "q142_semdedup" -> q142SemDedup _)
 
   /** Oracles for the exact, SQL-expressible subset. */
@@ -1094,6 +1171,50 @@ object TrainingData {
         |            THEN CAST(1.0 AS DOUBLE) / parent_rank
         |            ELSE CAST(0.0 AS DOUBLE) END AS rr10
         |FROM r ORDER BY probe_id""".stripMargin,
+    // q211: the naive-Bayes fit/score replayed — same Laplace tree, same
+    // DECIMAL(28,12) log-likelihood sums, argmax as row_number (score
+    // DESC, class ASC) ≡ the engine's min(struct(-score, class))
+    "q211_naive_bayes" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang AS clazz, tok, COUNT(*) AS cnt
+        |        FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT clazz, CAST(SUM(cnt) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM tk),
+        |vs AS (SELECT COUNT(*) AS v FROM vocab),
+        |cls AS (SELECT lang AS clazz, COUNT(*) AS n_docs
+        |        FROM documents GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n_total FROM documents),
+        |grid AS (
+        |  SELECT c.clazz, vb.tok,
+        |         ln((COALESCE(cnt.cnt, 0) + 1.0) / (tot.tot + vs.v))
+        |           AS logp
+        |  FROM vocab vb CROSS JOIN cls c
+        |  LEFT JOIN cnt ON cnt.clazz = c.clazz AND cnt.tok = vb.tok
+        |  JOIN tot ON tot.clazz = c.clazz CROSS JOIN vs),
+        |pri AS (SELECT clazz, ln(CAST(n_docs AS DOUBLE) / n_total)
+        |               AS logprior
+        |        FROM cls CROSS JOIN nt),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.lang AS truth, g.clazz,
+        |         CAST(SUM(CAST(g.logp AS DECIMAL(28,12))) AS DOUBLE) AS ll
+        |  FROM tk JOIN grid g ON tk.tok = g.tok GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT sc.doc_id, sc.truth, sc.clazz,
+        |         sc.ll + p.logprior AS score
+        |  FROM sc JOIN pri p USING (clazz)),
+        |r AS (SELECT doc_id, truth, clazz,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY score DESC, clazz) AS rn
+        |      FROM fin)
+        |SELECT doc_id, truth AS lang, clazz AS pred,
+        |       CAST(CASE WHEN truth = clazz THEN 1 ELSE 0 END AS BIGINT)
+        |         AS correct
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q39: the exact distinct 8-token-shingle count (same short-doc
     // whole-text-gram rule as the engine's WordNgrams) plus the
     // content-functionality boolean — equal texts must share a

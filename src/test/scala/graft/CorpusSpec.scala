@@ -173,6 +173,69 @@ class CorpusSpec extends AnyFunSuite {
     assert(all.forall { case (av, al, sat) => al == av && sat })
   }
 
+  test("temperatureMix: sqrt weights, floor allocation, sampling factor") {
+    // token counts 1 / 4 / 16 -> sqrt weights 1 / 2 / 4 -> 1/7, 2/7, 4/7
+    val docs = Seq(("a", "x"), ("b", "x x x x"),
+      ("c", ("x " * 16).trim)).toDF("lang", "text")
+    val out = Corpus.temperatureMix(docs, "lang",
+        size(graft.functions.wordTokens(col("text"))).cast("long"),
+        budget = 7000L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out("a")._1 == 1L && out("b")._1 == 4L && out("c")._1 == 16L)
+    // weights round(1/7), round(2/7), round(4/7) at 6 dp
+    assert(out("a")._2 == 0.142857 && out("b")._2 == 0.285714 &&
+      out("c")._2 == 0.571429, out.toString)
+    // exact allocations: 7000/7, 14000/7, 28000/7
+    assert(out("a")._3 == 1000L && out("b")._3 == 2000L &&
+      out("c")._3 == 4000L, out.toString)
+    // natural shares 1/21, 4/21, 16/21 -> factors 3, 1.5, 0.75:
+    // smallest group up-sampled 3x, dominant group down-sampled
+    assert(out("a")._4 == 3.0 && out("b")._4 == 1.5 &&
+      out("c")._4 == 0.75, out.toString)
+  }
+
+  test("naiveBayesClassify: disjoint vocab separates, smoothing covers " +
+      "unseen tokens, tie breaks to smaller class") {
+    // two classes with disjoint vocabulary: resubstitution is perfect
+    val docs = Seq(
+      (0L, "aa", "apple banana apple cherry"),
+      (1L, "aa", "banana banana cherry apple"),
+      (2L, "bb", "dog elephant fox dog"),
+      (3L, "bb", "fox dog elephant elephant")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.ops.TrainingData.naiveBayesClassify(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toMap
+    assert(out.size == 4)
+    assert(out.forall { case (_, (truth, pred, ok)) =>
+      truth == pred && ok == 1L }, out.toString)
+
+    // a token unseen in one class scores there via the Laplace floor
+    // (doc 2 contains "right", never seen under aa, yet aa still wins
+    // on its heavier "left" mass and larger prior)
+    val smoothed = Seq(
+      (0L, "aa", "left left"),
+      (1L, "bb", "right right"),
+      (2L, "aa", "left right")
+    ).toDF("doc_id", "lang", "text")
+    val s = graft.ops.TrainingData.naiveBayesClassify(smoothed)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s(2L) == "aa", s.toString)
+
+    // exact score tie (fully symmetric classes, equal priors): the
+    // argmax min(struct(-score, class)) breaks to the SMALLER class name
+    val tied = Seq((0L, "aa", "left"), (1L, "bb", "left"))
+      .toDF("doc_id", "lang", "text")
+    val t = graft.ops.TrainingData.naiveBayesClassify(tied)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(t == Map(0L -> "aa", 1L -> "aa"), t.toString)
+  }
+
   test("mixWithPriority keeps the highest-priority copy of each content") {
     val curated = Seq((10L, "shared body one"), (11L, "curated only"))
       .toDF("doc_id", "text")
