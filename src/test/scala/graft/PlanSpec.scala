@@ -674,4 +674,62 @@ class PlanSpec extends AnyFunSuite {
       s"the fact must be scanned once:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q207 duplicated spans: hash-keyed shuffles only, LEFT SEMI rejoin, " +
+      "no cartesian") {
+    val p = finalPlan("q207_duplicated_spans")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q208 winnowing: fingerprint selection is projection-shaped — the " +
+      "md5-shingle array never re-evaluates per window position") {
+    val p = finalPlan("q208_winnow_pairs")
+    // one materialized hs projection per scan side: the md5 transform
+    // appears as a named column, not inlined into the per-position lambda
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("LeftSemi"),
+      s"df-guard must prefilter via LEFT SEMI:\n${p.take(3000)}")
+  }
+
+  test("q209 chunk rebuild: winners aggregate map-side; rebuild joins only " +
+      "position lists back to the doc scan") {
+    val p = finalPlan("q209_chunk_dedup_rebuild")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // kept-position lists are dimension-thin: the doc-side join must not
+    // shuffle passage text — no Exchange may carry the passage column
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q210 retrieval eval: corpus stats and probe terms broadcast; the " +
+      "only corpus exchanges are the tf and score aggregates") {
+    val p = finalPlan("q210_retrieval_eval")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dfT/stats/probes must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window "),
+      s"rank must be an aggregate, not a corpus window:\n${p.take(3000)}")
+  }
+
+  test("q211 naive Bayes: the model grid and priors broadcast into the " +
+      "scoring stream; argmax is an aggregate, not a window") {
+    val p = finalPlan("q211_naive_bayes")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"grid + priors must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("Window "),
+      s"argmax must not window:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q212 temperature mix: one corpus aggregate, then dimension-frame " +
+      "windows only") {
+    val p = finalPlan("q212_temperature_mix")
+    // the only scan-sized work is the groupBy(lang) token count; windows
+    // run on the post-agg group frame
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"corpus must scan once:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
