@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -725,18 +725,36 @@ object TrainingData {
     * and are excluded by construction (documented). */
   def naiveBayesClassify(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id",
-                         classCol: String = "lang"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      col(classCol).as("truth"),
+                         classCol: String = "lang"): DataFrame =
+    naiveBayesScores(docs, docs, textCol, idCol, classCol)
+      .groupBy(col("doc_id"), col("truth"))
+      .agg(min(struct((-col("score")).as("ns"), col("clazz").as("c")))
+        .as("m"))
+      .select(col("doc_id"), col("truth").as(classCol),
+        col("m.c").as("pred"),
+        when(col("truth") === col("m.c"), lit(1L)).otherwise(lit(0L))
+          .as("correct"))
+      .orderBy("doc_id")
+
+  /** The fit+score core shared by q211 (argmax classify) and q213 (AUC):
+    * fit on `fitDocs`, score every `evalDocs` row against every class.
+    * Returns (doc_id, truth, clazz, score) with the exact DECIMAL-summed
+    * log-likelihood + prior (see [[naiveBayesClassify]]). */
+  def naiveBayesScores(fitDocs: DataFrame, evalDocs: DataFrame,
+                       textCol: String, idCol: String,
+                       classCol: String): DataFrame = {
+    def tokStream(d: DataFrame): DataFrame = d.select(
+      col(idCol).as("doc_id"), col(classCol).as("truth"),
       explode(graft.functions.wordTokens(col(textCol))).as("tok"))
+    val toks = tokStream(fitDocs)
     val cnt = toks.groupBy(col("truth").as("clazz"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
     val tot = cnt.groupBy(col("clazz")).agg(sum(col("cnt")).as("tot"))
     val vocab = toks.select(col("tok")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
-    val classes = docs.groupBy(col(classCol).as("clazz"))
+    val classes = fitDocs.groupBy(col(classCol).as("clazz"))
       .agg(count(lit(1)).as("n_docs"))
-    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    val nTotal = fitDocs.agg(count(lit(1)).as("n_total"))
     // dense class×vocab grid: unseen pairs materialize cnt=0 so the
     // smoothed floor ln(1/(tot+V)) is a real row, not a dropped token
     val grid = vocab.crossJoin(classes.select(col("clazz")))
@@ -750,20 +768,13 @@ object TrainingData {
     val priors = classes.crossJoin(nTotal)
       .select(col("clazz"),
         log(col("n_docs").cast("double") / col("n_total")).as("logprior"))
-    toks.join(broadcast(grid), Seq("tok"))
+    tokStream(evalDocs).join(broadcast(grid), Seq("tok"))
       .groupBy(col("doc_id"), col("truth"), col("clazz"))
       .agg(sum(col("logp").cast("decimal(28,12)")).cast("double")
         .as("ll"))
       .join(broadcast(priors), "clazz")
-      .withColumn("score", col("ll") + col("logprior"))
-      .groupBy(col("doc_id"), col("truth"))
-      .agg(min(struct((-col("score")).as("ns"), col("clazz").as("c")))
-        .as("m"))
-      .select(col("doc_id"), col("truth").as(classCol),
-        col("m.c").as("pred"),
-        when(col("truth") === col("m.c"), lit(1L)).otherwise(lit(0L))
-          .as("correct"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("truth"), col("clazz"),
+        (col("ll") + col("logprior")).as("score"))
   }
 
   /** q211 entry: naive-Bayes language classifier over the documents
@@ -772,6 +783,116 @@ object TrainingData {
     * machinery and its exact arithmetic are). */
   def q211NaiveBayes(spark: SparkSession, dir: String): DataFrame =
     naiveBayesClassify(t(spark, dir, "documents"))
+
+  // --------------------------------------------------------------- q213
+  /** One-vs-rest ROC AUC for the q211 classifier — the threshold-free
+    * ranking metric (Mann–Whitney U / rank-sum identity: AUC =
+    * (Σ avg-ranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻), Hanley &
+    * McNeil 1982) every filter-model deployment reports alongside
+    * accuracy. Scored one-vs-rest per class over a deterministic
+    * md5-keyed ~1/16 EVAL SLICE (ranking needs a per-class total order,
+    * so the frame it sorts is bounded by the documented eval-sample
+    * contract — the q210 lever, not corpus-sized).
+    *
+    * Exactness: ties get average ranks via the all-integer identity
+    * 2·avg_rank = 2·rank_min + tie_count − 1, so the numerator and
+    * denominator are exact longs and the single IEEE divide (+ round 6)
+    * is bit-equal cross-engine. Classes missing a positive or negative
+    * in the slice have no defined AUC and are excluded (documented). */
+  def classifierAuc(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    classCol: String = "lang"): DataFrame = {
+    val sample = docs
+      .filter(substring(md5(col(textCol)), 1, 1) === "0")
+    aucFromScores(
+      naiveBayesScores(docs, sample, textCol, idCol, classCol), classCol)
+  }
+
+  /** Rank-sum AUC over a (doc_id, truth, clazz, score) frame — the
+    * arithmetic core of [[classifierAuc]], separable so specs can feed
+    * hand-computed score sets (ties included). */
+  def aucFromScores(sc: DataFrame, classCol: String = "lang"): DataFrame = {
+    val w = Window.partitionBy(col("clazz")).orderBy(col("score"))
+    val tie = Window.partitionBy(col("clazz"), col("score"))
+    sc.withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("tc", count(lit(1)).over(tie))
+      .withColumn("pos",
+        when(col("truth") === col("clazz"), lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("clazz"))
+      .agg(sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+        sum(when(col("pos") === 1L,
+          lit(2L) * col("rnk") + col("tc") - lit(1L))
+          .otherwise(lit(0L))).as("num2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("clazz").as(classCol), col("n_pos"), col("n_neg"),
+        round((col("num2") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6)
+          .as("auc"))
+      .orderBy(classCol)
+  }
+
+  /** q213 entry: per-language one-vs-rest AUC of the naive-Bayes
+    * scores over the md5-sliced eval sample. */
+  def q213ClassifierAuc(spark: SparkSession, dir: String): DataFrame =
+    classifierAuc(t(spark, dir, "documents"))
+
+  /** One class of a COLLECTED naive-Bayes model (see [[naiveBayesFit]]):
+    * smoothed per-token log-probabilities, the class log-prior, and the
+    * Laplace floor ln(1/(tot+V)) applied to tokens outside the fitted
+    * vocabulary. */
+  case class NbClassModel(name: String, logPrior: Double, floor: Double,
+                          logp: Map[String, Double])
+
+  /** Fit the q211 naive-Bayes model and COLLECT it — the fitted-model
+    * path (q202 BPE / q92 codebook precedent) that turns scoring into a
+    * pure stateless projection: usable on a structured STREAM (no
+    * stream-side aggregation, no watermark) and on batch frames without
+    * the grid join. Bounded by |vocab|·|classes| like the broadcast
+    * grid; for vocabularies past literal-map scale the q139 lesson
+    * applies — swap the map literal for a VocabEncode-style fitted
+    * expression, the fit side is unchanged. */
+  def naiveBayesFit(docs: DataFrame, textCol: String = "text",
+                    classCol: String = "lang"): Seq[NbClassModel] = {
+    val toks = docs.select(col(classCol).as("clazz"),
+      explode(graft.functions.wordTokens(col(textCol))).as("tok"))
+    val cnt = toks.groupBy(col("clazz"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val v = toks.select(col("tok")).distinct().count()
+    val nTotal = docs.count()
+    val classRows = docs.groupBy(col(classCol).as("clazz"))
+      .agg(count(lit(1)).as("n_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = cnt.groupBy(col("clazz")).agg(sum(col("cnt")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byClass = cnt.collect()
+      .groupBy(_.getString(0))
+    classRows.keys.toSeq.sorted.map { c =>
+      val den = tot.getOrElse(c, 0L) + v
+      NbClassModel(c,
+        math.log(classRows(c).toDouble / nTotal),
+        math.log(1.0 / den),
+        byClass.getOrElse(c, Array.empty)
+          .map(r => r.getString(1) ->
+            math.log((r.getLong(2) + 1.0) / den)).toMap)
+    }
+  }
+
+  /** Prediction column from a collected model: per class, log-prior +
+    * a sequential fold over the token array (deterministic order), with
+    * the Laplace floor for unseen tokens; argmax via the same
+    * min(struct(-score, class)) tie-break as [[naiveBayesClassify]].
+    * Pure projection — streaming-safe, zero shuffle, zero joins. */
+  def nbPredictColumn(model: Seq[NbClassModel], tokens: Column): Column = {
+    val scored = model.sortBy(_.name).map { c =>
+      val m = typedLit(c.logp)
+      val score = lit(c.logPrior) + aggregate(tokens, lit(0.0),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(c.floor)))
+      struct((-score).as("ns"), lit(c.name).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c")
+  }
 
   // --------------------------------------------------------------- q142
   /** SemDeDup semantic pruning over the embedding corpus: √n-cell
@@ -1022,6 +1143,7 @@ object TrainingData {
     "q209_chunk_dedup_rebuild" -> q209ChunkDedupRebuild _,
     "q210_retrieval_eval" -> q210RetrievalEval _,
     "q211_naive_bayes" -> q211NaiveBayes _,
+    "q213_classifier_auc" -> q213ClassifierAuc _,
     "q142_semdedup" -> q142SemDedup _)
 
   /** Oracles for the exact, SQL-expressible subset. */
@@ -1215,6 +1337,67 @@ object TrainingData {
         |       CAST(CASE WHEN truth = clazz THEN 1 ELSE 0 END AS BIGINT)
         |         AS correct
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q213: q211's fit replayed, scored on the md5-sliced eval sample;
+    // the rank-sum AUC runs on the ALL-INTEGER tie identity
+    // 2·avg_rank = 2·rank_min + tie_count − 1 so only the final divide
+    // is floating point — identical operands both engines
+    "q213_classifier_auc" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, text,
+        |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT lang AS clazz, tok, COUNT(*) AS cnt
+        |        FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT clazz, CAST(SUM(cnt) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM tk),
+        |vs AS (SELECT COUNT(*) AS v FROM vocab),
+        |cls AS (SELECT lang AS clazz, COUNT(*) AS n_docs
+        |        FROM documents GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n_total FROM documents),
+        |grid AS (
+        |  SELECT c.clazz, vb.tok,
+        |         ln((COALESCE(cnt.cnt, 0) + 1.0) / (tot.tot + vs.v))
+        |           AS logp
+        |  FROM vocab vb CROSS JOIN cls c
+        |  LEFT JOIN cnt ON cnt.clazz = c.clazz AND cnt.tok = vb.tok
+        |  JOIN tot ON tot.clazz = c.clazz CROSS JOIN vs),
+        |pri AS (SELECT clazz, ln(CAST(n_docs AS DOUBLE) / n_total)
+        |               AS logprior
+        |        FROM cls CROSS JOIN nt),
+        |sc AS (
+        |  SELECT e.doc_id, e.lang AS truth, g.clazz,
+        |         CAST(SUM(CAST(g.logp AS DECIMAL(28,12))) AS DOUBLE) AS ll
+        |  FROM tk e JOIN grid g ON e.tok = g.tok
+        |  WHERE substr(md5(e.text), 1, 1) = '0'
+        |  GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT sc.truth, sc.clazz, sc.ll + p.logprior AS score
+        |  FROM sc JOIN pri p USING (clazz)),
+        |rk AS (
+        |  SELECT clazz, truth, score,
+        |         CAST(rank() OVER (PARTITION BY clazz ORDER BY score)
+        |              AS BIGINT) AS rnk,
+        |         CAST(COUNT(*) OVER (PARTITION BY clazz, score)
+        |              AS BIGINT) AS tc
+        |  FROM fin),
+        |agg AS (
+        |  SELECT clazz,
+        |         CAST(SUM(CASE WHEN truth = clazz THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_pos,
+        |         CAST(COUNT(*) - SUM(CASE WHEN truth = clazz
+        |                             THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_neg,
+        |         CAST(SUM(CASE WHEN truth = clazz
+        |                  THEN 2 * rnk + tc - 1 ELSE 0 END)
+        |              AS BIGINT) AS num2
+        |  FROM rk GROUP BY 1)
+        |SELECT clazz AS lang, n_pos, n_neg,
+        |       round(CAST(num2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |             CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+        |FROM agg WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY lang""".stripMargin,
     // q39: the exact distinct 8-token-shingle count (same short-doc
     // whole-text-gram rule as the engine's WordNgrams) plus the
     // content-functionality boolean — equal texts must share a

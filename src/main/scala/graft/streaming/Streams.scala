@@ -388,6 +388,22 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_sha")
 
+  /** Ingest-time document classification: apply a batch-FITTED
+    * naive-Bayes model ([[graft.ops.TrainingData.naiveBayesFit]]) to a
+    * live document stream — the online half of the corpus-filter loop
+    * (fit offline on the curated corpus, score every arriving document
+    * before it lands). The model rides the plan as literals
+    * ([[graft.ops.TrainingData.nbPredictColumn]]), so this is a pure
+    * stateless projection: no stream-side aggregation, no watermark, no
+    * state store — arbitrarily scalable and restart-trivial. */
+  def classifyStream(docs: DataFrame,
+                     model: Seq[graft.ops.TrainingData.NbClassModel],
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), col(textCol),
+      graft.ops.TrainingData.nbPredictColumn(model,
+        wordTokens(col(textCol))).as("pred"))
+
   /** Streaming CDC upsert materialization: maintain a parquet snapshot
     * holding the LATEST row per key as change events stream in — the
     * foreachBatch pattern for "Delta-style" upserts on plain parquet.

@@ -236,6 +236,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(t == Map(0L -> "aa", 1L -> "aa"), t.toString)
   }
 
+  test("aucFromScores: hand-computed AUC with ties, perfect and inverted") {
+    import graft.ops.TrainingData.aucFromScores
+    // class x: positives {0.9, 0.5}, negatives {0.5, 0.1}
+    // ranks asc: 0.1→1, tie(0.5,0.5)→avg 2.5, 0.9→4
+    // AUC = (2.5 + 4 − 2·3/2) / (2·2) = 0.875
+    val sc = Seq(
+      (0L, "x", "x", 0.9), (1L, "x", "x", 0.5),
+      (2L, "y", "x", 0.5), (3L, "y", "x", 0.1),
+      // class y: perfect separation → 1.0
+      (2L, "y", "y", 0.8), (3L, "y", "y", 0.7),
+      (0L, "x", "y", 0.2), (1L, "x", "y", 0.1),
+      // class z: inverted ranking → 0.0 (z-positive scored lowest)
+      (4L, "z", "z", 0.1), (0L, "x", "z", 0.5), (1L, "x", "z", 0.9)
+    ).toDF("doc_id", "truth", "clazz", "score")
+    val out = aucFromScores(sc).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("x") == ((2L, 2L, 0.875)), out.toString)
+    assert(out("y") == ((2L, 2L, 1.0)), out.toString)
+    assert(out("z") == ((1L, 2L, 0.0)), out.toString)
+
+    // a class with no negatives in the frame is excluded (AUC undefined)
+    val onlyPos = Seq((0L, "w", "w", 0.5)).toDF("doc_id", "truth",
+      "clazz", "score")
+    assert(aucFromScores(onlyPos).count() == 0L)
+  }
+
   test("mixWithPriority keeps the highest-priority copy of each content") {
     val curated = Seq((10L, "shared body one"), (11L, "curated only"))
       .toDF("doc_id", "text")

@@ -45,6 +45,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifyStream scores a live stream with the batch-fitted model " +
+      "and matches batch predictions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "aa", "apple banana apple cherry"),
+      (1L, "aa", "banana banana cherry apple"),
+      (2L, "bb", "dog elephant fox dog"),
+      (3L, "bb", "fox dog elephant elephant")
+    ).toDF("doc_id", "lang", "text")
+    val model = graft.ops.TrainingData.naiveBayesFit(corpus)
+    assert(model.map(_.name) == Seq("aa", "bb"))
+    val batchPred = graft.ops.TrainingData.naiveBayesClassify(corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+
+    val input = MemoryStream[(Long, String)]
+    input.addData((0L, "apple banana apple cherry"),
+      (2L, "dog elephant fox dog"),
+      (4L, "banana dog")) // mixed + an unseen-token-free doc
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    val q = Streams.classifyStream(
+        input.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("classify_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("classify_test")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      // streamed predictions agree with the batch classifier
+      assert(rows(0L) == batchPred(0L) && rows(2L) == batchPred(2L),
+        rows.toString)
+      assert(rows(0L) == "aa" && rows(2L) == "bb")
+      // "banana dog" has one token from each vocab: equal likelihoods
+      // and equal priors → the deterministic tie-break picks "aa"
+      assert(rows(4L) == "aa", rows.toString)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
