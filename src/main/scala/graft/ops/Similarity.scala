@@ -76,6 +76,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rn")
   }
 
+  /** Per-dimension int8 quantization calibration audit — the index-build
+    * report run before shipping a quantized ANN index (q75's runtime
+    * assumes someone validated the codec): symmetric per-dimension scale
+    * max(|min|,|max|)/127, the round-to-nearest reconstruction, and the
+    * exact per-dimension mean squared error, so saturating or dead
+    * dimensions surface BEFORE recall silently degrades.
+    *
+    * Determinism: float→double widening is exact, min/max pick stored
+    * values, scale and mse are single divides of identical operands, and
+    * the squared-error terms round to DECIMAL(28,12) before the exact
+    * sum — the whole frame is emitted RAW (no rounding) and hash-equal
+    * cross-engine. round() half-away-from-zero matches both engines.
+    *
+    * Scale shape: one posexplode pass for the moments, one for the
+    * error (the q131 two-scan finding: re-scanning beats persisting an
+    * exploded corpus), with the d-row stats frame broadcast back; both
+    * aggregates combine map-side. Output is d rows. */
+  def int8Calibration(emb: DataFrame, idCol: String,
+                      embCol: String): DataFrame = {
+    def el(d: DataFrame): DataFrame = d
+      .select(posexplode(col(embCol)))
+      .select(col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("v"))
+    val stats = el(emb).groupBy(col("dim"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        count(lit(1)).as("n"))
+      .withColumn("scale",
+        greatest(abs(col("vmin")), abs(col("vmax"))) / lit(127.0))
+    el(emb).join(broadcast(stats), "dim")
+      .withColumn("q", when(col("scale") === lit(0.0), lit(0.0))
+        .otherwise(round(col("v") / col("scale"))))
+      .withColumn("d", col("v") - col("q") * col("scale"))
+      .groupBy(col("dim"))
+      .agg(first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
+        first(col("scale")).as("scale"), first(col("n")).as("n"),
+        (sum((col("d") * col("d")).cast("decimal(28,12)")).cast("double") /
+          first(col("n")).cast("double")).as("mse"))
+      .select(col("dim"), col("vmin"), col("vmax"), col("scale"),
+        col("n"), col("mse"))
+      .orderBy("dim")
+  }
+
   /** Sign-LSH bucket id: `nBits` random-hyperplane signs packed into a long.
     * Vectors with the same bucket are likely neighbors (cosine LSH).
     * Backed by the fused [[graft.functions.LshBandKeys]] expression (one

@@ -838,6 +838,50 @@ object TrainingData {
   def q213ClassifierAuc(spark: SparkSession, dir: String): DataFrame =
     classifierAuc(t(spark, dir, "documents"))
 
+  // --------------------------------------------------------------- q214
+  /** RAG context assembly: retrieve, rank, and PACK — the last step of
+    * every retrieval-augmented generation pipeline. The q131 BM25 head
+    * ranks candidates (exact arithmetic, deterministic (score desc, id)
+    * order), then documents fill the model's context window in rank
+    * order until the token budget is exhausted: a document is kept
+    * while the running token total (fused WordTokens count, no second
+    * tokenize pass) stays ≤ budget, and the first overflow truncates
+    * the context — the prefix rule, i.e. exactly what a context
+    * assembler does, and (unlike skip-and-continue knapsack filling) a
+    * pure cumulative-sum predicate with no sequential state.
+    *
+    * Scale shape: corpus-sized work is the one BM25 postings pass; the
+    * ranking/packing window runs over the top-k HEAD only (k = 50 here
+    * — a LIMIT above the window, so the window frame is bounded by
+    * construction, never corpus-sized). */
+  def ragContextPack(docs: DataFrame, terms: Seq[String], k: Int = 50,
+                     tokenBudget: Long = 512L,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val head = bm25Scores(docs, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // the k-row head broadcasts into the corpus-side length projection
+    val withLen = docs.select(col(idCol).as("doc_id"),
+        size(graft.functions.wordTokens(col(textCol))).cast("long")
+          .as("n_tok"))
+      .join(broadcast(head), Seq("doc_id"))
+    val rankW = Window.orderBy(col("score").desc, col("doc_id"))
+    withLen
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tok") <= tokenBudget)
+      .select(col("rank"), col("doc_id"), col("n_tok"), col("cum_tok"),
+        round(col("score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
+  /** q214 entry: q131's query packed into a 512-token context. */
+  def q214RagContextPack(spark: SparkSession, dir: String): DataFrame =
+    ragContextPack(t(spark, dir, "documents"),
+      Seq("merge", "batch", "spark"))
+
   /** One class of a COLLECTED naive-Bayes model (see [[naiveBayesFit]]):
     * smoothed per-token log-probabilities, the class log-prior, and the
     * Laplace floor ln(1/(tot+V)) applied to tokens outside the fitted
@@ -1144,6 +1188,10 @@ object TrainingData {
     "q210_retrieval_eval" -> q210RetrievalEval _,
     "q211_naive_bayes" -> q211NaiveBayes _,
     "q213_classifier_auc" -> q213ClassifierAuc _,
+    "q214_rag_context_pack" -> q214RagContextPack _,
+    "q215_int8_calibration" -> ((s: SparkSession, dir: String) =>
+      Similarity.int8Calibration(t(s, dir, "embeddings"),
+        "vec_id", "embedding")),
     "q142_semdedup" -> q142SemDedup _)
 
   /** Oracles for the exact, SQL-expressible subset. */
@@ -1398,6 +1446,73 @@ object TrainingData {
         |             CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
         |FROM agg WHERE n_pos > 0 AND n_neg > 0
         |ORDER BY lang""".stripMargin,
+    // q214: q131's scored head + a rank-ordered cumulative token sum;
+    // the prefix rule (keep while cum <= budget) replayed verbatim
+    "q214_rag_context_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tok,
+        |         COUNT(*) AS tf
+        |  FROM (SELECT doc_id, tk, unnest(tk) AS tok FROM tk)
+        |  WHERE tok IN ('merge', 'batch', 'spark')
+        |  GROUP BY doc_id, len(tk), tok),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM tk),
+        |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         ln(CAST(stats.n_docs - dft.df + 0.5 AS DOUBLE) /
+        |            CAST(dft.df + 0.5 AS DOUBLE) + 1.0)
+        |           * (tf.tf * 2.25) /
+        |           (tf.tf + 1.25 *
+        |             (0.25 + CAST(0.75 * tf.dl AS DOUBLE) / stats.avgdl))
+        |           AS s
+        |  FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN stats),
+        |head AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 50),
+        |packed AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h.score DESC, h.doc_id)
+        |              AS BIGINT) AS rank,
+        |         h.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tok,
+        |         CAST(SUM(len(tk.tk)) OVER (ORDER BY h.score DESC, h.doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_tok,
+        |         h.score
+        |  FROM head h JOIN tk USING (doc_id))
+        |SELECT rank, doc_id, n_tok, cum_tok, round(score, 6) AS score
+        |FROM packed WHERE cum_tok <= 512 ORDER BY rank""".stripMargin,
+    // q215: exact float→double widening, min/max/scale/mse replayed with
+    // the DECIMAL(28,12) squared-error sum — whole frame raw doubles,
+    // hash-exact
+    "q215_int8_calibration" ->
+      """WITH el AS (
+        |  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |st AS (
+        |  SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         greatest(abs(MIN(v)), abs(MAX(v))) / 127.0 AS scale
+        |  FROM el GROUP BY dim),
+        |err AS (
+        |  SELECT el.dim,
+        |         el.v - (CASE WHEN st.scale = 0.0 THEN 0.0
+        |                 ELSE round(el.v / st.scale) END) * st.scale AS d
+        |  FROM el JOIN st USING (dim))
+        |SELECT st.dim, st.vmin, st.vmax, st.scale, st.n,
+        |       CAST(SUM(CAST(err.d * err.d AS DECIMAL(28,12))) AS DOUBLE)
+        |         / CAST(st.n AS DOUBLE) AS mse
+        |FROM err JOIN st USING (dim)
+        |GROUP BY st.dim, st.vmin, st.vmax, st.scale, st.n
+        |ORDER BY st.dim""".stripMargin,
     // q39: the exact distinct 8-token-shingle count (same short-doc
     // whole-text-gram rule as the engine's WordNgrams) plus the
     // content-functionality boolean — equal texts must share a

@@ -353,6 +353,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("hit10")).sum > 0L)
   }
 
+  test("ragContextPack: prefix rule fills the budget in rank order") {
+    import graft.ops.TrainingData.ragContextPack
+    // docs 0-2 share one length so BM25 ranks them purely by tf; doc 3
+    // is short AND lowest-scored (its length boost does not overcome
+    // tf=1 — BM25 hand-check: 1.45 vs doc2's 1.51)
+    def doc(id: Long, hits: Int, pad: Int) =
+      (id, (Seq.fill(hits)("zzz") ++ (1 to pad).map(i => s"p${id}_$i"))
+        .mkString(" "))
+    val docs = Seq(
+      doc(0L, 5, 15), // rank 1, 20 tokens, cum 20
+      doc(1L, 4, 16), // rank 2, 20 tokens, cum 40
+      doc(2L, 3, 17), // rank 3, 20 tokens, cum 60 > 45 → truncates
+      doc(3L, 1, 3)   // rank 4, 4 tokens — would fit, after the cut
+    ).toDF("doc_id", "text")
+    val out = ragContextPack(docs, Seq("zzz"), k = 10, tokenBudget = 45L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // the prefix rule: ranks 1..2 fit (cum 40), rank 3 overflows and
+    // CUTS the context — rank 4 is not considered even though 40+4 ≤ 45
+    assert(out.toSeq == Seq((1L, 0L, 20L, 20L), (2L, 1L, 20L, 40L)),
+      out.toSeq.toString)
+    // budget below the first document → empty context
+    assert(ragContextPack(docs, Seq("zzz"), k = 10, tokenBudget = 5L)
+      .count() == 0L)
+  }
+
   test("q129 passage containment: every probe matches its parent at 1.0") {
     val out = graft.ops.TrainingData
       .q129PassageContainment(spark, TestSpark.sfDir).collect()

@@ -422,4 +422,27 @@ class SimilaritySpec extends AnyFunSuite {
     val agree = flat.count { case (id, c) => partial(id) == c }
     assert(agree >= 270, s"top-1 agreement $agree/300 under partial probing")
   }
+
+  test("int8Calibration: symmetric scale, exact mse, dead-dim guard") {
+    // dim0 ∈ {1, -2} → scale 2/127; dim1 all-zero → scale 0 (dead dim)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(-2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8Calibration(emb, "vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    val s = 2.0 / 127.0
+    assert(out(0L)._1 == -2.0 && out(0L)._2 == 1.0 && out(0L)._3 == s &&
+      out(0L)._4 == 2L, out.toString)
+    // v=1: q=round(63.5)=64 (half away from zero) → err (1−64s)²;
+    // v=−2: q=−127 reconstructs exactly → err 0; term rounds to 12 dp
+    // before the exact mean
+    val e = BigDecimal((1.0 - 64 * s) * (1.0 - 64 * s))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble / 2.0
+    assert(math.abs(out(0L)._5 - e) < 1e-15, s"mse ${out(0L)._5} vs $e")
+    // the dead dimension must not divide by zero: q=0, mse exactly 0
+    assert(out(1L)._3 == 0.0 && out(1L)._5 == 0.0, out.toString)
+  }
 }
