@@ -882,6 +882,140 @@ object TrainingData {
     ragContextPack(t(spark, dir, "documents"),
       Seq("merge", "batch", "spark"))
 
+  // --------------------------------------------------------------- q216
+  /** Matryoshka truncation audit (Kusupati et al., NeurIPS 2022): how
+    * much nearest-neighbor structure survives when embeddings are cut to
+    * their prefix dims — the measurement behind every "store 64 dims,
+    * search 32" serving decision. For a deterministic probe sample
+    * (vec_id ≡ 0 mod 50), the exact cosine top-k under the FULL vectors
+    * is compared with the top-k under the `prefixDims`-dim prefix;
+    * output is per-probe overlap@k.
+    *
+    * Determinism: both heads are [[Similarity.bruteForceTopK]] — 6-dp
+    * rounded sims with id tiebreaks (q24's recipe), so both rankings and
+    * the overlap counts replay exactly in the oracle. Scale shape: two
+    * broadcast-probe corpus scans + a k²-bounded head join; swap either
+    * head for q40/q203's IVF at index scale — the audit layer is
+    * unchanged. */
+  def matryoshkaAudit(emb: DataFrame, idCol: String, embCol: String,
+                      prefixDims: Int = 32, k: Int = 10,
+                      sampleMod: Int = 50): DataFrame = {
+    val probes = emb.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+    def truncated(d: DataFrame) = d.select(col(idCol),
+      slice(col(embCol), 1, prefixDims).as(embCol))
+    val full = Similarity.bruteForceTopK(emb, probes, idCol, embCol, k)
+    val trunc = Similarity.bruteForceTopK(truncated(emb),
+      truncated(probes), idCol, embCol, k)
+    val matches = full.as("f").join(trunc.as("t"),
+        col("f.query_id") === col("t.query_id") &&
+          col("f.neighbor_id") === col("t.neighbor_id"))
+      .groupBy(col("f.query_id").as("query_id"))
+      .agg(count(lit(1)).as("n_match"))
+    probes.select(col(idCol).as("query_id"))
+      .join(matches, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        round(coalesce(col("n_match"), lit(0L)).cast("double") /
+          lit(k).cast("double"), 6).as("overlap_at_k"))
+      .orderBy("query_id")
+  }
+
+  /** q216 entry: 32-of-64-dim truncation, overlap@10, mod-50 probes. */
+  def q216MatryoshkaAudit(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaAudit(t(spark, dir, "embeddings"), "vec_id", "embedding")
+
+  // --------------------------------------------------------------- q217
+  /** Curriculum difficulty bands: the schedule report for
+    * surprisal-ordered (easy→hard) training — q148's per-document
+    * unigram cross-entropy bucketed into fixed 0.01-nat bands, with doc
+    * and token volumes per band and the cumulative token share a
+    * curriculum consumes by the time it reaches each difficulty level
+    * (Bengio et al., ICML 2009 ordering; perplexity-binned data
+    * curricula are its corpus-scale form).
+    *
+    * Fixed-width bands, NOT quantiles, by design: the band of a
+    * document is a pure projection of its (deterministic, 6-dp) score —
+    * no global sort, no corpus-sized window; the cumulative share runs
+    * over the ~dozens-row band frame. */
+  def curriculumBands(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val all = Window.partitionBy()
+    val ord = Window.orderBy(col("band"))
+    unigramSurprisal(docs, idCol, textCol)
+      .withColumn("band", floor(col("xent") * lit(100)).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("cum_tok", sum(col("n_tokens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .select(col("band"), col("n_docs"), col("n_tokens"),
+        round(col("cum_tok").cast("double") / col("total").cast("double"),
+          6).as("cum_token_share"))
+      .orderBy("band")
+  }
+
+  /** q217 entry: curriculum bands over the documents table. */
+  def q217CurriculumBands(spark: SparkSession, dir: String): DataFrame =
+    curriculumBands(t(spark, dir, "documents"))
+
+  // --------------------------------------------------------------- q218
+  /** Passage-level quality filtering WITH document reconstruction — the
+    * FineWeb/CCNet line-level recipe at passage granularity: score every
+    * non-overlapping `chunk`-token passage by its mean token surprisal
+    * under the corpus unigram model (q148's arithmetic), DROP passages
+    * above `maxXent` (rare-token noise, mangled text), and rebuild each
+    * document from its surviving passages — q209's rebuild machinery
+    * driven by a quality predicate instead of a dedup winner.
+    *
+    * Scale shape: the unigram model is one map-side-combined count
+    * aggregate; passage scores come off one fused chunk+tokenize
+    * explode joined to the token-surprisal table (the q148 df-weighted
+    * shuffle); what returns to each document is only its kept POSITION
+    * list, and the clean text is a pure re-chunk projection (q209).
+    * Thresholding on the decimal-summed mean keeps the boundary
+    * decision bit-identical cross-engine. */
+  def passageFilterRebuild(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", chunk: Int = 8,
+                           maxXent: Double = 3.45): DataFrame = {
+    val base = docs
+      .filter(size(graft.functions.wordTokens(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val cnt = base
+      .select(explode(graft.functions.wordTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n_total"))
+    val surp = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (-log(col("c").cast("double") / col("n_total").cast("double")))
+          .cast("decimal(28,12)").as("s"))
+    val chunkTok = base.select(col("doc_id"),
+        posexplode(graft.functions.wordChunks(col("text"), chunk, chunk)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        explode(graft.functions.wordTokens(col("col"))).as("tok"))
+    val keptPos = chunkTok.join(surp, "tok")
+      .groupBy(col("doc_id"), col("pos"))
+      .agg((sum(col("s")).cast("double") / count(lit(1)).cast("double"))
+        .as("cx"))
+      .filter(col("cx") <= lit(maxXent))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("keep"))
+    val arr = graft.functions.wordChunks(col("text"), chunk, chunk)
+    base.join(keptPos, Seq("doc_id"), "left")
+      .withColumn("keep",
+        coalesce(col("keep"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        size(arr).cast("long").as("n_chunks"),
+        size(col("keep")).cast("long").as("n_kept"),
+        array_join(transform(col("keep"),
+          p => element_at(arr, p.cast("int") + lit(1))), " ")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q218 entry: 8-token passages, surprisal bar 3.45 nats. */
+  def q218PassageFilter(spark: SparkSession, dir: String): DataFrame =
+    passageFilterRebuild(t(spark, dir, "documents"))
+
   /** One class of a COLLECTED naive-Bayes model (see [[naiveBayesFit]]):
     * smoothed per-token log-probabilities, the class log-prior, and the
     * Laplace floor ln(1/(tot+V)) applied to tokens outside the fitted
@@ -1189,6 +1323,9 @@ object TrainingData {
     "q211_naive_bayes" -> q211NaiveBayes _,
     "q213_classifier_auc" -> q213ClassifierAuc _,
     "q214_rag_context_pack" -> q214RagContextPack _,
+    "q216_matryoshka_audit" -> q216MatryoshkaAudit _,
+    "q217_curriculum_bands" -> q217CurriculumBands _,
+    "q218_passage_filter" -> q218PassageFilter _,
     "q215_int8_calibration" -> ((s: SparkSession, dir: String) =>
       Similarity.int8Calibration(t(s, dir, "embeddings"),
         "vec_id", "embedding")),
@@ -1513,6 +1650,127 @@ object TrainingData {
         |FROM err JOIN st USING (dim)
         |GROUP BY st.dim, st.vmin, st.vmax, st.scale, st.n
         |ORDER BY st.dim""".stripMargin,
+    // q216: both rankings replayed with q24's rounded-cosine recipe
+    // (6-dp sim, id tiebreak); float→double widening commutes with the
+    // prefix slice, so engine (slice-then-widen) ≡ oracle
+    // (widen-then-slice) element-for-element
+    "q216_matryoshka_audit" ->
+      """WITH pr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |            FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings),
+        |f10 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             ROUND(list_dot_product(q.e, c.e) /
+        |               (SQRT(list_dot_product(q.e, q.e)) *
+        |                SQRT(list_dot_product(c.e, c.e))), 6) DESC,
+        |             c.vec_id) AS rn
+        |    FROM pr q JOIN c ON c.vec_id <> q.vec_id) WHERE rn <= 10),
+        |t10 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             ROUND(list_dot_product(q.e[1:32], c.e[1:32]) /
+        |               (SQRT(list_dot_product(q.e[1:32], q.e[1:32])) *
+        |                SQRT(list_dot_product(c.e[1:32], c.e[1:32]))), 6)
+        |               DESC,
+        |             c.vec_id) AS rn
+        |    FROM pr q JOIN c ON c.vec_id <> q.vec_id) WHERE rn <= 10),
+        |m AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_match
+        |      FROM f10 f JOIN t10 t
+        |        ON f.query_id = t.query_id
+        |       AND f.neighbor_id = t.neighbor_id
+        |      GROUP BY 1)
+        |SELECT p.vec_id AS query_id,
+        |       COALESCE(m.n_match, 0) AS n_match,
+        |       round(CAST(COALESCE(m.n_match, 0) AS DOUBLE) / 10.0, 6)
+        |         AS overlap_at_k
+        |FROM pr p LEFT JOIN m ON m.query_id = p.vec_id
+        |ORDER BY query_id""".stripMargin,
+    // q217: q148's xent replay, then pure band arithmetic over the
+    // dozens-row band frame
+    "q217_curriculum_bands" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents,
+        |       unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                          x -> len(x) > 0)) AS t(tok)),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+        |surp AS (
+        |  SELECT tok,
+        |         CAST(-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |              AS DECIMAL(28,12)) AS s
+        |  FROM cnt CROSS JOIN tot),
+        |doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |         round(CAST(SUM(s) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE), 6) AS xent
+        |  FROM tok JOIN surp USING (tok) GROUP BY doc_id),
+        |band AS (
+        |  SELECT CAST(floor(xent * 100) AS BIGINT) AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM doc GROUP BY 1)
+        |SELECT band, n_docs, n_tokens,
+        |       round(CAST(SUM(n_tokens) OVER (ORDER BY band
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS DOUBLE) /
+        |             CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
+        |         AS cum_token_share
+        |FROM band ORDER BY band""".stripMargin,
+    // q218: unigram surprisal (q148 tree) meaned per chunk, the ≤ bar
+    // replayed on the identical decimal-summed mean, q209's rebuild
+    "q218_passage_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents WHERE len(list_filter(
+        |    string_split_regex(lower(text), '\W+'), t -> len(t) > 0)) > 0),
+        |cnt AS (
+        |  SELECT t.tok, COUNT(*) AS c
+        |  FROM toks, unnest(tk) AS t(tok) GROUP BY t.tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+        |surp AS (
+        |  SELECT tok,
+        |         CAST(-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |              AS DECIMAL(28,12)) AS s
+        |  FROM cnt CROSS JOIN tot),
+        |ch AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) + 1, 8)) AS st, tk
+        |  FROM toks),
+        |ch2 AS (
+        |  SELECT doc_id, CAST((st - 1) / 8 AS BIGINT) AS pos,
+        |         array_to_string(tk[st:st+7], ' ') AS passage,
+        |         unnest(tk[st:st+7]) AS tok
+        |  FROM ch),
+        |kept AS (
+        |  SELECT doc_id, pos
+        |  FROM ch2 JOIN surp USING (tok)
+        |  GROUP BY doc_id, pos
+        |  HAVING CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         <= 3.45),
+        |ptext AS (
+        |  SELECT DISTINCT doc_id, CAST((st - 1) / 8 AS BIGINT) AS pos,
+        |         array_to_string(tk[st:st+7], ' ') AS passage
+        |  FROM ch),
+        |agg AS (
+        |  SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         string_agg(p.passage, ' ' ORDER BY k.pos) AS clean_text
+        |  FROM kept k JOIN ptext p
+        |    ON p.doc_id = k.doc_id AND p.pos = k.pos
+        |  GROUP BY k.doc_id),
+        |n AS (SELECT doc_id,
+        |             CAST(len(range(1, len(tk) + 1, 8)) AS BIGINT)
+        |               AS n_chunks
+        |      FROM toks)
+        |SELECT n.doc_id, n.n_chunks,
+        |       COALESCE(a.n_kept, 0) AS n_kept,
+        |       COALESCE(a.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q39: the exact distinct 8-token-shingle count (same short-doc
     // whole-text-gram rule as the engine's WordNgrams) plus the
     // content-functionality boolean — equal texts must share a

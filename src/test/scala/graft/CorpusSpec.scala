@@ -263,6 +263,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(aucFromScores(onlyPos).count() == 0L)
   }
 
+  test("curriculumBands: hand-computed bands and cumulative share") {
+    // corpus: "a a" and "b" → p(a)=2/3, p(b)=1/3
+    // xent(doc0) = -ln(2/3) ≈ 0.405465 → band 40
+    // xent(doc1) = -ln(1/3) ≈ 1.098612 → band 109
+    val docs = Seq((0L, "a a"), (1L, "b")).toDF("doc_id", "text")
+    val out = graft.ops.TrainingData.curriculumBands(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      40L -> ((1L, 2L, 0.666667)),  // 2 of 3 tokens by band 40
+      109L -> ((1L, 1L, 1.0))), out.toString)
+  }
+
+  test("passageFilterRebuild: rare-token passages drop, docs rebuild") {
+    // c appears 32× (p=32/40, surprisal ≈0.223); each r_i once
+    // (≈3.689 > the 3.45 bar) — doc 0's second chunk is dropped
+    val common = Seq.fill(8)("c").mkString(" ")
+    val rare = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = (Seq((0L, s"$common $rare")) ++
+      (1L to 3L).map(i => (i, common))).toDF("doc_id", "text")
+    val out = graft.ops.TrainingData.passageFilterRebuild(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((2L, 1L, common)), out.toString)
+    (1L to 3L).foreach(i => assert(out(i) == ((1L, 1L, common))))
+
+    // tighten the bar below even the common chunk: everything drops,
+    // documents survive as empty shells (the q209 all-lost contract)
+    val none = graft.ops.TrainingData.passageFilterRebuild(docs,
+        maxXent = 0.1)
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(none.forall(p => p._1 == 0L && p._2 == ""), none.toSeq.toString)
+  }
+
   test("mixWithPriority keeps the highest-priority copy of each content") {
     val curated = Seq((10L, "shared body one"), (11L, "curated only"))
       .toDF("doc_id", "text")

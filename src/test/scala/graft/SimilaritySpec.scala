@@ -423,6 +423,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree >= 270, s"top-1 agreement $agree/300 under partial probing")
   }
 
+  test("matryoshkaAudit: overlap counts neighbors surviving truncation") {
+    // first 2 dims tie all candidates; the tail dims decide the FULL
+    // ranking, so truncation to 2 dims reshuffles the head
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // probe (0 mod 50)
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical → full rank 1
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)), // same prefix, off-axis tail
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))  // orthogonal prefix
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.TrainingData.matryoshkaAudit(emb, "vec_id",
+        "embedding", prefixDims = 2, k = 2, sampleMod = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // full top-2 of probe 0: {1 (sim 1.0), 2 (sim ≈0.707)};
+    // truncated top-2: prefix of 1 AND 2 are both exactly (1,0) → sims
+    // 1.0 with id tiebreak → {1, 2} again → overlap 2/2
+    assert(out.toSeq == Seq((0L, 2L, 1.0)), out.toSeq.toString)
+
+    // flip: the tail carries all of the probe's signal, so truncation
+    // CHANGES the winner — overlap drops to 0
+    val emb2 = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)), // probe
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)), // full sim 0.5, trunc sim 0
+      (2L, Array(1.0f, 0.0f, -1.0f, 0.0f)) // full sim 0,  trunc sim 1
+    ).toDF("vec_id", "embedding")
+    val o2 = graft.ops.TrainingData.matryoshkaAudit(emb2, "vec_id",
+        "embedding", prefixDims = 2, k = 1, sampleMod = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // full top-1 = doc 1 (0.5 beats 0); truncated top-1 = doc 2 → 0/1
+    assert(o2.toSeq == Seq((0L, 0L)), o2.toSeq.toString)
+  }
+
   test("int8Calibration: symmetric scale, exact mse, dead-dim guard") {
     // dim0 ∈ {1, -2} → scale 2/127; dim1 all-zero → scale 0 (dead dim)
     val emb = Seq(
