@@ -723,6 +723,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q213 AUC: ranking windows run per class over the eval slice; " +
+      "model joins broadcast") {
+    val p = finalPlan("q213_classifier_auc")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q214 context pack: the k-row head broadcasts; packing windows " +
+      "never touch the corpus") {
+    val p = finalPlan("q214_rag_context_pack")
+    assert(p.contains("BroadcastHashJoin"),
+      s"head must broadcast into the length projection:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q215 calibration: the d-row stats frame broadcasts back into the " +
+      "error scan") {
+    val p = finalPlan("q215_int8_calibration")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window "),
+      s"per-dim stats must aggregate, not window:\n${p.take(3000)}")
+  }
+
+  test("q216 matryoshka: probe sets broadcast into both corpus scans; " +
+      "no cartesian") {
+    val p = finalPlan("q216_matryoshka_audit")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q218 passage filter: kept positions are the only doc-keyed " +
+      "shuffle; no cartesian, surprisal table joins on the token key") {
+    val p = finalPlan("q218_passage_filter")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window "),
+      s"the rebuild must not window:\n${p.take(3000)}")
+  }
+
   test("q212 temperature mix: one corpus aggregate, then dimension-frame " +
       "windows only") {
     val p = finalPlan("q212_temperature_mix")
