@@ -670,11 +670,28 @@ object TrainingData {
         lit(1.0))
     val s = idf * (col("tf") * (k1 + lit(1.0))) /
       (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
-    val scores = tf.join(broadcast(dfT), "tok")
+    // fan-out form deliberately: a per-doc token→score MAP folded per
+    // (probe, doc) pair was tried and measured 3× WORSE at the sf1 tier
+    // (map lookups are interpreted HOFs and the map duplicates into
+    // every pair row) — the codegen'd join + map-side-combined decimal
+    // aggregate wins despite shipping |matches|·|terms| rows
+    // the term score projects ONCE per (doc, term) row BEFORE the probe
+    // fan-out — Catalyst does not push expressions below a join on its
+    // own, and recomputing the idf/tf tree per fan-out row costs
+    // |probes-per-term|× the arithmetic
+    val termScores = tf.join(broadcast(dfT), "tok")
       .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        s.cast("decimal(28,12)").as("sdec"))
+    val scores = termScores
       .join(broadcast(probes), Seq("tok"))
       .groupBy(col("probe_id"), col("doc_id"))
-      .agg(sum(s.cast("decimal(28,12)")).cast("double").as("score"))
+      .agg(sum(col("sdec")).cast("double").as("score"))
+      // the parent-score extraction below is a self-join: without this
+      // persist the whole tokenize+score subplan executes TWICE
+      // (measured 2× the query cost); the harness's clearCache releases
+      // it after the query (q193's persisted-histogram precedent)
+      .persist()
     val parent = scores.filter(col("doc_id") === col("probe_id"))
       .select(col("probe_id"), col("score").as("ps"))
     scores.join(parent, Seq("probe_id"))
