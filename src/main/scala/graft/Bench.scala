@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  * `SPARK_GRAFT_SF_DIR` and prints per-query seconds as JSON — a full
+  * per-query line first (also written to target/bench_result.json), then
+  * a compact summary line LAST (totals, outliers, top-5, n, sf) sized to
+  * survive the driver's ~2.6KB stdout tail capture.
   *
   * Measurement contract (each point fixes an observed bench dishonesty):
   *   - Queries are measured through the `noop` sink, not `count()`:
@@ -123,9 +126,15 @@ object Bench {
     // as Verify's VERIFY_ONLY); the driver never sets it, so recorded
     // rounds always time the full registry
     val only = sys.env.get("BENCH_ONLY").map(_.split(",").toSet)
+    // the benched registry: registered forms, with the production
+    // projections from SparkEntry.benchForm swapped in for the queries
+    // whose oracle form carries an exact-side audit (q70's exact
+    // percentiles, the ANN queries' brute-force recall side) — the
+    // bench times the operator, the oracle run keeps the audit
+    val benched = SparkEntry.queries ++ SparkEntry.benchForm
     for (pass <- 1 to passes) {
       var passTotal = 0.0
-      SparkEntry.queries.toSeq.sortBy(_._1)
+      benched.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -190,7 +199,7 @@ object Bench {
         retried += short
         val t0 = System.nanoTime()
         try {
-          runToSink(spark, SparkEntry.queries(name), sfDir)
+          runToSink(spark, benched(name), sfDir)
           val t = (System.nanoTime() - t0) / 1e9
           timings(name) = math.min(timings(name), t)
         } catch { case _: Throwable => () } // min from passes stands
@@ -224,18 +233,31 @@ object Bench {
     val total = sec(timings.values.sum)
     val pt = passTotals.map(csec).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"outliers":$outJson$retryJson,"pass_totals":$pt,"sf":${jstr(sfDir)}}"""
+    // The SUMMARY line — no per-query map — is what the driver's ~2.6KB
+    // stdout tail capture must parse. BENCH_r05/r06 both came back
+    // "parsed": null because at 200+ queries the per-query map alone is
+    // ~2.6KB and the ONE line's head scrolled out of the window (r03
+    // failed the same way; the r04 short-key fix stopped fitting at
+    // ~200 queries). The full per-query line still prints (and lands on
+    // disk) for inspection; the compact summary prints LAST, flush
+    // against end-of-output, so the tail always holds one complete
+    // parseable JSON object. Top-5 slowest queries ride along so the
+    // summary stays diagnostic without the full map.
+    val top5 = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jstr(shortKey(k))}:${csec(v)}" }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${timings.size}$errJson,"outliers":$outJson$retryJson,"pass_totals":$pt,"top5":$top5,"sf":${jstr(sfDir)}}"""
     println(line)
     Console.out.flush()
     // belt-and-braces copy on disk for post-hoc inspection
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_result.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (line + "\n" + summary + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
-    // second copy AFTER spark.stop(): Spark's shutdown logs land between
-    // the first print and process exit, and the driver's ~2.6KB stdout
-    // tail capture has twice returned "parsed": null on a line that was
-    // intact but not last — this copy sits flush against end-of-output
-    println(line)
+    // after spark.stop(): Spark's shutdown logs land between the first
+    // print and process exit — the summary sits flush against
+    // end-of-output so the tail capture gets it whole
+    println(summary)
     Console.out.flush()
     if (fatal.nonEmpty) sys.exit(1)
   }

@@ -24,6 +24,17 @@ object SparkEntry {
       Temporal.queries ++ Corpus.queries ++ Insights.queries ++
       Stats.queries ++ Mining.queries ++ Audit.queries
 
+  /** Bench-form overrides: queries whose REGISTERED form carries an
+    * exact-side audit so the oracle can envelope-check an approximate
+    * operator (q70's exact percentiles beside the sketch, the ANN
+    * queries' brute-force recall side). Correctness (`Verify`) always
+    * runs the registered/audited form; the benchmark times the
+    * production projection from this map instead, so the recorded cost
+    * is the operator's, not its reference's. Keys must be a subset of
+    * [[queries]] keys. */
+  def benchForm: Map[String, (SparkSession, String) => DataFrame] =
+    Analytics.benchForm ++ TrainingData.benchForm
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

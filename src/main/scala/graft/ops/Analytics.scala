@@ -320,6 +320,28 @@ object Analytics {
           .as("price_p95_ok"))
       .orderBy("l_returnflag")
 
+  /** q70's BENCH form ([[graft.SparkEntry.benchForm]]): the sketch-only
+    * production projection. The registered/oracle q70 runs the exact
+    * `percentile` audit beside the sketch (correct, and what the DuckDB
+    * envelope checks), but that audit ships every distinct group value
+    * through the shuffle — the exact cost `approx_percentile` exists to
+    * avoid — so benching the audit form would report the price of the
+    * REFERENCE, not of the sketch. The bench runs this projection; the
+    * oracle run keeps the envelope. */
+  def q70SketchOnly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+          .as("qa"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("pa"))
+      .select(col("l_returnflag"),
+        element_at(col("qa"), 1).as("p25"),
+        element_at(col("qa"), 2).as("p50"),
+        element_at(col("qa"), 3).as("p75"),
+        col("pa").as("price_p95"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- q78
   /** Skew-salted fact-to-dim join, aggregated: the lineitem fact side is
     * salted (deterministic per-row hash), the orders side replicated
@@ -460,6 +482,12 @@ object Analytics {
   /** Oracle SQL (DuckDB dialect). q23 (LSH internals) is rows-only — no
     * entry; q27 and q70 carry the q93 envelope form (exact values pinned,
     * estimate-in-envelope booleans the oracle expects TRUE). */
+  /** Bench-form overrides (see [[graft.SparkEntry.benchForm]]): the
+    * oracle-registered q70 carries the exact-percentile audit beside the
+    * sketch; the benchmark times the sketch-only production projection. */
+  val benchForm: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_approx_percentiles" -> q70SketchOnly _)
+
   val oracle: Map[String, String] = Map(
     // q27: exact distinct pinned value-exact; the HLL++ estimate is an
     // in-engine ±5% envelope boolean (rsd 0.02, deterministic sketch)

@@ -110,10 +110,40 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** The ANN envelope form (q27/q93 pattern, applied to recall): join the
+    * approximate result against the exact brute-force top-k and emit, per
+    * query, the exact-side row count (value-exact: k whenever the corpus
+    * holds ≥ k candidates) and ONE boolean — mean recall over the query
+    * sample ≥ `floor` — that the oracle expects TRUE. The raw recall is
+    * index-specific (hash-seeded planes / data-dependent centroids), so
+    * the FLOOR is the cross-engine claim: set with ≥2× margin under every
+    * measured value so centroid float-order jitter can never flip it.
+    * The exact side is the audit; the benched form
+    * ([[graft.SparkEntry.benchForm]]) runs the index probe alone. */
+  def annRecallEnvelope(exact: DataFrame, approx: DataFrame,
+                        floor: Double): DataFrame =
+    recallVsExact(exact, approx)
+      .withColumn("recall_ok",
+        (avg(col("recall")).over(Window.partitionBy()) >= floor))
+      .select(col("query_id"), col("k_exact"), col("recall_ok"))
+      .orderBy("query_id")
+
   // ---------------------------------------------------------------- q40
-  /** IVF approximate nearest neighbors for 10 query vectors (approximate →
-    * rows-only; recall vs brute force is spec-checked). */
+  /** IVF approximate nearest neighbors for 10 query vectors — registered
+    * as the recall envelope vs brute force (floor 0.15: stride-sampled
+    * centroids on clusterless random embeddings give weak-but-nonzero
+    * recall; measured 0.36–0.38 mean at sf0.01/sf0.1 → ≥2.4× margin). */
   def q40AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallEnvelope(
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5),
+      floor = 0.15)
+  }
+
+  /** q40's BENCH form: the IVF probe alone (production shape). */
+  def q40AnnIvfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
@@ -123,10 +153,22 @@ object TrainingData {
   // --------------------------------------------------------------- q203
   /** Sharded IVF ANN — the executable form of the past-the-codebook-
     * ceiling contract ([[Similarity.shardedIvfTopK]]): 4 hash shards,
-    * independent per-shard codebooks, exact-cosine global merge
-    * (approximate → rows-only; recall vs brute force and the
-    * every-shard-probed property are spec-checked). */
+    * independent per-shard codebooks, exact-cosine global merge.
+    * Registered as the recall envelope vs brute force (floor 0.15, same
+    * regime as q40; measured 0.38–0.56 mean); the every-shard-probed
+    * property stays spec-checked. */
   def q203AnnShardedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallEnvelope(
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+      Similarity.shardedIvfTopK(emb, q, "vec_id", "embedding", k = 5,
+        nShards = 4),
+      floor = 0.15)
+  }
+
+  /** q203's BENCH form: the sharded probe alone (production shape). */
+  def q203AnnShardedIvfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.shardedIvfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nShards = 4)
@@ -157,8 +199,25 @@ object TrainingData {
       .orderBy("cent_id")
 
   // ---------------------------------------------------------------- q41
-  /** Banded sign-LSH approximate nearest neighbors (rows-only). */
+  /** Banded sign-LSH approximate nearest neighbors — registered as the
+    * recall envelope vs brute force. This form keeps q41's default table
+    * sizing, which in this corpus's low-cosine regime recalls weakly
+    * (measured mean 0.08 at sf0.01, 0.18 at sf0.1) — the envelope floor
+    * 0.02 is therefore the determinism + better-than-nothing claim
+    * (planes are literal-seeded, so recall is exactly reproducible for a
+    * given corpus); the AUTO-SIZED table's ≥0.4 claim lives in q172,
+    * whose audit exists to make exactly this sizing difference visible. */
   def q41AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallEnvelope(
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5),
+      floor = 0.02)
+  }
+
+  /** q41's BENCH form: the LSH probe alone (production shape). */
+  def q41AnnLshProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", dim = 64, k = 5)
@@ -200,9 +259,21 @@ object TrainingData {
       .orderBy("asset_id")
 
   // ---------------------------------------------------------------- q75
-  /** Int8-quantized brute-force top-k (approximate by quantization →
-    * rows-only; recall vs the exact float path is spec-checked). */
+  /** Int8-quantized brute-force top-k — registered as the recall envelope
+    * vs the exact float path (spec pins mean ≥0.8; floor 0.4 = 2× margin;
+    * quantization is deterministic, so the only jitter source is top-k
+    * tie order). */
   def q75AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    annRecallEnvelope(
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+      Similarity.quantizedTopK(emb, q, "vec_id", "embedding", k = 5),
+      floor = 0.4)
+  }
+
+  /** q75's BENCH form: the quantized scan alone (production shape). */
+  def q75AnnQuantizedProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
@@ -734,16 +805,26 @@ object TrainingData {
     * hash-exact by q131.
     *
     * Scale shape: fit is two aggregates over the token stream; the
-    * model grid is |vocab|·|classes| — broadcast-sized for real
-    * vocabularies (cap via q116's top-V vocab + OOV bucket when it is
-    * not); scoring fans the token stream out |classes|× and immediately
-    * re-aggregates map-side to |docs|·|classes| rows. No corpus-sized
-    * sort or window anywhere. Token-less documents have no likelihood
-    * and are excluded by construction (documented). */
+    * model grid is ENFORCED ≤ (maxVocab+1)·|classes| — `maxVocab` caps
+    * the vocabulary at the top-V tokens by corpus frequency (tie-break
+    * token asc, both exact → deterministic) and folds the tail into one
+    * OOV bucket row per class, so a 10⁸-type crawl vocabulary can never
+    * reach the broadcast. When the corpus vocabulary fits under the cap
+    * the OOV bucket is EMPTY and never materializes: the mapping join
+    * matches every token, the summed counts equal the raw counts, and
+    * the model — including the Laplace denominator — is bit-identical
+    * to the uncapped fit (which is why the q211/q213 oracles replay the
+    * uncapped arithmetic). Scoring fans the token stream out |classes|×
+    * and immediately re-aggregates map-side to |docs|·|classes| rows.
+    * No corpus-sized sort or window anywhere (top-V selection is
+    * TakeOrderedAndProject over the (token,count) aggregate — partial
+    * per-partition top-V, never the corpus). Token-less documents have
+    * no likelihood and are excluded by construction (documented). */
   def naiveBayesClassify(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id",
-                         classCol: String = "lang"): DataFrame =
-    naiveBayesScores(docs, docs, textCol, idCol, classCol)
+                         classCol: String = "lang",
+                         maxVocab: Int = DefaultMaxVocab): DataFrame =
+    naiveBayesScores(docs, docs, textCol, idCol, classCol, maxVocab)
       .groupBy(col("doc_id"), col("truth"))
       .agg(min(struct((-col("score")).as("ns"), col("clazz").as("c")))
         .as("m"))
@@ -753,21 +834,61 @@ object TrainingData {
           .as("correct"))
       .orderBy("doc_id")
 
+  /** Default vocabulary cap for the naive-Bayes family: 2¹⁶ token
+    * types + the OOV bucket (the same power-of-two ceiling convention
+    * as [[Similarity.ivfAutoK]]'s codebook). Bounds the broadcast grid
+    * at (65536+1)·|classes| rows no matter how large the corpus
+    * vocabulary grows — ample for a language/quality filter (fastText
+    * lang-ID ships ~2×10⁴ effective features) and ~2.5 MB·|classes|
+    * broadcast-side. */
+  val DefaultMaxVocab: Int = 65536
+
+  /** Sentinel token for the OOV bucket. U+FFFD is non-word, so
+    * [[graft.functions.wordTokens]] (\\W+ split) can never emit it —
+    * no real token can collide. */
+  private[graft] val OovToken: String = "�"
+
   /** The fit+score core shared by q211 (argmax classify) and q213 (AUC):
     * fit on `fitDocs`, score every `evalDocs` row against every class.
     * Returns (doc_id, truth, clazz, score) with the exact DECIMAL-summed
-    * log-likelihood + prior (see [[naiveBayesClassify]]). */
+    * log-likelihood + prior (see [[naiveBayesClassify]]).
+    *
+    * `maxVocab` is the ENFORCED scale contract: the fitted vocabulary
+    * is the top-`maxVocab` tokens by corpus frequency (count desc,
+    * token asc — exact longs, deterministic); every other fit token
+    * folds into one OOV bucket whose per-class count is the tail's
+    * mass, so the dense grid is ≤ (maxVocab+1)·|classes| rows by
+    * construction. Eval tokens outside the fitted vocabulary score as
+    * OOV when the bucket exists (cap bound) and are dropped when it
+    * does not (cap unbound — bit-identical to the uncapped model, the
+    * form the oracles replay). */
   def naiveBayesScores(fitDocs: DataFrame, evalDocs: DataFrame,
                        textCol: String, idCol: String,
-                       classCol: String): DataFrame = {
+                       classCol: String,
+                       maxVocab: Int = DefaultMaxVocab): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     def tokStream(d: DataFrame): DataFrame = d.select(
       col(idCol).as("doc_id"), col(classCol).as("truth"),
       explode(graft.functions.wordTokens(col(textCol))).as("tok"))
     val toks = tokStream(fitDocs)
-    val cnt = toks.groupBy(col("truth").as("clazz"), col("tok"))
+    val rawCnt = toks.groupBy(col("truth").as("clazz"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+    // top-V vocabulary: TakeOrderedAndProject over the (token, count)
+    // aggregate — per-partition partial top-V, bounded merge, never a
+    // corpus-sized global sort
+    val topV = rawCnt.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(maxVocab)
+      .select(col("tok"), lit(true).as("in_v"))
+    // fold the tail into the OOV bucket; when the cap does not bind
+    // every token matches and cnt == rawCnt exactly (no OOV rows)
+    val cnt = rawCnt.join(broadcast(topV), Seq("tok"), "left")
+      .select(col("clazz"),
+        when(col("in_v"), col("tok")).otherwise(lit(OovToken)).as("tok"),
+        col("cnt"))
+      .groupBy(col("clazz"), col("tok")).agg(sum(col("cnt")).as("cnt"))
     val tot = cnt.groupBy(col("clazz")).agg(sum(col("cnt")).as("tot"))
-    val vocab = toks.select(col("tok")).distinct()
+    val vocab = cnt.select(col("tok")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
     val classes = fitDocs.groupBy(col(classCol).as("clazz"))
       .agg(count(lit(1)).as("n_docs"))
@@ -785,7 +906,14 @@ object TrainingData {
     val priors = classes.crossJoin(nTotal)
       .select(col("clazz"),
         log(col("n_docs").cast("double") / col("n_total")).as("logprior"))
-    tokStream(evalDocs).join(broadcast(grid), Seq("tok"))
+    // eval tokens outside top-V rewrite to the OOV sentinel; the inner
+    // grid join then scores them against the bucket when it exists and
+    // drops them when it does not (uncapped behavior preserved)
+    tokStream(evalDocs)
+      .join(broadcast(topV), Seq("tok"), "left")
+      .select(col("doc_id"), col("truth"),
+        when(col("in_v"), col("tok")).otherwise(lit(OovToken)).as("tok"))
+      .join(broadcast(grid), Seq("tok"))
       .groupBy(col("doc_id"), col("truth"), col("clazz"))
       .agg(sum(col("logp").cast("decimal(28,12)")).cast("double")
         .as("ll"))
@@ -818,11 +946,13 @@ object TrainingData {
     * in the slice have no defined AUC and are excluded (documented). */
   def classifierAuc(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id",
-                    classCol: String = "lang"): DataFrame = {
+                    classCol: String = "lang",
+                    maxVocab: Int = DefaultMaxVocab): DataFrame = {
     val sample = docs
       .filter(substring(md5(col(textCol)), 1, 1) === "0")
     aucFromScores(
-      naiveBayesScores(docs, sample, textCol, idCol, classCol), classCol)
+      naiveBayesScores(docs, sample, textCol, idCol, classCol, maxVocab),
+      classCol)
   }
 
   /** Rank-sum AUC over a (doc_id, truth, clazz, score) frame — the
@@ -1034,9 +1164,12 @@ object TrainingData {
     passageFilterRebuild(t(spark, dir, "documents"))
 
   /** One class of a COLLECTED naive-Bayes model (see [[naiveBayesFit]]):
-    * smoothed per-token log-probabilities, the class log-prior, and the
-    * Laplace floor ln(1/(tot+V)) applied to tokens outside the fitted
-    * vocabulary. */
+    * smoothed per-token log-probabilities for the fitted (top-V)
+    * vocabulary, the class log-prior, and `floor` — the log-probability
+    * applied to every token OUTSIDE the fitted map. With the vocabulary
+    * cap unbound the floor is the Laplace smoothing ln(1/(tot+V)); with
+    * it bound the floor is the class's OOV-bucket probability
+    * ln((oovCnt+1)/(tot+V)) — the unbound case is just oovCnt = 0. */
   case class NbClassModel(name: String, logPrior: Double, floor: Double,
                           logp: Map[String, Double])
 
@@ -1044,22 +1177,43 @@ object TrainingData {
     * path (q202 BPE / q92 codebook precedent) that turns scoring into a
     * pure stateless projection: usable on a structured STREAM (no
     * stream-side aggregation, no watermark) and on batch frames without
-    * the grid join. Bounded by |vocab|·|classes| like the broadcast
-    * grid; for vocabularies past literal-map scale the q139 lesson
-    * applies — swap the map literal for a VocabEncode-style fitted
-    * expression, the fit side is unchanged. */
+    * the grid join. The driver collect is ENFORCED ≤ maxVocab·|classes|
+    * rows: only the top-`maxVocab` tokens by corpus frequency (count
+    * desc, token asc) are collected, the tail's per-class mass folds
+    * into each class's `floor` as the OOV bucket — same contract as
+    * [[naiveBayesScores]], so a crawl-scale vocabulary can never reach
+    * the driver. For vocabularies past literal-map scale the q139
+    * lesson applies — swap the map literal for a VocabEncode-style
+    * fitted expression, the fit side is unchanged. */
   def naiveBayesFit(docs: DataFrame, textCol: String = "text",
-                    classCol: String = "lang"): Seq[NbClassModel] = {
+                    classCol: String = "lang",
+                    maxVocab: Int = DefaultMaxVocab): Seq[NbClassModel] = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val toks = docs.select(col(classCol).as("clazz"),
       explode(graft.functions.wordTokens(col(textCol))).as("tok"))
-    val cnt = toks.groupBy(col("clazz"), col("tok"))
+    val rawCnt = toks.groupBy(col("clazz"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-    val v = toks.select(col("tok")).distinct().count()
+    val topV = rawCnt.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(maxVocab)
+      .select(col("tok"), lit(true).as("in_v"))
+    // in-vocab and OOV-tail counts, both bounded: ≤ V·|classes| rows
+    // collected, the tail reduced to one count per class
+    val mapped = rawCnt.join(broadcast(topV), Seq("tok"), "left")
+    val cnt = mapped.filter(col("in_v"))
+      .select(col("clazz"), col("tok"), col("cnt"))
+    val oov = mapped.filter(col("in_v").isNull)
+      .groupBy(col("clazz")).agg(sum(col("cnt")).as("oov"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // model vocabulary size: fitted types + the OOV bucket iff it holds
+    // mass (unbound cap → identical to the uncapped Laplace denominator)
+    val vFitted = cnt.select(col("tok")).distinct().count()
+    val v = vFitted + (if (oov.nonEmpty) 1L else 0L)
     val nTotal = docs.count()
     val classRows = docs.groupBy(col(classCol).as("clazz"))
       .agg(count(lit(1)).as("n_docs")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val tot = cnt.groupBy(col("clazz")).agg(sum(col("cnt")).as("tot"))
+    val tot = rawCnt.groupBy(col("clazz")).agg(sum(col("cnt")).as("tot"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val byClass = cnt.collect()
       .groupBy(_.getString(0))
@@ -1067,7 +1221,7 @@ object TrainingData {
       val den = tot.getOrElse(c, 0L) + v
       NbClassModel(c,
         math.log(classRows(c).toDouble / nTotal),
-        math.log(1.0 / den),
+        math.log((oov.getOrElse(c, 0L) + 1.0) / den),
         byClass.getOrElse(c, Array.empty)
           .map(r => r.getString(1) ->
             math.log((r.getLong(2) + 1.0) / den)).toMap)
@@ -1076,7 +1230,8 @@ object TrainingData {
 
   /** Prediction column from a collected model: per class, log-prior +
     * a sequential fold over the token array (deterministic order), with
-    * the Laplace floor for unseen tokens; argmax via the same
+    * the class floor (OOV-bucket probability; plain Laplace floor when
+    * the vocab cap was unbound) for out-of-map tokens; argmax via the same
     * min(struct(-score, class)) tie-break as [[naiveBayesClassify]].
     * Pure projection — streaming-safe, zero shuffle, zero joins. */
   def nbPredictColumn(model: Seq[NbClassModel], tokens: Column): Column = {
@@ -1297,11 +1452,23 @@ object TrainingData {
   }
 
   /** q172 entry: recall@10 of the auto-sized sign-LSH index AND the
-    * stride-IVF index on a 20-query sample of the embeddings table. */
+    * stride-IVF index on a 20-query sample of the embeddings table,
+    * registered as the per-index envelope form: exact-side k pinned
+    * value-exact, mean recall vs a per-index floor (LSH 0.4 — spec pins
+    * ≥0.8 mean; IVF 0.05 — the audit's point is SHOWING the weak-regime
+    * number, so its floor only claims better-than-nothing). The raw
+    * per-query recalls stay available via [[annRecallAudit]]. */
   def q172AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    annRecallAudit(emb, emb.filter(col("vec_id") < 20), "vec_id",
-        "embedding", dim = 64, k = 10)
+    val audit = annRecallAudit(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", dim = 64, k = 10)
+    val byIndex = Window.partitionBy(col("index"))
+    audit
+      .withColumn("recall_ok",
+        avg(col("recall")).over(byIndex) >=
+          when(col("index") === "lsh", lit(0.4)).otherwise(lit(0.05)))
+      .select(col("index"), col("query_id"), col("k_exact"),
+        col("recall_ok"))
       .orderBy("index", "query_id")
   }
 
@@ -1349,7 +1516,48 @@ object TrainingData {
     "q142_semdedup" -> q142SemDedup _)
 
   /** Oracles for the exact, SQL-expressible subset. */
+  /** Bench-form overrides (see [[graft.SparkEntry.benchForm]]): the ANN
+    * queries' registered forms carry the brute-force exact side so the
+    * oracle can check a recall envelope; the bench times the index probe
+    * alone — the production shape whose cost the index exists to have. */
+  val benchForm: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_ivf" -> q40AnnIvfProbe _,
+    "q203_ann_sharded_ivf" -> q203AnnShardedIvfProbe _,
+    "q41_ann_lsh" -> q41AnnLshProbe _,
+    "q75_ann_quantized" -> q75AnnQuantizedProbe _)
+
   val oracle: Map[String, String] = Map(
+    // q40/q41/q75/q203: ANN recall-envelope forms (q27/q93 pattern) —
+    // the exact-side k pins value-exact (brute force returns exactly 5
+    // rows per query wherever the corpus holds ≥5 candidates) and the
+    // mean-recall-over-floor boolean is the in-engine claim the oracle
+    // expects TRUE; raw neighbor ids stay engine-specific by design.
+    "q40_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "q203_ann_sharded_ivf" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "q41_ann_lsh" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "q75_ann_quantized" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // q172: both index families audited per query; k_exact pinned at 10,
+    // per-index mean-recall floors (lsh 0.4 / ivf 0.05) in-engine
+    "q172_ann_recall" ->
+      """SELECT idx."index", e.vec_id AS query_id,
+        |       CAST(10 AS BIGINT) AS k_exact, TRUE AS recall_ok
+        |FROM embeddings e
+        |CROSS JOIN (SELECT 'lsh' AS "index"
+        |            UNION ALL SELECT 'ivf' AS "index") idx
+        |WHERE e.vec_id < 20
+        |ORDER BY idx."index", query_id""".stripMargin,
     // q207: engine joins on xxhash64(window), oracle on the window text
     // (q63's precedent — counts identical barring 64-bit collisions);
     // range(1, len-14) generates every full-window start (stride 1)

@@ -236,6 +236,67 @@ class CorpusSpec extends AnyFunSuite {
     assert(t == Map(0L -> "aa", 1L -> "aa"), t.toString)
   }
 
+  test("naiveBayes maxVocab cap: binds on an over-vocab corpus (top-V by " +
+      "frequency + OOV bucket, hand-computed), no-ops when unbound") {
+    import graft.ops.TrainingData
+    // vocab {alpha:2, beta:1, delta:2, gamma:1} = 4 types; maxVocab=2
+    // keeps {alpha, delta} (tf desc, tok asc), folds beta/gamma to OOV
+    val docs = Seq(
+      (0L, "aa", "alpha alpha beta"),
+      (1L, "bb", "gamma delta delta")
+    ).toDF("doc_id", "lang", "text")
+    val sc = TrainingData.naiveBayesScores(docs, docs, "text", "doc_id",
+        "lang", maxVocab = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(3)).toMap
+    // v = 2 fitted + 1 OOV = 3; per class tot=3 -> den=6; priors ln(1/2)
+    // doc0 tokens (alpha, alpha, OOV):
+    //   aa: ln(1/2) + 2 ln((2+1)/6) + ln((1+1)/6) = 3 ln(1/2) + ln(1/3)
+    //   bb: ln(1/2) + 2 ln((0+1)/6) + ln((1+1)/6)
+    val l2 = math.log(0.5); val l3 = math.log(1.0 / 3)
+    val l6 = math.log(1.0 / 6)
+    assert(math.abs(sc((0L, "aa")) - (3 * l2 + l3)) < 1e-9, sc.toString)
+    assert(math.abs(sc((0L, "bb")) - (l2 + 2 * l6 + l3)) < 1e-9,
+      sc.toString)
+    assert(math.abs(sc((1L, "bb")) - (3 * l2 + l3)) < 1e-9, sc.toString)
+
+    // fit path: the collect is capped — ≤ maxVocab tokens per class,
+    // floor = the class OOV-bucket probability ln((oov+1)/den)
+    val m = TrainingData.naiveBayesFit(docs, maxVocab = 2)
+    assert(m.map(_.name) == Seq("aa", "bb"))
+    assert(m.forall(_.logp.size <= 2), m.toString)
+    assert(m.forall(_.logp.keySet.subsetOf(Set("alpha", "delta"))))
+    assert(m.forall(c => math.abs(c.floor - l3) < 1e-12), m.toString)
+    // collected model agrees with the grid path (OOV floor scores beta)
+    val pred = docs.select(col("doc_id"),
+        TrainingData.nbPredictColumn(m,
+          graft.functions.wordTokens(col("text"))).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(0L -> "aa", 1L -> "bb"), pred.toString)
+
+    // tf tie at the cap boundary breaks token-asc: {aa,bb,cc} all tf=1,
+    // maxVocab=2 keeps aa,bb
+    val tiedV = Seq((0L, "x", "aa bb cc")).toDF("doc_id", "lang", "text")
+    val mt = TrainingData.naiveBayesFit(tiedV, maxVocab = 2)
+    assert(mt.head.logp.keySet == Set("aa", "bb"), mt.toString)
+
+    // unbound cap is bit-identical to the (oracle-replayed) uncapped
+    // arithmetic: same corpus, generous cap vs default
+    val wide = TrainingData.naiveBayesScores(docs, docs, "text",
+        "doc_id", "lang", maxVocab = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(3)).toMap
+    val dflt = TrainingData.naiveBayesScores(docs, docs, "text",
+        "doc_id", "lang")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(wide == dflt, s"$wide vs $dflt")
+    // and the unbound fit keeps the plain Laplace floor ln(1/(tot+V))
+    val mu = TrainingData.naiveBayesFit(docs)
+    assert(mu.forall(c => math.abs(c.floor - math.log(1.0 / 7)) < 1e-12),
+      mu.toString) // den = tot 3 + v 4 = 7, no OOV type
+  }
+
   test("aucFromScores: hand-computed AUC with ties, perfect and inverted") {
     import graft.ops.TrainingData.aucFromScores
     // class x: positives {0.9, 0.5}, negatives {0.5, 0.1}

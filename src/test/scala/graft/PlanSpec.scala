@@ -39,8 +39,18 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  private def finalBenchPlan(qid: String): String = {
+    val df = SparkEntry.benchForm(qid)(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    p.split("== Initial Plan ==").head
+  }
+
   test("q40 IVF: cell assignment is projection-only — one window, broadcast probe join") {
-    val p = finalPlan("q40_ann_ivf")
+    // the PROBE (bench) form — the registered form adds the brute-force
+    // recall-envelope side, whose plan is deliberately the exact scan's
+    val p = finalBenchPlan("q40_ann_ivf")
     assert("Window \\[".r.findAllIn(p).size == 1,
       s"only the final top-k may window:\n${p.take(3000)}")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
