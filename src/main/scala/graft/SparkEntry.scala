@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ TrainingData.queries ++
       Temporal.queries ++ Corpus.queries ++ Insights.queries ++
-      Stats.queries ++ Mining.queries ++ Audit.queries
+      Stats.queries ++ Mining.queries ++ Audit.queries ++
+      graft.streaming.Streams.queries
 
   /** Bench-form overrides: queries whose REGISTERED form carries an
     * exact-side audit so the oracle can envelope-check an approximate
@@ -40,5 +41,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ TrainingData.oracle ++
       Temporal.oracle ++ Corpus.oracle ++ Insights.oracle ++
-      Stats.oracle ++ Mining.oracle ++ Audit.oracle
+      Stats.oracle ++ Mining.oracle ++ Audit.oracle ++
+      graft.streaming.Streams.oracle
 }

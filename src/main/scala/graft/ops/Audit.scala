@@ -555,7 +555,15 @@ object Audit {
     * gram-hash joins).
     *
     * Contract: both snapshots non-empty (an empty side has no group row
-    * and surfaces as NULL counts, exactly like a missing feed should). */
+    * and surfaces as NULL counts, exactly like a missing feed should).
+    *
+    * @param exact `true` counts distincts over the FULL hash stack
+    *   (every row's hash reaches the aggregate; still distinct-by-
+    *   xxhash64, NOT distinct-by-value — a 64-bit collision under-counts
+    *   by the n²/2⁶⁴ contract above, which an oracle comparing true
+    *   COUNT(DISTINCT) would surface as a mismatch with no other
+    *   symptom); `false` swaps in approx_count_distinct (HLL++) on the
+    *   same hashes — the 100 TB default. */
   def profileDriftTagged(df: DataFrame, isNew: Column,
                          cols: Seq[(String, Column => Column)],
                          exact: Boolean = true): DataFrame = {

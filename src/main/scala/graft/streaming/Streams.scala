@@ -306,6 +306,52 @@ object Streams {
       }
   }
 
+  /** q219 entry: BATCH-parity execution of [[heavyHittersMonitor]] — the
+    * identical flatMapGroupsWithState fold, run over the static events
+    * table (Spark executes stateful operators on batch frames with empty
+    * initial state), sized so NO eviction can occur (capacity 256 ≥ the
+    * distinct users any mod-16 shard holds at every test SF). Without
+    * eviction Space-Saving is exact: a user alerts at precisely their
+    * `minCount`-th event in (ts, event_id) order with est = minCount and
+    * overcount 0 — which a SQL oracle replays with one row_number. This
+    * puts the streaming fold itself (shard grouping, batch sort,
+    * increment/alert logic, suppression set) under the driver's DuckDB
+    * gate; the eviction/cap/restart behaviors stay spec-verified.
+    *
+    * Scale shape: the parity form sorts each shard's full history in one
+    * task — gate-coverage shape, not the production one (the streaming
+    * form folds bounded micro-batches; raise nShards for wider events). */
+  def q219HeavyHittersParity(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.TableCatalog.load(spark, dir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    heavyHittersMonitor(ev, capacity = 256, minCount = 75L, nShards = 16)
+      .toDF()
+      .select(col("shard"), col("user_id"), col("est_count"),
+        col("max_overcount"), col("at").cast("timestamp_ntz").as("at"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming-backed registry entries (batch-parity forms). */
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q219_heavy_hitters_parity" -> (q219HeavyHittersParity _))
+
+  /** Oracle: the no-eviction Space-Saving alert is exactly the
+    * minCount-th per-user event in (ts, event_id) order. */
+  val oracle: Map[String, String] = Map(
+    "q219_heavy_hitters_parity" ->
+      """SELECT CAST(user_id % 16 AS INTEGER) AS shard, user_id,
+        |       CAST(75 AS BIGINT) AS est_count,
+        |       CAST(0 AS BIGINT) AS max_overcount, at
+        |FROM (SELECT user_id, ts AS at,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 75 ORDER BY user_id""".stripMargin)
+
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 16, bands: Int = 4,
                     minEstJaccard: Double = 0.5,

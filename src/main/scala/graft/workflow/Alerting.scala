@@ -102,6 +102,14 @@ object Alerting {
                           to: Seq[String]) extends Alerter {
     require(to.nonEmpty, "at least one recipient")
 
+    /** CR/LF can't be allowed into header lines or envelope commands: an
+      * embedded newline in a job-derived subject would inject extra
+      * headers (or raw SMTP commands) — the header-side counterpart of
+      * the body's dot-stuffing. Replaced with spaces, not stripped, so
+      * a multi-line subject stays readable. */
+    private def headerSafe(s: String): String =
+      s.replaceAll("[\r\n]+", " ")
+
     def alert(subject: String, body: String): Unit = {
       val socket = new Socket(host, port)
       try {
@@ -121,15 +129,15 @@ object Alerting {
         }
         expect(Set(220), "greeting")
         send(s"EHLO graft"); expect(Set(250), "EHLO")
-        send(s"MAIL FROM:<$from>"); expect(Set(250), "MAIL FROM")
+        send(s"MAIL FROM:<${headerSafe(from)}>"); expect(Set(250), "MAIL FROM")
         to.foreach { r =>
-          send(s"RCPT TO:<$r>"); expect(Set(250, 251), "RCPT TO")
+          send(s"RCPT TO:<${headerSafe(r)}>"); expect(Set(250, 251), "RCPT TO")
         }
         send("DATA"); expect(Set(354), "DATA")
         val headers = Seq(
-          s"From: $from",
-          s"To: ${to.mkString(", ")}",
-          s"Subject: $subject",
+          s"From: ${headerSafe(from)}",
+          s"To: ${headerSafe(to.mkString(", "))}",
+          s"Subject: ${headerSafe(subject)}",
           "MIME-Version: 1.0",
           "Content-Type: text/plain; charset=utf-8")
         headers.foreach(send)

@@ -83,9 +83,10 @@ object Secrets {
     p.get(key).getOrElse(throw new IllegalStateException(
       s"required secret '$key' not found in any provider"))
 
-  /** Render a secret for logs the way the reference does — fixed-width
-    * mask, never the value (secrets_manger.py:118). */
-  def masked(value: String): String = "*" * math.min(value.length, 8)
+  /** Render a secret for logs — always exactly 8 asterisks, never the
+    * value (secrets_manger.py:118) and never the LENGTH either: a
+    * length-proportional mask leaks how short a weak secret is. */
+  def masked(value: String): String = "********"
 
   /** Minimal flat-JSON-object parser (string values only, escapes
     * honored) — the engine has no JSON dependency by design and the

@@ -501,6 +501,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavy-hitters suppression cap: past 64*capacity distinct alerted " +
+      "users the OLDEST suppression ages out (at-least-once), newer " +
+      "suppressions still bind") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var id = 0L
+    def ev(uid: Long, sec: Long) = {
+      id += 1
+      Streams.Event(id,
+        new java.sql.Timestamp(1700000000000L + sec * 1000), uid,
+        "click", 1.0)
+    }
+    val input = MemoryStream[Streams.Event]
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "strm").toString
+    // capacity 1 -> alertedCap = 64; minCount 1 so every distinct user
+    // alerts (each inherits the evicted floor +1, always >= 1)
+    val q = Streams.heavyHittersMonitor(input.toDS(), capacity = 1,
+        minCount = 1L, nShards = 1)
+      .writeStream.format("memory").queryName("hh_cap_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // 66 distinct users alert in ts order; the suppression set holds
+      // the LAST 64 (u3..u66) — u1 and u2 aged out at the cap
+      input.addData((1 to 66).map(u => ev(u.toLong, u.toLong)): _*)
+      q.processAllAvailable()
+      assert(spark.table("hh_cap_test").count() == 66)
+      // u1 returns (aged out) -> re-alerts: the documented at-least-once
+      // degradation past the cap. u66 returns (still suppressed) -> no
+      // second alert.
+      input.addData(ev(1L, 100L), ev(66L, 101L))
+      q.processAllAvailable()
+      val alerts = spark.table("hh_cap_test").collect().map(_.getLong(1))
+      assert(alerts.count(_ == 1L) == 2,
+        s"aged-out u1 must re-alert: ${alerts.toSeq}")
+      assert(alerts.count(_ == 66L) == 1,
+        s"u66's suppression must still bind: ${alerts.toSeq}")
+      assert(alerts.length == 67, alerts.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("heavy-hitters summary survives a checkpointed restart: counts " +
       "accumulated before the stop decide the alert after it") {
     import spark.implicits._

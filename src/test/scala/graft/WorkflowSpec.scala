@@ -304,7 +304,8 @@ class WorkflowSpec extends AnyFunSuite {
     // fail-loud option and masked rendering
     intercept[IllegalStateException] { Secrets.require(devP, "NOPE") }
     assert(Secrets.masked("supersecretvalue") == "********")
-    assert(Secrets.masked("pw") == "**")
+    // fixed-width: a short secret must not leak its length
+    assert(Secrets.masked("pw") == "********")
   }
 
   /** One-message in-JVM SMTP server: accepts a single session, records
