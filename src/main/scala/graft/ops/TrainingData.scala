@@ -1040,14 +1040,19 @@ object TrainingData {
     *
     * Determinism: both heads are [[Similarity.bruteForceTopK]] — 6-dp
     * rounded sims with id tiebreaks (q24's recipe), so both rankings and
-    * the overlap counts replay exactly in the oracle. Scale shape: two
-    * broadcast-probe corpus scans + a k²-bounded head join; swap either
+    * the overlap counts replay exactly in the oracle. Scale shape: the
+    * probe sample is FIXED-SIZE (≤ `maxProbes`, ids ≡ 0 mod `sampleMod`
+    * below sampleMod·maxProbes — q172's fixed-sample contract), so the
+    * two broadcast-probe corpus scans stay LINEAR in the corpus; a
+    * mod-only fraction made the audit O(n²/mod) and measured 16.7× at a
+    * 10× corpus before the cap. Plus a k²-bounded head join; swap either
     * head for q40/q203's IVF at index scale — the audit layer is
     * unchanged. */
   def matryoshkaAudit(emb: DataFrame, idCol: String, embCol: String,
                       prefixDims: Int = 32, k: Int = 10,
-                      sampleMod: Int = 50): DataFrame = {
-    val probes = emb.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+                      sampleMod: Int = 50, maxProbes: Int = 40): DataFrame = {
+    val probes = emb.filter(pmod(col(idCol), lit(sampleMod)) === 0 &&
+      col(idCol) < lit(sampleMod.toLong * maxProbes))
     def truncated(d: DataFrame) = d.select(col(idCol),
       slice(col(embCol), 1, prefixDims).as(embCol))
     val full = Similarity.bruteForceTopK(emb, probes, idCol, embCol, k)
@@ -1067,7 +1072,8 @@ object TrainingData {
       .orderBy("query_id")
   }
 
-  /** q216 entry: 32-of-64-dim truncation, overlap@10, mod-50 probes. */
+  /** q216 entry: 32-of-64-dim truncation, overlap@10, fixed mod-50
+    * probe sample (ids 0,50,…,1950 — ≤40 probes at any scale). */
   def q216MatryoshkaAudit(spark: SparkSession, dir: String): DataFrame =
     matryoshkaAudit(t(spark, dir, "embeddings"), "vec_id", "embedding")
 
@@ -1881,7 +1887,8 @@ object TrainingData {
     // (widen-then-slice) element-for-element
     "q216_matryoshka_audit" ->
       """WITH pr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |            FROM embeddings WHERE vec_id % 50 = 0),
+        |            FROM embeddings
+        |            WHERE vec_id % 50 = 0 AND vec_id < 2000),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |      FROM embeddings),
         |f10 AS (
