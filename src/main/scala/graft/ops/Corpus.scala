@@ -577,6 +577,230 @@ object Corpus {
       size(graft.functions.wordTokens(col("text"))).cast("long"),
       budget = 1000000L)
 
+  // --------------------------------------------------------------- q220
+  /** Append the deterministic shard key: h = md5(seed ':' id), shard =
+    * (first `hexDigits` hex chars of h) mod nShards. Re-keying the seed
+    * ("epoch-0", "epoch-1", …) yields an independent assignment with
+    * zero state — the reproducible-shuffle recipe every dataloader
+    * replays. hexDigits bounds the shard space: 2 covers 256 shards (and
+    * keeps the oracle's nibble arithmetic builtin-free), 8 covers 2³². */
+  private def withShard(docs: DataFrame, idCol: String, seed: String,
+                        nShards: Int, hexDigits: Int): DataFrame = {
+    require(nShards > 0 && hexDigits >= 1 && hexDigits <= 15,
+      s"withShard: need nShards>0 and 1<=hexDigits<=15, got " +
+        s"nShards=$nShards hexDigits=$hexDigits")
+    require(BigInt(16).pow(hexDigits) >= BigInt(nShards) * 4,
+      s"withShard: $hexDigits hex digits cannot spread $nShards shards " +
+        "evenly (need >=4x headroom so the mod bias stays negligible)")
+    docs
+      .withColumn("h",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, hexDigits), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+  }
+
+  /** Deterministic epoch shuffle: the (shard, position) training order a
+    * dataloader replays for one epoch of a fixed corpus snapshot.
+    * Position is the rank of the doc's md5 within its shard (id
+    * tiebreak against hash collisions), so the full order is a pure
+    * function of (corpus, seed) — rerunning the job, or running it on a
+    * different cluster, yields byte-identical training order, which is
+    * what makes loss curves comparable across infra changes.
+    *
+    * Scale shape: one hash projection + ONE shuffle on shard; the
+    * per-shard rank sort is bounded by the shard size, so production
+    * sizes nShards ≈ ⌈corpus bytes / 256 MB⌉ (every rank sort fits a
+    * task) and widens hexDigits accordingly. Never a GLOBAL sort:
+    * samplers walk shards round-robin, so no cross-shard total order is
+    * ever materialized — the property that keeps this 100 TB-safe. */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: String,
+                   nShards: Int, hexDigits: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    withShard(docs.select(col(idCol)), idCol, seed, nShards, hexDigits)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** q220 entry: epoch-0 order of the documents corpus over 64 shards,
+    * 2-hex-digit shard hash (oracle replays the nibble arithmetic). */
+  def q220EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(t(spark, dir, "documents"), "doc_id", "epoch-0",
+        nShards = 64, hexDigits = 2)
+      .orderBy("shard", "pos")
+
+  // --------------------------------------------------------------- q224
+  /** Dataloader shard manifest for the q220 epoch order: per shard, the
+    * document count, token count, the global token OFFSET at which the
+    * shard starts (cumulative tokens of all lower shards — the index a
+    * training job seeks by without scanning predecessors), and the
+    * token-balance factor vs the mean shard (balance ≫ 1 ⇒ straggler
+    * shards; md5 sharding keeps it near 1 by construction).
+    *
+    * Scale shape: the only corpus-sized pass is one fused-tokenize
+    * projection into the shard aggregate (map-side combined, no q220
+    * rank sort — the manifest needs sizes, not positions); the
+    * cumulative offset and balance run on the nShards-row dimension
+    * frame. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    seed: String, nShards: Int,
+                    hexDigits: Int = 8): DataFrame = {
+    val per = withShard(
+        docs.select(col(idCol),
+          size(graft.functions.wordTokens(col(textCol))).cast("long")
+            .as("n_tok")),
+        idCol, seed, nShards, hexDigits)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val prev = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    per
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(prev), lit(0L)))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("token_offset"),
+        round(col("n_tokens").cast("double") * lit(nShards.toDouble) /
+          col("total").cast("double"), 6).as("balance"))
+      .orderBy("shard")
+  }
+
+  /** q224 entry: the manifest of q220's epoch-0 order (same seed/shard
+    * parameters, so offsets line up with q220's positions). */
+  def q224ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(t(spark, dir, "documents"), "doc_id", "text", "epoch-0",
+      nShards = 64, hexDigits = 2)
+
+  // --------------------------------------------------------------- q222
+  /** Heaps-law vocabulary growth audit per source: cumulative-vocabulary
+    * checkpoints V(N) and the fitted log-log slope β (V ≈ K·N^β, Heaps
+    * 1978) — the curve that says whether more data from a source still
+    * buys new vocabulary or has gone repetitive (β → 0), i.e. the
+    * data-selection signal behind "does another snapshot of this crawl
+    * still help the tokenizer/LM".
+    *
+    * Checkpoints are the interior deciles of the source's doc-id
+    * distribution as EXACT type-7 interpolated percentiles rounded 6dp
+    * (q119's boundary recipe — per-source aggregate state is 9 doubles
+    * after map-side partials, never a rank window), k=10 boundary = max
+    * id. A doc is inside checkpoint k iff id ≤ boundary_k; a token's
+    * first appearance is ONE min-aggregate per (source, token); both
+    * cumulative counts are ≤-joins against the BROADCAST 10-row-per-
+    * source boundary frame. β per source is least squares over the 10
+    * (ln N_k, ln V_k) points — each ln term and product cast to
+    * DECIMAL(28,12) before the order-free exact sums (q212's recipe),
+    * double arithmetic only on the identical-by-construction sums,
+    * round 6 last. */
+  def heapsLaw(docs: DataFrame, textCol: String, srcCol: String,
+               idCol: String): DataFrame = {
+    val qs = (1 to 9).map(_ / 10.0).mkString("array(", ",", ")")
+    // localCheckpoint (q133's precedent): the 10-rows-per-source boundary
+    // frame feeds BOTH <=-joins; without it each join re-runs the corpus
+    // percentile pass
+    val bounds = docs.groupBy(col(srcCol))
+      .agg(expr(s"transform(percentile(cast($idCol as double), $qs), " +
+        "b -> round(b, 6))").as("bs"),
+        max(col(idCol)).cast("double").as("bmax"))
+      .select(col(srcCol),
+        posexplode(concat(col("bs"), array(col("bmax")))))
+      .select(col(srcCol), (col("pos") + 1).cast("long").as("k"),
+        col("col").as("boundary"))
+      .localCheckpoint(true)
+    val docTok = docs.select(col(srcCol), col(idCol),
+      graft.functions.wordTokens(col(textCol)).as("tk"))
+    val docsCum = docTok
+      .select(col(srcCol), col(idCol), size(col("tk")).cast("long")
+        .as("n_tok"))
+      .join(broadcast(bounds), Seq(srcCol))
+      .filter(col(idCol) <= col("boundary"))
+      .groupBy(col(srcCol), col("k"))
+      .agg(count(lit(1)).as("docs_cum"), sum(col("n_tok")).as("tokens_cum"))
+    val vocabCum = docTok
+      .select(col(srcCol), col(idCol), explode(col("tk")).as("tok"))
+      .groupBy(col(srcCol), col("tok"))
+      .agg(min(col(idCol)).as("first_id"))
+      .join(broadcast(bounds), Seq(srcCol))
+      .filter(col("first_id") <= col("boundary"))
+      .groupBy(col(srcCol), col("k"))
+      .agg(count(lit(1)).as("vocab_cum"))
+    // the fit runs as window aggregates over the 10-points-per-source
+    // frame (bounded by the checkpoint count, never corpus-sized) — a
+    // groupBy+rejoin would re-evaluate the whole pts subtree twice
+    val byS = Window.partitionBy(col(srcCol))
+    docsCum.join(vocabCum, Seq(srcCol, "k"))
+      .withColumn("x", log(col("tokens_cum").cast("double")))
+      .withColumn("y", log(col("vocab_cum").cast("double")))
+      .withColumn("n", count(lit(1)).over(byS).cast("double"))
+      .withColumn("sx",
+        sum(col("x").cast("decimal(28,12)")).over(byS).cast("double"))
+      .withColumn("sy",
+        sum(col("y").cast("decimal(28,12)")).over(byS).cast("double"))
+      .withColumn("sxy",
+        sum((col("x") * col("y")).cast("decimal(28,12)")).over(byS)
+          .cast("double"))
+      .withColumn("sxx",
+        sum((col("x") * col("x")).cast("decimal(28,12)")).over(byS)
+          .cast("double"))
+      .select(col(srcCol).as("source"), col("k"), col("docs_cum"),
+        col("tokens_cum"), col("vocab_cum"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("heaps_beta"))
+      .orderBy("source", "k")
+  }
+
+  /** q222 entry: per-source Heaps curve at decile checkpoints over the
+    * documents corpus. */
+  def q222HeapsLaw(spark: SparkSession, dir: String): DataFrame =
+    heapsLaw(t(spark, dir, "documents"), "text", "source", "doc_id")
+
+  // --------------------------------------------------------------- q223
+  /** Tokenizer character-coverage audit per language (SentencePiece's
+    * --character_coverage knob): how many distinct characters a
+    * vocabulary must include to cover 99.9% of character occurrences,
+    * and what the top 32 characters already cover — the numbers that
+    * size a char/byte fallback alphabet before a tokenizer fit (q202's
+    * BPE) and flag scripts the corpus barely contains.
+    *
+    * The rank window runs on the (lang, char) FREQUENCY frame —
+    * alphabet-sized, bounded by the script, never corpus-sized; the
+    * only corpus pass is the char-explode aggregate (map-side
+    * combined). The coverage threshold compares 1000·cum ≥ 999·total in
+    * exact longs — no float boundary. Characters are UTF-16 code units
+    * engine-side and codepoints oracle-side; identical outside the
+    * astral planes (none in any script this measures). */
+  def charCoverage(docs: DataFrame, textCol: String, langCol: String)
+      : DataFrame = {
+    val freq = docs
+      .select(col(langCol).as("lang"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("lang"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("c").desc, col("ch"))
+    freq
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("c")).over(byLang))
+      .groupBy(col("lang"))
+      .agg(max(col("total")).as("total_chars"),
+        max(col("r")).as("distinct_chars"),
+        min(when(col("cum") * 1000L >= col("total") * 999L, col("r")))
+          .as("chars_cover_999"),
+        round(coalesce(max(when(col("r") === 32L, col("cum"))),
+            max(col("total"))).cast("double") /
+          max(col("total")).cast("double"), 6).as("coverage_top32"))
+      .orderBy("lang")
+  }
+
+  /** q223 entry: per-language character coverage of the documents
+    * corpus. */
+  def q223CharCoverage(spark: SparkSession, dir: String): DataFrame =
+    charCoverage(t(spark, dir, "documents"), "text", "lang")
+
   // ---------------------------------------------------------------- q63
   /** Bloom-prefiltered decontamination against a pseudo-benchmark (every
     * 97th document), bigrams, ≥5 shared. Output is exactly the exact-join
@@ -1076,9 +1300,138 @@ object Corpus {
     "q56_stratified_sample" -> q56StratifiedSample _,
     "q57_corpus_mix" -> q57CorpusMix _,
     "q206_token_waterfill" -> q206TokenWaterfill _,
-    "q212_temperature_mix" -> q212TemperatureMix _)
+    "q212_temperature_mix" -> q212TemperatureMix _,
+    "q220_epoch_shuffle" -> q220EpochShuffle _,
+    "q222_heaps_law" -> q222HeapsLaw _,
+    "q223_char_coverage" -> q223CharCoverage _,
+    "q224_shard_manifest" -> q224ShardManifest _)
 
   val oracle: Map[String, String] = Map(
+    // q220: md5 hex strings are identical cross-engine, the 2-hex-digit
+    // shard value is replayed as nibble arithmetic (strpos into the hex
+    // alphabet), and (h, doc_id) is a total order — hash-exact.
+    "q220_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |         ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |         % 64 AS shard
+        |  FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |                               ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    // q224: same shard arithmetic as q220; token counts via the shared
+    // tokenizer recipe; offset/balance replayed over the 64-row frame
+    // (integer sums, one double divide, round 6).
+    "q224_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(
+        |           string_split_regex(lower(text), '\W+'),
+        |           t -> len(t) > 0)) AS BIGINT) AS n_tok,
+        |         md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT n_tok,
+        |         ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |         % 64 AS shard
+        |  FROM d),
+        |per AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM s GROUP BY 1)
+        |SELECT shard, n_docs, n_tokens,
+        |       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shard
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS token_offset,
+        |       round(CAST(n_tokens AS DOUBLE) * 64 /
+        |             CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS balance
+        |FROM per ORDER BY shard""".stripMargin,
+    // q222: boundaries replayed via quantile_cont (type-7, q119's
+    // precedent) rounded 6dp; cumulative counts are the same <=-joins;
+    // the fit's ln terms and products go through DECIMAL(28,12) exact
+    // sums so the final double arithmetic sees identical operands.
+    "q222_heaps_law" ->
+      """WITH bd AS (
+        |  SELECT source,
+        |         list_transform(
+        |           quantile_cont(CAST(doc_id AS DOUBLE),
+        |             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |           b -> round(b, 6))
+        |         || [CAST(MAX(doc_id) AS DOUBLE)] AS bs
+        |  FROM documents GROUP BY 1),
+        |ck AS (
+        |  SELECT source, CAST(k AS BIGINT) AS k, bs[CAST(k AS INT)] AS boundary
+        |  FROM bd, range(1, 11) r(k)),
+        |dt AS (
+        |  SELECT source, doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |dc AS (
+        |  SELECT d.source, c.k, COUNT(*) AS docs_cum,
+        |         CAST(SUM(len(d.tk)) AS BIGINT) AS tokens_cum
+        |  FROM dt d JOIN ck c ON d.source = c.source
+        |                     AND d.doc_id <= c.boundary
+        |  GROUP BY 1, 2),
+        |tm AS (
+        |  SELECT source, tok, MIN(doc_id) AS first_id
+        |  FROM (SELECT source, doc_id, unnest(tk) AS tok FROM dt)
+        |  GROUP BY 1, 2),
+        |vc AS (
+        |  SELECT t.source, c.k, COUNT(*) AS vocab_cum
+        |  FROM tm t JOIN ck c ON t.source = c.source
+        |                     AND t.first_id <= c.boundary
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT d.source, d.k, d.docs_cum, d.tokens_cum, v.vocab_cum,
+        |         ln(CAST(d.tokens_cum AS DOUBLE)) AS x,
+        |         ln(CAST(v.vocab_cum AS DOUBLE)) AS y
+        |  FROM dc d JOIN vc v ON d.source = v.source AND d.k = v.k),
+        |fit AS (
+        |  SELECT source,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT p.source, p.k, p.docs_cum, p.tokens_cum, p.vocab_cum,
+        |       round((f.n * f.sxy - f.sx * f.sy) /
+        |             (f.n * f.sxx - f.sx * f.sx), 6) AS heaps_beta
+        |FROM pts p JOIN fit f USING (source)
+        |ORDER BY source, k""".stripMargin,
+    // q223: char frequencies via string_split(text,'') (q85's recipe);
+    // the 99.9% threshold is exact-integer (1000*cum >= 999*total).
+    "q223_char_coverage" ->
+      """WITH cs AS (
+        |  SELECT lang, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, ch, COUNT(*) AS c FROM cs
+        |  WHERE len(ch) > 0 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, c,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |                ORDER BY c DESC, ch) AS BIGINT) AS r,
+        |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, ch
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM f)
+        |SELECT lang, MAX(total) AS total_chars, MAX(r) AS distinct_chars,
+        |       MIN(CASE WHEN cum * 1000 >= total * 999 THEN r END)
+        |         AS chars_cover_999,
+        |       round(CAST(COALESCE(MAX(CASE WHEN r = 32 THEN cum END),
+        |                           MAX(total)) AS DOUBLE)
+        |             / CAST(MAX(total) AS DOUBLE), 6) AS coverage_top32
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // q212: sqrt is IEEE-correctly-rounded (hence bit-equal), the √n
     // terms round to DECIMAL(28,12) before the exact sum, and every
     // divide sees identical operands — the whole frame is hash-exact

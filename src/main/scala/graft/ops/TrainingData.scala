@@ -685,6 +685,46 @@ object TrainingData {
   def q209ChunkDedupRebuild(spark: SparkSession, dir: String): DataFrame =
     dedupChunksRebuild(t(spark, dir, "documents"))
 
+  // --------------------------------------------------------------- q221
+  /** N-gram novelty rate per document in ingest (doc-id) order: the
+    * fraction of a document's distinct 5-gram shingles never seen in
+    * any earlier document — the marginal-content curve behind "is this
+    * crawl slice still adding anything". Novelty ≈ 0 flags a document
+    * assembled entirely from seen text even when no single pairwise
+    * near-dup fires, complementing q123's incremental pair dedup and
+    * q222's source-level Heaps curve with a per-document signal.
+    *
+    * Scale shape: shingles travel as xxhash64 longs (q63/q207's
+    * contract — counts identical barring 64-bit collisions, which the
+    * text-shingled oracle bounds at ~(Σ distinct shingles)²/2⁶⁴ — and
+    * the hashes never leave the shuffle). First appearance is ONE
+    * min-aggregate keyed by hash, per-document totals ONE count keyed
+    * by id, and the two doc-keyed frames join id-to-id — the
+    * corpus-pair fan-out a naive gram-keyed self-join would do never
+    * happens. Documents shorter than n tokens contribute their whole
+    * token sequence as ONE truncated gram (q33's shingler contract;
+    * the oracle replays it), and empty documents drop out. */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 5): DataFrame = {
+    val grams = Dedup.shingles(docs, textCol, n)
+      .select(col(idCol), explode(col("shingles")).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("g"))
+    val novel = grams.groupBy(col("g")).agg(min(col(idCol)).as("first_id"))
+      .groupBy(col("first_id")).agg(count(lit(1)).as("nn"))
+    grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(novel, col(idCol) === col("first_id"), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .orderBy(idCol)
+  }
+
+  /** q221 entry: 5-gram novelty over the documents corpus. */
+  def q221NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(t(spark, dir, "documents"), "text", "doc_id")
+
   // --------------------------------------------------------------- q210
   /** Retrieval-quality evaluation with planted ground truth: the eval
     * harness every retrieval stack runs before shipping an index. A
@@ -1509,6 +1549,7 @@ object TrainingData {
     "q207_duplicated_spans" -> q207DuplicatedSpans _,
     "q208_winnow_pairs" -> q208WinnowPairs _,
     "q209_chunk_dedup_rebuild" -> q209ChunkDedupRebuild _,
+    "q221_ngram_novelty" -> q221NgramNovelty _,
     "q210_retrieval_eval" -> q210RetrievalEval _,
     "q211_naive_bayes" -> q211NaiveBayes _,
     "q213_classifier_auc" -> q213ClassifierAuc _,
@@ -2201,6 +2242,33 @@ object TrainingData {
         |WHERE CAST(p.common AS DOUBLE)
         |        / (sa.n_grams + sb.n_grams - p.common) >= 0.05
         |ORDER BY corpus_id, fresh_id""".stripMargin,
+    // q221: engine mins over xxhash64(gram), oracle over the gram text
+    // (q63/q207 precedent); greatest(len-4,1) replays the engine's
+    // truncated whole-doc gram for docs under n tokens (q33's contract).
+    "q221_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 4, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+4], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |fst AS (SELECT gram, MIN(doc_id) AS first_id FROM grams GROUP BY 1),
+        |novel AS (SELECT first_id AS doc_id, COUNT(*) AS n_novel
+        |          FROM fst GROUP BY 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM grams GROUP BY 1)
+        |SELECT t.doc_id, t.n_shingles,
+        |       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |       round(CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+        |             / CAST(t.n_shingles AS DOUBLE), 6) AS novelty
+        |FROM tot t LEFT JOIN novel n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q33_dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,

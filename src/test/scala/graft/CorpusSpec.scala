@@ -759,4 +759,117 @@ class CorpusSpec extends AnyFunSuite {
       s"unknown must decode to the replacement char: $decoded")
     assert(decoded != "alpha x7")
   }
+
+  test("epochShuffle: positions are a 1..size permutation per shard, " +
+      "replays are identical, re-seeding reorders") {
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+    val a = Corpus.epochShuffle(docs, "doc_id", "epoch-0", 64, 2).collect()
+    assert(a.length == 500)
+    a.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not 1..n: ${ps.take(5).toSeq}")
+    }
+    val b = Corpus.epochShuffle(docs, "doc_id", "epoch-0", 64, 2).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "same seed must replay byte-identically")
+    val c = Corpus.epochShuffle(docs, "doc_id", "epoch-1", 64, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val moved = a.count(r =>
+      c(r.getLong(0)) != ((r.getLong(1), r.getLong(2))))
+    assert(moved > 400, s"re-seeding must reshuffle; only $moved moved")
+  }
+
+  test("epochShuffle: shard-space headroom guard binds") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.epochShuffle(docs, "doc_id", "s", nShards = 100, hexDigits = 1)
+    }
+    assert(e.getMessage.contains("cannot spread"), e.getMessage)
+  }
+
+  test("shardManifest: offsets telescope, totals reconcile with q212's " +
+      "token count, balance is tight under md5 sharding") {
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+    val m = Corpus.shardManifest(docs, "doc_id", "text", "epoch-0", 64, 2)
+      .collect()
+    assert(m.map(_.getLong(1)).sum == 500)
+    // offset(k) = offset(k-1) + tokens(k-1) exactly, first offset 0
+    assert(m.head.getLong(3) == 0L)
+    m.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getLong(3) == p.getLong(3) + p.getLong(2),
+        s"offset break at shard ${n.getLong(0)}")
+    }
+    val total = m.map(_.getLong(2)).sum
+    val exp = docs.select(
+      sum(size(graft.functions.wordTokens(col("text"))).cast("long")))
+      .head.getLong(0)
+    assert(total == exp, s"token total $total != corpus $exp")
+    // no empty or >3x-mean shard on this corpus
+    assert(m.forall(r => r.getDouble(4) > 0 && r.getDouble(4) < 3.0),
+      m.map(_.getDouble(4)).mkString(","))
+  }
+
+  test("heapsLaw: cumulative columns are monotone per source, the final " +
+      "checkpoint covers the whole source, beta in (0,1]") {
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+    val rows = Corpus.heapsLaw(docs, "text", "source", "doc_id").collect()
+    assert(rows.length == 200, s"20 sources x 10 checkpoints: ${rows.length}")
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val byK = rs.sortBy(_.getLong(1))
+      Seq(2, 3, 4).foreach { i => // docs_cum, tokens_cum, vocab_cum
+        val v = byK.map(_.getLong(i))
+        assert(v.zip(v.tail).forall { case (x, y) => x <= y },
+          s"$src col$i not monotone: ${v.toSeq}")
+      }
+      // a saturated source (full vocab by the first checkpoint) fits a
+      // legitimate slope of 0; monotone points can never fit negative
+      val beta = byK.head.getDouble(5)
+      assert(beta >= 0 && beta <= 1.0, s"$src beta=$beta")
+      val nDocs = docs.filter(col("source") === src).count()
+      assert(byK.last.getLong(2) == nDocs,
+        s"$src k=10 must cover all $nDocs docs")
+    }
+  }
+
+  test("charCoverage: thresholds nest (cover_999 <= distinct), top-32 " +
+      "share in (0,1], totals reconcile with text length") {
+    val docs = graft.sources.TableCatalog
+      .load(spark, TestSpark.sfDir, "documents")
+    val rows = Corpus.charCoverage(docs, "text", "lang").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        s"${r.getString(0)}: cover_999 ${r.getLong(3)} > distinct")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0, r.toString)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val exp = docs.select(sum(length(col("text")).cast("long")))
+      .head.getLong(0)
+    assert(total == exp, s"char total $total != corpus $exp")
+  }
+
+  test("ngramNovelty: first doc fully novel, exact duplicate fully " +
+      "stale, sub-n docs carry one truncated gram (q33's contract)") {
+    import graft.ops.TrainingData
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "eta theta iota kappa lambda"),          // disjoint
+      (4L, "tiny doc"),                             // < 5 tokens
+      (5L, "")                                      // no tokens: drops
+    ).toDF("doc_id", "text")
+    val out = TrainingData.ngramNovelty(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), out.toString)
+    assert(out(1L) == ((2L, 2L, 1.0)), out.toString) // 2 distinct 5-grams
+    assert(out(2L) == ((2L, 0L, 0.0)), out.toString)
+    assert(out(3L) == ((1L, 1L, 1.0)), out.toString)
+    assert(out(4L) == ((1L, 1L, 1.0)), out.toString) // whole-doc gram
+  }
 }

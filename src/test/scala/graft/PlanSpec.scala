@@ -781,4 +781,51 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must scan once:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q220 epoch shuffle: id-only pruned scan, ONE hash shuffle (the " +
+      "shard exchange) before the rank window") {
+    val p = finalPlan("q220_epoch_shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must prune to the id column:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the shard exchange may hash-shuffle:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q221 ngram novelty: hash-keyed aggregates only — no gram-keyed " +
+      "join, doc-keyed frames broadcast") {
+    val p = finalPlan("q221_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      s"the doc-keyed join must broadcast, and no gram-keyed pair join " +
+        s"may exist:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q222 heaps law: boundary frame broadcasts into both <=-joins; " +
+      "fit windows run post-aggregate") {
+    val p = finalPlan("q222_heaps_law")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both cumulative counts must broadcast the boundaries:\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q223 char coverage: one corpus scan into the frequency " +
+      "aggregate; rank windows on the alphabet frame only") {
+    val p = finalPlan("q223_char_coverage")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"corpus must scan once:\n${p.take(3000)}")
+    assert(!p.contains("Join"),
+      s"coverage is aggregate+window only:\n${p.take(3000)}")
+  }
+
+  test("q224 shard manifest: join-free — one fused-tokenize aggregate, " +
+      "then the nShards-row dimension frame") {
+    val p = finalPlan("q224_shard_manifest")
+    assert(!p.contains("Join"),
+      s"the manifest needs no join:\n${p.take(3000)}")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"corpus must scan once:\n${p.take(3000)}")
+  }
 }
