@@ -801,6 +801,113 @@ object Corpus {
   def q223CharCoverage(spark: SparkSession, dir: String): DataFrame =
     charCoverage(t(spark, dir, "documents"), "text", "lang")
 
+  // --------------------------------------------------------------- q225
+  /** Packing audit: the split-vs-pad tradeoff at candidate context
+    * lengths. GPT-style stream packing (concat in order, cut every L
+    * tokens — q53's layout) wastes zero padding but SPLITS documents at
+    * sequence boundaries; one-doc-per-sequence padding never splits but
+    * wastes L−(n mod L) per document. For each candidate L this emits
+    * both costs — the numbers that pick a training run's context length
+    * and decide whether cross-document attention masking is needed.
+    *
+    * All-integer off ONE cumulative layout pass: a document occupying
+    * token interval [cum−n, cum) splits ⌊(cum−1) div L⌋ −
+    * ⌊(cum−n) div L⌋ times; no-pack padding waste is L·⌈n/L⌉ − n. Every
+    * candidate L profiles in the SAME scan via a stacked explode (q190's
+    * all-candidates-one-pass shape). The layout window carries q53's
+    * scale contract: a single global running sum is one
+    * range-partitioned window — pass `groupCol` there to pack (and
+    * audit) independently per group at 100 TB. */
+  def packingAudit(toks: DataFrame, idCol: String, tokCol: String,
+                   lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ > 0),
+      s"packingAudit: positive candidate lengths required, got $lengths")
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.filter(col(tokCol) > 0)
+      .withColumn("cum", sum(col(tokCol)).over(w))
+      .select(col(tokCol).cast("long").as("n"), col("cum"),
+        explode(array(lengths.map(l => lit(l.toLong)): _*)).as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(when(expr("(cum - 1) div len") =!= expr("(cum - n) div len"),
+          lit(1L)).otherwise(lit(0L))).as("split_docs"),
+        sum(expr("(cum - 1) div len") - expr("(cum - n) div len"))
+          .as("boundary_crossings"),
+        sum(expr("len * ((n + len - 1) div len) - n")).as("pad_waste"))
+      .select(col("len"), col("n_docs"), col("total_tokens"),
+        expr("(total_tokens + len - 1) div len").as("n_seq_packed"),
+        col("split_docs"),
+        round(col("split_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("frac_docs_split"),
+        col("boundary_crossings"), col("pad_waste"),
+        round(col("pad_waste").cast("double") /
+          (col("pad_waste") + col("total_tokens")).cast("double"), 6)
+          .as("pad_waste_frac"))
+      .orderBy("len")
+  }
+
+  /** q225 entry: audit of q53's BPE-ish token layout at context lengths
+    * 512 / 1024 / 2048. */
+  def q225PackingAudit(spark: SparkSession, dir: String): DataFrame =
+    packingAudit(
+      t(spark, dir, "documents").select(col("doc_id"),
+        Text.tokenCountBpe(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", Seq(512, 1024, 2048))
+
+  // --------------------------------------------------------------- q226
+  /** Per-benchmark-item contamination report — q54 flipped to the eval
+    * side: for every benchmark document, HOW MANY corpus documents leak
+    * into it (share ≥ minOverlap distinct n-gram shingles), the worst
+    * overlap, and the top offender (ties to the smaller corpus id via
+    * q86's min-struct argmax, no window). q54 answers "which training
+    * docs must go"; this answers "which eval items are compromised and
+    * by what" — the report an eval owner signs off on.
+    *
+    * Scale shape: the benchmark side is small by definition and its
+    * gram set BROADCASTS into the corpus gram scan; candidate volume is
+    * corpus-gram matches × benchmark df, never corpus². n = 5 keeps
+    * boilerplate grams out of the index (longer shingles are rarer —
+    * the GPT-3 13-gram-decontamination rationale at this corpus's
+    * document length). Clean items stay in the report with zero
+    * offenders (left join from the benchmark id frame). */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          textCol: String, idCol: String, n: Int = 5,
+                          minOverlap: Int = 2): DataFrame = {
+    val cg = Dedup.shingles(corpus, textCol, n)
+      .select(col(idCol).as("corpus_id"), explode(col("shingles")).as("gram"))
+    val bg = Dedup.shingles(bench, textCol, n)
+      .select(col(idCol).as("bench_id"), explode(col("shingles")).as("gram"))
+    val offenders = cg.join(broadcast(bg), "gram")
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minOverlap)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_offenders"),
+        max(col("shared")).as("max_shared"),
+        min(struct((-col("shared")).as("ns"),
+          col("corpus_id").as("cid"))).as("m"))
+      .select(col("bench_id"), col("n_offenders"), col("max_shared"),
+        col("m.cid").as("top_offender"))
+    bench.select(col(idCol).as("bench_id"))
+      .join(offenders, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_offenders"), lit(0L)).as("n_offenders"),
+        col("max_shared"), col("top_offender"))
+      .orderBy("bench_id")
+  }
+
+  /** q226 entry: every 101st document as the pseudo-benchmark (q54's
+    * convention), 5-gram shingles, ≥2 shared. */
+  def q226ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    contaminationReport(
+      docs.filter(col("doc_id") % 101 =!= 0),
+      docs.filter(col("doc_id") % 101 === 0),
+      "text", "doc_id")
+  }
+
   // ---------------------------------------------------------------- q63
   /** Bloom-prefiltered decontamination against a pseudo-benchmark (every
     * 97th document), bigrams, ≥5 shared. Output is exactly the exact-join
@@ -1304,9 +1411,81 @@ object Corpus {
     "q220_epoch_shuffle" -> q220EpochShuffle _,
     "q222_heaps_law" -> q222HeapsLaw _,
     "q223_char_coverage" -> q223CharCoverage _,
-    "q224_shard_manifest" -> q224ShardManifest _)
+    "q224_shard_manifest" -> q224ShardManifest _,
+    "q225_packing_audit" -> q225PackingAudit _,
+    "q226_contamination_report" -> q226ContaminationReport _)
 
   val oracle: Map[String, String] = Map(
+    // q225: the layout cumsum and every div/ceil term are exact integers
+    // (DuckDB // == Spark div on the nonnegative operands here); only
+    // the two fraction columns divide, after round 6.
+    "q225_packing_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(LEN(regexp_extract_all(text,
+        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        |laid AS (
+        |  SELECT n, SUM(n) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks WHERE n > 0),
+        |x AS (
+        |  SELECT CAST(len AS BIGINT) AS len, n, cum
+        |  FROM laid, (VALUES (512), (1024), (2048)) ls(len)),
+        |agg AS (
+        |  SELECT len, COUNT(*) AS n_docs,
+        |         CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |         CAST(SUM(CASE WHEN (cum - 1) // len <> (cum - n) // len
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+        |         CAST(SUM((cum - 1) // len - (cum - n) // len) AS BIGINT)
+        |           AS boundary_crossings,
+        |         CAST(SUM(len * ((n + len - 1) // len) - n) AS BIGINT)
+        |           AS pad_waste
+        |  FROM x GROUP BY 1)
+        |SELECT len, n_docs, total_tokens,
+        |       (total_tokens + len - 1) // len AS n_seq_packed,
+        |       split_docs,
+        |       round(CAST(split_docs AS DOUBLE) / n_docs, 6)
+        |         AS frac_docs_split,
+        |       boundary_crossings, pad_waste,
+        |       round(CAST(pad_waste AS DOUBLE) /
+        |             CAST(pad_waste + total_tokens AS DOUBLE), 6)
+        |         AS pad_waste_frac
+        |FROM agg ORDER BY len""".stripMargin,
+    // q226: 5-gram shingles via the shared tokenizer recipe; the
+    // min-struct argmax replays as array_agg ORDER BY (shared DESC, id).
+    "q226_contamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(
+        |             list_transform(range(1, greatest(len(tk) - 4, 1) + 1),
+        |                  i -> array_to_string(tk[i:i+4], ' ')),
+        |             g -> len(g) > 0)) AS gram
+        |    FROM toks)),
+        |pairs AS (
+        |  SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
+        |         COUNT(*) AS shared
+        |  FROM grams c JOIN grams b USING (gram)
+        |  WHERE c.doc_id % 101 <> 0 AND b.doc_id % 101 = 0
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |off AS (
+        |  SELECT bench_id, COUNT(*) AS n_offenders,
+        |         MAX(shared) AS max_shared,
+        |         (array_agg(corpus_id ORDER BY shared DESC, corpus_id))[1]
+        |           AS top_offender
+        |  FROM pairs GROUP BY 1)
+        |SELECT d.doc_id AS bench_id,
+        |       CAST(COALESCE(o.n_offenders, 0) AS BIGINT) AS n_offenders,
+        |       o.max_shared, o.top_offender
+        |FROM documents d LEFT JOIN off o ON d.doc_id = o.bench_id
+        |WHERE d.doc_id % 101 = 0
+        |ORDER BY bench_id""".stripMargin,
     // q220: md5 hex strings are identical cross-engine, the 2-hex-digit
     // shard value is replayed as nibble arithmetic (strpos into the hex
     // alphabet), and (h, doc_id) is a total order — hash-exact.

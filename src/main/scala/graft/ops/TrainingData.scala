@@ -725,6 +725,51 @@ object TrainingData {
   def q221NgramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNovelty(t(spark, dir, "documents"), "text", "doc_id")
 
+  // --------------------------------------------------------------- q227
+  /** Prefix-cache savings estimator: how many tokens of serving-time
+    * prefill a KV-cache with prefix reuse would skip, per source. Two
+    * requests sharing their first k tokens recompute nothing past the
+    * cached prefix, so for every group of documents with an identical
+    * k-token prefix the cache saves (group size − 1)·k tokens — the
+    * standard back-of-envelope for prompt-caching ROI, run over the
+    * corpus standing in for a request log (shared instruction
+    * boilerplate ⇒ high savings; organic text ⇒ near zero).
+    *
+    * Scale shape: ONE corpus pass — a pure projection computes md5 of
+    * the k-token prefix (fixed 32-char key; the prefix text itself
+    * never shuffles, q164's digest-key precedent) into a single
+    * (source, prefix) aggregate carrying doc and token counts;
+    * sub-k-token documents share the NULL prefix group (they cannot
+    * seed a k-token cache line — the oracle replays the rule) so the
+    * per-source rollup needs no second scan and no join. */
+  def prefixCacheShare(docs: DataFrame, textCol: String, idCol: String,
+                       srcCol: String, k: Int = 16): DataFrame = {
+    require(k > 0, s"prefixCacheShare: k must be positive, got $k")
+    val tk = graft.functions.wordTokens(col(textCol))
+    docs.select(col(srcCol).as("source"),
+        size(tk).cast("long").as("n_tok"),
+        when(size(tk) >= k, md5(array_join(slice(tk, 1, k), " ")))
+          .as("pfx"))
+      .groupBy(col("source"), col("pfx"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tok")).as("st"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("st")).as("n_tokens"),
+        count(col("pfx")).as("n_prefixes"),
+        sum(when(col("pfx").isNotNull && col("c") > 1, col("c") - 1)
+          .otherwise(lit(0L))).as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_prefixes"), col("dup_docs"),
+        (col("dup_docs") * k).as("cacheable_tokens"),
+        round((col("dup_docs") * k).cast("double") /
+          col("n_tokens").cast("double"), 6).as("savings_frac"))
+      .orderBy("source")
+  }
+
+  /** q227 entry: 16-token prefix-cache savings per source. */
+  def q227PrefixCacheShare(spark: SparkSession, dir: String): DataFrame =
+    prefixCacheShare(t(spark, dir, "documents"), "text", "doc_id", "source")
+
   // --------------------------------------------------------------- q210
   /** Retrieval-quality evaluation with planted ground truth: the eval
     * harness every retrieval stack runs before shipping an index. A
@@ -1550,6 +1595,7 @@ object TrainingData {
     "q208_winnow_pairs" -> q208WinnowPairs _,
     "q209_chunk_dedup_rebuild" -> q209ChunkDedupRebuild _,
     "q221_ngram_novelty" -> q221NgramNovelty _,
+    "q227_prefix_cache_share" -> q227PrefixCacheShare _,
     "q210_retrieval_eval" -> q210RetrievalEval _,
     "q211_naive_bayes" -> q211NaiveBayes _,
     "q213_classifier_auc" -> q213ClassifierAuc _,
@@ -2242,6 +2288,37 @@ object TrainingData {
         |WHERE CAST(p.common AS DOUBLE)
         |        / (sa.n_grams + sb.n_grams - p.common) >= 0.05
         |ORDER BY corpus_id, fresh_id""".stripMargin,
+    // q227: md5 prefix keys are replayed verbatim; docs under k tokens
+    // count toward totals only (pfx NULL both sides).
+    "q227_prefix_cache_share" ->
+      """WITH base AS (
+        |  SELECT source,
+        |         CAST(len(tk) AS BIGINT) AS n_tok,
+        |         CASE WHEN len(tk) >= 16
+        |              THEN md5(array_to_string(tk[1:16], ' ')) END AS pfx
+        |  FROM (SELECT source,
+        |               list_filter(string_split_regex(lower(text), '\W+'),
+        |                           t -> len(t) > 0) AS tk
+        |        FROM documents)),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n_prefixes,
+        |         CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+        |           AS dup_docs
+        |  FROM (SELECT source, pfx, COUNT(*) AS c FROM base
+        |        WHERE pfx IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM base GROUP BY 1)
+        |SELECT t.source, t.n_docs, t.n_tokens,
+        |       CAST(COALESCE(g.n_prefixes, 0) AS BIGINT) AS n_prefixes,
+        |       COALESCE(g.dup_docs, 0) AS dup_docs,
+        |       COALESCE(g.dup_docs, 0) * 16 AS cacheable_tokens,
+        |       round(CAST(COALESCE(g.dup_docs, 0) * 16 AS DOUBLE) /
+        |             CAST(t.n_tokens AS DOUBLE), 6) AS savings_frac
+        |FROM tot t LEFT JOIN g USING (source)
+        |ORDER BY t.source""".stripMargin,
     // q221: engine mins over xxhash64(gram), oracle over the gram text
     // (q63/q207 precedent); greatest(len-4,1) replays the engine's
     // truncated whole-doc gram for docs under n tokens (q33's contract).

@@ -872,4 +872,64 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, 1.0)), out.toString)
     assert(out(4L) == ((1L, 1L, 1.0)), out.toString) // whole-doc gram
   }
+
+  test("packingAudit: hand-computed splits, crossings and pad waste at " +
+      "L=4 over a 3-doc layout") {
+    // n = [3, 4, 2] -> cum = [3, 7, 9]; intervals [0,3) [3,7) [7,9)
+    val toks = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 0L))
+      .toDF("doc_id", "n_tokens") // the 0-token doc must drop
+    val r = Corpus.packingAudit(toks, "doc_id", "n_tokens", Seq(4))
+      .collect()
+    assert(r.length == 1)
+    val m = r.head
+    assert(m.getLong(1) == 3, s"n_docs: $m")
+    assert(m.getLong(2) == 9, s"total: $m")
+    assert(m.getLong(3) == 3, s"n_seq = ceil(9/4): $m")
+    assert(m.getLong(4) == 2, s"docs 2,3 split: $m")
+    assert(m.getDouble(5) == 0.666667, s"frac split: $m")
+    assert(m.getLong(6) == 2, s"crossings: $m")
+    assert(m.getLong(7) == 3, s"pad waste 1+0+2: $m")
+    assert(m.getDouble(8) == 0.25, s"3/(3+9): $m")
+  }
+
+  test("contaminationReport: leaky item attributed to the worst " +
+      "offender (ties to smaller id), clean item reports zero") {
+    val five = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (1L, five + " one two three"),    // shares the 5-gram with bench 10
+      (2L, five + " four five six"),    // same overlap as doc 1 -> tie
+      (3L, "unrelated words only here entirely")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, five + " zeta eta"),
+      (20L, "pristine evaluation item nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Corpus.contaminationReport(corpus, bench, "text", "doc_id",
+        n = 5, minOverlap = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getLong(1) == 2, out(10L).toString) // docs 1 and 2
+    assert(out(10L).getLong(2) == 1, out(10L).toString) // 1 shared gram
+    assert(out(10L).getLong(3) == 1L,
+      s"tie must resolve to the smaller corpus id: ${out(10L)}")
+    assert(out(20L).getLong(1) == 0, out(20L).toString)
+    assert(out(20L).isNullAt(2) && out(20L).isNullAt(3),
+      s"clean item carries null overlap/offender: ${out(20L)}")
+  }
+
+  test("prefixCacheShare: shared prefix counted once per extra doc, " +
+      "short docs only in totals") {
+    import graft.ops.TrainingData
+    val docs = Seq(
+      (1L, "s", "a b x"), (2L, "s", "a b y"),   // share the 2-token prefix
+      (3L, "s", "c d"), (4L, "s", "e")          // lone prefix; sub-k doc
+    ).toDF("doc_id", "source", "text")
+    val r = TrainingData.prefixCacheShare(docs, "text", "doc_id",
+      "source", k = 2).collect()
+    assert(r.length == 1)
+    val m = r.head
+    assert(m.getLong(1) == 4 && m.getLong(2) == 9, m.toString)
+    assert(m.getLong(3) == 2, s"prefixes 'a b' and 'c d': $m")
+    assert(m.getLong(4) == 1 && m.getLong(5) == 2, m.toString)
+    assert(m.getDouble(6) == 0.222222, m.toString)
+  }
 }

@@ -828,4 +828,29 @@ class PlanSpec extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(p).size == 1,
       s"corpus must scan once:\n${p.take(3000)}")
   }
+
+  test("q225 packing audit: one corpus scan, every candidate length " +
+      "profiled in the same pass, no join") {
+    val p = finalPlan("q225_packing_audit")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"corpus must scan once for ALL candidate lengths:\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"audit is scan+window+agg:\n${p.take(3000)}")
+  }
+
+  test("q226 contamination report: benchmark grams broadcast into the " +
+      "corpus gram scan; no cartesian") {
+    val p = finalPlan("q226_contamination_report")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench side must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q227 prefix cache: ONE corpus scan into the prefix aggregate — " +
+      "no join, no window") {
+    val p = finalPlan("q227_prefix_cache_share")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"corpus must scan once:\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window "),
+      s"rollup is two stacked aggregates:\n${p.take(3000)}")
+  }
 }
