@@ -33,7 +33,10 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     qids.foreach { q =>
       println(s"\n========== $q ==========")
-      SparkEntry.queries.get(q) match {
+      // benchForm first: for envelope-audited queries (q70, the ANN
+      // family) the production projection is the plan worth auditing,
+      // not the registered form's brute-force reference side
+      SparkEntry.benchForm.get(q).orElse(SparkEntry.queries.get(q)) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
         case None => println(s"unknown qid: $q")
       }

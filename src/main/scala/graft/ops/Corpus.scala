@@ -898,13 +898,15 @@ object Corpus {
       .orderBy("bench_id")
   }
 
-  /** q226 entry: every 101st document as the pseudo-benchmark (q54's
-    * convention), 5-gram shingles, ≥2 shared. */
+  /** q226 entry: a FIXED-SIZE pseudo-benchmark — every 101st document
+    * below id 5050 (≤ 50 items at any scale, q216's fixed-probe
+    * contract) — so the broadcast gram set honors the function's
+    * small-by-definition benchmark assumption instead of growing with
+    * the corpus; everything else is the corpus side. */
   def q226ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    contaminationReport(
-      docs.filter(col("doc_id") % 101 =!= 0),
-      docs.filter(col("doc_id") % 101 === 0),
+    val isBench = col("doc_id") % 101 === 0 && col("doc_id") < 5050L
+    contaminationReport(docs.filter(!isBench), docs.filter(isBench),
       "text", "doc_id")
   }
 
@@ -1472,7 +1474,8 @@ object Corpus {
         |  SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
         |         COUNT(*) AS shared
         |  FROM grams c JOIN grams b USING (gram)
-        |  WHERE c.doc_id % 101 <> 0 AND b.doc_id % 101 = 0
+        |  WHERE NOT (c.doc_id % 101 = 0 AND c.doc_id < 5050)
+        |    AND b.doc_id % 101 = 0 AND b.doc_id < 5050
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |off AS (
         |  SELECT bench_id, COUNT(*) AS n_offenders,
@@ -1484,7 +1487,7 @@ object Corpus {
         |       CAST(COALESCE(o.n_offenders, 0) AS BIGINT) AS n_offenders,
         |       o.max_shared, o.top_offender
         |FROM documents d LEFT JOIN off o ON d.doc_id = o.bench_id
-        |WHERE d.doc_id % 101 = 0
+        |WHERE d.doc_id % 101 = 0 AND d.doc_id < 5050
         |ORDER BY bench_id""".stripMargin,
     // q220: md5 hex strings are identical cross-engine, the 2-hex-digit
     // shard value is replayed as nibble arithmetic (strpos into the hex

@@ -706,9 +706,13 @@ object TrainingData {
     * the oracle replays it), and empty documents drop out. */
   def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 5): DataFrame = {
+    // persisted: the narrow (id, 8-byte hash) frame feeds BOTH aggregates
+    // below — without it the tokenize+shingle+hash corpus scan runs twice
+    // (the minhashNearDupPairs precedent; harness releases the persist)
     val grams = Dedup.shingles(docs, textCol, n)
       .select(col(idCol), explode(col("shingles")).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("g"))
+      .persist()
     val novel = grams.groupBy(col("g")).agg(min(col(idCol)).as("first_id"))
       .groupBy(col("first_id")).agg(count(lit(1)).as("nn"))
     grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
@@ -1296,9 +1300,12 @@ object TrainingData {
     val oov = mapped.filter(col("in_v").isNull)
       .groupBy(col("clazz")).agg(sum(col("cnt")).as("oov"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val collected = cnt.collect()
     // model vocabulary size: fitted types + the OOV bucket iff it holds
-    // mass (unbound cap → identical to the uncapped Laplace denominator)
-    val vFitted = cnt.select(col("tok")).distinct().count()
+    // mass (unbound cap → identical to the uncapped Laplace denominator);
+    // derived from the already-collected rows — a distinct().count()
+    // here would re-execute the whole fit subtree as an extra job
+    val vFitted = collected.iterator.map(_.getString(1)).toSet.size.toLong
     val v = vFitted + (if (oov.nonEmpty) 1L else 0L)
     val nTotal = docs.count()
     val classRows = docs.groupBy(col(classCol).as("clazz"))
@@ -1306,7 +1313,7 @@ object TrainingData {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val tot = rawCnt.groupBy(col("clazz")).agg(sum(col("cnt")).as("tot"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val byClass = cnt.collect()
+    val byClass = collected
       .groupBy(_.getString(0))
     classRows.keys.toSeq.sorted.map { c =>
       val den = tot.getOrElse(c, 0L) + v
@@ -1798,7 +1805,13 @@ object TrainingData {
         |FROM r ORDER BY probe_id""".stripMargin,
     // q211: the naive-Bayes fit/score replayed — same Laplace tree, same
     // DECIMAL(28,12) log-likelihood sums, argmax as row_number (score
-    // DESC, class ASC) ≡ the engine's min(struct(-score, class))
+    // DESC, class ASC) ≡ the engine's min(struct(-score, class)).
+    // CONTRACT: this oracle replays the UNCAPPED arithmetic, valid while
+    // the corpus vocabulary fits maxVocab (65536 — orders of magnitude
+    // above any gate-scale fixture's vocabulary; CorpusSpec pins the
+    // bound/unbound equivalence and the capped OOV-bucket arithmetic).
+    // A corpus past the cap diverges from THIS SQL by design — regenerate
+    // the oracle with the top-V + OOV grouping if the gate ever runs one.
     "q211_naive_bayes" ->
       """WITH tk AS (
         |  SELECT doc_id, lang,

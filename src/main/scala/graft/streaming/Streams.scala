@@ -199,7 +199,12 @@ object Streams {
         (uid: Long, batch: Iterator[Event], state: GroupState[BurstState]) =>
           var recent = state.getOption.map(_.recent).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[BurstAlert]
-          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach {
+          // (getTime, getNanos) refines the order below milliseconds —
+          // getTime alone lets sub-ms ties fall through to event_id while
+          // a full-precision timestamp order (the SQL oracle's) does not
+          batch.toArray
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach {
             e =>
               val t = e.ts.getTime
               val inWindow = (recent :+ t).filter(_ >= t - windowMs)
@@ -277,7 +282,12 @@ object Streams {
           state.getOption.foreach(s => alerted ++= s.alerted)
           val alertedCap = 64 * capacity
           val out = scala.collection.mutable.ArrayBuffer.empty[HeavyHitter]
-          batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach {
+          // (getTime, getNanos) refines the order below milliseconds —
+          // getTime alone lets sub-ms ties fall through to event_id while
+          // a full-precision timestamp order (the SQL oracle's) does not
+          batch.toArray
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach {
             e =>
               val u = e.user_id
               m.get(u) match {
@@ -309,14 +319,18 @@ object Streams {
   /** q219 entry: BATCH-parity execution of [[heavyHittersMonitor]] — the
     * identical flatMapGroupsWithState fold, run over the static events
     * table (Spark executes stateful operators on batch frames with empty
-    * initial state), sized so NO eviction can occur (capacity 256 ≥ the
-    * distinct users any mod-16 shard holds at every test SF). Without
-    * eviction Space-Saving is exact: a user alerts at precisely their
-    * `minCount`-th event in (ts, event_id) order with est = minCount and
-    * overcount 0 — which a SQL oracle replays with one row_number. This
-    * puts the streaming fold itself (shard grouping, batch sort,
-    * increment/alert logic, suppression set) under the driver's DuckDB
-    * gate; the eviction/cap/restart behaviors stay spec-verified.
+    * initial state), sized so NO eviction can occur: capacity is DERIVED
+    * from the data as max(256, widest shard's distinct-user count) — one
+    * cheap aggregate — so the contract is enforced at every scale, not
+    * assumed (at 10× the fixture a mod-16 shard holds ~940 users; a
+    * fixed 256 would silently evict and break the exactness the oracle
+    * pins). Without eviction Space-Saving is exact: a user alerts at
+    * precisely their `minCount`-th event in (ts, event_id) order with
+    * est = minCount and overcount 0 — which a SQL oracle replays with
+    * one row_number. This puts the streaming fold itself (shard
+    * grouping, batch sort, increment/alert logic, suppression set) under
+    * the driver's DuckDB gate; the eviction/cap/restart behaviors stay
+    * spec-verified.
     *
     * Scale shape: the parity form sorts each shard's full history in one
     * task — gate-coverage shape, not the production one (the streaming
@@ -328,7 +342,11 @@ object Streams {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    heavyHittersMonitor(ev, capacity = 256, minCount = 75L, nShards = 16)
+    val widest = ev.groupBy(pmod(col("user_id"), lit(16L)))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .agg(max(col("u"))).head.getLong(0)
+    val cap = math.max(256L, widest).toInt
+    heavyHittersMonitor(ev, capacity = cap, minCount = 75L, nShards = 16)
       .toDF()
       .select(col("shard"), col("user_id"), col("est_count"),
         col("max_overcount"), col("at").cast("timestamp_ntz").as("at"))
