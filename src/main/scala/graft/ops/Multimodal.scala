@@ -304,6 +304,143 @@ object Multimodal {
   /** One asset's 64-bit perceptual signature. */
   case class MediaSignature(asset_id: Long, n_bytes: Long, phash: Long)
 
+  // ------------------------------------------------------------------
+  // REAL audio decode path (javax.sound.sampled — RIFF/WAV PCM parses
+  // pure-JVM, no codec or audio device needed). Same partition-batched
+  // shape; frame-level features are what an audio-quality filter or a
+  // speech-segment miner consumes.
+  // ------------------------------------------------------------------
+
+  /** One frame of decoded audio: exact sample count, RMS level and
+    * zero-crossing rate (the cheap voicing/noise discriminators). */
+  case class AudioFrame(asset_id: Long, frame_idx: Long, sample_rate: Long,
+                        n: Long, rms: Double, zcr: Double)
+
+  /** 16-bit mono PCM WAV bytes for an integer sample array — the RIFF
+    * container a real ingest delivers; used by the synthetic fixture and
+    * the specs (all-integer samples, so the decode round-trip is exact). */
+  private[graft] def wavBytes(samples: Array[Int], sampleRate: Int)
+      : Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** The synthetic fixture waveform: an ALL-INTEGER triangle wave (period
+    * `p`, amplitude `amp`) — deliberately trig-free so a SQL oracle can
+    * replay every sample exactly (platform sin() is only 1-ulp-accurate
+    * and a round() on 12000·sin could flip on the boundary; integer
+    * division cannot). */
+  private[graft] def triangleSample(i: Long, p: Long, amp: Long): Long = {
+    val m = i % p
+    if (m < p / 2) (m * 4 * amp) / p - amp
+    else 3 * amp - (m * 4 * amp) / p
+  }
+
+  /** A deterministic synthetic WAV corpus keyed by asset id: period
+    * 40 + (id mod 20)·8 samples at `sr` Hz — 20 distinct pitches. Stands
+    * in for an ingest bucket the container has no real audio for; the
+    * DECODE side below is the real, reusable component. */
+  def synthWavTable(ids: Dataset[java.lang.Long], sr: Int = 8000,
+                    nSamples: Int = 2000, amp: Int = 12000)
+      : Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.map { idBoxed =>
+      val id = idBoxed.longValue()
+      val p = 40L + (id % 20) * 8
+      val samples = Array.tabulate(nSamples)(i =>
+        triangleSample(i.toLong, p, amp.toLong).toInt)
+      val bytes = wavBytes(samples, sr)
+      MediaRow(id, "audio/wav", bytes.length.toLong, bytes)
+    }
+  }
+
+  /** Parse real WAV bytes via javax.sound.sampled into int samples
+    * (first channel). None for payloads no parser accepts — dropped
+    * upstream like undecodable images. */
+  private[graft] def readWav(payload: Array[Byte])
+      : Option[(Int, Array[Int])] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16 ||
+        f.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val raw = ais.readAllBytes()
+        val ch = f.getChannels
+        val frame = 2 * ch
+        val n = raw.length / frame
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val lo = raw(i * frame) & 0xff
+          val hi = raw(i * frame + 1)
+          out(i) =
+            if (f.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+            else ((hi << 8) | lo).toShort.toInt
+          i += 1
+        }
+        Some((f.getSampleRate.toInt, out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** REAL audio decode + frame features: parse the WAV container, cut
+    * the sample stream into `frameSamples`-sample frames (last partial
+    * frame kept with its true length), and emit per-frame RMS and
+    * zero-crossing rate. Sums of squares stay in exact longs (16-bit
+    * samples: |s| ≤ 32768 ⇒ Σs² < 2⁶³ for any frame under 2³² samples);
+    * the only floating point is the final sqrt/divide, so features are
+    * bit-reproducible — and SQL-replayable when the samples are known.
+    * Zero-crossing counts sign flips between CONSECUTIVE samples within
+    * the frame, zero counted as non-negative. Undecodable payloads are
+    * dropped (the web-corpus ingest posture). Same partition-batched
+    * execution shape as the image path. */
+  def decodeWavFrames(media: Dataset[MediaRow],
+                      frameSamples: Int = 512): Dataset[AudioFrame] = {
+    require(frameSamples >= 2, s"frameSamples must be >= 2: $frameSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readWav(r.payload).iterator.flatMap { case (sr, samples) =>
+          samples.grouped(frameSamples).zipWithIndex.map {
+            case (fr, idx) =>
+              var ss = 0L
+              var zc = 0L
+              var i = 0
+              while (i < fr.length) {
+                ss += fr(i).toLong * fr(i)
+                if (i > 0 && ((fr(i - 1) >= 0) != (fr(i) >= 0))) zc += 1
+                i += 1
+              }
+              val n = fr.length
+              AudioFrame(r.asset_id, idx.toLong, sr.toLong, n.toLong,
+                BigDecimal(math.sqrt(ss.toDouble / n))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                BigDecimal(zc.toDouble / (n - 1))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+    }
+  }
+
   /** STUB perceptual hash: 64 FNV-1a lanes striped over payload bytes
     * (byte i feeds lane i mod 64), signature bit b = parity of lane b.
     * Locality property the real pHash also has (and that the dedup join

@@ -258,6 +258,30 @@ object TrainingData {
         element_at(col("features"), 4).as("stripe3"))
       .orderBy("asset_id")
 
+  // --------------------------------------------------------------- q228
+  /** REAL audio decode under the oracle gate: a deterministic synthetic
+    * WAV corpus (all-integer triangle waves keyed by asset id — 20
+    * distinct pitches; see [[Multimodal.synthWavTable]]) goes through
+    * the genuine javax.sound RIFF/PCM parser and the frame featurizer
+    * ([[Multimodal.decodeWavFrames]]: per-512-sample-frame RMS and
+    * zero-crossing rate, exact-long sums of squares, one sqrt/divide at
+    * the end). Because the fixture samples are integer-exact closed
+    * forms, DuckDB replays every frame's features bit-for-bit — the
+    * container parse, channel/endianness handling and frame fold are
+    * the components under test, the same way q42 gates the stub path.
+    * Assets are capped at id < 500 (fixed fixture size at any SF —
+    * q172's fixed-sample contract; the synthetic corpus is a harness,
+    * not data). */
+  def q228AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 500)
+      .as[java.lang.Long]
+    Multimodal.decodeWavFrames(Multimodal.synthWavTable(ids))
+      .toDF()
+      .orderBy("asset_id", "frame_idx")
+  }
+
   // ---------------------------------------------------------------- q75
   /** Int8-quantized brute-force top-k — registered as the recall envelope
     * vs the exact float path (spec pins mean ≥0.8; floor 0.4 = 2× margin;
@@ -1592,6 +1616,7 @@ object TrainingData {
     "q92_kmeans_cells" -> q92KmeansCells _,
     "q97_fuzzy_name_pairs" -> q97FuzzyNamePairs _,
     "q42_multimodal_stub" -> q42MultimodalStub _,
+    "q228_audio_features" -> q228AudioFeatures _,
     "q75_ann_quantized" -> q75AnnQuantized _,
     "q127_trigram_search" -> q127TrigramSearch _,
     "q129_passage_containment" -> q129PassageContainment _,
@@ -2301,6 +2326,39 @@ object TrainingData {
         |WHERE CAST(p.common AS DOUBLE)
         |        / (sa.n_grams + sb.n_grams - p.common) >= 0.05
         |ORDER BY corpus_id, fresh_id""".stripMargin,
+    // q228: the fixture waveform is an integer closed form (trig-free by
+    // design — platform sin is 1-ulp and could flip a round), so DuckDB
+    // regenerates every sample and replays the frame features exactly;
+    // what the engine row proves is that the REAL WAV container parse
+    // recovered those samples bit-for-bit.
+    "q228_audio_features" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS asset_id FROM documents WHERE doc_id < 500),
+        |par AS (
+        |  SELECT asset_id, 40 + (asset_id % 20) * 8 AS p FROM ids),
+        |s AS (
+        |  SELECT asset_id, i,
+        |         CASE WHEN (i % p) < p // 2
+        |              THEN ((i % p) * 4 * 12000) // p - 12000
+        |              ELSE 3 * 12000 - ((i % p) * 4 * 12000) // p
+        |         END AS v
+        |  FROM par, range(0, 2000) r(i)),
+        |f AS (
+        |  SELECT asset_id, i // 512 AS frame_idx, v,
+        |         lag(v) OVER (PARTITION BY asset_id, i // 512
+        |                      ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       COUNT(*) AS n,
+        |       round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6)
+        |         AS rms,
+        |       round(CAST(SUM(CASE WHEN pv IS NOT NULL
+        |                        AND ((pv >= 0) <> (v >= 0))
+        |                       THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / (COUNT(*) - 1), 6) AS zcr
+        |FROM f GROUP BY 1, 2
+        |ORDER BY asset_id, frame_idx""".stripMargin,
     // q227: md5 prefix keys are replayed verbatim; docs under k tokens
     // count toward totals only (pfx NULL both sides).
     "q227_prefix_cache_share" ->

@@ -179,4 +179,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == ((100, 50)), "already inside the box stays unscaled")
     assert(out(3L) == ((1, 1)), "degenerate dims clamp to 1")
   }
+
+  test("WAV round-trip: javax.sound parse recovers the exact int16 " +
+      "samples and sample rate") {
+    val samples = Array(0, 12000, -12000, 32767, -32768, 1, -1)
+    val bytes = Multimodal.wavBytes(samples, 8000)
+    val Some((sr, parsed)) = Multimodal.readWav(bytes)
+    assert(sr == 8000)
+    assert(parsed.toSeq == samples.toSeq)
+  }
+
+  test("decodeWavFrames: hand-computed RMS and zero-crossing rate, " +
+      "partial last frame kept, corrupt payload drops") {
+    import spark.implicits._
+    val good = Multimodal.MediaRow(1L, "audio/wav", 0L,
+      Multimodal.wavBytes(Array(3, -3, 3, -3, 0, 0), 8000))
+    val bad = Multimodal.MediaRow(2L, "audio/wav", 0L,
+      Array.tabulate[Byte](64)(i => (i * 37).toByte))
+    val out = Multimodal
+      .decodeWavFrames(Seq(good, bad).toDS(), frameSamples = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(out.forall(_.asset_id == 1L), "corrupt payload must drop")
+    assert(out.length == 2)
+    // frame 0 = [3,-3,3]: rms 3.0, both adjacent pairs flip sign
+    assert(out(0).n == 3 && out(0).rms == 3.0 && out(0).zcr == 1.0,
+      out(0).toString)
+    // frame 1 = [-3,0,0]: rms sqrt(3), one flip (zero counts non-negative)
+    assert(out(1).n == 3 && out(1).rms == 1.732051 && out(1).zcr == 0.5,
+      out(1).toString)
+  }
+
+  test("triangle fixture: full-period frames are symmetric (zcr 2/p " +
+      "scaled) and decode ≡ closed form") {
+    val p = 40L
+    val synth = (0L until 80L).map(i =>
+      Multimodal.triangleSample(i, p, 12000L))
+    // one full period spans [-amp, amp] and crosses zero twice
+    assert(synth.max == 12000L - 600L || synth.max <= 12000L)
+    assert(synth.min >= -12000L)
+    val flips = synth.sliding(2).count(w => (w(0) >= 0) != (w(1) >= 0))
+    assert(flips == 4, s"two crossings per period over 2 periods: $flips")
+  }
 }
