@@ -822,6 +822,39 @@ object Audit {
       "ship_month" -> date_format(col("l_shipdate"), "yyyy-MM"),
       "supp_bucket" -> pmod(col("l_suppkey"), lit(64))))
 
+  /** Simulated file inventory for the q229/q230 layout audits: lineitem
+    * as a ship-month-partitioned table of 8 files per partition (supplier
+    * buckets), each with its row count and probe-column min/max — the
+    * metadata frame a real lakehouse reads from its manifest, derived
+    * here from the data in ONE aggregate (map-side combined) and
+    * localCheckpointed (q133's precedent) so q230's self-join sides —
+    * and any reuse — never re-scan the facts. */
+  private def fileInventory(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        pmod(col("l_suppkey"), lit(8L)).as("file_id"))
+      .agg(count(lit(1)).as("size_rows"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .localCheckpoint(true)
+
+  // --------------------------------------------------------------- q229
+  /** q229 entry: merge-group plan for the simulated inventory at a
+    * 1500-row target — see [[Layout.compactionPlan]]. */
+  def q229CompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    Layout.compactionPlan(fileInventory(spark, dir),
+      "part", "file_id", "size_rows", target = 1500L)
+
+  // --------------------------------------------------------------- q230
+  /** q230 entry: overlap-depth audit of the simulated inventory on the
+    * price column — see [[Layout.clusteringDepth]]. Supplier-bucketed
+    * "files" all span nearly the full price range, so depths sit near
+    * n_files: exactly the unclustered layout the metric exists to flag
+    * (and [[Layout.writeZOrdered]] exists to fix). */
+  def q230ClusteringDepth(spark: SparkSession, dir: String): DataFrame =
+    Layout.clusteringDepth(fileInventory(spark, dir),
+      "part", "file_id", "lo", "hi")
+
   // --------------------------------------------------------------- q201
   /** Partition content checksums — the reproducibility manifest: for
     * each partition key, the row count and an ORDER-INDEPENDENT additive
@@ -873,6 +906,8 @@ object Audit {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
+    "q229_compaction_plan" -> q229CompactionPlan _,
+    "q230_clustering_depth" -> q230ClusteringDepth _,
     "q154_burst_detect" -> q154BurstDetect _,
     "q167_profile_drift" -> q167ProfileDrift _,
     "q169_k_anonymity" -> q169KAnonymity _,
@@ -923,6 +958,41 @@ object Audit {
     // q190: the stacked one-pass profile re-expressed as a UNION of
     // per-candidate GROUP BYs — an independent formulation; integer
     // counts, multiply-before-the-one-divide skew.
+    // q229/q230: the simulated inventory (ship-month × supplier-bucket
+    // "files") replays exactly; all-integer plan arithmetic (q225's div
+    // recipe), decimal min/max comparisons, bounded avg — hash-exact.
+    "q229_compaction_plan" ->
+      """WITH inv AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |         l_suppkey % 8 AS file_id, COUNT(*) AS size_rows
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (
+        |  SELECT part, size_rows,
+        |         SUM(size_rows) OVER (PARTITION BY part ORDER BY file_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum
+        |  FROM inv)
+        |SELECT part, COUNT(*) AS n_files,
+        |       CAST(SUM(size_rows) AS BIGINT) AS total_size,
+        |       CAST(COUNT(DISTINCT (cum - size_rows) // 1500) AS BIGINT)
+        |         AS n_groups,
+        |       CAST(SUM(CASE WHEN size_rows * 4 < 1500 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS small_files
+        |FROM g GROUP BY part ORDER BY part""".stripMargin,
+    "q230_clustering_depth" ->
+      """WITH inv AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |         l_suppkey % 8 AS f,
+        |         MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a.part, a.f, COUNT(*) AS depth
+        |  FROM inv a JOIN inv b ON a.part = b.part
+        |                       AND b.lo <= a.lo AND a.lo <= b.hi
+        |  GROUP BY 1, 2)
+        |SELECT part, COUNT(*) AS n_files, MAX(depth) AS max_depth,
+        |       round(AVG(depth), 6) AS avg_depth
+        |FROM d GROUP BY part ORDER BY part""".stripMargin,
     "q190_partition_advisor" ->
       """WITH pv AS (
         |  SELECT 'returnflag' AS cand, l_returnflag AS v FROM lineitem

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional clustering for scan pruning.
@@ -119,6 +120,64 @@ object Layout {
           s"recoverSwap: rename $old -> $p failed")
       }
     }
+  }
+
+  /** Compaction PLANNER over a partitioned file inventory — the decision
+    * layer [[compact]] executes one directory of: given (partition,
+    * file, size) metadata rows, group CONSECUTIVE files (stable file-id
+    * order, so a later executor rewrite streams each group without
+    * re-shuffling) into ~`target`-size merge groups via the offset rule
+    * group = (cum − size) div target (q225's integer recipe), and emit
+    * the per-partition plan summary a table-maintenance scheduler ranks:
+    * file count, total size, group count, small-file count (< target/4,
+    * the metadata-pressure signal), and the largest planned group (the
+    * rewrite's memory bound). All-integer; the per-partition window
+    * rides the file inventory — metadata-sized, bounded by files per
+    * partition, never data-sized. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     sizeCol: String, target: Long): DataFrame = {
+    require(target > 0, s"compactionPlan: target must be positive: $target")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum(col(sizeCol)).over(w))
+      .withColumn("grp",
+        expr(s"(cum - $sizeCol) div ${target}L"))
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("total_size"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(when(col(sizeCol) * 4 < lit(target), lit(1L))
+          .otherwise(lit(0L))).as("small_files"))
+      .orderBy(partCol)
+  }
+
+  /** Clustering-depth audit — the metric Delta/Iceberg OPTIMIZE ranks
+    * partitions by: for each file's [lo, hi] statistics range on a probe
+    * column, the OVERLAP DEPTH at a point is how many files a point
+    * lookup there must read (perfectly clustered files ⇒ depth 1;
+    * round-robin layout ⇒ depth = file count). Depth is evaluated at
+    * every file's `lo` (where it is locally maximal for closed
+    * intervals), via a bounded within-partition inequality self-join —
+    * files-per-partition is a layout constant (dozens), so the join is
+    * metadata² per partition, never data-sized. Emits per partition:
+    * file count, max depth, mean depth (round 6) — feed the worst
+    * partitions to [[writeZOrdered]]/[[compact]]. */
+  def clusteringDepth(files: DataFrame, partCol: String, fileCol: String,
+                      loCol: String, hiCol: String): DataFrame = {
+    val a = files.select(col(partCol), col(fileCol).as("f"),
+      col(loCol).as("lo"), col(hiCol).as("hi"))
+    val b = a.select(col(partCol), col("lo").as("g_lo"),
+      col("hi").as("g_hi"))
+    a.join(b, Seq(partCol))
+      .filter(col("g_lo") <= col("lo") && col("lo") <= col("g_hi"))
+      .groupBy(col(partCol), col("f"))
+      .agg(count(lit(1)).as("depth"))
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_files"),
+        max(col("depth")).as("max_depth"),
+        round(avg(col("depth")), 6).as("avg_depth"))
+      .orderBy(partCol)
   }
 
   /** Crash-safe directory swap: two renames, no delete-before-swap. The

@@ -134,4 +134,43 @@ class LayoutSpec extends AnyFunSuite {
         s"$k p95 $p95 vs $e95")
     }
   }
+
+  test("compactionPlan: hand-computed consecutive merge groups, small " +
+      "files flagged, totals reconcile") {
+    import spark.implicits._
+    // partition A files: 100, 100, 900, 1400 -> cums 100,200,1100,2500;
+    // offset groups at target 1000: 0,0,0,1 -> 2 groups, 2 small (<250)
+    val inv = Seq(
+      ("A", 1L, 100L), ("A", 2L, 100L), ("A", 3L, 900L), ("A", 4L, 1400L),
+      ("B", 1L, 5000L)
+    ).toDF("part", "file_id", "size_rows")
+    val out = Layout.compactionPlan(inv, "part", "file_id", "size_rows",
+        target = 1000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 4 && a.getLong(2) == 2500, a.toString)
+    assert(a.getLong(3) == 2, s"groups: $a")
+    assert(a.getLong(4) == 2, s"small files: $a")
+    val b = out("B")
+    assert(b.getLong(3) == 1 && b.getLong(4) == 0, b.toString)
+  }
+
+  test("clusteringDepth: disjoint ranges depth 1, identical ranges " +
+      "depth = file count, staircase in between") {
+    import spark.implicits._
+    val inv = Seq(
+      // clustered partition: disjoint [0,9] [10,19] [20,29]
+      ("C", 1L, 0L, 9L), ("C", 2L, 10L, 19L), ("C", 3L, 20L, 29L),
+      // unclustered: all files span [0,100]
+      ("U", 1L, 0L, 100L), ("U", 2L, 0L, 100L), ("U", 3L, 0L, 100L),
+      // staircase: [0,10] [5,15] -> depth at lo(5)=2, at lo(0)=1
+      ("S", 1L, 0L, 10L), ("S", 2L, 5L, 15L)
+    ).toDF("part", "file_id", "lo", "hi")
+    val out = Layout.clusteringDepth(inv, "part", "file_id", "lo", "hi")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("C") == ((3L, 1L, 1.0)), out.toString)
+    assert(out("U") == ((3L, 3L, 3.0)), out.toString)
+    assert(out("S") == ((2L, 2L, 1.5)), out.toString)
+  }
 }

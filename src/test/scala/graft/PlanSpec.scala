@@ -853,4 +853,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window "),
       s"rollup is two stacked aggregates:\n${p.take(3000)}")
   }
+
+  test("q229 compaction plan: facts never re-scan (inventory is " +
+      "checkpointed metadata); plan windows ride it, no join") {
+    // the inventory localCheckpoints at construction (q133's precedent),
+    // so the audited plan must run on the checkpoint scan alone
+    val p = finalPlan("q229_compaction_plan")
+    assert(!p.contains("lineitem.parquet"),
+      s"post-checkpoint plan must not touch facts:\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"planner is metadata-only:\n${p.take(3000)}")
+  }
+
+  test("q230 clustering depth: the inequality self-join runs on the " +
+      "checkpointed metadata frame only — facts never re-scan") {
+    val p = finalPlan("q230_clustering_depth")
+    assert(!p.contains("lineitem.parquet"),
+      s"post-checkpoint plan must not touch facts:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
