@@ -971,14 +971,19 @@ object Audit {
         |         SUM(size_rows) OVER (PARTITION BY part ORDER BY file_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |           AS cum
-        |  FROM inv)
-        |SELECT part, COUNT(*) AS n_files,
-        |       CAST(SUM(size_rows) AS BIGINT) AS total_size,
-        |       CAST(COUNT(DISTINCT (cum - size_rows) // 1500) AS BIGINT)
-        |         AS n_groups,
-        |       CAST(SUM(CASE WHEN size_rows * 4 < 1500 THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS small_files
-        |FROM g GROUP BY part ORDER BY part""".stripMargin,
+        |  FROM inv),
+        |pg AS (
+        |  SELECT part, (cum - size_rows) // 1500 AS grp,
+        |         COUNT(*) AS gf, CAST(SUM(size_rows) AS BIGINT) AS gs,
+        |         CAST(SUM(CASE WHEN size_rows * 4 < 1500
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS gsmall
+        |  FROM g GROUP BY 1, 2)
+        |SELECT part, CAST(SUM(gf) AS BIGINT) AS n_files,
+        |       CAST(SUM(gs) AS BIGINT) AS total_size,
+        |       COUNT(*) AS n_groups,
+        |       CAST(SUM(gsmall) AS BIGINT) AS small_files,
+        |       MAX(gs) AS max_group_size
+        |FROM pg GROUP BY part ORDER BY part""".stripMargin,
     "q230_clustering_depth" ->
       """WITH inv AS (
         |  SELECT strftime(l_shipdate, '%Y-%m') AS part,

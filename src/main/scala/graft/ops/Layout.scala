@@ -142,13 +142,17 @@ object Layout {
     files
       .withColumn("cum", sum(col(sizeCol)).over(w))
       .withColumn("grp",
-        expr(s"(cum - $sizeCol) div ${target}L"))
-      .groupBy(col(partCol))
-      .agg(count(lit(1)).as("n_files"),
-        sum(col(sizeCol)).as("total_size"),
-        countDistinct(col("grp")).as("n_groups"),
+        expr(s"(cum - `$sizeCol`) div ${target}L"))
+      .groupBy(col(partCol), col("grp"))
+      .agg(count(lit(1)).as("gf"), sum(col(sizeCol)).as("gs"),
         sum(when(col(sizeCol) * 4 < lit(target), lit(1L))
-          .otherwise(lit(0L))).as("small_files"))
+          .otherwise(lit(0L))).as("gsmall"))
+      .groupBy(col(partCol))
+      .agg(sum(col("gf")).as("n_files"),
+        sum(col("gs")).as("total_size"),
+        count(lit(1)).as("n_groups"),
+        sum(col("gsmall")).as("small_files"),
+        max(col("gs")).as("max_group_size"))
       .orderBy(partCol)
   }
 

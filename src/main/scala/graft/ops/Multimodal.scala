@@ -430,10 +430,14 @@ object Multimodal {
                 i += 1
               }
               val n = fr.length
+              // a 1-sample partial last frame has zero adjacent pairs:
+              // zcr is 0, not 0/0 (BigDecimal(NaN) would throw and fail
+              // the whole task on any length ≡ 1 mod frameSamples)
+              val zcr = if (n > 1) zc.toDouble / (n - 1) else 0.0
               AudioFrame(r.asset_id, idx.toLong, sr.toLong, n.toLong,
                 BigDecimal(math.sqrt(ss.toDouble / n))
                   .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-                BigDecimal(zc.toDouble / (n - 1))
+                BigDecimal(zcr)
                   .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
         }

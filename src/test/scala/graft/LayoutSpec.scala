@@ -151,8 +151,11 @@ class LayoutSpec extends AnyFunSuite {
     assert(a.getLong(1) == 4 && a.getLong(2) == 2500, a.toString)
     assert(a.getLong(3) == 2, s"groups: $a")
     assert(a.getLong(4) == 2, s"small files: $a")
+    // group 0 holds 100+100+900=1100, group 1 holds 1400
+    assert(a.getLong(5) == 1400, s"max group (rewrite memory bound): $a")
     val b = out("B")
     assert(b.getLong(3) == 1 && b.getLong(4) == 0, b.toString)
+    assert(b.getLong(5) == 5000, b.toString)
   }
 
   test("clusteringDepth: disjoint ranges depth 1, identical ranges " +

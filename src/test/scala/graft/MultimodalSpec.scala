@@ -214,10 +214,24 @@ class MultimodalSpec extends AnyFunSuite {
     val p = 40L
     val synth = (0L until 80L).map(i =>
       Multimodal.triangleSample(i, p, 12000L))
-    // one full period spans [-amp, amp] and crosses zero twice
-    assert(synth.max == 12000L - 600L || synth.max <= 12000L)
-    assert(synth.min >= -12000L)
+    // one full period spans exactly [-amp, amp]: the peak lands at
+    // m = p/2 (3A - 2A = A), the trough at m = 0
+    assert(synth.max == 12000L, s"peak must hit +amp: ${synth.max}")
+    assert(synth.min == -12000L, s"trough must hit -amp: ${synth.min}")
     val flips = synth.sliding(2).count(w => (w(0) >= 0) != (w(1) >= 0))
     assert(flips == 4, s"two crossings per period over 2 periods: $flips")
+  }
+
+  test("decodeWavFrames: a 1-sample partial last frame reports zcr 0, " +
+      "not NaN") {
+    import spark.implicits._
+    // 513 samples at frame 512 leaves a single-sample tail
+    val row = Multimodal.MediaRow(1L, "audio/wav", 0L,
+      Multimodal.wavBytes(Array.fill(513)(100), 8000))
+    val out = Multimodal.decodeWavFrames(Seq(row).toDS(), frameSamples = 512)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length == 2)
+    assert(out(1).n == 1 && out(1).zcr == 0.0 && out(1).rms == 100.0,
+      out(1).toString)
   }
 }
