@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench gate parses the LAST stdout line as JSON. Two pieces
+// of sbt decoration have broken that parse three rounds running:
+//   - the forked process's output is re-logged with an "[info] " prefix
+//     (LoggedOutput default) → StdoutOutput passes it through verbatim;
+//   - sbt appends "[success] Total time: …" AFTER the program's final
+//     line → showSuccess := false drops it.
+// With both, graft.Bench's compact summary JSON is the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command layer, not a task — lintUnused
+// false-positives on it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
