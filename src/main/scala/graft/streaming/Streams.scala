@@ -271,70 +271,141 @@ object Streams {
       .flatMapGroupsWithState[HHState, HeavyHitter](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (shard: Int, batch: Iterator[Event], state: GroupState[HHState]) =>
-          val m = scala.collection.mutable.LinkedHashMap.empty[
-            Long, (Long, Long)]
-          state.getOption.foreach { s =>
-            s.ids.indices.foreach(i =>
-              m(s.ids(i)) = (s.counts(i), s.errs(i)))
-          }
-          // insertion-ordered so the suppression cap ages oldest-first
-          val alerted = scala.collection.mutable.LinkedHashSet.empty[Long]
-          state.getOption.foreach(s => alerted ++= s.alerted)
-          val alertedCap = 64 * capacity
-          val out = scala.collection.mutable.ArrayBuffer.empty[HeavyHitter]
+          val ss = new SpaceSavingFold(capacity, minCount)
+          state.getOption.foreach(ss.restore)
           // (getTime, getNanos) refines the order below milliseconds —
           // getTime alone lets sub-ms ties fall through to event_id while
-          // a full-precision timestamp order (the SQL oracle's) does not
+          // a full-precision timestamp order (the SQL oracle's) does not.
+          // The sort buffers ONE MICRO-BATCH's group slice (bounded by
+          // trigger interval, not stream length) — the batch-parity path
+          // over a full table uses [[heavyHittersBatch]] instead, whose
+          // external sort never materializes a group in memory.
+          val out = scala.collection.mutable.ArrayBuffer.empty[HeavyHitter]
           batch.toArray
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-            .foreach {
-            e =>
-              val u = e.user_id
-              m.get(u) match {
-                case Some((c, err)) => m(u) = (c + 1, err)
-                case None if m.size < capacity => m(u) = (1L, 0L)
-                case None =>
-                  val (victim, (vc, _)) =
-                    m.minBy { case (id, (c, _)) => (c, id) }
-                  m.remove(victim)
-                  // the victim's suppression stays: an alerted user that
-                  // churns out and returns must not alert a second time
-                  m(u) = (vc + 1, vc)
-              }
-              val (c, err) = m(u)
-              if (c >= minCount && !alerted(u)) {
-                alerted += u
-                if (alerted.size > alertedCap)
-                  alerted -= alerted.head // age the oldest suppression
-                out += HeavyHitter(shard, u, c, err, e.ts)
-              }
-          }
-          val ids = m.keys.toSeq
-          state.update(HHState(ids, ids.map(m(_)._1), ids.map(m(_)._2),
-            alerted.toSeq))
+            .foreach(e => ss.observe(shard, e).foreach(out += _))
+          state.update(ss.snapshot)
           out.iterator
       }
   }
 
-  /** q219 entry: BATCH-parity execution of [[heavyHittersMonitor]] — the
-    * identical flatMapGroupsWithState fold, run over the static events
-    * table (Spark executes stateful operators on batch frames with empty
-    * initial state), sized so NO eviction can occur: capacity is DERIVED
-    * from the data as max(256, widest shard's distinct-user count) — one
-    * cheap aggregate — so the contract is enforced at every scale, not
-    * assumed (at 10× the fixture a mod-16 shard holds ~940 users; a
-    * fixed 256 would silently evict and break the exactness the oracle
-    * pins). Without eviction Space-Saving is exact: a user alerts at
-    * precisely their `minCount`-th event in (ts, event_id) order with
-    * est = minCount and overcount 0 — which a SQL oracle replays with
-    * one row_number. This puts the streaming fold itself (shard
-    * grouping, batch sort, increment/alert logic, suppression set) under
-    * the driver's DuckDB gate; the eviction/cap/restart behaviors stay
-    * spec-verified.
+  /** The Space-Saving summary + alert-once fold shared VERBATIM by the
+    * streaming monitor (state restored per micro-batch) and the batch
+    * form ([[heavyHittersBatch]]): any behavior divergence between the
+    * two would be a bug in the plumbing around this class, never in the
+    * per-event logic. Mutable by design — it lives inside one task. */
+  private[streaming] final class SpaceSavingFold(capacity: Int,
+                                                 minCount: Long) {
+    private val m =
+      scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    // insertion-ordered so the suppression cap ages oldest-first
+    private val alerted = scala.collection.mutable.LinkedHashSet.empty[Long]
+    private val alertedCap = 64 * capacity
+
+    def restore(s: HHState): Unit = {
+      s.ids.indices.foreach(i => m(s.ids(i)) = (s.counts(i), s.errs(i)))
+      alerted ++= s.alerted
+    }
+
+    def snapshot: HHState = {
+      val ids = m.keys.toSeq
+      HHState(ids, ids.map(m(_)._1), ids.map(m(_)._2), alerted.toSeq)
+    }
+
+    /** Observe one event (caller guarantees (ts, event_id) order within
+      * the shard); returns the alert it fires, if any. */
+    def observe(shard: Int, e: Event): Option[HeavyHitter] = {
+      val u = e.user_id
+      m.get(u) match {
+        case Some((c, err)) => m(u) = (c + 1, err)
+        case None if m.size < capacity => m(u) = (1L, 0L)
+        case None =>
+          val (victim, (vc, _)) =
+            m.minBy { case (id, (c, _)) => (c, id) }
+          m.remove(victim)
+          // the victim's suppression stays: an alerted user that
+          // churns out and returns must not alert a second time
+          m(u) = (vc + 1, vc)
+      }
+      val (c, err) = m(u)
+      if (c >= minCount && !alerted(u)) {
+        alerted += u
+        if (alerted.size > alertedCap)
+          alerted -= alerted.head // age the oldest suppression
+        Some(HeavyHitter(shard, u, c, err, e.ts))
+      } else None
+    }
+  }
+
+  /** One event with its precomputed shard (public only for encoder
+    * codegen — [[heavyHittersBatch]]'s partition-fold row). */
+  case class ShardedEvent(shard: Int, event_id: Long,
+                          ts: java.sql.Timestamp, user_id: Long,
+                          event_type: String, value: Double)
+
+  /** BATCH execution of the heavy-hitters monitor — the same per-event
+    * fold as [[heavyHittersMonitor]] (literally the same
+    * [[SpaceSavingFold]]), run over a static events table in the shape
+    * that survives 100×: `repartition(shard)` +
+    * `sortWithinPartitions(shard, ts, event_id)` + a LAZY per-partition
+    * iterator fold. No task ever materializes a shard's history — the
+    * ordering comes from Spark's external (spillable) sort, and the fold
+    * holds only the O(capacity) summary while streaming rows through.
+    * Replaces the earlier flatMapGroupsWithState-on-batch form, which
+    * buffered and sorted each shard's FULL history inside one task
+    * (`batch.toArray.sortBy`) — a task-OOM shape at 100× the events
+    * table even though the output was identical.
     *
-    * Scale shape: the parity form sorts each shard's full history in one
-    * task — gate-coverage shape, not the production one (the streaming
-    * form folds bounded micro-batches; raise nShards for wider events). */
+    * sortWithinPartitions orders `ts` at full stored (micros) precision
+    * — the same order the streaming fold's (getTime, getNanos) key
+    * produces — with event_id breaking exact ties. */
+  def heavyHittersBatch(events: Dataset[Event], capacity: Int,
+                        minCount: Long,
+                        nShards: Int = 16): Dataset[HeavyHitter] = {
+    require(capacity >= 1 && nShards >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("shard",
+        pmod(col("user_id"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ts"), col("event_id"))
+      .select(col("shard"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[ShardedEvent]
+      .mapPartitions { it =>
+        // a partition holds 1+ shards as contiguous sorted runs; state
+        // resets at each run boundary. flatMap keeps the fold lazy —
+        // rows stream through, alerts trickle out.
+        var cur = Int.MinValue
+        var ss: SpaceSavingFold = null
+        it.flatMap { se =>
+          if (se.shard != cur) {
+            cur = se.shard
+            ss = new SpaceSavingFold(capacity, minCount)
+          }
+          ss.observe(se.shard,
+            Event(se.event_id, se.ts, se.user_id, se.event_type, se.value))
+        }
+      }
+  }
+
+  /** q219 entry: BATCH-parity execution of the heavy-hitters monitor —
+    * the identical per-event fold ([[SpaceSavingFold]], shared with the
+    * streaming operator), run over the static events table via
+    * [[heavyHittersBatch]]'s scale-safe shape (external sort + lazy
+    * iterator fold; no task buffers a shard's history), sized so NO
+    * eviction can occur: capacity is DERIVED from the data as max(256,
+    * widest shard's distinct-user count) — one cheap aggregate — so the
+    * contract is enforced at every scale, not assumed (at 10× the
+    * fixture a mod-16 shard holds ~940 users; a fixed 256 would silently
+    * evict and break the exactness the oracle pins). Without eviction
+    * Space-Saving is exact: a user alerts at precisely their
+    * `minCount`-th event in (ts, event_id) order with est = minCount and
+    * overcount 0 — which a SQL oracle replays with one row_number. This
+    * puts the monitor's fold itself (shard grouping, event order,
+    * increment/alert logic, suppression set) under the driver's DuckDB
+    * gate; the eviction/cap/restart behaviors stay spec-verified. */
   def q219HeavyHittersParity(spark: org.apache.spark.sql.SparkSession,
                              dir: String): DataFrame = {
     import spark.implicits._
@@ -346,7 +417,7 @@ object Streams {
       .agg(countDistinct(col("user_id")).as("u"))
       .agg(max(col("u"))).head.getLong(0)
     val cap = math.max(256L, widest).toInt
-    heavyHittersMonitor(ev, capacity = cap, minCount = 75L, nShards = 16)
+    heavyHittersBatch(ev, capacity = cap, minCount = 75L, nShards = 16)
       .toDF()
       .select(col("shard"), col("user_id"), col("est_count"),
         col("max_overcount"), col("at").cast("timestamp_ntz").as("at"))

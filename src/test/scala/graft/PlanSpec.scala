@@ -871,4 +871,19 @@ class PlanSpec extends AnyFunSuite {
       s"post-checkpoint plan must not touch facts:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q219 batch parity: no per-group buffering operator — ordering " +
+      "comes from the external sort, the fold is a lazy mapPartitions") {
+    // the earlier flatMapGroupsWithState-on-batch form buffered each
+    // shard's FULL history in one task (batch.toArray.sortBy) — at 100×
+    // the events table that's a task OOM; the scale-safe shape is
+    // repartition + spillable sortWithinPartitions + iterator fold
+    val p = finalPlan("q219_heavy_hitters_parity")
+    assert(!p.contains("FlatMapGroupsWithState"),
+      s"batch form must not group-buffer:\n${p.take(3000)}")
+    assert(p.contains("Sort ") || p.contains("Sort["),
+      s"ordering must come from the external sort:\n${p.take(3000)}")
+    assert(p.contains("MapPartitions"),
+      s"fold must be the lazy mapPartitions:\n${p.take(3000)}")
+  }
 }

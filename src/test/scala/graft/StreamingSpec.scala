@@ -592,4 +592,91 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(alerts.toSeq == Seq((7L, 40L, 0L)), alerts.toSeq.toString)
   }
+
+  test("heavyHittersBatch equals the streaming monitor fold-for-fold, " +
+      "eviction included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // interleaved hot + churn traffic across 3 shards, capacity 3 so the
+    // summary evicts — the parity must hold through the approximate
+    // regime, not just the exact (no-eviction) one
+    var id = 0L
+    val evs = scala.collection.mutable.ArrayBuffer.empty[Streams.Event]
+    def ev(uid: Long, sec: Long): Unit = {
+      id += 1
+      evs += Streams.Event(id,
+        new java.sql.Timestamp(1700000000000L + sec * 1000), uid,
+        "click", 1.0)
+    }
+    (1 to 20).foreach(i => ev(7L, i.toLong))          // hot, shard 1
+    (100 to 140).foreach(u => ev(u.toLong, 30L))      // churn, all shards
+    (1 to 20).foreach(i => ev(10L, 40L + i))          // hot, shard 1
+    (1 to 6).foreach(i => ev(8L, 60L + i))            // warm, shard 2
+    val batchOut = Streams.heavyHittersBatch(evs.toSeq.toDS(), capacity = 3,
+        minCount = 5L, nShards = 3)
+      .collect().map(h =>
+        (h.shard, h.user_id, h.est_count, h.max_overcount, h.at.getTime))
+      .toSet
+    val input = MemoryStream[Streams.Event]
+    input.addData(evs.toSeq: _*)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "hhpar").toString
+    val q = Streams.heavyHittersMonitor(input.toDS(), capacity = 3,
+        minCount = 5L, nShards = 3)
+      .writeStream.format("memory").queryName("hh_parity_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.table("hh_parity_test").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getTimestamp(4).getTime))
+        .toSet
+      assert(batchOut == streamOut,
+        s"batch=${batchOut.toSeq.sorted}\nstream=${streamOut.toSeq.sorted}")
+      assert(batchOut.nonEmpty, "fixture must produce alerts")
+    } finally q.stop()
+  }
+
+  test("Space-Saving estimate bounds hold at every alert under eviction: " +
+      "est - max_overcount <= true count so far <= est") {
+    import spark.implicits._
+    // single shard, capacity 2, heavy churn: most alerts carry a nonzero
+    // inherited overcount — the regime where the bound claim has teeth
+    var id = 0L
+    val evs = scala.collection.mutable.ArrayBuffer.empty[Streams.Event]
+    def ev(uid: Long, sec: Long): Unit = {
+      id += 1
+      evs += Streams.Event(id,
+        new java.sql.Timestamp(1700000000000L + sec * 1000), uid,
+        "click", 1.0)
+    }
+    (1 to 4).foreach(i => ev(7L, i.toLong))
+    (20 to 40).foreach(u => ev(u.toLong, 10L))   // churn the 2 slots
+    (1 to 3).foreach(i => ev(9L, 20L + i))       // re-enter, inherit floor
+    (1 to 4).foreach(i => ev(7L, 30L + i))
+    (50 to 70).foreach(u => ev(u.toLong, 40L))
+    (1 to 2).foreach(i => ev(9L, 50L + i))
+    val alerts = Streams.heavyHittersBatch(evs.toSeq.toDS(), capacity = 2,
+        minCount = 3L, nShards = 1)
+      .collect()
+      .sortBy(_.at.getTime)
+    assert(alerts.nonEmpty)
+    assert(alerts.exists(_.max_overcount > 0),
+      "fixture must exercise inherited overcounts")
+    // replay true prefix counts in plain Scala (events are already in
+    // (ts, event_id) order by construction)
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    alerts.foreach { a =>
+      val trueCount = sorted
+        .takeWhile(e => e.ts.getTime <= a.at.getTime)
+        .count(e => e.user_id == a.user_id &&
+          e.ts.getTime <= a.at.getTime)
+      assert(a.est_count >= trueCount,
+        s"estimate must never undercount: $a true=$trueCount")
+      assert(a.est_count - a.max_overcount <= trueCount,
+        s"est - err must be a certain lower bound: $a true=$trueCount")
+    }
+  }
 }
