@@ -112,28 +112,77 @@ object Streams {
       OutputMode.Append(), GroupStateTimeout.NoTimeout) {
       (key: String, batch: Iterator[(String, java.sql.Timestamp)],
        state: GroupState[MonitorState]) =>
-        val winMs = windowSeconds * 1000
-        var st = state.getOption.getOrElse(MonitorState(-1L, 0L, 0L))
-        val out = scala.collection.mutable.ArrayBuffer.empty[WindowVariance]
+        val fold = new WindowVarianceFold(key, windowSeconds * 1000,
+          thresholdPct)
+        state.getOption.foreach(fold.restore)
         // flatMapGroupsWithState guarantees NO intra-group order — a
         // multi-partition source can interleave windows within one batch,
         // which would close windows early and missort counts. Sort the
         // micro-batch by event time before folding (bounded by batch size,
-        // not stream length).
-        batch.toArray.sortBy(_._2.getTime).foreach { case (_, ts) =>
-          val w = ts.getTime / winMs * winMs
-          if (st.windowStartMs < 0) st = MonitorState(w, 1L, 0L)
-          else if (w > st.windowStartMs) {
-            val v = graft.workflow.Pipeline.variancePct(st.n, st.prevN)
-            out += WindowVariance(key,
-              new java.sql.Timestamp(st.windowStartMs), st.n, st.prevN, v,
-              st.prevN > 0 && v > thresholdPct)
-            st = MonitorState(w, 1L, st.n)
-          } else st = st.copy(n = st.n + 1) // same or late window: fold in
-        }
-        state.update(st)
+        // not stream length; the batch-parity path over a full table is
+        // [[varianceMonitorBatch]], whose external sort never buffers).
+        val out = scala.collection.mutable.ArrayBuffer.empty[WindowVariance]
+        batch.toArray.sortBy(_._2.getTime)
+          .foreach(r => fold.observe(r._2.getTime).foreach(out += _))
+        state.update(fold.snapshot)
         out.iterator
     }
+  }
+
+  /** The per-event window-close fold shared VERBATIM by
+    * [[varianceMonitor]] (state restored per micro-batch) and
+    * [[varianceMonitorBatch]] — a window emits with its variance against
+    * the key's previous window the moment an event for a LATER window
+    * arrives. Caller guarantees nondecreasing event time per key. */
+  private[streaming] final class WindowVarianceFold(key: String,
+                                                    winMs: Long,
+                                                    thresholdPct: Double) {
+    private var st = MonitorState(-1L, 0L, 0L)
+    def restore(s: MonitorState): Unit = st = s
+    def snapshot: MonitorState = st
+    def observe(tsMs: Long): Option[WindowVariance] = {
+      val w = tsMs / winMs * winMs
+      if (st.windowStartMs < 0) { st = MonitorState(w, 1L, 0L); None }
+      else if (w > st.windowStartMs) {
+        val v = graft.workflow.Pipeline.variancePct(st.n, st.prevN)
+        val closed = WindowVariance(key,
+          new java.sql.Timestamp(st.windowStartMs), st.n, st.prevN, v,
+          st.prevN > 0 && v > thresholdPct)
+        st = MonitorState(w, 1L, st.n)
+        Some(closed)
+      } else { st = st.copy(n = st.n + 1); None } // same/late window: fold in
+    }
+  }
+
+  /** BATCH execution of the variance monitor — the identical fold
+    * ([[WindowVarianceFold]]), run over a static table in the scale-safe
+    * shape: repartition(key) + spillable sortWithinPartitions(key, ts) +
+    * a lazy per-key-run iterator fold. No task buffers a key's history;
+    * each key's final (never-closed) window stays unemitted, exactly as
+    * the streaming form leaves it open. */
+  def varianceMonitorBatch(events: DataFrame, keyCol: String, tsCol: String,
+                           windowSeconds: Long = 60,
+                           thresholdPct: Double = 5.0)
+      : Dataset[WindowVariance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var fold: WindowVarianceFold = null
+        it.flatMap { case (k, ts) =>
+          if (k != cur) {
+            cur = k
+            fold = new WindowVarianceFold(k, windowSeconds * 1000,
+              thresholdPct)
+          }
+          fold.observe(ts.getTime)
+        }
+      }
   }
 
   case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double,
@@ -197,23 +246,66 @@ object Streams {
       .flatMapGroupsWithState[BurstState, BurstAlert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[BurstState]) =>
-          var recent = state.getOption.map(_.recent).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[BurstAlert]
+          val fold = new BurstFold(uid, windowMs, minEvents)
+          state.getOption.foreach(fold.restore)
           // (getTime, getNanos) refines the order below milliseconds —
           // getTime alone lets sub-ms ties fall through to event_id while
           // a full-precision timestamp order (the SQL oracle's) does not
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstAlert]
           batch.toArray
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-            .foreach {
-            e =>
-              val t = e.ts.getTime
-              val inWindow = (recent :+ t).filter(_ >= t - windowMs)
-              if (inWindow.length >= minEvents)
-                out += BurstAlert(uid, e.ts, inWindow.length.toLong)
-              recent = inWindow.takeRight(minEvents - 1)
-          }
-          state.update(BurstState(recent))
+            .foreach(e => fold.observe(e.ts).foreach(out += _))
+          state.update(fold.snapshot)
           out.iterator
+      }
+  }
+
+  /** The trailing-window burst fold shared VERBATIM by [[burstMonitor]]
+    * and [[burstMonitorBatch]]: ≤(minEvents−1) recent event-times of
+    * state, alert when the minEvents-th event lands inside the window.
+    * Caller guarantees (ts, event_id) order per user. */
+  private[streaming] final class BurstFold(uid: Long, windowMs: Long,
+                                           minEvents: Int) {
+    private var recent: List[Long] = Nil
+    def restore(s: BurstState): Unit = recent = s.recent
+    def snapshot: BurstState = BurstState(recent)
+    def observe(ts: java.sql.Timestamp): Option[BurstAlert] = {
+      val t = ts.getTime
+      val inWindow = (recent :+ t).filter(_ >= t - windowMs)
+      recent = inWindow.takeRight(minEvents - 1)
+      if (inWindow.length >= minEvents)
+        Some(BurstAlert(uid, ts, inWindow.length.toLong))
+      else None
+    }
+  }
+
+  /** BATCH execution of the burst monitor — the identical fold
+    * ([[BurstFold]]) in the scale-safe shape: repartition(user) +
+    * spillable sortWithinPartitions(user, ts, event_id) + a lazy
+    * per-user-run iterator fold. Equivalent closed form (and the SQL
+    * oracle): an event alerts iff its (minEvents−1)-back predecessor in
+    * (ts, event_id) order lies within the trailing window — the fold is
+    * registered instead of the window expression because IT is the code
+    * the streaming monitor runs. */
+  def burstMonitorBatch(events: Dataset[Event], windowMs: Long,
+                        minEvents: Int): Dataset[BurstAlert] = {
+    require(minEvents >= 2, s"minEvents must be >= 2, got $minEvents")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .as[Event]
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var fold: BurstFold = null
+        it.flatMap { e =>
+          if (e.user_id != cur) {
+            cur = e.user_id
+            fold = new BurstFold(e.user_id, windowMs, minEvents)
+          }
+          fold.observe(e.ts)
+        }
       }
   }
 
@@ -424,12 +516,58 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** q231 entry: BATCH-parity execution of the variance monitor — the
+    * identical [[WindowVarianceFold]] over the static events table,
+    * keyed by event_type in 1-hour windows at the reference's 5%
+    * threshold. Each closed window's count, previous-window count,
+    * variance and alert flag are SQL-replayable (group + lag + the q18
+    * variance expression; a key's final window never closes and never
+    * emits), so the fold itself — window assignment, close-on-later-
+    * event, prev-count threading, threshold compare — sits under the
+    * DuckDB gate. */
+  def q231VarianceMonitorParity(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    val ev = graft.sources.TableCatalog.load(spark, dir, "events")
+    varianceMonitorBatch(ev, "event_type", "ts",
+        windowSeconds = 3600, thresholdPct = 5.0)
+      .toDF()
+      .select(col("key"), col("window_start").cast("timestamp_ntz")
+          .as("window_start"),
+        col("n"), col("prev_n"), col("variance_pct"), col("alert"))
+      .orderBy("key", "window_start")
+  }
+
+  /** q232 entry: BATCH-parity execution of the burst monitor — the
+    * identical [[BurstFold]] over the static events table (3 events
+    * within a trailing 6 h per user). The closed form the oracle
+    * replays: an event alerts iff its 2-back predecessor in
+    * (ts, event_id) order lies within the window. */
+  def q232BurstMonitorParity(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.TableCatalog.load(spark, dir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    burstMonitorBatch(ev, windowMs = 21600000L, minEvents = 3)
+      .toDF()
+      .select(col("user_id"),
+        col("at").cast("timestamp_ntz").as("at"),
+        col("n_in_window"))
+      .orderBy("user_id", "at")
+  }
+
   /** Streaming-backed registry entries (batch-parity forms). */
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q219_heavy_hitters_parity" -> (q219HeavyHittersParity _))
+    Map("q219_heavy_hitters_parity" -> (q219HeavyHittersParity _),
+      "q231_variance_monitor_parity" -> (q231VarianceMonitorParity _),
+      "q232_burst_monitor_parity" -> (q232BurstMonitorParity _))
 
-  /** Oracle: the no-eviction Space-Saving alert is exactly the
-    * minCount-th per-user event in (ts, event_id) order. */
+  /** Oracles. q219: the no-eviction Space-Saving alert is exactly the
+    * minCount-th per-user event in (ts, event_id) order. q231: group +
+    * lag replay of the window-close fold (final window per key open,
+    * never emitted; q18's variance expression). q232: the lag(k−1)
+    * closed form of the trailing-window burst test. */
   val oracle: Map[String, String] = Map(
     "q219_heavy_hitters_parity" ->
       """SELECT CAST(user_id % 16 AS INTEGER) AS shard, user_id,
@@ -439,7 +577,36 @@ object Streams {
         |             row_number() OVER (PARTITION BY user_id
         |                                ORDER BY ts, event_id) AS rn
         |      FROM events)
-        |WHERE rn = 75 ORDER BY user_id""".stripMargin)
+        |WHERE rn = 75 ORDER BY user_id""".stripMargin,
+    "q231_variance_monitor_parity" ->
+      """WITH w AS (SELECT event_type AS key,
+        |                  (epoch_ms(ts) // 3600000) * 3600000 AS wms,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |o AS (SELECT key, wms, n,
+        |             lag(n, 1, 0) OVER (PARTITION BY key ORDER BY wms)
+        |               AS prev_n,
+        |             row_number() OVER (PARTITION BY key
+        |                                ORDER BY wms DESC) AS rdesc
+        |      FROM w)
+        |SELECT key, make_timestamp(wms * 1000) AS window_start, n, prev_n,
+        |       CASE WHEN prev_n = 0 THEN 0.0
+        |            ELSE ABS(n - prev_n) * 100.0 / prev_n
+        |       END AS variance_pct,
+        |       (prev_n > 0 AND
+        |        CASE WHEN prev_n = 0 THEN 0.0
+        |             ELSE ABS(n - prev_n) * 100.0 / prev_n
+        |        END > 5.0) AS alert
+        |FROM o WHERE rdesc > 1 ORDER BY key, window_start""".stripMargin,
+    "q232_burst_monitor_parity" ->
+      """SELECT user_id, ts AS at, CAST(3 AS BIGINT) AS n_in_window
+        |FROM (SELECT user_id, ts,
+        |             lag(ts, 2) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS tp
+        |      FROM events)
+        |WHERE tp IS NOT NULL
+        |  AND epoch_ms(ts) - epoch_ms(tp) <= 21600000
+        |ORDER BY user_id, at""".stripMargin)
 
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 16, bands: Int = 4,

@@ -886,4 +886,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"),
       s"fold must be the lazy mapPartitions:\n${p.take(3000)}")
   }
+
+  test("q231/q232 monitor parity forms: same scale-safe shape as q219 — " +
+      "external sort + lazy fold, never a group buffer") {
+    Seq("q231_variance_monitor_parity", "q232_burst_monitor_parity")
+      .foreach { qid =>
+        val p = finalPlan(qid)
+        assert(!p.contains("FlatMapGroupsWithState"),
+          s"$qid must not group-buffer:\n${p.take(3000)}")
+        assert(p.contains("MapPartitions"),
+          s"$qid fold must be the lazy mapPartitions:\n${p.take(3000)}")
+      }
+  }
 }

@@ -639,6 +639,107 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("varianceMonitorBatch equals the streaming monitor fold-for-fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three keys, multiple windows each, a gap window (prev carries over
+    // the previous EXISTING window, not the calendar-adjacent one), and
+    // one never-closed trailing window per key
+    var id = 0L
+    val evs = scala.collection.mutable.ArrayBuffer.empty[Streams.Event]
+    def ev(typ: String, sec: Long): Unit = {
+      id += 1
+      evs += Streams.Event(id,
+        new java.sql.Timestamp(1700000000000L + sec * 1000), 1L, typ, 1.0)
+    }
+    (1 to 10).foreach(i => ev("a", i.toLong))          // window 0: 10
+    (1 to 3).foreach(i => ev("a", 60L + i))            // window 1: 3
+    (1 to 3).foreach(i => ev("a", 300L + i))           // gap, window 5: 3
+    ev("a", 400L)                                      // closes window 5
+    (1 to 5).foreach(i => ev("b", i.toLong))
+    (1 to 5).foreach(i => ev("b", 70L + i))            // 0% variance
+    ev("b", 130L)
+    ev("c", 10L)                                       // never closes
+    val batchOut = Streams.varianceMonitorBatch(evs.toSeq.toDF(),
+        "event_type", "ts", windowSeconds = 60, thresholdPct = 5.0)
+      .collect()
+      .map(w => (w.key, w.window_start.getTime, w.n, w.prev_n,
+        w.variance_pct, w.alert)).toSet
+    val input = MemoryStream[Streams.Event]
+    input.addData(evs.toSeq: _*)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "varpar").toString
+    val q = Streams.varianceMonitor(input.toDF(), "event_type", "ts",
+        windowSeconds = 60, thresholdPct = 5.0)
+      .writeStream.format("memory").queryName("var_parity_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.table("var_parity_test").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSet
+      assert(batchOut == streamOut,
+        s"batch=${batchOut.toSeq.sorted}\nstream=${streamOut.toSeq.sorted}")
+      // sanity on the fixture itself: 10→3 alerts (70%), 5→5 doesn't,
+      // the gap window's prev is the last EXISTING window's count,
+      // key c (never closed) emits nothing
+      assert(batchOut.exists(w => w._1 == "a" && w._3 == 10L &&
+        w._4 == 0L && !w._6))
+      assert(batchOut.exists(w => w._1 == "a" && w._3 == 3L &&
+        w._4 == 10L && w._6))
+      assert(batchOut.exists(w => w._1 == "b" && w._3 == 5L &&
+        w._4 == 5L && !w._6))
+      assert(!batchOut.exists(_._1 == "c"))
+    } finally q.stop()
+  }
+
+  test("burstMonitorBatch equals the streaming monitor fold-for-fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var id = 0L
+    val evs = scala.collection.mutable.ArrayBuffer.empty[Streams.Event]
+    def ev(uid: Long, sec: Long): Unit = {
+      id += 1
+      evs += Streams.Event(id,
+        new java.sql.Timestamp(1700000000000L + sec * 1000), uid,
+        "click", 1.0)
+    }
+    // user 1: burst of 4 (alerts at 3rd and 4th), then spread-out noise
+    Seq(0L, 10L, 20L, 30L, 500L, 1000L).foreach(ev(1L, _))
+    // user 2: exactly at the window boundary (inclusive)
+    Seq(0L, 30L, 60L).foreach(ev(2L, _))
+    // user 3: always outside the window
+    Seq(0L, 100L, 200L).foreach(ev(3L, _))
+    val batchOut = Streams.burstMonitorBatch(evs.toSeq.toDS(),
+        windowMs = 60000L, minEvents = 3)
+      .collect()
+      .map(a => (a.user_id, a.at.getTime, a.n_in_window)).toSet
+    val input = MemoryStream[Streams.Event]
+    input.addData(evs.toSeq: _*)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "burstpar").toString
+    val q = Streams.burstMonitor(input.toDS(), windowMs = 60000L,
+        minEvents = 3)
+      .writeStream.format("memory").queryName("burst_parity_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.table("burst_parity_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .toSet
+      assert(batchOut == streamOut,
+        s"batch=${batchOut.toSeq.sorted}\nstream=${streamOut.toSeq.sorted}")
+      // fixture sanity: user 1 alerts at t=20 and t=30; user 2's 60s-back
+      // event is exactly windowMs away (inclusive) → alerts; user 3 never
+      assert(batchOut.map(a => (a._1, (a._2 - 1700000000000L) / 1000)) ==
+        Set((1L, 20L), (1L, 30L), (2L, 60L)), batchOut.toString)
+    } finally q.stop()
+  }
+
   test("Space-Saving estimate bounds hold at every alert under eviction: " +
       "est - max_overcount <= true count so far <= est") {
     import spark.implicits._
