@@ -548,4 +548,47 @@ object Dedup {
         col("size_p").cast("long").as("size_p"),
         round(col("containment"), 6).as("containment"))
   }
+
+  /** Plant near-duplicate copies of the first `nPlant` documents (by id)
+    * into the corpus: copy id = original + `offset`, text perturbed by
+    * appending `extraToken` (None = byte-identical copy). The planted-pair
+    * recall envelope is how the approximate near-dup operators go under a
+    * SQL oracle (the q40/q172 ANN pattern applied to dedup): raw pair
+    * lists are hash-seeded and engine-specific, but "a planted known
+    * near-dup cluster is recalled above a measured floor" is a pinned
+    * cross-engine claim. A harness, not data (q228's synthetic-fixture
+    * contract): the plant is bounded (`nPlant` rows at ANY corpus scale)
+    * and id-keyed, so the probe cost never grows with the corpus. */
+  def plantTextDups(docs: DataFrame, idCol: String, textCol: String,
+                    nPlant: Int = 20, offset: Long = 1000000L,
+                    extraToken: Option[String] = Some("zqj")): DataFrame = {
+    val copies = docs.filter(col(idCol) < nPlant)
+      .withColumn(idCol, col(idCol) + offset)
+    docs.unionByName(extraToken.fold(copies)(t =>
+      copies.withColumn(textCol, concat(col(textCol), lit(" " + t)))))
+  }
+
+  /** The planted-pair recall envelope over any (id_a < id_b) pair list:
+    * one row per planted id, with ONE boolean — the fraction of planted
+    * (original, original+offset) pairs the detector recovered is at or
+    * above `floor` — that the oracle expects TRUE. Floors are measured
+    * per query and set with >=2x margin (all detectors are hash-seeded,
+    * so recall is exactly reproducible for a given corpus). No corpus id
+    * reaches `offset`, so id_b == id_a + offset identifies planted pairs
+    * unambiguously. */
+  def plantedPairEnvelope(pairs: DataFrame, plantedIds: DataFrame,
+                          offset: Long, floor: Double): DataFrame = {
+    val found = pairs
+      .filter(col("id_b") === col("id_a") + offset)
+      .select(col("id_b").as("planted_id"), lit(1L).as("hit"))
+      .distinct()
+    plantedIds
+      .join(found, Seq("planted_id"), "left")
+      .select(col("planted_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .withColumn("recall_ok",
+        avg(col("hit")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()) >= floor)
+      .select(col("planted_id"), col("recall_ok"))
+      .orderBy("planted_id")
+  }
 }

@@ -181,6 +181,22 @@ object Similarity {
     * both explicitly only to pin a specific table layout. The design
     * similarity for the recall target is max(0.9, minSim): recall is
     * guaranteed where near-dups live, not at the report floor. */
+  /** Plant ×`factor`-scaled copies of the first `nPlant` vectors (copy
+    * id = original + `offset`) — the vector side of [[graft.ops.Dedup
+    * .plantTextDups]]'s planted-pair envelope harness. Scaling preserves
+    * every hyperplane sign (sign(w·cv) = sign(w·v) for c > 0) and the
+    * cosine (exactly 1.0), so a scaled plant collides with its original
+    * in EVERY sign-LSH band and verifies at sim 1.0 — detection is
+    * deterministic by construction, which makes the envelope pin the
+    * banding/bucket-join/verify plumbing. Bounded (`nPlant` rows at any
+    * corpus scale) and id-keyed. */
+  def plantScaledDups(emb: DataFrame, idCol: String, embCol: String,
+                      nPlant: Int = 20, offset: Long = 1000000L,
+                      factor: Float = 1.5f): DataFrame =
+    emb.unionByName(emb.filter(col(idCol) < nPlant)
+      .withColumn(idCol, col(idCol) + offset)
+      .withColumn(embCol, transform(col(embCol), _ * lit(factor))))
+
   def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                       dim: Int, minSim: Double, bands: Int = 0,
                       bitsPerBand: Int = 0): DataFrame = {

@@ -391,4 +391,37 @@ class DedupSpec extends AnyFunSuite {
         s"probe $pid parent containment != 1.0")
     }
   }
+  test("planted-pair envelope floors hold with raw-recall margin at the " +
+      "gate scale (q23/q34/q49/q107 independence probe)") {
+    // the registered envelope forms emit hardcoded-TRUE booleans the
+    // oracle expects; THIS probe is the independent raw-value check —
+    // recall measured here must clear each floor with real margin
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01" // the driver gate's scale
+    val docs = graft.sources.TableCatalog.load(spark, dir, "documents")
+    val off = 1000000L
+    def recallOf(pairs: org.apache.spark.sql.DataFrame): Double =
+      pairs.filter(col("id_b") === col("id_a") + off &&
+          col("id_a") < 20)
+        .select(col("id_a")).distinct().count() / 20.0
+    val planted = graft.ops.Dedup.plantTextDups(docs, "doc_id", "text")
+    val r23 = recallOf(graft.ops.Dedup.minhashNearDupPairs(
+      planted, "text", "doc_id", 0.6))
+    assert(r23 >= 0.9, s"q23 raw recall $r23 must clear floor 0.6 with margin")
+    val r49 = recallOf(graft.ops.Dedup.minhashNativePairs(
+      planted, "text", "doc_id", 0.6))
+    assert(r49 >= 0.9, s"q49 raw recall $r49 must clear floor 0.6 with margin")
+    val r34 = recallOf(graft.ops.Dedup.simhashNearDupPairs(
+      planted, "text", "doc_id", 3))
+    assert(r34 >= 0.6, s"q34 raw recall $r34 must clear floor 0.3 with margin")
+    val identical = graft.ops.Dedup.plantTextDups(docs, "doc_id", "text",
+      extraToken = None)
+    val sigs = graft.ops.Multimodal.decodeSignatures(
+      graft.ops.Multimodal.asMediaTable(identical, "doc_id", "text",
+        "image/stub")).toDF()
+    val r107 = recallOf(graft.ops.Dedup.hammingBandPairs(
+      sigs, "asset_id", "phash", 3))
+    assert(r107 == 1.0, s"q107 identical-bytes recall must be exactly 1.0, got $r107")
+    spark.catalog.clearCache()
+  }
 }

@@ -476,4 +476,42 @@ class SimilaritySpec extends AnyFunSuite {
     // the dead dimension must not divide by zero: q=0, mse exactly 0
     assert(out(1L)._3 == 0.0 && out(1L)._5 == 0.0, out.toString)
   }
+  test("planted envelope floors hold with raw-value margin at the gate " +
+      "scale (q35/q166 independence probe)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.TableCatalog.load(spark, dir, "embeddings")
+    val off = 1000000L
+    // q35: the scaled plant must be found for EVERY planted id —
+    // detection is deterministic by construction (all band keys equal)
+    val r35 = Similarity.lshNearDupPairs(
+        Similarity.plantScaledDups(emb, "vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64, minSim = 0.3)
+      .filter(col("id_b") === col("id_a") + off && col("id_a") < 20)
+      .select(col("id_a")).distinct().count() / 20.0
+    assert(r35 == 1.0, s"q35 scaled-plant recall must be exactly 1.0: $r35")
+    // q166: flipped-tail planted negatives retrieved over the floor with
+    // margin; the scaled dup NEVER appears (sim 1.0 >= maxSim cut)
+    val anchors = emb.filter(col("vec_id") < 20)
+    val negatives = anchors
+      .withColumn("vec_id", col("vec_id") + off)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) => when(i >= 51, -x).otherwise(x)))
+    val dups = anchors
+      .withColumn("vec_id", col("vec_id") + 2 * off)
+      .withColumn("embedding", transform(col("embedding"), _ * lit(1.5f)))
+    val hn = Similarity.hardNegatives(
+        emb.unionByName(negatives).unionByName(dups), anchors,
+        "vec_id", "embedding", dim = 64, maxSim = 0.8, k = 3)
+      .persist()
+    val r166 = hn.filter(col("neighbor_id") === col("query_id") + off)
+      .select(col("query_id")).distinct().count() / 20.0
+    assert(r166 >= 0.4, s"q166 raw recall $r166 must clear floor 0.2 with margin")
+    assert(hn.filter(col("neighbor_id") === col("query_id") + 2 * off)
+      .count() == 0, "scaled dups must be cut by maxSim")
+    assert(hn.filter(col("sim") >= 0.8).count() == 0,
+      "no retrieved negative may reach the dup threshold")
+    hn.unpersist()
+    spark.catalog.clearCache()
+  }
 }
