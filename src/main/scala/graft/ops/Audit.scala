@@ -903,8 +903,54 @@ object Audit {
         col("l_returnflag")))
       .withColumn("checksum", col("checksum").cast("string"))
 
+  // --------------------------------------------------------------- q233
+  /** q233 entry: the compaction EXECUTOR closing q229's planner loop,
+    * verified the reference's way (write, then validate —
+    * services/jcap_pa_etl_service.py:341-349's backup-and-verify
+    * discipline, applied to layout maintenance). A real partitioned
+    * parquet fixture is written small-file-fragmented (12-way
+    * repartition × lang partitions, docs capped at id < 400 — q172's
+    * fixed-fixture contract, so the probe cost never grows with the
+    * corpus), its per-partition content manifest is materialized, then
+    * [[Layout.compactPartitioned]] rewrites each partition's merge
+    * groups into single files and swaps them in. Emitted per partition:
+    * the post-compaction row count and content checksum (which the
+    * oracle pins against the source rows — byte-level content identity
+    * through the rewrite), `checksum_match` vs the pre-compaction
+    * manifest, and `compacted_ok` (strictly fewer files). */
+  def q233CompactionExecute(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 400)
+    val fixture = "/root/repo/target/graft-scratch/q233_table"
+    docs.repartition(12, col("doc_id"))
+      .write.partitionBy("lang").mode("overwrite").parquet(fixture)
+    def manifest(df: DataFrame): DataFrame =
+      partitionChecksums(df, col("lang"),
+        Seq(col("doc_id").cast("string"), col("text"), col("source"),
+          col("n_chars").cast("string")))
+    // materialize BEFORE the rewrite: a lazy frame would re-read the
+    // compacted files and vacuously match
+    val before = manifest(spark.read.parquet(fixture))
+      .select(col("part"), col("n_rows").as("rows_before"),
+        col("checksum").as("sum_before"))
+      .localCheckpoint(true)
+    val summary = Layout.compactPartitioned(spark, fixture,
+      targetBytes = 512L * 1024)
+      .select(substring_index(col("part_dir"), "=", -1).as("part"),
+        col("files_before"), col("files_after"))
+    manifest(spark.read.parquet(fixture))
+      .join(before, "part")
+      .join(summary, "part")
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        (col("checksum") === col("sum_before") &&
+          col("n_rows") === col("rows_before")).as("checksum_match"),
+        (col("files_after") < col("files_before")).as("compacted_ok"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,
+    "q233_compaction_execute" -> q233CompactionExecute _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -954,6 +1000,19 @@ object Audit {
         |             l_returnflag)), 1, 13)) AS BIGINT)
         |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum
         |FROM lineitem
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q233: content identity through the compaction rewrite — the
+    // checksum the oracle computes from the SOURCE rows must equal the
+    // one the engine computes from the COMPACTED files (q201's digest
+    // recipe); the match/fewer-files booleans are in-engine claims
+    "q233_compaction_execute" ->
+      """SELECT lang AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(doc_id AS VARCHAR), text, source,
+        |             CAST(n_chars AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS checksum_match, TRUE AS compacted_ok
+        |FROM documents WHERE doc_id < 400
         |GROUP BY 1 ORDER BY part""".stripMargin,
     // q190: the stacked one-pass profile re-expressed as a UNION of
     // per-candidate GROUP BYs — an independent formulation; integer

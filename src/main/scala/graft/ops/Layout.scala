@@ -97,6 +97,71 @@ object Layout {
     files
   }
 
+  /** Partition-aware compaction EXECUTOR — applies [[compactionPlan]]'s
+    * merge rule to a hive-partitioned parquet directory and closes the
+    * planner→executor loop the way W1–W6 close the reference's workflow
+    * loop (write, then verify — here content identity via the
+    * [[Audit.partitionChecksums]] manifest, see q233). Per partition
+    * directory: list files in stable name order, group consecutive
+    * files by the planner's offset rule (group = (cum − size) div
+    * target, on ACTUAL bytes), rewrite each group as exactly one file,
+    * and swap the new layout in crash-safely ([[swapInto]] — a failure
+    * anywhere leaves the original table intact).
+    *
+    * Scale shape: the driver loop walks METADATA (partitions × groups —
+    * the same rows the planner emits); each group's data work is a
+    * distributed read + single-task write bounded by `targetBytes` (the
+    * planner's `max_group_size` bound, so coalesce(1) is safe by
+    * construction). A warehouse deployment submits group jobs
+    * concurrently (they are independent); the rewrite rule, file
+    * naming, and swap contract are unchanged. Returns the
+    * (partition dir, files before, files after) summary. */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetBytes: Long): DataFrame = {
+    require(targetBytes > 0,
+      s"compactPartitioned: target must be positive: $targetBytes")
+    recoverSwap(spark, path)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val partDirs = fs.listStatus(p).filter(_.isDirectory)
+      .sortBy(_.getPath.getName)
+    require(partDirs.nonEmpty,
+      s"compactPartitioned: no partition directories under $path — " +
+        "use compact() for a flat layout")
+    val tmp = new Path(p.getParent, p.getName + "._compacting")
+    fs.delete(tmp, true)
+    val summary = partDirs.map { d =>
+      val files = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      var cum = 0L
+      val groups = files.map { f =>
+        cum += f.getLen
+        ((cum - f.getLen) / targetBytes, f.getPath)
+      }.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+      val partName = d.getPath.getName
+      groups.zipWithIndex.foreach { case (paths, i) =>
+        val gDir = new Path(tmp, s"$partName/_group_$i")
+        spark.read.parquet(paths.map(_.toString): _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(gDir.toString)
+        val written = fs.listStatus(gDir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        require(written.length == 1,
+          s"group rewrite must land one file, got ${written.length}")
+        val dst = new Path(tmp, f"$partName/part-$i%05d.parquet")
+        if (!fs.rename(written.head.getPath, dst))
+          throw new java.io.IOException(
+            s"compactPartitioned: rename ${written.head.getPath} -> $dst failed")
+        fs.delete(gDir, true)
+      }
+      (partName, files.length.toLong, groups.length.toLong)
+    }.toSeq
+    swapInto(spark, tmp.toString, path)
+    import spark.implicits._
+    summary.toDF("part_dir", "files_before", "files_after")
+  }
+
   /** Repair the aftermath of a [[swapInto]] that crashed mid-swap. MUST
     * run before READING a swap-managed directory (not just before the next
     * swap): a crash between the two renames leaves the target missing and

@@ -176,4 +176,53 @@ class LayoutSpec extends AnyFunSuite {
     assert(out("U") == ((3L, 3L, 3.0)), out.toString)
     assert(out("S") == ((2L, 2L, 1.5)), out.toString)
   }
+  test("compactPartitioned: merges each partition's files per the plan " +
+      "rule, preserves content exactly, stays hive-readable") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cmpex").toString
+    val tbl = s"$base/tbl"
+    val df = (0 until 300)
+      .map(i => (i.toLong, s"row_$i", if (i % 3 == 0) "x" else "y"))
+      .toDF("id", "payload", "k")
+    df.repartition(8, col("id")).write.partitionBy("k")
+      .mode("overwrite").parquet(tbl)
+    val beforeRows = spark.read.parquet(tbl)
+      .select("id", "payload", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // huge target: every partition collapses to ONE file
+    val s1 = Layout.compactPartitioned(spark, tbl, targetBytes = 1L << 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s1.length == 2, s1.toSeq.toString)
+    s1.foreach { case (part, fb, fa) =>
+      assert(fb == 8 && fa == 1, s"$part: $fb -> $fa")
+    }
+    val afterRows = spark.read.parquet(tbl)
+      .select("id", "payload", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(afterRows == beforeRows, "content must survive byte-exactly")
+    // filesystem check: exactly one parquet file per partition dir
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+      .filter(_.isDirectory).foreach { d =>
+        val pq = fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        assert(pq.length == 1, s"${d.getPath}: ${pq.length} files")
+      }
+    // 1-byte target: every file is its own group — a no-op rewrite that
+    // must keep the same file count and content (plan-fidelity floor)
+    val s2 = Layout.compactPartitioned(spark, tbl, targetBytes = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    s2.foreach { case (part, fb, fa) =>
+      assert(fb == 1 && fa == 1, s"$part: $fb -> $fa")
+    }
+    assert(spark.read.parquet(tbl).count() == 300)
+    // flat (unpartitioned) layout is compact()'s job — refuse loudly
+    val flat = s"$base/flat"
+    df.coalesce(2).write.mode("overwrite").parquet(flat)
+    intercept[IllegalArgumentException] {
+      Layout.compactPartitioned(spark, flat, targetBytes = 1L << 20)
+    }
+  }
 }
