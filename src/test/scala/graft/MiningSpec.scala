@@ -82,12 +82,17 @@ class MiningSpec extends AnyFunSuite {
     assert(Dedup.hammingBandPairs(sigs2, "id", "sig", 3).isEmpty)
   }
 
-  test("q107 report is one row per asset with non-negative neardup counts") {
-    val out = Mining.q107PhashNeardup(spark, TestSpark.sfDir)
+  test("q107 report form is one row per asset with non-negative neardup " +
+      "counts; registered envelope pins the planted set") {
+    val out = Mining.q107PhashReport(spark, TestSpark.sfDir)
     val docs = graft.sources.TableCatalog
       .load(spark, TestSpark.sfDir, "documents").count()
     assert(out.count() == docs)
     assert(out.filter(col("n_neardup") < 0).isEmpty)
+    val env = Mining.q107PhashNeardup(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(env.length == 20 && env.forall(_._2),
+      "identical-bytes plants detect deterministically at every SF")
   }
 
   // -------------------------------------------------- q109 approx top-k
