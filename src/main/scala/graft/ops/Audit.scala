@@ -1376,16 +1376,29 @@ object Audit {
         |                               ELSE 0 END) AS BIGINT), 0)
         |         AS n_full_funnel
         |FROM p""".stripMargin,
-    // q118: the oracle is deliberately INDEPENDENT of the engine's
-    // blocking — brute-force levenshtein join + recursive reachability
-    // (the q55 closure pattern) — so the compare certifies completeness.
+    // q118: deletion-neighborhood candidates + levenshtein verify
+    // (q97's upgraded oracle — equivalence argument and the brute-force
+    // independence check documented there) + recursive reachability
+    // (the q55 closure pattern).
     "q118_entity_resolution" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-        |  FROM customer a JOIN customer b
-        |    ON a.c_custkey < b.c_custkey
-        |  WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
-        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+      """WITH RECURSIVE n AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE len(c_name) > 0),
+        |k AS (SELECT c_custkey, unnest(list_append(
+        |        list_transform(range(1, len(c_name) + 1),
+        |          i -> substr(c_name, 1, CAST(i - 1 AS INTEGER))
+        |               || substr(c_name, CAST(i + 1 AS INTEGER))),
+        |        c_name)) AS dk
+        |      FROM n),
+        |cand AS (SELECT DISTINCT a.c_custkey AS id_a,
+        |                b.c_custkey AS id_b
+        |         FROM k a JOIN k b USING (dk)
+        |         WHERE a.c_custkey < b.c_custkey),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN n a ON a.c_custkey = c.id_a
+        |  JOIN n b ON b.c_custkey = c.id_b
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
         |edges AS (
         |  SELECT id_a AS a, id_b AS b FROM pairs
         |  UNION ALL

@@ -2385,19 +2385,38 @@ object TrainingData {
         |       CAST(CAST(fnv[4] // 1099511627776 AS DOUBLE)
         |            / 16777216.0 AS FLOAT) AS stripe3
         |FROM f ORDER BY asset_id""".stripMargin,
-    // q97's oracle is deliberately the brute-force O(n²) formulation —
-    // independent of the engine's deletion-neighborhood blocking, so the
-    // compare checks blocking completeness, not just arithmetic
+    // q97's oracle: deletion-neighborhood candidates + exact levenshtein
+    // verify. The O(n²) levenshtein join ground for 20+ min at sf0.1 and
+    // forced a sweep skip; the blocked form is EQUIVALENT by the shared-
+    // deletion theorem (lev(s,t) ≤ 1 ⇒ ({s} ∪ deletions(s)) ∩
+    // ({t} ∪ deletions(t)) ≠ ∅ — substitution: delete the differing char
+    // from both; insertion/deletion: the shorter string IS a deletion of
+    // the longer; equality: the string itself), proven identical to the
+    // brute-force result at sf0.01 when this oracle was upgraded. The
+    // engine-independent completeness check lives in StatsSpec's
+    // brute-force fixture compare.
     "q97_fuzzy_name_pairs" ->
       // len > 0 mirrors the engine's empty-string exclusion (an empty
       // name is within distance 1 of EVERY 1-char name — matching it is
       // noise, so both sides skip empties)
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |       a.c_name AS name_a, b.c_name AS name_b,
+      """WITH n AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE len(c_name) > 0),
+        |k AS (SELECT c_custkey, unnest(list_append(
+        |        list_transform(range(1, len(c_name) + 1),
+        |          i -> substr(c_name, 1, CAST(i - 1 AS INTEGER))
+        |               || substr(c_name, CAST(i + 1 AS INTEGER))),
+        |        c_name)) AS dk
+        |      FROM n),
+        |cand AS (SELECT DISTINCT a.c_custkey AS id_a,
+        |                b.c_custkey AS id_b
+        |         FROM k a JOIN k b USING (dk)
+        |         WHERE a.c_custkey < b.c_custkey)
+        |SELECT c.id_a, c.id_b, a.c_name AS name_a, b.c_name AS name_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
-        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |FROM cand c
+        |JOIN n a ON a.c_custkey = c.id_a
+        |JOIN n b ON b.c_custkey = c.id_b
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
     // q123: q33's measure (same kept-gram universe over corpus ∪
     // increment) with pairs restricted to corpus × fresh
