@@ -445,6 +445,179 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // REAL image decode under the oracle gate (q234–q236) — the visual
+  // twin of the WAV path above: a deterministic synthetic BMP corpus
+  // (closed-form integer gradient patterns keyed by asset id) goes
+  // through the genuine javax.imageio BMP parser, and every emitted
+  // feature is all-integer, so a SQL oracle replays the container
+  // parse + pixel walk bit-for-bit. The DCT pHash path
+  // ([[decodeImageSignatures]]) stays for real-world robustness; the
+  // blockhash below is its oracle-checkable integer sibling
+  // (blockhash.io's published mean-threshold method).
+  // ------------------------------------------------------------------
+
+  /** 24-bit uncompressed BMP bytes (BITMAPINFOHEADER, bottom-up rows,
+    * 4-byte row padding) for a pixel function (x, y) → (r, g, b) with
+    * (0,0) the TOP-left of the decoded image. */
+  private[graft] def bmpBytes(w: Int, h: Int,
+                              px: (Int, Int) => (Int, Int, Int))
+      : Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataLen = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataLen).putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1 // write bottom-up so decoded (x,y) matches px(x,y)
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, row)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    bb.array()
+  }
+
+  /** The synthetic fixture pattern: channel `ch` of asset `id` at (x,y)
+    * is (a·x + b·y + c) mod 180 with all-integer params from the id —
+    * mod 180 caps values at 179, leaving +40 brightness-shift headroom
+    * with no 8-bit wrap (q236's invariance plant needs it). Trig-free
+    * for the same reason the WAV fixture is ([[triangleSample]]): a SQL
+    * oracle replays every pixel exactly. */
+  private[graft] def gradPixel(id: Long, ch: Int, x: Int, y: Int): Int =
+    (((1 + (id + ch) % 7) * x + (1 + (id * 3 + ch) % 5) * y +
+      (id * 7 + ch * 31) % 97) % 180).toInt
+
+  /** A deterministic synthetic BMP corpus keyed by asset id; `shift`
+    * adds a uniform brightness offset (used by q236's planted copies —
+    * values stay < 256 by the mod-180 headroom). */
+  def synthBmpTable(ids: Dataset[java.lang.Long], w: Int = 32, h: Int = 32,
+                    shift: Int = 0): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.map { idBoxed =>
+      val id = idBoxed.longValue()
+      val bytes = bmpBytes(w, h, (x, y) =>
+        (gradPixel(id, 0, x, y) + shift, gradPixel(id, 1, x, y) + shift,
+          gradPixel(id, 2, x, y) + shift))
+      MediaRow(id, "image/bmp", bytes.length.toLong, bytes)
+    }
+  }
+
+  /** Per-image integer channel statistics off REAL decoded pixels. */
+  case class ImageStats(asset_id: Long, width: Int, height: Int,
+                        r_sum: Long, g_sum: Long, b_sum: Long,
+                        r_min: Long, r_max: Long, g_min: Long,
+                        g_max: Long, b_min: Long, b_max: Long,
+                        luma_sum: Long)
+
+  /** REAL image decode + integer stats: the genuine javax.imageio
+    * parse (container header, bottom-up row order, BGR byte order,
+    * row padding — the components under test), then an exact integer
+    * pixel walk: per-channel sum/min/max and the Σ(299r+587g+114b)
+    * integer luma sum. No floating point anywhere, so a SQL oracle
+    * replays the decode bit-for-bit when the pixels are known.
+    * Undecodable payloads drop ([[decodeImageFeatures]]'s posture);
+    * same partition-batched execution shape. */
+  def decodeBmpStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readImage(r.payload).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](3)
+          val mins = Array.fill(3)(255L)
+          val maxs = new Array[Long](3)
+          var luma = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val c = Array((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+              var i = 0
+              while (i < 3) {
+                sums(i) += c(i)
+                if (c(i) < mins(i)) mins(i) = c(i)
+                if (c(i) > maxs(i)) maxs(i) = c(i)
+                i += 1
+              }
+              luma += 299L * c(0) + 587L * c(1) + 114L * c(2)
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(r.asset_id, w, h, sums(0), sums(1), sums(2),
+            mins(0), maxs(0), mins(1), maxs(1), mins(2), maxs(2), luma)
+        }
+      }
+    }
+  }
+
+  /** One asset's 64-bit blockhash, split into two non-negative 32-bit
+    * halves so an oracle compares them without signed-overflow games. */
+  case class BlockHash(asset_id: Long, n_bytes: Long, bits_hi: Long,
+                       bits_lo: Long)
+
+  /** Integer blockhash (blockhash.io's mean-threshold method) on REAL
+    * decoded pixels: 8×8 pixel blocks, bit k = (block luma sum × 64 >
+    * total luma sum) with k = (y/bh)·8 + (x/bw) — the comparison stays
+    * in exact integers (luma = 299r+587g+114b, never divided), so the
+    * hash is bit-reproducible AND SQL-replayable. Brightness-shift
+    * invariant by construction: a uniform +s shifts every block sum by
+    * s·pixels/64 of the total shift, leaving every comparison's two
+    * sides offset by the same amount — q236 plants exactly that.
+    * Requires dimensions divisible by 8 (the fixture's 32×32 is);
+    * non-conforming or undecodable payloads drop. */
+  def decodeBlockHash(media: Dataset[MediaRow]): Dataset[BlockHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readImage(r.payload)
+          .filter(i => i.getWidth % 8 == 0 && i.getHeight % 8 == 0)
+          .map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            val bw = w / 8; val bh = h / 8
+            val blocks = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val l = 299L * ((p >> 16) & 0xff) +
+                  587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+                blocks((y / bh) * 8 + x / bw) += l
+                total += l
+                x += 1
+              }
+              y += 1
+            }
+            var hi = 0L; var lo = 0L
+            var k = 0
+            while (k < 64) {
+              if (blocks(k) * 64 > total) {
+                if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+              }
+              k += 1
+            }
+            BlockHash(r.asset_id, r.n_bytes, hi, lo)
+          }
+      }
+    }
+  }
+
   /** STUB perceptual hash: 64 FNV-1a lanes striped over payload bytes
     * (byte i feeds lane i mod 64), signature bit b = parity of lane b.
     * Locality property the real pHash also has (and that the dedup join

@@ -358,6 +358,73 @@ object TrainingData {
       .orderBy("asset_id", "frame_idx")
   }
 
+  // --------------------------------------------------------------- q234
+  /** REAL image decode under the oracle gate — the visual twin of q228:
+    * a deterministic synthetic BMP corpus (all-integer gradient
+    * patterns keyed by asset id; [[Multimodal.synthBmpTable]]) goes
+    * through the genuine javax.imageio BMP parser and an exact integer
+    * pixel walk ([[Multimodal.decodeBmpStats]]) — container header,
+    * bottom-up row order, BGR byte order and row padding are the
+    * components under test, and DuckDB replays every channel sum/min/
+    * max and the integer luma sum bit-for-bit from the closed-form
+    * pattern. Assets capped at id < 500 (q228's fixed-fixture
+    * contract). */
+  def q234ImageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 500)
+      .as[java.lang.Long]
+    Multimodal.decodeBmpStats(Multimodal.synthBmpTable(ids))
+      .toDF()
+      .orderBy("asset_id")
+  }
+
+  // --------------------------------------------------------------- q235
+  /** Integer blockhash on REAL decoded pixels ([[Multimodal
+    * .decodeBlockHash]]; blockhash.io's published mean-threshold
+    * method): bit k = (8×8-block luma sum × 64 > total luma sum), all
+    * in exact integers — value-exact under the oracle, no envelope
+    * needed (the ONE approximate-free perceptual hash in the engine:
+    * DCT pHash q-family rows stay envelope/spec-pinned because doubles
+    * don't cross engines; this one does). */
+  def q235ImageBlockhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 500)
+      .as[java.lang.Long]
+    Multimodal.decodeBlockHash(Multimodal.synthBmpTable(ids))
+      .toDF()
+      .orderBy("asset_id")
+  }
+
+  // --------------------------------------------------------------- q236
+  /** Brightness-shift near-dup detection on REAL pixels: planted +40
+    * uniform-brightness copies of the first 20 assets (no 8-bit wrap by
+    * the fixture's mod-180 headroom) hash to the IDENTICAL blockhash —
+    * the method's documented invariance, exercised through the real
+    * decode → hash → banded Hamming join → verify path and pinned by
+    * the planted-pair envelope (deterministic, floor 0.9). */
+  def q236ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val ids = docs.select(col("doc_id")).filter(col("doc_id") < 500)
+      .as[java.lang.Long]
+    val ids20 = docs.select(col("doc_id")).filter(col("doc_id") < 20)
+      .as[java.lang.Long]
+    val corpus = Multimodal.synthBmpTable(ids).toDF()
+      .unionByName(Multimodal.synthBmpTable(ids20, shift = 40).toDF()
+        .withColumn("asset_id", col("asset_id") + 1000000L))
+      .as[Multimodal.MediaRow]
+    val sigs = Multimodal.decodeBlockHash(corpus).toDF()
+      .select(col("asset_id"),
+        shiftleft(col("bits_hi"), 32).bitwiseOR(col("bits_lo")).as("sig"))
+    Dedup.plantedPairEnvelope(
+      Dedup.hammingBandPairs(sigs, "asset_id", "sig", maxHamming = 3),
+      docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("planted_id")),
+      offset = 1000000L, floor = 0.9)
+  }
+
   // ---------------------------------------------------------------- q75
   /** Int8-quantized brute-force top-k — registered as the recall envelope
     * vs the exact float path (spec pins mean ≥0.8; floor 0.4 = 2× margin;
@@ -1708,6 +1775,9 @@ object TrainingData {
     "q97_fuzzy_name_pairs" -> q97FuzzyNamePairs _,
     "q42_multimodal_stub" -> q42MultimodalStub _,
     "q228_audio_features" -> q228AudioFeatures _,
+    "q234_image_stats" -> q234ImageStats _,
+    "q235_image_blockhash" -> q235ImageBlockhash _,
+    "q236_image_neardup" -> q236ImageNeardup _,
     "q75_ann_quantized" -> q75AnnQuantized _,
     "q127_trigram_search" -> q127TrigramSearch _,
     "q129_passage_containment" -> q129PassageContainment _,
@@ -1749,6 +1819,64 @@ object TrainingData {
     "q166_hard_negatives" -> q166HardNegativesMine _)
 
   val oracle: Map[String, String] = Map(
+    // q234: the closed-form gradient pattern replayed pixel-for-pixel —
+    // the engine side went through the REAL BMP parse; value-exact
+    "q234_image_stats" ->
+      """WITH ids AS (SELECT doc_id AS asset_id FROM documents
+        |             WHERE doc_id < 500),
+        |v AS (SELECT asset_id,
+        |  ((1 + (asset_id + 0) % 7) * tx.x + (1 + (asset_id * 3 + 0) % 5)
+        |    * ty.y + (asset_id * 7 + 0) % 97) % 180 AS r,
+        |  ((1 + (asset_id + 1) % 7) * tx.x + (1 + (asset_id * 3 + 1) % 5)
+        |    * ty.y + (asset_id * 7 + 31) % 97) % 180 AS g,
+        |  ((1 + (asset_id + 2) % 7) * tx.x + (1 + (asset_id * 3 + 2) % 5)
+        |    * ty.y + (asset_id * 7 + 62) % 97) % 180 AS b
+        |  FROM ids, range(0, 32) tx(x), range(0, 32) ty(y))
+        |SELECT asset_id, CAST(32 AS INTEGER) AS width,
+        |       CAST(32 AS INTEGER) AS height,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(SUM(g) AS BIGINT) AS g_sum,
+        |       CAST(SUM(b) AS BIGINT) AS b_sum,
+        |       CAST(MIN(r) AS BIGINT) AS r_min,
+        |       CAST(MAX(r) AS BIGINT) AS r_max,
+        |       CAST(MIN(g) AS BIGINT) AS g_min,
+        |       CAST(MAX(g) AS BIGINT) AS g_max,
+        |       CAST(MIN(b) AS BIGINT) AS b_min,
+        |       CAST(MAX(b) AS BIGINT) AS b_max,
+        |       CAST(SUM(299 * r + 587 * g + 114 * b) AS BIGINT)
+        |         AS luma_sum
+        |FROM v GROUP BY 1 ORDER BY asset_id""".stripMargin,
+    // q235: the blockhash's integer compare (bs·64 > total) replayed
+    // exactly; 32-bit halves avoid signed-overflow games in BIGINT
+    "q235_image_blockhash" ->
+      """WITH ids AS (SELECT doc_id AS asset_id FROM documents
+        |             WHERE doc_id < 500),
+        |v AS (SELECT asset_id, tx.x AS x, ty.y AS y,
+        |  ((1 + (asset_id + 0) % 7) * tx.x + (1 + (asset_id * 3 + 0) % 5)
+        |    * ty.y + (asset_id * 7 + 0) % 97) % 180 AS r,
+        |  ((1 + (asset_id + 1) % 7) * tx.x + (1 + (asset_id * 3 + 1) % 5)
+        |    * ty.y + (asset_id * 7 + 31) % 97) % 180 AS g,
+        |  ((1 + (asset_id + 2) % 7) * tx.x + (1 + (asset_id * 3 + 2) % 5)
+        |    * ty.y + (asset_id * 7 + 62) % 97) % 180 AS b
+        |  FROM ids, range(0, 32) tx(x), range(0, 32) ty(y)),
+        |bl AS (SELECT asset_id, (y // 4) * 8 + (x // 4) AS k,
+        |              SUM(299 * r + 587 * g + 114 * b) AS bs
+        |       FROM v GROUP BY 1, 2),
+        |tot AS (SELECT asset_id, SUM(bs) AS ts FROM bl GROUP BY 1)
+        |SELECT bl.asset_id, CAST(3126 AS BIGINT) AS n_bytes,
+        |       CAST(SUM(CASE WHEN k >= 32 AND bs * 64 > ts
+        |                THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)
+        |                ELSE 0 END) AS BIGINT) AS bits_hi,
+        |       CAST(SUM(CASE WHEN k < 32 AND bs * 64 > ts
+        |                THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+        |                ELSE 0 END) AS BIGINT) AS bits_lo
+        |FROM bl JOIN tot USING (asset_id)
+        |GROUP BY 1 ORDER BY asset_id""".stripMargin,
+    // q236: planted-pair envelope — brightness-shifted plants hash
+    // identically (deterministic), floor 0.9
+    "q236_image_neardup" ->
+      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok
+        |FROM documents WHERE doc_id < 20 ORDER BY planted_id""".stripMargin,
     // q34/q35/q49: planted-pair recall envelopes (q40's pattern applied
     // to the near-dup family) — rows pinned to the planted id set, the
     // measured-floor recall boolean is the cross-engine claim

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Multimodal
@@ -233,5 +234,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out(1).n == 1 && out(1).zcr == 0.0 && out(1).rms == 100.0,
       out(1).toString)
+  }
+  test("bmpBytes -> ImageIO round-trip is pixel-exact, including padded " +
+      "rows, bottom-up order and BGR byte order") {
+    // w=10: 3w=30 bytes/row pads to 32 — the padding path must not
+    // shift later rows
+    val bytes = Multimodal.bmpBytes(10, 8,
+      (x, y) => (x * 20, y * 30, (x + y) * 7))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 10 && img.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 10) {
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff) == x * 20, s"R($x,$y)")
+      assert(((p >> 8) & 0xff) == y * 30, s"G($x,$y)")
+      assert((p & 0xff) == (x + y) * 7, s"B($x,$y)")
+    }
+  }
+
+  test("decodeBmpStats: real decode matches a hand-computed tiny image; " +
+      "undecodable payloads drop") {
+    import spark.implicits._
+    val good = Multimodal.bmpBytes(4, 2, (x, y) => (x, 10 + y, 100))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/bmp", good.length.toLong, good),
+      Multimodal.MediaRow(2L, "image/bmp", 3L, Array[Byte](1, 2, 3)))
+    val out = Multimodal.decodeBmpStats(rows.toDS()).collect()
+    assert(out.length == 1 && out.head.asset_id == 1L)
+    val st = out.head
+    // r: x in 0..3 twice -> sum 12, min 0, max 3; g: 10,11 x4 -> 84
+    assert(st.r_sum == 12 && st.r_min == 0 && st.r_max == 3)
+    assert(st.g_sum == 84 && st.g_min == 10 && st.g_max == 11)
+    assert(st.b_sum == 800 && st.b_min == 100 && st.b_max == 100)
+    assert(st.luma_sum == 299L * 12 + 587L * 84 + 114L * 800)
+  }
+
+  test("decodeBlockHash: hand-computed bits on a half-dark image; " +
+      "uniform brightness shift leaves the hash identical") {
+    import spark.implicits._
+    // 8x8 image (1x1 blocks): left half luma 0, right half bright ->
+    // bits set exactly where x >= 4 (block sum*64 > total iff bright)
+    val half = Multimodal.bmpBytes(8, 8,
+      (x, _) => if (x < 4) (0, 0, 0) else (100, 100, 100))
+    val out = Multimodal.decodeBlockHash(Seq(
+      Multimodal.MediaRow(1L, "image/bmp", half.length.toLong, half))
+      .toDS()).collect().head
+    val expected = (0 until 64).filter(k => k % 8 >= 4)
+    val gotBits = (0 until 64).filter { k =>
+      val v = if (k >= 32) out.bits_hi >> (k - 32) else out.bits_lo >> k
+      (v & 1L) == 1L
+    }
+    assert(gotBits == expected, s"$gotBits")
+    // invariance on the synthetic gradient corpus: +40 shift, same hash
+    val ids = spark.range(0, 30).select(col("id"))
+      .as[java.lang.Long]
+    val base = Multimodal.decodeBlockHash(Multimodal.synthBmpTable(ids))
+      .collect().map(b => b.asset_id -> (b.bits_hi, b.bits_lo)).toMap
+    val shifted = Multimodal.decodeBlockHash(
+        Multimodal.synthBmpTable(ids, shift = 40))
+      .collect().map(b => b.asset_id -> (b.bits_hi, b.bits_lo)).toMap
+    assert(base == shifted, "blockhash must be brightness-shift invariant")
+    assert(base.values.toSet.size > 1, "fixture must vary across assets")
+    // non-multiple-of-8 dimensions are out of contract and must DROP,
+    // not mis-hash
+    val odd = Multimodal.bmpBytes(10, 8, (x, y) => (x, y, 0))
+    assert(Multimodal.decodeBlockHash(Seq(
+      Multimodal.MediaRow(9L, "image/bmp", odd.length.toLong, odd))
+      .toDS()).isEmpty)
   }
 }
