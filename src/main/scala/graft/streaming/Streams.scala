@@ -557,11 +557,33 @@ object Streams {
       .orderBy("user_id", "at")
   }
 
+  /** q237 entry: BATCH-parity execution of the ingest near-dup monitor
+    * ([[nearDupBatch]] — the identical [[BucketFold]]) under the
+    * planted-pair recall envelope: 20 one-token-appended copies
+    * (Jaccard ≈ 0.95 ⇒ expected 15–16 of 16 matching minhashes, well
+    * over the 0.5 estimate cut; 4-band collision probability ≈ 0.999)
+    * must be flagged against their originals. Floor 0.6 under the
+    * measured recall (xxhash-seeded ⇒ exactly reproducible per
+    * corpus); the raw hit stream stays engine-specific. */
+  def q237NearDupStreamParity(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    val docs = graft.sources.TableCatalog.load(spark, dir, "documents")
+    val hits = nearDupBatch(
+      graft.ops.Dedup.plantTextDups(docs, "doc_id", "text"),
+      "text", "doc_id").toDF()
+    graft.ops.Dedup.plantedPairEnvelope(
+      hits.select(col("dup_of").as("id_a"), col("doc_id").as("id_b")),
+      docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("planted_id")),
+      offset = 1000000L, floor = 0.6)
+  }
+
   /** Streaming-backed registry entries (batch-parity forms). */
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q219_heavy_hitters_parity" -> (q219HeavyHittersParity _),
       "q231_variance_monitor_parity" -> (q231VarianceMonitorParity _),
-      "q232_burst_monitor_parity" -> (q232BurstMonitorParity _))
+      "q232_burst_monitor_parity" -> (q232BurstMonitorParity _),
+      "q237_neardup_stream_parity" -> (q237NearDupStreamParity _))
 
   /** Oracles. q219: the no-eviction Space-Saving alert is exactly the
     * minCount-th per-user event in (ts, event_id) order. q231: group +
@@ -606,22 +628,54 @@ object Streams {
         |      FROM events)
         |WHERE tp IS NOT NULL
         |  AND epoch_ms(ts) - epoch_ms(tp) <= 21600000
-        |ORDER BY user_id, at""".stripMargin)
+        |ORDER BY user_id, at""".stripMargin,
+    // q237: planted-pair recall envelope over the bucket fold
+    "q237_neardup_stream_parity" ->
+      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok
+        |FROM documents WHERE doc_id < 20 ORDER BY planted_id""".stripMargin)
 
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 16, bands: Int = 4,
                     minEstJaccard: Double = 0.5,
                     maxPerBucket: Int = 64,
                     stateTtlMs: Long = 1800000L): Dataset[NearDupHit] = {
-    require(k % bands == 0, "bands must divide the signature length")
     val spark = docs.sparkSession
     import spark.implicits._
     val useTtl = stateTtlMs > 0
     val timeoutConf =
       if (useTtl) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    bandedDocs(docs, textCol, idCol, k, bands)
+      .as[(Int, String, Long, Seq[Long])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), timeoutConf) {
+        (_: String, batch: Iterator[(Int, String, Long, Seq[Long])],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val fold = new BucketFold(minEstJaccard, maxPerBucket)
+            state.getOption.foreach(fold.restore)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            batch.toArray.sortBy(_._3).foreach { case (band, _, id, s) =>
+              out ++= fold.observe(band, id, s)
+            }
+            state.update(fold.snapshot)
+            if (useTtl) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** The banded-MinHash frame shared by the streaming near-dup monitor
+    * and its batch-parity form: (band, bucket key, id, k-signature). */
+  private def bandedDocs(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide the signature length")
     val rowsPerBand = k / bands
-    val banded = docs
+    docs
       .select(col(idCol).cast("long").as("id"),
         wordNgrams(col(textCol), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -635,41 +689,68 @@ object Streams {
               .cast("string")))))
       .select(col("pos").as("band"), col("col").as("bucket"),
         col("id"), col("sig"))
-      .as[(Int, String, Long, Seq[Long])]
-    banded.groupByKey(_._2)
-      .flatMapGroupsWithState[BucketState, NearDupHit](
-        OutputMode.Append(), timeoutConf) {
-        (_: String, batch: Iterator[(Int, String, Long, Seq[Long])],
-         state: GroupState[BucketState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var st = state.getOption.getOrElse(
-              BucketState(Seq.empty, Seq.empty))
-            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-            batch.toArray.sortBy(_._3).foreach { case (band, _, id, s) =>
-              var i = 0
-              while (i < st.ids.length) {
-                if (st.ids(i) != id) {
-                  val prev = st.sigs(i)
-                  var m = 0; var j = 0
-                  while (j < s.length) {
-                    if (s(j) == prev(j)) m += 1; j += 1
-                  }
-                  val est = m.toDouble / s.length
-                  if (est >= minEstJaccard)
-                    out += NearDupHit(id, st.ids(i), est, band)
-                }
-                i += 1
-              }
-              if (!st.ids.contains(id) && st.ids.length < maxPerBucket)
-                st = BucketState(st.ids :+ id, st.sigs :+ s)
-            }
-            state.update(st)
-            if (useTtl) state.setTimeoutDuration(stateTtlMs)
-            out.iterator
+  }
+
+  /** The per-bucket collision fold shared VERBATIM by [[nearDupStream]]
+    * (state restored per micro-batch) and [[nearDupBatch]]: each
+    * arriving (id asc) document compares against the bucket's retained
+    * entries, emits a hit per clearing comparison, and is retained
+    * while the bucket is under its cap. */
+  private[streaming] final class BucketFold(minEstJaccard: Double,
+                                            maxPerBucket: Int) {
+    private var st = BucketState(Seq.empty, Seq.empty)
+    def restore(s: BucketState): Unit = st = s
+    def snapshot: BucketState = st
+    def observe(band: Int, id: Long, s: Seq[Long]): Seq[NearDupHit] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      var i = 0
+      while (i < st.ids.length) {
+        if (st.ids(i) != id) {
+          val prev = st.sigs(i)
+          var m = 0; var j = 0
+          while (j < s.length) {
+            if (s(j) == prev(j)) m += 1; j += 1
           }
+          val est = m.toDouble / s.length
+          if (est >= minEstJaccard)
+            out += NearDupHit(id, st.ids(i), est, band)
+        }
+        i += 1
+      }
+      if (!st.ids.contains(id) && st.ids.length < maxPerBucket)
+        st = BucketState(st.ids :+ id, st.sigs :+ s)
+      out.toSeq
+    }
+  }
+
+  /** BATCH execution of the ingest near-dup monitor — the identical
+    * [[BucketFold]] over a static corpus in the scale-safe shape:
+    * repartition(bucket) + spillable sortWithinPartitions(bucket, id) +
+    * a lazy per-bucket-run iterator fold (no task buffers a bucket
+    * group; state is ≤ maxPerBucket signatures). Output matches a
+    * single-batch streaming pass exactly: within a bucket the LOWER id
+    * is the retained "original" (the batch family's min-id survivor
+    * rule). */
+  def nearDupBatch(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int = 16, bands: Int = 4,
+                   minEstJaccard: Double = 0.5,
+                   maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandedDocs(docs, textCol, idCol, k, bands)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .as[(Int, String, Long, Seq[Long])]
+      .mapPartitions { it =>
+        var cur: String = null
+        var fold: BucketFold = null
+        it.flatMap { case (band, bucket, id, sig) =>
+          if (bucket != cur) {
+            cur = bucket
+            fold = new BucketFold(minEstJaccard, maxPerBucket)
+          }
+          fold.observe(band, id, sig)
+        }
       }
   }
 

@@ -887,9 +887,10 @@ class PlanSpec extends AnyFunSuite {
       s"fold must be the lazy mapPartitions:\n${p.take(3000)}")
   }
 
-  test("q231/q232 monitor parity forms: same scale-safe shape as q219 — " +
-      "external sort + lazy fold, never a group buffer") {
-    Seq("q231_variance_monitor_parity", "q232_burst_monitor_parity")
+  test("q231/q232/q237 monitor parity forms: same scale-safe shape as " +
+      "q219 — external sort + lazy fold, never a group buffer") {
+    Seq("q231_variance_monitor_parity", "q232_burst_monitor_parity",
+        "q237_neardup_stream_parity")
       .foreach { qid =>
         val p = finalPlan(qid)
         assert(!p.contains("FlatMapGroupsWithState"),

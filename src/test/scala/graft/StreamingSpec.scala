@@ -740,6 +740,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupBatch equals a single-batch nearDupStream pass, planted " +
+      "dups flagged with their originals as survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta doc$i word$i " +
+        s"tail${i % 7} more${i % 3} filler$i end$i"))
+    val dups = (0L until 8L).map(i =>
+      (i + 1000L, base(i.toInt)._2 + " zqj"))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val batchOut = Streams.nearDupBatch(docs, "text", "doc_id")
+      .collect().map(h => (h.doc_id, h.dup_of, h.est_jaccard, h.band))
+      .toSet
+    val input = MemoryStream[(Long, String)]
+    input.addData(base ++ dups: _*)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ndpar").toString
+    val q = Streams.nearDupStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        stateTtlMs = 0L)
+      .writeStream.format("memory").queryName("nd_parity_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.table("nd_parity_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(batchOut == streamOut,
+        s"batch=${batchOut.toSeq.sorted.take(20)}\n" +
+          s"stream=${streamOut.toSeq.sorted.take(20)}")
+      // every planted dup is flagged against its original (id order
+      // makes the original the retained survivor)
+      val flagged = batchOut.filter(h => h._2 == h._1 - 1000L)
+        .map(_._1 - 1000L)
+      assert(flagged == (0L until 8L).toSet, flagged.toString)
+    } finally q.stop()
+  }
+
   test("Space-Saving estimate bounds hold at every alert under eviction: " +
       "est - max_overcount <= true count so far <= est") {
     import spark.implicits._
