@@ -512,8 +512,7 @@ object Analytics {
     // q23: planted-pair recall envelope — rows are the planted ids
     // themselves; the measured-floor boolean is the cross-engine claim
     "q23_neardup_minhash" ->
-      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok
-        |FROM documents WHERE doc_id < 20 ORDER BY planted_id""".stripMargin,
+      Dedup.plantedEnvelopeOracle("documents", "doc_id"),
     // q27: exact distinct pinned value-exact; the HLL++ estimate is an
     // in-engine ±5% envelope boolean (rsd 0.02, deterministic sketch)
     "q27_approx_distinct" ->

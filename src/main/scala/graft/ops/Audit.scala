@@ -920,7 +920,7 @@ object Audit {
     * manifest, and `compacted_ok` (strictly fewer files). */
   def q233CompactionExecute(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").filter(col("doc_id") < 400)
-    val fixture = "/root/repo/target/graft-scratch/q233_table"
+    val fixture = s"${Relational.scratch}/q233_table"
     docs.repartition(12, col("doc_id"))
       .write.partitionBy("lang").mode("overwrite").parquet(fixture)
     def manifest(df: DataFrame): DataFrame =

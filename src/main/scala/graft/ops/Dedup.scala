@@ -568,6 +568,14 @@ object Dedup {
       copies.withColumn(textCol, concat(col(textCol), lit(" " + t)))))
   }
 
+  /** The oracle SQL for a [[plantedPairEnvelope]] registration — ONE
+    * source for the plant count / offset constants, so changing
+    * [[plantTextDups]]'s defaults cannot desynchronize the oracles that
+    * pin them. */
+  def plantedEnvelopeOracle(table: String, idCol: String): String =
+    s"""SELECT $idCol + 1000000 AS planted_id, TRUE AS recall_ok
+       |FROM $table WHERE $idCol < 20 ORDER BY planted_id""".stripMargin
+
   /** The planted-pair recall envelope over any (id_a < id_b) pair list:
     * one row per planted id, with ONE boolean — the fraction of planted
     * (original, original+offset) pairs the detector recovered is at or

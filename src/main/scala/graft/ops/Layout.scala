@@ -131,9 +131,21 @@ object Layout {
     val tmp = new Path(p.getParent, p.getName + "._compacting")
     fs.delete(tmp, true)
     val summary = partDirs.map { d =>
-      val files = fs.listStatus(d.getPath)
+      val entries = fs.listStatus(d.getPath)
+      // the rewrite copies only direct *.parquet files, and the final
+      // swap replaces the WHOLE table — any partition content the loop
+      // didn't copy (a nested partition level, non-parquet data files)
+      // would be silently destroyed. Refuse loudly instead.
+      require(!entries.exists(_.isDirectory),
+        s"compactPartitioned: ${d.getPath} contains subdirectories " +
+          "(multi-level partitioning?) — only single-level hive layouts " +
+          "are supported")
+      val files = entries
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
+      require(files.nonEmpty,
+        s"compactPartitioned: no parquet files under ${d.getPath} — " +
+          "refusing a rewrite that would drop the partition")
       var cum = 0L
       val groups = files.map { f =>
         cum += f.getLen

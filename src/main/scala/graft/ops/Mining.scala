@@ -1139,8 +1139,7 @@ object Mining {
     // q107: planted-pair recall envelope — byte-identical planted assets
     // detect deterministically (Hamming 0), floor 0.9
     "q107_phash_neardup" ->
-      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok
-        |FROM documents WHERE doc_id < 20 ORDER BY planted_id""".stripMargin,
+      Dedup.plantedEnvelopeOracle("documents", "doc_id"),
     // q100: the top-20 selection and exact counts are fully
     // oracle-computable; the CMS estimate is emitted as its published
     // guarantee (exact ≤ est ≤ exact + ⌈eps·N⌉) which the oracle

@@ -22,7 +22,7 @@ object Relational {
     TableCatalog.load(spark, dir, name)
 
   /** Scratch space for write-path queries; must stay inside /root/repo. */
-  private val scratch = "/root/repo/target/graft-scratch"
+  private[ops] val scratch = "/root/repo/target/graft-scratch"
 
   // ---------------------------------------------------------------- q01
   /** S1/O2 — scan with deterministic row cap (reference read_table + limit,

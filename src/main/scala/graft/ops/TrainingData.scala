@@ -1875,20 +1875,16 @@ object TrainingData {
     // q236: planted-pair envelope — brightness-shifted plants hash
     // identically (deterministic), floor 0.9
     "q236_image_neardup" ->
-      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok
-        |FROM documents WHERE doc_id < 20 ORDER BY planted_id""".stripMargin,
+      Dedup.plantedEnvelopeOracle("documents", "doc_id"),
     // q34/q35/q49: planted-pair recall envelopes (q40's pattern applied
     // to the near-dup family) — rows pinned to the planted id set, the
     // measured-floor recall boolean is the cross-engine claim
     "q34_dedup_simhash" ->
-      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok
-        |FROM documents WHERE doc_id < 20 ORDER BY planted_id""".stripMargin,
+      Dedup.plantedEnvelopeOracle("documents", "doc_id"),
     "q49_minhash_native" ->
-      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok
-        |FROM documents WHERE doc_id < 20 ORDER BY planted_id""".stripMargin,
+      Dedup.plantedEnvelopeOracle("documents", "doc_id"),
     "q35_embedding_neardup" ->
-      """SELECT vec_id + 1000000 AS planted_id, TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 20 ORDER BY planted_id""".stripMargin,
+      Dedup.plantedEnvelopeOracle("embeddings", "vec_id"),
     // q166: per-anchor dup-exclusion (deterministic: the planted scaled
     // copy sits at cosine 1.0, above the maxSim cut) + planted-negative
     // recall over the measured floor

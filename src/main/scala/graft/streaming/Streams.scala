@@ -129,6 +129,28 @@ object Streams {
     }
   }
 
+  /** Lazily fold contiguous runs of equal keys in a sorted partition
+    * iterator: a fresh fold per run, rows streamed through — the one
+    * idiom behind every batch-parity form. An explicit first-row flag
+    * replaces in-band sentinels (a null-key row or a key equal to some
+    * sentinel value must start a run like any other, not NPE or merge
+    * into a phantom run). */
+  private def foldRuns[T, K, F, O](it: Iterator[T])(key: T => K)
+      (mk: K => F)(obs: (F, T) => IterableOnce[O]): Iterator[O] = {
+    var started = false
+    var cur: K = null.asInstanceOf[K]
+    var fold: F = null.asInstanceOf[F]
+    it.flatMap { t =>
+      val k = key(t)
+      if (!started || k != cur) {
+        started = true
+        cur = k
+        fold = mk(k)
+      }
+      obs(fold, t)
+    }
+  }
+
   /** The per-event window-close fold shared VERBATIM by
     * [[varianceMonitor]] (state restored per micro-batch) and
     * [[varianceMonitorBatch]] — a window emits with its variance against
@@ -137,12 +159,22 @@ object Streams {
   private[streaming] final class WindowVarianceFold(key: String,
                                                     winMs: Long,
                                                     thresholdPct: Double) {
-    private var st = MonitorState(-1L, 0L, 0L)
+    // Long.MinValue = "no window open yet": windows are floorDiv
+    // multiples of winMs, so a real pre-epoch window start is negative
+    // but can never be Long.MinValue (that would need an event within
+    // winMs of the representable minimum) — the old `< 0` check would
+    // treat every pre-epoch window as uninitialized
+    private var st = MonitorState(Long.MinValue, 0L, 0L)
     def restore(s: MonitorState): Unit = st = s
     def snapshot: MonitorState = st
     def observe(tsMs: Long): Option[WindowVariance] = {
-      val w = tsMs / winMs * winMs
-      if (st.windowStartMs < 0) { st = MonitorState(w, 1L, 0L); None }
+      // floorDiv, not truncating /: a pre-epoch timestamp must land in
+      // the window BELOW zero, the same answer SQL floor division (//)
+      // gives — truncation would assign epoch −1 ms to window 0
+      val w = Math.floorDiv(tsMs, winMs) * winMs
+      if (st.windowStartMs == Long.MinValue) {
+        st = MonitorState(w, 1L, 0L); None
+      }
       else if (w > st.windowStartMs) {
         val v = graft.workflow.Pipeline.variancePct(st.n, st.prevN)
         val closed = WindowVariance(key,
@@ -172,15 +204,9 @@ object Streams {
       .sortWithinPartitions(col("k"), col("ts"))
       .as[(String, java.sql.Timestamp)]
       .mapPartitions { it =>
-        var cur: String = null
-        var fold: WindowVarianceFold = null
-        it.flatMap { case (k, ts) =>
-          if (k != cur) {
-            cur = k
-            fold = new WindowVarianceFold(k, windowSeconds * 1000,
-              thresholdPct)
-          }
-          fold.observe(ts.getTime)
+        foldRuns(it)(_._1)(k =>
+          new WindowVarianceFold(k, windowSeconds * 1000, thresholdPct)) {
+          (fold, r) => fold.observe(r._2.getTime)
         }
       }
   }
@@ -297,14 +323,9 @@ object Streams {
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
       .as[Event]
       .mapPartitions { it =>
-        var cur = Long.MinValue
-        var fold: BurstFold = null
-        it.flatMap { e =>
-          if (e.user_id != cur) {
-            cur = e.user_id
-            fold = new BurstFold(e.user_id, windowMs, minEvents)
-          }
-          fold.observe(e.ts)
+        foldRuns(it)(_.user_id)(uid =>
+          new BurstFold(uid, windowMs, minEvents)) {
+          (fold, e) => fold.observe(e.ts)
         }
       }
   }
@@ -466,17 +487,10 @@ object Streams {
         col("event_type"), col("value"))
       .as[ShardedEvent]
       .mapPartitions { it =>
-        // a partition holds 1+ shards as contiguous sorted runs; state
-        // resets at each run boundary. flatMap keeps the fold lazy —
-        // rows stream through, alerts trickle out.
-        var cur = Int.MinValue
-        var ss: SpaceSavingFold = null
-        it.flatMap { se =>
-          if (se.shard != cur) {
-            cur = se.shard
-            ss = new SpaceSavingFold(capacity, minCount)
-          }
-          ss.observe(se.shard,
+        // a partition holds 1+ shards as contiguous sorted runs; a fresh
+        // fold per run ([[foldRuns]]), rows streamed through lazily
+        foldRuns(it)(_.shard)(_ => new SpaceSavingFold(capacity, minCount)) {
+          (ss, se) => ss.observe(se.shard,
             Event(se.event_id, se.ts, se.user_id, se.event_type, se.value))
         }
       }
@@ -631,8 +645,7 @@ object Streams {
         |ORDER BY user_id, at""".stripMargin,
     // q237: planted-pair recall envelope over the bucket fold
     "q237_neardup_stream_parity" ->
-      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok
-        |FROM documents WHERE doc_id < 20 ORDER BY planted_id""".stripMargin)
+      graft.ops.Dedup.plantedEnvelopeOracle("documents", "doc_id"))
 
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 16, bands: Int = 4,
@@ -742,14 +755,8 @@ object Streams {
       .sortWithinPartitions(col("bucket"), col("id"))
       .as[(Int, String, Long, Seq[Long])]
       .mapPartitions { it =>
-        var cur: String = null
-        var fold: BucketFold = null
-        it.flatMap { case (band, bucket, id, sig) =>
-          if (bucket != cur) {
-            cur = bucket
-            fold = new BucketFold(minEstJaccard, maxPerBucket)
-          }
-          fold.observe(band, id, sig)
+        foldRuns(it)(_._2)(_ => new BucketFold(minEstJaccard, maxPerBucket)) {
+          (fold, r) => fold.observe(r._1, r._3, r._4)
         }
       }
   }

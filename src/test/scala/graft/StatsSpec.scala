@@ -366,6 +366,58 @@ class StatsSpec extends AnyFunSuite {
       (1L, 5L, 0L), (2L, 5L, 1L), (3L, 5L, 1L)), s"got $out")
   }
 
+  test("deletion-neighborhood blocking is COMPLETE for edit distance <= 1: " +
+      "blocked pairs equal the brute-force levenshtein join on a " +
+      "generated mutation corpus (the q97/q118 oracle independence check)") {
+    // since round 8 the q97/q118 DuckDB oracles use the SAME blocking
+    // rule (the closure/brute-force forms were infeasible at sf0.1), so
+    // THIS is the independent completeness certificate: every
+    // substitution / insertion / deletion / equality pair a quadratic
+    // scan finds, the blocked form must find too
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    // deterministic mutation corpus: seeds + every mutation class at
+    // every position, plus unrelated strings and cross-seed near-misses
+    val seeds = Seq("customer01", "customer02", "custommer1", "x", "ab")
+    val alphabet = "c1z"
+    val mutated = seeds.flatMap { w =>
+      val subs = for (i <- w.indices; c <- alphabet)
+        yield w.updated(i, c)
+      val dels = w.indices.map(i => w.take(i) + w.drop(i + 1))
+      val ins = for (i <- 0 to w.length; c <- alphabet)
+        yield w.take(i) + c + w.drop(i)
+      Seq(w) ++ subs ++ dels ++ ins
+    }.distinct
+      // the operator (and its oracle's len > 0 mirror) EXCLUDES empty
+      // strings by contract — an empty name is within distance 1 of
+      // every 1-char name, which is noise, so completeness is claimed
+      // for non-empty strings only (deleting the "x" seed makes one)
+      .filter(_.nonEmpty)
+    val rows = mutated.zipWithIndex.map { case (wrd, i) => (i.toLong, wrd) }
+    val blocked = graft.ops.Dedup.editDistancePairs(
+        rows.toDF("id", "name"), "name", "id")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, ia) <- rows; (b, ib) <- rows
+      if a < b && lev(ia, ib) <= 1
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty && brute.size > 100, s"fixture too weak: ${brute.size}")
+    assert(blocked == brute,
+      s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+  }
+
   test("q94 recursive hierarchy: depth = digits-1, root = leading digit") {
     val out = Stats.q94RecursiveHierarchy(spark, TestSpark.sfDir).collect()
     // contiguous keys 0..1499: every ancestor exists, so all rows resolve
