@@ -345,6 +345,41 @@ object Mining {
     * Floating merge order perturbs last ulps → outputs round to 6
     * decimals; rows-only check, invariants pinned by spec. */
   def q117PcaEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    // envelope registration: raw pc coordinates are eigenvector-sign and
+    // float-summation-order dependent, so the oracle-checkable claims
+    // are (a) rows + labels pinned value-exact, (b) the projection onto
+    // the FIRST component carries at least the second's variance (power
+    // iteration orders eigenpairs), (c) Bessel's inequality per row —
+    // the two projections never exceed the centered vector's own energy
+    // (orthonormal directions; 1e-6 slack covers the 6dp rounding). The
+    // raw coordinates stay the API and the benched form
+    // ([[q117PcaProjection]]).
+    val raw = q117PcaProjection(spark, dir)
+    val dim = 64
+    val emb = t(spark, dir, "embeddings")
+    val spark2 = emb.sparkSession
+    import spark2.implicits._
+    val state = emb.select(col("embedding").cast("array<double>"))
+      .as[Array[Double]]
+      .select(new EmbeddingMoments(dim).toColumn)
+      .head()
+    val mean = state.sums.map(_ / state.n)
+    val centered = zip_with(col("embedding").cast("array<double>"),
+      org.apache.spark.sql.functions.typedlit(mean.toSeq), (x, m) => x - m)
+    val energy = emb.select(col("vec_id"),
+      dot(centered, centered).as("energy"))
+    val w = Window.partitionBy()
+    raw.join(energy, "vec_id")
+      .withColumn("var_order_ok",
+        variance(col("pc1")).over(w) >= variance(col("pc2")).over(w))
+      .select(col("vec_id"), col("label"), col("var_order_ok"),
+        (col("pc1") * col("pc1") + col("pc2") * col("pc2") <=
+          col("energy") + lit(1e-6)).as("bessel_ok"))
+      .orderBy("vec_id")
+  }
+
+  /** q117's BENCH form: the raw 2-component projection. */
+  def q117PcaProjection(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
     val dim = 64
     val emb = t(spark, dir, "embeddings")
@@ -1132,10 +1167,17 @@ object Mining {
     * registered form is the planted-pair recall envelope; the bench
     * times the production per-asset report. */
   val benchForm: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q107_phash_neardup" -> q107PhashReport _)
+    "q107_phash_neardup" -> q107PhashReport _,
+    "q117_pca_embeddings" -> q117PcaProjection _)
 
   /** Oracles for the SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    // q117: rows + labels pinned value-exact; eigen-order and Bessel
+    // claims are the TRUE booleans (raw pc coords are eigenvector-sign
+    // dependent and stay bench/spec-side)
+    "q117_pca_embeddings" ->
+      """SELECT vec_id, label, TRUE AS var_order_ok, TRUE AS bessel_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     // q107: planted-pair recall envelope — byte-identical planted assets
     // detect deterministically (Hamming 0), floor 0.9
     "q107_phash_neardup" ->

@@ -228,9 +228,20 @@ object Relational {
   /** P5 — CURRENT_DATE stamp (services/jcap_pa_etl_service.py:177,206).
     * Nondeterministic ⇒ smoke-only (no oracle entry). */
   def q15CurrentDate(spark: SparkSession, dir: String): DataFrame =
+    // envelope form: the row count pins value-exact; CURRENT_DATE is
+    // nondeterministic by nature, so the oracle-checkable claim is the
+    // one the reference's load_date column actually needs — the stamp is
+    // non-null and AFTER the whole data horizon (every synthetic order
+    // predates the engine's existence). The raw stamped column stays the
+    // operator's API; this query registers the checkable projection.
     t(spark, dir, "orders")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("o_orderdate")).as("horizon"))
       .withColumn("load_date", current_date())
+      .select(col("cnt"),
+        (col("load_date").isNotNull &&
+          col("load_date").cast("timestamp") > col("horizon"))
+          .as("load_date_ok"))
 
   /** O4 — show(n) sampling diagnostic (reference etl_service.py:60,
     * jcap_pa_etl_service.py:237: `df.show(5, truncate=False)`): render the
@@ -515,6 +526,10 @@ object Relational {
     "q14_rename_project" ->
       """SELECT o_orderkey AS order_id, o_orderpriority AS priority
         |FROM orders ORDER BY order_id""".stripMargin,
+    // q15: count pinned value-exact; the CURRENT_DATE stamp is checked
+    // as its envelope claim (non-null, after the data horizon)
+    "q15_current_date" ->
+      "SELECT COUNT(*) AS cnt, TRUE AS load_date_ok FROM orders",
     "q16_truncate_empty" ->
       "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem WHERE 1 = 0",
     "q17_copy_table" -> "SELECT * FROM supplier ORDER BY s_suppkey",

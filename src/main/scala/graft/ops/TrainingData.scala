@@ -221,12 +221,33 @@ object TrainingData {
 
   // ---------------------------------------------------------------- q92
   /** Spherical k-means codebook over the embedding corpus: 16 centroids,
-    * 3 Lloyd rounds, reported as (cent_id, cluster size) — the IVF
-    * training step run in-engine ([[Similarity.trainKMeans]]; assignment
-    * is a zero-shuffle projection, the mean update a combiner-friendly
-    * (cell, dim) aggregate). No oracle: centroid means are float
-    * summation-order dependent. */
-  def q92KmeansCells(spark: SparkSession, dir: String): DataFrame =
+    * 3 Lloyd rounds ([[Similarity.trainKMeans]]; assignment is a
+    * zero-shuffle projection, the mean update a combiner-friendly
+    * (cell, dim) aggregate). Cluster SIZES are float-summation-order
+    * dependent (centroid means), so the registered form is the envelope:
+    * the 16 cent_ids pinned as rows, plus the partition claim —
+    * Σ cluster sizes equals the corpus count exactly (every vector
+    * assigned to exactly one cell) — that the oracle expects TRUE. The
+    * raw sizes stay the API and the benched form
+    * ([[q92KmeansCellSizes]]). */
+  def q92KmeansCells(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val total = emb.count()
+    val sizes = Similarity.trainKMeans(emb, "vec_id", "embedding",
+        k = 16, iters = 3)
+      .select(col("cent_id"), col("n"))
+    val allCells = emb.sparkSession.range(16)
+      .select(col("id").as("cent_id"))
+    allCells.join(sizes, Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("partition_ok",
+        sum(col("n")).over(Window.partitionBy()) === total)
+      .select(col("cent_id"), col("partition_ok"))
+      .orderBy("cent_id")
+  }
+
+  /** q92's BENCH form: the raw codebook sizes (production shape). */
+  def q92KmeansCellSizes(spark: SparkSession, dir: String): DataFrame =
     Similarity.trainKMeans(t(spark, dir, "embeddings"), "vec_id",
         "embedding", k = 16, iters = 3)
       .select(col("cent_id"), col("n"))
@@ -1527,11 +1548,41 @@ object TrainingData {
   // --------------------------------------------------------------- q142
   /** SemDeDup semantic pruning over the embedding corpus: √n-cell
     * spherical k-means, within-cell cosine ≥ 0.3 groups, min-id
-    * survivors ([[Similarity.semDedup]]). No oracle: the trained
-    * codebook (float summation order) isn't SQL-expressible —
-    * SimilaritySpec pins survivor semantics against a brute-force
-    * recompute instead. */
-  def q142SemDedup(spark: SparkSession, dir: String): DataFrame =
+    * survivors ([[Similarity.semDedup]]). Raw cells/groups are
+    * codebook-dependent (float summation order), so the registered form
+    * is the planted envelope: a ×1.5-scaled copy of each of the first
+    * 20 vectors lands in ITS ORIGINAL'S cell deterministically (cosine
+    * assignment is scale-invariant, ties break on cent_id), verifies at
+    * cosine 1.0 ≥ the threshold, and must therefore be (a) grouped with
+    * its original and (b) pruned — keep=false, since its group holds the
+    * smaller original id. Both booleans are TRUE deterministically at
+    * any SF; SimilaritySpec still pins full survivor semantics against
+    * a brute-force recompute, and the raw run is what the bench times
+    * ([[q142SemDedupRaw]]). */
+  def q142SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val off = 1000000L
+    val out = Similarity.semDedup(
+      Similarity.plantScaledDups(emb, "vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.3)
+    val planted = out.filter(col("id") >= off)
+      .select((col("id") - off).as("orig_id"),
+        col("group_id").as("planted_group"), col("keep"))
+    val originals = out.filter(col("id") < 20)
+      .select(col("id").as("orig_id"), col("group_id").as("orig_group"))
+    emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + off).as("planted_id"),
+        col("vec_id").as("orig_id"))
+      .join(planted, Seq("orig_id"), "left")
+      .join(originals, Seq("orig_id"), "left")
+      .select(col("planted_id"),
+        (!coalesce(col("keep"), lit(true))).as("pruned_ok"),
+        (col("planted_group") === col("orig_group")).as("grouped_ok"))
+      .orderBy("planted_id")
+  }
+
+  /** q142's BENCH form: the raw SemDeDup run (production shape). */
+  def q142SemDedupRaw(spark: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(t(spark, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.3)
       .withColumnRenamed("id", "vec_id")
@@ -1816,9 +1867,25 @@ object TrainingData {
     "q34_dedup_simhash" -> q34DedupSimhashPairs _,
     "q35_embedding_neardup" -> q35EmbeddingNeardupPairs _,
     "q49_minhash_native" -> q49MinhashNativePairs _,
-    "q166_hard_negatives" -> q166HardNegativesMine _)
+    "q166_hard_negatives" -> q166HardNegativesMine _,
+    // trained-model envelopes: the bench times the raw production runs
+    "q92_kmeans_cells" -> q92KmeansCellSizes _,
+    "q142_semdedup" -> q142SemDedupRaw _)
 
   val oracle: Map[String, String] = Map(
+    // q92: cent_ids pinned as rows; the partition claim (cluster sizes
+    // sum to the corpus count exactly) is the TRUE boolean — raw sizes
+    // are codebook-float-order dependent and stay spec/bench-side
+    "q92_kmeans_cells" ->
+      """SELECT r.range AS cent_id, TRUE AS partition_ok
+        |FROM range(0, 16) r ORDER BY cent_id""".stripMargin,
+    // q142: planted scaled dups must be grouped with and pruned in
+    // favor of their originals — deterministic (cosine assignment is
+    // scale-invariant), verified at both gate scales
+    "q142_semdedup" ->
+      """SELECT vec_id + 1000000 AS planted_id, TRUE AS pruned_ok,
+        |       TRUE AS grouped_ok
+        |FROM embeddings WHERE vec_id < 20 ORDER BY planted_id""".stripMargin,
     // q234: the closed-form gradient pattern replayed pixel-for-pixel —
     // the engine side went through the REAL BMP parse; value-exact
     "q234_image_stats" ->

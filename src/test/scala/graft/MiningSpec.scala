@@ -250,16 +250,23 @@ class MiningSpec extends AnyFunSuite {
     assert(eig(0)._1 >= eig(1)._1, "eigenvalues must be ordered")
   }
 
-  test("q117 PCA projection: pc1 variance dominates pc2") {
-    val out = Mining.q117PcaEmbeddings(spark, TestSpark.sfDir).collect()
-    assert(out.length == 500)
+  test("q117 PCA projection: pc1 variance dominates pc2 (raw form); the " +
+      "registered envelope's booleans hold on every row") {
+    // the RAW (bench) form carries the coordinates — the independent
+    // recomputation of the envelope's var_order claim
+    val raw = Mining.q117PcaProjection(spark, TestSpark.sfDir).collect()
+    assert(raw.length == 500)
     def varOf(xs: Seq[Double]): Double = {
       val m = xs.sum / xs.size
       xs.map(x => (x - m) * (x - m)).sum / xs.size
     }
-    val v1 = varOf(out.map(_.getDouble(2)).toSeq)
-    val v2 = varOf(out.map(_.getDouble(3)).toSeq)
+    val v1 = varOf(raw.map(_.getDouble(2)).toSeq)
+    val v2 = varOf(raw.map(_.getDouble(3)).toSeq)
     assert(v1 >= v2 - 1e-9, s"pc1 var $v1 < pc2 var $v2")
+    val env = Mining.q117PcaEmbeddings(spark, TestSpark.sfDir).collect()
+    assert(env.length == 500)
+    assert(env.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "var_order_ok/bessel_ok must hold on every row")
   }
 
   test("theta set algebra in exact mode equals exact distinct-set algebra") {
