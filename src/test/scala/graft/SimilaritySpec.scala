@@ -514,4 +514,31 @@ class SimilaritySpec extends AnyFunSuite {
     hn.unpersist()
     spark.catalog.clearCache()
   }
+  test("q92/q142 envelope claims recomputed from raw outputs " +
+      "(independence probe)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    // q92: raw cluster sizes sum to the corpus count exactly
+    val emb = graft.sources.TableCatalog.load(spark, dir, "embeddings")
+    val total = emb.count()
+    val sizes = graft.ops.TrainingData.q92KmeansCellSizes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.map(_._2).sum == total,
+      s"cluster sizes must partition the corpus: ${sizes.toSeq}")
+    assert(sizes.map(_._1).toSet == (0L until 16L).toSet)
+    // q142: replay the planted-dup claims from the raw semDedup output
+    val off = 1000000L
+    val out = Similarity.semDedup(
+        Similarity.plantScaledDups(emb, "vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    (0L until 20L).foreach { id =>
+      val (origGroup, _) = out(id)
+      val (plantGroup, plantKeep) = out(id + off)
+      assert(plantGroup == origGroup, s"plant $id must group with original")
+      assert(!plantKeep, s"plant $id must be pruned (original id is smaller)")
+    }
+    spark.catalog.clearCache()
+  }
 }
