@@ -948,9 +948,65 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q238
+  /** q238 entry: the RE-CLUSTERING executor closing q230's audit loop —
+    * the layout-tier twin of q233 (plan → rewrite → verify). A real
+    * parquet fixture is written round-robin fragmented (16-way, events
+    * capped at event_id < 8000 — q172's fixed-fixture contract), its
+    * overlap depth on user_id measured from ACTUAL per-file min/max
+    * stats ([[Layout.clusteringDepth]] — round-robin gives every file
+    * the full range, depth ≈ file count), and its content manifest
+    * materialized. [[Layout.reclusterZOrdered]] then rewrites the table
+    * Z-ordered on (user_id, minute-of-day) and swaps it in crash-safely.
+    * Emitted per user bucket: the post-rewrite row count and content
+    * checksum (pinned by the oracle against the SOURCE rows — content
+    * identity through the rewrite), `checksum_match` vs the
+    * pre-rewrite manifest, and `clustered_ok` (the re-measured overlap
+    * depth strictly improved). The spec recomputes both depths raw —
+    * the independence probe behind the boolean. */
+  def q238ReclusterExecute(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("event_id") < 8000)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val fixture = s"${Relational.scratch}/q238_table"
+    ev.repartition(16).write.mode("overwrite").parquet(fixture)
+    def manifest(df: DataFrame): DataFrame =
+      partitionChecksums(df, pmod(col("user_id"), lit(8L)),
+        Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+          col("event_type")))
+    def maxDepth(): Long =
+      Layout.clusteringDepth(
+        spark.read.parquet(fixture)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+          .withColumn("part", lit("t")),
+        "part", "f", "lo", "hi")
+        .select(col("max_depth")).head.getLong(0)
+    // materialize BEFORE the rewrite (q233's discipline: a lazy frame
+    // would re-read the re-clustered files and vacuously match)
+    val before = manifest(spark.read.parquet(fixture))
+      .select(col("part"), col("n_rows").as("rows_before"),
+        col("checksum").as("sum_before"))
+      .localCheckpoint(true)
+    val depthBefore = maxDepth()
+    Layout.reclusterZOrdered(spark, fixture, col("user_id"),
+      (hour(col("ts")) * 60 + minute(col("ts"))).cast("long"),
+      files = 16)
+    val depthAfter = maxDepth()
+    manifest(spark.read.parquet(fixture))
+      .join(before, "part")
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        (col("checksum") === col("sum_before") &&
+          col("n_rows") === col("rows_before")).as("checksum_match"),
+        lit(depthAfter < depthBefore).as("clustered_ok"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,
     "q233_compaction_execute" -> q233CompactionExecute _,
+    "q238_recluster_execute" -> q238ReclusterExecute _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1049,6 +1105,20 @@ object Audit {
     // checksum the oracle computes from the SOURCE rows must equal the
     // one the engine computes from the COMPACTED files (q201's digest
     // recipe); the match/fewer-files booleans are in-engine claims
+    // q238: content identity through the Z-order rewrite — the checksum
+    // the oracle computes from the SOURCE rows must equal the one the
+    // engine computes from the RE-CLUSTERED files (q201's digest
+    // recipe); the match/depth booleans are in-engine claims whose raw
+    // values LayoutSpec recomputes (independence probe)
+    "q238_recluster_execute" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS checksum_match, TRUE AS clustered_ok
+        |FROM events WHERE event_id < 8000
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

@@ -562,6 +562,15 @@ object Dedup {
   def plantTextDups(docs: DataFrame, idCol: String, textCol: String,
                     nPlant: Int = 20, offset: Long = 1000000L,
                     extraToken: Option[String] = Some("zqj")): DataFrame = {
+    // the envelope identifies planted pairs by id_b == id_a + offset;
+    // a corpus id at or past `offset` would alias real pairs into the
+    // planted set and silently weaken (false-pass) the recall claim —
+    // enforce the no-collision precondition instead of documenting it
+    val maxRow = docs.agg(max(col(idCol).cast("long"))).head
+    require(maxRow.isNullAt(0) || maxRow.getLong(0) < offset,
+      s"plantTextDups: corpus max($idCol)=${maxRow.get(0)} reaches the " +
+        s"planted-id offset $offset — planted pairs would alias real ids; " +
+        "raise offset")
     val copies = docs.filter(col(idCol) < nPlant)
       .withColumn(idCol, col(idCol) + offset)
     docs.unionByName(extraToken.fold(copies)(t =>

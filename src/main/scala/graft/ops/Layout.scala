@@ -97,79 +97,210 @@ object Layout {
     files
   }
 
-  /** Partition-aware compaction EXECUTOR — applies [[compactionPlan]]'s
-    * merge rule to a hive-partitioned parquet directory and closes the
-    * planner→executor loop the way W1–W6 close the reference's workflow
-    * loop (write, then verify — here content identity via the
-    * [[Audit.partitionChecksums]] manifest, see q233). Per partition
-    * directory: list files in stable name order, group consecutive
-    * files by the planner's offset rule (group = (cum − size) div
-    * target, on ACTUAL bytes), rewrite each group as exactly one file,
-    * and swap the new layout in crash-safely ([[swapInto]] — a failure
-    * anywhere leaves the original table intact).
+  /** Re-clustering EXECUTOR — rewrites a flat parquet directory
+    * Z-ordered IN PLACE, closing [[clusteringDepth]]'s audit loop the
+    * way [[compactPartitioned]] closes [[compactionPlan]]'s: the audit
+    * flags the interleaved layout, this applies the fix, and the caller
+    * verifies content identity via the [[Audit.partitionChecksums]]
+    * manifest (q238). Crash-safe: the Z-ordered copy lands beside the
+    * source and swaps in via [[swapInto]]'s two-rename protocol — a
+    * failure anywhere leaves the original table intact, and
+    * [[recoverSwap]] repairs a crash between the renames.
     *
-    * Scale shape: the driver loop walks METADATA (partitions × groups —
-    * the same rows the planner emits); each group's data work is a
+    * Scale shape: one distributed range-partition + within-partition
+    * sort over the table (exactly the cost OPTIMIZE ZORDER pays), plus —
+    * when widths aren't given — ONE min/max aggregate to FIT each key's
+    * domain width. The fit matters: zorderKey2 only clusters both
+    * dimensions when their MOST significant bits interleave (see its
+    * doc), and a static width misfits as the table grows (a user-id
+    * domain that was 8 bits at sf0.01 is 11 at sf0.1 — wrong either
+    * way unless measured). No driver-side data beyond the 2-value
+    * aggregate. `files` bounds the output layout — size it to the
+    * target file size, not the input's fragmentation. */
+  def reclusterZOrdered(spark: SparkSession, path: String,
+                        keyA: Column, keyB: Column, files: Int,
+                        bits: Int = -1, aBits: Int = -1,
+                        bBits: Int = -1): Unit = {
+    recoverSwap(spark, path)
+    val p = new Path(path)
+    val df = spark.read.parquet(path)
+    val (aw, bw) =
+      if (aBits > 0 && bBits > 0) (aBits, bBits)
+      else {
+        val r = df.agg(min(keyA.cast("long")), max(keyA.cast("long")),
+          min(keyB.cast("long")), max(keyB.cast("long"))).head
+        require(!r.anyNull && r.getLong(0) >= 0 && r.getLong(2) >= 0,
+          s"reclusterZOrdered: width auto-fit needs non-negative keys, " +
+            s"got mins ${r.get(0)}/${r.get(2)} — pass aBits/bBits " +
+            "explicitly (rank-bucket skewed or signed domains first)")
+        def width(maxV: Long): Int =
+          math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxV))
+        (if (aBits > 0) aBits else width(r.getLong(1)),
+          if (bBits > 0) bBits else width(r.getLong(3)))
+      }
+    val useBits = if (bits > 0) bits else math.max(aw, bw)
+    val tmp = new Path(p.getParent, p.getName + "._reclustering")
+    writeZOrdered(df, tmp.toString, keyA, keyB, files, useBits, aw, bw)
+    swapInto(spark, tmp.toString, path)
+  }
+
+  /** Names hive readers treat as metadata, not data ("_SUCCESS",
+    * ".part-….crc"). */
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** Partition-aware compaction EXECUTOR — applies [[compactionPlan]]'s
+    * merge rule to a hive-partitioned parquet directory (any partition
+    * depth: `date=…/hour=…/part-*.parquet` compacts per LEAF directory)
+    * and closes the planner→executor loop the way W1–W6 close the
+    * reference's workflow loop (write, then verify — here content
+    * identity via the [[Audit.partitionChecksums]] manifest, see q233).
+    * Per leaf partition directory: list files in stable name order,
+    * group consecutive files by the planner's offset rule (group =
+    * (cum − size) div target, on ACTUAL bytes), rewrite each group as
+    * exactly one file, and swap the new layout in crash-safely
+    * ([[swapInto]] — a failure anywhere leaves the original table
+    * intact).
+    *
+    * Data-loss guard: the final swap replaces the WHOLE table, so
+    * anything the rewrite didn't copy would be silently destroyed. The
+    * walk therefore REFUSES non-hidden non-parquet regular files
+    * anywhere in the tree and dirs that mix subdirectories with parquet
+    * files; hidden root-level markers (`_SUCCESS`) are copied through;
+    * hidden files inside partition dirs (checksum/CRC side files) are
+    * derived from the bytes being rewritten and are dropped, not
+    * preserved stale.
+    *
+    * Scale shape: the driver walks METADATA (partitions × groups — the
+    * same rows the planner emits); each group's data work is a
     * distributed read + single-task write bounded by `targetBytes` (the
     * planner's `max_group_size` bound, so coalesce(1) is safe by
-    * construction). A warehouse deployment submits group jobs
-    * concurrently (they are independent); the rewrite rule, file
-    * naming, and swap contract are unchanged. Returns the
-    * (partition dir, files before, files after) summary. */
+    * construction). Groups are independent by construction, so their
+    * rewrite jobs submit CONCURRENTLY on a bounded pool
+    * (`maxConcurrent` driver threads; Spark schedules concurrent jobs
+    * natively) — wall-clock scales with cluster capacity, not group
+    * count. Returns the (partition dir, files before, files after)
+    * summary. */
   def compactPartitioned(spark: SparkSession, path: String,
-                         targetBytes: Long): DataFrame = {
+                         targetBytes: Long,
+                         maxConcurrent: Int = 8): DataFrame =
+    compactPartitionedImpl(spark, path, targetBytes, maxConcurrent, None)
+
+  /** [[compactPartitioned]] with an in-flight probe: `probe` (when set)
+    * accumulates the maximum number of group rewrites observed running
+    * at once — the concurrency contract's test seam. */
+  private[graft] def compactPartitionedImpl(
+      spark: SparkSession, path: String, targetBytes: Long,
+      maxConcurrent: Int,
+      probe: Option[java.util.concurrent.atomic.AtomicInteger]): DataFrame = {
     require(targetBytes > 0,
       s"compactPartitioned: target must be positive: $targetBytes")
+    require(maxConcurrent >= 1,
+      s"compactPartitioned: maxConcurrent must be >= 1: $maxConcurrent")
     recoverSwap(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val partDirs = fs.listStatus(p).filter(_.isDirectory)
-      .sortBy(_.getPath.getName)
-    require(partDirs.nonEmpty,
+    val rootEntries = fs.listStatus(p)
+    val strayRoot = rootEntries.filter(e =>
+      e.isFile && !isHidden(e.getPath.getName))
+    require(strayRoot.isEmpty,
+      s"compactPartitioned: $path holds loose non-hidden files " +
+        s"(${strayRoot.head.getPath.getName}) the partition rewrite " +
+        "would drop — refusing")
+    require(rootEntries.exists(_.isDirectory),
       s"compactPartitioned: no partition directories under $path — " +
         "use compact() for a flat layout")
+
+    // depth-first walk to the LEAF partition dirs, refusing any content
+    // the rewrite wouldn't carry (see the data-loss guard above)
+    def leaves(dir: Path, rel: String)
+        : Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
+      val entries = fs.listStatus(dir)
+      val stray = entries.filter(e => e.isFile &&
+        !isHidden(e.getPath.getName) &&
+        !e.getPath.getName.endsWith(".parquet"))
+      require(stray.isEmpty,
+        s"compactPartitioned: $dir holds non-parquet data files " +
+          s"(${stray.head.getPath.getName}) the rewrite would drop — " +
+          "refusing")
+      val dirs = entries.filter(_.isDirectory).sortBy(_.getPath.getName)
+      val data = entries.filter(e => e.isFile &&
+        e.getPath.getName.endsWith(".parquet") &&
+        !isHidden(e.getPath.getName)).sortBy(_.getPath.getName)
+      if (dirs.nonEmpty) {
+        require(data.isEmpty,
+          s"compactPartitioned: $dir mixes partition subdirectories with " +
+            "parquet files — ambiguous layout, refusing")
+        dirs.flatMap(d => leaves(d.getPath, s"$rel/${d.getPath.getName}"))
+      } else {
+        require(data.nonEmpty,
+          s"compactPartitioned: no parquet files under $dir — refusing a " +
+            "rewrite that would drop the partition")
+        Seq(rel -> data.toSeq)
+      }
+    }
+    val leafFiles = rootEntries.filter(_.isDirectory)
+      .sortBy(_.getPath.getName)
+      .flatMap(d => leaves(d.getPath, d.getPath.getName)).toSeq
+
     val tmp = new Path(p.getParent, p.getName + "._compacting")
     fs.delete(tmp, true)
-    val summary = partDirs.map { d =>
-      val entries = fs.listStatus(d.getPath)
-      // the rewrite copies only direct *.parquet files, and the final
-      // swap replaces the WHOLE table — any partition content the loop
-      // didn't copy (a nested partition level, non-parquet data files)
-      // would be silently destroyed. Refuse loudly instead.
-      require(!entries.exists(_.isDirectory),
-        s"compactPartitioned: ${d.getPath} contains subdirectories " +
-          "(multi-level partitioning?) — only single-level hive layouts " +
-          "are supported")
-      val files = entries
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-      require(files.nonEmpty,
-        s"compactPartitioned: no parquet files under ${d.getPath} — " +
-          "refusing a rewrite that would drop the partition")
+    // carry hidden root markers (_SUCCESS) through the swap
+    rootEntries.filter(e => e.isFile && isHidden(e.getPath.getName))
+      .foreach { e =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, e.getPath, fs,
+          new Path(tmp, e.getPath.getName), false, true,
+          spark.sessionState.newHadoopConf())
+      }
+
+    // one task per merge group, fanned out on a bounded pool — groups
+    // are independent (disjoint inputs, distinct output names), so the
+    // only coordination is the await before the swap
+    case class GroupTask(rel: String, idx: Int, files: Seq[Path])
+    val tasks = leafFiles.flatMap { case (rel, files) =>
       var cum = 0L
       val groups = files.map { f =>
         cum += f.getLen
         ((cum - f.getLen) / targetBytes, f.getPath)
       }.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
-      val partName = d.getPath.getName
-      groups.zipWithIndex.foreach { case (paths, i) =>
-        val gDir = new Path(tmp, s"$partName/_group_$i")
-        spark.read.parquet(paths.map(_.toString): _*)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(gDir.toString)
-        val written = fs.listStatus(gDir)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        require(written.length == 1,
-          s"group rewrite must land one file, got ${written.length}")
-        val dst = new Path(tmp, f"$partName/part-$i%05d.parquet")
-        if (!fs.rename(written.head.getPath, dst))
-          throw new java.io.IOException(
-            s"compactPartitioned: rename ${written.head.getPath} -> $dst failed")
-        fs.delete(gDir, true)
+      groups.zipWithIndex.map { case (paths, i) => GroupTask(rel, i, paths) }
+    }
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, math.max(1, tasks.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = scala.concurrent.Future.traverse(tasks) { t =>
+        scala.concurrent.Future {
+          val cur = inFlight.incrementAndGet()
+          probe.foreach(_.accumulateAndGet(cur, (a: Int, b: Int) =>
+            math.max(a, b)))
+          try {
+            val gDir = new Path(tmp, s"${t.rel}/_group_${t.idx}")
+            spark.read.parquet(t.files.map(_.toString): _*)
+              .coalesce(1)
+              .write.mode("overwrite").parquet(gDir.toString)
+            val written = fs.listStatus(gDir)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+            require(written.length == 1,
+              s"group rewrite must land one file, got ${written.length}")
+            val dst = new Path(tmp, f"${t.rel}/part-${t.idx}%05d.parquet")
+            if (!fs.rename(written.head.getPath, dst))
+              throw new java.io.IOException("compactPartitioned: rename " +
+                s"${written.head.getPath} -> $dst failed")
+            fs.delete(gDir, true)
+          } finally inFlight.decrementAndGet()
+        }
       }
-      (partName, files.length.toLong, groups.length.toLong)
-    }.toSeq
+      scala.concurrent.Await.result(done,
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     swapInto(spark, tmp.toString, path)
+    val summary = leafFiles.map { case (rel, files) =>
+      (rel, files.length.toLong,
+        tasks.count(_.rel == rel).toLong)
+    }
     import spark.implicits._
     summary.toDF("part_dir", "files_before", "files_after")
   }

@@ -373,8 +373,12 @@ object Mining {
       .withColumn("var_order_ok",
         variance(col("pc1")).over(w) >= variance(col("pc2")).over(w))
       .select(col("vec_id"), col("label"), col("var_order_ok"),
+        // slack scales with the coordinates: pc1/pc2 are rounded to 6dp,
+        // so pc1²+pc2² carries ~2(|pc1|+|pc2|)·5e-7 of rounding error —
+        // a fixed 1e-6 would flip the boolean once |pc| > ~1
         (col("pc1") * col("pc1") + col("pc2") * col("pc2") <=
-          col("energy") + lit(1e-6)).as("bessel_ok"))
+          col("energy") + lit(1e-6) +
+          lit(2e-6) * (abs(col("pc1")) + abs(col("pc2")))).as("bessel_ok"))
       .orderBy("vec_id")
   }
 

@@ -605,8 +605,10 @@ object Streams {
     * never emitted; q18's variance expression). q232: the lag(k−1)
     * closed form of the trailing-window burst test. */
   val oracle: Map[String, String] = Map(
+    // shard mirrors the engine's pmod: DuckDB's % truncates toward zero,
+    // so negative user_ids need the ((x % n) + n) % n fold to agree
     "q219_heavy_hitters_parity" ->
-      """SELECT CAST(user_id % 16 AS INTEGER) AS shard, user_id,
+      """SELECT CAST(((user_id % 16) + 16) % 16 AS INTEGER) AS shard, user_id,
         |       CAST(75 AS BIGINT) AS est_count,
         |       CAST(0 AS BIGINT) AS max_overcount, at
         |FROM (SELECT user_id, ts AS at,

@@ -225,4 +225,216 @@ class LayoutSpec extends AnyFunSuite {
       Layout.compactPartitioned(spark, flat, targetBytes = 1L << 20)
     }
   }
+
+  test("compactPartitioned: multi-level hive layout compacts per LEAF " +
+      "dir, content intact, _SUCCESS preserved, crash-safety kept") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cmpml").toString
+    val tbl = s"$base/tbl"
+    val df = (0 until 400)
+      .map(i => (i.toLong, s"row_$i",
+        if (i % 2 == 0) "x" else "y", s"b${i % 3}"))
+      .toDF("id", "payload", "a", "b")
+    df.repartition(6, col("id")).write.partitionBy("a", "b")
+      .mode("overwrite").parquet(tbl)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/_SUCCESS")))
+    val beforeRows = spark.read.parquet(tbl)
+      .select("id", "payload", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    val s1 = Layout.compactPartitioned(spark, tbl, targetBytes = 1L << 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 2 a-values × 3 b-values = 6 leaf dirs, each 6 files -> 1
+    assert(s1.length == 6, s1.toSeq.toString)
+    s1.foreach { case (part, fb, fa) =>
+      assert(part.matches("a=[xy]/b=b[012]"), part)
+      assert(fb == 6 && fa == 1, s"$part: $fb -> $fa")
+    }
+    val afterRows = spark.read.parquet(tbl)
+      .select("id", "payload", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(afterRows == beforeRows, "content must survive byte-exactly")
+    // the root _SUCCESS marker survived the whole-table swap
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/_SUCCESS")))
+    // recoverSwap still guards the multi-level table (crash between
+    // swapInto's renames: table at ._pre, target missing)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tbl),
+      new org.apache.hadoop.fs.Path(s"$tbl._pre")))
+    Layout.recoverSwap(spark, tbl)
+    assert(spark.read.parquet(tbl).count() == 400)
+  }
+
+  test("compactPartitioned: refuses loose data files the rewrite would " +
+      "drop (partition dir, root) and mixed dir/file layouts") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cmpguard").toString
+    def freshTable(name: String): String = {
+      val tbl = s"$base/$name"
+      (0 until 50).map(i => (i.toLong, if (i % 2 == 0) "x" else "y"))
+        .toDF("id", "k")
+        .repartition(2).write.partitionBy("k").mode("overwrite").parquet(tbl)
+      tbl
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def touch(p: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p))
+      out.writeBytes("not parquet"); out.close()
+    }
+    // 1. non-parquet regular file inside a partition dir -> refuse
+    val t1 = freshTable("t1")
+    touch(s"$t1/k=x/readme.txt")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.compactPartitioned(spark, t1, targetBytes = 1L << 30)
+    }
+    assert(e1.getMessage.contains("readme.txt"), e1.getMessage)
+    assert(spark.read.option("pathGlobFilter", "*.parquet").parquet(t1)
+      .count() == 50, "table must be untouched")
+    // 2. loose non-hidden file at the table root -> refuse
+    val t2 = freshTable("t2")
+    touch(s"$t2/export.csv")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compactPartitioned(spark, t2, targetBytes = 1L << 30)
+    }
+    assert(e2.getMessage.contains("export.csv"), e2.getMessage)
+    // 3. a dir mixing subdirectories and parquet files -> refuse
+    val t3 = freshTable("t3")
+    val stray = spark.read.parquet(s"$t3/k=x").limit(5)
+    stray.coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/strayfile")
+    val pq = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/strayfile"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t3/k=x/sub=1")))
+    assert(fs.rename(pq,
+      new org.apache.hadoop.fs.Path(s"$t3/k=x/sub=1/part-0.parquet")))
+    touch(s"$t3/k=x/sub=1/.hidden") // hidden files are fine anywhere
+    val e3 = intercept[IllegalArgumentException] {
+      Layout.compactPartitioned(spark, t3, targetBytes = 1L << 30)
+    }
+    assert(e3.getMessage.contains("mixes"), e3.getMessage)
+  }
+
+  test("compactPartitioned: independent group rewrites submit " +
+      "CONCURRENTLY on the bounded pool") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cmppar").toString
+    val tbl = s"$base/tbl"
+    (0 until 2000)
+      .map(i => (i.toLong, s"payload_$i" * 8, s"p${i % 4}"))
+      .toDF("id", "payload", "k")
+      .repartition(6, col("id")).write.partitionBy("k")
+      .mode("overwrite").parquet(tbl)
+    // 4 partitions × 1 group each (huge target) = 4 independent jobs
+    val probe = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = Layout.compactPartitionedImpl(spark, tbl,
+      targetBytes = 1L << 30, maxConcurrent = 4, probe = Some(probe))
+      .collect()
+    assert(out.length == 4)
+    assert(probe.get() >= 2,
+      s"expected >=2 group rewrites in flight, saw max ${probe.get()}")
+    assert(spark.read.parquet(tbl).count() == 2000)
+    // serial floor: maxConcurrent=1 must still work and never overlap
+    val probe1 = new java.util.concurrent.atomic.AtomicInteger(0)
+    Layout.compactPartitionedImpl(spark, tbl, targetBytes = 1L,
+      maxConcurrent = 1, probe = Some(probe1)).collect()
+    assert(probe1.get() == 1, s"serial run overlapped: ${probe1.get()}")
+    assert(spark.read.parquet(tbl).count() == 2000)
+  }
+
+  test("reclusterZOrdered: in-place rewrite preserves content and " +
+      "improves overlap depth (q238 independence probe)") {
+    val events = graft.sources.TableCatalog
+      .load(spark, "/root/testdata/sf0.01", "events")
+      .filter(col("event_id") < 8000)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "reclus").toString
+    val tbl = s"$base/t"
+    events.repartition(16).write.mode("overwrite").parquet(tbl)
+
+    def maxDepth(): Long =
+      Layout.clusteringDepth(
+        spark.read.parquet(tbl)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+          .withColumn("part", lit("t")),
+        "part", "f", "lo", "hi")
+        .select(col("max_depth")).head.getLong(0)
+
+    val beforeRows = spark.read.parquet(tbl).collect()
+      .map(_.toString).sorted.toSeq
+    val depthBefore = maxDepth()
+    assert(depthBefore >= 12,
+      s"round-robin fixture should be unclustered, depth $depthBefore")
+
+    Layout.reclusterZOrdered(spark, tbl, col("user_id"),
+      (hour(col("ts")) * 60 + minute(col("ts"))).cast("long"),
+      files = 16) // widths auto-fit from the data (8-bit users at sf0.01)
+
+    val afterRows = spark.read.parquet(tbl).collect()
+      .map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows, "content must survive the rewrite")
+    val depthAfter = maxDepth()
+    assert(depthAfter < depthBefore,
+      s"depth must improve: $depthBefore -> $depthAfter")
+    // margin note: 16 -> 10 measured at sf0.01 (the 150-user domain
+    // fills only the bottom of its 8-bit field, so curve segments cut
+    // unevenly); the envelope claims strict improvement, the probe adds
+    // a 25% floor so a no-op rewrite can't pass on noise
+    assert(depthAfter * 4 <= depthBefore * 3,
+      s"z-order should cut overlap depth by >=25%: " +
+        s"$depthBefore -> $depthAfter")
+
+    // pruning on THIS fixture (150-user domain, 16 files): measured 2x —
+    // real but domain-limited; the measured scale claim lives in the
+    // dedicated pruning test below
+  }
+
+  test("z-ordered layout PRUNES the parquet scan, measured: the same " +
+      "pushed filter reads a fraction of the rows vs round-robin") {
+    import spark.implicits._
+    // fully-populated 10-bit domains so curve quadrants fill evenly —
+    // the shape a rank-bucketed production key has (see zorderKey2 doc)
+    val n = 1 << 16
+    val df = (0 until n)
+      .map(i => (i.toLong % 1024L, (i.toLong * 2654435761L) % 1024L,
+        s"pay_$i"))
+      .toDF("a", "b", "payload")
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "prune").toString
+    Layout.writeZOrdered(df, s"$base/z", col("a"), col("b"),
+      files = 64, bits = 10, aBits = 10, bBits = 10)
+    df.repartition(64).write.mode("overwrite").parquet(s"$base/naive")
+
+    // rows OUT OF THE SCAN (post row-group skip, pre re-filter) — the
+    // bytes-read proxy the layout tier's whole value claim rests on
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("a") >= 0 && col("a") <= 63)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, q.queryExecution.executedPlan.toString)
+      assert(scans.head.metadata("PushedFilters")
+        .contains("LessThanOrEqual(a,63)"),
+        scans.head.metadata("PushedFilters"))
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val (zRows, naiveRows) = (scanRows(s"$base/z"), scanRows(s"$base/naive"))
+    // round-robin: every file spans [0,1023], nothing skips
+    assert(naiveRows == n,
+      s"round-robin layout should skip nothing, scanned $naiveRows")
+    // 64 curve-tiling files ~ 8x8 grid: the 64-wide a-slice lives in
+    // ~1/8 of the files; 4x is the conservative floor
+    assert(zRows * 4 <= naiveRows,
+      s"clustered scan must prune >=4x: z=$zRows vs naive=$naiveRows")
+  }
 }
