@@ -30,6 +30,21 @@ object GraftSession {
     b
   }
 
+  /** RocksDB-backed streaming state (bundled with Spark since 3.2): the
+    * default HDFS-backed store keeps every stateful operator's state in
+    * executor HEAP — at 100 TB/day ingest the dedup digests, LSH bucket
+    * signatures and monitor summaries outgrow it. RocksDB spills state
+    * to local disk with bounded memory, and changelog checkpointing
+    * keeps commit cost incremental. Apply to any builder (the conf is
+    * read per streaming query at start): e.g.
+    * `withRocksDbState(GraftSession.builder(...))`. */
+  def withRocksDbState(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+
   /** Session + all corpus tables registered as temp views, ready for
     * `spark.sql` (the engine-side replacement for the reference's remote
     * pushdown entry point, /root/reference/utils/db_utils.py:97-117). */

@@ -684,26 +684,91 @@ object Streams {
       }
   }
 
-  /** The banded-MinHash frame shared by the streaming near-dup monitor
-    * and its batch-parity form: (band, bucket key, id, k-signature). */
+  /** The banded-MinHash frame shared by the streaming near-dup monitors
+    * and the batch-parity form: (band, bucket key, id, k-signature
+    * [, event ts when `tsCol` is set — the event-time TTL variant needs
+    * the watermark column to survive into the stateful operator]). */
   private def bandedDocs(docs: DataFrame, textCol: String, idCol: String,
-                         k: Int, bands: Int): DataFrame = {
+                         k: Int, bands: Int,
+                         tsCol: Option[String] = None): DataFrame = {
     require(k % bands == 0, "bands must divide the signature length")
     val rowsPerBand = k / bands
+    // plain alias, never a cast: a cast would mint a fresh attribute and
+    // strip the watermark metadata EventTimeTimeout resolves against
+    val ts = tsCol.toSeq.map(c => col(c).as("ts"))
     docs
-      .select(col(idCol).cast("long").as("id"),
-        wordNgrams(col(textCol), 3).as("sh"))
+      .select(Seq(col(idCol).cast("long").as("id"),
+        wordNgrams(col(textCol), 3).as("sh")) ++ ts: _*)
       .filter(size(col("sh")) > 0)
-      .select(col("id"), minHashes(col("sh"), k).as("sig"))
-      .select(col("id"), col("sig"),
+      .select(Seq(col("id"), minHashes(col("sh"), k).as("sig")) ++
+        ts.map(_ => col("ts")): _*)
+      .select(Seq(col("id"), col("sig"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           b => concat_ws("_", b.cast("string"),
             xxhash64(slice(col("sig"), b * rowsPerBand + lit(1),
                 lit(rowsPerBand)))
-              .cast("string")))))
-      .select(col("pos").as("band"), col("col").as("bucket"),
-        col("id"), col("sig"))
+              .cast("string"))))) ++ ts.map(_ => col("ts")): _*)
+      .select(Seq(col("pos").as("band"), col("col").as("bucket"),
+        col("id"), col("sig")) ++ ts.map(_ => col("ts")): _*)
+  }
+
+  /** Event-time TTL variant of [[nearDupStream]]: bucket state evicts
+    * when the WATERMARK passes the bucket's newest event time + `ttlMs`
+    * — the same event-horizon semantics the batch near-dup family and
+    * [[dedupStream]] use. The processing-time variant is right for a
+    * live ingest (wall clock ≈ event time); under REPLAY/backfill the
+    * two diverge — events replayed at 1000× wall speed age out of a
+    * processing-time TTL almost never (state balloons past the horizon
+    * the operator was sized for) while an event-time TTL evicts exactly
+    * the buckets the original live run would have, keeping recall and
+    * state size reproducible. Same [[BucketFold]], same `maxPerBucket`
+    * hard cap; requires an event-time column (`tsCol`) and sets the
+    * watermark here. */
+  def nearDupStreamEventTime(docs: DataFrame, textCol: String,
+                             idCol: String, tsCol: String,
+                             watermark: String = "10 minutes",
+                             ttlMs: Long = 1800000L,
+                             k: Int = 16, bands: Int = 4,
+                             minEstJaccard: Double = 0.5,
+                             maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // cast BEFORE the watermark (casting after would strip its metadata)
+    val prepared = docs
+      .withColumn("_graft_ts", col(tsCol).cast("timestamp"))
+      .withWatermark("_graft_ts", watermark)
+    bandedDocs(prepared, textCol, idCol, k, bands,
+        tsCol = Some("_graft_ts"))
+      .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_: String,
+         batch: Iterator[(Int, String, Long, Seq[Long], java.sql.Timestamp)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val fold = new BucketFold(minEstJaccard, maxPerBucket)
+            state.getOption.foreach(fold.restore)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            var maxTs = Long.MinValue
+            batch.toArray.sortBy(_._3).foreach { case (band, _, id, s, ts) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              out ++= fold.observe(band, id, s)
+            }
+            state.update(fold.snapshot)
+            // evict when the watermark passes newest-event + ttl; the
+            // max() keeps the target legal (must exceed the watermark)
+            // when the batch itself is already past the horizon
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
   }
 
   /** The per-bucket collision fold shared VERBATIM by [[nearDupStream]]

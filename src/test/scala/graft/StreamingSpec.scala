@@ -375,6 +375,117 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupStreamEventTime: bucket state evicts on the EVENT-TIME " +
+      "horizon under fast replay, where a wall-clock TTL would retain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("theta", "CHANGED")
+    val filler1 = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val filler2 = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince dieciseis"
+    val t0 = 1700000000000L
+    def doc(id: Long, text: String, tMs: Long) =
+      (id, text, new java.sql.Timestamp(tMs))
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ettl").toString
+
+    // the whole 3-event-hour history replays in milliseconds of wall
+    // clock — the backfill case where the two TTL semantics diverge
+    def run(name: String)(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[Streams.NearDupHit]): Set[Long] = {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = mk(input.toDF().toDF("doc_id", "text", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/$name/ckpt")
+        .start()
+      try {
+        // b1: the original; b2: within-horizon near-dup (positive case)
+        // + an unrelated doc 3h later that advances the watermark past
+        // the original's ttl; b3: unrelated data so the expired bucket
+        // gets its timeout-only invocation; b4: the late near-dup
+        input.addData(doc(1L, base, t0))
+        q.processAllAvailable()
+        input.addData(doc(2L, nearDup, t0 + 5 * 60000L),
+          doc(8L, filler1, t0 + 3 * 3600000L))
+        q.processAllAvailable()
+        input.addData(doc(9L, filler2, t0 + 3 * 3600000L + 60000L))
+        q.processAllAvailable()
+        input.addData(doc(3L, base + " tail", t0 + 3 * 3600000L + 120000L))
+        q.processAllAvailable()
+        spark.table(name).select("doc_id").as[Long].collect().toSet
+      } finally q.stop()
+    }
+
+    // event-time TTL 30 min, watermark delay 1 min: doc 2 (5 min after
+    // the original, inside the horizon) hits; doc 3 (3 h after, horizon
+    // long passed) must NOT — its bucket was evicted when the watermark
+    // crossed t0 + ttl, exactly as a live run would have
+    val et = run("ettl_event") { df =>
+      Streams.nearDupStreamEventTime(df, "text", "doc_id", "ts",
+        watermark = "1 minute", ttlMs = 30 * 60000L,
+        bands = 8, minEstJaccard = 0.4)
+    }
+    assert(et.contains(2L), s"within-horizon near-dup must flag: $et")
+    assert(!et.contains(3L),
+      s"event-time TTL must evict the 3h-old bucket under replay: $et")
+    // the wall-clock-TTL family retains the bucket (milliseconds of
+    // wall time elapsed) and flags doc 3 — the divergence this variant
+    // exists to close
+    val pt = run("ettl_proc") { df =>
+      Streams.nearDupStream(df.drop("ts"), "text", "doc_id",
+        bands = 8, minEstJaccard = 0.4, stateTtlMs = -1L)
+    }
+    assert(pt.contains(2L) && pt.contains(3L),
+      s"wall-clock retention should flag both replayed dups: $pt")
+  }
+
+  test("stateful streaming runs under the RocksDB state store " +
+      "(GraftSession.withRocksDbState seam), output identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "rocks").toString
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("rocks_test")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      input.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      input.addData(Streams.Event(5L, ts(50), 10L, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("rocks_test")
+        .groupBy("user_id").agg(max("n_events").as("n"),
+          max("total_value").as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(rows == Set((10L, 4L, 12.0), (20L, 1L, 3.0)), rows.toString)
+      // prove the query really ran on RocksDB: the state operator
+      // reports rocksdb custom metrics only under that provider
+      val metrics = q.lastProgress.stateOperators.toSeq
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb state metrics, got: $metrics")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("burstMonitor: alerts at the k-th in-window event, state crosses " +
       "micro-batches, spread users stay silent") {
     import spark.implicits._
