@@ -30,6 +30,17 @@ object GraftSession {
     b
   }
 
+  /** The RocksDB streaming-state configs, exposed as data so tests (and
+    * dynamic `spark.conf.set` callers) exercise EXACTLY the keys
+    * [[withRocksDbState]] ships — a typo here fails the spec, not a
+    * production deployment. */
+  val rocksDbStateConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      -> "true")
+
   /** RocksDB-backed streaming state (bundled with Spark since 3.2): the
     * default HDFS-backed store keeps every stateful operator's state in
     * executor HEAP — at 100 TB/day ingest the dedup digests, LSH bucket
@@ -39,11 +50,7 @@ object GraftSession {
     * read per streaming query at start): e.g.
     * `withRocksDbState(GraftSession.builder(...))`. */
   def withRocksDbState(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      .config("spark.sql.streaming.stateStore.rocksdb." +
-        "changelogCheckpointing.enabled", "true")
+    rocksDbStateConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   /** Session + all corpus tables registered as temp views, ready for
     * `spark.sql` (the engine-side replacement for the reference's remote

@@ -565,16 +565,23 @@ object Dedup {
     // the envelope identifies planted pairs by id_b == id_a + offset;
     // a corpus id at or past `offset` would alias real pairs into the
     // planted set and silently weaken (false-pass) the recall claim —
-    // enforce the no-collision precondition instead of documenting it
-    val maxRow = docs.agg(max(col(idCol).cast("long"))).head
-    require(maxRow.isNullAt(0) || maxRow.getLong(0) < offset,
-      s"plantTextDups: corpus max($idCol)=${maxRow.get(0)} reaches the " +
-        s"planted-id offset $offset — planted pairs would alias real ids; " +
-        "raise offset")
+    // enforce the no-collision precondition IN the plan (lazy: the guard
+    // branch's pushed-down id >= offset filter prunes every row group on
+    // a healthy corpus, costs ~nothing, runs no job at build time), so
+    // a violating corpus fails the query loudly at execution
+    val guard = docs.filter(col(idCol).cast("long") >= offset)
+      .withColumn(textCol,
+        assert_true(col(idCol).cast("long") < offset,
+          concat(lit(s"plantTextDups: corpus $idCol "),
+            col(idCol).cast("string"),
+            lit(s" reaches the planted-id offset $offset — planted " +
+              "pairs would alias real ids; raise offset")))
+          .cast("string"))
     val copies = docs.filter(col(idCol) < nPlant)
       .withColumn(idCol, col(idCol) + offset)
     docs.unionByName(extraToken.fold(copies)(t =>
-      copies.withColumn(textCol, concat(col(textCol), lit(" " + t)))))
+        copies.withColumn(textCol, concat(col(textCol), lit(" " + t)))))
+      .unionByName(guard)
   }
 
   /** The oracle SQL for a [[plantedPairEnvelope]] registration — ONE

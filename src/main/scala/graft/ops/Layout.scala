@@ -123,6 +123,23 @@ object Layout {
                         bBits: Int = -1): Unit = {
     recoverSwap(spark, path)
     val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // same data-loss guard as compact(): the rewrite emits a FLAT
+    // parquet directory and the swap replaces the whole target — a
+    // hive-partitioned tree would be silently flattened (downstream
+    // partition-pruning readers see a different table) and loose
+    // non-parquet files destroyed. Refuse both loudly.
+    val entries = fs.listStatus(p)
+    require(!entries.exists(_.isDirectory),
+      s"reclusterZOrdered: $path contains subdirectories (partitioned " +
+        "layout?) — the Z-order rewrite operates on a flat parquet " +
+        "directory; recluster each leaf partition dir instead")
+    val stray = entries.filter(e => e.isFile &&
+      !isHidden(e.getPath.getName) &&
+      !e.getPath.getName.endsWith(".parquet"))
+    require(stray.isEmpty,
+      s"reclusterZOrdered: $path holds non-parquet data files " +
+        s"(${stray.head.getPath.getName}) the rewrite would drop — refusing")
     val df = spark.read.parquet(path)
     val (aw, bw) =
       if (aBits > 0 && bBits > 0) (aBits, bBits)
@@ -270,31 +287,48 @@ object Layout {
       math.min(maxConcurrent, math.max(1, tasks.length)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val done = scala.concurrent.Future.traverse(tasks) { t =>
-        scala.concurrent.Future {
-          val cur = inFlight.incrementAndGet()
-          probe.foreach(_.accumulateAndGet(cur, (a: Int, b: Int) =>
-            math.max(a, b)))
-          try {
-            val gDir = new Path(tmp, s"${t.rel}/_group_${t.idx}")
-            spark.read.parquet(t.files.map(_.toString): _*)
-              .coalesce(1)
-              .write.mode("overwrite").parquet(gDir.toString)
-            val written = fs.listStatus(gDir)
-              .filter(_.getPath.getName.endsWith(".parquet"))
-            require(written.length == 1,
-              s"group rewrite must land one file, got ${written.length}")
-            val dst = new Path(tmp, f"${t.rel}/part-${t.idx}%05d.parquet")
-            if (!fs.rename(written.head.getPath, dst))
-              throw new java.io.IOException("compactPartitioned: rename " +
-                s"${written.head.getPath} -> $dst failed")
-            fs.delete(gDir, true)
-          } finally inFlight.decrementAndGet()
-        }
+    // all group jobs share one job group so a failure can CANCEL the
+    // in-flight siblings — without it, orphaned writes would keep
+    // mutating tmp after this method has already thrown (racing any
+    // caller that catches and retries)
+    val jobGroup = s"graft-compact-${java.util.UUID.randomUUID}"
+    val futures = tasks.map { t =>
+      scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(jobGroup,
+          s"compactPartitioned ${t.rel} group ${t.idx}",
+          interruptOnCancel = true)
+        val cur = inFlight.incrementAndGet()
+        probe.foreach(_.accumulateAndGet(cur, (a: Int, b: Int) =>
+          math.max(a, b)))
+        try {
+          val gDir = new Path(tmp, s"${t.rel}/_group_${t.idx}")
+          spark.read.parquet(t.files.map(_.toString): _*)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(gDir.toString)
+          val written = fs.listStatus(gDir)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          require(written.length == 1,
+            s"group rewrite must land one file, got ${written.length}")
+          val dst = new Path(tmp, f"${t.rel}/part-${t.idx}%05d.parquet")
+          if (!fs.rename(written.head.getPath, dst))
+            throw new java.io.IOException("compactPartitioned: rename " +
+              s"${written.head.getPath} -> $dst failed")
+          fs.delete(gDir, true)
+        } finally inFlight.decrementAndGet()
       }
-      scala.concurrent.Await.result(done,
-        scala.concurrent.duration.Duration.Inf)
+    }
+    try
+      futures.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    catch {
+      case e: Throwable =>
+        spark.sparkContext.cancelJobGroup(jobGroup)
+        // let every sibling settle before propagating, so nothing
+        // touches tmp after the caller sees the failure
+        futures.foreach(f => try scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration.Inf)
+          catch { case _: Throwable => () })
+        throw e
     } finally pool.shutdown()
     swapInto(spark, tmp.toString, path)
     val summary = leafFiles.map { case (rel, files) =>

@@ -215,6 +215,14 @@ object Streams {
                         band: Int)
   case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
 
+  /** [[nearDupStreamEventTime]]'s state: the bucket plus its newest
+    * event time — the horizon anchor. Without it, a same-bucket arrival
+    * with an OLDER (still-valid) timestamp would recompute the eviction
+    * deadline from the batch-local max and shrink the horizon below
+    * newest-event + ttl. */
+  case class BucketStateEt(ids: Seq[Long], sigs: Seq[Seq[Long]],
+                           maxTsMs: Long)
+
   /** Ingest-time NEAR-dup detection: flag each arriving document whose
     * MinHash signature collides with an earlier document in any LSH band
     * and whose estimated Jaccard (matching-minhash fraction over the full
@@ -735,37 +743,49 @@ object Streams {
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     val spark = docs.sparkSession
     import spark.implicits._
-    // cast BEFORE the watermark (casting after would strip its metadata)
+    // cast BEFORE the watermark (casting after would strip its metadata);
+    // a null event time has no place on the horizon — drop the row
+    // (documented), never NPE the query
     val prepared = docs
       .withColumn("_graft_ts", col(tsCol).cast("timestamp"))
+      .filter(col("_graft_ts").isNotNull)
       .withWatermark("_graft_ts", watermark)
     bandedDocs(prepared, textCol, idCol, k, bands,
         tsCol = Some("_graft_ts"))
       .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState[BucketState, NearDupHit](
+      .flatMapGroupsWithState[BucketStateEt, NearDupHit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (_: String,
          batch: Iterator[(Int, String, Long, Seq[Long], java.sql.Timestamp)],
-         state: GroupState[BucketState]) =>
+         state: GroupState[BucketStateEt]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
+            val wm = state.getCurrentWatermarkMs()
+            // self-eviction: when data arrives in the very batch the
+            // timeout would have fired (hasTimedOut stays false for keys
+            // WITH data), entries past the horizon must not match —
+            // start the fold empty, exactly as a live run would have
+            val live = state.getOption
+              .filter(p => wm <= p.maxTsMs + ttlMs)
             val fold = new BucketFold(minEstJaccard, maxPerBucket)
-            state.getOption.foreach(fold.restore)
+            live.foreach(p => fold.restore(BucketState(p.ids, p.sigs)))
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-            var maxTs = Long.MinValue
+            // horizon anchors on the bucket's NEWEST event ever seen, not
+            // the batch-local max: an older (still-valid) arrival must
+            // never shrink the deadline below newest-event + ttl
+            var maxTs = live.map(_.maxTsMs).getOrElse(Long.MinValue)
             batch.toArray.sortBy(_._3).foreach { case (band, _, id, s, ts) =>
               maxTs = math.max(maxTs, ts.getTime)
               out ++= fold.observe(band, id, s)
             }
-            state.update(fold.snapshot)
-            // evict when the watermark passes newest-event + ttl; the
-            // max() keeps the target legal (must exceed the watermark)
-            // when the batch itself is already past the horizon
-            state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            val snap = fold.snapshot
+            state.update(BucketStateEt(snap.ids, snap.sigs, maxTs))
+            // the max() keeps the target legal (must exceed the
+            // watermark) when the batch itself is already past the horizon
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs, wm + 1))
             out.iterator
           }
       }

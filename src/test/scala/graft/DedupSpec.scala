@@ -424,4 +424,25 @@ class DedupSpec extends AnyFunSuite {
     assert(r107 == 1.0, s"q107 identical-bytes recall must be exactly 1.0, got $r107")
     spark.catalog.clearCache()
   }
+
+  test("plantTextDups: a corpus id reaching the planted offset fails the " +
+      "query LOUDLY at execution (lazy in-plan guard, no build-time job)") {
+    import spark.implicits._
+    val bad = Seq((0L, "alpha beta gamma"), (1000000L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    // building the frame runs NO job (the guard is a plan branch)...
+    val planted = graft.ops.Dedup.plantTextDups(bad, "doc_id", "text")
+    // ...but materializing it must throw: the aliasing id would silently
+    // false-pass the recall envelope
+    val e = intercept[Exception] { planted.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("planted-id offset")), e.toString)
+    // a healthy corpus sails through: 2 originals + 2 planted copies
+    val ok = Seq((0L, "alpha beta"), (1L, "gamma delta"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.plantTextDups(ok, "doc_id", "text")
+      .collect().length == 4)
+  }
 }

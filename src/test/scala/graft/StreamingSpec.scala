@@ -443,15 +443,69 @@ class StreamingSpec extends AnyFunSuite {
       s"wall-clock retention should flag both replayed dups: $pt")
   }
 
+  test("nearDupStreamEventTime: the horizon anchors on the bucket's " +
+      "NEWEST event — an older same-bucket arrival must not shrink it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup1 = base.replace("theta", "CHANGED")
+    val nearDup2 = base.replace("iota", "ALTERED")
+    val filler1 = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val filler2 = "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince dieciseis"
+    val t0 = 1700000000000L
+    def doc(id: Long, text: String, dSec: Long) =
+      (id, text, new java.sql.Timestamp(t0 + dSec * 1000))
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "etanchor").toString
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // ttl 30 min, watermark delay 1 min
+    val q = Streams.nearDupStreamEventTime(
+        input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+        watermark = "1 minute", ttlMs = 1800000L,
+        bands = 8, minEstJaccard = 0.4)
+      .writeStream.format("memory").queryName("etanchor_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // b1: the original at t0 — the bucket's newest event, deadline
+      // t0+30m. b2: an OLDER (still above-watermark) near-dup at t0-30s;
+      // a batch-local-max deadline would shrink to t0+29m30s
+      input.addData(doc(1L, base, 0))
+      q.processAllAvailable()
+      input.addData(doc(2L, nearDup1, -30))
+      q.processAllAvailable()
+      // b3+b4: fillers push the watermark to t0+29m45s — PAST the
+      // shrunken deadline, short of the true one; b4 gives the bucket
+      // its no-data batch where a mis-anchored timeout would evict
+      input.addData(doc(8L, filler1, 1845))
+      q.processAllAvailable()
+      input.addData(doc(9L, filler2, 1846))
+      q.processAllAvailable()
+      // b5: a near-dup inside the true horizon must still match
+      input.addData(doc(3L, nearDup2, 1795))
+      q.processAllAvailable()
+      val hits = spark.table("etanchor_test")
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+      assert(hits.contains((2L, 1L)), s"older in-horizon dup: $hits")
+      assert(hits.exists(h => h._1 == 3L && (h._2 == 1L || h._2 == 2L)),
+        s"the bucket must survive to its newest-event horizon: $hits")
+    } finally q.stop()
+  }
+
   test("stateful streaming runs under the RocksDB state store " +
       "(GraftSession.withRocksDbState seam), output identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val provider = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provider)
-    spark.conf.set(provider,
-      "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
+    // route the configs through the seam under test: a typo in
+    // GraftSession's keys/values must fail HERE, not in a deployment
+    val confs = GraftSession.rocksDbStateConfigs
+    assert(confs.keySet.exists(_.endsWith("stateStore.providerClass")))
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "rocks").toString
     val input = MemoryStream[Streams.Event]
@@ -479,9 +533,9 @@ class StreamingSpec extends AnyFunSuite {
         s"expected rocksdb state metrics, got: $metrics")
     } finally {
       q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(provider, v)
-        case None => spark.conf.unset(provider)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }
