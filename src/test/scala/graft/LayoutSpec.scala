@@ -347,6 +347,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(tbl).count() == 2000)
   }
 
+  test("compactPartitioned: the concurrent pool beats the serial form " +
+      "wall-clock on a many-partition fixture") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cmpwall").toString
+    def freshTable(name: String): String = {
+      val tbl = s"$base/$name"
+      (0 until 4800)
+        .map(i => (i.toLong, s"payload_$i" * 4, f"p${i % 24}%02d"))
+        .toDF("id", "payload", "k")
+        .repartition(4, col("id")).write.partitionBy("k")
+        .mode("overwrite").parquet(tbl)
+      tbl
+    }
+    def timed(tbl: String, conc: Int): Double = {
+      val t0 = System.nanoTime()
+      Layout.compactPartitionedImpl(spark, tbl, targetBytes = 1L << 30,
+        maxConcurrent = conc, probe = None).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // 24 partitions x 1 group each; warm both paths once so neither
+    // measurement pays first-use codegen/committer setup
+    timed(freshTable("w"), 8)
+    val serial = timed(freshTable("a"), 1)
+    val concurrent = timed(freshTable("b"), 8)
+    assert(spark.read.parquet(s"$base/b").count() == 4800)
+    // 24 independent ~100ms jobs: an 8-wide pool should land well under
+    // the serial total even on a loaded box (lenient 0.7 floor)
+    info(f"serial $serial%.2fs vs concurrent(8) $concurrent%.2fs " +
+      f"(${serial / concurrent}%.1fx)")
+    assert(concurrent < 0.7 * serial,
+      f"concurrent $concurrent%.2fs should beat serial $serial%.2fs")
+  }
+
   test("reclusterZOrdered: in-place rewrite preserves content and " +
       "improves overlap depth (q238 independence probe)") {
     val events = graft.sources.TableCatalog
