@@ -775,7 +775,11 @@ object Streams {
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
             // horizon anchors on the bucket's NEWEST event ever seen, not
             // the batch-local max: an older (still-valid) arrival must
-            // never shrink the deadline below newest-event + ttl
+            // never shrink the deadline below newest-event + ttl.
+            // The sort buffers ONE micro-batch's bucket slice (bounded by
+            // trigger interval, not stream length — the [[nearDupStream]]
+            // contract); the batch-parity path is [[nearDupBatch]]'s
+            // external sort.
             var maxTs = live.map(_.maxTsMs).getOrElse(Long.MinValue)
             batch.toArray.sortBy(_._3).foreach { case (band, _, id, s, ts) =>
               maxTs = math.max(maxTs, ts.getTime)
