@@ -1003,10 +1003,70 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q239
+  /** q239 entry: the full audit→select→fix→verify maintenance cycle on
+    * REAL parquet footer metadata — what q229/q230 simulated, run end to
+    * end. A hive-partitioned fixture (events capped at event_id < 8000,
+    * partitioned by event_type, 8 round-robin files per partition) is
+    * audited via [[Layout.parquetColumnStats]] (footers only, no data
+    * scan), every partition whose mean overlap depth clears the floor is
+    * rewritten Z-ordered in place
+    * ([[Layout.reclusterWorstPartitions]] — bounded concurrent
+    * per-partition swaps), and the fix is verified two ways: content
+    * identity via the checksum manifest (pinned by the oracle against
+    * the SOURCE rows) and per-partition depth improvement re-measured
+    * from the rewritten files' footers. All five partitions are
+    * round-robin by construction, so `reclustered` is TRUE for every
+    * row — the worst-k SELECTION behavior (only the bad partition of a
+    * mixed table rewritten) is spec-verified where it can be asserted
+    * deterministically. */
+  def q239FooterReclusterWorst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").filter(col("event_id") < 8000)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val fixture = s"${Relational.scratch}/q239_table"
+    ev.repartition(8, col("event_id"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(fixture)
+    def manifest(df: DataFrame): DataFrame =
+      partitionChecksums(df, col("event_type"),
+        Seq(col("event_id").cast("string"), col("user_id").cast("string")))
+    def depths(): DataFrame =
+      Layout.clusteringDepth(
+        Layout.parquetColumnStats(spark, fixture, "user_id")
+          .withColumn("unit",
+            concat_ws("#", col("file"), col("row_group"))),
+        "part_dir", "unit", "lo", "hi")
+    // materialize BEFORE the rewrite (q233's discipline)
+    val before = manifest(spark.read.parquet(fixture))
+      .select(col("part"), col("n_rows").as("rows_before"),
+        col("checksum").as("sum_before"))
+      .localCheckpoint(true)
+    val summary = Layout.reclusterWorstPartitions(spark, fixture,
+        keyA = "user_id",
+        keyB = (hour(col("ts")) * 60 + minute(col("ts"))).cast("long"),
+        files = 8, maxPartitions = 100, minAvgDepth = 1.0)
+      .select(substring_index(col("part_dir"), "=", -1).as("part"),
+        col("max_depth").as("depth_before"), col("reclustered"))
+      .localCheckpoint(true) // summary rows carry the PRE-rewrite audit
+    val after = depths()
+      .select(substring_index(col("part_dir"), "=", -1).as("part"),
+        col("max_depth").as("depth_after"))
+    manifest(spark.read.parquet(fixture))
+      .join(before, "part").join(summary, "part").join(after, "part")
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        (col("checksum") === col("sum_before") &&
+          col("n_rows") === col("rows_before")).as("checksum_match"),
+        col("reclustered"),
+        (col("depth_after") < col("depth_before")).as("depth_improved"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,
     "q233_compaction_execute" -> q233CompactionExecute _,
     "q238_recluster_execute" -> q238ReclusterExecute _,
+    "q239_footer_recluster_worst" -> q239FooterReclusterWorst _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1117,6 +1177,19 @@ object Audit {
         |             event_type)), 1, 13)) AS BIGINT)
         |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
         |       TRUE AS checksum_match, TRUE AS clustered_ok
+        |FROM events WHERE event_id < 8000
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q239: content identity through the footer-audited partial rewrite;
+    // the reclustered/depth booleans are in-engine claims whose raw
+    // values LayoutSpec recomputes (footer stats vs data, depth probe)
+    "q239_footer_recluster_worst" ->
+      """SELECT event_type AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR))),
+        |             1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS checksum_match, TRUE AS reclustered,
+        |       TRUE AS depth_improved
         |FROM events WHERE event_id < 8000
         |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->

@@ -166,6 +166,121 @@ object Layout {
   private def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
+  /** Per-ROW-GROUP statistics of a numeric column across a parquet tree,
+    * read from file FOOTERS only — zero data scan. This is the inventory
+    * a lakehouse table format keeps in its manifests, recovered here for
+    * PLAIN parquet directly from the bytes parquet already wrote: at
+    * 100 TB the maintenance DECISION (which partitions to compact or
+    * re-cluster) must cost metadata, not a table scan, and a footer is
+    * a few KB per file read on the driver — the same cost class as the
+    * directory walk the compaction planner does. Emits one row per
+    * (partition dir, file, row group): rows, lo, hi — exactly the frame
+    * [[clusteringDepth]] audits and [[compactionPlan]] groups, so the
+    * simulated inventories of q229/q230 have a real-metadata twin.
+    * Numeric (integral/floating) statistics only, surfaced as doubles —
+    * a range audit needs ordering, not exactness. */
+  def parquetColumnStats(spark: SparkSession, path: String,
+                         column: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    def walk(dir: Path, rel: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+      val es = fs.listStatus(dir)
+      es.filter(_.isDirectory).sortBy(_.getPath.getName).toSeq.flatMap(d =>
+        walk(d.getPath,
+          if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}")) ++
+        es.filter(e => e.isFile && e.getPath.getName.endsWith(".parquet") &&
+            !isHidden(e.getPath.getName))
+          .sortBy(_.getPath.getName).toSeq.map(rel -> _)
+    }
+    def num(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue()
+      case o => throw new IllegalArgumentException(
+        s"parquetColumnStats: non-numeric statistics for $column " +
+          s"(${o.getClass.getSimpleName}) — range audits need a numeric key")
+    }
+    val rows = walk(p, "").flatMap { case (rel, f) =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+          case (b, i) =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .getOrElse(throw new IllegalArgumentException(
+                s"parquetColumnStats: column $column not in ${f.getPath}"))
+            val st = cc.getStatistics
+            require(st != null && st.hasNonNullValue,
+              s"parquetColumnStats: no $column statistics in ${f.getPath} " +
+                s"row group $i — written without stats?")
+            (rel, f.getPath.getName, i, b.getRowCount,
+              num(st.genericGetMin), num(st.genericGetMax))
+        }
+      } finally reader.close()
+    }
+    import spark.implicits._
+    rows.toDF("part_dir", "file", "row_group", "rows", "lo", "hi")
+  }
+
+  /** Targeted re-clustering over a hive-partitioned table: audit every
+    * leaf partition's overlap depth on `keyA` from REAL parquet footer
+    * statistics ([[parquetColumnStats]] — metadata cost, no data scan),
+    * pick the worst `maxPartitions` whose mean depth is at least
+    * `minAvgDepth`, and rewrite each Z-ordered in place
+    * ([[reclusterZOrdered]] per leaf dir — crash-safe per-partition
+    * swap). This closes the q230 loop end-to-end on real metadata:
+    * audit → select → fix → (caller) verify, the maintenance cycle
+    * Delta/Iceberg OPTIMIZE ZORDER runs, expressed over plain parquet.
+    *
+    * Scale shape: the decision reads footers on the driver (KB per
+    * file); only SELECTED partitions pay a data rewrite, and those
+    * submit concurrently on a bounded pool (independent by
+    * construction — each swap owns its own leaf dir). The selected
+    * list is collect()ed: it is bounded by `maxPartitions`, metadata
+    * not data. In-place caveat (documented, same as any OPTIMIZE on
+    * plain parquet without a transaction log): a reader listing the
+    * tree DURING a leaf swap can see the transient `._pre` sibling —
+    * run in a maintenance window.
+    *
+    * Returns one row per leaf partition: row-group units, mean/max
+    * depth, and whether it was rewritten. */
+  def reclusterWorstPartitions(spark: SparkSession, path: String,
+                               keyA: String, keyB: Column, files: Int,
+                               maxPartitions: Int,
+                               minAvgDepth: Double = 1.5,
+                               maxConcurrent: Int = 4): DataFrame = {
+    require(maxPartitions >= 1 && maxConcurrent >= 1)
+    val stats = parquetColumnStats(spark, path, keyA)
+      .filter(col("part_dir") =!= lit(""))
+    val depth = clusteringDepth(
+      stats.withColumn("unit",
+        concat_ws("#", col("file"), col("row_group"))),
+      "part_dir", "unit", "lo", "hi")
+    val worst = depth
+      .filter(col("avg_depth") >= minAvgDepth)
+      .orderBy(col("avg_depth").desc, col("part_dir"))
+      .limit(maxPartitions)
+      .select(col("part_dir")).collect().map(_.getString(0)).toSet
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, math.max(1, worst.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = scala.concurrent.Future.traverse(worst.toSeq.sorted) { d =>
+        scala.concurrent.Future {
+          reclusterZOrdered(spark, s"$path/$d", col(keyA), keyB, files)
+        }
+      }
+      scala.concurrent.Await.result(done,
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    depth.withColumn("reclustered",
+        if (worst.isEmpty) lit(false)
+        else col("part_dir").isin(worst.toSeq: _*))
+      .orderBy("part_dir")
+  }
+
   /** Partition-aware compaction EXECUTOR — applies [[compactionPlan]]'s
     * merge rule to a hive-partitioned parquet directory (any partition
     * depth: `date=…/hour=…/part-*.parquet` compacts per LEAF directory)

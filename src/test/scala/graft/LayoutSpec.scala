@@ -431,6 +431,92 @@ class LayoutSpec extends AnyFunSuite {
     // dedicated pruning test below
   }
 
+  test("parquetColumnStats: footer-only inventory matches data-derived " +
+      "per-file min/max/rows exactly (q239 independence probe)") {
+    val events = graft.sources.TableCatalog
+      .load(spark, "/root/testdata/sf0.01", "events")
+      .filter(col("event_id") < 4000)
+      .select(col("event_id"), col("user_id"),
+        (col("event_id") % 3).cast("string").as("k"))
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "fstats").toString
+    val tbl = s"$base/t"
+    events.withColumn("k", concat(lit("g"), col("k")))
+      .repartition(4).write.partitionBy("k").mode("overwrite").parquet(tbl)
+    val stats = Layout.parquetColumnStats(spark, tbl, "user_id")
+      .collect()
+      .map(r => (s"${r.getString(0)}/${r.getString(1)}",
+        (r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // ground truth from the data itself (one row group per small file,
+    // so per-file == per-row-group)
+    val truth = spark.read.parquet(tbl)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), min(col("user_id")).as("lo"),
+        max(col("user_id")).as("hi"))
+      .collect()
+      .map { r =>
+        val rel = r.getString(0).split("/").takeRight(2).mkString("/")
+        rel -> ((r.getLong(1), r.getLong(2).toDouble, r.getLong(3).toDouble))
+      }.toMap
+    assert(stats.keySet == truth.keySet,
+      s"${stats.keySet} vs ${truth.keySet}")
+    stats.foreach { case (k, v) => assert(v == truth(k), s"$k: $v vs ${truth(k)}") }
+    // non-numeric column -> loud refusal, never a silent garbage range
+    val e = intercept[Exception] {
+      Layout.parquetColumnStats(spark,
+        "/root/testdata/sf0.01/documents.parquet", "text").collect()
+    }
+    assert(e.getMessage.contains("non-numeric"), e.getMessage)
+  }
+
+  test("reclusterWorstPartitions: footer audit selects ONLY the " +
+      "unclustered partition, rewrites it in place, leaves the " +
+      "clustered one untouched") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "worstp").toString
+    val tbl = s"$base/t"
+    val rows = (0 until 4096)
+      .map(i => (i.toLong % 256L, (i.toLong * 2654435761L) % 256L,
+        if (i < 2048) "bad" else "good", s"pay_$i"))
+      .toDF("a", "b", "k", "payload")
+    rows.filter(col("k") === "bad").repartition(8)
+      .write.partitionBy("k").mode("overwrite").parquet(tbl)
+    rows.filter(col("k") === "good")
+      .withColumn("_z", Layout.zorderKey2(col("a"), col("b"), 8, 8, 8))
+      .repartitionByRange(8, col("_z")).sortWithinPartitions("_z")
+      .drop("_z")
+      .write.partitionBy("k").mode("append").parquet(tbl)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def goodFiles(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$tbl/k=good"))
+        .map(_.getPath.getName).toSet
+    val goodBefore = goodFiles()
+    val content = spark.read.parquet(tbl).select("a", "b", "k", "payload")
+      .collect().map(_.toString).sorted.toSeq
+
+    val summary = Layout.reclusterWorstPartitions(spark, tbl,
+        keyA = "a", keyB = col("b"), files = 8,
+        maxPartitions = 1, minAvgDepth = 1.5)
+      .collect()
+      .map(r => r.getString(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(summary == Map("k=bad" -> true, "k=good" -> false), summary)
+    // untouched partition keeps its exact files; content survives
+    assert(goodFiles() == goodBefore, "clustered partition must be untouched")
+    assert(spark.read.parquet(tbl).select("a", "b", "k", "payload")
+      .collect().map(_.toString).sorted.toSeq == content)
+    // the rewritten partition's footer-measured depth improved
+    val depthAfter = Layout.clusteringDepth(
+      Layout.parquetColumnStats(spark, s"$tbl/k=bad", "a")
+        .withColumn("part", lit("t"))
+        .withColumn("unit", concat_ws("#", col("file"), col("row_group"))),
+      "part", "unit", "lo", "hi")
+      .select(col("max_depth")).head.getLong(0)
+    assert(depthAfter < 8, s"bad partition depth must improve: $depthAfter")
+  }
+
   test("z-ordered layout PRUNES the parquet scan, measured: the same " +
       "pushed filter reads a fraction of the rows vs round-robin") {
     import spark.implicits._
