@@ -1030,35 +1030,56 @@ object Audit {
     def manifest(df: DataFrame): DataFrame =
       partitionChecksums(df, col("event_type"),
         Seq(col("event_id").cast("string"), col("user_id").cast("string")))
-    def depths(): DataFrame =
-      Layout.clusteringDepth(
-        Layout.parquetColumnStats(spark, fixture, "user_id")
-          .withColumn("unit",
-            concat_ws("#", col("file"), col("row_group"))),
-        "part_dir", "unit", "lo", "hi")
+    // partition VALUES come back through hive's path escaping — decode
+    // the dir fragment driver-side (the frames are metadata-sized, one
+    // row per partition) so the manifest join never silently drops a
+    // partition whose value hive escaped; no UDF, no fragile
+    // string-split on '='
+    def decodedDepths(df: DataFrame, depthAs: String): DataFrame = {
+      val rows = df.select(col("part_dir"), col("max_depth")).collect()
+        .map { r =>
+          val pd = r.getString(0)
+          (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(pd.substring(pd.indexOf('=') + 1)),
+            r.getLong(1))
+        }.toSeq
+      import spark.implicits._
+      rows.toDF("part", depthAs)
+    }
     // materialize BEFORE the rewrite (q233's discipline)
     val before = manifest(spark.read.parquet(fixture))
       .select(col("part"), col("n_rows").as("rows_before"),
         col("checksum").as("sum_before"))
       .localCheckpoint(true)
-    val summary = Layout.reclusterWorstPartitions(spark, fixture,
-        keyA = "user_id",
-        keyB = (hour(col("ts")) * 60 + minute(col("ts"))).cast("long"),
-        files = 8, maxPartitions = 100, minAvgDepth = 1.0)
-      .select(substring_index(col("part_dir"), "=", -1).as("part"),
-        col("max_depth").as("depth_before"), col("reclustered"))
-      .localCheckpoint(true) // summary rows carry the PRE-rewrite audit
-    val after = depths()
-      .select(substring_index(col("part_dir"), "=", -1).as("part"),
-        col("max_depth").as("depth_after"))
+    val audit = Layout.reclusterWorstPartitions(spark, fixture,
+      keyA = "user_id",
+      keyB = (hour(col("ts")) * 60 + minute(col("ts"))).cast("long"),
+      files = 8, maxPartitions = 100, minAvgDepth = 1.0)
+    val auditRows = audit
+      .select(col("part_dir"), col("max_depth"), col("reclustered"))
+      .collect().map { r =>
+        val pd = r.getString(0)
+        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(pd.substring(pd.indexOf('=') + 1)),
+          r.getLong(1), r.getBoolean(2))
+      }.toSeq
+    import spark.implicits._
+    val beforeDepth = auditRows
+      .toDF("part", "depth_before", "was_reclustered")
+    val after = decodedDepths(
+      Layout.footerClusteringDepth(spark, fixture, "user_id"),
+      "depth_after")
     manifest(spark.read.parquet(fixture))
-      .join(before, "part").join(summary, "part").join(after, "part")
+      .join(before, "part").join(beforeDepth, "part").join(after, "part")
       .select(col("part"), col("n_rows"),
         col("checksum").cast("string").as("checksum"),
         (col("checksum") === col("sum_before") &&
           col("n_rows") === col("rows_before")).as("checksum_match"),
-        col("reclustered"),
-        (col("depth_after") < col("depth_before")).as("depth_improved"))
+        col("was_reclustered").as("reclustered"),
+        // strict improvement where improvement is POSSIBLE: a partition
+        // already at the depth floor (one row-group) cannot go lower
+        (col("depth_after") < col("depth_before") ||
+          col("depth_before") <= 1).as("depth_improved"))
       .orderBy("part")
   }
 

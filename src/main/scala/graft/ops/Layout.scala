@@ -187,7 +187,15 @@ object Layout {
     val fs = p.getFileSystem(conf)
     def walk(dir: Path, rel: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
       val es = fs.listStatus(dir)
-      es.filter(_.isDirectory).sortBy(_.getPath.getName).toSeq.flatMap(d =>
+      // hidden dirs (committer staging: _temporary, .spark-staging-*)
+      // and swap debris (x._pre / x._compacting / x._reclustering /
+      // x._merging) are NOT data partitions: auditing them would count
+      // duplicate/half-written rows and — worse — offer a debris dir to
+      // an in-place rewrite. recoverSwapsUnder repairs debris first;
+      // whatever remains is skipped here.
+      es.filter(d => d.isDirectory && !isHidden(d.getPath.getName) &&
+          !d.getPath.getName.contains("._"))
+        .sortBy(_.getPath.getName).toSeq.flatMap(d =>
         walk(d.getPath,
           if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}")) ++
         es.filter(e => e.isFile && e.getPath.getName.endsWith(".parquet") &&
@@ -223,6 +231,42 @@ object Layout {
     rows.toDF("part_dir", "file", "row_group", "rows", "lo", "hi")
   }
 
+  /** Repair crashed swaps ANYWHERE under a tree: every `x._pre`
+    * directory found marks a swap-managed target `x` whose protocol may
+    * have crashed mid-swap — run [[recoverSwap]] on each before reading
+    * the tree (recoverSwap's own contract, applied recursively for the
+    * per-leaf swaps [[reclusterWorstPartitions]] performs). Metadata
+    * cost: one directory walk. */
+  def recoverSwapsUnder(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def sweep(dir: Path): Unit = {
+      val dirs = fs.listStatus(dir).filter(_.isDirectory)
+      dirs.filter(_.getPath.getName.endsWith("._pre")).foreach { d =>
+        val target = new Path(dir,
+          d.getPath.getName.stripSuffix("._pre"))
+        recoverSwap(spark, target.toString)
+      }
+      // recurse into real partition dirs only (debris just got repaired
+      // or is stale tmp the next rewrite overwrites)
+      fs.listStatus(dir).filter(d => d.isDirectory &&
+          !isHidden(d.getPath.getName) && !d.getPath.getName.contains("._"))
+        .foreach(d => sweep(d.getPath))
+    }
+    sweep(p)
+  }
+
+  /** Overlap-depth audit per leaf partition dir from parquet FOOTER
+    * statistics: [[parquetColumnStats]] composed into
+    * [[clusteringDepth]] at row-group granularity (the unit a reader
+    * actually skips). One metadata walk, no data scan. */
+  def footerClusteringDepth(spark: SparkSession, path: String,
+                            column: String): DataFrame =
+    clusteringDepth(
+      parquetColumnStats(spark, path, column)
+        .withColumn("unit", concat_ws("#", col("file"), col("row_group"))),
+      "part_dir", "unit", "lo", "hi")
+
   /** Targeted re-clustering over a hive-partitioned table: audit every
     * leaf partition's overlap depth on `keyA` from REAL parquet footer
     * statistics ([[parquetColumnStats]] — metadata cost, no data scan),
@@ -232,16 +276,22 @@ object Layout {
     * swap). This closes the q230 loop end-to-end on real metadata:
     * audit → select → fix → (caller) verify, the maintenance cycle
     * Delta/Iceberg OPTIMIZE ZORDER runs, expressed over plain parquet.
+    * Crashed prior swaps anywhere in the tree are repaired FIRST
+    * ([[recoverSwapsUnder]]); committer-staging and swap-debris dirs
+    * are never audited or rewritten.
     *
     * Scale shape: the decision reads footers on the driver (KB per
     * file); only SELECTED partitions pay a data rewrite, and those
     * submit concurrently on a bounded pool (independent by
-    * construction — each swap owns its own leaf dir). The selected
-    * list is collect()ed: it is bounded by `maxPartitions`, metadata
-    * not data. In-place caveat (documented, same as any OPTIMIZE on
-    * plain parquet without a transaction log): a reader listing the
-    * tree DURING a leaf swap can see the transient `._pre` sibling —
-    * run in a maintenance window.
+    * construction — each swap owns its own leaf dir). On failure the
+    * shared job group cancels in-flight sibling rewrites and every
+    * task settles before the error propagates (the
+    * [[compactPartitioned]] discipline). The selected list is
+    * collect()ed: bounded by `maxPartitions`, metadata not data.
+    * In-place caveat (documented, same as any OPTIMIZE on plain
+    * parquet without a transaction log): a reader listing the tree
+    * DURING a leaf swap can see the transient `._pre` sibling — run in
+    * a maintenance window.
     *
     * Returns one row per leaf partition: row-group units, mean/max
     * depth, and whether it was rewritten. */
@@ -251,8 +301,15 @@ object Layout {
                                minAvgDepth: Double = 1.5,
                                maxConcurrent: Int = 4): DataFrame = {
     require(maxPartitions >= 1 && maxConcurrent >= 1)
+    recoverSwapsUnder(spark, path)
     val stats = parquetColumnStats(spark, path, keyA)
-      .filter(col("part_dir") =!= lit(""))
+    // a flat directory is reclusterZOrdered's job, and loose root-level
+    // parquet in a partitioned tree would be silently unmaintained —
+    // refuse both loudly rather than no-op (compactPartitioned's stance)
+    require(stats.filter(col("part_dir") === lit("")).isEmpty,
+      s"reclusterWorstPartitions: $path holds root-level parquet files " +
+        "(flat or mixed layout?) — use reclusterZOrdered for a flat " +
+        "directory")
     val depth = clusteringDepth(
       stats.withColumn("unit",
         concat_ws("#", col("file"), col("row_group"))),
@@ -262,18 +319,30 @@ object Layout {
       .orderBy(col("avg_depth").desc, col("part_dir"))
       .limit(maxPartitions)
       .select(col("part_dir")).collect().map(_.getString(0)).toSet
+    require(depth.head(1).nonEmpty,
+      s"reclusterWorstPartitions: no partition directories under $path")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(maxConcurrent, math.max(1, worst.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val done = scala.concurrent.Future.traverse(worst.toSeq.sorted) { d =>
-        scala.concurrent.Future {
-          reclusterZOrdered(spark, s"$path/$d", col(keyA), keyB, files)
-        }
+    val jobGroup = s"graft-recluster-${java.util.UUID.randomUUID}"
+    val futures = worst.toSeq.sorted.map { d =>
+      scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(jobGroup,
+          s"reclusterWorstPartitions $d", interruptOnCancel = true)
+        reclusterZOrdered(spark, s"$path/$d", col(keyA), keyB, files)
       }
-      scala.concurrent.Await.result(done,
-        scala.concurrent.duration.Duration.Inf)
+    }
+    try
+      futures.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    catch {
+      case e: Throwable =>
+        spark.sparkContext.cancelJobGroup(jobGroup)
+        futures.foreach(f => try scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration.Inf)
+          catch { case _: Throwable => () })
+        throw e
     } finally pool.shutdown()
     depth.withColumn("reclustered",
         if (worst.isEmpty) lit(false)

@@ -349,6 +349,11 @@ class LayoutSpec extends AnyFunSuite {
 
   test("compactPartitioned: the concurrent pool beats the serial form " +
       "wall-clock on a many-partition fixture") {
+    // on a core-starved box the local scheduler serializes the jobs
+    // regardless of the driver pool — the comparison is only meaningful
+    // with real parallel capacity
+    assume(Runtime.getRuntime.availableProcessors >= 8,
+      "needs >=8 cores for a meaningful concurrency comparison")
     import spark.implicits._
     val base = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "cmpwall").toString
@@ -515,6 +520,31 @@ class LayoutSpec extends AnyFunSuite {
       "part", "unit", "lo", "hi")
       .select(col("max_depth")).head.getLong(0)
     assert(depthAfter < 8, s"bad partition depth must improve: $depthAfter")
+
+    // a crashed leaf swap (target gone, only the ._pre copy left) and
+    // committer staging debris must be REPAIRED/skipped by the next
+    // maintenance run — never audited as partitions or rewritten in place
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tbl/k=bad"),
+      new org.apache.hadoop.fs.Path(s"$tbl/k=bad._pre")))
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tbl/_temporary/0")))
+    val summary2 = Layout.reclusterWorstPartitions(spark, tbl,
+        keyA = "a", keyB = col("b"), files = 8,
+        maxPartitions = 1, minAvgDepth = 1.5)
+      .collect().map(_.getString(0)).toSet
+    assert(summary2 == Set("k=bad", "k=good"),
+      s"debris must be repaired, not audited: $summary2")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/k=bad")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/k=bad._pre")),
+      "the crashed swap must be repaired before the audit")
+    assert(spark.read.parquet(tbl).count() == 4096)
+
+    // a flat directory is reclusterZOrdered's job — refuse, never no-op
+    val flat = s"$base/flat"
+    rows.limit(64).coalesce(1).write.mode("overwrite").parquet(flat)
+    val eFlat = intercept[IllegalArgumentException] {
+      Layout.reclusterWorstPartitions(spark, flat, "a", col("b"), 4, 1)
+    }
+    assert(eFlat.getMessage.contains("root-level parquet"), eFlat.getMessage)
   }
 
   test("z-ordered layout PRUNES the parquet scan, measured: the same " +
