@@ -34,7 +34,8 @@ object SparkEntry {
     * is the operator's, not its reference's. Keys must be a subset of
     * [[queries]] keys. */
   def benchForm: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.benchForm ++ TrainingData.benchForm ++ Mining.benchForm
+    Analytics.benchForm ++ TrainingData.benchForm ++ Mining.benchForm ++
+      Audit.benchForm
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -919,10 +919,18 @@ object Audit {
     * through the rewrite), `checksum_match` vs the pre-compaction
     * manifest, and `compacted_ok` (strictly fewer files). */
   def q233CompactionExecute(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").filter(col("doc_id") < 400)
     val fixture = s"${Relational.scratch}/q233_table"
-    docs.repartition(12, col("doc_id"))
+    q233Fixture(spark, dir, fixture)
+    q233Cycle(spark, fixture)
+  }
+
+  private def q233Fixture(spark: SparkSession, dir: String,
+                          fixture: String): Unit =
+    t(spark, dir, "documents").filter(col("doc_id") < 400)
+      .repartition(12, col("doc_id"))
       .write.partitionBy("lang").mode("overwrite").parquet(fixture)
+
+  private def q233Cycle(spark: SparkSession, fixture: String): DataFrame = {
     def manifest(df: DataFrame): DataFrame =
       partitionChecksums(df, col("lang"),
         Seq(col("doc_id").cast("string"), col("text"), col("source"),
@@ -965,11 +973,19 @@ object Audit {
     * depth strictly improved). The spec recomputes both depths raw —
     * the independence probe behind the boolean. */
   def q238ReclusterExecute(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events").filter(col("event_id") < 8000)
+    val fixture = s"${Relational.scratch}/q238_table"
+    q238Fixture(spark, dir, fixture)
+    q238Cycle(spark, fixture)
+  }
+
+  private def q238Fixture(spark: SparkSession, dir: String,
+                          fixture: String): Unit =
+    t(spark, dir, "events").filter(col("event_id") < 8000)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val fixture = s"${Relational.scratch}/q238_table"
-    ev.repartition(16).write.mode("overwrite").parquet(fixture)
+      .repartition(16).write.mode("overwrite").parquet(fixture)
+
+  private def q238Cycle(spark: SparkSession, fixture: String): DataFrame = {
     def manifest(df: DataFrame): DataFrame =
       partitionChecksums(df, pmod(col("user_id"), lit(8L)),
         Seq(col("event_id").cast("string"), col("user_id").cast("string"),
@@ -1021,12 +1037,20 @@ object Audit {
     * mixed table rewritten) is spec-verified where it can be asserted
     * deterministically. */
   def q239FooterReclusterWorst(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events").filter(col("event_id") < 8000)
+    val fixture = s"${Relational.scratch}/q239_table"
+    q239Fixture(spark, dir, fixture)
+    q239Cycle(spark, fixture)
+  }
+
+  private def q239Fixture(spark: SparkSession, dir: String,
+                          fixture: String): Unit =
+    t(spark, dir, "events").filter(col("event_id") < 8000)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val fixture = s"${Relational.scratch}/q239_table"
-    ev.repartition(8, col("event_id"))
+      .repartition(8, col("event_id"))
       .write.partitionBy("event_type").mode("overwrite").parquet(fixture)
+
+  private def q239Cycle(spark: SparkSession, fixture: String): DataFrame = {
     def manifest(df: DataFrame): DataFrame =
       partitionChecksums(df, col("event_type"),
         Seq(col("event_id").cast("string"), col("user_id").cast("string")))
@@ -1083,11 +1107,140 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q240
+  /** q240 entry: the unified OPTIMIZE maintenance verb
+    * ([[Layout.optimizeTable]]) over a mixed-health table — one footer
+    * inventory drives a per-partition decision (compact / re-cluster /
+    * skip) and one bounded-concurrent execution pass applies it. The
+    * fixture engineers all three treatments deterministically from the
+    * events table: partition `rr` is round-robin fragmented (overlap
+    * depth ≈ file count → re-cluster), `sm` is clustered on user_id but
+    * shattered into 8 tiny files (byte pressure → compact), `ok` is one
+    * healthy file (→ skip). Emitted per partition: row count and content
+    * checksum (pinned by the oracle against the SOURCE rows — content
+    * identity through whichever rewrite ran), the action taken (pinned
+    * by the oracle — the decision itself is cross-checked, not just the
+    * rewrite), `checksum_match` vs the pre-maintenance manifest, and
+    * `action_ok` (re-cluster: footer-re-measured depth strictly
+    * improved; compact: strictly fewer files; skip: file count
+    * untouched). */
+  def q240OptimizeTable(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q240_table"
+    q240Fixture(spark, dir, fixture)
+    q240Cycle(spark, fixture)
+  }
+
+  private def q240Fixture(spark: SparkSession, dir: String,
+                          fixture: String): Unit = {
+    val ev = t(spark, dir, "events").filter(col("event_id") < 9000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit("rr"))
+          .when(pmod(col("event_id"), lit(3)) === 1, lit("sm"))
+          .otherwise(lit("ok")).as("grp"))
+    // rr: round-robin → every file spans the full user range, depth ≈ 8
+    ev.filter(col("grp") === "rr").repartition(8)
+      .write.partitionBy("grp").mode("overwrite").parquet(fixture)
+    // sm: range-clustered on user_id (depth ≤ 2) but 8 small files
+    ev.filter(col("grp") === "sm")
+      .repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+      .write.partitionBy("grp").mode("append").parquet(fixture)
+    // ok: one healthy file
+    ev.filter(col("grp") === "ok").coalesce(1)
+      .write.partitionBy("grp").mode("append").parquet(fixture)
+  }
+
+  private def q240Cycle(spark: SparkSession, fixture: String): DataFrame = {
+    def manifest(df: DataFrame): DataFrame =
+      partitionChecksums(df, col("grp"),
+        Seq(col("event_id").cast("string"), col("user_id").cast("string")))
+    def decode(pd: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(pd.substring(pd.indexOf('=') + 1))
+    def depths(): Map[String, Long] =
+      Layout.footerClusteringDepth(spark, fixture, "user_id")
+        .select(col("part_dir"), col("max_depth")).collect()
+        .map(r => decode(r.getString(0)) -> r.getLong(1)).toMap
+    // materialize BEFORE the rewrite (q233's discipline)
+    val before = manifest(spark.read.parquet(fixture))
+      .select(col("part"), col("n_rows").as("rows_before"),
+        col("checksum").as("sum_before"))
+      .localCheckpoint(true)
+    val depthBefore = depths()
+    val summary = Layout.optimizeTable(spark, fixture, keyA = "user_id",
+      keyB = (hour(col("ts")) * 60 + minute(col("ts"))).cast("long"),
+      files = 8, targetBytes = 1L << 30, minAvgDepth = 3.0)
+    val depthAfter = depths()
+    // per-action verification, driver-side over the metadata-sized
+    // summary (one row per partition)
+    val acts = summary
+      .select(col("part_dir"), col("action"), col("files_before"),
+        col("files_after")).collect().map { r =>
+        val part = decode(r.getString(0))
+        val action = r.getString(1)
+        val ok = action match {
+          case "recluster" => depthAfter(part) < depthBefore(part)
+          case "compact" => r.getLong(3) < r.getLong(2)
+          case _ => r.getLong(3) == r.getLong(2)
+        }
+        (part, action, ok)
+      }.toSeq
+    import spark.implicits._
+    val actDf = acts.toDF("part", "action", "action_ok")
+    manifest(spark.read.parquet(fixture))
+      .join(before, "part").join(actDf, "part")
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        (col("checksum") === col("sum_before") &&
+          col("n_rows") === col("rows_before")).as("checksum_match"),
+        col("action"), col("action_ok"))
+      .orderBy("part")
+  }
+
+  // ------------------------------------------------------- bench forms
+  /** Once-per-JVM fixture templates for the maintenance-cycle bench
+    * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
+    * then run the cycle, so the driver bench was timing the fixture
+    * write too (harness, not operator). The bench form builds the
+    * template on first use, then serves each timed pass a fresh
+    * filesystem COPY (milliseconds, vs the Spark write's seconds) — the
+    * q40/q142 benchForm discipline applied to the layout tier: the
+    * oracle run keeps the full registered form, the bench times
+    * audit + rewrite + verify. */
+  private val benchTemplates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def benchFixture(spark: SparkSession, name: String)
+                          (build: String => Unit): String = {
+    val tpl = s"${Relational.scratch}/bench_tpl_$name"
+    benchTemplates.computeIfAbsent(tpl, { _ => build(tpl); tpl })
+    val run = s"${Relational.scratch}/bench_run_$name"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(run).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(run), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(tpl), fs,
+      new org.apache.hadoop.fs.Path(run), false, true, conf)
+    run
+  }
+
+  /** Bench-only forms (see [[graft.SparkEntry.benchForm]]): the
+    * maintenance cycle over a template-copied fixture. */
+  val benchForm: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_compaction_execute" -> ((s: SparkSession, dir: String) =>
+      q233Cycle(s, benchFixture(s, "q233")(q233Fixture(s, dir, _)))),
+    "q238_recluster_execute" -> ((s: SparkSession, dir: String) =>
+      q238Cycle(s, benchFixture(s, "q238")(q238Fixture(s, dir, _)))),
+    "q239_footer_recluster_worst" -> ((s: SparkSession, dir: String) =>
+      q239Cycle(s, benchFixture(s, "q239")(q239Fixture(s, dir, _)))),
+    "q240_optimize_table" -> ((s: SparkSession, dir: String) =>
+      q240Cycle(s, benchFixture(s, "q240")(q240Fixture(s, dir, _)))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,
     "q233_compaction_execute" -> q233CompactionExecute _,
     "q238_recluster_execute" -> q238ReclusterExecute _,
     "q239_footer_recluster_worst" -> q239FooterReclusterWorst _,
+    "q240_optimize_table" -> q240OptimizeTable _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1213,6 +1366,28 @@ object Audit {
         |       TRUE AS depth_improved
         |FROM events WHERE event_id < 8000
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q240: content identity through the MIXED maintenance pass, plus the
+    // DECISION itself — the action column is pinned per partition (the
+    // fixture engineers rr/sm/ok to need recluster/compact/skip
+    // deterministically), so a wrong decision hash-mismatches even when
+    // the rewrite preserves content; match/action booleans are in-engine
+    // claims whose raw values LayoutSpec recomputes
+    "q240_optimize_table" ->
+      """SELECT part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR))),
+        |             1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS checksum_match,
+        |       CASE WHEN part = 'rr' THEN 'recluster'
+        |            WHEN part = 'sm' THEN 'compact'
+        |            ELSE 'skip' END AS action,
+        |       TRUE AS action_ok
+        |FROM (SELECT CASE WHEN event_id % 3 = 0 THEN 'rr'
+        |                  WHEN event_id % 3 = 1 THEN 'sm'
+        |                  ELSE 'ok' END AS part, event_id, user_id
+        |      FROM events WHERE event_id < 9000)
+        |GROUP BY part ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

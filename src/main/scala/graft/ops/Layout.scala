@@ -155,6 +155,13 @@ object Layout {
         (if (aBits > 0) aBits else width(r.getLong(1)),
           if (bBits > 0) bBits else width(r.getLong(3)))
       }
+    // fail the auto-fit HERE with the remedy, not in zorderKey2's generic
+    // range require: wide long domains (epoch-ms timestamps, snowflake
+    // ids) legitimately measure >31 bits and need rank-bucketing first
+    require(aw <= 31 && bw <= 31,
+      s"reclusterZOrdered: key domain too wide for the 31-bit interleave " +
+        s"(fitted widths a=$aw, b=$bw bits) — rank-bucket the wide key " +
+        "to a bounded range first, or pass aBits/bBits explicitly")
     val useBits = if (bits > 0) bits else math.max(aw, bw)
     val tmp = new Path(p.getParent, p.getName + "._reclustering")
     writeZOrdered(df, tmp.toString, keyA, keyB, files, useBits, aw, bw)
@@ -180,8 +187,40 @@ object Layout {
     * Numeric (integral/floating) statistics only, surfaced as doubles —
     * a range audit needs ordering, not exactness. */
   def parquetColumnStats(spark: SparkSession, path: String,
-                         column: String): DataFrame = {
+                         column: String): DataFrame =
+    parquetColumnStatsImpl(spark, path, Seq(column))
+      .select("part_dir", "file", "row_group", "rows", "lo", "hi")
+
+  /** Multi-column footer inventory in ONE metadata walk: long format,
+    * one row per (partition dir, file, row group, column) with the
+    * file's byte size alongside — the single frame that prices BOTH
+    * maintenance decisions ([[optimizeTable]]: compact on byte
+    * pressure, re-cluster on overlap depth) without walking the
+    * footers twice. */
+  def parquetColumnStatsMulti(spark: SparkSession, path: String,
+                              columns: Seq[String]): DataFrame =
+    parquetColumnStatsImpl(spark, path, columns)
+
+  /** [[parquetColumnStats]] core. Footers are independent byte reads, so
+    * they fan out on a bounded driver pool (`maxConcurrent` threads —
+    * the [[compactPartitionedImpl]] discipline): at a 100 TB table
+    * (~1M files) a serial ms-per-footer driver loop is tens of minutes
+    * of wall clock before any maintenance decision is made, while the
+    * pooled walk is bounded by footer-read throughput, not file count.
+    * Output order is deterministic (the walk's sorted order, preserved
+    * through the indexed future list). `probe`/`readDelayMs` are the
+    * concurrency contract's test seam: the probe accumulates the max
+    * reads observed in flight, the injected delay makes the overlap
+    * deterministic to observe. */
+  private[graft] def parquetColumnStatsImpl(
+      spark: SparkSession, path: String, columns: Seq[String],
+      maxConcurrent: Int = 16,
+      probe: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      readDelayMs: Long = 0L): DataFrame = {
     import scala.jdk.CollectionConverters._
+    require(columns.nonEmpty, "parquetColumnStats: no columns requested")
+    require(maxConcurrent >= 1,
+      s"parquetColumnStats: maxConcurrent must be >= 1: $maxConcurrent")
     val p = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
@@ -202,33 +241,59 @@ object Layout {
             !isHidden(e.getPath.getName))
           .sortBy(_.getPath.getName).toSeq.map(rel -> _)
     }
-    def num(v: Any): Double = v match {
+    def num(column: String, v: Any): Double = v match {
       case n: java.lang.Number => n.doubleValue()
       case o => throw new IllegalArgumentException(
         s"parquetColumnStats: non-numeric statistics for $column " +
           s"(${o.getClass.getSimpleName}) — range audits need a numeric key")
     }
-    val rows = walk(p, "").flatMap { case (rel, f) =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    def readFooter(rel: String, f: org.apache.hadoop.fs.FileStatus)
+        : Seq[(String, String, Int, Long, String, Double, Double, Long)] = {
+      val cur = inFlight.incrementAndGet()
+      probe.foreach(_.accumulateAndGet(cur, (a: Int, b: Int) => math.max(a, b)))
       try {
-        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
-          case (b, i) =>
-            val cc = b.getColumns.asScala
-              .find(_.getPath.toDotString == column)
-              .getOrElse(throw new IllegalArgumentException(
-                s"parquetColumnStats: column $column not in ${f.getPath}"))
-            val st = cc.getStatistics
-            require(st != null && st.hasNonNullValue,
-              s"parquetColumnStats: no $column statistics in ${f.getPath} " +
-                s"row group $i — written without stats?")
-            (rel, f.getPath.getName, i, b.getRowCount,
-              num(st.genericGetMin), num(st.genericGetMax))
-        }
-      } finally reader.close()
+        if (readDelayMs > 0) Thread.sleep(readDelayMs)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try {
+          reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+            case (b, i) =>
+              columns.map { column =>
+                val cc = b.getColumns.asScala
+                  .find(_.getPath.toDotString == column)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"parquetColumnStats: column $column not in ${f.getPath}"))
+                val st = cc.getStatistics
+                require(st != null && st.hasNonNullValue,
+                  s"parquetColumnStats: no $column statistics in ${f.getPath} " +
+                    s"row group $i — written without stats?")
+                (rel, f.getPath.getName, i, b.getRowCount, column,
+                  num(column, st.genericGetMin), num(column, st.genericGetMax),
+                  f.getLen)
+              }
+          }
+        } finally reader.close()
+      } finally inFlight.decrementAndGet()
     }
+    val files = walk(p, "")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, math.max(1, files.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows =
+      try {
+        val futures = files.map { case (rel, f) =>
+          scala.concurrent.Future(readFooter(rel, f))
+        }
+        // footer reads are pure (no Spark jobs, no filesystem mutation),
+        // so a failure just propagates — nothing to cancel or settle
+        futures.flatMap(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     import spark.implicits._
-    rows.toDF("part_dir", "file", "row_group", "rows", "lo", "hi")
+    rows.toDF("part_dir", "file", "row_group", "rows", "column",
+      "lo", "hi", "file_bytes")
   }
 
   /** Repair crashed swaps ANYWHERE under a tree: every `x._pre`
@@ -299,10 +364,19 @@ object Layout {
                                keyA: String, keyB: Column, files: Int,
                                maxPartitions: Int,
                                minAvgDepth: Double = 1.5,
-                               maxConcurrent: Int = 4): DataFrame = {
+                               maxConcurrent: Int = 4,
+                               auditKeyB: Option[String] = None): DataFrame = {
     require(maxPartitions >= 1 && maxConcurrent >= 1)
     recoverSwapsUnder(spark, path)
-    val stats = parquetColumnStats(spark, path, keyA)
+    // when the rewrite's second key is a physical column, `auditKeyB`
+    // lets the SELECTION audit it too (one footer walk for both): the
+    // metric becomes the per-partition MAX of the two depths, so a
+    // partition perfectly clustered on keyA but shredded on keyB is
+    // still selected — selection and rewrite then optimize the same
+    // joint objective. Default (None) audits keyA only — the standard
+    // OPTIMIZE trigger, and the only option when keyB is computed.
+    val auditCols = (Seq(keyA) ++ auditKeyB.toSeq).distinct
+    val stats = parquetColumnStatsMulti(spark, path, auditCols)
     // a flat directory is reclusterZOrdered's job, and loose root-level
     // parquet in a partitioned tree would be silently unmaintained —
     // refuse both loudly rather than no-op (compactPartitioned's stance)
@@ -310,10 +384,18 @@ object Layout {
       s"reclusterWorstPartitions: $path holds root-level parquet files " +
         "(flat or mixed layout?) — use reclusterZOrdered for a flat " +
         "directory")
-    val depth = clusteringDepth(
-      stats.withColumn("unit",
-        concat_ws("#", col("file"), col("row_group"))),
-      "part_dir", "unit", "lo", "hi")
+    val depth = auditCols
+      .map(c => clusteringDepth(
+        stats.filter(col("column") === lit(c)).withColumn("unit",
+          concat_ws("#", col("file"), col("row_group"))),
+        "part_dir", "unit", "lo", "hi"))
+      .reduce { (a, b) =>
+        a.join(b.select(col("part_dir"), col("max_depth").as("md_b"),
+            col("avg_depth").as("ad_b")), "part_dir")
+          .select(col("part_dir"), col("n_files"),
+            greatest(col("max_depth"), col("md_b")).as("max_depth"),
+            greatest(col("avg_depth"), col("ad_b")).as("avg_depth"))
+      }
     val worst = depth
       .filter(col("avg_depth") >= minAvgDepth)
       .orderBy(col("avg_depth").desc, col("part_dir"))
@@ -347,6 +429,105 @@ object Layout {
     depth.withColumn("reclustered",
         if (worst.isEmpty) lit(false)
         else col("part_dir").isin(worst.toSeq: _*))
+      .orderBy("part_dir")
+  }
+
+  /** The single-pass table-maintenance verb — the Delta/Iceberg OPTIMIZE
+    * analogue over plain parquet: ONE footer inventory
+    * ([[parquetColumnStatsImpl]] — row-group ranges AND file bytes from
+    * the same walk, no data scan) prices BOTH maintenance decisions per
+    * leaf partition, then one bounded-concurrent execution pass applies
+    * the right fix to each:
+    *   - `recluster` when the mean overlap depth on `keyA` clears
+    *     `minAvgDepth` — the Z-order rewrite ([[reclusterZOrdered]])
+    *     also re-sizes the partition to `files` files, so byte pressure
+    *     is fixed as a side effect;
+    *   - `compact` when the depth is fine but [[compactionPlan]]'s merge
+    *     rule would reduce the file count (small-file pressure) —
+    *     [[compact]] per leaf at `targetBytes`;
+    *   - `skip` otherwise — a healthy partition costs one footer read
+    *     and nothing else.
+    * Without this verb a caller runs [[compactPartitioned]]'s and
+    * [[reclusterWorstPartitions]]'s cycles separately and pays the
+    * footer walk twice — and a partition needing both fixes is rewritten
+    * twice. Crash-safety is per leaf ([[swapInto]]'s two renames, prior
+    * debris repaired first); failures cancel in-flight siblings via the
+    * shared job group and settle before propagating.
+    *
+    * Scale shape: the decision is metadata (pooled footer reads, a
+    * per-partition plan frame collected at one row per partition); only
+    * partitions needing work pay a data rewrite, concurrently. Returns
+    * one row per leaf partition: action, files before/after, the
+    * pre-fix mean depth. */
+  def optimizeTable(spark: SparkSession, path: String,
+                    keyA: String, keyB: Column, files: Int,
+                    targetBytes: Long, minAvgDepth: Double = 1.5,
+                    maxConcurrent: Int = 4): DataFrame = {
+    require(targetBytes > 0 && files >= 1 && maxConcurrent >= 1)
+    recoverSwapsUnder(spark, path)
+    val stats = parquetColumnStatsImpl(spark, path, Seq(keyA))
+    require(stats.filter(col("part_dir") === lit("")).isEmpty,
+      s"optimizeTable: $path holds root-level parquet files (flat or " +
+        "mixed layout?) — use compact()/reclusterZOrdered for a flat " +
+        "directory")
+    val depth = clusteringDepth(
+      stats.withColumn("unit", concat_ws("#", col("file"), col("row_group"))),
+      "part_dir", "unit", "lo", "hi")
+      .select(col("part_dir"), col("avg_depth"))
+    // per-FILE bytes (stats are per row group — collapse first), then
+    // the planner's merge rule on actual bytes
+    val plan = compactionPlan(
+      stats.groupBy(col("part_dir"), col("file"))
+        .agg(first(col("file_bytes")).as("bytes")),
+      "part_dir", "file", "bytes", targetBytes)
+      .select(col("part_dir"), col("n_files"), col("n_groups"))
+    val decisions = depth.join(plan, "part_dir")
+      .select(col("part_dir"), col("n_files"), col("avg_depth"),
+        when(col("avg_depth") >= minAvgDepth, lit("recluster"))
+          .when(col("n_groups") < col("n_files"), lit("compact"))
+          .otherwise(lit("skip")).as("action"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1)
+    require(decisions.nonEmpty,
+      s"optimizeTable: no partition directories under $path")
+    val work = decisions.filter(_._4 != "skip")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, math.max(1, work.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val jobGroup = s"graft-optimize-${java.util.UUID.randomUUID}"
+    val futures = work.toSeq.map { case (d, _, _, action) =>
+      scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(jobGroup,
+          s"optimizeTable $action $d", interruptOnCancel = true)
+        if (action == "recluster")
+          reclusterZOrdered(spark, s"$path/$d", col(keyA), keyB, files)
+        else
+          compact(spark, s"$path/$d", targetBytes)
+      }
+    }
+    try
+      futures.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    catch {
+      case e: Throwable =>
+        spark.sparkContext.cancelJobGroup(jobGroup)
+        futures.foreach(f => try scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration.Inf)
+          catch { case _: Throwable => () })
+        throw e
+    } finally pool.shutdown()
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val summary = decisions.map { case (d, nf, ad, action) =>
+      val after = fs.listStatus(new Path(s"$path/$d"))
+        .count(e => e.isFile && e.getPath.getName.endsWith(".parquet") &&
+          !isHidden(e.getPath.getName))
+      (d, action, nf, after.toLong, ad)
+    }.toSeq
+    import spark.implicits._
+    summary.toDF("part_dir", "action", "files_before", "files_after",
+        "avg_depth")
       .orderBy("part_dir")
   }
 
@@ -399,6 +580,12 @@ object Layout {
     require(maxConcurrent >= 1,
       s"compactPartitioned: maxConcurrent must be >= 1: $maxConcurrent")
     recoverSwap(spark, path)
+    // repair crashed PER-LEAF swaps anywhere in the tree before listing:
+    // after a crashed reclusterWorstPartitions leaf swap, `k=x._pre` can
+    // hold the ONLY copy of partition x — treating it as debris (or as a
+    // partition named "k=x._pre") would lose or rename data the
+    // two-rename protocol exists to protect
+    recoverSwapsUnder(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val rootEntries = fs.listStatus(p)
@@ -413,7 +600,16 @@ object Layout {
         "use compact() for a flat layout")
 
     // depth-first walk to the LEAF partition dirs, refusing any content
-    // the rewrite wouldn't carry (see the data-loss guard above)
+    // the rewrite wouldn't carry (see the data-loss guard above). Hidden
+    // dirs (committer staging) and swap debris (`x._compacting` /
+    // `x._reclustering` — stale tmp from a rewrite that crashed BEFORE
+    // its swap; any `x._pre` was just repaired by recoverSwapsUnder) are
+    // not partitions: they are skipped here and therefore dropped by the
+    // whole-table swap — the same cleanup the next successful rewrite of
+    // their target would do (parquetColumnStats' skip rule, applied to
+    // the executor).
+    def isDebris(name: String): Boolean =
+      isHidden(name) || name.contains("._")
     def leaves(dir: Path, rel: String)
         : Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
       val entries = fs.listStatus(dir)
@@ -424,7 +620,8 @@ object Layout {
         s"compactPartitioned: $dir holds non-parquet data files " +
           s"(${stray.head.getPath.getName}) the rewrite would drop — " +
           "refusing")
-      val dirs = entries.filter(_.isDirectory).sortBy(_.getPath.getName)
+      val dirs = entries.filter(d => d.isDirectory &&
+        !isDebris(d.getPath.getName)).sortBy(_.getPath.getName)
       val data = entries.filter(e => e.isFile &&
         e.getPath.getName.endsWith(".parquet") &&
         !isHidden(e.getPath.getName)).sortBy(_.getPath.getName)
@@ -440,9 +637,13 @@ object Layout {
         Seq(rel -> data.toSeq)
       }
     }
-    val leafFiles = rootEntries.filter(_.isDirectory)
+    val leafFiles = rootEntries.filter(d => d.isDirectory &&
+        !isDebris(d.getPath.getName))
       .sortBy(_.getPath.getName)
       .flatMap(d => leaves(d.getPath, d.getPath.getName)).toSeq
+    require(leafFiles.nonEmpty,
+      s"compactPartitioned: no partition directories under $path — " +
+        "use compact() for a flat layout")
 
     val tmp = new Path(p.getParent, p.getName + "._compacting")
     fs.delete(tmp, true)

@@ -600,12 +600,64 @@ object Streams {
       offset = 1000000L, floor = 0.6)
   }
 
+  /** q241 entry: BATCH-parity execution of the EVENT-TIME-TTL near-dup
+    * monitor ([[nearDupBatchEventTime]] — the event-horizon semantics of
+    * [[nearDupStreamEventTime]], exact per-event instead of
+    * watermark-granular) under a two-sided planted envelope. Every
+    * document gets a deterministic event time (epoch + doc_id seconds);
+    * two planted copy sets probe the horizon from both sides:
+    * IN-horizon copies (id + 1M, the q237 plant — SAME event time as
+    * their original) must be recalled above the measured floor, and
+    * OUT-of-horizon copies (id + 2M, event time ttl + 2 h after their
+    * original) must be recalled exactly never — the original is past the
+    * horizon when the copy arrives, so the eviction either fires or the
+    * claim fails. This puts the replay-safe TTL path under the DuckDB
+    * gate; q237 covers the horizon-free fold. */
+  def q241NearDupEventHorizonParity(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): DataFrame = {
+    val ttlMs = 1800000L
+    val docs = graft.sources.TableCatalog.load(spark, dir, "documents")
+    val withTs = docs
+      .withColumn("ets", expr("timestamp_seconds(1767225600 + doc_id)"))
+    // in-horizon plants (copies carry the original's ets verbatim) with
+    // the lazy planted-offset integrity guard riding along
+    val near = graft.ops.Dedup.plantTextDups(withTs, "doc_id", "text")
+    val far = withTs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .withColumn("text", concat(col("text"), lit(" zqj")))
+      .withColumn("ets",
+        expr("timestamp_seconds(1767225600 + (doc_id - 2000000) + 9000)"))
+    val hits = nearDupBatchEventTime(near.unionByName(far),
+      "text", "doc_id", "ets", ttlMs = ttlMs).toDF()
+    val pairs = hits
+      .select(col("dup_of").as("id_a"), col("doc_id").as("id_b"))
+    val nearEnv = graft.ops.Dedup.plantedPairEnvelope(pairs,
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("planted_id")),
+        offset = 1000000L, floor = 0.6)
+      .withColumn("in_horizon", lit(true))
+    // out-of-horizon: recall must be exactly zero PER id (deterministic —
+    // the horizon eviction is not probabilistic, unlike minhash recall)
+    val farHits = pairs.filter(col("id_b") === col("id_a") + 2000000L)
+      .select(col("id_b").as("planted_id"), lit(1L).as("hit")).distinct()
+    val farEnv = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 2000000L).as("planted_id"))
+      .join(farHits, Seq("planted_id"), "left")
+      .select(col("planted_id"),
+        col("hit").isNull.as("recall_ok"), lit(false).as("in_horizon"))
+    nearEnv.select(col("planted_id"), col("recall_ok"), col("in_horizon"))
+      .unionByName(farEnv)
+      .orderBy("planted_id")
+  }
+
   /** Streaming-backed registry entries (batch-parity forms). */
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q219_heavy_hitters_parity" -> (q219HeavyHittersParity _),
       "q231_variance_monitor_parity" -> (q231VarianceMonitorParity _),
       "q232_burst_monitor_parity" -> (q232BurstMonitorParity _),
-      "q237_neardup_stream_parity" -> (q237NearDupStreamParity _))
+      "q237_neardup_stream_parity" -> (q237NearDupStreamParity _),
+      "q241_neardup_event_horizon_parity" ->
+        (q241NearDupEventHorizonParity _))
 
   /** Oracles. q219: the no-eviction Space-Saving alert is exactly the
     * minCount-th per-user event in (ts, event_id) order. q231: group +
@@ -655,7 +707,17 @@ object Streams {
         |ORDER BY user_id, at""".stripMargin,
     // q237: planted-pair recall envelope over the bucket fold
     "q237_neardup_stream_parity" ->
-      graft.ops.Dedup.plantedEnvelopeOracle("documents", "doc_id"))
+      graft.ops.Dedup.plantedEnvelopeOracle("documents", "doc_id"),
+    // q241: two-sided horizon envelope — in-horizon plants recalled above
+    // the floor, out-of-horizon plants recalled exactly never
+    "q241_neardup_event_horizon_parity" ->
+      """SELECT doc_id + 1000000 AS planted_id, TRUE AS recall_ok,
+        |       TRUE AS in_horizon
+        |FROM documents WHERE doc_id < 20
+        |UNION ALL
+        |SELECT doc_id + 2000000, TRUE, FALSE
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY planted_id""".stripMargin)
 
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 16, bands: Int = 4,
@@ -848,6 +910,86 @@ object Streams {
       .mapPartitions { it =>
         foldRuns(it)(_._2)(_ => new BucketFold(minEstJaccard, maxPerBucket)) {
           (fold, r) => fold.observe(r._1, r._3, r._4)
+        }
+      }
+  }
+
+  /** The event-horizon bucket fold: [[BucketFold]]'s comparison with
+    * per-event TTL eviction — each arriving (ts asc, id asc) document
+    * first evicts retained entries whose event time is PAST the horizon
+    * (older than arrival − ttl, boundary inclusive on the keep side),
+    * then compares against the survivors. This is the exact semantics
+    * [[nearDupStreamEventTime]] approximates at watermark granularity
+    * (the stream can only evict when the watermark crosses a bucket's
+    * deadline; the batch replay evicts at every event) — on any fixture
+    * where no match sits between a bucket's watermark-crossing and its
+    * exact horizon, the two agree (StreamingSpec cross-checks). */
+  private[streaming] final class BucketFoldEt(minEstJaccard: Double,
+                                              maxPerBucket: Int,
+                                              ttlMs: Long) {
+    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val sigs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    private val tss = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def observe(band: Int, id: Long, s: Seq[Long],
+                tsMs: Long): Seq[NearDupHit] = {
+      // evict past-horizon entries in place (entries are ts-ascending by
+      // the caller's sort, so the expired ones form a prefix)
+      var drop = 0
+      while (drop < tss.length && tss(drop) + ttlMs < tsMs) drop += 1
+      if (drop > 0) {
+        ids.remove(0, drop); sigs.remove(0, drop); tss.remove(0, drop)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      var i = 0
+      while (i < ids.length) {
+        if (ids(i) != id) {
+          val prev = sigs(i)
+          var m = 0; var j = 0
+          while (j < s.length) {
+            if (s(j) == prev(j)) m += 1; j += 1
+          }
+          val est = m.toDouble / s.length
+          if (est >= minEstJaccard)
+            out += NearDupHit(id, ids(i), est, band)
+        }
+        i += 1
+      }
+      if (!ids.contains(id) && ids.length < maxPerBucket) {
+        ids += id; sigs += s; tss += tsMs
+      }
+      out.toSeq
+    }
+  }
+
+  /** BATCH execution of the EVENT-TIME-TTL near-dup monitor — the
+    * replay-safe horizon semantics over a static corpus, in
+    * [[nearDupBatch]]'s scale-safe shape: repartition(bucket) + spillable
+    * sortWithinPartitions(bucket, ts, id) + a lazy per-bucket-run
+    * [[BucketFoldEt]] (state ≤ maxPerBucket signatures; the TTL eviction
+    * bounds it further on time-spread corpora). Within a bucket,
+    * documents fold in EVENT-TIME order (ties by id), so "original"
+    * means earliest-then-lowest-id — the order a live event-time stream
+    * would have seen. Null event times are dropped (the
+    * [[nearDupStreamEventTime]] contract). */
+  def nearDupBatchEventTime(docs: DataFrame, textCol: String, idCol: String,
+                            tsCol: String, ttlMs: Long,
+                            k: Int = 16, bands: Int = 4,
+                            minEstJaccard: Double = 0.5,
+                            maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepared = docs
+      .withColumn("_graft_ts", col(tsCol).cast("timestamp"))
+      .filter(col("_graft_ts").isNotNull)
+    bandedDocs(prepared, textCol, idCol, k, bands, tsCol = Some("_graft_ts"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("ts"), col("id"))
+      .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
+      .mapPartitions { it =>
+        foldRuns(it)(_._2)(_ =>
+          new BucketFoldEt(minEstJaccard, maxPerBucket, ttlMs)) {
+          (fold, r) => fold.observe(r._1, r._3, r._4, r._5.getTime)
         }
       }
   }
