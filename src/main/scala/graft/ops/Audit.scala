@@ -1209,9 +1209,12 @@ object Audit {
   private val benchTemplates =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def benchFixture(spark: SparkSession, name: String)
+  private def benchFixture(spark: SparkSession, name: String, dir: String)
                           (build: String => Unit): String = {
-    val tpl = s"${Relational.scratch}/bench_tpl_$name"
+    // template keyed by (query, data dir): a JVM benching two scales
+    // must never serve one scale's fixture to the other
+    val tpl = s"${Relational.scratch}/bench_tpl_${name}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
     benchTemplates.computeIfAbsent(tpl, { _ => build(tpl); tpl })
     val run = s"${Relational.scratch}/bench_run_$name"
     val conf = spark.sessionState.newHadoopConf()
@@ -1227,13 +1230,13 @@ object Audit {
     * maintenance cycle over a template-copied fixture. */
   val benchForm: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_compaction_execute" -> ((s: SparkSession, dir: String) =>
-      q233Cycle(s, benchFixture(s, "q233")(q233Fixture(s, dir, _)))),
+      q233Cycle(s, benchFixture(s, "q233", dir)(q233Fixture(s, dir, _)))),
     "q238_recluster_execute" -> ((s: SparkSession, dir: String) =>
-      q238Cycle(s, benchFixture(s, "q238")(q238Fixture(s, dir, _)))),
+      q238Cycle(s, benchFixture(s, "q238", dir)(q238Fixture(s, dir, _)))),
     "q239_footer_recluster_worst" -> ((s: SparkSession, dir: String) =>
-      q239Cycle(s, benchFixture(s, "q239")(q239Fixture(s, dir, _)))),
+      q239Cycle(s, benchFixture(s, "q239", dir)(q239Fixture(s, dir, _)))),
     "q240_optimize_table" -> ((s: SparkSession, dir: String) =>
-      q240Cycle(s, benchFixture(s, "q240")(q240Fixture(s, dir, _)))))
+      q240Cycle(s, benchFixture(s, "q240", dir)(q240Fixture(s, dir, _)))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,

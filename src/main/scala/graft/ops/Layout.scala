@@ -97,6 +97,64 @@ object Layout {
     files
   }
 
+  /** Order-preserving compaction of a flat parquet directory: merge
+    * CONSECUTIVE files (stable name order) into ~`targetBytes` groups by
+    * [[compactionPlan]]'s exact offset rule — group = (cum − size) div
+    * target on actual bytes — one output file per group, no shuffle.
+    * This is the executor that matches the PLANNER one-to-one (the
+    * plan's n_groups IS the post-compaction file count), and because
+    * consecutive name-ordered files of a clustered table hold adjacent
+    * key ranges, the merge preserves the clustering a depth audit just
+    * certified — unlike [[compact]]'s repartition, which round-robins
+    * every row and shreds it. Swap-managed and crash-safe like compact.
+    * Returns the new file count. */
+  def compactOrdered(spark: SparkSession, path: String,
+                     targetBytes: Long): Int = {
+    require(targetBytes > 0,
+      s"compactOrdered: target must be positive: $targetBytes")
+    recoverSwap(spark, path)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(p)
+    require(!entries.exists(_.isDirectory),
+      s"compactOrdered: $path contains subdirectories (partitioned " +
+        "layout?) — compactOrdered operates on a flat parquet directory")
+    val stray = entries.filter(e => e.isFile &&
+      !isHidden(e.getPath.getName) &&
+      !e.getPath.getName.endsWith(".parquet"))
+    require(stray.isEmpty,
+      s"compactOrdered: $path holds non-parquet data files " +
+        s"(${stray.head.getPath.getName}) the rewrite would drop — refusing")
+    val files = entries.filter(e => e.isFile &&
+      e.getPath.getName.endsWith(".parquet") &&
+      !isHidden(e.getPath.getName)).sortBy(_.getPath.getName).toSeq
+    require(files.nonEmpty, s"compactOrdered: no parquet data under $path")
+    var cum = 0L
+    val groups = files.map { f =>
+      cum += f.getLen
+      ((cum - f.getLen) / targetBytes, f.getPath)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+    val tmp = new Path(p.getParent, p.getName + "._compacting")
+    fs.delete(tmp, true)
+    groups.zipWithIndex.foreach { case (paths, i) =>
+      val gDir = new Path(tmp, s"_group_$i")
+      spark.read.parquet(paths.map(_.toString): _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(gDir.toString)
+      val written = fs.listStatus(gDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      require(written.length == 1,
+        s"group rewrite must land one file, got ${written.length}")
+      val dst = new Path(tmp, f"part-$i%05d.parquet")
+      if (!fs.rename(written.head.getPath, dst))
+        throw new java.io.IOException(
+          s"compactOrdered: rename ${written.head.getPath} -> $dst failed")
+      fs.delete(gDir, true)
+    }
+    swapInto(spark, tmp.toString, path)
+    groups.length
+  }
+
   /** Re-clustering EXECUTOR — rewrites a flat parquet directory
     * Z-ordered IN PLACE, closing [[clusteringDepth]]'s audit loop the
     * way [[compactPartitioned]] closes [[compactionPlan]]'s: the audit
@@ -173,6 +231,57 @@ object Layout {
   private def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
+  /** The swap protocol's RESERVED directory suffixes — the only names
+    * the maintenance walks treat as debris. Precise on purpose: an
+    * earlier draft skipped anything containing "._", which would have
+    * silently dropped a legitimate hive partition whose VALUE contains
+    * "._" (hive's path escaping leaves '.' and '_' unescaped) from a
+    * whole-table rewrite. A partition value ending in one of these
+    * exact suffixes is outside the contract (documented reservation),
+    * everything else is data. */
+  private val SwapDebrisSuffixes =
+    Seq("._pre", "._compacting", "._reclustering", "._merging")
+
+  private def isSwapDebris(name: String): Boolean =
+    SwapDebrisSuffixes.exists(name.endsWith)
+
+  /** Run independent Spark-job thunks CONCURRENTLY on a bounded driver
+    * pool under one shared job group: the first failure cancels
+    * in-flight siblings (interruptOnCancel) and every task settles
+    * before the error propagates — otherwise orphaned jobs would keep
+    * mutating tmp/swap state after the caller has already seen the
+    * exception (racing any catch-and-retry). The fan-out discipline
+    * shared by [[compactPartitionedImpl]], [[reclusterWorstPartitions]]
+    * and [[optimizeTable]]. */
+  private def runCancellably(spark: SparkSession, label: String,
+                             maxConcurrent: Int,
+                             tasks: Seq[(String, () => Unit)]): Unit = {
+    if (tasks.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, math.max(1, tasks.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val jobGroup = s"graft-$label-${java.util.UUID.randomUUID}"
+    val futures = tasks.map { case (desc, thunk) =>
+      scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(jobGroup, desc,
+          interruptOnCancel = true)
+        thunk()
+      }
+    }
+    try
+      futures.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    catch {
+      case e: Throwable =>
+        spark.sparkContext.cancelJobGroup(jobGroup)
+        futures.foreach(f => try scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration.Inf)
+          catch { case _: Throwable => () })
+        throw e
+    } finally pool.shutdown()
+  }
+
   /** Per-ROW-GROUP statistics of a numeric column across a parquet tree,
     * read from file FOOTERS only — zero data scan. This is the inventory
     * a lakehouse table format keeps in its manifests, recovered here for
@@ -227,13 +336,14 @@ object Layout {
     def walk(dir: Path, rel: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
       val es = fs.listStatus(dir)
       // hidden dirs (committer staging: _temporary, .spark-staging-*)
-      // and swap debris (x._pre / x._compacting / x._reclustering /
-      // x._merging) are NOT data partitions: auditing them would count
-      // duplicate/half-written rows and — worse — offer a debris dir to
-      // an in-place rewrite. recoverSwapsUnder repairs debris first;
-      // whatever remains is skipped here.
+      // and the swap protocol's reserved-suffix debris (x._pre /
+      // x._compacting / x._reclustering / x._merging) are NOT data
+      // partitions: auditing them would count duplicate/half-written
+      // rows and — worse — offer a debris dir to an in-place rewrite.
+      // recoverSwapsUnder repairs debris first; whatever remains is
+      // skipped here. Any other name is data (see SwapDebrisSuffixes).
       es.filter(d => d.isDirectory && !isHidden(d.getPath.getName) &&
-          !d.getPath.getName.contains("._"))
+          !isSwapDebris(d.getPath.getName))
         .sortBy(_.getPath.getName).toSeq.flatMap(d =>
         walk(d.getPath,
           if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}")) ++
@@ -315,7 +425,7 @@ object Layout {
       // recurse into real partition dirs only (debris just got repaired
       // or is stale tmp the next rewrite overwrites)
       fs.listStatus(dir).filter(d => d.isDirectory &&
-          !isHidden(d.getPath.getName) && !d.getPath.getName.contains("._"))
+          !isHidden(d.getPath.getName) && !isSwapDebris(d.getPath.getName))
         .foreach(d => sweep(d.getPath))
     }
     sweep(p)
@@ -403,29 +513,10 @@ object Layout {
       .select(col("part_dir")).collect().map(_.getString(0)).toSet
     require(depth.head(1).nonEmpty,
       s"reclusterWorstPartitions: no partition directories under $path")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(maxConcurrent, math.max(1, worst.size)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val jobGroup = s"graft-recluster-${java.util.UUID.randomUUID}"
-    val futures = worst.toSeq.sorted.map { d =>
-      scala.concurrent.Future {
-        spark.sparkContext.setJobGroup(jobGroup,
-          s"reclusterWorstPartitions $d", interruptOnCancel = true)
+    runCancellably(spark, "recluster", maxConcurrent,
+      worst.toSeq.sorted.map(d => s"reclusterWorstPartitions $d" -> { () =>
         reclusterZOrdered(spark, s"$path/$d", col(keyA), keyB, files)
-      }
-    }
-    try
-      futures.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
-    catch {
-      case e: Throwable =>
-        spark.sparkContext.cancelJobGroup(jobGroup)
-        futures.foreach(f => try scala.concurrent.Await.ready(f,
-            scala.concurrent.duration.Duration.Inf)
-          catch { case _: Throwable => () })
-        throw e
-    } finally pool.shutdown()
+      }))
     depth.withColumn("reclustered",
         if (worst.isEmpty) lit(false)
         else col("part_dir").isin(worst.toSeq: _*))
@@ -444,7 +535,12 @@ object Layout {
     *     is fixed as a side effect;
     *   - `compact` when the depth is fine but [[compactionPlan]]'s merge
     *     rule would reduce the file count (small-file pressure) —
-    *     [[compact]] per leaf at `targetBytes`;
+    *     [[compactOrdered]] per leaf at `targetBytes`, the executor that
+    *     applies the plan's EXACT rule (files_after == the plan's
+    *     n_groups) and preserves the row order the depth audit just
+    *     certified healthy (no shuffle — a repartition here would shred
+    *     the clustering and make the next maintenance pass re-cluster
+    *     what this one compacted, oscillating forever);
     *   - `skip` otherwise — a healthy partition costs one footer read
     *     and nothing else.
     * Without this verb a caller runs [[compactPartitioned]]'s and
@@ -491,33 +587,16 @@ object Layout {
       .sortBy(_._1)
     require(decisions.nonEmpty,
       s"optimizeTable: no partition directories under $path")
-    val work = decisions.filter(_._4 != "skip")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(maxConcurrent, math.max(1, work.length)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val jobGroup = s"graft-optimize-${java.util.UUID.randomUUID}"
-    val futures = work.toSeq.map { case (d, _, _, action) =>
-      scala.concurrent.Future {
-        spark.sparkContext.setJobGroup(jobGroup,
-          s"optimizeTable $action $d", interruptOnCancel = true)
-        if (action == "recluster")
-          reclusterZOrdered(spark, s"$path/$d", col(keyA), keyB, files)
-        else
-          compact(spark, s"$path/$d", targetBytes)
-      }
-    }
-    try
-      futures.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
-    catch {
-      case e: Throwable =>
-        spark.sparkContext.cancelJobGroup(jobGroup)
-        futures.foreach(f => try scala.concurrent.Await.ready(f,
-            scala.concurrent.duration.Duration.Inf)
-          catch { case _: Throwable => () })
-        throw e
-    } finally pool.shutdown()
+    runCancellably(spark, "optimize", maxConcurrent,
+      decisions.filter(_._4 != "skip").toSeq.map { case (d, _, _, action) =>
+        s"optimizeTable $action $d" -> { () =>
+          if (action == "recluster")
+            reclusterZOrdered(spark, s"$path/$d", col(keyA), keyB, files)
+          else {
+            compactOrdered(spark, s"$path/$d", targetBytes); ()
+          }
+        }
+      })
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val summary = decisions.map { case (d, nf, ad, action) =>
       val after = fs.listStatus(new Path(s"$path/$d"))
@@ -601,15 +680,17 @@ object Layout {
 
     // depth-first walk to the LEAF partition dirs, refusing any content
     // the rewrite wouldn't carry (see the data-loss guard above). Hidden
-    // dirs (committer staging) and swap debris (`x._compacting` /
-    // `x._reclustering` — stale tmp from a rewrite that crashed BEFORE
-    // its swap; any `x._pre` was just repaired by recoverSwapsUnder) are
-    // not partitions: they are skipped here and therefore dropped by the
-    // whole-table swap — the same cleanup the next successful rewrite of
-    // their target would do (parquetColumnStats' skip rule, applied to
-    // the executor).
+    // dirs (committer staging) and the swap protocol's RESERVED-suffix
+    // debris (`x._compacting` / `x._reclustering` — stale tmp from a
+    // rewrite that crashed BEFORE its swap; any `x._pre` was just
+    // repaired by recoverSwapsUnder) are not partitions: they are
+    // skipped here and therefore dropped by the whole-table swap — the
+    // same cleanup the next successful rewrite of their target would do
+    // (parquetColumnStats' skip rule, applied to the executor). Any
+    // OTHER name — including partition values that merely contain "._"
+    // — is a real partition and is compacted normally, never dropped.
     def isDebris(name: String): Boolean =
-      isHidden(name) || name.contains("._")
+      isHidden(name) || isSwapDebris(name)
     def leaves(dir: Path, rel: String)
         : Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
       val entries = fs.listStatus(dir)
@@ -668,20 +749,8 @@ object Layout {
       groups.zipWithIndex.map { case (paths, i) => GroupTask(rel, i, paths) }
     }
     val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(maxConcurrent, math.max(1, tasks.length)))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    // all group jobs share one job group so a failure can CANCEL the
-    // in-flight siblings — without it, orphaned writes would keep
-    // mutating tmp after this method has already thrown (racing any
-    // caller that catches and retries)
-    val jobGroup = s"graft-compact-${java.util.UUID.randomUUID}"
-    val futures = tasks.map { t =>
-      scala.concurrent.Future {
-        spark.sparkContext.setJobGroup(jobGroup,
-          s"compactPartitioned ${t.rel} group ${t.idx}",
-          interruptOnCancel = true)
+    runCancellably(spark, "compact", maxConcurrent, tasks.map { t =>
+      s"compactPartitioned ${t.rel} group ${t.idx}" -> { () =>
         val cur = inFlight.incrementAndGet()
         probe.foreach(_.accumulateAndGet(cur, (a: Int, b: Int) =>
           math.max(a, b)))
@@ -701,20 +770,7 @@ object Layout {
           fs.delete(gDir, true)
         } finally inFlight.decrementAndGet()
       }
-    }
-    try
-      futures.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
-    catch {
-      case e: Throwable =>
-        spark.sparkContext.cancelJobGroup(jobGroup)
-        // let every sibling settle before propagating, so nothing
-        // touches tmp after the caller sees the failure
-        futures.foreach(f => try scala.concurrent.Await.ready(f,
-            scala.concurrent.duration.Duration.Inf)
-          catch { case _: Throwable => () })
-        throw e
-    } finally pool.shutdown()
+    })
     swapInto(spark, tmp.toString, path)
     val summary = leafFiles.map { case (rel, files) =>
       (rel, files.length.toLong,

@@ -91,8 +91,11 @@ object TableManifest {
   /** Read the table through the pointer: resolve the newest manifest
     * once, read that generation — old-or-new under any concurrent
     * rewrite, never a mix. One re-resolve covers the stalled-reader race
-    * (the resolved generation was retired by TWO rewrites between the
-    * resolve and the open). */
+    * (the resolved manifest or generation was retired by TWO rewrites
+    * between the resolve and the open — which surfaces as an
+    * AnalysisException from the generation scan OR a
+    * FileNotFoundException from the manifest open, so the retry catches
+    * any non-fatal failure and lets the second attempt's error stand). */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     def resolve(): DataFrame = {
       val gen = currentGeneration(spark, tableDir).getOrElse(
@@ -102,7 +105,7 @@ object TableManifest {
       spark.read.parquet(s"$tableDir/$gen")
     }
     try resolve()
-    catch { case _: org.apache.spark.sql.AnalysisException => resolve() }
+    catch { case scala.util.control.NonFatal(_) => resolve() }
   }
 
   /** Publish `df` as the table's next generation (its first, when the
@@ -129,7 +132,12 @@ object TableManifest {
       throw new java.io.IOException(
         s"TableManifest: commit rename $tmp -> $dst failed (concurrent " +
           "writer?)")
-    cleanup(spark, tableDir)
+    // NEVER touch generations newer than this commit: another publisher
+    // that listed manifests after this one may be mid-write of seq+1 —
+    // deleting its uncommitted generation would let its commit point at
+    // a destroyed directory. Future-seq state is only reconciled by the
+    // explicit recover() (which requires no writer be active).
+    cleanup(spark, tableDir, dropFutureSeq = false)
     next
   }
 
@@ -141,30 +149,38 @@ object TableManifest {
              (transform: DataFrame => DataFrame): String =
     publish(spark, tableDir, transform(read(spark, tableDir)))
 
-  /** Reconcile state after a crash: apply the same retention rule a
-    * successful publish ends with (keep the two newest manifests and
-    * the generations they reference; drop every other generation —
-    * crashed-publish orphans included — superseded manifests, and stale
-    * commit tmps). Safe to run any time; readers are unaffected (the
-    * newest manifest never changes here). */
+  /** Reconcile state after a crash: apply the retention rule (keep the
+    * two newest manifests and the generations they reference) AND drop
+    * future-seq orphans — generations and commit tmps a crashed publish
+    * left behind with no manifest. MUST run with no writer active (an
+    * in-flight publish's uncommitted generation is indistinguishable
+    * from a crashed one); readers are unaffected (the newest manifest
+    * never changes here). */
   def recover(spark: SparkSession, tableDir: String): Unit = {
     require(manifestFiles(spark, tableDir).nonEmpty,
       s"TableManifest: no manifest at $tableDir — nothing to recover")
-    cleanup(spark, tableDir)
+    cleanup(spark, tableDir, dropFutureSeq = true)
   }
 
-  private def cleanup(spark: SparkSession, tableDir: String): Unit = {
+  private def genSeq(name: String): Long =
+    name.stripPrefix(GenPrefix).takeWhile(_ != '-').toLong
+
+  private def cleanup(spark: SparkSession, tableDir: String,
+                      dropFutureSeq: Boolean): Unit = {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
     val ms = manifestFiles(spark, tableDir)
+    val curSeq = ms.lastOption.map(p => manifestSeq(p.getName)).getOrElse(0L)
     val keepManifests = ms.takeRight(2)
     val keepGens = keepManifests.map(parseGeneration(spark, _)).toSet
     ms.dropRight(2).foreach(fs.delete(_, false))
     fs.listStatus(root).foreach { e =>
       val n = e.getPath.getName
-      if (e.isDirectory && n.startsWith(GenPrefix) && !keepGens.contains(n))
+      if (e.isDirectory && n.startsWith(GenPrefix) && !keepGens.contains(n) &&
+          (dropFutureSeq || genSeq(n) <= curSeq))
         fs.delete(e.getPath, true)
-      else if (e.isFile && n.startsWith("._manifest-") && n.endsWith(".tmp"))
+      else if (dropFutureSeq && e.isFile &&
+          n.startsWith("._manifest-") && n.endsWith(".tmp"))
         fs.delete(e.getPath, false)
     }
   }

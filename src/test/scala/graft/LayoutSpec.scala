@@ -618,12 +618,14 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("compactPartitioned: repairs a crashed LEAF swap first and drops " +
-      "stale rewrite debris instead of compacting it as a partition") {
+      "stale rewrite debris instead of compacting it as a partition — " +
+      "while a partition VALUE merely containing '._' is data, kept") {
     import spark.implicits._
     val base = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "cmpdebris").toString
     val tbl = s"$base/tbl"
-    (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "x" else "y"))
+    (0 until 200).map(i => (i.toLong,
+        Seq("x", "y", "v1._beta", "v1._beta")(i % 4)))
       .toDF("id", "k")
       .repartition(4, col("id")).write.partitionBy("k")
       .mode("overwrite").parquet(tbl)
@@ -641,16 +643,67 @@ class LayoutSpec extends AnyFunSuite {
     assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tbl/_temporary/0")))
     val out = Layout.compactPartitioned(spark, tbl, targetBytes = 1L << 30)
       .collect().map(r => (r.getString(0), r.getLong(2)))
-    assert(out.map(_._1).toSet == Set("k=x", "k=y"),
-      s"debris must never be audited as a partition: ${out.toSeq}")
+    assert(out.map(_._1).toSet == Set("k=x", "k=y", "k=v1._beta"),
+      s"reserved-suffix debris skipped, '._' VALUES kept: ${out.toSeq}")
     // k=x repaired then compacted — content intact, NO row duplication
-    // from the stale k=y copy
+    // from the stale k=y copy, and the v1._beta partition survived
     assert(spark.read.parquet(tbl).count() == 200)
     assert(spark.read.parquet(tbl).select("id").distinct().count() == 200)
+    assert(spark.read.parquet(tbl)
+      .filter(col("k") === "v1._beta").count() == 100,
+      "a partition value containing '._' must never be dropped as debris")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/k=x._pre")))
     assert(!fs.exists(
       new org.apache.hadoop.fs.Path(s"$tbl/k=y._reclustering")),
       "stale rewrite tmp must be dropped by the swap, not promoted")
+  }
+
+  test("compactOrdered: merges consecutive name-ordered files per the " +
+      "planner's EXACT rule (files_after == plan n_groups), preserving " +
+      "content and the clustered layout — no shuffle") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cmpord").toString
+    val tbl = s"$base/t"
+    // range-clustered 8 files: part-0 holds the lowest ids, part-7 the
+    // highest — consecutive merges must keep ranges contiguous
+    (0 until 8000).map(i => (i.toLong, s"pay_$i"))
+      .toDF("id", "payload")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(tbl)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    assert(files.length == 8)
+    val bytes = files.map(_.getLen)
+    // the planner's own rule on the same inventory = expected file count
+    val target = bytes.sum / 3
+    var cum = 0L
+    val expectGroups = bytes.map { b => cum += b; (cum - b) / target }
+      .distinct.length
+    val before = spark.read.parquet(tbl).as[(Long, String)]
+      .collect().toSet
+    val n = Layout.compactOrdered(spark, tbl, targetBytes = target)
+    assert(n == expectGroups, s"executor must match the plan: $n vs " +
+      s"$expectGroups")
+    assert(spark.read.parquet(tbl).inputFiles.length == n)
+    assert(spark.read.parquet(tbl).as[(Long, String)].collect().toSet ==
+      before, "content must survive")
+    // clustering preserved: merged files still hold DISJOINT contiguous
+    // id ranges (a repartition-based compact would give every file the
+    // full range)
+    val ranges = spark.read.parquet(tbl)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"ranges must stay disjoint: ${ranges.toSeq}")
+      case _ => ()
+    }
   }
 
   test("reclusterWorstPartitions: auditKeyB selects a partition " +

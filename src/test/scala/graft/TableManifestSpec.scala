@@ -110,6 +110,13 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.read(spark, tbl)
       .select("tag").distinct().head.getString(0) == "v2",
       "a crashed publish must be invisible to readers")
+    // a ROUTINE publish must NOT reap the future-seq generation: it is
+    // indistinguishable from another publisher's in-flight write —
+    // only the explicit recover() (no-writer contract) may drop it
+    val g3 = TableManifest.rewrite(spark, tbl)(df => df)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tbl/_gen-000099-deadbeef")),
+      "publish must never delete a future-seq (possibly in-flight) gen")
     TableManifest.recover(spark, tbl)
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
       .map(_.getPath.getName).toSet
@@ -117,7 +124,9 @@ class TableManifestSpec extends AnyFunSuite {
       s"orphan generation must be reconciled: $names")
     assert(!names.exists(_.startsWith("._manifest-")),
       s"stale manifest tmp must be dropped: $names")
-    assert(TableManifest.currentGeneration(spark, tbl).contains(g2))
+    assert(names.contains(g2) && names.contains(g3),
+      s"retention must keep current + previous: $names")
+    assert(TableManifest.currentGeneration(spark, tbl).contains(g3))
     assert(TableManifest.read(spark, tbl).count() == 50)
   }
 }
