@@ -1196,6 +1196,55 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q242
+  /** q242 entry: the READER-SAFE maintenance path
+    * ([[graft.ops.TableManifest]]) under the content-identity gate — the
+    * manifest-pointer twin of q233/q238's swap-managed cycles. A fresh
+    * manifested table is published from the events slice (8-file
+    * generation), its content manifest materialized THROUGH THE POINTER,
+    * then rewritten in place (reader-safe compaction to one file — the
+    * commit is one atomic manifest rename, never a directory swap).
+    * Emitted per user bucket: the post-rewrite row count and content
+    * checksum read through the new generation (pinned by the oracle
+    * against the SOURCE rows), `checksum_match` vs the pre-rewrite
+    * manifest, and `rewrite_ok` (the pointer ADVANCED to a new
+    * generation AND the new generation holds exactly the planned one
+    * file — the protocol claims, whose crash/concurrency halves the
+    * TableManifestSpec proves). */
+  def q242ManifestRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q242_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events").filter(col("event_id") < 6000)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val g1 = TableManifest.publish(spark, fixture, ev.repartition(8))
+    def manifest(df: DataFrame): DataFrame =
+      partitionChecksums(df, pmod(col("user_id"), lit(8L)),
+        Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+          col("event_type")))
+    // materialize BEFORE the rewrite (q233's discipline), reading
+    // through the pointer like any client would
+    val before = manifest(TableManifest.read(spark, fixture))
+      .select(col("part"), col("n_rows").as("rows_before"),
+        col("checksum").as("sum_before"))
+      .localCheckpoint(true)
+    val g2 = TableManifest.rewrite(spark, fixture)(df => df.coalesce(1))
+    val after = TableManifest.read(spark, fixture)
+    val rewriteOk = g2 != g1 &&
+      TableManifest.currentGeneration(spark, fixture).contains(g2) &&
+      after.inputFiles.length == 1
+    manifest(after)
+      .join(before, "part")
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        (col("checksum") === col("sum_before") &&
+          col("n_rows") === col("rows_before")).as("checksum_match"),
+        lit(rewriteOk).as("rewrite_ok"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1244,6 +1293,7 @@ object Audit {
     "q238_recluster_execute" -> q238ReclusterExecute _,
     "q239_footer_recluster_worst" -> q239FooterReclusterWorst _,
     "q240_optimize_table" -> q240OptimizeTable _,
+    "q242_manifest_rewrite" -> q242ManifestRewrite _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1391,6 +1441,20 @@ object Audit {
         |                  ELSE 'ok' END AS part, event_id, user_id
         |      FROM events WHERE event_id < 9000)
         |GROUP BY part ORDER BY part""".stripMargin,
+    // q242: content identity through the READER-SAFE manifest rewrite —
+    // the checksum the oracle computes from the SOURCE rows must equal
+    // the one the engine reads THROUGH THE POINTER from the new
+    // generation; the match/protocol booleans are in-engine claims whose
+    // crash/concurrency semantics TableManifestSpec proves
+    "q242_manifest_rewrite" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS checksum_match, TRUE AS rewrite_ok
+        |FROM events WHERE event_id < 6000
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
