@@ -1245,6 +1245,89 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q243
+  /** q243 entry: TIME TRAVEL through the manifest log
+    * ([[graft.ops.TableManifest.readVersion]]) under the content-identity
+    * gate. A manifested table is published from the events slice
+    * (version 1), then rewritten dropping the click rows (version 2 — a
+    * schema-stable transform a maintenance or correction pass would
+    * make). BOTH retained versions are then read back explicitly and
+    * emitted per event type: row count and content checksum, each pinned
+    * by the oracle against the SOURCE rows — version 1's content must
+    * still be byte-reconstructible AFTER the rewrite superseded it
+    * (retention keeps the previous version's generation set alive; the
+    * TableManifestSpec time-travel test proves the window and the loud
+    * eviction error independently). `history_retained` asserts the
+    * version list is exactly (1, 2). */
+  def q243TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q243_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events").filter(col("event_id") < 6000)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    TableManifest.publish(spark, fixture, ev.repartition(4))
+    TableManifest.rewrite(spark, fixture)(df =>
+      df.filter(col("event_type") =!= "click").coalesce(1))
+    val vs = TableManifest.versions(spark, fixture)
+    val retained = vs == Seq(1L, 2L)
+    def shape(df: DataFrame, v: Long): DataFrame =
+      partitionChecksums(df, col("event_type"),
+        Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+          col("event_type")))
+        .select(lit(v).as("version"), col("part").as("event_type"),
+          col("n_rows"), col("checksum").cast("string").as("checksum"))
+    shape(TableManifest.readVersion(spark, fixture, 1L), 1L)
+      .unionByName(shape(TableManifest.readVersion(spark, fixture, 2L), 2L))
+      .withColumn("history_retained", lit(retained))
+      .orderBy("version", "event_type")
+  }
+
+  // --------------------------------------------------------------- q244
+  /** q244 entry: EXACTLY-ONCE INGEST through the manifest's batch
+    * watermark ([[graft.ops.TableManifest.append]]) under the
+    * content-identity gate — the batch-parity twin of the
+    * TableManifestSpec streaming-replay test (which drives the same path
+    * from a REAL torn foreachBatch checkpoint). Three micro-batches of
+    * the events slice are appended with their batch ids; batch 1 is then
+    * RE-OFFERED twice — once immediately (the crash-between-sink-and-
+    * checkpoint replay) and once after a compaction rewrite collapsed
+    * the log (the watermark must survive compaction, or maintenance
+    * between batches re-opens the door to double-append). The final
+    * table is read through the pointer and emitted per event type: row
+    * count and content checksum pinned by the oracle against the SOURCE
+    * rows — any replayed append would break both. `exactly_once`
+    * asserts each fresh batch committed and each replay skipped. */
+  def q244ExactlyOnceIngest(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q244_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    def slice(lo: Long, hi: Long): DataFrame =
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    val c0 = TableManifest.append(spark, fixture, slice(0, 2000), Some(0L))
+    val c1 = TableManifest.append(spark, fixture, slice(2000, 4000), Some(1L))
+    val r1 = TableManifest.append(spark, fixture, slice(2000, 4000), Some(1L))
+    TableManifest.rewrite(spark, fixture)(_.repartition(4))
+    val r2 = TableManifest.append(spark, fixture, slice(2000, 4000), Some(1L))
+    val c2 = TableManifest.append(spark, fixture, slice(4000, 6000), Some(2L))
+    val exactlyOnce = c0.isDefined && c1.isDefined && c2.isDefined &&
+      r1.isEmpty && r2.isEmpty &&
+      TableManifest.lastBatchId(spark, fixture).contains(2L)
+    partitionChecksums(TableManifest.read(spark, fixture), col("event_type"),
+      Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type")))
+      .select(col("part").as("event_type"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(exactlyOnce).as("exactly_once"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1294,6 +1377,8 @@ object Audit {
     "q239_footer_recluster_worst" -> q239FooterReclusterWorst _,
     "q240_optimize_table" -> q240OptimizeTable _,
     "q242_manifest_rewrite" -> q242ManifestRewrite _,
+    "q243_time_travel" -> q243TimeTravel _,
+    "q244_exactly_once_ingest" -> q244ExactlyOnceIngest _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1455,6 +1540,49 @@ object Audit {
         |       TRUE AS checksum_match, TRUE AS rewrite_ok
         |FROM events WHERE event_id < 6000
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q243: TIME TRAVEL — version 1's rows must be byte-reconstructible
+    // from the retained manifest AFTER the rewrite superseded it; the
+    // oracle recomputes both versions' content straight from the source
+    // (v2 = v1 minus clicks); history_retained is an in-engine claim
+    // whose window semantics TableManifestSpec proves
+    "q243_time_travel" ->
+      """WITH src AS (SELECT event_id, user_id, event_type FROM events
+        |             WHERE event_id < 6000),
+        |     shaped AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, event_type,
+        |         COUNT(*) AS n_rows,
+        |         CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |               CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |               event_type)), 1, 13)) AS BIGINT)
+        |             AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        |  FROM src GROUP BY event_type
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT) AS version, event_type,
+        |         COUNT(*) AS n_rows,
+        |         CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |               CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |               event_type)), 1, 13)) AS BIGINT)
+        |             AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        |  FROM src WHERE event_type <> 'click' GROUP BY event_type)
+        |SELECT version, event_type, n_rows, checksum,
+        |       TRUE AS history_retained
+        |FROM shaped ORDER BY version, event_type""".stripMargin,
+    // q244: EXACTLY-ONCE INGEST — three appended batches with batch 1
+    // re-offered twice (once across a compaction); any replayed append
+    // would double batch 1's counts AND checksums, so the oracle's
+    // single-copy recompute from the source pins the semantics;
+    // exactly_once is an in-engine claim whose replay mechanics the
+    // TableManifestSpec streaming-replay test proves from a real torn
+    // checkpoint
+    "q244_exactly_once_ingest" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS exactly_once
+        |FROM events WHERE event_id < 6000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

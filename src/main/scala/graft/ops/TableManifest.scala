@@ -4,35 +4,58 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Manifest-pointer tables: reader-safe in-place maintenance on plain
-  * parquet — the first step toward a transaction log, sized to exactly
-  * the problem [[Layout.swapInto]]'s documented caveat leaves open (a
-  * reader listing the tree DURING a directory swap can see the transient
-  * `._pre` sibling or a half-swapped tree, so swap-managed maintenance
-  * needs a maintenance window).
+  * parquet — a minimal transaction log, sized to exactly the problem
+  * [[Layout.swapInto]]'s documented caveat leaves open (a reader listing
+  * the tree DURING a directory swap can see the transient `._pre`
+  * sibling or a half-swapped tree, so swap-managed maintenance needs a
+  * maintenance window).
   *
   * The protocol (Iceberg's versioned-snapshot idea, minimal form): data
   * lives in immutable GENERATION directories (`_gen-<seq>-<uuid>` — the
   * leading underscore hides them from direct `spark.read.parquet`
   * listing, so the only way to read the table is through the pointer),
   * and immutable, VERSIONED manifest files (`_graft_manifest-<seq>.json`)
-  * name them; the current table state is the highest-seq manifest. A
-  * rewrite
-  *   (1) writes the next generation COMPLETELY beside the current one,
-  *   (2) commits it by renaming a hidden tmp onto the next manifest
-  *       VERSION — a single rename to a FRESH name, atomic everywhere
-  *       (no delete-then-rename overwrite window, which Hadoop's local
-  *       filesystems make observable; measured, not assumed — the
-  *       rename-with-OVERWRITE draft of this file failed its own
-  *       concurrency spec with missing-manifest and stale-CRC reads),
-  *   (3) deletes superseded state, RETAINING the previous manifest and
-  *       its generation.
-  * A reader resolves the newest manifest once and reads that
-  * generation's files: it sees the old table or the new table, never a
-  * mix, with no coordination with writers. The one-version retention
-  * keeps the state a concurrent reader resolved alive through the
-  * commit that superseded it; only a reader stalled across TWO rewrites
-  * can lose its generation (documented bound — a real log adds
-  * time-based retention), and [[read]] re-resolves once on that race.
+  * name the generation SET that makes up the table at that version; the
+  * current table state is the highest-seq manifest. A full rewrite
+  *   (1) writes the next generation COMPLETELY beside the current ones,
+  *   (2) commits it by PUBLISHING a hidden, fully-written tmp under the
+  *       next manifest VERSION's name with an atomic fail-if-exists
+  *       primitive (hard link locally, no-overwrite FileContext rename
+  *       on HDFS — see [[commitSnapshot]]; measured, not assumed: both
+  *       the rename-with-OVERWRITE and the plain FileSystem.rename
+  *       drafts of this file failed their own concurrency specs, the
+  *       first with missing-manifest and stale-CRC reads, the second
+  *       with two racing appenders both "winning" one seq),
+  *   (3) vacuums superseded DATA generations, retaining the previous
+  *       version's — the manifest log itself is permanent (tiny JSON
+  *       per commit; deleting old manifests would free their seqs for
+  *       re-claim and turn the commit CAS into ABA — see [[cleanup]]).
+  * An APPEND ([[append]]) writes ONLY the new rows as one more
+  * generation and commits a manifest listing `current ++ new` — O(batch)
+  * data cost per commit, never a table rewrite. The fresh-name rename
+  * doubles as a compare-and-swap: two writers that based their commit on
+  * the same version race for the same next seq, exactly one rename
+  * succeeds, and the loser REBASES (re-reads the winner's manifest,
+  * re-commits `winner's generations ++ its own already-written
+  * generation`) — no lost update, no data rewrite on retry.
+  *
+  * Exactly-once ingest: a commit may carry a BATCH WATERMARK (`"batch"`
+  * in the manifest). [[append]] with a batch id skips committing when
+  * the current watermark already covers it — a Structured Streaming
+  * `foreachBatch` replay after a crash re-offers the last batch with the
+  * same id and lands exactly once ([[streamingSink]]). [[publish]] and
+  * [[rewrite]] CARRY the watermark forward, so a compaction between
+  * batches cannot reset idempotence and let a replay double-append.
+  *
+  * A reader resolves the newest manifest once and reads that version's
+  * generation set: it sees the old table or the new table, never a mix,
+  * with no coordination with writers. Retention keeps the previous
+  * manifest and its generations alive through the commit that superseded
+  * them; [[readVersion]] reads a retained older version explicitly (time
+  * travel, bounded by the retention window). Only a reader stalled
+  * across TWO commits can lose its generation set (documented bound — a
+  * bigger log adds time-based retention), and [[read]] re-resolves once
+  * on that race.
   *
   * Crash-safety: the manifest rename is the ONLY commit point. A crash
   * before it leaves an orphan generation and/or tmp (the newest manifest
@@ -70,68 +93,205 @@ object TableManifest {
       .map(_.getPath).sortBy(p => manifestSeq(p.getName)).toSeq
   }
 
-  private def parseGeneration(spark: SparkSession, manifest: Path): String = {
+  /** One committed table version: the generation set that makes up the
+    * table at that version and the exactly-once batch watermark. */
+  private case class Snapshot(generations: Seq[String], batch: Option[Long])
+
+  /** Parse a manifest body. Two wire forms, both emitted by this file's
+    * history: `{"generation":"g"}` (single, the r10 original) and
+    * `{"generations":["g1","g2"],"batch":7}` (set + watermark). */
+  private def parseSnapshot(spark: SparkSession, manifest: Path): Snapshot = {
     val fs = manifest.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(manifest)
     val body =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val re = """"generation"\s*:\s*"([^"]+)"""".r
-    re.findFirstMatchIn(body).map(_.group(1)).getOrElse(
+    val many = """"generations"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(body).map { m =>
+        """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      }
+    val one = """"generation"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(body).map(m => Seq(m.group(1)))
+    val batch = """"batch"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(body).map(_.group(1).toLong)
+    Snapshot(many.orElse(one).getOrElse(
       throw new IllegalStateException(
-        s"TableManifest: unparseable manifest at $manifest: ${body.take(200)}"))
+        s"TableManifest: unparseable manifest at $manifest: " +
+          body.take(200))), batch)
   }
 
-  /** The generation the newest manifest points at, if the table has been
-    * published. */
-  def currentGeneration(spark: SparkSession, tableDir: String): Option[String] =
-    manifestFiles(spark, tableDir).lastOption
-      .map(parseGeneration(spark, _))
+  private def renderSnapshot(s: Snapshot): String = {
+    val gens = s.generations.map(graft.JsonEscape.str).mkString("[", ",", "]")
+    val batch = s.batch.map(b => s""","batch":$b""").getOrElse("")
+    s"""{"generations":$gens$batch}"""
+  }
+
+  private def newestSnapshot(spark: SparkSession,
+                             tableDir: String): Option[(Long, Snapshot)] =
+    manifestFiles(spark, tableDir).lastOption.map(p =>
+      (manifestSeq(p.getName), parseSnapshot(spark, p)))
+
+  /** The generations the newest manifest points at, if the table has
+    * been published (one element until the first [[append]]). */
+  def currentGenerations(spark: SparkSession,
+                         tableDir: String): Seq[String] =
+    newestSnapshot(spark, tableDir).map(_._2.generations).getOrElse(Seq.empty)
+
+  /** The single generation the newest manifest points at — the
+    * pre-append API, kept for single-generation tables ([[publish]] /
+    * [[rewrite]] commits). */
+  def currentGeneration(spark: SparkSession,
+                        tableDir: String): Option[String] =
+    currentGenerations(spark, tableDir) match {
+      case Seq(one) => Some(one)
+      case Seq()    => None
+      case many => throw new IllegalStateException(
+        s"TableManifest: $tableDir holds ${many.size} generations " +
+          "(appended table) — use currentGenerations")
+    }
+
+  /** The exactly-once batch watermark: the highest batch id a commit has
+    * recorded. [[append]] with a batch id at or below it is a replay. */
+  def lastBatchId(spark: SparkSession, tableDir: String): Option[Long] =
+    newestSnapshot(spark, tableDir).flatMap(_._2.batch)
+
+  /** Committed versions whose data is still fully present, ascending —
+    * the time-travel window ([[readVersion]] accepts exactly these).
+    * The manifest LOG is permanent (see [[cleanup]]); a version leaves
+    * the window when the vacuum reclaims a generation it references:
+    * append-chain versions share their generations with the head and
+    * stay readable deep into history, a rewrite (compaction) cuts the
+    * window to the version it superseded. */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val fs = fsOf(spark, tableDir)
+    manifestFiles(spark, tableDir)
+      .filter(m => parseSnapshot(spark, m).generations
+        .forall(g => fs.exists(new Path(s"$tableDir/$g"))))
+      .map(p => manifestSeq(p.getName))
+  }
 
   /** Read the table through the pointer: resolve the newest manifest
-    * once, read that generation — old-or-new under any concurrent
-    * rewrite, never a mix. One re-resolve covers the stalled-reader race
-    * (the resolved manifest or generation was retired by TWO rewrites
-    * between the resolve and the open — which surfaces as an
-    * AnalysisException from the generation scan OR a
+    * once, read that version's generation set — old-or-new under any
+    * concurrent commit, never a mix. One re-resolve covers the
+    * stalled-reader race (the resolved manifest or generations were
+    * retired by TWO commits between the resolve and the open — which
+    * surfaces as an AnalysisException from the generation scan OR a
     * FileNotFoundException from the manifest open, so the retry catches
     * any non-fatal failure and lets the second attempt's error stand). */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     def resolve(): DataFrame = {
-      val gen = currentGeneration(spark, tableDir).getOrElse(
-        throw new IllegalArgumentException(
-          s"TableManifest: no manifest at $tableDir — not a manifested " +
-            "table (publish() first)"))
-      spark.read.parquet(s"$tableDir/$gen")
+      val gens = currentGenerations(spark, tableDir)
+      if (gens.isEmpty) throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — not a manifested " +
+          "table (publish() first)")
+      spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
     }
     try resolve()
     catch { case scala.util.control.NonFatal(_) => resolve() }
   }
 
-  /** Publish `df` as the table's next generation (its first, when the
-    * table is new) and commit it with the atomic manifest rename.
-    * Returns the new generation's name. */
-  def publish(spark: SparkSession, tableDir: String, df: DataFrame): String = {
+  /** Time travel: read a RETAINED committed version (see [[versions]]).
+    * Retention keeps the newest two, so the version a rewrite or append
+    * just superseded stays readable — enough to diff a maintenance pass
+    * or audit an ingest commit; a longer window is a retention knob, not
+    * a protocol change. */
+  def readVersion(spark: SparkSession, tableDir: String,
+                  version: Long): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val gens = manifestFiles(spark, tableDir)
+      .find(p => manifestSeq(p.getName) == version)
+      .map(parseSnapshot(spark, _).generations)
+      .filter(_.forall(g => fs.exists(new Path(s"$tableDir/$g"))))
+      .getOrElse(throw new IllegalArgumentException(
+        s"TableManifest: version $version not retained at $tableDir — " +
+          "never committed, or its data was vacuumed (retained: " +
+          s"${versions(spark, tableDir).mkString(",")})"))
+    spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
+  }
+
+  /** Write `df` as one complete new generation directory (not yet
+    * referenced by any manifest) and return its name, seq-stamped from
+    * the caller's intended commit seq. */
+  private def writeGeneration(spark: SparkSession, tableDir: String,
+                              seq: Long, df: DataFrame): String = {
+    val next =
+      f"$GenPrefix$seq%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"$tableDir/$next")
+    next
+  }
+
+  /** Stage-then-publish commit of `snapshot` as version `seq`: returns
+    * false when the seq is lost to a concurrent writer (the CAS failure
+    * — caller rebases and retries on a fresh seq).
+    *
+    * The publication primitive must be ATOMIC FAIL-IF-EXISTS — plain
+    * `FileSystem.rename` is NOT it on local filesystems (POSIX rename(2)
+    * silently REPLACES an existing destination, so two writers racing
+    * for the same seq would both "succeed" and the first commit's
+    * batches would vanish; this file's own concurrency spec caught
+    * exactly that). So:
+    *   - local paths: a HARD LINK of the fully-written tmp onto the
+    *     versioned name — link(2) fails with EEXIST atomically in the
+    *     kernel, and the destination appears with its complete content
+    *     in the same syscall;
+    *   - non-local paths: `FileContext.rename` WITHOUT the OVERWRITE
+    *     option — atomic with the existence check on HDFS (one NameNode
+    *     op), and the same primitive Spark's HDFSMetadataLog trusts for
+    *     its streaming commit log. */
+  private def commitSnapshot(spark: SparkSession, tableDir: String,
+                             seq: Long, snapshot: Snapshot): Boolean = {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
-    fs.mkdirs(root)
-    val nextSeq = manifestFiles(spark, tableDir).lastOption
-      .map(p => manifestSeq(p.getName) + 1).getOrElse(1L)
-    val next =
-      f"$GenPrefix$nextSeq%06d-${java.util.UUID.randomUUID.toString.take(8)}"
-    df.write.mode("errorifexists").parquet(s"$tableDir/$next")
-    // commit: stage the new manifest hidden, then ONE rename to a fresh
-    // versioned name — the only mutation a reader can ever observe
     val tmp = new Path(root, s"._manifest-${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"generation":${graft.JsonEscape.str(next)}}""".getBytes("UTF-8"))
+    try out.write(renderSnapshot(snapshot).getBytes("UTF-8"))
     finally out.close()
-    val dst = new Path(root, f"$ManifestPrefix$nextSeq%06d.json")
-    if (!fs.rename(tmp, dst))
+    val dst = new Path(root, f"$ManifestPrefix$seq%06d.json")
+    val scheme = fs.getUri.getScheme
+    val won =
+      if (scheme == null || scheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri, spark.sessionState.newHadoopConf())
+            .rename(tmp, dst) // default = no overwrite
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                e.getMessage.contains("already exists") => false
+        }
+      }
+    fs.delete(tmp, false) // staged copy (CAS won: dst holds the content)
+    won
+  }
+
+  /** Publish `df` as the table's next version, REPLACING the current
+    * generation set (its first version, when the table is new), and
+    * commit it with the atomic manifest rename. The exactly-once batch
+    * watermark carries forward — compacting between ingest batches must
+    * not re-open the door to a replay. Returns the new generation's
+    * name. */
+  def publish(spark: SparkSession, tableDir: String, df: DataFrame): String = {
+    val fs = fsOf(spark, tableDir)
+    fs.mkdirs(new Path(tableDir))
+    val cur = newestSnapshot(spark, tableDir)
+    val nextSeq = cur.map(_._1 + 1).getOrElse(1L)
+    val next = writeGeneration(spark, tableDir, nextSeq, df)
+    if (!commitSnapshot(spark, tableDir, nextSeq,
+        Snapshot(Seq(next), cur.flatMap(_._2.batch))))
       throw new java.io.IOException(
-        s"TableManifest: commit rename $tmp -> $dst failed (concurrent " +
-          "writer?)")
+        s"TableManifest: commit of version $nextSeq at $tableDir failed " +
+          "(concurrent writer?)")
     // NEVER touch generations newer than this commit: another publisher
     // that listed manifests after this one may be mid-write of seq+1 —
     // deleting its uncommitted generation would let its commit point at
@@ -141,19 +301,81 @@ object TableManifest {
     next
   }
 
+  /** Append `df` as one more generation — O(batch) data cost, the table
+    * is never rewritten. Returns the committed generation's name, or
+    * None when `batchId` is a replay the watermark already covers
+    * (exactly-once ingest: nothing is written, nothing committed).
+    *
+    * Concurrency: the fresh-name manifest rename is a compare-and-swap —
+    * on a lost race the append REBASES (re-reads the winner's generation
+    * set, re-commits `winner ++ ours` on the next seq) without touching
+    * its already-written data. `maxRetries` bounds pathological writer
+    * storms; a single streaming writer never retries. */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+             batchId: Option[Long] = None,
+             maxRetries: Int = 5): Option[String] = {
+    require(manifestFiles(spark, tableDir).nonEmpty,
+      s"TableManifest: no manifest at $tableDir — publish() the table " +
+        "before appending")
+    def covered(s: Snapshot): Boolean =
+      batchId.exists(b => s.batch.exists(_ >= b))
+    val (seq0, snap0) = newestSnapshot(spark, tableDir).get
+    if (covered(snap0)) return None // replay: skip before writing anything
+    val gen = writeGeneration(spark, tableDir, seq0 + 1, df)
+    var attempt = 0
+    var base = (seq0, snap0)
+    while (attempt <= maxRetries) {
+      val (seq, snap) = base
+      if (covered(snap)) {
+        // a concurrent commit of this very batch won while we wrote —
+        // our generation is unreferenced by construction, drop it
+        fsOf(spark, tableDir).delete(new Path(s"$tableDir/$gen"), true)
+        return None
+      }
+      val merged = Snapshot(snap.generations :+ gen,
+        (snap.batch.toSeq ++ batchId.toSeq).maxOption)
+      if (commitSnapshot(spark, tableDir, seq + 1, merged)) {
+        cleanup(spark, tableDir, dropFutureSeq = false)
+        return Some(gen)
+      }
+      attempt += 1
+      base = newestSnapshot(spark, tableDir).get // rebase on the winner
+    }
+    throw new java.io.IOException(
+      s"TableManifest: append at $tableDir lost the commit race " +
+        s"$maxRetries times — writer storm? (orphan generation $gen " +
+        "left for recover())")
+  }
+
   /** Rewrite the table in place, reader-safely: read the current
-    * generation, apply `transform`, publish the result as the next
-    * generation. `transform(df).repartition(k)` is a reader-safe
-    * compaction; a Z-order sort is a reader-safe re-clustering. */
+    * generation set, apply `transform`, publish the result as the next
+    * version (collapsing an appended table back to ONE generation —
+    * manifest-log compaction). `transform(df).repartition(k)` is a
+    * reader-safe compaction; a Z-order sort is a reader-safe
+    * re-clustering. */
   def rewrite(spark: SparkSession, tableDir: String)
              (transform: DataFrame => DataFrame): String =
     publish(spark, tableDir, transform(read(spark, tableDir)))
 
+  /** A `foreachBatch` sink committing each micro-batch through the
+    * manifest with its batch id as the exactly-once watermark: after a
+    * crash between the sink's commit and the checkpoint's, Structured
+    * Streaming re-offers the batch under the SAME id and [[append]]
+    * skips it — end-to-end exactly-once on plain parquet. Usage:
+    * `stream.writeStream.foreachBatch(TableManifest.streamingSink(dir))`.
+    * The table must be [[publish]]ed first (its schema seed); an empty
+    * seed `df.limit(0)` works. */
+  def streamingSink(tableDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      append(batch.sparkSession, tableDir, batch, Some(batchId))
+      ()
+    }
+
   /** Reconcile state after a crash: apply the retention rule (keep the
     * two newest manifests and the generations they reference) AND drop
-    * future-seq orphans — generations and commit tmps a crashed publish
+    * future-seq orphans — generations and commit tmps a crashed commit
     * left behind with no manifest. MUST run with no writer active (an
-    * in-flight publish's uncommitted generation is indistinguishable
+    * in-flight commit's uncommitted generation is indistinguishable
     * from a crashed one); readers are unaffected (the newest manifest
     * never changes here). */
   def recover(spark: SparkSession, tableDir: String): Unit = {
@@ -162,24 +384,65 @@ object TableManifest {
     cleanup(spark, tableDir, dropFutureSeq = true)
   }
 
-  private def genSeq(name: String): Long =
-    name.stripPrefix(GenPrefix).takeWhile(_ != '-').toLong
-
+  /** Retention. Two rules, deliberately asymmetric:
+    *
+    *   - MANIFEST FILES ARE NEVER DELETED. Deleting an old manifest
+    *     frees its seq for RE-CLAIM, and the commit CAS ("publish under
+    *     this version's name, fail if it exists") silently degrades into
+    *     ABA: a lagging writer whose view of the head is stale re-claims
+    *     the freed seq, "wins", and its commit lands BEHIND the real
+    *     head — a lost update (this file's concurrency spec caught
+    *     exactly that: six concurrent appenders, six "committed", three
+    *     batches gone). With the log immutable-and-permanent, a claim of
+    *     seq s succeeds iff s = head+1 at the instant of the link, and
+    *     the claimant merged head's (immutable) snapshot — commits are
+    *     linearizable with no coordination. The cost is one small JSON
+    *     per commit, which is precisely a transaction log (Delta keeps
+    *     every commit's JSON the same way; log checkpointing/expiry is a
+    *     retention knob this module doesn't need yet).
+    *
+    *   - DATA generations are vacuumed: any generation not referenced by
+    *     the two newest manifests is deleted as soon as it is provably
+    *     superseded (referenced by an AGED manifest — every committed
+    *     generation is referenced by the manifest that created it). A
+    *     generation referenced by NO manifest is either crash debris or
+    *     a CONCURRENT writer's already-written, not-yet-committed data
+    *     (indistinguishable without a writer registry), so only the
+    *     explicit recover(), which requires no writer be active, may
+    *     reap it.
+    *
+    * Older versions stay time-travel-readable for exactly as long as
+    * their data survives — append-chain versions share generations with
+    * the head, so appends keep a deep readable history; a rewrite
+    * (compaction) cuts it to the previous version. [[versions]] reports
+    * the readable window. */
   private def cleanup(spark: SparkSession, tableDir: String,
                       dropFutureSeq: Boolean): Unit = {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
     val ms = manifestFiles(spark, tableDir)
-    val curSeq = ms.lastOption.map(p => manifestSeq(p.getName)).getOrElse(0L)
-    val keepManifests = ms.takeRight(2)
-    val keepGens = keepManifests.map(parseGeneration(spark, _)).toSet
-    ms.dropRight(2).foreach(fs.delete(_, false))
-    fs.listStatus(root).foreach { e =>
+    val keepGens =
+      ms.takeRight(2).flatMap(parseSnapshot(spark, _).generations).toSet
+    // Walk aged manifests newest-first and STOP at the first that needs
+    // no vacuuming: on an append chain every aged manifest's generations
+    // are still live in the head (O(1) per commit); after a rewrite the
+    // one manifest holding the superseded chain is the newest aged one.
+    // A manifest skipped by concurrent-cleanup interleaving can strand a
+    // dead generation behind a clean one — a bounded disk leak, not a
+    // correctness issue; recover()'s exhaustive unreferenced sweep
+    // reclaims it.
+    ms.dropRight(2).reverseIterator
+      .map { m =>
+        parseSnapshot(spark, m).generations
+          .filterNot(keepGens.contains)
+          .count(g => fs.delete(new Path(root, g), true))
+      }
+      .takeWhile(_ > 0).foreach(_ => ())
+    if (dropFutureSeq) fs.listStatus(root).foreach { e =>
       val n = e.getPath.getName
-      if (e.isDirectory && n.startsWith(GenPrefix) && !keepGens.contains(n) &&
-          (dropFutureSeq || genSeq(n) <= curSeq))
+      if (e.isDirectory && n.startsWith(GenPrefix) && !keepGens.contains(n))
         fs.delete(e.getPath, true)
-      else if (dropFutureSeq && e.isFile &&
+      else if (e.isFile &&
           n.startsWith("._manifest-") && n.endsWith(".tmp"))
         fs.delete(e.getPath, false)
     }

@@ -90,6 +90,195 @@ class TableManifestSpec extends AnyFunSuite {
       .select("tag").distinct().head.getString(0) == "v5")
   }
 
+  test("append accumulates generations without rewriting data; read is " +
+      "the union; versions()/readVersion() time-travel inside the " +
+      "retention window; rewrite compacts the log back to ONE generation") {
+    import spark.implicits._
+    val tbl = tmpTable("manifapp")
+    def batch(tag: String, from: Int, n: Int) =
+      (from until from + n).map(i => (i.toLong, tag)).toDF("id", "tag")
+    val g1 = TableManifest.publish(spark, tbl, batch("base", 0, 100))
+    val gA = TableManifest.append(spark, tbl, batch("a", 100, 50))
+    val gB = TableManifest.append(spark, tbl, batch("b", 150, 25))
+    assert(gA.isDefined && gB.isDefined && gA != gB)
+    // the base generation was NOT rewritten: all three dirs live, the
+    // newest version references all three
+    assert(TableManifest.currentGenerations(spark, tbl).toSet ==
+      Set(g1, gA.get, gB.get))
+    val now = TableManifest.read(spark, tbl)
+    assert(now.count() == 175)
+    assert(now.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("base" -> 100L, "a" -> 50L, "b" -> 25L))
+    // time travel: append-chain versions SHARE generations with the
+    // head, so the whole history stays readable
+    assert(TableManifest.versions(spark, tbl) == Seq(1L, 2L, 3L))
+    assert(TableManifest.readVersion(spark, tbl, 1L).count() == 100)
+    assert(TableManifest.readVersion(spark, tbl, 2L).count() == 150)
+    assert(TableManifest.readVersion(spark, tbl, 3L).count() == 175)
+    // a version that never committed fails loudly, naming the window
+    val err = intercept[IllegalArgumentException] {
+      TableManifest.readVersion(spark, tbl, 99L)
+    }
+    assert(err.getMessage.contains("retained"), err.getMessage)
+    // rewrite = manifest-log compaction: back to ONE generation, same
+    // rows; the superseded chain stays readable while its data survives
+    TableManifest.rewrite(spark, tbl)(df => df.coalesce(1))
+    assert(TableManifest.currentGenerations(spark, tbl).size == 1)
+    assert(TableManifest.read(spark, tbl).count() == 175)
+    assert(TableManifest.readVersion(spark, tbl, 3L).count() == 175)
+    assert(TableManifest.readVersion(spark, tbl, 1L).count() == 100)
+    // a SECOND rewrite ages the chain out of retention: its generations
+    // vacuum, the window cuts to the last two rewrites, and reading an
+    // evicted version names the vacuum
+    TableManifest.rewrite(spark, tbl)(df => df)
+    assert(TableManifest.versions(spark, tbl) == Seq(4L, 5L))
+    val evicted = intercept[IllegalArgumentException] {
+      TableManifest.readVersion(spark, tbl, 2L)
+    }
+    assert(evicted.getMessage.contains("vacuumed"), evicted.getMessage)
+    assert(TableManifest.readVersion(spark, tbl, 4L).count() == 175)
+  }
+
+  test("exactly-once ingest: a replayed batch id commits nothing, and " +
+      "the watermark SURVIVES a compaction between batches") {
+    import spark.implicits._
+    val tbl = tmpTable("manifeo")
+    def batch(tag: String, from: Int, n: Int) =
+      (from until from + n).map(i => (i.toLong, tag)).toDF("id", "tag")
+    TableManifest.publish(spark, tbl, batch("seed", 0, 0).limit(0))
+    assert(TableManifest.append(spark, tbl, batch("b0", 0, 10),
+      batchId = Some(0L)).isDefined)
+    assert(TableManifest.append(spark, tbl, batch("b1", 10, 10),
+      batchId = Some(1L)).isDefined)
+    // replay of batch 1 (crash between sink commit and checkpoint): skipped
+    assert(TableManifest.append(spark, tbl, batch("b1", 10, 10),
+      batchId = Some(1L)).isEmpty)
+    // stale replay of batch 0: also covered by the watermark
+    assert(TableManifest.append(spark, tbl, batch("b0", 0, 10),
+      batchId = Some(0L)).isEmpty)
+    assert(TableManifest.lastBatchId(spark, tbl).contains(1L))
+    assert(TableManifest.read(spark, tbl).count() == 20)
+    // a compaction between batches must CARRY the watermark — otherwise
+    // a post-compaction replay would double-append
+    TableManifest.rewrite(spark, tbl)(df => df.coalesce(1))
+    assert(TableManifest.lastBatchId(spark, tbl).contains(1L),
+      "compaction dropped the exactly-once watermark")
+    assert(TableManifest.append(spark, tbl, batch("b1", 10, 10),
+      batchId = Some(1L)).isEmpty,
+      "replay after compaction must still be covered")
+    assert(TableManifest.append(spark, tbl, batch("b2", 20, 5),
+      batchId = Some(2L)).isDefined)
+    assert(TableManifest.read(spark, tbl).count() == 25)
+    val dup = TableManifest.read(spark, tbl).groupBy("id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(dup == 1L, s"exactly-once violated: a row appears $dup times")
+  }
+
+  test("concurrent appenders: the fresh-name manifest rename is a CAS — " +
+      "losers rebase onto the winner and EVERY batch lands exactly once") {
+    import spark.implicits._
+    val tbl = tmpTable("manifcas")
+    TableManifest.publish(spark, tbl,
+      Seq((-1L, "seed")).toDF("id", "tag"))
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val outcomes =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            try {
+              // every writer pre-builds its frame, then all commit at once
+              val df = (0 until 10)
+                .map(i => ((w * 100 + i).toLong, s"w$w")).toDF("id", "tag")
+              start.await()
+              val r =
+                TableManifest.append(spark, tbl, df, maxRetries = writers * 2)
+              outcomes.put(w, s"committed:$r")
+            } catch {
+              case t: Throwable => outcomes.put(w, s"failed:$t")
+            }
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    import scala.jdk.CollectionConverters._
+    assert(!outcomes.asScala.values.exists(_.startsWith("failed")),
+      outcomes.asScala.toSeq.sortBy(_._1).mkString("; "))
+    val rows = TableManifest.read(spark, tbl)
+    assert(rows.count() == 1 + writers * 10,
+      "a lost-CAS append dropped or duplicated a batch — outcomes: " +
+        outcomes.asScala.toSeq.sortBy(_._1).mkString("; "))
+    assert(rows.groupBy("tag").count().count() == 1 + writers,
+      "some writer's batch is missing entirely")
+    // the loser's rebase preserved every winner: the newest version
+    // references one generation per commit (seed + all writers)
+    assert(TableManifest.currentGenerations(spark, tbl).size == 1 + writers)
+  }
+
+  test("streamingSink is exactly-once under a REAL foreachBatch replay: " +
+      "re-offering the last batch after a torn checkpoint commits nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "manifsink").toString
+    val in = s"$base/in"; val tbl = s"$base/t"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    def writeInput(name: String, from: Int, n: Int): Unit =
+      (from until from + n).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .coalesce(1).write.parquet(s"$base/stage_$name") // stage whole…
+    def promote(name: String): Unit = { // …then move atomically into in/
+      val f = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    writeInput("f1", 0, 8); promote("f1")
+    writeInput("f2", 8, 8); promote("f2")
+    val schema = "id BIGINT, v STRING"
+    TableManifest.publish(spark, tbl,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(schema)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.foreachBatch(TableManifest.streamingSink(tbl))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(TableManifest.read(spark, tbl).count() == 16)
+    val lastBatch = TableManifest.lastBatchId(spark, tbl).get
+    // tear the checkpoint: offsets for the last batch survive, its commit
+    // record does not — EXACTLY the crash window foreachBatch re-offers
+    // the batch for, under the same batch id
+    val committed = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).sorted
+    assert(committed.nonEmpty)
+    assert(new java.io.File(s"$ckpt/commits/${committed.last}").delete())
+    // the checksum sibling too — a half-deleted commit record would make
+    // the restart fail on the CRC rename instead of replaying the batch
+    new java.io.File(s"$ckpt/commits/.${committed.last}.crc").delete()
+    runOnce() // replays the torn batch with the same id → sink skips it
+    assert(TableManifest.read(spark, tbl).count() == 16,
+      "replayed batch was appended twice")
+    assert(TableManifest.lastBatchId(spark, tbl).contains(lastBatch))
+    val dup = TableManifest.read(spark, tbl).groupBy("id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(dup == 1L, s"duplicate rows after replay: $dup")
+    // and NEW data after the recovery still flows
+    writeInput("f3", 16, 4); promote("f3")
+    runOnce()
+    assert(TableManifest.read(spark, tbl).count() == 20)
+  }
+
   test("recover reconciles crash debris: orphan next-generations and " +
       "stale manifest tmps are dropped, the pointer never moves") {
     import spark.implicits._
