@@ -29,7 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   (3) vacuums superseded DATA generations, retaining the previous
   *       version's — the manifest log itself is permanent (tiny JSON
   *       per commit; deleting old manifests would free their seqs for
-  *       re-claim and turn the commit CAS into ABA — see [[cleanup]]).
+  *       re-claim and turn the commit CAS into ABA — see [[vacuum]]).
   * An APPEND ([[append]]) writes ONLY the new rows as one more
   * generation and commits a manifest listing `current ++ new` — O(batch)
   * data cost per commit, never a table rewrite. The fresh-name rename
@@ -155,19 +155,30 @@ object TableManifest {
   def lastBatchId(spark: SparkSession, tableDir: String): Option[Long] =
     newestSnapshot(spark, tableDir).flatMap(_._2.batch)
 
-  /** Committed versions whose data is still fully present, ascending —
-    * the time-travel window ([[readVersion]] accepts exactly these).
-    * The manifest LOG is permanent (see [[cleanup]]); a version leaves
-    * the window when the vacuum reclaims a generation it references:
-    * append-chain versions share their generations with the head and
-    * stay readable deep into history, a rewrite (compaction) cuts the
-    * window to the version it superseded. */
+  /** The guaranteed-readable version window, ascending: the contiguous
+    * HEAD suffix of the permanent manifest log whose data is still fully
+    * present. The walk runs newest-first with memoized existence checks
+    * and stops at the first version missing a generation, so the cost is
+    * O(window), not O(all commits × their generation lists) — on a
+    * long-lived streaming table the log holds one manifest per commit
+    * and each append-chain manifest lists every prior generation, which
+    * would make the naive full scan quadratic in table age.
+    *
+    * Append-chain versions share their generations with the head and
+    * stay in the window deep into history; a rewrite (compaction) cuts
+    * it to the version it superseded. Versions BELOW the window may
+    * still read successfully through [[readVersion]] when the vacuum's
+    * early-stop left their generations behind (a documented disk-leak
+    * bound, reclaimed by [[recover]]) — the window is the guarantee,
+    * not the inventory. */
   def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
     val fs = fsOf(spark, tableDir)
-    manifestFiles(spark, tableDir)
-      .filter(m => parseSnapshot(spark, m).generations
-        .forall(g => fs.exists(new Path(s"$tableDir/$g"))))
-      .map(p => manifestSeq(p.getName))
+    val alive = scala.collection.mutable.Map.empty[String, Boolean]
+    manifestFiles(spark, tableDir).reverseIterator
+      .map(m => (manifestSeq(m.getName), parseSnapshot(spark, m)))
+      .takeWhile(_._2.generations.forall(g =>
+        alive.getOrElseUpdate(g, fs.exists(new Path(s"$tableDir/$g")))))
+      .map(_._1).toSeq.reverse
   }
 
   /** Read the table through the pointer: resolve the newest manifest
@@ -258,11 +269,11 @@ object TableManifest {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      } else {
+      } else if (scheme == "hdfs" || scheme == "viewfs") {
         try {
           org.apache.hadoop.fs.FileContext.getFileContext(
             fs.getUri, spark.sessionState.newHadoopConf())
-            .rename(tmp, dst) // default = no overwrite
+            .rename(tmp, dst) // default = no overwrite; one NameNode op
           true
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -270,34 +281,65 @@ object TableManifest {
               if e.getMessage != null &&
                 e.getMessage.contains("already exists") => false
         }
+      } else {
+        // Object stores are NOT certified: s3a has no AbstractFileSystem
+        // binding by default (FileContext.getFileContext throws), and
+        // stores that emulate rename as copy+delete behind a client-side
+        // existence check (gs, wasb without hierarchical namespace) give
+        // two racing writers the same seq — the exact lost update the
+        // local hard-link path exists to prevent. Refuse loudly instead
+        // of committing on an assumption.
+        fs.delete(tmp, false)
+        throw new UnsupportedOperationException(
+          s"TableManifest: no certified atomic fail-if-exists commit " +
+            s"primitive for scheme '$scheme' (certified: file via " +
+            "hard link, hdfs/viewfs via no-overwrite FileContext " +
+            "rename). Commit through a certified filesystem, or extend " +
+            "commitSnapshot with this store's conditional-put primitive.")
       }
     fs.delete(tmp, false) // staged copy (CAS won: dst holds the content)
     won
   }
 
+  private def manifestPath(tableDir: String, seq: Long): Path =
+    new Path(tableDir, f"$ManifestPrefix$seq%06d.json")
+
   /** Publish `df` as the table's next version, REPLACING the current
-    * generation set (its first version, when the table is new), and
-    * commit it with the atomic manifest rename. The exactly-once batch
-    * watermark carries forward — compacting between ingest batches must
-    * not re-open the door to a replay. Returns the new generation's
-    * name. */
+    * generation set (its first version, when the table is new). The
+    * exactly-once batch watermark carries forward — compacting between
+    * ingest batches must not re-open the door to a replay. Returns the
+    * new generation's name.
+    *
+    * Concurrency: REPLACE racing a concurrent commit is a LOGICAL
+    * conflict (which rows should the head hold?), so a lost CAS deletes
+    * this call's staged generation and fails loudly — the table is
+    * unchanged, the caller re-runs against the new head. A silent rebase
+    * here would drop the concurrent append's rows while carrying its
+    * watermark, suppressing the exactly-once replay: the one loss this
+    * log exists to prevent. For transforms DERIVED from the current
+    * table (compaction, re-clustering), use [[rewrite]] — it re-derives
+    * from the new head and can therefore retry safely. */
   def publish(spark: SparkSession, tableDir: String, df: DataFrame): String = {
     val fs = fsOf(spark, tableDir)
     fs.mkdirs(new Path(tableDir))
-    val cur = newestSnapshot(spark, tableDir)
+    val ms = manifestFiles(spark, tableDir)
+    val cur = ms.lastOption.map(p =>
+      (manifestSeq(p.getName), parseSnapshot(spark, p)))
     val nextSeq = cur.map(_._1 + 1).getOrElse(1L)
     val next = writeGeneration(spark, tableDir, nextSeq, df)
-    if (!commitSnapshot(spark, tableDir, nextSeq,
-        Snapshot(Seq(next), cur.flatMap(_._2.batch))))
+    val snap = Snapshot(Seq(next), cur.flatMap(_._2.batch))
+    if (!commitSnapshot(spark, tableDir, nextSeq, snap)) {
+      fs.delete(new Path(s"$tableDir/$next"), true) // ours, unreferenced
       throw new java.io.IOException(
-        s"TableManifest: commit of version $nextSeq at $tableDir failed " +
-          "(concurrent writer?)")
-    // NEVER touch generations newer than this commit: another publisher
-    // that listed manifests after this one may be mid-write of seq+1 —
-    // deleting its uncommitted generation would let its commit point at
-    // a destroyed directory. Future-seq state is only reconciled by the
-    // explicit recover() (which requires no writer be active).
-    cleanup(spark, tableDir, dropFutureSeq = false)
+        s"TableManifest: publish of version $nextSeq at $tableDir lost " +
+          "to a concurrent commit — the table is UNCHANGED by this call " +
+          "(REPLACE vs a concurrent append is a logical conflict; " +
+          "re-run against the new head, or use rewrite() for " +
+          "table-derived transforms, which retries safely)")
+    }
+    vacuum(spark, tableDir, ms :+ manifestPath(tableDir, nextSeq),
+      keepGens = cur.map(_._2.generations).getOrElse(Seq.empty).toSet + next,
+      dropFutureSeq = false)
     next
   }
 
@@ -306,25 +348,30 @@ object TableManifest {
     * None when `batchId` is a replay the watermark already covers
     * (exactly-once ingest: nothing is written, nothing committed).
     *
-    * Concurrency: the fresh-name manifest rename is a compare-and-swap —
-    * on a lost race the append REBASES (re-reads the winner's generation
-    * set, re-commits `winner ++ ours` on the next seq) without touching
-    * its already-written data. `maxRetries` bounds pathological writer
-    * storms; a single streaming writer never retries. */
+    * Concurrency: the fail-if-exists commit is a compare-and-swap — on a
+    * lost race the append REBASES (re-reads the winner's generation set,
+    * re-commits `winner ++ ours` on the next seq) without touching its
+    * already-written data. Appends commute, so the rebase is always
+    * safe. `maxRetries` bounds pathological writer storms; a single
+    * streaming writer never retries. One manifest listing serves the
+    * precondition, the CAS base, and the winner's vacuum — the log is
+    * permanent, so listings grow with table age and are not free. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              batchId: Option[Long] = None,
              maxRetries: Int = 5): Option[String] = {
-    require(manifestFiles(spark, tableDir).nonEmpty,
-      s"TableManifest: no manifest at $tableDir — publish() the table " +
-        "before appending")
     def covered(s: Snapshot): Boolean =
       batchId.exists(b => s.batch.exists(_ >= b))
-    val (seq0, snap0) = newestSnapshot(spark, tableDir).get
-    if (covered(snap0)) return None // replay: skip before writing anything
-    val gen = writeGeneration(spark, tableDir, seq0 + 1, df)
-    var attempt = 0
-    var base = (seq0, snap0)
-    while (attempt <= maxRetries) {
+    var ms = manifestFiles(spark, tableDir)
+    require(ms.nonEmpty,
+      s"TableManifest: no manifest at $tableDir — publish() the table " +
+        "before appending")
+    def newestOf(l: Seq[Path]): (Long, Snapshot) =
+      (manifestSeq(l.last.getName), parseSnapshot(spark, l.last))
+    var base = newestOf(ms)
+    if (covered(base._2)) return None // replay: skip before writing
+    val gen = writeGeneration(spark, tableDir, base._1 + 1, df)
+    var attempts = 0
+    while (attempts <= maxRetries) {
       val (seq, snap) = base
       if (covered(snap)) {
         // a concurrent commit of this very batch won while we wrote —
@@ -334,28 +381,77 @@ object TableManifest {
       }
       val merged = Snapshot(snap.generations :+ gen,
         (snap.batch.toSeq ++ batchId.toSeq).maxOption)
+      attempts += 1
       if (commitSnapshot(spark, tableDir, seq + 1, merged)) {
-        cleanup(spark, tableDir, dropFutureSeq = false)
+        vacuum(spark, tableDir, ms :+ manifestPath(tableDir, seq + 1),
+          keepGens = merged.generations.toSet, dropFutureSeq = false)
         return Some(gen)
       }
-      attempt += 1
-      base = newestSnapshot(spark, tableDir).get // rebase on the winner
+      ms = manifestFiles(spark, tableDir) // rebase on the winner
+      base = newestOf(ms)
     }
     throw new java.io.IOException(
-      s"TableManifest: append at $tableDir lost the commit race " +
-        s"$maxRetries times — writer storm? (orphan generation $gen " +
+      s"TableManifest: append at $tableDir lost the commit race on all " +
+        s"$attempts attempts — writer storm? (orphan generation $gen " +
         "left for recover())")
   }
 
   /** Rewrite the table in place, reader-safely: read the current
-    * generation set, apply `transform`, publish the result as the next
+    * generation set, apply `transform`, commit the result as the next
     * version (collapsing an appended table back to ONE generation —
     * manifest-log compaction). `transform(df).repartition(k)` is a
     * reader-safe compaction; a Z-order sort is a reader-safe
-    * re-clustering. */
-  def rewrite(spark: SparkSession, tableDir: String)
-             (transform: DataFrame => DataFrame): String =
-    publish(spark, tableDir, transform(read(spark, tableDir)))
+    * re-clustering.
+    *
+    * Concurrency: the version read and the CAS base are THE SAME
+    * snapshot — resolving the data and then committing against a
+    * re-read head would let an append land in the gap and vanish from
+    * the rewritten table while its watermark carried forward (the
+    * silent-loss TOCTOU a review of this file caught). On a lost race
+    * the stale transform result is DELETED and the whole
+    * read→transform→commit cycle re-runs against the new head — safe
+    * because the transform re-derives from whatever it reads, so the
+    * interleaved commit's rows flow into the retry. A transient write
+    * failure (e.g. the base generation vacuumed mid-read by two faster
+    * rewrites) retries the same way; `maxRetries` bounds the loop. */
+  def rewrite(spark: SparkSession, tableDir: String, maxRetries: Int = 3)
+             (transform: DataFrame => DataFrame): String = {
+    var attempts = 0
+    var lastRace: String = ""
+    while (attempts <= maxRetries) {
+      val ms = manifestFiles(spark, tableDir)
+      require(ms.nonEmpty,
+        s"TableManifest: no manifest at $tableDir — not a manifested " +
+          "table (publish() first)")
+      val seq = manifestSeq(ms.last.getName)
+      val snap = parseSnapshot(spark, ms.last)
+      attempts += 1
+      val gen =
+        try {
+          val df = transform(spark.read.parquet(
+            snap.generations.map(g => s"$tableDir/$g"): _*))
+          Some(writeGeneration(spark, tableDir, seq + 1, df))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            lastRace = e.toString; None // stale base read — retry
+        }
+      gen.foreach { g =>
+        if (commitSnapshot(spark, tableDir, seq + 1,
+            Snapshot(Seq(g), snap.batch))) {
+          vacuum(spark, tableDir, ms :+ manifestPath(tableDir, seq + 1),
+            keepGens = snap.generations.toSet + g, dropFutureSeq = false)
+          return g
+        }
+        // lost the CAS: the transform result is STALE (derived from a
+        // superseded version) — never commit it later, re-derive
+        fsOf(spark, tableDir).delete(new Path(s"$tableDir/$g"), true)
+        lastRace = s"version ${seq + 1} taken by a concurrent commit"
+      }
+    }
+    throw new java.io.IOException(
+      s"TableManifest: rewrite at $tableDir did not commit in " +
+        s"$attempts attempts (last: $lastRace) — writer storm?")
+  }
 
   /** A `foreachBatch` sink committing each micro-batch through the
     * manifest with its batch id as the exactly-once watermark: after a
@@ -379,9 +475,13 @@ object TableManifest {
     * from a crashed one); readers are unaffected (the newest manifest
     * never changes here). */
   def recover(spark: SparkSession, tableDir: String): Unit = {
-    require(manifestFiles(spark, tableDir).nonEmpty,
+    val ms = manifestFiles(spark, tableDir)
+    require(ms.nonEmpty,
       s"TableManifest: no manifest at $tableDir — nothing to recover")
-    cleanup(spark, tableDir, dropFutureSeq = true)
+    vacuum(spark, tableDir, ms,
+      keepGens =
+        ms.takeRight(2).flatMap(parseSnapshot(spark, _).generations).toSet,
+      dropFutureSeq = true)
   }
 
   /** Retention. Two rules, deliberately asymmetric:
@@ -415,22 +515,26 @@ object TableManifest {
     * their data survives — append-chain versions share generations with
     * the head, so appends keep a deep readable history; a rewrite
     * (compaction) cuts it to the previous version. [[versions]] reports
-    * the readable window. */
-  private def cleanup(spark: SparkSession, tableDir: String,
-                      dropFutureSeq: Boolean): Unit = {
+    * the readable window.
+    *
+    * `ms` is the ascending manifest listing INCLUDING the caller's
+    * just-committed manifest, and `keepGens` the union of the two newest
+    * versions' generation sets — the committing writer already holds
+    * both in memory, so the winner's vacuum costs no extra listing or
+    * re-parse of the log (which is permanent and grows with table age).
+    *
+    * Walk aged manifests newest-first and STOP at the first that needs
+    * no vacuuming: on an append chain every aged manifest's generations
+    * are still live in the head (O(1) per commit); after a rewrite the
+    * one manifest holding the superseded chain is the newest aged one.
+    * A manifest skipped by concurrent-vacuum interleaving can strand a
+    * dead generation behind a clean one — a bounded disk leak, not a
+    * correctness issue; recover()'s exhaustive unreferenced sweep
+    * reclaims it. */
+  private def vacuum(spark: SparkSession, tableDir: String, ms: Seq[Path],
+                     keepGens: Set[String], dropFutureSeq: Boolean): Unit = {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
-    val ms = manifestFiles(spark, tableDir)
-    val keepGens =
-      ms.takeRight(2).flatMap(parseSnapshot(spark, _).generations).toSet
-    // Walk aged manifests newest-first and STOP at the first that needs
-    // no vacuuming: on an append chain every aged manifest's generations
-    // are still live in the head (O(1) per commit); after a rewrite the
-    // one manifest holding the superseded chain is the newest aged one.
-    // A manifest skipped by concurrent-cleanup interleaving can strand a
-    // dead generation behind a clean one — a bounded disk leak, not a
-    // correctness issue; recover()'s exhaustive unreferenced sweep
-    // reclaims it.
     ms.dropRight(2).reverseIterator
       .map { m =>
         parseSnapshot(spark, m).generations

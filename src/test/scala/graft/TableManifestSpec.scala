@@ -221,6 +221,36 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.currentGenerations(spark, tbl).size == 1 + writers)
   }
 
+  test("rewrite vs concurrent append: the version READ is the CAS BASE — " +
+      "an append landing mid-transform survives the retried compaction " +
+      "with its exactly-once watermark intact") {
+    import spark.implicits._
+    val tbl = tmpTable("maniftoctou")
+    TableManifest.publish(spark, tbl,
+      (0 until 50).map(i => (i.toLong, "base")).toDF("id", "tag"))
+    val late = (1000 until 1010).map(i => (i.toLong, "late")).toDF("id", "tag")
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // batch 7 commits BETWEEN the rewrite's read and its commit — the
+    // window where a re-read CAS base would silently drop it (the
+    // review-caught TOCTOU): the rewrite must LOSE, delete its stale
+    // result, and re-derive from the head that includes the batch
+    TableManifest.rewrite(spark, tbl) { df =>
+      if (first.getAndSet(false))
+        TableManifest.append(spark, tbl, late, batchId = Some(7L))
+      df.coalesce(1)
+    }
+    val rows = TableManifest.read(spark, tbl)
+    assert(rows.count() == 60,
+      "an append racing the rewrite vanished from the compacted table")
+    assert(rows.filter(col("tag") === "late").count() == 10)
+    // the compaction collapsed the log (retry attempt won)…
+    assert(TableManifest.currentGenerations(spark, tbl).size == 1)
+    // …and the batch watermark still covers a post-compaction replay
+    assert(TableManifest.lastBatchId(spark, tbl).contains(7L))
+    assert(TableManifest.append(spark, tbl, late, batchId = Some(7L)).isEmpty,
+      "replay after the raced compaction must still be covered")
+  }
+
   test("streamingSink is exactly-once under a REAL foreachBatch replay: " +
       "re-offering the last batch after a torn checkpoint commits nothing") {
     import spark.implicits._
