@@ -467,6 +467,49 @@ object TableManifest {
       ()
     }
 
+  /** Truncate the permanent manifest log to its newest `keepVersions`
+    * entries — the retention knob for long-lived streaming tables,
+    * where one small JSON per commit makes every log listing O(table
+    * age). Returns the number of manifests dropped.
+    *
+    * ABA safety (why the log is otherwise permanent — see [[vacuum]]):
+    * deleting a manifest frees its seq for re-claim by a stale writer.
+    * A live writer claims (its view of the head)+1 and re-lists on
+    * every lost race, so its claim trails the head by at most the
+    * commits that landed since its last listing — `keepVersions`
+    * therefore bounds the tolerated writer staleness in COMMITS. The
+    * floor of 8 plus the default of 100 keep the deleted seqs far
+    * below anything a live writer can claim; truncating a table to
+    * near the floor is only safe when no writer can sleep across that
+    * many commits between listing and claiming.
+    *
+    * Data below the cut leaves the time-travel window by definition, so
+    * generations referenced ONLY by dropped manifests are vacuumed
+    * first (without this they would leak forever once their manifests
+    * are gone); generations shared with any KEPT version survive, so
+    * the kept suffix stays fully readable. */
+  def truncateLog(spark: SparkSession, tableDir: String,
+                  keepVersions: Int = 100): Int = {
+    require(keepVersions >= 8,
+      s"TableManifest: keepVersions must be >= 8 (got $keepVersions) — " +
+        "deleted seqs become claimable by stale writers (ABA), the " +
+        "window is the staleness bound")
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    val ms = manifestFiles(spark, tableDir)
+    if (ms.size <= keepVersions) return 0
+    val (drop, keep) = ms.splitAt(ms.size - keepVersions)
+    val keepGens =
+      keep.flatMap(parseSnapshot(spark, _).generations).toSet
+    drop.foreach { m =>
+      parseSnapshot(spark, m).generations
+        .filterNot(keepGens.contains)
+        .foreach(g => fs.delete(new Path(root, g), true))
+      fs.delete(m, false)
+    }
+    drop.size
+  }
+
   /** Reconcile state after a crash: apply the retention rule (keep the
     * two newest manifests and the generations they reference) AND drop
     * future-seq orphans — generations and commit tmps a crashed commit

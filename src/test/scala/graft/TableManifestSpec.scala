@@ -309,6 +309,50 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.read(spark, tbl).count() == 20)
   }
 
+  test("truncateLog bounds the permanent log: drops exactly the oldest " +
+      "manifests, vacuums data referenced only below the cut, keeps the " +
+      "suffix fully readable, and the table keeps committing") {
+    import spark.implicits._
+    val tbl = tmpTable("maniftrunc")
+    def batch(tag: String, from: Int, n: Int) =
+      (from until from + n).map(i => (i.toLong, tag)).toDF("id", "tag")
+    TableManifest.publish(spark, tbl, batch("base", 0, 20))
+    (0 until 11).foreach { b =>
+      TableManifest.append(spark, tbl, batch(s"b$b", 100 + b * 10, 10),
+        batchId = Some(b.toLong))
+    }
+    assert(TableManifest.versions(spark, tbl).size == 12)
+    // floor: a tiny window is an ABA hazard, refuse it
+    intercept[IllegalArgumentException] {
+      TableManifest.truncateLog(spark, tbl, keepVersions = 2)
+    }
+    assert(TableManifest.truncateLog(spark, tbl, keepVersions = 8) == 4)
+    assert(TableManifest.truncateLog(spark, tbl, keepVersions = 8) == 0,
+      "idempotent when already inside the window")
+    // the kept suffix is versions 5..12, all still fully readable
+    // (append chain: their generations are shared with the head)
+    val vs = TableManifest.versions(spark, tbl)
+    assert(vs == (5L to 12L), vs.toString)
+    assert(TableManifest.read(spark, tbl).count() == 20 + 11 * 10)
+    assert(TableManifest.readVersion(spark, tbl, 5L).count() == 20 + 4 * 10)
+    // versions below the cut are gone from the log
+    val err = intercept[IllegalArgumentException] {
+      TableManifest.readVersion(spark, tbl, 4L)
+    }
+    assert(err.getMessage.contains("retained"), err.getMessage)
+    // the table keeps committing: watermark intact, appends continue
+    assert(TableManifest.lastBatchId(spark, tbl).contains(10L))
+    assert(TableManifest.append(spark, tbl, batch("b11", 300, 5),
+      batchId = Some(11L)).isDefined)
+    assert(TableManifest.read(spark, tbl).count() == 20 + 11 * 10 + 5)
+    // a rewrite then cuts history as usual and data-only vacuum still
+    // works over the truncated log
+    TableManifest.rewrite(spark, tbl)(_.coalesce(1))
+    TableManifest.rewrite(spark, tbl)(df => df)
+    assert(TableManifest.read(spark, tbl).count() == 20 + 11 * 10 + 5)
+    assert(TableManifest.versions(spark, tbl).size == 2)
+  }
+
   test("recover reconciles crash debris: orphan next-generations and " +
       "stale manifest tmps are dropped, the pointer never moves") {
     import spark.implicits._
