@@ -1328,6 +1328,67 @@ object Audit {
       .orderBy("event_type")
   }
 
+  // --------------------------------------------------------------- q245
+  /** q245 entry: reader-safe OPTIMIZE through the manifest
+    * ([[graft.ops.TableManifest.optimizeManifested]]) — q240's
+    * metadata-priced maintenance verb re-expressed on the pointer
+    * protocol, where execution needs no maintenance window. An ingest
+    * is simulated the way it actually fragments: a published base plus
+    * two appended micro-batches (three generations, 12 data files);
+    * the optimize decision is priced from the generation listing and
+    * compacts through ONE atomic commit; a SECOND optimize must then
+    * decide `skip` and commit nothing (idempotence — the decision, not
+    * just the rewrite, is under the gate). Emitted per user bucket:
+    * post-optimize row count and content checksum read through the new
+    * generation (oracle-pinned against the SOURCE rows),
+    * `checksum_match` vs the pre-optimize manifest, the two decisions,
+    * and `files_ok` (the new generation holds exactly the planned file
+    * count AND the skip committed no version). */
+  def q245OptimizeManifested(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q245_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    TableManifest.publish(spark, fixture,
+      ev.filter(col("event_id") < 4000).repartition(8))
+    TableManifest.append(spark, fixture,
+      ev.filter(col("event_id") >= 4000 && col("event_id") < 5000)
+        .repartition(2), batchId = Some(0L))
+    TableManifest.append(spark, fixture,
+      ev.filter(col("event_id") >= 5000 && col("event_id") < 6000)
+        .repartition(2), batchId = Some(1L))
+    def manifest(df: DataFrame): DataFrame =
+      partitionChecksums(df, pmod(col("user_id"), lit(8L)),
+        Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+          col("event_type")))
+    val before = manifest(TableManifest.read(spark, fixture))
+      .select(col("part"), col("n_rows").as("rows_before"),
+        col("checksum").as("sum_before"))
+      .localCheckpoint(true)
+    // generous target: 12 small files collapse to the 1-file plan
+    val (action, gen) =
+      TableManifest.optimizeManifested(spark, fixture, 1L << 30)
+    val versionsAfter = TableManifest.versions(spark, fixture).last
+    val (action2, gen2) =
+      TableManifest.optimizeManifested(spark, fixture, 1L << 30)
+    val after = TableManifest.read(spark, fixture)
+    val filesOk = gen.isDefined && after.inputFiles.length == 1 &&
+      gen2.isEmpty &&
+      TableManifest.versions(spark, fixture).last == versionsAfter
+    manifest(after)
+      .join(before, "part")
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        (col("checksum") === col("sum_before") &&
+          col("n_rows") === col("rows_before")).as("checksum_match"),
+        lit(action).as("action"), lit(action2).as("reoptimize_action"),
+        lit(filesOk).as("files_ok"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1379,6 +1440,7 @@ object Audit {
     "q242_manifest_rewrite" -> q242ManifestRewrite _,
     "q243_time_travel" -> q243TimeTravel _,
     "q244_exactly_once_ingest" -> q244ExactlyOnceIngest _,
+    "q245_optimize_manifested" -> q245OptimizeManifested _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1583,6 +1645,20 @@ object Audit {
         |       TRUE AS exactly_once
         |FROM events WHERE event_id < 6000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q245: reader-safe OPTIMIZE through the manifest — content identity
+    // after the compaction commit, pinned from the source; the
+    // action/idempotence/file-count booleans are in-engine claims whose
+    // protocol halves TableManifestSpec proves
+    "q245_optimize_manifested" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS checksum_match, 'compact' AS action,
+        |       'skip' AS reoptimize_action, TRUE AS files_ok
+        |FROM events WHERE event_id < 6000
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

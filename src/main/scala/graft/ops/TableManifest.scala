@@ -467,6 +467,45 @@ object TableManifest {
       ()
     }
 
+  /** Reader-safe OPTIMIZE through the manifest — the pointer-table twin
+    * of [[Layout.optimizeTable]]'s swap-managed verb, with the decision
+    * priced the same way (metadata, never a data scan) but the
+    * execution reader-isolated (one atomic commit; a concurrent reader
+    * resolves the old generation set or the new one, never a mix, no
+    * maintenance window).
+    *
+    * Decision: list the CURRENT generation set's data files (directory
+    * metadata — an append-heavy ingest leaves one small file per
+    * batch); the plan size is ceil(totalBytes / targetBytes) files. At
+    * or below it → `("skip", None)`: no generation written, no version
+    * committed, the optimize is idempotent. Above it → a [[rewrite]]
+    * coalescing to the plan size — coalesce, not repartition: merging
+    * needs no shuffle and preserves the generations' relative order, so
+    * an ingest clustered by arrival stays clustered. A clustering
+    * rewrite is the same one-liner through [[rewrite]] with a sort —
+    * the verb stays a composition, not a second protocol. */
+  def optimizeManifested(spark: SparkSession, tableDir: String,
+                         targetBytes: Long): (String, Option[String]) = {
+    require(targetBytes > 0,
+      s"optimizeManifested: targetBytes must be positive: $targetBytes")
+    val fs = fsOf(spark, tableDir)
+    val gens = currentGenerations(spark, tableDir)
+    require(gens.nonEmpty,
+      s"TableManifest: no manifest at $tableDir — not a manifested " +
+        "table (publish() first)")
+    val files = gens.flatMap { g =>
+      fs.listStatus(new Path(s"$tableDir/$g")).filter { e =>
+        val n = e.getPath.getName
+        e.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val planFiles = math.max(1L,
+      (files.map(_.getLen).sum + targetBytes - 1) / targetBytes)
+    if (files.size <= planFiles) ("skip", None)
+    else ("compact",
+      Some(rewrite(spark, tableDir)(_.coalesce(planFiles.toInt))))
+  }
+
   /** Truncate the permanent manifest log to its newest `keepVersions`
     * entries — the retention knob for long-lived streaming tables,
     * where one small JSON per commit makes every log listing O(table

@@ -309,6 +309,52 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.read(spark, tbl).count() == 20)
   }
 
+  test("optimizeManifested: fragmented ingest compacts through ONE " +
+      "atomic commit with content identical; an already-compact table " +
+      "decides skip and commits NOTHING; the plan follows the byte target") {
+    import spark.implicits._
+    val tbl = tmpTable("manifopt")
+    def batch(from: Int, n: Int) =
+      (from until from + n).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+    TableManifest.publish(spark, tbl, batch(0, 400).repartition(6))
+    TableManifest.append(spark, tbl, batch(400, 100).repartition(3))
+    TableManifest.append(spark, tbl, batch(500, 100).repartition(3))
+    val beforeRows = TableManifest.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(TableManifest.read(spark, tbl).inputFiles.length == 12)
+    val headBefore = TableManifest.versions(spark, tbl).last
+    // generous target → 1-file plan → compact
+    val (a1, g1) = TableManifest.optimizeManifested(spark, tbl, 1L << 30)
+    assert(a1 == "compact" && g1.isDefined)
+    val opt = TableManifest.read(spark, tbl)
+    assert(opt.inputFiles.length == 1)
+    assert(opt.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      beforeRows, "optimize changed table content")
+    assert(TableManifest.versions(spark, tbl).last == headBefore + 1)
+    // second pass: at the plan already → skip, and NO version commits
+    val (a2, g2) = TableManifest.optimizeManifested(spark, tbl, 1L << 30)
+    assert(a2 == "skip" && g2.isEmpty)
+    assert(TableManifest.versions(spark, tbl).last == headBefore + 1,
+      "a skip decision must not commit a version")
+    // a small byte target plans MORE than one file
+    val bytes = {
+      val fs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val gen = TableManifest.currentGenerations(spark, tbl).head
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$tbl/$gen"))
+        .filter(e => e.isFile && !e.getPath.getName.startsWith("_") &&
+          !e.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    }
+    // re-fragment, then optimize to a ~half-table target → 2-file plan
+    TableManifest.rewrite(spark, tbl)(_.repartition(8))
+    val (a3, _) =
+      TableManifest.optimizeManifested(spark, tbl, math.max(1L, bytes / 2))
+    assert(a3 == "compact")
+    val n3 = TableManifest.read(spark, tbl).inputFiles.length
+    assert(n3 >= 2 && n3 < 8, s"expected a ~2-3 file plan, got $n3")
+  }
+
   test("truncateLog bounds the permanent log: drops exactly the oldest " +
       "manifests, vacuums data referenced only below the cut, keeps the " +
       "suffix fully readable, and the table keeps committing") {
