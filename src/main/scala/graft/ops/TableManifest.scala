@@ -97,6 +97,16 @@ object TableManifest {
     * table at that version and the exactly-once batch watermark. */
   private case class Snapshot(generations: Seq[String], batch: Option[Long])
 
+  /** [[parseSnapshot]] tolerant of the one mutation the permanent log
+    * allows — [[truncateLog]] deleting an OLD manifest between a
+    * walker's listing and its open. Returns None exactly then; any
+    * other failure (unparseable body, IO error on a present file)
+    * still throws. */
+  private def parseSnapshotIfPresent(spark: SparkSession,
+                                     manifest: Path): Option[Snapshot] =
+    try Some(parseSnapshot(spark, manifest))
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Parse a manifest body. Two wire forms, both emitted by this file's
     * history: `{"generation":"g"}` (single, the r10 original) and
     * `{"generations":["g1","g2"],"batch":7}` (set + watermark). */
@@ -175,9 +185,10 @@ object TableManifest {
     val fs = fsOf(spark, tableDir)
     val alive = scala.collection.mutable.Map.empty[String, Boolean]
     manifestFiles(spark, tableDir).reverseIterator
-      .map(m => (manifestSeq(m.getName), parseSnapshot(spark, m)))
-      .takeWhile(_._2.generations.forall(g =>
-        alive.getOrElseUpdate(g, fs.exists(new Path(s"$tableDir/$g")))))
+      .map(m => (manifestSeq(m.getName),
+        parseSnapshotIfPresent(spark, m))) // truncated mid-walk = window end
+      .takeWhile(_._2.exists(_.generations.forall(g =>
+        alive.getOrElseUpdate(g, fs.exists(new Path(s"$tableDir/$g"))))))
       .map(_._1).toSeq.reverse
   }
 
@@ -211,12 +222,13 @@ object TableManifest {
     val fs = fsOf(spark, tableDir)
     val gens = manifestFiles(spark, tableDir)
       .find(p => manifestSeq(p.getName) == version)
-      .map(parseSnapshot(spark, _).generations)
+      .flatMap(parseSnapshotIfPresent(spark, _)) // truncated between
+      .map(_.generations)                        // listing and open
       .filter(_.forall(g => fs.exists(new Path(s"$tableDir/$g"))))
       .getOrElse(throw new IllegalArgumentException(
         s"TableManifest: version $version not retained at $tableDir — " +
-          "never committed, or its data was vacuumed (retained: " +
-          s"${versions(spark, tableDir).mkString(",")})"))
+          "never committed, truncated, or its data was vacuumed " +
+          s"(retained: ${versions(spark, tableDir).mkString(",")})"))
     spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
   }
 
@@ -485,42 +497,76 @@ object TableManifest {
     * rewrite is the same one-liner through [[rewrite]] with a sort —
     * the verb stays a composition, not a second protocol. */
   def optimizeManifested(spark: SparkSession, tableDir: String,
-                         targetBytes: Long): (String, Option[String]) = {
+                         targetBytes: Long,
+                         maxRetries: Int = 3): (String, Option[String]) = {
     require(targetBytes > 0,
       s"optimizeManifested: targetBytes must be positive: $targetBytes")
     val fs = fsOf(spark, tableDir)
-    val gens = currentGenerations(spark, tableDir)
-    require(gens.nonEmpty,
-      s"TableManifest: no manifest at $tableDir — not a manifested " +
-        "table (publish() first)")
-    val files = gens.flatMap { g =>
-      fs.listStatus(new Path(s"$tableDir/$g")).filter { e =>
-        val n = e.getPath.getName
-        e.isFile && !n.startsWith("_") && !n.startsWith(".")
+    // The WHOLE decide-then-execute cycle retries together: a resolved
+    // generation can be vacuumed by two commits landing between the
+    // resolve and the listing (the stalled-reader race read() retries
+    // for), and a plan priced from a superseded listing must not be
+    // committed against a newer head (rewrite would retry the DATA
+    // against the new head but coalesce to the stale plan). Each
+    // attempt re-resolves, re-prices, and commits with rewrite's own
+    // retry disabled so a lost race comes back here.
+    var attempts = 0
+    var last: String = ""
+    while (attempts <= maxRetries) {
+      attempts += 1
+      try {
+        val gens = currentGenerations(spark, tableDir)
+        require(gens.nonEmpty,
+          s"TableManifest: no manifest at $tableDir — not a manifested " +
+            "table (publish() first)")
+        val files = gens.flatMap(g => dataFiles(fs, s"$tableDir/$g"))
+        val planFiles = math.max(1L,
+          (files.map(_.getLen).sum + targetBytes - 1) / targetBytes)
+        return if (files.size <= planFiles) ("skip", None)
+        else ("compact", Some(rewrite(spark, tableDir, maxRetries = 0)(
+          _.coalesce(planFiles.toInt))))
+      } catch {
+        case e: IllegalArgumentException => throw e // not-a-table: loud
+        case scala.util.control.NonFatal(e) => last = e.toString
       }
     }
-    val planFiles = math.max(1L,
-      (files.map(_.getLen).sum + targetBytes - 1) / targetBytes)
-    if (files.size <= planFiles) ("skip", None)
-    else ("compact",
-      Some(rewrite(spark, tableDir)(_.coalesce(planFiles.toInt))))
+    throw new java.io.IOException(
+      s"TableManifest: optimizeManifested at $tableDir did not settle " +
+        s"in $attempts attempts (last: $last) — writer storm?")
   }
+
+  /** The data files of one directory: parquet parts only — committer
+    * markers (`_SUCCESS`), hidden staging, and checksum siblings are
+    * metadata, not content. Shared by the optimize pricing and its
+    * specs so the notion of "data file" cannot drift between them. */
+  private[graft] def dataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(new Path(dir)).filter { e =>
+      val n = e.getPath.getName
+      e.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toSeq
 
   /** Truncate the permanent manifest log to its newest `keepVersions`
     * entries — the retention knob for long-lived streaming tables,
     * where one small JSON per commit makes every log listing O(table
     * age). Returns the number of manifests dropped.
     *
-    * ABA safety (why the log is otherwise permanent — see [[vacuum]]):
-    * deleting a manifest frees its seq for re-claim by a stale writer.
-    * A live writer claims (its view of the head)+1 and re-lists on
-    * every lost race, so its claim trails the head by at most the
-    * commits that landed since its last listing — `keepVersions`
-    * therefore bounds the tolerated writer staleness in COMMITS. The
-    * floor of 8 plus the default of 100 keep the deleted seqs far
-    * below anything a live writer can claim; truncating a table to
-    * near the floor is only safe when no writer can sleep across that
-    * many commits between listing and claiming.
+    * MUST run with NO WRITER ACTIVE — [[recover]]'s contract, for the
+    * same reason recovery has it: deleting a manifest frees its seq for
+    * re-claim (the ABA the permanent log exists to prevent —
+    * [[vacuum]]), and an in-flight append's claim window is
+    * WALL-CLOCK-unbounded (it lists the head, then writes its data
+    * generation for as long as the batch takes, then links); no
+    * version-count window can bound a slow writer, so no keepVersions
+    * value makes truncation safe under active writers. Concurrent
+    * READERS stay safe with no coordination: the head manifests are
+    * untouched, and the log walkers ([[versions]]/[[readVersion]])
+    * treat a manifest deleted between their listing and their open as
+    * the end of the retained window. The keepVersions floor is
+    * defense-in-depth for accidental contract violations — a freed seq
+    * at least `keepVersions` commits below the head is unreachable by
+    * any writer whose listing is newer than the truncation's.
     *
     * Data below the cut leaves the time-travel window by definition, so
     * generations referenced ONLY by dropped manifests are vacuumed
@@ -532,7 +578,7 @@ object TableManifest {
     require(keepVersions >= 8,
       s"TableManifest: keepVersions must be >= 8 (got $keepVersions) — " +
         "deleted seqs become claimable by stale writers (ABA), the " +
-        "window is the staleness bound")
+        "window is the defense-in-depth bound")
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
     val ms = manifestFiles(spark, tableDir)
@@ -541,10 +587,14 @@ object TableManifest {
     val keepGens =
       keep.flatMap(parseSnapshot(spark, _).generations).toSet
     drop.foreach { m =>
-      parseSnapshot(spark, m).generations
-        .filterNot(keepGens.contains)
-        .foreach(g => fs.delete(new Path(root, g), true))
-      fs.delete(m, false)
+      // already gone = another truncation raced this one (a contract
+      // violation the walk tolerates rather than crashes on)
+      parseSnapshotIfPresent(spark, m).foreach { s =>
+        s.generations
+          .filterNot(keepGens.contains)
+          .foreach(g => fs.delete(new Path(root, g), true))
+        fs.delete(m, false)
+      }
     }
     drop.size
   }

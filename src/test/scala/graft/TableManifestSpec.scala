@@ -341,10 +341,7 @@ class TableManifestSpec extends AnyFunSuite {
       val fs = new org.apache.hadoop.fs.Path(tbl)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val gen = TableManifest.currentGenerations(spark, tbl).head
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$tbl/$gen"))
-        .filter(e => e.isFile && !e.getPath.getName.startsWith("_") &&
-          !e.getPath.getName.startsWith("."))
-        .map(_.getLen).sum
+      TableManifest.dataFiles(fs, s"$tbl/$gen").map(_.getLen).sum
     }
     // re-fragment, then optimize to a ~half-table target → 2-file plan
     TableManifest.rewrite(spark, tbl)(_.repartition(8))
