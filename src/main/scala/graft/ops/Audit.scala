@@ -1389,6 +1389,51 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q246
+  /** q246 entry: the manifested CDC-UPSERT sink
+    * ([[graft.ops.TableManifest.upsertSink]]) under the content-identity
+    * gate — the reader-safe, versioned successor of the swap-based
+    * upsert snapshot, batch-parity form. Three micro-batches of change
+    * events upsert the latest-row-per-user snapshot through the
+    * manifest; batch 1 is RE-OFFERED (the torn-checkpoint replay) and
+    * must skip via the watermark — observed as the head version NOT
+    * advancing — rather than lean on merge idempotence. The final
+    * snapshot must hold exactly the total-order winner per user across
+    * ALL batches (per-key latest is associative, so the incremental
+    * merges must agree with the oracle's one-shot window), emitted per
+    * user bucket: row count and content checksum over (user, winning
+    * event id, type), pinned by DuckDB from the source. */
+  def q246UpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q246_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    def slice(lo: Long, hi: Long): DataFrame =
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    val sink = TableManifest.upsertSink(fixture,
+      keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id")
+    sink(slice(0, 2000), 0L)
+    sink(slice(2000, 4000), 1L)
+    val head = TableManifest.versions(spark, fixture).last
+    sink(slice(2000, 4000), 1L) // torn-checkpoint replay: must skip
+    val replaySkipped =
+      TableManifest.versions(spark, fixture).last == head
+    sink(slice(4000, 6000), 2L)
+    val exactlyOnce = replaySkipped &&
+      TableManifest.lastBatchId(spark, fixture).contains(2L)
+    partitionChecksums(TableManifest.read(spark, fixture),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(exactlyOnce).as("exactly_once"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1441,6 +1486,7 @@ object Audit {
     "q243_time_travel" -> q243TimeTravel _,
     "q244_exactly_once_ingest" -> q244ExactlyOnceIngest _,
     "q245_optimize_manifested" -> q245OptimizeManifested _,
+    "q246_upsert_sink" -> q246UpsertSink _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1658,6 +1704,24 @@ object Audit {
         |       TRUE AS checksum_match, 'compact' AS action,
         |       'skip' AS reoptimize_action, TRUE AS files_ok
         |FROM events WHERE event_id < 6000
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q246: manifested CDC upsert — the incremental per-batch merges
+    // must land exactly the oracle's ONE-SHOT total-order winner per
+    // user (per-key latest is associative); a replayed batch id must
+    // change nothing (the watermark skip TableManifestSpec drives from
+    // a real torn checkpoint)
+    "q246_upsert_sink" ->
+      """WITH w AS (SELECT user_id, event_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events WHERE event_id < 6000)
+        |SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS exactly_once
+        |FROM w WHERE rn = 1
         |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,

@@ -427,7 +427,21 @@ object TableManifest {
     * failure (e.g. the base generation vacuumed mid-read by two faster
     * rewrites) retries the same way; `maxRetries` bounds the loop. */
   def rewrite(spark: SparkSession, tableDir: String, maxRetries: Int = 3)
-             (transform: DataFrame => DataFrame): String = {
+             (transform: DataFrame => DataFrame): String =
+    rewriteBatch(spark, tableDir, batchId = None, maxRetries)(transform)
+      .get // never a replay without a batch id
+
+  /** [[rewrite]] carrying an exactly-once batch watermark — the REPLACE
+    * half of what [[append]]'s `batchId` is to the add half: a
+    * `foreachBatch` sink whose batches MERGE into the table (CDC
+    * upsert) rewrites it per batch, and a replay after a torn
+    * checkpoint must skip, not re-merge. Returns None exactly on a
+    * covered replay (nothing read, nothing written, nothing
+    * committed); the covered check re-runs on every lost-race retry, so
+    * a replay racing its own first delivery cannot double-commit. */
+  def rewriteBatch(spark: SparkSession, tableDir: String,
+                   batchId: Option[Long], maxRetries: Int = 3)
+                  (transform: DataFrame => DataFrame): Option[String] = {
     var attempts = 0
     var lastRace: String = ""
     while (attempts <= maxRetries) {
@@ -437,6 +451,8 @@ object TableManifest {
           "table (publish() first)")
       val seq = manifestSeq(ms.last.getName)
       val snap = parseSnapshot(spark, ms.last)
+      if (batchId.exists(b => snap.batch.exists(_ >= b)))
+        return None // replay: the watermark already covers this batch
       attempts += 1
       val gen =
         try {
@@ -448,11 +464,11 @@ object TableManifest {
             lastRace = e.toString; None // stale base read — retry
         }
       gen.foreach { g =>
-        if (commitSnapshot(spark, tableDir, seq + 1,
-            Snapshot(Seq(g), snap.batch))) {
+        if (commitSnapshot(spark, tableDir, seq + 1, Snapshot(Seq(g),
+            (snap.batch.toSeq ++ batchId.toSeq).maxOption))) {
           vacuum(spark, tableDir, ms :+ manifestPath(tableDir, seq + 1),
             keepGens = snap.generations.toSet + g, dropFutureSeq = false)
-          return g
+          return Some(g)
         }
         // lost the CAS: the transform result is STALE (derived from a
         // superseded version) — never commit it later, re-derive
@@ -464,6 +480,31 @@ object TableManifest {
       s"TableManifest: rewrite at $tableDir did not commit in " +
         s"$attempts attempts (last: $lastRace) — writer storm?")
   }
+
+  /** A `foreachBatch` CDC-upsert sink materializing the LATEST row per
+    * key through the manifest — [[graft.streaming.Streams.upsertSnapshotSink]]'s
+    * reader-safe, versioned successor: each micro-batch merges into the
+    * current snapshot ([[Temporal.latestSnapshot]]'s total-order winner
+    * per key, so late and duplicate deliveries resolve
+    * deterministically) and commits as ONE new version — concurrent
+    * readers resolve a whole snapshot, never a half-swapped tree, and
+    * the superseded snapshot stays time-travel-readable. The batch id
+    * rides the commit as the exactly-once watermark, so a torn-
+    * checkpoint replay skips outright instead of leaning on merge
+    * idempotence. The table must be [[publish]]ed first (schema seed —
+    * `updates.limit(0)` works). Cost note: an upsert rewrites the
+    * snapshot per batch (the plain-parquet CDC cost, same as the swap
+    * sink); at scale, key-bucket the snapshot and merge only touched
+    * buckets — the commit contract is unchanged. */
+  def upsertSink(tableDir: String, keyCols: Seq[String], tsCol: String,
+                 tieCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      rewriteBatch(batch.sparkSession, tableDir, Some(batchId)) { cur =>
+        Temporal.latestSnapshot(cur.unionByName(batch.toDF()),
+          keyCols, tsCol, tieCol)
+      }
+      ()
+    }
 
   /** A `foreachBatch` sink committing each micro-batch through the
     * manifest with its batch id as the exactly-once watermark: after a
