@@ -358,7 +358,10 @@ object TableManifest {
   /** Append `df` as one more generation — O(batch) data cost, the table
     * is never rewritten. Returns the committed generation's name, or
     * None when `batchId` is a replay the watermark already covers
-    * (exactly-once ingest: nothing is written, nothing committed).
+    * (exactly-once ingest: nothing is written, nothing committed —
+    * under the single-writer watermark contract on [[rewriteBatch]]:
+    * one global monotone id per table, so a rebuilt checkpoint's
+    * restarted ids silently skip until they pass the old watermark).
     *
     * Concurrency: the fail-if-exists commit is a compare-and-swap — on a
     * lost race the append REBASES (re-reads the winner's generation set,
@@ -438,7 +441,22 @@ object TableManifest {
     * checkpoint must skip, not re-merge. Returns None exactly on a
     * covered replay (nothing read, nothing written, nothing
     * committed); the covered check re-runs on every lost-race retry, so
-    * a replay racing its own first delivery cannot double-commit. */
+    * a replay racing its own first delivery cannot double-commit.
+    *
+    * WATERMARK CONTRACT (also binds [[append]]/[[streamingSink]]/
+    * [[upsertSink]]): the watermark is ONE global monotone id per
+    * table, with no writer identity — exactly-once holds for a SINGLE
+    * logical writer whose batch ids never restart (Structured
+    * Streaming's batch ids under one preserved checkpoint). Rebuilding
+    * the checkpoint (ids restart at 0) or pointing a SECOND batch-id'd
+    * query at the same table makes every id at-or-below the table's
+    * watermark read as a replay — batches silently skip. Recovery
+    * after a lost checkpoint: treat the table as the new stream's seed
+    * (re-publish, or continue with append(batchId = None) until ids
+    * pass the old watermark). Per-writer watermarks (Delta's
+    * txnAppId/txnVersion) are the extension point if multi-writer
+    * exactly-once is ever needed; the protocol slot is the manifest's
+    * batch field becoming a map. */
   def rewriteBatch(spark: SparkSession, tableDir: String,
                    batchId: Option[Long], maxRetries: Int = 3)
                   (transform: DataFrame => DataFrame): Option[String] = {
@@ -491,8 +509,10 @@ object TableManifest {
     * the superseded snapshot stays time-travel-readable. The batch id
     * rides the commit as the exactly-once watermark, so a torn-
     * checkpoint replay skips outright instead of leaning on merge
-    * idempotence. The table must be [[publish]]ed first (schema seed —
-    * `updates.limit(0)` works). Cost note: an upsert rewrites the
+    * idempotence — under [[rewriteBatch]]'s single-writer watermark
+    * contract (one preserved checkpoint; restarted or second-writer ids
+    * silently skip). The table must be [[publish]]ed first (schema seed
+    * — `updates.limit(0)` works). Cost note: an upsert rewrites the
     * snapshot per batch (the plain-parquet CDC cost, same as the swap
     * sink); at scale, key-bucket the snapshot and merge only touched
     * buckets — the commit contract is unchanged. */
@@ -510,7 +530,10 @@ object TableManifest {
     * manifest with its batch id as the exactly-once watermark: after a
     * crash between the sink's commit and the checkpoint's, Structured
     * Streaming re-offers the batch under the SAME id and [[append]]
-    * skips it — end-to-end exactly-once on plain parquet. Usage:
+    * skips it — end-to-end exactly-once on plain parquet, under the
+    * single-writer watermark contract documented on [[rewriteBatch]]
+    * (one preserved checkpoint; a rebuilt checkpoint's restarted ids
+    * read as replays and silently skip). Usage:
     * `stream.writeStream.foreachBatch(TableManifest.streamingSink(dir))`.
     * The table must be [[publish]]ed first (its schema seed); an empty
     * seed `df.limit(0)` works. */

@@ -251,51 +251,68 @@ class TableManifestSpec extends AnyFunSuite {
       "replay after the raced compaction must still be covered")
   }
 
+  // ---- streaming-harness helpers shared by the foreachBatch replay
+  // tests: a staged-then-atomic-move parquet input writer, an
+  // AvailableNow one-file-per-batch runner, and the torn-checkpoint
+  // surgery. The surgery is subtle: the commit record AND its hidden
+  // .crc sibling must be deleted together, or the restart fails on the
+  // CRC rename instead of replaying the batch.
+  private def stageInput(base: String, name: String,
+                         df: org.apache.spark.sql.DataFrame): Unit = {
+    df.coalesce(1).write.parquet(s"$base/stage_$name") // stage whole…
+    val f = new java.io.File(s"$base/stage_$name").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head // …then move atomically
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+  }
+
+  private def runAvailableNow(schema: String, in: String, ckpt: String,
+      sink: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Tear the checkpoint: offsets for the last batch survive, its
+    * commit record does not — EXACTLY the crash window foreachBatch
+    * re-offers the batch for, under the same batch id. */
+  private def tearLastCommit(ckpt: String): Unit = {
+    val committed = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).sorted
+    assert(committed.nonEmpty)
+    assert(new java.io.File(s"$ckpt/commits/${committed.last}").delete())
+    new java.io.File(s"$ckpt/commits/.${committed.last}.crc").delete()
+  }
+
+  private def emptySeed(schema: String): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+
   test("streamingSink is exactly-once under a REAL foreachBatch replay: " +
       "re-offering the last batch after a torn checkpoint commits nothing") {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "manifsink").toString
     val in = s"$base/in"; val tbl = s"$base/t"; val ckpt = s"$base/ckpt"
     new java.io.File(in).mkdirs()
     def writeInput(name: String, from: Int, n: Int): Unit =
-      (from until from + n).map(i => (i.toLong, s"r$i")).toDF("id", "v")
-        .coalesce(1).write.parquet(s"$base/stage_$name") // stage whole…
-    def promote(name: String): Unit = { // …then move atomically into in/
-      val f = new java.io.File(s"$base/stage_$name").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$in/$name.parquet"))
-    }
-    writeInput("f1", 0, 8); promote("f1")
-    writeInput("f2", 8, 8); promote("f2")
+      stageInput(base, name,
+        (from until from + n).map(i => (i.toLong, s"r$i")).toDF("id", "v"))
+    writeInput("f1", 0, 8)
+    writeInput("f2", 8, 8)
     val schema = "id BIGINT, v STRING"
-    TableManifest.publish(spark, tbl,
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(schema)))
-    def runOnce(): Unit = {
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .writeStream.foreachBatch(TableManifest.streamingSink(tbl))
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    TableManifest.publish(spark, tbl, emptySeed(schema))
+    def runOnce(): Unit =
+      runAvailableNow(schema, in, ckpt, TableManifest.streamingSink(tbl))
     runOnce()
     assert(TableManifest.read(spark, tbl).count() == 16)
     val lastBatch = TableManifest.lastBatchId(spark, tbl).get
-    // tear the checkpoint: offsets for the last batch survive, its commit
-    // record does not — EXACTLY the crash window foreachBatch re-offers
-    // the batch for, under the same batch id
-    val committed = new java.io.File(s"$ckpt/commits").listFiles()
-      .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).sorted
-    assert(committed.nonEmpty)
-    assert(new java.io.File(s"$ckpt/commits/${committed.last}").delete())
-    // the checksum sibling too — a half-deleted commit record would make
-    // the restart fail on the CRC rename instead of replaying the batch
-    new java.io.File(s"$ckpt/commits/.${committed.last}.crc").delete()
+    tearLastCommit(ckpt)
     runOnce() // replays the torn batch with the same id → sink skips it
     assert(TableManifest.read(spark, tbl).count() == 16,
       "replayed batch was appended twice")
@@ -304,7 +321,7 @@ class TableManifestSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
     assert(dup == 1L, s"duplicate rows after replay: $dup")
     // and NEW data after the recovery still flows
-    writeInput("f3", 16, 4); promote("f3")
+    writeInput("f3", 16, 4)
     runOnce()
     assert(TableManifest.read(spark, tbl).count() == 20)
   }
@@ -356,38 +373,21 @@ class TableManifestSpec extends AnyFunSuite {
       "manifest, exactly-once under a REAL torn-checkpoint replay, with " +
       "the superseded snapshot still time-travel-readable") {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "manifup").toString
     val in = s"$base/in"; val tbl = s"$base/t"; val ckpt = s"$base/ckpt"
     new java.io.File(in).mkdirs()
-    def writeInput(name: String, rows: Seq[(Long, Long, String)]): Unit = {
-      rows.toDF("key", "seq", "state").coalesce(1)
-        .write.parquet(s"$base/stage_$name")
-      val f = new java.io.File(s"$base/stage_$name").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$in/$name.parquet"))
-    }
+    def writeInput(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      stageInput(base, name, rows.toDF("key", "seq", "state"))
     // two files = two micro-batches (maxFilesPerTrigger=1): key 10 is
     // updated across batches, key 20 re-delivered identically, key 30
     // arrives late with an OLDER seq and must lose to the newer state
     writeInput("f1", Seq((10L, 1L, "a"), (20L, 1L, "x"), (30L, 5L, "hot")))
     writeInput("f2", Seq((10L, 2L, "b"), (20L, 1L, "x"), (30L, 3L, "stale")))
     val schema = "key BIGINT, seq BIGINT, state STRING"
-    TableManifest.publish(spark, tbl, spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL(schema)))
+    TableManifest.publish(spark, tbl, emptySeed(schema))
     val sink = TableManifest.upsertSink(tbl, Seq("key"), "seq", "state")
-    def runOnce(): Unit = {
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    def runOnce(): Unit = runAvailableNow(schema, in, ckpt, sink)
     runOnce()
     def snapshot(): Map[Long, (Long, String)] =
       TableManifest.read(spark, tbl).collect()
@@ -395,13 +395,9 @@ class TableManifestSpec extends AnyFunSuite {
     assert(snapshot() == Map(10L -> ((2L, "b")), 20L -> ((1L, "x")),
       30L -> ((5L, "hot"))), snapshot().toString)
     val head = TableManifest.versions(spark, tbl).last
-    // tear the checkpoint (offsets survive, the commit record doesn't)
-    // → the restart re-offers the last batch under the same id and the
+    // the restart re-offers the last batch under the same id and the
     // watermark must SKIP it: the head version does not advance
-    val committed = new java.io.File(s"$ckpt/commits").listFiles()
-      .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).sorted
-    assert(new java.io.File(s"$ckpt/commits/${committed.last}").delete())
-    new java.io.File(s"$ckpt/commits/.${committed.last}.crc").delete()
+    tearLastCommit(ckpt)
     runOnce()
     assert(TableManifest.versions(spark, tbl).last == head,
       "a replayed upsert batch committed a new version")
