@@ -39,13 +39,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-commits `winner's generations ++ its own already-written
   * generation`) — no lost update, no data rewrite on retry.
   *
-  * Exactly-once ingest: a commit may carry a BATCH WATERMARK (`"batch"`
-  * in the manifest). [[append]] with a batch id skips committing when
-  * the current watermark already covers it — a Structured Streaming
-  * `foreachBatch` replay after a crash re-offers the last batch with the
-  * same id and lands exactly once ([[streamingSink]]). [[publish]] and
-  * [[rewrite]] CARRY the watermark forward, so a compaction between
-  * batches cannot reset idempotence and let a replay double-append.
+  * Exactly-once ingest: a commit may carry PER-WRITER BATCH WATERMARKS
+  * (a `"writers": {id → highest batch}` map in the manifest — Delta's
+  * txnAppId/txnVersion model; a legacy r10 `"batch"` field reads as the
+  * default writer's). [[append]] with a (writerId, batchId) skips
+  * committing when that writer's watermark equals it — a Structured
+  * Streaming `foreachBatch` replay after a crash re-offers the last
+  * batch with the same id and lands exactly once ([[streamingSink]]) —
+  * and FAILS LOUDLY on a regressed id (rebuilt checkpoint), see
+  * [[rewriteBatch]]. [[publish]] and [[rewrite]] CARRY the watermarks
+  * forward, so a compaction between batches cannot reset idempotence
+  * and let a replay double-append. Head resolution is O(commits since
+  * the last checkpoint), flat in table age ([[resolveHead]]).
   *
   * A reader resolves the newest manifest once and reads that version's
   * generation set: it sees the old table or the new table, never a mix,
@@ -73,6 +78,20 @@ object TableManifest {
 
   private val ManifestPrefix = "_graft_manifest-"
   private val GenPrefix = "_gen-"
+  private val CheckpointPrefix = "_graft_checkpoint-"
+  private val HintFile = "_graft_last_checkpoint"
+
+  /** Write a state checkpoint every this-many commits (the seam that
+    * makes head resolution O(window) instead of O(table age) — see
+    * [[resolveHead]]). A protocol constant, not a knob: readers and
+    * writers need no agreement on it (checkpoints are derived caches;
+    * any interval would be correct), it only sets the probe bound. */
+  private[graft] val CheckpointInterval = 10L
+
+  /** The writer identity [[append]]/[[rewriteBatch]] record their batch
+    * watermark under when the caller names none — single-sink tables
+    * never need to know writer ids exist. */
+  val DefaultWriter = "default"
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -94,8 +113,21 @@ object TableManifest {
   }
 
   /** One committed table version: the generation set that makes up the
-    * table at that version and the exactly-once batch watermark. */
-  private case class Snapshot(generations: Seq[String], batch: Option[Long])
+    * table at that version and the PER-WRITER exactly-once batch
+    * watermarks (Delta's txnAppId/txnVersion model — r10's single
+    * global `batch` field become a map, exactly the extension point its
+    * watermark contract named). */
+  private[graft] case class Snapshot(generations: Seq[String],
+                                     writers: Map[String, Long]) {
+    def watermark(writerId: String): Option[Long] = writers.get(writerId)
+  }
+
+  private def mergeWriters(a: Map[String, Long],
+                           b: Map[String, Long]): Map[String, Long] =
+    (a.keySet ++ b.keySet).map { w =>
+      w -> math.max(a.getOrElse(w, Long.MinValue),
+        b.getOrElse(w, Long.MinValue))
+    }.toMap
 
   /** [[parseSnapshot]] tolerant of the one mutation the permanent log
     * allows — [[truncateLog]] deleting an OLD manifest between a
@@ -107,15 +139,21 @@ object TableManifest {
     try Some(parseSnapshot(spark, manifest))
     catch { case _: java.io.FileNotFoundException => None }
 
-  /** Parse a manifest body. Two wire forms, both emitted by this file's
-    * history: `{"generation":"g"}` (single, the r10 original) and
-    * `{"generations":["g1","g2"],"batch":7}` (set + watermark). */
+  private def readSmall(spark: SparkSession, p: Path): String = {
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Parse a manifest body. Three wire forms, all emitted by this
+    * file's history: `{"generation":"g"}` (single, the r10 original),
+    * `{"generations":[…],"batch":7}` (set + single global watermark,
+    * r10 final), and `{"generations":[…],"writers":{"id":7,…}}`
+    * (per-writer watermarks, r11 — a legacy `batch` reads as the
+    * [[DefaultWriter]]'s watermark, so r10 tables upgrade in place). */
   private def parseSnapshot(spark: SparkSession, manifest: Path): Snapshot = {
-    val fs = manifest.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(manifest)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val body = readSmall(spark, manifest)
     val many = """"generations"\s*:\s*\[([^\]]*)\]""".r
       .findFirstMatchIn(body).map { m =>
         """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
@@ -124,22 +162,158 @@ object TableManifest {
       .findFirstMatchIn(body).map(m => Seq(m.group(1)))
     val batch = """"batch"\s*:\s*(-?\d+)""".r
       .findFirstMatchIn(body).map(_.group(1).toLong)
+    val writers = """"writers"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(body).map { m =>
+        """"([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toLong).toMap
+      }.getOrElse(Map.empty[String, Long])
     Snapshot(many.orElse(one).getOrElse(
       throw new IllegalStateException(
         s"TableManifest: unparseable manifest at $manifest: " +
-          body.take(200))), batch)
+          body.take(200))),
+      mergeWriters(writers,
+        batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)))
   }
 
   private def renderSnapshot(s: Snapshot): String = {
     val gens = s.generations.map(graft.JsonEscape.str).mkString("[", ",", "]")
-    val batch = s.batch.map(b => s""","batch":$b""").getOrElse("")
-    s"""{"generations":$gens$batch}"""
+    val writers =
+      if (s.writers.isEmpty) ""
+      else s.writers.toSeq.sortBy(_._1)
+        .map { case (w, b) => s"${graft.JsonEscape.str(w)}:$b" }
+        .mkString(""","writers":{""", ",", "}")
+    s"""{"generations":$gens$writers}"""
+  }
+
+  private def checkpointPath(tableDir: String, seq: Long): Path =
+    new Path(tableDir, f"$CheckpointPrefix$seq%06d.json")
+
+  /** A resolved head: its seq, its snapshot, and the number of
+    * filesystem metadata ops the resolution cost — the test seam for
+    * the O(window) contract (flat in table age, bounded by
+    * [[CheckpointInterval]] + a constant on the checkpointed path). */
+  private[graft] case class HeadInfo(seq: Long, snap: Snapshot, ops: Int)
+
+  /** Resolve the newest committed version WITHOUT listing the manifest
+    * log. The log is permanent (one JSON per commit — [[vacuum]]'s ABA
+    * argument), so a listing-based head lookup is O(table age) on every
+    * commit and read of a long-lived streaming table. Instead:
+    * the `_graft_last_checkpoint` HINT names the newest checkpoint seq
+    * C; the checkpoint file carries the full snapshot at C; and because
+    * commit seqs are DENSE (every commit claims head+1, truncation only
+    * removes a prefix), the head is found by probing C+1, C+2, … until
+    * the first missing manifest — O(commits since the last checkpoint)
+    * ≤ [[CheckpointInterval]] + in-flight, with writers LIVE. One
+    * parse of the last present manifest yields the snapshot.
+    *
+    * The hint is a CACHE, not a correctness input: missing, torn,
+    * stale, or pointing below a truncation cut, resolution falls back
+    * to the full listing (new tables, pre-checkpoint tables, cold
+    * recovery). A concurrent commit landing right after the probe is
+    * ordinary CAS staleness — the committer's rebase handles it the
+    * same as a listing-based race. */
+  private[graft] def resolveHead(spark: SparkSession,
+                                 tableDir: String): Option[HeadInfo] = {
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    var ops = 0
+    val hinted: Option[HeadInfo] =
+      try {
+        ops += 1
+        val hintSeq =
+          if (!fs.exists(new Path(root, HintFile))) None
+          else {
+            ops += 1
+            """"seq"\s*:\s*(\d+)""".r
+              .findFirstMatchIn(readSmall(spark, new Path(root, HintFile)))
+              .map(_.group(1).toLong)
+          }
+        hintSeq.flatMap { c =>
+          val cp = checkpointPath(tableDir, c)
+          ops += 1
+          parseSnapshotIfPresent(spark, cp).map { cpSnap =>
+            var seq = c
+            var snap = cpSnap
+            var probing = true
+            while (probing) {
+              ops += 1
+              if (fs.exists(manifestPath(tableDir, seq + 1))) seq += 1
+              else probing = false
+            }
+            if (seq != c) {
+              ops += 1
+              // the probed head is immutable once present; a parse miss
+              // here means a truncation raced us — fall back
+              snap = parseSnapshotIfPresent(spark,
+                manifestPath(tableDir, seq)).getOrElse(
+                  throw new java.io.FileNotFoundException(
+                    s"head $seq truncated mid-resolve"))
+            }
+            HeadInfo(seq, snap, ops)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted.orElse {
+      ops += 1
+      manifestFiles(spark, tableDir).lastOption.map { p =>
+        HeadInfo(manifestSeq(p.getName), parseSnapshot(spark, p), ops + 1)
+      }
+    }
+  }
+
+  /** The test seam for the flat-resolution contract: the op count one
+    * head resolution costs right now. */
+  private[graft] def headResolutionOps(spark: SparkSession,
+                                       tableDir: String): Int =
+    resolveHead(spark, tableDir).map(_.ops).getOrElse(0)
+
+  /** After WINNING the commit at `seq`: every [[CheckpointInterval]]-th
+    * version, publish the full snapshot as an immutable checkpoint file
+    * (same fail-if-exists primitive — only the seq winner ever writes
+    * it, so the CAS is idempotence, not contention) and refresh the
+    * hint. The hint write is best-effort and atomic-replace (it is a
+    * cache; a torn or stale hint only costs the fallback listing). */
+  private def maybeCheckpoint(spark: SparkSession, tableDir: String,
+                              seq: Long, snapshot: Snapshot): Unit =
+    if (seq % CheckpointInterval == 0) {
+      publishImmutable(spark, tableDir, checkpointPath(tableDir, seq),
+        renderSnapshot(snapshot))
+      try {
+        val fs = fsOf(spark, tableDir)
+        val root = new Path(tableDir)
+        val tmp = new Path(root,
+          s"._manifest-hint-${java.util.UUID.randomUUID}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"""{"seq":$seq}""".getBytes("UTF-8"))
+        finally out.close()
+        val scheme = fs.getUri.getScheme
+        if (scheme == null || scheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(new Path(root, HintFile).toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else {
+          org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri, spark.sessionState.newHadoopConf())
+            .rename(tmp, new Path(root, HintFile),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** [[commitSnapshot]] + [[maybeCheckpoint]] — every commit site goes
+    * through this so no winner can forget its checkpoint duty. */
+  private def commitAndCheckpoint(spark: SparkSession, tableDir: String,
+                                  seq: Long, snapshot: Snapshot): Boolean = {
+    val won = commitSnapshot(spark, tableDir, seq, snapshot)
+    if (won) maybeCheckpoint(spark, tableDir, seq, snapshot)
+    won
   }
 
   private def newestSnapshot(spark: SparkSession,
                              tableDir: String): Option[(Long, Snapshot)] =
-    manifestFiles(spark, tableDir).lastOption.map(p =>
-      (manifestSeq(p.getName), parseSnapshot(spark, p)))
+    resolveHead(spark, tableDir).map(h => (h.seq, h.snap))
 
   /** The generations the newest manifest points at, if the table has
     * been published (one element until the first [[append]]). */
@@ -160,10 +334,14 @@ object TableManifest {
           "(appended table) — use currentGenerations")
     }
 
-  /** The exactly-once batch watermark: the highest batch id a commit has
-    * recorded. [[append]] with a batch id at or below it is a replay. */
-  def lastBatchId(spark: SparkSession, tableDir: String): Option[Long] =
-    newestSnapshot(spark, tableDir).flatMap(_._2.batch)
+  /** The exactly-once batch watermark for one writer identity: the
+    * highest batch id a commit has recorded under `writerId`.
+    * [[append]] under that identity with the same batch id is a replay
+    * (skips); a LOWER id is an id regression and fails loudly (see the
+    * watermark contract on [[rewriteBatch]]). */
+  def lastBatchId(spark: SparkSession, tableDir: String,
+                  writerId: String = DefaultWriter): Option[Long] =
+    newestSnapshot(spark, tableDir).flatMap(_._2.watermark(writerId))
 
   /** The guaranteed-readable version window, ascending: the contiguous
     * HEAD suffix of the permanent manifest log whose data is still fully
@@ -184,12 +362,20 @@ object TableManifest {
   def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
     val fs = fsOf(spark, tableDir)
     val alive = scala.collection.mutable.Map.empty[String, Boolean]
-    manifestFiles(spark, tableDir).reverseIterator
-      .map(m => (manifestSeq(m.getName),
-        parseSnapshotIfPresent(spark, m))) // truncated mid-walk = window end
-      .takeWhile(_._2.exists(_.generations.forall(g =>
-        alive.getOrElseUpdate(g, fs.exists(new Path(s"$tableDir/$g"))))))
-      .map(_._1).toSeq.reverse
+    resolveHead(spark, tableDir) match {
+      case None => Seq.empty
+      case Some(h) =>
+        // commit seqs are dense (every commit claims head+1; truncation
+        // removes only a prefix), so the walk probes direct paths
+        // downward from the head — no log listing
+        Iterator.iterate(h.seq)(_ - 1).takeWhile(_ >= 1)
+          .map(s => (s,
+            if (s == h.seq) Some(h.snap)
+            else parseSnapshotIfPresent(spark, manifestPath(tableDir, s))))
+          .takeWhile(_._2.exists(_.generations.forall(g =>
+            alive.getOrElseUpdate(g, fs.exists(new Path(s"$tableDir/$g"))))))
+          .map(_._1).toSeq.reverse
+    }
   }
 
   /** Read the table through the pointer: resolve the newest manifest
@@ -220,10 +406,9 @@ object TableManifest {
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Long): DataFrame = {
     val fs = fsOf(spark, tableDir)
-    val gens = manifestFiles(spark, tableDir)
-      .find(p => manifestSeq(p.getName) == version)
-      .flatMap(parseSnapshotIfPresent(spark, _)) // truncated between
-      .map(_.generations)                        // listing and open
+    val gens =
+      parseSnapshotIfPresent(spark, manifestPath(tableDir, version))
+      .map(_.generations) // absent = never committed or truncated
       .filter(_.forall(g => fs.exists(new Path(s"$tableDir/$g"))))
       .getOrElse(throw new IllegalArgumentException(
         s"TableManifest: version $version not retained at $tableDir — " +
@@ -235,83 +420,68 @@ object TableManifest {
   /** Write `df` as one complete new generation directory (not yet
     * referenced by any manifest) and return its name, seq-stamped from
     * the caller's intended commit seq. */
+  private def newGenName(seq: Long): String =
+    f"$GenPrefix$seq%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+
   private def writeGeneration(spark: SparkSession, tableDir: String,
                               seq: Long, df: DataFrame): String = {
-    val next =
-      f"$GenPrefix$seq%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+    val next = newGenName(seq)
     df.write.mode("errorifexists").parquet(s"$tableDir/$next")
     next
   }
 
-  /** Stage-then-publish commit of `snapshot` as version `seq`: returns
-    * false when the seq is lost to a concurrent writer (the CAS failure
-    * — caller rebases and retries on a fresh seq).
-    *
-    * The publication primitive must be ATOMIC FAIL-IF-EXISTS — plain
-    * `FileSystem.rename` is NOT it on local filesystems (POSIX rename(2)
-    * silently REPLACES an existing destination, so two writers racing
-    * for the same seq would both "succeed" and the first commit's
-    * batches would vanish; this file's own concurrency spec caught
-    * exactly that). So:
-    *   - local paths: a HARD LINK of the fully-written tmp onto the
-    *     versioned name — link(2) fails with EEXIST atomically in the
-    *     kernel, and the destination appears with its complete content
-    *     in the same syscall;
-    *   - non-local paths: `FileContext.rename` WITHOUT the OVERWRITE
-    *     option — atomic with the existence check on HDFS (one NameNode
-    *     op), and the same primitive Spark's HDFSMetadataLog trusts for
-    *     its streaming commit log. */
-  private def commitSnapshot(spark: SparkSession, tableDir: String,
-                             seq: Long, snapshot: Snapshot): Boolean = {
+  /** Stage-then-publish an immutable small file under `dst` through the
+    * CERTIFIED atomic fail-if-exists primitive for this filesystem's
+    * scheme ([[CommitPrimitive.forScheme]] — hard link on local paths,
+    * no-overwrite FileContext rename on HDFS; the contract and its
+    * executable certification live in [[CommitCertification]]). Plain
+    * `FileSystem.rename` is NOT it on local filesystems — POSIX
+    * rename(2) silently REPLACES an existing destination, so two
+    * writers racing for the same seq would both "succeed" and the first
+    * commit's batches would vanish (this file's own concurrency spec
+    * caught exactly that). Returns false when `dst` already exists (the
+    * CAS failure). Shared by the manifest commit and the checkpoint
+    * writer so both publications go through the same certified seam. */
+  private def publishImmutable(spark: SparkSession, tableDir: String,
+                               dst: Path, body: String): Boolean = {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
     val tmp = new Path(root, s"._manifest-${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(renderSnapshot(snapshot).getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    val dst = new Path(root, f"$ManifestPrefix$seq%06d.json")
     val scheme = fs.getUri.getScheme
-    val won =
-      if (scheme == null || scheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else if (scheme == "hdfs" || scheme == "viewfs") {
-        try {
-          org.apache.hadoop.fs.FileContext.getFileContext(
-            fs.getUri, spark.sessionState.newHadoopConf())
-            .rename(tmp, dst) // default = no overwrite; one NameNode op
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException
-              if e.getMessage != null &&
-                e.getMessage.contains("already exists") => false
-        }
-      } else {
-        // Object stores are NOT certified: s3a has no AbstractFileSystem
-        // binding by default (FileContext.getFileContext throws), and
-        // stores that emulate rename as copy+delete behind a client-side
-        // existence check (gs, wasb without hierarchical namespace) give
-        // two racing writers the same seq — the exact lost update the
-        // local hard-link path exists to prevent. Refuse loudly instead
-        // of committing on an assumption.
-        fs.delete(tmp, false)
-        throw new UnsupportedOperationException(
-          s"TableManifest: no certified atomic fail-if-exists commit " +
-            s"primitive for scheme '$scheme' (certified: file via " +
-            "hard link, hdfs/viewfs via no-overwrite FileContext " +
-            "rename). Commit through a certified filesystem, or extend " +
-            "commitSnapshot with this store's conditional-put primitive.")
-      }
+    val primitive = CommitPrimitive.forScheme(scheme).getOrElse {
+      // Object stores are NOT certified: s3a has no AbstractFileSystem
+      // binding by default (FileContext.getFileContext throws), and
+      // stores that emulate rename as copy+delete behind a client-side
+      // existence check (gs, wasb without hierarchical namespace) give
+      // two racing writers the same seq — the exact lost update the
+      // local hard-link path exists to prevent. Refuse loudly instead
+      // of committing on an assumption.
+      fs.delete(tmp, false)
+      throw new UnsupportedOperationException(
+        s"TableManifest: no certified atomic fail-if-exists commit " +
+          s"primitive for scheme '$scheme' (certified: file via " +
+          "hard link, hdfs/viewfs via no-overwrite FileContext " +
+          "rename). Commit through a certified filesystem, or " +
+          "implement CommitPrimitive for this store's conditional-put " +
+          "and certify it with CommitCertification.")
+    }
+    val won = primitive.publish(fs, spark.sessionState.newHadoopConf(),
+      tmp, dst)
     fs.delete(tmp, false) // staged copy (CAS won: dst holds the content)
     won
   }
+
+  /** Commit `snapshot` as version `seq` through [[publishImmutable]]:
+    * returns false when the seq is lost to a concurrent writer (the CAS
+    * failure — caller rebases and retries on a fresh seq). */
+  private def commitSnapshot(spark: SparkSession, tableDir: String,
+                             seq: Long, snapshot: Snapshot): Boolean =
+    publishImmutable(spark, tableDir,
+      new Path(new Path(tableDir), f"$ManifestPrefix$seq%06d.json"),
+      renderSnapshot(snapshot))
 
   private def manifestPath(tableDir: String, seq: Long): Path =
     new Path(tableDir, f"$ManifestPrefix$seq%06d.json")
@@ -334,13 +504,12 @@ object TableManifest {
   def publish(spark: SparkSession, tableDir: String, df: DataFrame): String = {
     val fs = fsOf(spark, tableDir)
     fs.mkdirs(new Path(tableDir))
-    val ms = manifestFiles(spark, tableDir)
-    val cur = ms.lastOption.map(p =>
-      (manifestSeq(p.getName), parseSnapshot(spark, p)))
-    val nextSeq = cur.map(_._1 + 1).getOrElse(1L)
+    val cur = resolveHead(spark, tableDir)
+    val nextSeq = cur.map(_.seq + 1).getOrElse(1L)
     val next = writeGeneration(spark, tableDir, nextSeq, df)
-    val snap = Snapshot(Seq(next), cur.flatMap(_._2.batch))
-    if (!commitSnapshot(spark, tableDir, nextSeq, snap)) {
+    val snap = Snapshot(Seq(next),
+      cur.map(_.snap.writers).getOrElse(Map.empty))
+    if (!commitAndCheckpoint(spark, tableDir, nextSeq, snap)) {
       fs.delete(new Path(s"$tableDir/$next"), true) // ours, unreferenced
       throw new java.io.IOException(
         s"TableManifest: publish of version $nextSeq at $tableDir lost " +
@@ -349,61 +518,93 @@ object TableManifest {
           "re-run against the new head, or use rewrite() for " +
           "table-derived transforms, which retries safely)")
     }
-    vacuum(spark, tableDir, ms :+ manifestPath(tableDir, nextSeq),
-      keepGens = cur.map(_._2.generations).getOrElse(Seq.empty).toSet + next,
+    vacuum(spark, tableDir, nextSeq,
+      keepGens = cur.map(_.snap.generations).getOrElse(Seq.empty).toSet + next,
       dropFutureSeq = false)
     next
   }
 
   /** Append `df` as one more generation — O(batch) data cost, the table
     * is never rewritten. Returns the committed generation's name, or
-    * None when `batchId` is a replay the watermark already covers
-    * (exactly-once ingest: nothing is written, nothing committed —
-    * under the single-writer watermark contract on [[rewriteBatch]]:
-    * one global monotone id per table, so a rebuilt checkpoint's
-    * restarted ids silently skip until they pass the old watermark).
+    * None when (`writerId`, `batchId`) is a replay the writer's
+    * watermark already covers (exactly-once ingest: nothing is written,
+    * nothing committed); a batch id BELOW the watermark fails loudly —
+    * see the per-writer watermark contract on [[rewriteBatch]].
     *
     * Concurrency: the fail-if-exists commit is a compare-and-swap — on a
     * lost race the append REBASES (re-reads the winner's generation set,
     * re-commits `winner ++ ours` on the next seq) without touching its
     * already-written data. Appends commute, so the rebase is always
     * safe. `maxRetries` bounds pathological writer storms; a single
-    * streaming writer never retries. One manifest listing serves the
-    * precondition, the CAS base, and the winner's vacuum — the log is
-    * permanent, so listings grow with table age and are not free. */
+    * streaming writer never retries. Head resolution and the winner's
+    * vacuum probe direct seq paths from the checkpoint hint
+    * ([[resolveHead]]) — per-commit metadata cost is O(window), flat in
+    * table age, with writers live. */
+  /** The exactly-once gate for (`writerId`, `batchId`) against a
+    * snapshot: true = covered replay, skip. A batch id BELOW the
+    * writer's watermark is an ID REGRESSION and fails LOUDLY — under
+    * one preserved Structured Streaming checkpoint the engine only ever
+    * re-offers the LAST batch (id == watermark); a lower id means the
+    * checkpoint was rebuilt (ids restarted at 0) or a second query was
+    * pointed at this table under the same writer id, and silently
+    * skipping those batches until the ids catch up is the quiet data
+    * loss r10's single-writer contract could only document. */
+  private def replayGate(s: Snapshot, writerId: String,
+                         batchId: Option[Long], tableDir: String): Boolean =
+    batchId match {
+      case None => false
+      case Some(b) => s.watermark(writerId) match {
+        case Some(w) if b == w => true
+        case Some(w) if b < w => throw new IllegalStateException(
+          s"TableManifest: batch id $b REGRESSED below writer " +
+            s"'$writerId' watermark $w at $tableDir — a replay re-offers " +
+            "only the last batch, so the ids restarted (rebuilt " +
+            "checkpoint?) or a second query shares this writer id. " +
+            "Refusing rather than silently skipping batches. Recovery: " +
+            "restart the stream under a FRESH writerId (unknown writer " +
+            "= no watermark = batches land), treating the table as its " +
+            "seed; or continue with batchId = None.")
+        case _ => false
+      }
+    }
+
+  private def requireWriterId(writerId: String): Unit =
+    require(writerId.nonEmpty &&
+      writerId.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+        c == '-'),
+      s"TableManifest: writerId must be [A-Za-z0-9._-]+: '$writerId'")
+
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              batchId: Option[Long] = None,
-             maxRetries: Int = 5): Option[String] = {
-    def covered(s: Snapshot): Boolean =
-      batchId.exists(b => s.batch.exists(_ >= b))
-    var ms = manifestFiles(spark, tableDir)
-    require(ms.nonEmpty,
-      s"TableManifest: no manifest at $tableDir — publish() the table " +
-        "before appending")
-    def newestOf(l: Seq[Path]): (Long, Snapshot) =
-      (manifestSeq(l.last.getName), parseSnapshot(spark, l.last))
-    var base = newestOf(ms)
-    if (covered(base._2)) return None // replay: skip before writing
-    val gen = writeGeneration(spark, tableDir, base._1 + 1, df)
+             maxRetries: Int = 5,
+             writerId: String = DefaultWriter): Option[String] = {
+    requireWriterId(writerId)
+    var base = resolveHead(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — publish() the " +
+          "table before appending"))
+    if (replayGate(base.snap, writerId, batchId, tableDir))
+      return None // replay: skip before writing
+    val gen = writeGeneration(spark, tableDir, base.seq + 1, df)
     var attempts = 0
     while (attempts <= maxRetries) {
-      val (seq, snap) = base
-      if (covered(snap)) {
+      val (seq, snap) = (base.seq, base.snap)
+      if (replayGate(snap, writerId, batchId, tableDir)) {
         // a concurrent commit of this very batch won while we wrote —
         // our generation is unreferenced by construction, drop it
         fsOf(spark, tableDir).delete(new Path(s"$tableDir/$gen"), true)
         return None
       }
       val merged = Snapshot(snap.generations :+ gen,
-        (snap.batch.toSeq ++ batchId.toSeq).maxOption)
+        mergeWriters(snap.writers,
+          batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)))
       attempts += 1
-      if (commitSnapshot(spark, tableDir, seq + 1, merged)) {
-        vacuum(spark, tableDir, ms :+ manifestPath(tableDir, seq + 1),
+      if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
+        vacuum(spark, tableDir, seq + 1,
           keepGens = merged.generations.toSet, dropFutureSeq = false)
         return Some(gen)
       }
-      ms = manifestFiles(spark, tableDir) // rebase on the winner
-      base = newestOf(ms)
+      base = resolveHead(spark, tableDir).get // rebase on the winner
     }
     throw new java.io.IOException(
       s"TableManifest: append at $tableDir lost the commit race on all " +
@@ -444,47 +645,64 @@ object TableManifest {
     * a replay racing its own first delivery cannot double-commit.
     *
     * WATERMARK CONTRACT (also binds [[append]]/[[streamingSink]]/
-    * [[upsertSink]]): the watermark is ONE global monotone id per
-    * table, with no writer identity — exactly-once holds for a SINGLE
-    * logical writer whose batch ids never restart (Structured
-    * Streaming's batch ids under one preserved checkpoint). Rebuilding
-    * the checkpoint (ids restart at 0) or pointing a SECOND batch-id'd
-    * query at the same table makes every id at-or-below the table's
-    * watermark read as a replay — batches silently skip. Recovery
-    * after a lost checkpoint: treat the table as the new stream's seed
-    * (re-publish, or continue with append(batchId = None) until ids
-    * pass the old watermark). Per-writer watermarks (Delta's
-    * txnAppId/txnVersion) are the extension point if multi-writer
-    * exactly-once is ever needed; the protocol slot is the manifest's
-    * batch field becoming a map. */
+    * [[upsertSink]]): watermarks are PER WRITER IDENTITY (Delta's
+    * txnAppId/txnVersion model — the manifest records a
+    * `writerId → highest batch id` map), so any number of sinks can
+    * share a table, each exactly-once under its own preserved
+    * Structured Streaming checkpoint. Under one preserved checkpoint
+    * the engine only ever re-offers the LAST batch (id == watermark →
+    * skip); a batch id BELOW the writer's watermark is an id
+    * REGRESSION — a rebuilt checkpoint (ids restarted at 0) or a
+    * second query sharing the writer id — and FAILS LOUDLY instead of
+    * silently skipping batches until the ids catch up (r10's
+    * documented quiet-loss mode, now unreachable). Recovery after a
+    * lost checkpoint: restart the stream under a FRESH writerId
+    * (unknown writer = no watermark = batches land), treating the
+    * table's current content as the new stream's seed. */
   def rewriteBatch(spark: SparkSession, tableDir: String,
-                   batchId: Option[Long], maxRetries: Int = 3)
+                   batchId: Option[Long], maxRetries: Int = 3,
+                   writerId: String = DefaultWriter)
                   (transform: DataFrame => DataFrame): Option[String] = {
+    requireWriterId(writerId)
     var attempts = 0
     var lastRace: String = ""
+    var lastCause: Throwable = null
     while (attempts <= maxRetries) {
-      val ms = manifestFiles(spark, tableDir)
-      require(ms.nonEmpty,
-        s"TableManifest: no manifest at $tableDir — not a manifested " +
-          "table (publish() first)")
-      val seq = manifestSeq(ms.last.getName)
-      val snap = parseSnapshot(spark, ms.last)
-      if (batchId.exists(b => snap.batch.exists(_ >= b)))
+      val head = resolveHead(spark, tableDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableManifest: no manifest at $tableDir — not a manifested " +
+            "table (publish() first)"))
+      val (seq, snap) = (head.seq, head.snap)
+      if (replayGate(snap, writerId, batchId, tableDir))
         return None // replay: the watermark already covers this batch
       attempts += 1
+      val name = newGenName(seq + 1)
       val gen =
         try {
           val df = transform(spark.read.parquet(
             snap.generations.map(g => s"$tableDir/$g"): _*))
-          Some(writeGeneration(spark, tableDir, seq + 1, df))
+          df.write.mode("errorifexists").parquet(s"$tableDir/$name")
+          Some(name)
         } catch {
           case scala.util.control.NonFatal(e) =>
-            lastRace = e.toString; None // stale base read — retry
+            // A failed attempt's partial write is ours and unreferenced —
+            // reap it here instead of leaving recover() an orphan.
+            fsOf(spark, tableDir).delete(new Path(s"$tableDir/$name"), true)
+            // Retry ONLY a plausibly-stale base read: the head moved
+            // under the transform (our resolved generations vacuumed or
+            // superseded mid-read). A failure with the head UNCHANGED
+            // cannot be staleness — a deterministic transform bug would
+            // be re-executed maxRetries more times and surface as a
+            // "writer storm" that buries the real error.
+            val headNow = resolveHead(spark, tableDir).map(_.seq)
+            if (headNow.contains(seq)) throw e
+            lastRace = e.toString; lastCause = e; None
         }
       gen.foreach { g =>
-        if (commitSnapshot(spark, tableDir, seq + 1, Snapshot(Seq(g),
-            (snap.batch.toSeq ++ batchId.toSeq).maxOption))) {
-          vacuum(spark, tableDir, ms :+ manifestPath(tableDir, seq + 1),
+        val next = Snapshot(Seq(g), mergeWriters(snap.writers,
+          batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)))
+        if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
+          vacuum(spark, tableDir, seq + 1,
             keepGens = snap.generations.toSet + g, dropFutureSeq = false)
           return Some(g)
         }
@@ -494,9 +712,11 @@ object TableManifest {
         lastRace = s"version ${seq + 1} taken by a concurrent commit"
       }
     }
-    throw new java.io.IOException(
+    val storm = new java.io.IOException(
       s"TableManifest: rewrite at $tableDir did not commit in " +
         s"$attempts attempts (last: $lastRace) — writer storm?")
+    if (lastCause != null) storm.initCause(lastCause)
+    throw storm
   }
 
   /** A `foreachBatch` CDC-upsert sink materializing the LATEST row per
@@ -509,17 +729,21 @@ object TableManifest {
     * the superseded snapshot stays time-travel-readable. The batch id
     * rides the commit as the exactly-once watermark, so a torn-
     * checkpoint replay skips outright instead of leaning on merge
-    * idempotence — under [[rewriteBatch]]'s single-writer watermark
-    * contract (one preserved checkpoint; restarted or second-writer ids
-    * silently skip). The table must be [[publish]]ed first (schema seed
-    * — `updates.limit(0)` works). Cost note: an upsert rewrites the
-    * snapshot per batch (the plain-parquet CDC cost, same as the swap
-    * sink); at scale, key-bucket the snapshot and merge only touched
-    * buckets — the commit contract is unchanged. */
+    * idempotence — under [[rewriteBatch]]'s PER-WRITER watermark
+    * contract (replay = same id skips; a regressed id fails loudly; a
+    * second sink just uses its own `writerId`). The table must be
+    * [[publish]]ed first (schema seed — `updates.limit(0)` works).
+    * Cost note: THIS sink rewrites the whole snapshot per batch (the
+    * plain-parquet CDC cost, same as the swap sink) — O(table) data
+    * per micro-batch; at scale use [[upsertSinkBucketed]], which
+    * key-buckets the snapshot and rewrites only the buckets a batch
+    * touches, under the same commit contract. */
   def upsertSink(tableDir: String, keyCols: Seq[String], tsCol: String,
-                 tieCol: String): (DataFrame, Long) => Unit =
+                 tieCol: String, writerId: String = DefaultWriter)
+      : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      rewriteBatch(batch.sparkSession, tableDir, Some(batchId)) { cur =>
+      rewriteBatch(batch.sparkSession, tableDir, Some(batchId),
+        writerId = writerId) { cur =>
         Temporal.latestSnapshot(cur.unionByName(batch.toDF()),
           keyCols, tsCol, tieCol)
       }
@@ -531,15 +755,19 @@ object TableManifest {
     * crash between the sink's commit and the checkpoint's, Structured
     * Streaming re-offers the batch under the SAME id and [[append]]
     * skips it — end-to-end exactly-once on plain parquet, under the
-    * single-writer watermark contract documented on [[rewriteBatch]]
-    * (one preserved checkpoint; a rebuilt checkpoint's restarted ids
-    * read as replays and silently skip). Usage:
+    * per-writer watermark contract documented on [[rewriteBatch]]
+    * (replay = same id skips; a REGRESSED id — rebuilt checkpoint —
+    * fails loudly; concurrent sinks each take their own `writerId`).
+    * Usage:
     * `stream.writeStream.foreachBatch(TableManifest.streamingSink(dir))`.
     * The table must be [[publish]]ed first (its schema seed); an empty
     * seed `df.limit(0)` works. */
-  def streamingSink(tableDir: String): (DataFrame, Long) => Unit =
+  def streamingSink(tableDir: String,
+                    writerId: String = DefaultWriter)
+      : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      append(batch.sparkSession, tableDir, batch, Some(batchId))
+      append(batch.sparkSession, tableDir, batch, Some(batchId),
+        writerId = writerId)
       ()
     }
 
@@ -586,9 +814,13 @@ object TableManifest {
         val files = gens.flatMap(g => dataFiles(fs, s"$tableDir/$g"))
         val planFiles = math.max(1L,
           (files.map(_.getLen).sum + targetBytes - 1) / targetBytes)
+        // skip covers any plan at or above the current file count, so a
+        // plan that overflows Int (tiny target × huge table) can never
+        // reach the coalesce; the clamp documents that invariant rather
+        // than trusting the branch order
         return if (files.size <= planFiles) ("skip", None)
         else ("compact", Some(rewrite(spark, tableDir, maxRetries = 0)(
-          _.coalesce(planFiles.toInt))))
+          _.coalesce(math.min(planFiles, Int.MaxValue.toLong).toInt))))
       } catch {
         case e: IllegalArgumentException => throw e // not-a-table: loud
         case scala.util.control.NonFatal(e) => last = e.toString
@@ -660,6 +892,25 @@ object TableManifest {
         fs.delete(m, false)
       }
     }
+    // checkpoints below the cut are caches of dropped state — reap them
+    // with the manifests they summarize; a hint pointing below the cut
+    // is dropped too (resolveHead would fall back to the listing anyway
+    // on the missing checkpoint, and the next checkpoint rewrites it)
+    val cutSeq = manifestSeq(keep.head.getName)
+    fs.listStatus(root).foreach { e =>
+      val n = e.getPath.getName
+      if (e.isFile && n.startsWith(CheckpointPrefix) &&
+          n.endsWith(".json") &&
+          n.stripPrefix(CheckpointPrefix).stripSuffix(".json").toLong
+            < cutSeq)
+        fs.delete(e.getPath, false)
+    }
+    val hint = new Path(root, HintFile)
+    if (fs.exists(hint) &&
+        """"seq"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(readSmall(spark, hint))
+          .exists(_.group(1).toLong < cutSeq))
+      fs.delete(hint, false)
     drop.size
   }
 
@@ -674,7 +925,7 @@ object TableManifest {
     val ms = manifestFiles(spark, tableDir)
     require(ms.nonEmpty,
       s"TableManifest: no manifest at $tableDir — nothing to recover")
-    vacuum(spark, tableDir, ms,
+    vacuum(spark, tableDir, manifestSeq(ms.last.getName),
       keepGens =
         ms.takeRight(2).flatMap(parseSnapshot(spark, _).generations).toSet,
       dropFutureSeq = true)
@@ -713,31 +964,32 @@ object TableManifest {
     * (compaction) cuts it to the previous version. [[versions]] reports
     * the readable window.
     *
-    * `ms` is the ascending manifest listing INCLUDING the caller's
-    * just-committed manifest, and `keepGens` the union of the two newest
-    * versions' generation sets — the committing writer already holds
-    * both in memory, so the winner's vacuum costs no extra listing or
-    * re-parse of the log (which is permanent and grows with table age).
+    * `headSeq` is the caller's just-committed version and `keepGens`
+    * the union of the two newest versions' generation sets — the
+    * committing writer already holds both in memory, and the walk
+    * probes aged manifests by DIRECT seq path (seqs are dense), so the
+    * winner's vacuum costs no listing or re-parse of the log (which is
+    * permanent and grows with table age).
     *
     * Walk aged manifests newest-first and STOP at the first that needs
-    * no vacuuming: on an append chain every aged manifest's generations
-    * are still live in the head (O(1) per commit); after a rewrite the
-    * one manifest holding the superseded chain is the newest aged one.
+    * no vacuuming (or the first missing one — the truncation cut): on
+    * an append chain every aged manifest's generations are still live
+    * in the head (O(1) per commit); after a rewrite the one manifest
+    * holding the superseded chain is the newest aged one.
     * A manifest skipped by concurrent-vacuum interleaving can strand a
     * dead generation behind a clean one — a bounded disk leak, not a
     * correctness issue; recover()'s exhaustive unreferenced sweep
     * reclaims it. */
-  private def vacuum(spark: SparkSession, tableDir: String, ms: Seq[Path],
+  private def vacuum(spark: SparkSession, tableDir: String, headSeq: Long,
                      keepGens: Set[String], dropFutureSeq: Boolean): Unit = {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
-    ms.dropRight(2).reverseIterator
-      .map { m =>
-        parseSnapshot(spark, m).generations
+    Iterator.iterate(headSeq - 2)(_ - 1).takeWhile(_ >= 1)
+      .map(s => parseSnapshotIfPresent(spark, manifestPath(tableDir, s))
+        .map(_.generations
           .filterNot(keepGens.contains)
-          .count(g => fs.delete(new Path(root, g), true))
-      }
-      .takeWhile(_ > 0).foreach(_ => ())
+          .count(g => fs.delete(new Path(root, g), true))))
+      .takeWhile(_.exists(_ > 0)).foreach(_ => ())
     if (dropFutureSeq) fs.listStatus(root).foreach { e =>
       val n = e.getPath.getName
       if (e.isDirectory && n.startsWith(GenPrefix) && !keepGens.contains(n))

@@ -154,9 +154,16 @@ class TableManifestSpec extends AnyFunSuite {
     // replay of batch 1 (crash between sink commit and checkpoint): skipped
     assert(TableManifest.append(spark, tbl, batch("b1", 10, 10),
       batchId = Some(1L)).isEmpty)
-    // stale replay of batch 0: also covered by the watermark
-    assert(TableManifest.append(spark, tbl, batch("b0", 0, 10),
-      batchId = Some(0L)).isEmpty)
+    // a batch id BELOW the watermark is an ID REGRESSION, not a replay —
+    // a real replay only ever re-offers the LAST batch. r10 silently
+    // skipped these (the quiet-loss mode its contract documented); now
+    // it fails loudly, naming the recovery recipe
+    val reg = intercept[IllegalStateException] {
+      TableManifest.append(spark, tbl, batch("b0", 0, 10),
+        batchId = Some(0L))
+    }
+    assert(reg.getMessage.contains("REGRESSED") &&
+      reg.getMessage.contains("writerId"), reg.getMessage)
     assert(TableManifest.lastBatchId(spark, tbl).contains(1L))
     assert(TableManifest.read(spark, tbl).count() == 20)
     // a compaction between batches must CARRY the watermark — otherwise
@@ -454,6 +461,157 @@ class TableManifestSpec extends AnyFunSuite {
     TableManifest.rewrite(spark, tbl)(df => df)
     assert(TableManifest.read(spark, tbl).count() == 20 + 11 * 10 + 5)
     assert(TableManifest.versions(spark, tbl).size == 2)
+  }
+
+  test("per-writer watermarks: two foreachBatch sinks share one table, " +
+      "each exactly-once under its OWN torn-checkpoint replay; a " +
+      "REBUILT checkpoint (ids restart at 0) fails LOUDLY instead of " +
+      "silently skipping; a fresh writerId is the recovery") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "manifmw").toString
+    val tbl = s"$base/t"
+    val schema = "id BIGINT, src STRING"
+    new java.io.File(s"$base/inA").mkdirs()
+    new java.io.File(s"$base/inB").mkdirs()
+    // stageInput writes to $base/in — re-point per writer
+    def stageTo(sub: String, name: String, from: Int, n: Int,
+                src: String): Unit = {
+      new java.io.File(s"$base/$sub").mkdirs()
+      val df = (from until from + n).map(i => (i.toLong, src))
+        .toDF("id", "src")
+      df.coalesce(1).write.parquet(s"$base/stage_$sub$name")
+      val f = new java.io.File(s"$base/stage_$sub$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$base/$sub/$name.parquet"))
+    }
+    stageTo("inA", "a1", 0, 5, "A"); stageTo("inA", "a2", 5, 5, "A")
+    stageTo("inB", "b1", 100, 5, "B"); stageTo("inB", "b2", 105, 5, "B")
+    TableManifest.publish(spark, tbl, emptySeed(schema))
+    def run(sub: String, ckpt: String, writerId: String): Unit =
+      runAvailableNow(schema, s"$base/$sub", ckpt,
+        TableManifest.streamingSink(tbl, writerId))
+    run("inA", s"$base/ckA", "sink-a")
+    run("inB", s"$base/ckB", "sink-b")
+    assert(TableManifest.read(spark, tbl).count() == 20)
+    assert(TableManifest.lastBatchId(spark, tbl, "sink-a").contains(1L))
+    assert(TableManifest.lastBatchId(spark, tbl, "sink-b").contains(1L))
+    // BOTH sinks crash between their manifest commit and their
+    // checkpoint commit: each replays ITS OWN last batch under its own
+    // writer id — no loss, no double, watermarks independent
+    tearLastCommit(s"$base/ckA")
+    tearLastCommit(s"$base/ckB")
+    run("inA", s"$base/ckA", "sink-a")
+    run("inB", s"$base/ckB", "sink-b")
+    assert(TableManifest.read(spark, tbl).count() == 20,
+      "a shared-table replay double-appended")
+    val dup = TableManifest.read(spark, tbl).groupBy("id").count()
+      .agg(max("count")).head.getLong(0)
+    assert(dup == 1L, s"duplicate rows after two-writer replay: $dup")
+    // REBUILT checkpoint: sink-a's checkpoint dir is lost entirely; the
+    // restarted stream re-offers everything from batch id 0 — r10's
+    // contract silently SKIPPED those batches (quiet loss); per-writer
+    // watermarks fail LOUDLY instead
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/ckA"))
+    val boom = intercept[Exception] { run("inA", s"$base/ckA", "sink-a") }
+    val chain = Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" <- ")
+    assert(chain.contains("REGRESSED"),
+      s"a rebuilt checkpoint must fail loudly, got: $chain")
+    assert(TableManifest.read(spark, tbl).count() == 20,
+      "the refused regression must not have committed anything")
+    // recovery recipe: a FRESH writer id (unknown writer = no watermark)
+    // over the still-missing data only — new batches land
+    stageTo("inC", "a3", 10, 5, "A2")
+    run("inC", s"$base/ckC", "sink-a-rebuilt")
+    assert(TableManifest.read(spark, tbl).count() == 25)
+    assert(TableManifest.lastBatchId(spark, tbl, "sink-a-rebuilt")
+      .contains(0L))
+  }
+
+  test("checkpointed head resolution: per-commit metadata cost is flat " +
+      "in table age (bounded by the checkpoint interval), with no log " +
+      "listing on the fast path — and the log stays time-travel-correct") {
+    import spark.implicits._
+    val tbl = tmpTable("manifckpt")
+    def batch(from: Int): org.apache.spark.sql.DataFrame =
+      Seq((from.toLong, s"b$from")).toDF("id", "tag")
+    TableManifest.publish(spark, tbl, batch(0))
+    (1 to 24).foreach(i => TableManifest.append(spark, tbl, batch(i)))
+    val opsAt25 = TableManifest.headResolutionOps(spark, tbl)
+    (25 to 120).foreach(i => TableManifest.append(spark, tbl, batch(i)))
+    val opsAt121 = TableManifest.headResolutionOps(spark, tbl)
+    // bound: hint read (2) + checkpoint parse (1) + ≤interval forward
+    // probes + head parse (1) + slack — and NOT O(commits)
+    val bound = TableManifest.CheckpointInterval.toInt + 6
+    assert(opsAt25 <= bound, s"resolution cost $opsAt25 > $bound at 25")
+    assert(opsAt121 <= bound,
+      s"resolution cost $opsAt121 > $bound at 121 commits — head " +
+        "resolution is growing with table age")
+    // the fast path really is checkpoint-based: checkpoint files and the
+    // hint exist on disk
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+      .map(_.getPath.getName).toSet
+    assert(names.contains("_graft_last_checkpoint"), names.toString)
+    assert(names.exists(_.startsWith("_graft_checkpoint-000120")),
+      "the seq-120 winner must have checkpointed")
+    // correctness unchanged: head content, versions window, reads
+    assert(TableManifest.read(spark, tbl).count() == 121)
+    assert(TableManifest.versions(spark, tbl).last == 121L)
+    assert(TableManifest.readVersion(spark, tbl, 121L).count() == 121)
+    assert(TableManifest.readVersion(spark, tbl, 60L).count() == 60)
+  }
+
+  test("the six-appender CAS race ACROSS a checkpoint boundary: the " +
+      "seq-10 winner checkpoints mid-race and every batch still lands " +
+      "exactly once") {
+    import spark.implicits._
+    val tbl = tmpTable("manifcasck")
+    TableManifest.publish(spark, tbl, Seq((-1L, "seed")).toDF("id", "tag"))
+    // serial appends to seq 7 — the race then commits seqs 8..13,
+    // crossing the CheckpointInterval boundary at 10
+    (0 until 6).foreach(i =>
+      TableManifest.append(spark, tbl,
+        Seq((i.toLong, s"pre$i")).toDF("id", "tag")))
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            try {
+              val df = (0 until 5)
+                .map(i => ((1000 + w * 100 + i).toLong, s"w$w"))
+                .toDF("id", "tag")
+              start.await()
+              TableManifest.append(spark, tbl, df,
+                maxRetries = writers * 2)
+            } catch { case t: Throwable => failures.add(t.toString) }
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    val rows = TableManifest.read(spark, tbl)
+    assert(rows.count() == 1 + 6 + writers * 5,
+      "a batch vanished or doubled across the checkpoint boundary")
+    assert(TableManifest.versions(spark, tbl).last == 13L)
+    // the boundary winner checkpointed; resolution goes through it
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tbl/_graft_checkpoint-000010.json")))
+    assert(TableManifest.headResolutionOps(spark, tbl) <=
+      TableManifest.CheckpointInterval.toInt + 6)
   }
 
   test("recover reconciles crash debris: orphan next-generations and " +
