@@ -1434,6 +1434,109 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q247
+  /** q247 entry: the BUCKETED incremental CDC-upsert sink
+    * ([[graft.ops.TableManifest.upsertSinkBucketed]]) — q246's
+    * semantics at the scale shape r10's verdict named as the biggest
+    * remaining gap: a micro-batch rewrites ONLY the key-buckets it
+    * touches (O(touched buckets + batch) data cost), never the whole
+    * snapshot. Batch 0 seeds the latest-row-per-user table (boots the
+    * 16-bucket layout); batch 1 is a SPARSE slice (one user in 97) that
+    * must carry the untouched buckets' generation directories forward
+    * BY NAME — `incremental` asserts ≥1 generation survived by
+    * reference and no more generations were replaced than buckets the
+    * batch touched (a regression to full-snapshot rewrites fails it;
+    * the byte-identity of carried generations is proven in
+    * TableManifestSpec). Batch 1 is then RE-OFFERED (torn-checkpoint
+    * replay) and must skip via the per-writer watermark — the head
+    * version must not advance. Content: the total-order winner per
+    * user across both delivered batches, count + checksum pinned by
+    * DuckDB from the source. */
+  def q247UpsertBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q247_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val b0 = ev.filter(col("event_id") < 4000)
+    val b1 = ev.filter(col("event_id") >= 4000 && col("event_id") < 6000 &&
+      pmod(col("user_id"), lit(97L)) === 0)
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    val sink = TableManifest.upsertSinkBucketed(fixture,
+      keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+      numBuckets = 16)
+    sink(b0, 0L)
+    val prevGens = TableManifest.currentGenerations(spark, fixture)
+    sink(b1, 1L)
+    val nowGens = TableManifest.currentGenerations(spark, fixture)
+    val carried = nowGens.toSet.intersect(prevGens.toSet).size
+    val touchedCnt = b1
+      .select(pmod(xxhash64(col("user_id")), lit(16L)).as("b"))
+      .distinct().count()
+    val head = TableManifest.versions(spark, fixture).last
+    sink(b1, 1L) // torn-checkpoint replay: must skip outright
+    val replaySkipped = TableManifest.versions(spark, fixture).last == head
+    val incremental = carried >= 1 &&
+      (prevGens.size - carried) <= touchedCnt
+    val exactlyOnce = replaySkipped &&
+      TableManifest.lastBatchId(spark, fixture).contains(1L)
+    partitionChecksums(TableManifest.read(spark, fixture),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(exactlyOnce).as("exactly_once"),
+        lit(incremental).as("incremental"))
+      .orderBy("part")
+  }
+
+  // --------------------------------------------------------------- q248
+  /** q248 entry: STATS-PRUNED read through the manifest
+    * ([[graft.ops.TableManifest.readPruned]]) — Iceberg's
+    * manifests-carry-stats idea closing the loop between the footer-
+    * stats tier and the log tier. Orders are published range-clustered
+    * on `o_orderdate` with a per-file (min,max) sidecar recorded at
+    * commit time; a one-year predicate then resolves its file set from
+    * SIDECAR METADATA — the `pruned` boolean asserts strictly fewer
+    * files were handed to Spark than the table holds (the skipped
+    * files are never listed, opened, or footer-read), and the content
+    * checksum pins that pruning lost nothing: the oracle recomputes
+    * the same year from the raw source. Bounds ride the parquet stats
+    * surface (DATE = epoch days). */
+  def q248StatsPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q248_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    TableManifest.publish(spark, fixture,
+      o.repartitionByRange(8, col("o_orderdate")),
+      statsCol = Some("o_orderdate"))
+    // o_orderdate is TIMESTAMP_NTZ — its parquet stats surface is epoch
+    // MICROS (a DATE column's would be epoch days)
+    def micros(d: String): Double =
+      java.time.LocalDate.parse(d).toEpochDay.toDouble * 86400e6
+    val (lo, hi) = (micros("1995-01-01"), micros("1996-01-01") - 1)
+    val (selected, total) =
+      TableManifest.prunedFiles(spark, fixture, "o_orderdate", lo, hi)
+    val pruned = selected.nonEmpty && selected.size < total
+    partitionChecksums(
+      TableManifest.readPruned(spark, fixture, "o_orderdate", lo, hi)
+        .filter(col("o_orderdate").between(
+          lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+          lit("1995-12-31 23:59:59.999999").cast("timestamp_ntz"))),
+      pmod(col("o_custkey"), lit(8L)),
+      Seq(col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderdate").cast("string")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(pruned).as("pruned"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1487,6 +1590,8 @@ object Audit {
     "q244_exactly_once_ingest" -> q244ExactlyOnceIngest _,
     "q245_optimize_manifested" -> q245OptimizeManifested _,
     "q246_upsert_sink" -> q246UpsertSink _,
+    "q247_upsert_bucketed" -> q247UpsertBucketed _,
+    "q248_stats_pruned_read" -> q248StatsPrunedRead _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1722,6 +1827,44 @@ object Audit {
         |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
         |       TRUE AS exactly_once
         |FROM w WHERE rn = 1
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q247: BUCKETED incremental CDC upsert — same one-shot total-order
+    // winner semantics as q246 over the two delivered batches (seed +
+    // the sparse one-user-in-97 slice); a replayed batch id must change
+    // nothing, and `incremental` is the engine's claim that untouched
+    // bucket generations survived BY REFERENCE (byte-identity proven in
+    // TableManifestSpec; a regression to full-snapshot rewrites fails
+    // the boolean, a content error fails the checksums)
+    "q247_upsert_bucketed" ->
+      """WITH w AS (SELECT user_id, event_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events
+        |           WHERE event_id < 4000
+        |              OR (event_id >= 4000 AND event_id < 6000
+        |                  AND user_id % 97 = 0))
+        |SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS exactly_once, TRUE AS incremental
+        |FROM w WHERE rn = 1
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q248: stats-pruned manifested read — content identity of the
+    // one-year window recomputed from the raw source; `pruned` is the
+    // engine's claim that the file set came from sidecar metadata and
+    // was strictly smaller than the table (TableManifestSpec proves the
+    // inputFiles set equals the pruned selection byte-for-byte)
+    "q248_stats_pruned_read" ->
+      """SELECT CAST(o_custkey % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |             CAST(o_orderdate AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS pruned
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
         |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,

@@ -117,8 +117,17 @@ object TableManifest {
     * watermarks (Delta's txnAppId/txnVersion model — r10's single
     * global `batch` field become a map, exactly the extension point its
     * watermark contract named). */
+  /** `buckets` is Some(N) iff the version was committed by
+    * [[upsertBucketed]] with every generation bucket-tagged — the
+    * layout-consistency check that stops a later upsert from hashing
+    * the same keys into a DIFFERENT bucket count (which would strand
+    * stale rows in buckets the merge no longer reads). Any other
+    * commit clears it (an [[append]] mixes in an unbucketed
+    * generation; a [[rewrite]] collapses to one), and the next
+    * bucketed upsert re-buckets the whole table once. */
   private[graft] case class Snapshot(generations: Seq[String],
-                                     writers: Map[String, Long]) {
+                                     writers: Map[String, Long],
+                                     buckets: Option[Int] = None) {
     def watermark(writerId: String): Option[Long] = writers.get(writerId)
   }
 
@@ -167,12 +176,15 @@ object TableManifest {
         """"([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(m.group(1))
           .map(p => p.group(1) -> p.group(2).toLong).toMap
       }.getOrElse(Map.empty[String, Long])
+    val buckets = """"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(body).map(_.group(1).toInt)
     Snapshot(many.orElse(one).getOrElse(
       throw new IllegalStateException(
         s"TableManifest: unparseable manifest at $manifest: " +
           body.take(200))),
       mergeWriters(writers,
-        batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)))
+        batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)),
+      buckets)
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -182,7 +194,8 @@ object TableManifest {
       else s.writers.toSeq.sortBy(_._1)
         .map { case (w, b) => s"${graft.JsonEscape.str(w)}:$b" }
         .mkString(""","writers":{""", ",", "}")
-    s"""{"generations":$gens$writers}"""
+    val buckets = s.buckets.map(n => s""","buckets":$n""").getOrElse("")
+    s"""{"generations":$gens$writers$buckets}"""
   }
 
   private def checkpointPath(tableDir: String, seq: Long): Path =
@@ -423,6 +436,112 @@ object TableManifest {
   private def newGenName(seq: Long): String =
     f"$GenPrefix$seq%06d-${java.util.UUID.randomUUID.toString.take(8)}"
 
+  /** Per-generation file-statistics sidecar (Iceberg's
+    * manifests-carry-stats idea, one immutable JSON per generation):
+    * written INSIDE the generation directory before any manifest
+    * references it, so it is committed, retained, time-travelled and
+    * vacuumed with its data — readers can never see a stats-requested
+    * generation without its sidecar, and the manifest JSON stays lean
+    * (no data values in the commit hot path). */
+  private val StatsFile = "_graft_stats.json"
+
+  /** Record per-FILE (min,max) of `statsCol` for a freshly-written
+    * generation, from the parquet footers ([[Layout]]'s pooled walk —
+    * metadata reads, never a data scan). Numeric/date/timestamp
+    * columns only (parquet stats surface them as numbers: DATE = epoch
+    * days, TIMESTAMP = micros); a non-numeric column fails loudly, as
+    * does a file with no non-null value — the same contract as the
+    * layout tier's range audits. */
+  private def writeStatsSidecar(spark: SparkSession, tableDir: String,
+                                gen: String, statsCol: String): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    val perFile = Layout.parquetColumnStatsImpl(
+        spark, s"$tableDir/$gen", Seq(statsCol))
+      .groupBy("file")
+      .agg(min("lo").as("lo"), max("hi").as("hi"))
+      .collect() // one row per data file of ONE generation — metadata-sized
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val body = perFile.map { case (f, lo, hi) =>
+      s"${graft.JsonEscape.str(f)}:[$lo,$hi]"
+    }.mkString(
+      s"""{"col":${graft.JsonEscape.str(statsCol)},"files":{""", ",", "}}")
+    val fs = fsOf(spark, tableDir)
+    val out = fs.create(new Path(s"$tableDir/$gen/$StatsFile"), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The sidecar's per-file ranges, if present AND recorded for this
+    * column (a different column's sidecar is ignored — conservative). */
+  private def readStatsSidecar(spark: SparkSession, tableDir: String,
+      gen: String, statsCol: String): Option[Map[String, (Double, Double)]] =
+    try {
+      val body = readSmall(spark, new Path(s"$tableDir/$gen/$StatsFile"))
+      val colOk = """"col"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+        .exists(_.group(1) == statsCol)
+      if (!colOk) None
+      else Some(
+        """"([^"]+)"\s*:\s*\[([-0-9.eE]+)\s*,\s*([-0-9.eE]+)\]""".r
+          .findAllMatchIn(body)
+          .map(m => m.group(1) -> ((m.group(2).toDouble,
+            m.group(3).toDouble)))
+          .toMap)
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** The data-file paths a `[lo, hi]` range on the declared stats
+    * column needs, plus the head's total file count — the pruning
+    * decision runs on sidecar metadata BEFORE Spark ever lists or
+    * opens a file. Files with no recorded range (generation written
+    * without stats, file absent from its sidecar) are INCLUDED —
+    * pruning is an optimization, never a correctness input. */
+  private[graft] def prunedFiles(spark: SparkSession, tableDir: String,
+                                 statsCol: String, lo: Double,
+                                 hi: Double): (Seq[String], Int) = {
+    val head = resolveHead(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — not a manifested " +
+          "table (publish() first)"))
+    val fs = fsOf(spark, tableDir)
+    val selected = Seq.newBuilder[String]
+    var total = 0
+    head.snap.generations.foreach { g =>
+      val files = dataFiles(fs, s"$tableDir/$g")
+      total += files.size
+      val ranges = readStatsSidecar(spark, tableDir, g, statsCol)
+      files.foreach { f =>
+        val keep = ranges.flatMap(_.get(f.getPath.getName)) match {
+          case Some((flo, fhi)) => fhi >= lo && flo <= hi
+          case None => true // unknown range: conservative
+        }
+        if (keep) selected += f.getPath.toString
+      }
+    }
+    (selected.result(), total)
+  }
+
+  /** Read the table with FILE-LEVEL pruning by the recorded per-file
+    * statistics: only files whose `[min,max]` for `statsCol` intersects
+    * `[lo, hi]` are handed to Spark — a selective predicate over a
+    * range-clustered table opens O(matching files), not O(table), and
+    * the skipped files are never listed, opened, or footer-read by the
+    * scan. The result still contains every row OF THOSE FILES; apply
+    * the actual row predicate on top (it also drives parquet row-group
+    * pruning inside the surviving files):
+    * `readPruned(…).where(col(c).between(…))`. Bounds are the parquet
+    * stats' numeric surface: numbers as themselves, DATE = epoch days,
+    * TIMESTAMP = epoch micros. Same old-or-new atomicity as [[read]],
+    * same one re-resolve on the stalled-reader race. */
+  def readPruned(spark: SparkSession, tableDir: String, statsCol: String,
+                 lo: Double, hi: Double): DataFrame = {
+    def resolve(): DataFrame = {
+      val (files, _) = prunedFiles(spark, tableDir, statsCol, lo, hi)
+      if (files.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
+      else spark.read.parquet(files: _*)
+    }
+    try resolve()
+    catch { case scala.util.control.NonFatal(_) => resolve() }
+  }
+
   private def writeGeneration(spark: SparkSession, tableDir: String,
                               seq: Long, df: DataFrame): String = {
     val next = newGenName(seq)
@@ -501,12 +620,14 @@ object TableManifest {
     * log exists to prevent. For transforms DERIVED from the current
     * table (compaction, re-clustering), use [[rewrite]] — it re-derives
     * from the new head and can therefore retry safely. */
-  def publish(spark: SparkSession, tableDir: String, df: DataFrame): String = {
+  def publish(spark: SparkSession, tableDir: String, df: DataFrame,
+              statsCol: Option[String] = None): String = {
     val fs = fsOf(spark, tableDir)
     fs.mkdirs(new Path(tableDir))
     val cur = resolveHead(spark, tableDir)
     val nextSeq = cur.map(_.seq + 1).getOrElse(1L)
     val next = writeGeneration(spark, tableDir, nextSeq, df)
+    statsCol.foreach(writeStatsSidecar(spark, tableDir, next, _))
     val snap = Snapshot(Seq(next),
       cur.map(_.snap.writers).getOrElse(Map.empty))
     if (!commitAndCheckpoint(spark, tableDir, nextSeq, snap)) {
@@ -577,7 +698,8 @@ object TableManifest {
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              batchId: Option[Long] = None,
              maxRetries: Int = 5,
-             writerId: String = DefaultWriter): Option[String] = {
+             writerId: String = DefaultWriter,
+             statsCol: Option[String] = None): Option[String] = {
     requireWriterId(writerId)
     var base = resolveHead(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(
@@ -586,6 +708,7 @@ object TableManifest {
     if (replayGate(base.snap, writerId, batchId, tableDir))
       return None // replay: skip before writing
     val gen = writeGeneration(spark, tableDir, base.seq + 1, df)
+    statsCol.foreach(writeStatsSidecar(spark, tableDir, gen, _))
     var attempts = 0
     while (attempts <= maxRetries) {
       val (seq, snap) = (base.seq, base.snap)
@@ -747,6 +870,195 @@ object TableManifest {
         Temporal.latestSnapshot(cur.unionByName(batch.toDF()),
           keyCols, tsCol, tieCol)
       }
+      ()
+    }
+
+  /** The bucket id a generation name carries, if any
+    * (`_gen-<seq>-b<k>-<uuid>` — [[upsertBucketed]]'s naming; plain
+    * generations are `_gen-<seq>-<uuid8>` with a dash-free uuid, so the
+    * `-b<digits>-` marker cannot false-match). */
+  private[graft] def bucketOf(gen: String): Option[Int] =
+    "-b(\\d+)-".r.findFirstMatchIn(gen).map(_.group(1).toInt)
+
+  /** The partition column name the bucketed write stages under — never
+    * part of the table schema (partitionBy lifts it into directory
+    * names; the moved generation's files don't contain it). */
+  private val BucketCol = "__graft_bucket"
+
+  /** INCREMENTAL CDC upsert: merge `batch` into the table rewriting
+    * ONLY the key-buckets the batch touches — O(touched buckets +
+    * batch) data cost per call, against [[upsertSink]]'s O(table)
+    * full-snapshot rewrite. The table's data is kept as one generation
+    * directory PER KEY-BUCKET (`hash(key) mod numBuckets`, xxhash64 —
+    * deterministic across batches and sessions); a batch:
+    *   1. computes its touched bucket set (one small distinct over the
+    *      batch, ≤ numBuckets values);
+    *   2. reads ONLY those buckets' current generations, merges with
+    *      the batch ([[Temporal.latestSnapshot]]'s total-order winner
+    *      per key — same semantics as [[upsertSink]]);
+    *   3. stages the merged rows partitioned by bucket (repartitioned
+    *      on the bucket column first, so each bucket lands as one
+    *      task's contiguous write, not shuffle-partitions × buckets
+    *      fragments), moves each bucket dir into place as a fresh
+    *      generation (a metadata rename), and
+    *   4. commits `untouched generations ++ new bucket generations` as
+    *      the next version through the SAME CAS — untouched buckets'
+    *      generation files are never opened, never copied,
+    *      byte-identical across the commit (the spec asserts this).
+    * Readers are unchanged: [[read]] unions the generation set, old
+    * version or new, never a mix.
+    *
+    * Sizing: pick numBuckets so table/numBuckets is a few GB — a batch
+    * touching k keys then rewrites ≤ min(k, numBuckets) buckets,
+    * turning a 100 TB CDC table's per-micro-batch cost from 100 TB
+    * into ~k × bucket size. The bucket count is pinned in the manifest
+    * (`buckets` field): a different numBuckets against an
+    * already-bucketed table fails loudly (re-bucketing is an explicit
+    * [[rewrite]], not an accident), and any non-upsert commit
+    * (append/rewrite/publish) clears the layout, making the next
+    * upsert re-bucket the whole table ONCE (the migration path — also
+    * how the first upsert after [[publish]] boots the layout).
+    *
+    * Exactly-once: (`writerId`, `batchId`) ride the commit under
+    * [[rewriteBatch]]'s per-writer watermark contract; an EMPTY batch
+    * with a batch id commits a watermark-only version (no data moved)
+    * so replay bookkeeping never stalls. Returns the new generation
+    * names (empty for watermark-only), or None on a covered replay.
+    *
+    * Concurrency: same rebase discipline as [[rewriteBatch]] — the
+    * head read is the CAS base; a lost race deletes the staged bucket
+    * generations and re-derives against the new head (an append
+    * landing mid-merge flows into the retry; its rows in touched
+    * buckets merge, others stay). */
+  def upsertBucketed(spark: SparkSession, tableDir: String,
+                     batch: DataFrame, keyCols: Seq[String], tsCol: String,
+                     tieCol: String, numBuckets: Int,
+                     batchId: Option[Long] = None,
+                     writerId: String = DefaultWriter,
+                     maxRetries: Int = 3): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    requireWriterId(writerId)
+    require(numBuckets >= 1 && numBuckets <= (1 << 20),
+      s"upsertBucketed: numBuckets out of range: $numBuckets")
+    require(keyCols.nonEmpty, "upsertBucketed: no key columns")
+    require(!batch.columns.contains(BucketCol),
+      s"upsertBucketed: input must not carry reserved column $BucketCol")
+    val fs = fsOf(spark, tableDir)
+    val bucketExpr =
+      pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong))
+        .cast("int")
+    val touched: Set[Int] = batch.select(bucketExpr.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    var attempts = 0
+    var lastRace: String = ""
+    var lastCause: Throwable = null
+    while (attempts <= maxRetries) {
+      val head = resolveHead(spark, tableDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableManifest: no manifest at $tableDir — publish() the " +
+            "table (e.g. updates.limit(0)) before upserting"))
+      val (seq, snap) = (head.seq, head.snap)
+      if (replayGate(snap, writerId, batchId, tableDir))
+        return None // covered replay: nothing read, written, committed
+      attempts += 1
+      val migrate = snap.generations.exists(g => bucketOf(g).isEmpty)
+      if (!migrate) snap.buckets.foreach(m => require(m == numBuckets,
+        s"upsertBucketed: table at $tableDir is bucketed $m-way; " +
+          s"refusing a $numBuckets-way upsert (stale rows would strand " +
+          "in unread buckets). Re-bucket explicitly via rewrite() " +
+          "first."))
+      val readGens =
+        if (migrate) snap.generations
+        else snap.generations.filter(g => bucketOf(g).exists(touched))
+      if (!migrate && touched.isEmpty) {
+        // empty batch: watermark-only commit keeps replay bookkeeping
+        // moving without touching any data
+        if (batchId.isEmpty) return Some(Seq.empty)
+        val next = Snapshot(snap.generations,
+          mergeWriters(snap.writers, Map(writerId -> batchId.get)),
+          snap.buckets)
+        if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
+          vacuum(spark, tableDir, seq + 1,
+            keepGens = next.generations.toSet, dropFutureSeq = false)
+          return Some(Seq.empty)
+        }
+        lastRace = s"version ${seq + 1} taken by a concurrent commit"
+      } else {
+        val stage = new Path(tableDir,
+          s"._stage-upsert-${java.util.UUID.randomUUID.toString.take(8)}")
+        val staged: Option[Seq[String]] =
+          try {
+            val cur =
+              if (readGens.isEmpty) batch.toDF().limit(0) // schema only
+              else spark.read.parquet(
+                readGens.map(g => s"$tableDir/$g"): _*)
+            val merged = Temporal.latestSnapshot(
+              cur.unionByName(batch.toDF()), keyCols, tsCol, tieCol)
+            merged.withColumn(BucketCol, bucketExpr)
+              .repartition(col(BucketCol))
+              .write.mode("errorifexists")
+              .partitionBy(BucketCol).parquet(stage.toString)
+            val moved = fs.listStatus(stage)
+              .filter(e => e.isDirectory &&
+                e.getPath.getName.startsWith(s"$BucketCol="))
+              .sortBy(_.getPath.getName)
+              .map { d =>
+                val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+                val gname = f"$GenPrefix${seq + 1}%06d-b$b-" +
+                  java.util.UUID.randomUUID.toString.take(8)
+                require(fs.rename(d.getPath, new Path(tableDir, gname)),
+                  s"upsertBucketed: staging rename failed for bucket $b")
+                gname
+              }.toSeq
+            Some(moved)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              // retry only plausibly-stale base reads — rewriteBatch's
+              // discipline (a deterministic merge bug rethrows with the
+              // head unchanged instead of re-running maxRetries times)
+              val headNow = resolveHead(spark, tableDir).map(_.seq)
+              if (headNow.contains(seq)) throw e
+              lastRace = e.toString; lastCause = e; None
+          } finally fs.delete(stage, true)
+        staged.foreach { moved =>
+          val keepOld =
+            if (migrate) Seq.empty
+            else snap.generations.filterNot(readGens.contains)
+          val next = Snapshot(keepOld ++ moved,
+            mergeWriters(snap.writers,
+              batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
+            Some(numBuckets))
+          if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
+            vacuum(spark, tableDir, seq + 1,
+              keepGens = snap.generations.toSet ++ next.generations,
+              dropFutureSeq = false)
+            return Some(moved)
+          }
+          // lost the CAS: the staged buckets were derived from a
+          // superseded version — delete, re-derive against the new head
+          moved.foreach(g => fs.delete(new Path(tableDir, g), true))
+          lastRace = s"version ${seq + 1} taken by a concurrent commit"
+        }
+      }
+    }
+    val storm = new java.io.IOException(
+      s"TableManifest: upsertBucketed at $tableDir did not commit in " +
+        s"$attempts attempts (last: $lastRace) — writer storm?")
+    if (lastCause != null) storm.initCause(lastCause)
+    throw storm
+  }
+
+  /** [[upsertSink]]'s bucketed successor as a `foreachBatch` sink: the
+    * per-micro-batch cost is O(buckets the batch touches), not
+    * O(table) — the difference between a CDC stream being viable and
+    * not at 100 TB. Same exactly-once and reader-isolation contract. */
+  def upsertSinkBucketed(tableDir: String, keyCols: Seq[String],
+                         tsCol: String, tieCol: String, numBuckets: Int,
+                         writerId: String = DefaultWriter)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      upsertBucketed(batch.sparkSession, tableDir, batch, keyCols, tsCol,
+        tieCol, numBuckets, Some(batchId), writerId)
       ()
     }
 

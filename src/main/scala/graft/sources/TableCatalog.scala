@@ -205,6 +205,47 @@ object TableCatalog {
           .save(s"${normalizeScheme(spec.path)}/$table")
     }
 
+  /** Manifested-table registry: names → table directories whose current
+    * content is resolved THROUGH the [[graft.ops.TableManifest]] pointer
+    * (versioned, reader-isolated tables) at reference time. */
+  private val manifestedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register a [[graft.ops.TableManifest]] table under a SQL-visible
+    * name: the registration resolves the CURRENT committed version into
+    * a temp view, and [[sqlManifested]] re-resolves every registered
+    * pointer once per statement — so each statement sees exactly one
+    * committed version per table (old or new across a concurrent
+    * commit, never a mix; the pointer resolve IS the isolation, no
+    * reader/writer coordination). A view left un-refreshed stays
+    * PINNED to the version it resolved — readable for as long as
+    * retention keeps that version's generations (the newest two), the
+    * same stalled-reader bound `TableManifest.read` documents. */
+  def registerManifested(spark: SparkSession, name: String,
+                         tableDir: String): Unit = {
+    manifestedTables.put(name, tableDir)
+    refreshManifested(spark, name)
+  }
+
+  /** Re-resolve one registered manifested view to the newest committed
+    * version. */
+  def refreshManifested(spark: SparkSession, name: String): Unit = {
+    val dir = Option(manifestedTables.get(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableCatalog: '$name' is not a registered manifested table " +
+          s"(registered: ${manifestedTables.keySet()})"))
+    graft.ops.TableManifest.read(spark, dir).createOrReplaceTempView(name)
+  }
+
+  /** Run SQL with every registered manifested view re-resolved to the
+    * newest committed version first — resolve-through-pointer at
+    * reference time, one version pin per statement. */
+  def sqlManifested(spark: SparkSession, sql: String): DataFrame = {
+    manifestedTables.keys().asIterator().forEachRemaining(
+      refreshManifested(spark, _))
+    spark.sql(sql)
+  }
+
   /** Persist as a bucketed+sorted managed table: both sides of a
     * co-partitioned equi-join then read with matching HashPartitioning and
     * the join plans with NO shuffle exchange — the storage-level answer to

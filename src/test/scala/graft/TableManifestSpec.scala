@@ -419,6 +419,215 @@ class TableManifestSpec extends AnyFunSuite {
       30L -> ((5L, "hot")), 40L -> ((1L, "new"))), snapshot().toString)
   }
 
+  private def genInventory(tbl: String,
+                           gens: Seq[String]): Map[String, Map[String, (Long, String)]] =
+    gens.map { g =>
+      val dir = new java.io.File(s"$tbl/$g")
+      g -> dir.listFiles().filter(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          f.getName -> ((f.length(), md5))
+        }.toMap
+    }.toMap
+
+  test("upsertBucketed rewrites ONLY the buckets a batch touches: " +
+      "untouched buckets' generation files are BYTE-IDENTICAL across " +
+      "the commit, content matches the total-order winner per key, the " +
+      "bucket layout is pinned, and non-upsert commits trigger a " +
+      "one-time re-bucket migration") {
+    import spark.implicits._
+    val tbl = tmpTable("manifbuck")
+    def rows(pairs: (Long, Long, String)*): org.apache.spark.sql.DataFrame =
+      pairs.toDF("key", "seq", "state")
+    // seed with REAL rows (unbucketed publish) — the first upsert must
+    // migrate the whole table into the bucket layout once
+    TableManifest.publish(spark, tbl,
+      rows((0 until 64).map(k => (k.toLong, 1L, s"v1-$k")): _*))
+    val g2 = TableManifest.upsertBucketed(spark, tbl,
+      rows((10L, 2L, "hot"), (11L, 2L, "warm")),
+      keyCols = Seq("key"), tsCol = "seq", tieCol = "state",
+      numBuckets = 8, batchId = Some(0L))
+    assert(g2.isDefined)
+    val gensAfterMigrate = TableManifest.currentGenerations(spark, tbl)
+    assert(gensAfterMigrate.forall(g =>
+      TableManifest.bucketOf(g).isDefined),
+      s"migration must leave every generation bucketed: $gensAfterMigrate")
+    assert(TableManifest.read(spark, tbl).count() == 64)
+    assert(TableManifest.read(spark, tbl)
+      .filter(col("key") === 10L).head.getString(2) == "hot")
+    // INCREMENTAL batch: touches exactly key 10's bucket — every other
+    // bucket's generation must survive by REFERENCE (same names, same
+    // bytes: never opened, never copied)
+    val before = genInventory(tbl, gensAfterMigrate)
+    val g3 = TableManifest.upsertBucketed(spark, tbl,
+      rows((10L, 3L, "hotter")),
+      Seq("key"), "seq", "state", numBuckets = 8, batchId = Some(1L))
+    assert(g3.isDefined && g3.get.size == 1,
+      s"a one-key batch must rewrite exactly one bucket: $g3")
+    val gensNow = TableManifest.currentGenerations(spark, tbl)
+    val untouched = gensNow.toSet.intersect(gensAfterMigrate.toSet)
+    assert(untouched.size == gensAfterMigrate.size - 1,
+      s"exactly one bucket generation may be replaced: before=" +
+        s"$gensAfterMigrate now=$gensNow")
+    val after = genInventory(tbl, untouched.toSeq)
+    untouched.foreach { g =>
+      assert(after(g) == before(g),
+        s"untouched bucket $g changed on disk (names/sizes/md5)")
+    }
+    // content: still 64 keys, winner per key across all batches
+    val snap = TableManifest.read(spark, tbl)
+    assert(snap.count() == 64)
+    assert(snap.filter(col("key") === 10L).head.getString(2) == "hotter")
+    assert(snap.filter(col("key") === 11L).head.getString(2) == "warm")
+    assert(snap.filter(col("key") === 12L).head.getString(2) == "v1-12")
+    assert(snap.groupBy("key").count().agg(max("count")).head
+      .getLong(0) == 1L, "duplicate keys after incremental merges")
+    // exactly-once: same batch id replays skip; a regressed id is loud
+    assert(TableManifest.upsertBucketed(spark, tbl,
+      rows((10L, 9L, "replayed")), Seq("key"), "seq", "state", 8,
+      batchId = Some(1L)).isEmpty, "replay must skip")
+    intercept[IllegalStateException] {
+      TableManifest.upsertBucketed(spark, tbl, rows((10L, 9L, "old")),
+        Seq("key"), "seq", "state", 8, batchId = Some(0L))
+    }
+    // the layout is pinned: a different bucket count refuses loudly
+    val mismatch = intercept[IllegalArgumentException] {
+      TableManifest.upsertBucketed(spark, tbl, rows((10L, 9L, "x")),
+        Seq("key"), "seq", "state", numBuckets = 16, batchId = Some(2L))
+    }
+    assert(mismatch.getMessage.contains("bucketed 8-way"),
+      mismatch.getMessage)
+    // an EMPTY batch with a batch id commits a watermark-only version:
+    // no generation changes, replay bookkeeping advances
+    val headBefore = TableManifest.versions(spark, tbl).last
+    assert(TableManifest.upsertBucketed(spark, tbl,
+      rows().limit(0).toDF(), Seq("key"), "seq", "state", 8,
+      batchId = Some(2L)).contains(Seq.empty))
+    assert(TableManifest.versions(spark, tbl).last == headBefore + 1)
+    assert(TableManifest.currentGenerations(spark, tbl) == gensNow)
+    assert(TableManifest.lastBatchId(spark, tbl).contains(2L))
+    // a non-upsert commit (append) mixes in an unbucketed generation
+    // and clears the pinned layout — the NEXT upsert re-buckets once,
+    // and the appended rows keep their winner semantics
+    TableManifest.append(spark, tbl,
+      rows((100L, 1L, "appended"), (10L, 4L, "appended-newer")))
+    assert(TableManifest.upsertBucketed(spark, tbl,
+      rows((101L, 1L, "fresh")), Seq("key"), "seq", "state", 8,
+      batchId = Some(3L)).isDefined)
+    val fin = TableManifest.read(spark, tbl)
+    assert(fin.count() == 66) // 64 + keys 100, 101
+    assert(fin.filter(col("key") === 10L).head.getString(2) ==
+      "appended-newer", "migration must fold appended rows into winners")
+    assert(TableManifest.currentGenerations(spark, tbl)
+      .forall(g => TableManifest.bucketOf(g).isDefined),
+      "re-bucket migration incomplete")
+  }
+
+  test("upsertSinkBucketed is exactly-once under a REAL torn-checkpoint " +
+      "replay, and each micro-batch rewrites only its touched buckets") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "manifbsink").toString
+    val in = s"$base/in"; val tbl = s"$base/t"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    def writeInput(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      stageInput(base, name, rows.toDF("key", "seq", "state"))
+    writeInput("f1", (0 until 40).map(k => (k.toLong, 1L, s"a$k")))
+    writeInput("f2", Seq((3L, 2L, "b3"), (7L, 2L, "b7")))
+    val schema = "key BIGINT, seq BIGINT, state STRING"
+    TableManifest.publish(spark, tbl, emptySeed(schema))
+    val sink = TableManifest.upsertSinkBucketed(tbl, Seq("key"), "seq",
+      "state", numBuckets = 8)
+    def runOnce(): Unit = runAvailableNow(schema, in, ckpt, sink)
+    runOnce()
+    assert(TableManifest.read(spark, tbl).count() == 40)
+    assert(TableManifest.read(spark, tbl)
+      .filter(col("key") === 3L).head.getString(2) == "b3")
+    val head = TableManifest.versions(spark, tbl).last
+    val gens = TableManifest.currentGenerations(spark, tbl)
+    // batch 2 (f2) touched ≤2 buckets: most of batch 1's bucket
+    // generations must still be referenced by name
+    assert(gens.count(_.startsWith("_gen-000002-")) >= 4,
+      s"micro-batch 2 rewrote buckets it did not touch: $gens")
+    tearLastCommit(ckpt)
+    runOnce() // replay of the torn batch must skip outright
+    assert(TableManifest.versions(spark, tbl).last == head,
+      "a replayed bucketed-upsert batch committed a new version")
+    assert(TableManifest.currentGenerations(spark, tbl) == gens)
+    // new changes flow after recovery
+    writeInput("f3", Seq((3L, 3L, "c3"), (50L, 1L, "new")))
+    runOnce()
+    val fin = TableManifest.read(spark, tbl)
+    assert(fin.count() == 41)
+    assert(fin.filter(col("key") === 3L).head.getString(2) == "c3")
+    val dup = fin.groupBy("key").count().agg(max("count")).head.getLong(0)
+    assert(dup == 1L, s"duplicate keys after replay: $dup")
+  }
+
+  test("manifest-carried file statistics: a selective range predicate " +
+      "opens STRICTLY FEWER files through readPruned, with content " +
+      "identical to the unpruned read; generations without stats stay " +
+      "conservative (all files included, correctness never depends on " +
+      "pruning)") {
+    import spark.implicits._
+    val tbl = tmpTable("manifstats")
+    // 400 rows over key 0..399, range-clustered into 8 files with
+    // disjoint key ranges — the layout file-skipping needs
+    val base = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("k", "tag")
+      .repartitionByRange(8, col("k"))
+    TableManifest.publish(spark, tbl, base, statsCol = Some("k"))
+    val (sel1, tot1) = TableManifest.prunedFiles(spark, tbl, "k", 100, 140)
+    assert(tot1 == 8, s"expected 8 range files, got $tot1")
+    assert(sel1.size < tot1 && sel1.nonEmpty,
+      s"a 40-key window over 8 range files must prune: ${sel1.size}/$tot1")
+    val pruned = TableManifest.readPruned(spark, tbl, "k", 100, 140)
+      .filter(col("k").between(100, 140))
+    val full = TableManifest.read(spark, tbl)
+      .filter(col("k").between(100, 140))
+    assert(pruned.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq ==
+      full.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq,
+      "pruned read content differs from the unpruned read")
+    assert(pruned.count() == 41)
+    // the scan really is file-level pruned: Spark's input files are
+    // exactly the selected set
+    assert(TableManifest.readPruned(spark, tbl, "k", 100, 140)
+      .inputFiles.map(f => new java.net.URI(f).getPath).toSet ==
+      sel1.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet)
+    // an appended generation WITHOUT stats is conservatively included
+    // whole; with stats, its files prune too
+    TableManifest.append(spark, tbl,
+      Seq((1000L, "late")).toDF("k", "tag").coalesce(1))
+    val (sel2, tot2) = TableManifest.prunedFiles(spark, tbl, "k", 100, 140)
+    assert(tot2 == 9 && sel2.size == sel1.size + 1,
+      s"no-stats generation must be conservatively included: " +
+        s"${sel2.size}/$tot2")
+    assert(TableManifest.readPruned(spark, tbl, "k", 100, 140)
+      .filter(col("k").between(100, 140)).count() == 41)
+    TableManifest.append(spark, tbl,
+      Seq((2000L, "late2")).toDF("k", "tag").coalesce(1),
+      statsCol = Some("k"))
+    val (sel3, tot3) = TableManifest.prunedFiles(spark, tbl, "k", 100, 140)
+    assert(tot3 == 10 && sel3.size == sel2.size,
+      "a stats-carrying out-of-range append must be pruned away")
+    val (sel4, _) = TableManifest.prunedFiles(spark, tbl, "k", 1990, 2010)
+    assert(sel4.exists(_.contains("_gen-")) && sel4.size <= 2,
+      s"the in-range window must select the late file + the no-stats " +
+        s"file only: $sel4")
+    // a different column's request ignores the sidecar (conservative):
+    // every file comes back
+    val (sel5, tot5) = TableManifest.prunedFiles(spark, tbl, "nope", 0, 1)
+    assert(sel5.size == tot5,
+      "a stats request for an unrecorded column must not prune")
+    // the whole-window read through pruning equals the plain read
+    assert(TableManifest.readPruned(spark, tbl, "k", 0, 3000).count() ==
+      TableManifest.read(spark, tbl).count())
+  }
+
   test("truncateLog bounds the permanent log: drops exactly the oldest " +
       "manifests, vacuums data referenced only below the cut, keeps the " +
       "suffix fully readable, and the table keeps committing") {
@@ -612,6 +821,68 @@ class TableManifestSpec extends AnyFunSuite {
       s"$tbl/_graft_checkpoint-000010.json")))
     assert(TableManifest.headResolutionOps(spark, tbl) <=
       TableManifest.CheckpointInterval.toInt + 6)
+  }
+
+  test("catalog integration: SQL over a registered manifested name sees " +
+      "exactly ONE committed version per statement across concurrent " +
+      "rewrites; an un-refreshed view stays pinned within retention") {
+    import spark.implicits._
+    import graft.sources.TableCatalog
+    val tbl = tmpTable("manifsql")
+    TableManifest.publish(spark, tbl,
+      (0 until 200).map(i => (i.toLong, "v1")).toDF("id", "tag"))
+    TableCatalog.registerManifested(spark, "manif_sql_t", tbl)
+    val r1 = TableCatalog.sqlManifested(spark,
+      "SELECT COUNT(*) AS n, COUNT(DISTINCT tag) AS t, MIN(tag) AS v " +
+        "FROM manif_sql_t").head
+    assert((r1.getLong(0), r1.getLong(1), r1.getString(2)) ==
+      ((200L, 1L, "v1")))
+    // pinned view: after ONE rewrite, the un-refreshed registration
+    // still reads the version it resolved (retention keeps it)
+    TableManifest.rewrite(spark, tbl)(df =>
+      df.withColumn("tag", lit("v2")))
+    assert(spark.sql("SELECT MIN(tag) FROM manif_sql_t")
+      .head.getString(0) == "v1",
+      "an un-refreshed view must stay pinned to its resolved version")
+    // resolve-through-pointer: the next statement sees the new head
+    assert(TableCatalog.sqlManifested(spark,
+      "SELECT MIN(tag) FROM manif_sql_t").head.getString(0) == "v2")
+    // whole-version isolation under concurrent rewrites: every SQL
+    // statement sees one tag and the full row count, never a mix
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val r = TableCatalog.sqlManifested(spark,
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT tag) AS t " +
+              "FROM manif_sql_t").head
+          if (r.getLong(0) != 200L || r.getLong(1) != 1L)
+            violations.add(s"torn SQL read: $r")
+          reads.incrementAndGet()
+        } catch { case e: Throwable => violations.add(s"SQL failed: $e") }
+      }
+    })
+    reader.start()
+    try {
+      (3 to 6).foreach { v =>
+        val before = reads.get()
+        TableManifest.rewrite(spark, tbl)(df =>
+          df.withColumn("tag", lit(s"v$v")))
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while (reads.get() == before && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        assert(reads.get() > before, "SQL reader made no progress")
+      }
+    } finally { stop.set(true); reader.join(30000) }
+    assert(violations.isEmpty, violations.toArray.mkString("; "))
+    assert(TableCatalog.sqlManifested(spark,
+      "SELECT MIN(tag) FROM manif_sql_t").head.getString(0) == "v6")
+    // unknown names fail loudly
+    intercept[IllegalArgumentException] {
+      TableCatalog.refreshManifested(spark, "never_registered")
+    }
   }
 
   test("recover reconciles crash debris: orphan next-generations and " +
