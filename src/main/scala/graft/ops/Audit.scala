@@ -1537,6 +1537,60 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q249
+  /** q249 entry: bucket-pruned POINT READ over the bucketed CDC table
+    * ([[graft.ops.TableManifest.readKeyBuckets]]) — the query-side
+    * payoff of q247's layout: a k-key lookup hashes its keys with the
+    * same pmod(xxhash64) the writer bucketed by and opens ONLY those
+    * buckets' generations (min(k, numBuckets) of them), never the
+    * table. The fixture is q247's winner-per-user snapshot (seed batch
+    * 0–4000, update batch 4000–6000); the lookup set is the FIVE
+    * smallest user ids in the window — deterministic at every scale,
+    * and sparse enough that 5 keys can never cover all 16 buckets (a
+    * one-in-k modulus grows with the user population and covered every
+    * bucket at sf0.1 — caught in review before it shipped);
+    * `bucket_pruned` asserts the scan's TABLE-generation input files
+    * (the keys-side source scan is filtered out by the `_gen-` prefix)
+    * came from strictly fewer generations than the table holds (a
+    * regression to read-everything fails it), and the content checksum
+    * pins that the pruned lookup returned exactly the oracle's winners
+    * for those keys. */
+  def q249PointRead(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q249_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    TableManifest.upsertBucketed(spark, fixture,
+      ev.filter(col("event_id") < 4000),
+      Seq("user_id"), "ts", "event_id", numBuckets = 16, Some(0L))
+    TableManifest.upsertBucketed(spark, fixture,
+      ev.filter(col("event_id") >= 4000 && col("event_id") < 6000),
+      Seq("user_id"), "ts", "event_id", numBuckets = 16, Some(1L))
+    val keys = ev.filter(col("event_id") < 6000)
+      .select(col("user_id")).distinct()
+      .orderBy(col("user_id")).limit(5)
+    val hit = TableManifest.readKeyBuckets(spark, fixture,
+      Seq("user_id"), keys)
+    val totalGens = TableManifest.currentGenerations(spark, fixture).size
+    // count TABLE generations only: inputFiles unions every file source
+    // in the plan, and the keys-side events scan must not inflate the
+    // opened-generation count
+    val openedGens = hit.inputFiles.map { f =>
+      new java.net.URI(f).getPath.split("/").takeRight(2).head
+    }.filter(_.startsWith("_gen-")).toSet.size
+    val bucketPruned = openedGens > 0 && openedGens < totalGens
+    partitionChecksums(hit, pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(bucketPruned).as("bucket_pruned"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1592,6 +1646,7 @@ object Audit {
     "q246_upsert_sink" -> q246UpsertSink _,
     "q247_upsert_bucketed" -> q247UpsertBucketed _,
     "q248_stats_pruned_read" -> q248StatsPrunedRead _,
+    "q249_point_read" -> q249PointRead _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1865,6 +1920,27 @@ object Audit {
         |       TRUE AS pruned
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q249: bucket-pruned point read — the winners for the one-in-31
+    // user set recomputed by DuckDB straight from the source window;
+    // `bucket_pruned` is the engine's claim the scan opened strictly
+    // fewer generations than the table holds (TableManifestSpec pins
+    // the opened set to the touched buckets)
+    "q249_point_read" ->
+      """WITH w AS (SELECT user_id, event_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events WHERE event_id < 6000)
+        |SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS bucket_pruned
+        |FROM w WHERE rn = 1
+        |  AND user_id IN (SELECT DISTINCT user_id FROM events
+        |                  WHERE event_id < 6000
+        |                  ORDER BY user_id LIMIT 5)
         |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,

@@ -116,8 +116,9 @@ object TableManifest {
     * table at that version and the PER-WRITER exactly-once batch
     * watermarks (Delta's txnAppId/txnVersion model — r10's single
     * global `batch` field become a map, exactly the extension point its
-    * watermark contract named). */
-  /** `buckets` is Some(N) iff the version was committed by
+    * watermark contract named).
+    *
+    * `buckets` is Some(N) iff the version was committed by
     * [[upsertBucketed]] with every generation bucket-tagged — the
     * layout-consistency check that stops a later upsert from hashing
     * the same keys into a DIFFERENT bucket count (which would strand
@@ -289,9 +290,15 @@ object TableManifest {
   private def maybeCheckpoint(spark: SparkSession, tableDir: String,
                               seq: Long, snapshot: Snapshot): Unit =
     if (seq % CheckpointInterval == 0) {
-      publishImmutable(spark, tableDir, checkpointPath(tableDir, seq),
-        renderSnapshot(snapshot))
+      // the WHOLE write is best-effort: checkpoints are derived caches
+      // of already-committed state, and this runs AFTER the caller's
+      // commit won — an IO failure here must never surface as a failed
+      // commit (the caller would retry a commit that landed and
+      // double-publish). A skipped checkpoint only costs resolution
+      // probes until the next interval winner writes one.
       try {
+        publishImmutable(spark, tableDir, checkpointPath(tableDir, seq),
+          renderSnapshot(snapshot))
         val fs = fsOf(spark, tableDir)
         val root = new Path(tableDir)
         val tmp = new Path(root,
@@ -435,6 +442,21 @@ object TableManifest {
     * the caller's intended commit seq. */
   private def newGenName(seq: Long): String =
     f"$GenPrefix$seq%06d-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Run a post-write step for a freshly-written, not-yet-referenced
+    * generation; on failure delete the generation before rethrowing —
+    * the rewriteBatch discipline ("instead of leaving recover() an
+    * orphan") applied to every writer path that stages work after the
+    * generation write (e.g. the stats sidecar, whose loud non-numeric
+    * failure would otherwise strand a full table copy). */
+  private def withGenReapedOnFailure[T](spark: SparkSession,
+      tableDir: String, gen: String)(step: => T): T =
+    try step
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        fsOf(spark, tableDir).delete(new Path(s"$tableDir/$gen"), true)
+        throw e
+    }
 
   /** Per-generation file-statistics sidecar (Iceberg's
     * manifests-carry-stats idea, one immutable JSON per generation):
@@ -627,7 +649,9 @@ object TableManifest {
     val cur = resolveHead(spark, tableDir)
     val nextSeq = cur.map(_.seq + 1).getOrElse(1L)
     val next = writeGeneration(spark, tableDir, nextSeq, df)
-    statsCol.foreach(writeStatsSidecar(spark, tableDir, next, _))
+    withGenReapedOnFailure(spark, tableDir, next) {
+      statsCol.foreach(writeStatsSidecar(spark, tableDir, next, _))
+    }
     val snap = Snapshot(Seq(next),
       cur.map(_.snap.writers).getOrElse(Map.empty))
     if (!commitAndCheckpoint(spark, tableDir, nextSeq, snap)) {
@@ -708,7 +732,9 @@ object TableManifest {
     if (replayGate(base.snap, writerId, batchId, tableDir))
       return None // replay: skip before writing
     val gen = writeGeneration(spark, tableDir, base.seq + 1, df)
-    statsCol.foreach(writeStatsSidecar(spark, tableDir, gen, _))
+    withGenReapedOnFailure(spark, tableDir, gen) {
+      statsCol.foreach(writeStatsSidecar(spark, tableDir, gen, _))
+    }
     var attempts = 0
     while (attempts <= maxRetries) {
       val (seq, snap) = (base.seq, base.snap)
@@ -753,9 +779,11 @@ object TableManifest {
     * interleaved commit's rows flow into the retry. A transient write
     * failure (e.g. the base generation vacuumed mid-read by two faster
     * rewrites) retries the same way; `maxRetries` bounds the loop. */
-  def rewrite(spark: SparkSession, tableDir: String, maxRetries: Int = 3)
+  def rewrite(spark: SparkSession, tableDir: String, maxRetries: Int = 3,
+              statsCol: Option[String] = None)
              (transform: DataFrame => DataFrame): String =
-    rewriteBatch(spark, tableDir, batchId = None, maxRetries)(transform)
+    rewriteBatch(spark, tableDir, batchId = None, maxRetries,
+      statsCol = statsCol)(transform)
       .get // never a replay without a batch id
 
   /** [[rewrite]] carrying an exactly-once batch watermark — the REPLACE
@@ -784,7 +812,8 @@ object TableManifest {
     * table's current content as the new stream's seed. */
   def rewriteBatch(spark: SparkSession, tableDir: String,
                    batchId: Option[Long], maxRetries: Int = 3,
-                   writerId: String = DefaultWriter)
+                   writerId: String = DefaultWriter,
+                   statsCol: Option[String] = None)
                   (transform: DataFrame => DataFrame): Option[String] = {
     requireWriterId(writerId)
     var attempts = 0
@@ -805,6 +834,7 @@ object TableManifest {
           val df = transform(spark.read.parquet(
             snap.generations.map(g => s"$tableDir/$g"): _*))
           df.write.mode("errorifexists").parquet(s"$tableDir/$name")
+          statsCol.foreach(writeStatsSidecar(spark, tableDir, name, _))
           Some(name)
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -947,7 +977,9 @@ object TableManifest {
     val bucketExpr =
       pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong))
         .cast("int")
-    val touched: Set[Int] = batch.select(bucketExpr.as("b")).distinct()
+    // the one batch scan the routing needs — LAZY so a covered replay
+    // skips before any Spark job runs ("nothing read" means it)
+    lazy val touched: Set[Int] = batch.select(bucketExpr.as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
     var attempts = 0
     var lastRace: String = ""
@@ -1024,20 +1056,37 @@ object TableManifest {
           val keepOld =
             if (migrate) Seq.empty
             else snap.generations.filterNot(readGens.contains)
-          val next = Snapshot(keepOld ++ moved,
-            mergeWriters(snap.writers,
-              batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
-            Some(numBuckets))
-          if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
-            vacuum(spark, tableDir, seq + 1,
-              keepGens = snap.generations.toSet ++ next.generations,
-              dropFutureSeq = false)
-            return Some(moved)
+          // an all-empty merge (empty table × empty batch on the
+          // migration path) must NEVER commit a zero-generation
+          // snapshot — read() would refuse the table until the next
+          // data-bearing commit. Keep the current generations and
+          // commit watermark-only bookkeeping (or nothing at all).
+          if (keepOld.isEmpty && moved.isEmpty) {
+            if (batchId.isEmpty) return Some(Seq.empty)
+            val next = Snapshot(snap.generations,
+              mergeWriters(snap.writers, Map(writerId -> batchId.get)),
+              snap.buckets)
+            if (commitAndCheckpoint(spark, tableDir, seq + 1, next))
+              return Some(Seq.empty)
+            // lost CAS with nothing staged: fall through to the loop's
+            // re-resolve, same as the normal lost-race path
+            lastRace = s"version ${seq + 1} taken by a concurrent commit"
+          } else {
+            val next = Snapshot(keepOld ++ moved,
+              mergeWriters(snap.writers,
+                batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
+              Some(numBuckets))
+            if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
+              vacuum(spark, tableDir, seq + 1,
+                keepGens = snap.generations.toSet ++ next.generations,
+                dropFutureSeq = false)
+              return Some(moved)
+            }
+            // lost the CAS: the staged buckets were derived from a
+            // superseded version — delete, re-derive against the new head
+            moved.foreach(g => fs.delete(new Path(tableDir, g), true))
+            lastRace = s"version ${seq + 1} taken by a concurrent commit"
           }
-          // lost the CAS: the staged buckets were derived from a
-          // superseded version — delete, re-derive against the new head
-          moved.foreach(g => fs.delete(new Path(tableDir, g), true))
-          lastRace = s"version ${seq + 1} taken by a concurrent commit"
         }
       }
     }
@@ -1061,6 +1110,49 @@ object TableManifest {
         tieCol, numBuckets, Some(batchId), writerId)
       ()
     }
+
+  /** Bucket-pruned POINT READ over an [[upsertBucketed]] table: the
+    * rows of the table whose key appears in `keys` (a frame carrying
+    * exactly the table's key columns), resolved by opening ONLY the
+    * generations of the buckets those keys hash into — a k-key lookup
+    * against a 100 TB CDC table reads min(k, numBuckets) buckets, not
+    * the table. This is the query-side payoff of the bucketed layout;
+    * the same pmod(xxhash64) both sides, so the routing is exact, and a
+    * left-semi join inside the surviving buckets returns exactly the
+    * matching rows. Falls back to the full generation set when the
+    * table is not purely bucketed (pruning is an optimization, never a
+    * correctness input — same rule as [[readPruned]]). Same
+    * old-or-new atomicity as [[read]]. */
+  def readKeyBuckets(spark: SparkSession, tableDir: String,
+                     keyCols: Seq[String], keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(keyCols.nonEmpty, "readKeyBuckets: no key columns")
+    def resolve(): DataFrame = {
+      val head = resolveHead(spark, tableDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableManifest: no manifest at $tableDir — not a manifested " +
+            "table (publish() first)"))
+      val snap = head.snap
+      val gens = snap.buckets match {
+        case Some(n) if snap.generations.forall(g => bucketOf(g).isDefined) =>
+          val touched = keys
+            .select(pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong))
+              .cast("int").as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          snap.generations.filter(g => bucketOf(g).exists(touched))
+        case _ => snap.generations // not purely bucketed: read everything
+      }
+      val base =
+        if (gens.isEmpty)
+          spark.read.parquet(
+            snap.generations.map(g => s"$tableDir/$g"): _*).limit(0)
+        else spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
+      base.join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi")
+    }
+    try resolve()
+    catch { case scala.util.control.NonFatal(_) => resolve() }
+  }
 
   /** A `foreachBatch` sink committing each micro-batch through the
     * manifest with its batch id as the exactly-once watermark: after a
@@ -1102,7 +1194,9 @@ object TableManifest {
     * the verb stays a composition, not a second protocol. */
   def optimizeManifested(spark: SparkSession, tableDir: String,
                          targetBytes: Long,
-                         maxRetries: Int = 3): (String, Option[String]) = {
+                         maxRetries: Int = 3,
+                         statsCol: Option[String] = None)
+      : (String, Option[String]) = {
     require(targetBytes > 0,
       s"optimizeManifested: targetBytes must be positive: $targetBytes")
     val fs = fsOf(spark, tableDir)
@@ -1131,7 +1225,8 @@ object TableManifest {
         // reach the coalesce; the clamp documents that invariant rather
         // than trusting the branch order
         return if (files.size <= planFiles) ("skip", None)
-        else ("compact", Some(rewrite(spark, tableDir, maxRetries = 0)(
+        else ("compact", Some(rewrite(spark, tableDir, maxRetries = 0,
+          statsCol = statsCol)(
           _.coalesce(math.min(planFiles, Int.MaxValue.toLong).toInt))))
       } catch {
         case e: IllegalArgumentException => throw e // not-a-table: loud
@@ -1306,6 +1401,8 @@ object TableManifest {
       val n = e.getPath.getName
       if (e.isDirectory && n.startsWith(GenPrefix) && !keepGens.contains(n))
         fs.delete(e.getPath, true)
+      else if (e.isDirectory && n.startsWith("._stage-"))
+        fs.delete(e.getPath, true) // crashed upsertBucketed staging
       else if (e.isFile &&
           n.startsWith("._manifest-") && n.endsWith(".tmp"))
         fs.delete(e.getPath, false)

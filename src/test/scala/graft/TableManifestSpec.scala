@@ -526,6 +526,34 @@ class TableManifestSpec extends AnyFunSuite {
       "re-bucket migration incomplete")
   }
 
+  test("regression: an EMPTY first batch on an EMPTY published table " +
+      "must never commit a zero-generation snapshot — the table stays " +
+      "readable and the watermark still advances") {
+    import spark.implicits._
+    val tbl = tmpTable("manifemptyboot")
+    val seed = Seq.empty[(Long, Long, String)].toDF("key", "seq", "state")
+    TableManifest.publish(spark, tbl, seed.coalesce(1))
+    // the stream's batch 0 is empty (a real stream-start shape): before
+    // the fix this committed generations=[] and read() refused the
+    // table until the next data-bearing commit
+    val r = TableManifest.upsertBucketed(spark, tbl,
+      seed, Seq("key"), "seq", "state", numBuckets = 8,
+      batchId = Some(0L))
+    assert(r.contains(Seq.empty))
+    assert(TableManifest.currentGenerations(spark, tbl).nonEmpty,
+      "a zero-generation snapshot was committed")
+    assert(TableManifest.read(spark, tbl).count() == 0) // readable
+    assert(TableManifest.lastBatchId(spark, tbl).contains(0L),
+      "the empty batch's watermark must still advance")
+    // a replay of the empty batch skips; data then flows normally
+    assert(TableManifest.upsertBucketed(spark, tbl, seed,
+      Seq("key"), "seq", "state", 8, batchId = Some(0L)).isEmpty)
+    assert(TableManifest.upsertBucketed(spark, tbl,
+      Seq((1L, 1L, "a")).toDF("key", "seq", "state"),
+      Seq("key"), "seq", "state", 8, batchId = Some(1L)).isDefined)
+    assert(TableManifest.read(spark, tbl).count() == 1)
+  }
+
   test("upsertSinkBucketed is exactly-once under a REAL torn-checkpoint " +
       "replay, and each micro-batch rewrites only its touched buckets") {
     import spark.implicits._
@@ -626,6 +654,69 @@ class TableManifestSpec extends AnyFunSuite {
     // the whole-window read through pruning equals the plain read
     assert(TableManifest.readPruned(spark, tbl, "k", 0, 3000).count() ==
       TableManifest.read(spark, tbl).count())
+  }
+
+  test("stats survive maintenance: a rewrite/optimize with statsCol " +
+      "records fresh sidecars, so pruning keeps working after " +
+      "compaction instead of silently degrading to read-everything") {
+    import spark.implicits._
+    val tbl = tmpTable("manifstatsrw")
+    TableManifest.publish(spark, tbl,
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("k", "tag")
+        .repartitionByRange(8, col("k")), statsCol = Some("k"))
+    assert(TableManifest.prunedFiles(spark, tbl, "k", 10, 20)._1.size <
+      TableManifest.prunedFiles(spark, tbl, "k", 10, 20)._2)
+    // re-cluster through rewrite WITH stats: pruning must still work on
+    // the new generation
+    TableManifest.rewrite(spark, tbl, statsCol = Some("k"))(
+      _.repartitionByRange(4, col("k")))
+    val (sel, tot) = TableManifest.prunedFiles(spark, tbl, "k", 10, 20)
+    assert(tot == 4 && sel.size < tot && sel.nonEmpty,
+      s"stats must survive the rewrite: ${sel.size}/$tot")
+    assert(TableManifest.readPruned(spark, tbl, "k", 10, 20)
+      .filter(col("k").between(10, 20)).count() == 11)
+    // a rewrite WITHOUT stats degrades to conservative (all files), and
+    // stays correct
+    TableManifest.rewrite(spark, tbl)(_.repartitionByRange(4, col("k")))
+    val (sel2, tot2) = TableManifest.prunedFiles(spark, tbl, "k", 10, 20)
+    assert(sel2.size == tot2, "no-stats rewrite must include all files")
+    assert(TableManifest.readPruned(spark, tbl, "k", 10, 20)
+      .filter(col("k").between(10, 20)).count() == 11)
+  }
+
+  test("bucket-pruned point reads: a k-key lookup opens ONLY the " +
+      "buckets those keys hash into; results exactly match the full " +
+      "read; non-bucketed tables fall back whole (correctness never " +
+      "depends on pruning)") {
+    import spark.implicits._
+    val tbl = tmpTable("manifpoint")
+    def rows(pairs: (Long, Long, String)*): org.apache.spark.sql.DataFrame =
+      pairs.toDF("key", "seq", "state")
+    TableManifest.publish(spark, tbl,
+      rows((0 until 64).map(k => (k.toLong, 1L, s"v$k")): _*))
+    // non-bucketed table: fallback still answers exactly
+    val fallback = TableManifest.readKeyBuckets(spark, tbl, Seq("key"),
+      Seq(5L, 6L).toDF("key"))
+    assert(fallback.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(5L, 6L))
+    // boot the bucket layout, then point-read two keys
+    TableManifest.upsertBucketed(spark, tbl, rows((5L, 2L, "hot")),
+      Seq("key"), "seq", "state", numBuckets = 8, batchId = Some(0L))
+    val gens = TableManifest.currentGenerations(spark, tbl)
+    val hit = TableManifest.readKeyBuckets(spark, tbl, Seq("key"),
+      Seq(5L, 23L).toDF("key"))
+    val got = hit.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == Map(5L -> "hot", 23L -> "v23"), got.toString)
+    // the scan opened at most TWO bucket generations' files
+    val openedGens = hit.inputFiles.map { f =>
+      new java.net.URI(f).getPath.split("/").takeRight(2).head
+    }.toSet
+    assert(openedGens.size <= 2 &&
+      openedGens.forall(g => TableManifest.bucketOf(g).isDefined),
+      s"point read opened $openedGens of ${gens.size} generations")
+    // absent keys: empty result, still bucket-pruned
+    assert(TableManifest.readKeyBuckets(spark, tbl, Seq("key"),
+      Seq(100000L).toDF("key")).count() == 0)
   }
 
   test("truncateLog bounds the permanent log: drops exactly the oldest " +
