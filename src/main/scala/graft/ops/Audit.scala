@@ -1591,6 +1591,48 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q250
+  /** q250 entry: incremental CDC TAIL over the manifest log
+    * ([[graft.ops.TableManifest.tailAppends]]) — consume exactly the
+    * generations committed after a version cursor, O(new data) per
+    * poll with no consumer state beyond the version number. Three
+    * event slices append; the tail cursor is taken AFTER the first, so
+    * the tailed frame must hold exactly slices 2–3 — a drop fails the
+    * count, a re-delivery of slice 1 fails count AND checksum (the
+    * oracle recomputes slices 2–3 from the source). `tail_exact`
+    * carries the engine's cursor bookkeeping claims: an empty poll at
+    * the head returns the same cursor, and the final cursor equals the
+    * head version. */
+  def q250TailAppends(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q250_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    def slice(lo: Long, hi: Long): DataFrame =
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    // the consumed prefix stops at 400 so the TAILED window is
+    // non-empty at every gate scale (sf0.001 holds 1000 events)
+    TableManifest.append(spark, fixture, slice(0, 400), Some(0L))
+    val (_, cursor) = TableManifest.tailAppends(spark, fixture, 1L)
+    TableManifest.append(spark, fixture, slice(400, 2000), Some(1L))
+    TableManifest.append(spark, fixture, slice(2000, 6000), Some(2L))
+    val (tail, cursor2) = TableManifest.tailAppends(spark, fixture, cursor)
+    val (empty, cursor3) = TableManifest.tailAppends(spark, fixture, cursor2)
+    val tailExact = cursor == 2L && cursor2 == 4L && cursor3 == cursor2 &&
+      empty.isEmpty &&
+      TableManifest.versions(spark, fixture).last == cursor2
+    partitionChecksums(tail, col("event_type"),
+      Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type")))
+      .select(col("part").as("event_type"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(tailExact).as("tail_exact"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1647,6 +1689,7 @@ object Audit {
     "q247_upsert_bucketed" -> q247UpsertBucketed _,
     "q248_stats_pruned_read" -> q248StatsPrunedRead _,
     "q249_point_read" -> q249PointRead _,
+    "q250_tail_appends" -> q250TailAppends _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -1942,6 +1985,20 @@ object Audit {
         |                  WHERE event_id < 6000
         |                  ORDER BY user_id LIMIT 5)
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q250: incremental CDC tail — exactly slices 2-3 from the source
+    // (a dropped generation fails the counts, a re-delivered slice 1
+    // fails counts AND checksums); tail_exact is the engine's cursor
+    // bookkeeping claim, proven against rewrites/truncation in
+    // TableManifestSpec
+    "q250_tail_appends" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS tail_exact
+        |FROM events WHERE event_id >= 400 AND event_id < 6000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

@@ -1111,6 +1111,57 @@ object TableManifest {
       ()
     }
 
+  /** Incremental CDC TAIL over an append-only manifested table: the
+    * rows committed AFTER `sinceVersion`, resolved as the generation
+    * set difference between the head and the snapshot at
+    * `sinceVersion` — O(new data), no re-read of consumed history, no
+    * state beyond the version number the caller persists. Returns the
+    * new rows and the head version to pass as the next call's
+    * `sinceVersion` (no new commits → empty frame, same version).
+    *
+    * The diff is EXACT only while history is append-only, and that is
+    * CHECKED, not assumed: if the consumed snapshot's generations are
+    * not a subset of the head's (a rewrite/compaction/bucketed-upsert
+    * replaced data the consumer already read), or `sinceVersion` was
+    * truncated out of the log, the tail fails LOUDLY demanding a
+    * resync (re-read the whole table through [[read]]) instead of
+    * silently dropping or double-delivering rows. Run maintenance on
+    * tailed tables between resync points, or tail the upstream
+    * append-only table and maintain a derived one. */
+  def tailAppends(spark: SparkSession, tableDir: String,
+                  sinceVersion: Long): (DataFrame, Long) = {
+    val head = resolveHead(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — not a manifested " +
+          "table (publish() first)"))
+    if (head.seq == sinceVersion)
+      return (read(spark, tableDir).limit(0), head.seq)
+    require(sinceVersion < head.seq,
+      s"TableManifest: tail cursor $sinceVersion is AHEAD of the head " +
+        s"${head.seq} at $tableDir — cursor from another table?")
+    val since = parseSnapshotIfPresent(spark,
+      manifestPath(tableDir, sinceVersion)).getOrElse(
+      throw new IllegalStateException(
+        s"TableManifest: tail cursor $sinceVersion was truncated out " +
+          s"of the log at $tableDir — resync: re-read the table via " +
+          "read() and continue from the current head version"))
+    val headGens = head.snap.generations.toSet
+    if (!since.generations.forall(headGens.contains))
+      throw new IllegalStateException(
+        s"TableManifest: history at $tableDir was REWRITTEN since " +
+          s"version $sinceVersion (a compaction/re-clustering/bucketed " +
+          "upsert replaced generations the tail already consumed) — an " +
+          "incremental diff would silently drop or double-deliver " +
+          "rows. Resync: re-read the table via read() and continue " +
+          "from the current head version.")
+    val newGens = head.snap.generations.filterNot(
+      since.generations.toSet.contains)
+    val df =
+      if (newGens.isEmpty) read(spark, tableDir).limit(0)
+      else spark.read.parquet(newGens.map(g => s"$tableDir/$g"): _*)
+    (df, head.seq)
+  }
+
   /** Bucket-pruned POINT READ over an [[upsertBucketed]] table: the
     * rows of the table whose key appears in `keys` (a frame carrying
     * exactly the table's key columns), resolved by opening ONLY the

@@ -719,6 +719,62 @@ class TableManifestSpec extends AnyFunSuite {
       Seq(100000L).toDF("key")).count() == 0)
   }
 
+  test("tailAppends consumes exactly the generations committed after " +
+      "the cursor — no drop, no double-delivery across interleaved " +
+      "appends; a rewrite behind the cursor fails LOUDLY demanding a " +
+      "resync; a truncated cursor fails loudly too") {
+    import spark.implicits._
+    val tbl = tmpTable("maniftail")
+    def batch(tag: String, from: Int, n: Int) =
+      (from until from + n).map(i => (i.toLong, tag)).toDF("id", "tag")
+    TableManifest.publish(spark, tbl, batch("seed", 0, 10))
+    val (d0, v0) = TableManifest.tailAppends(spark, tbl, 1L)
+    assert(d0.count() == 0 && v0 == 1L, "no commits yet: empty, same cursor")
+    TableManifest.append(spark, tbl, batch("a", 100, 20))
+    TableManifest.append(spark, tbl, batch("b", 200, 30))
+    val (d1, v1) = TableManifest.tailAppends(spark, tbl, v0)
+    assert(v1 == 3L)
+    assert(d1.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 20L, "b" -> 30L),
+      "the tail must deliver exactly the two appended batches")
+    // idempotent cursor: nothing new → empty; then one more batch →
+    // exactly that batch, never re-delivering a or b
+    assert(TableManifest.tailAppends(spark, tbl, v1)._1.count() == 0)
+    TableManifest.append(spark, tbl, batch("c", 300, 5))
+    val (d2, v2) = TableManifest.tailAppends(spark, tbl, v1)
+    assert(v2 == 4L && d2.count() == 5 &&
+      d2.select("tag").distinct().head.getString(0) == "c")
+    // a cursor from the future is a usage bug, loud
+    intercept[IllegalArgumentException] {
+      TableManifest.tailAppends(spark, tbl, 99L)
+    }
+    // a REWRITE behind the cursor invalidates the diff — the tail must
+    // refuse (silently dropping the compacted history is the CDC loss
+    // mode this check exists for)
+    TableManifest.rewrite(spark, tbl)(_.coalesce(1))
+    val rewritten = intercept[IllegalStateException] {
+      TableManifest.tailAppends(spark, tbl, v2)
+    }
+    assert(rewritten.getMessage.contains("REWRITTEN") &&
+      rewritten.getMessage.contains("Resync"), rewritten.getMessage)
+    // resync recipe works: read() then tail from the new head
+    val headAfter = TableManifest.versions(spark, tbl).last
+    assert(TableManifest.read(spark, tbl).count() == 65)
+    TableManifest.append(spark, tbl, batch("d", 400, 3))
+    val (d3, _) = TableManifest.tailAppends(spark, tbl, headAfter)
+    assert(d3.count() == 3)
+    // a truncated cursor is loud (build a long log, cut it)
+    (0 until 12).foreach(i =>
+      TableManifest.append(spark, tbl, batch(s"t$i", 1000 + i * 10, 1)))
+    TableManifest.truncateLog(spark, tbl, keepVersions = 8)
+    val truncated = intercept[IllegalStateException] {
+      TableManifest.tailAppends(spark, tbl, 2L)
+    }
+    assert(truncated.getMessage.contains("truncated"),
+      truncated.getMessage)
+  }
+
   test("truncateLog bounds the permanent log: drops exactly the oldest " +
       "manifests, vacuums data referenced only below the cut, keeps the " +
       "suffix fully readable, and the table keeps committing") {
