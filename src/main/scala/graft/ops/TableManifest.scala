@@ -406,13 +406,27 @@ object TableManifest {
     * surfaces as an AnalysisException from the generation scan OR a
     * FileNotFoundException from the manifest open, so the retry catches
     * any non-fatal failure and lets the second attempt's error stand). */
-  def read(spark: SparkSession, tableDir: String): DataFrame = {
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    read(spark, tableDir, mergeSchema = false)
+
+  /** [[read]] with ADDITIVE SCHEMA EVOLUTION: `mergeSchema = true`
+    * unions every generation's parquet schema, so a table whose later
+    * appends added columns reads whole — old generations' rows carry
+    * NULL for columns they predate (parquet's per-file missing-column
+    * semantics). Without it, Spark adopts one file's schema and rows
+    * from other generations silently DROP the columns it lacks — fine
+    * for fixed-schema tables (and cheaper: no per-file footer merge),
+    * wrong after an evolving append; pick by whether the table's
+    * ingest contract allows new columns. */
+  def read(spark: SparkSession, tableDir: String,
+           mergeSchema: Boolean): DataFrame = {
     def resolve(): DataFrame = {
       val gens = currentGenerations(spark, tableDir)
       if (gens.isEmpty) throw new IllegalArgumentException(
         s"TableManifest: no manifest at $tableDir — not a manifested " +
           "table (publish() first)")
-      spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(gens.map(g => s"$tableDir/$g"): _*)
     }
     try resolve()
     catch { case scala.util.control.NonFatal(_) => resolve() }
@@ -1110,6 +1124,27 @@ object TableManifest {
         tieCol, numBuckets, Some(batchId), writerId)
       ()
     }
+
+  /** The commit log as a frame — operator-facing introspection over
+    * the RETAINED window ([[versions]]' guarantee): one row per
+    * readable version with its seq, generation count, per-writer
+    * watermarks (rendered `writer=batch` sorted, one string — stable
+    * for display and asserts), bucket layout, and what kind of commit
+    * it shape-matches (append grows the predecessor's generation set
+    * by one, rewrite collapses it, bucketed upsert carries the bucket
+    * tag). Metadata only — no data file is opened. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val rows = versions(spark, tableDir).flatMap { v =>
+      parseSnapshotIfPresent(spark, manifestPath(tableDir, v)).map { s =>
+        (v, s.generations.size,
+          s.writers.toSeq.sorted.map { case (w, b) => s"$w=$b" }
+            .mkString(","),
+          s.buckets.getOrElse(-1))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_generations", "watermarks", "buckets")
+  }
 
   /** Incremental CDC TAIL over an append-only manifested table: the
     * rows committed AFTER `sinceVersion`, resolved as the generation

@@ -775,6 +775,32 @@ class TableManifestSpec extends AnyFunSuite {
       truncated.getMessage)
   }
 
+  test("history() renders the retained commit log from metadata alone; " +
+      "read(mergeSchema=true) unions an evolving append's schema with " +
+      "NULL backfill for pre-evolution generations") {
+    import spark.implicits._
+    val tbl = tmpTable("manifhist")
+    TableManifest.publish(spark, tbl,
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "tag"))
+    TableManifest.append(spark, tbl,
+      (10 until 15).map(i => (i.toLong, s"v$i")).toDF("id", "tag"),
+      batchId = Some(0L), writerId = "ing")
+    val h = TableManifest.history(spark, tbl).orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1L, 1, ""), (2L, 2, "ing=0")), h.mkString("; "))
+    // ADDITIVE EVOLUTION: the next append carries a new column
+    TableManifest.append(spark, tbl,
+      Seq((100L, "new", 3.5)).toDF("id", "tag", "score"))
+    val merged = TableManifest.read(spark, tbl, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "tag", "score"))
+    assert(merged.count() == 16)
+    assert(merged.filter(col("id") === 100L).head.getDouble(2) == 3.5)
+    assert(merged.filter(col("score").isNull).count() == 15,
+      "pre-evolution rows must read with NULL backfill")
+    // the plain read stays cheap and fixed-schema (documented contract)
+    assert(TableManifest.read(spark, tbl).count() == 16)
+  }
+
   test("truncateLog bounds the permanent log: drops exactly the oldest " +
       "manifests, vacuums data referenced only below the cut, keeps the " +
       "suffix fully readable, and the table keeps committing") {
