@@ -419,18 +419,23 @@ object TableManifest {
     * wrong after an evolving append; pick by whether the table's
     * ingest contract allows new columns. */
   def read(spark: SparkSession, tableDir: String,
-           mergeSchema: Boolean): DataFrame = {
-    def resolve(): DataFrame = {
-      val gens = currentGenerations(spark, tableDir)
-      if (gens.isEmpty) throw new IllegalArgumentException(
-        s"TableManifest: no manifest at $tableDir — not a manifested " +
-          "table (publish() first)")
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(gens.map(g => s"$tableDir/$g"): _*)
-    }
-    try resolve()
-    catch { case scala.util.control.NonFatal(_) => resolve() }
+           mergeSchema: Boolean): DataFrame = retryOnce {
+    val gens = currentGenerations(spark, tableDir)
+    if (gens.isEmpty) throw new IllegalArgumentException(
+      s"TableManifest: no manifest at $tableDir — not a manifested " +
+        "table (publish() first)")
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(gens.map(g => s"$tableDir/$g"): _*)
   }
+
+  /** One re-resolve for the stalled-reader race every pointer-resolving
+    * read shares (see [[read]]'s contract): the resolved manifest or
+    * generations can be retired by TWO commits between the resolve and
+    * the open; the retry re-resolves from the new head and lets the
+    * second attempt's error stand. */
+  private def retryOnce[T](resolve: => T): T =
+    try resolve
+    catch { case scala.util.control.NonFatal(_) => resolve }
 
   /** Time travel: read a RETAINED committed version (see [[versions]]).
     * Retention keeps the newest two, so the version a rewrite or append
@@ -568,14 +573,10 @@ object TableManifest {
     * TIMESTAMP = epoch micros. Same old-or-new atomicity as [[read]],
     * same one re-resolve on the stalled-reader race. */
   def readPruned(spark: SparkSession, tableDir: String, statsCol: String,
-                 lo: Double, hi: Double): DataFrame = {
-    def resolve(): DataFrame = {
-      val (files, _) = prunedFiles(spark, tableDir, statsCol, lo, hi)
-      if (files.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
-      else spark.read.parquet(files: _*)
-    }
-    try resolve()
-    catch { case scala.util.control.NonFatal(_) => resolve() }
+                 lo: Double, hi: Double): DataFrame = retryOnce {
+    val (files, _) = prunedFiles(spark, tableDir, statsCol, lo, hi)
+    if (files.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
+    else spark.read.parquet(files: _*)
   }
 
   private def writeGeneration(spark: SparkSession, tableDir: String,
@@ -1016,18 +1017,17 @@ object TableManifest {
       val readGens =
         if (migrate) snap.generations
         else snap.generations.filter(g => bucketOf(g).exists(touched))
+      // nothing data-bearing to commit: advance the writer's watermark
+      // on the UNCHANGED generation set so replay bookkeeping keeps
+      // moving (no vacuum — a gens-unchanged commit supersedes nothing)
+      def watermarkOnly(): Boolean =
+        batchId.isEmpty ||
+          commitAndCheckpoint(spark, tableDir, seq + 1,
+            Snapshot(snap.generations,
+              mergeWriters(snap.writers, Map(writerId -> batchId.get)),
+              snap.buckets))
       if (!migrate && touched.isEmpty) {
-        // empty batch: watermark-only commit keeps replay bookkeeping
-        // moving without touching any data
-        if (batchId.isEmpty) return Some(Seq.empty)
-        val next = Snapshot(snap.generations,
-          mergeWriters(snap.writers, Map(writerId -> batchId.get)),
-          snap.buckets)
-        if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
-          vacuum(spark, tableDir, seq + 1,
-            keepGens = next.generations.toSet, dropFutureSeq = false)
-          return Some(Seq.empty)
-        }
+        if (watermarkOnly()) return Some(Seq.empty)
         lastRace = s"version ${seq + 1} taken by a concurrent commit"
       } else {
         val stage = new Path(tableDir,
@@ -1076,12 +1076,7 @@ object TableManifest {
           // data-bearing commit. Keep the current generations and
           // commit watermark-only bookkeeping (or nothing at all).
           if (keepOld.isEmpty && moved.isEmpty) {
-            if (batchId.isEmpty) return Some(Seq.empty)
-            val next = Snapshot(snap.generations,
-              mergeWriters(snap.writers, Map(writerId -> batchId.get)),
-              snap.buckets)
-            if (commitAndCheckpoint(spark, tableDir, seq + 1, next))
-              return Some(Seq.empty)
+            if (watermarkOnly()) return Some(Seq.empty)
             // lost CAS with nothing staged: fall through to the loop's
             // re-resolve, same as the normal lost-race path
             lastRace = s"version ${seq + 1} taken by a concurrent commit"
@@ -1181,7 +1176,8 @@ object TableManifest {
           s"of the log at $tableDir — resync: re-read the table via " +
           "read() and continue from the current head version"))
     val headGens = head.snap.generations.toSet
-    if (!since.generations.forall(headGens.contains))
+    val sinceGens = since.generations.toSet
+    if (!sinceGens.subsetOf(headGens))
       throw new IllegalStateException(
         s"TableManifest: history at $tableDir was REWRITTEN since " +
           s"version $sinceVersion (a compaction/re-clustering/bucketed " +
@@ -1189,8 +1185,7 @@ object TableManifest {
           "incremental diff would silently drop or double-deliver " +
           "rows. Resync: re-read the table via read() and continue " +
           "from the current head version.")
-    val newGens = head.snap.generations.filterNot(
-      since.generations.toSet.contains)
+    val newGens = head.snap.generations.filterNot(sinceGens.contains)
     val df =
       if (newGens.isEmpty) read(spark, tableDir).limit(0)
       else spark.read.parquet(newGens.map(g => s"$tableDir/$g"): _*)
@@ -1213,7 +1208,7 @@ object TableManifest {
                      keyCols: Seq[String], keys: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(keyCols.nonEmpty, "readKeyBuckets: no key columns")
-    def resolve(): DataFrame = {
+    retryOnce {
       val head = resolveHead(spark, tableDir).getOrElse(
         throw new IllegalArgumentException(
           s"TableManifest: no manifest at $tableDir — not a manifested " +
@@ -1229,15 +1224,11 @@ object TableManifest {
         case _ => snap.generations // not purely bucketed: read everything
       }
       val base =
-        if (gens.isEmpty)
-          spark.read.parquet(
-            snap.generations.map(g => s"$tableDir/$g"): _*).limit(0)
+        if (gens.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
         else spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
       base.join(keys.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_semi")
     }
-    try resolve()
-    catch { case scala.util.control.NonFatal(_) => resolve() }
   }
 
   /** A `foreachBatch` sink committing each micro-batch through the
