@@ -554,6 +554,66 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.read(spark, tbl).count() == 1)
   }
 
+  test("concurrent bucketed upserts: racing writers rebase through the " +
+      "CAS and EVERY writer's keys land with winner-per-key semantics — " +
+      "a lost race re-derives against the new head instead of " +
+      "committing its stale bucket set") {
+    import spark.implicits._
+    val tbl = tmpTable("manifbuckrace")
+    def rows(pairs: (Long, Long, String)*): org.apache.spark.sql.DataFrame =
+      pairs.toDF("key", "seq", "state")
+    // boot the bucket layout first (migration is not under test here)
+    TableManifest.publish(spark, tbl,
+      rows((0 until 32).map(k => (k.toLong, 1L, s"v$k")): _*))
+    TableManifest.upsertBucketed(spark, tbl, rows((0L, 2L, "boot")),
+      Seq("key"), "seq", "state", numBuckets = 8)
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            try {
+              // writer w updates ITS OWN key slice (CDC partitions are
+              // disjoint across writers; the CAS races are on the
+              // manifest, and overlapping buckets force real re-derives)
+              val df = rows((0 until 8).map(i =>
+                ((w * 8 + i).toLong, 5L, s"w$w")): _*)
+              start.await()
+              TableManifest.upsertBucketed(spark, tbl, df, Seq("key"),
+                "seq", "state", numBuckets = 8,
+                maxRetries = writers * 4)
+            } catch { case t: Throwable => failures.add(t.toString) }
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    val fin = TableManifest.read(spark, tbl)
+    assert(fin.count() == 32, "a racing upsert dropped or duplicated keys")
+    val dup = fin.groupBy("key").count().agg(max("count")).head.getLong(0)
+    assert(dup == 1L, s"duplicate keys after racing upserts: $dup")
+    // EVERY writer's update won its keys (seq 5 beats the seed's 1/2):
+    // a stale bucket set committed by a lost race would resurrect old
+    // states for the writer it raced
+    val states = fin.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    (0 until writers).foreach { w =>
+      (0 until 8).foreach { i =>
+        assert(states((w * 8 + i).toLong) == s"w$w",
+          s"writer $w's update to key ${w * 8 + i} was lost " +
+            s"(got ${states((w * 8 + i).toLong)})")
+      }
+    }
+    // the layout survived the storm: still purely bucketed, still 8-way
+    assert(TableManifest.currentGenerations(spark, tbl)
+      .forall(g => TableManifest.bucketOf(g).isDefined))
+  }
+
   test("upsertSinkBucketed is exactly-once under a REAL torn-checkpoint " +
       "replay, and each micro-batch rewrites only its touched buckets") {
     import spark.implicits._
