@@ -84,6 +84,17 @@ object RunJob {
   }
 
   def main(args: Array[String]): Unit = {
+    // discoverability verb (reference app.py:74-76,289-291): list the
+    // registry and exit 0 — a boolean flag, checked before pair-parsing
+    if (args.contains("--list-job-types")) {
+      val registry = Jobs.builtinRegistry("/root/repo/target/graft-jobs")
+      val types = registry.values.toSeq.sortBy(_.jobType)
+        .map(s => s"${JsonEscape.str(s.jobType)}:" +
+          JsonEscape.str(s.description))
+        .mkString("{", ",", "}")
+      println(s"""{"job_types":$types}""")
+      return
+    }
     val a = parseArgs(args)
     val cfg = buildConfig(a)
     val workDir = a.getOrElse("work-dir", "/root/repo/target/graft-jobs")

@@ -161,28 +161,53 @@ object TableManifest {
     * `{"generations":[…],"batch":7}` (set + single global watermark,
     * r10 final), and `{"generations":[…],"writers":{"id":7,…}}`
     * (per-writer watermarks, r11 — a legacy `batch` reads as the
-    * [[DefaultWriter]]'s watermark, so r10 tables upgrade in place). */
-  private def parseSnapshot(spark: SparkSession, manifest: Path): Snapshot = {
-    val body = readSmall(spark, manifest)
-    val many = """"generations"\s*:\s*\[([^\]]*)\]""".r
-      .findFirstMatchIn(body).map { m =>
-        """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    * [[DefaultWriter]]'s watermark, so r10 tables upgrade in place).
+    *
+    * Extraction is TOP-LEVEL-ANCHORED (a real JSON parse, json4s on
+    * Spark's own jackson), not regex-over-body: an r11 review found
+    * that regex field extraction let WRITER IDS alias protocol fields —
+    * a writer named "batch" rendered a `"batch":7` pair inside the
+    * writers map that the legacy-batch regex matched (a phantom
+    * default-writer watermark silently skipping real batches), and a
+    * writer named "buckets" fed [[readKeyBuckets]] the wrong modulus.
+    * With the parse structural, a writers-map key can never be read as
+    * a field ([[requireWriterId]] additionally refuses the reserved
+    * names outright — belt and braces). */
+  private def parseSnapshot(spark: SparkSession, manifest: Path): Snapshot =
+    parseSnapshotBody(readSmall(spark, manifest), manifest.toString)
+
+  private[graft] def parseSnapshotBody(body: String,
+                                       where: String): Snapshot = {
+    import org.json4s._
+    def bad(cause: Throwable = null) = {
+      val e = new IllegalStateException(
+        s"TableManifest: unparseable manifest at $where: ${body.take(200)}")
+      if (cause != null) e.initCause(cause)
+      e
+    }
+    val j =
+      try org.json4s.jackson.JsonMethods.parse(body)
+      catch { case scala.util.control.NonFatal(e) => throw bad(e) }
+    def long(v: JValue): Option[Long] = v match {
+      case JInt(n) => Some(n.toLong)
+      case JLong(n) => Some(n)
+      case _ => None
+    }
+    val gens: Option[Seq[String]] = (j \ "generations") match {
+      case JArray(xs) => Some(xs.collect { case JString(s) => s })
+      case _ => (j \ "generation") match {
+        case JString(s) => Some(Seq(s))
+        case _ => None
       }
-    val one = """"generation"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(body).map(m => Seq(m.group(1)))
-    val batch = """"batch"\s*:\s*(-?\d+)""".r
-      .findFirstMatchIn(body).map(_.group(1).toLong)
-    val writers = """"writers"\s*:\s*\{([^}]*)\}""".r
-      .findFirstMatchIn(body).map { m =>
-        """"([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(m.group(1))
-          .map(p => p.group(1) -> p.group(2).toLong).toMap
-      }.getOrElse(Map.empty[String, Long])
-    val buckets = """"buckets"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(body).map(_.group(1).toInt)
-    Snapshot(many.orElse(one).getOrElse(
-      throw new IllegalStateException(
-        s"TableManifest: unparseable manifest at $manifest: " +
-          body.take(200))),
+    }
+    val writers: Map[String, Long] = (j \ "writers") match {
+      case JObject(fields) =>
+        fields.flatMap { case (k, v) => long(v).map(k -> _) }.toMap
+      case _ => Map.empty
+    }
+    val batch = long(j \ "batch")
+    val buckets = long(j \ "buckets").map(_.toInt)
+    Snapshot(gens.getOrElse(throw bad()),
       mergeWriters(writers,
         batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)),
       buckets)
@@ -263,6 +288,18 @@ object TableManifest {
                   throw new java.io.FileNotFoundException(
                     s"head $seq truncated mid-resolve"))
             }
+            // Truncation guard (an r11 review finding): a concurrent
+            // truncateLog deleting manifests ABOVE this hint's
+            // checkpoint makes the upward probe stop at the truncation
+            // gap and report a BELOW-CUT seq as head. truncateLog
+            // deletes the below-cut hint BEFORE any manifest, so
+            // re-verifying the hint still exists AFTER the probe
+            // closes the window: hint gone → a truncation is (or was)
+            // reaping this window → fall back to the full listing.
+            ops += 1
+            if (!fs.exists(new Path(root, HintFile)))
+              throw new java.io.FileNotFoundException(
+                s"hint deleted mid-resolve (truncation) at $tableDir")
             HeadInfo(seq, snap, ops)
           }
         }
@@ -307,13 +344,19 @@ object TableManifest {
         try out.write(s"""{"seq":$seq}""".getBytes("UTF-8"))
         finally out.close()
         val scheme = fs.getUri.getScheme
-        if (scheme == null || scheme == "file")
+        if (scheme == null || scheme == "file") {
           java.nio.file.Files.move(
             java.nio.file.Paths.get(tmp.toUri.getPath),
             java.nio.file.Paths.get(new Path(root, HintFile).toUri.getPath),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        else {
+          // the tmp was created through the CHECKSUMMED local fs but
+          // moved with java.nio, which the ChecksumFileSystem cannot
+          // see — reap the stranded '.<tmp>.crc' sidecar here or it
+          // accumulates one orphan per checkpoint forever (an r11
+          // review finding; recover()'s sweep also matches it now)
+          fs.delete(new Path(root, s".${tmp.getName}.crc"), false)
+        } else {
           org.apache.hadoop.fs.FileContext.getFileContext(
             fs.getUri, spark.sessionState.newHadoopConf())
             .rename(tmp, new Path(root, HintFile),
@@ -728,11 +771,25 @@ object TableManifest {
       }
     }
 
-  private def requireWriterId(writerId: String): Unit =
+  /** Manifest field names a writer id must not shadow: the parse is
+    * top-level-anchored so aliasing is structurally impossible, but a
+    * writer literally named "batch" or "buckets" is a config error in
+    * the caller ninety-nine times in a hundred — refuse it loudly
+    * rather than record a legitimately confusing watermark. */
+  private val ReservedWriterIds = Set(
+    "batch", "buckets", "writers", "generations", "generation", "seq",
+    "meta", "merge", "delete", "parts", "files")
+
+  private def requireWriterId(writerId: String): Unit = {
     require(writerId.nonEmpty &&
       writerId.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
         c == '-'),
       s"TableManifest: writerId must be [A-Za-z0-9._-]+: '$writerId'")
+    require(!ReservedWriterIds.contains(writerId),
+      s"TableManifest: writerId '$writerId' is a reserved manifest " +
+        s"field name (${ReservedWriterIds.toSeq.sorted.mkString(", ")}) " +
+        "— pick a non-protocol identity")
+  }
 
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              batchId: Option[Long] = None,
@@ -1366,6 +1423,31 @@ object TableManifest {
     val (drop, keep) = ms.splitAt(ms.size - keepVersions)
     val keepGens =
       keep.flatMap(parseSnapshot(spark, _).generations).toSet
+    val cutSeq = manifestSeq(keep.head.getName)
+    // ORDER MATTERS (an r11 review finding): drop the below-cut HINT
+    // and checkpoints BEFORE any manifest, so a hint-guided resolveHead
+    // racing this truncation can never probe into the gap and report a
+    // below-cut seq as head — its post-probe hint re-verify sees the
+    // hint gone and falls back to the listing, which only ever sees
+    // the kept suffix shrink toward the head.
+    val hint = new Path(root, HintFile)
+    if (fs.exists(hint) &&
+        """"seq"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(readSmall(spark, hint))
+          .exists(_.group(1).toLong < cutSeq))
+      fs.delete(hint, false)
+    // checkpoints below the cut are caches of dropped state — reap them
+    // with the manifests they summarize (resolveHead falls back to the
+    // listing on the missing checkpoint; the next interval winner
+    // rewrites the hint)
+    fs.listStatus(root).foreach { e =>
+      val n = e.getPath.getName
+      if (e.isFile && n.startsWith(CheckpointPrefix) &&
+          n.endsWith(".json") &&
+          n.stripPrefix(CheckpointPrefix).stripSuffix(".json").toLong
+            < cutSeq)
+        fs.delete(e.getPath, false)
+    }
     drop.foreach { m =>
       // already gone = another truncation raced this one (a contract
       // violation the walk tolerates rather than crashes on)
@@ -1376,25 +1458,6 @@ object TableManifest {
         fs.delete(m, false)
       }
     }
-    // checkpoints below the cut are caches of dropped state — reap them
-    // with the manifests they summarize; a hint pointing below the cut
-    // is dropped too (resolveHead would fall back to the listing anyway
-    // on the missing checkpoint, and the next checkpoint rewrites it)
-    val cutSeq = manifestSeq(keep.head.getName)
-    fs.listStatus(root).foreach { e =>
-      val n = e.getPath.getName
-      if (e.isFile && n.startsWith(CheckpointPrefix) &&
-          n.endsWith(".json") &&
-          n.stripPrefix(CheckpointPrefix).stripSuffix(".json").toLong
-            < cutSeq)
-        fs.delete(e.getPath, false)
-    }
-    val hint = new Path(root, HintFile)
-    if (fs.exists(hint) &&
-        """"seq"\s*:\s*(\d+)""".r
-          .findFirstMatchIn(readSmall(spark, hint))
-          .exists(_.group(1).toLong < cutSeq))
-      fs.delete(hint, false)
     drop.size
   }
 
@@ -1483,6 +1546,9 @@ object TableManifest {
       else if (e.isFile &&
           n.startsWith("._manifest-") && n.endsWith(".tmp"))
         fs.delete(e.getPath, false)
+      else if (e.isFile &&
+          n.startsWith(".._manifest-") && n.endsWith(".tmp.crc"))
+        fs.delete(e.getPath, false) // stranded checksum sidecars
     }
   }
 }

@@ -205,11 +205,25 @@ object TableCatalog {
           .save(s"${normalizeScheme(spec.path)}/$table")
     }
 
-  /** Manifested-table registry: names → table directories whose current
-    * content is resolved THROUGH the [[graft.ops.TableManifest]] pointer
-    * (versioned, reader-isolated tables) at reference time. */
+  /** Manifested-table registry, KEYED PER SESSION: names → table
+    * directories whose current content is resolved THROUGH the
+    * [[graft.ops.TableManifest]] pointer (versioned, reader-isolated
+    * tables) at reference time. Temp views are per-SparkSession, so a
+    * process-global registry (the r11 shape) silently materialized one
+    * session's registrations into every OTHER session that called
+    * [[sqlManifested]] — the registry now lives with the session it was
+    * registered in (weak keys: a dropped session takes its
+    * registrations with it). */
   private val manifestedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def sessionTables(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, String] =
+    manifestedTables.synchronized {
+      manifestedTables.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }
 
   /** Register a [[graft.ops.TableManifest]] table under a SQL-visible
     * name: the registration resolves the CURRENT committed version into
@@ -220,28 +234,38 @@ object TableCatalog {
     * reader/writer coordination). A view left un-refreshed stays
     * PINNED to the version it resolved — readable for as long as
     * retention keeps that version's generations (the newest two), the
-    * same stalled-reader bound `TableManifest.read` documents. */
+    * same stalled-reader bound `TableManifest.read` documents.
+    *
+    * The name is validated as a bare SQL identifier HERE, so a typo'd
+    * or quoted name fails with this message at registration instead of
+    * an opaque parser error inside the first statement that uses it. */
   def registerManifested(spark: SparkSession, name: String,
                          tableDir: String): Unit = {
-    manifestedTables.put(name, tableDir)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"TableCatalog: manifested table name must be a bare SQL " +
+        s"identifier ([A-Za-z_][A-Za-z0-9_]*): '$name'")
+    sessionTables(spark).put(name, tableDir)
     refreshManifested(spark, name)
   }
 
   /** Re-resolve one registered manifested view to the newest committed
-    * version. */
+    * version (registered in THIS session — registrations do not leak
+    * across sessions). */
   def refreshManifested(spark: SparkSession, name: String): Unit = {
-    val dir = Option(manifestedTables.get(name)).getOrElse(
+    val tables = sessionTables(spark)
+    val dir = Option(tables.get(name)).getOrElse(
       throw new IllegalArgumentException(
         s"TableCatalog: '$name' is not a registered manifested table " +
-          s"(registered: ${manifestedTables.keySet()})"))
+          s"in this session (registered: ${tables.keySet()})"))
     graft.ops.TableManifest.read(spark, dir).createOrReplaceTempView(name)
   }
 
-  /** Run SQL with every registered manifested view re-resolved to the
-    * newest committed version first — resolve-through-pointer at
-    * reference time, one version pin per statement. */
+  /** Run SQL with every manifested view registered IN THIS SESSION
+    * re-resolved to the newest committed version first —
+    * resolve-through-pointer at reference time, one version pin per
+    * statement. */
   def sqlManifested(spark: SparkSession, sql: String): DataFrame = {
-    manifestedTables.keys().asIterator().forEachRemaining(
+    sessionTables(spark).keys().asIterator().forEachRemaining(
       refreshManifested(spark, _))
     spark.sql(sql)
   }

@@ -1157,4 +1157,112 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.currentGeneration(spark, tbl).contains(g3))
     assert(TableManifest.read(spark, tbl).count() == 50)
   }
+
+  test("writer ids can never alias manifest protocol fields: the parse " +
+      "is top-level-anchored (a writers-map key named like a field is " +
+      "just a writer), and the reserved names are refused at the API") {
+    // the r11 regex parser read writers:{"batch":7} as a LEGACY global
+    // watermark (phantom default-writer skip = quiet data loss) and
+    // writers:{"buckets":3} as the bucket modulus (wrong-modulus point
+    // reads) — pin the structural fix at the parser seam
+    val s = TableManifest.parseSnapshotBody(
+      """{"generations":["_gen-000001-aa"],""" +
+        """"writers":{"batch":7,"buckets":3,"seq":9}}""", "test")
+    assert(s.watermark("batch").contains(7L))
+    assert(s.watermark("buckets").contains(3L))
+    assert(s.watermark(TableManifest.DefaultWriter).isEmpty,
+      "a writers-map key must never read as the legacy batch field")
+    assert(s.buckets.isEmpty,
+      "a writers-map key must never read as the bucket modulus")
+    // and the legacy + modern fields still parse from the top level
+    val legacy = TableManifest.parseSnapshotBody(
+      """{"generations":["g"],"batch":4,"buckets":16}""", "test")
+    assert(legacy.watermark(TableManifest.DefaultWriter).contains(4L))
+    assert(legacy.buckets.contains(16))
+    // belt and braces: the reserved names are refused before they can
+    // ever be rendered into a manifest
+    val tbl = tmpTable("manifresv")
+    import spark.implicits._
+    TableManifest.publish(spark, tbl, Seq((1L, "a")).toDF("id", "tag"))
+    Seq("batch", "buckets", "writers", "generations").foreach { w =>
+      intercept[IllegalArgumentException] {
+        TableManifest.append(spark, tbl, Seq((2L, "b")).toDF("id", "tag"),
+          batchId = Some(0L), writerId = w)
+      }
+    }
+  }
+
+  test("checkpoint hint maintenance leaves no checksum debris: after " +
+      "many checkpointed commits the table dir holds no stranded " +
+      "'.._manifest-*.tmp.crc' sidecars") {
+    import spark.implicits._
+    val tbl = tmpTable("manifcrc")
+    TableManifest.publish(spark, tbl, Seq((0L, "b0")).toDF("id", "tag"))
+    (1 to 21).foreach(i =>
+      TableManifest.append(spark, tbl, Seq((i.toLong, s"b$i")).toDF("id", "tag")))
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val debris = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".tmp.crc") || n.endsWith(".tmp"))
+    assert(debris.isEmpty,
+      s"checkpoint/commit staging must clean up after itself: " +
+        debris.mkString(","))
+  }
+
+  test("a hint-guided resolution racing truncateLog never reports a " +
+      "below-cut head: mid-truncation state (hint gone, gap above the " +
+      "old checkpoint) falls back to the listing and finds the true head") {
+    import spark.implicits._
+    val tbl = tmpTable("maniftrunc")
+    TableManifest.publish(spark, tbl, Seq((0L, "b0")).toDF("id", "tag"))
+    (1 to 24).foreach(i =>
+      TableManifest.append(spark, tbl, Seq((i.toLong, s"b$i")).toDF("id", "tag")))
+    // head = 25, newest checkpoint = 20, hint → 20. Emulate truncation
+    // mid-flight in ITS documented order (hint first, then manifests):
+    // the hint is gone and manifests 21..23 are deleted — the old probe
+    // walked 20→gap and reported 20 (five commits behind); the guard
+    // must fall back to the listing and report 25.
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def del(n: String) =
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tbl/$n"), false)
+    // stale hint pointing at 10 (the pre-race state a best-effort hint
+    // write allows), checkpoint 10 still present
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$tbl/_graft_last_checkpoint"), true)
+    out.write("""{"seq":10}""".getBytes("UTF-8")); out.close()
+    (11 to 13).foreach(i => del(f"_graft_manifest-$i%06d.json"))
+    del("_graft_last_checkpoint") // truncation drops the hint FIRST
+    val head = TableManifest.headResolutionOps(spark, tbl) // must not throw
+    assert(head > 0)
+    assert(TableManifest.versions(spark, tbl).last == 25L,
+      "resolution must fall back to the listing and find the true head")
+    assert(TableManifest.read(spark, tbl).count() == 25)
+  }
+
+  test("manifested-catalog registry is per-session and validates names: " +
+      "a sibling session sees none of this session's registrations, and " +
+      "a non-identifier name fails at registration, not inside SQL") {
+    import spark.implicits._
+    import graft.sources.TableCatalog
+    val tbl = tmpTable("manifcat2")
+    TableManifest.publish(spark, tbl,
+      (0 until 10).map(i => (i.toLong, "v1")).toDF("id", "tag"))
+    intercept[IllegalArgumentException] {
+      TableCatalog.registerManifested(spark, "bad name; drop", tbl)
+    }
+    TableCatalog.registerManifested(spark, "manif_scoped_t", tbl)
+    assert(TableCatalog.sqlManifested(spark,
+      "SELECT count(*) AS n FROM manif_scoped_t").head.getLong(0) == 10L)
+    val sibling = spark.newSession()
+    intercept[IllegalArgumentException] {
+      TableCatalog.refreshManifested(sibling, "manif_scoped_t")
+    }
+    // and sqlManifested in the sibling must not materialize our views
+    intercept[Exception] {
+      TableCatalog.sqlManifested(sibling,
+        "SELECT count(*) FROM manif_scoped_t").collect()
+    }
+  }
 }
