@@ -1497,14 +1497,17 @@ object Audit {
     * ([[graft.ops.TableManifest.readPruned]]) — Iceberg's
     * manifests-carry-stats idea closing the loop between the footer-
     * stats tier and the log tier. Orders are published range-clustered
-    * on `o_orderdate` with a per-file (min,max) sidecar recorded at
-    * commit time; a one-year predicate then resolves its file set from
-    * SIDECAR METADATA — the `pruned` boolean asserts strictly fewer
-    * files were handed to Spark than the table holds (the skipped
-    * files are never listed, opened, or footer-read), and the content
-    * checksum pins that pruning lost nothing: the oracle recomputes
-    * the same year from the raw source. Bounds ride the parquet stats
-    * surface (DATE = epoch days). */
+    * on `o_orderdate` with the per-file (min,max) inventory recorded
+    * IN THE MANIFEST at commit time; a one-year predicate then
+    * resolves its file set from ONE manifest parse — the `pruned`
+    * boolean asserts strictly fewer files were handed to Spark than
+    * the table holds (the skipped files are never listed, opened, or
+    * footer-read), `meta_only` asserts the resolution cost ZERO
+    * directory listings (the r11 verdict's serial per-generation
+    * metadata loop is gone — file lists ride the commit JSON), and
+    * the content checksum pins that pruning lost nothing: the oracle
+    * recomputes the same year from the raw source. Bounds ride the
+    * parquet stats surface (DATE = epoch days). */
   def q248StatsPrunedRead(spark: SparkSession, dir: String): DataFrame = {
     val fixture = s"${Relational.scratch}/q248_table"
     val fs = new org.apache.hadoop.fs.Path(fixture)
@@ -1520,9 +1523,10 @@ object Audit {
     def micros(d: String): Double =
       java.time.LocalDate.parse(d).toEpochDay.toDouble * 86400e6
     val (lo, hi) = (micros("1995-01-01"), micros("1996-01-01") - 1)
-    val (selected, total) =
-      TableManifest.prunedFiles(spark, fixture, "o_orderdate", lo, hi)
-    val pruned = selected.nonEmpty && selected.size < total
+    val info =
+      TableManifest.prunedFilesInfo(spark, fixture, "o_orderdate", lo, hi)
+    val pruned = info.files.nonEmpty && info.files.size < info.total
+    val metaOnly = info.listings == 0
     partitionChecksums(
       TableManifest.readPruned(spark, fixture, "o_orderdate", lo, hi)
         .filter(col("o_orderdate").between(
@@ -1533,7 +1537,7 @@ object Audit {
         col("o_orderdate").cast("string")))
       .select(col("part"), col("n_rows"),
         col("checksum").cast("string").as("checksum"),
-        lit(pruned).as("pruned"))
+        lit(pruned).as("pruned"), lit(metaOnly).as("meta_only"))
       .orderBy("part")
   }
 
@@ -1951,16 +1955,18 @@ object Audit {
         |GROUP BY 1 ORDER BY part""".stripMargin,
     // q248: stats-pruned manifested read — content identity of the
     // one-year window recomputed from the raw source; `pruned` is the
-    // engine's claim that the file set came from sidecar metadata and
-    // was strictly smaller than the table (TableManifestSpec proves the
-    // inputFiles set equals the pruned selection byte-for-byte)
+    // engine's claim that the file set came from manifest-recorded
+    // metadata and was strictly smaller than the table, `meta_only`
+    // that resolving it cost ZERO directory listings (TableManifestSpec
+    // proves the inputFiles set equals the pruned selection
+    // byte-for-byte and pins the zero-listing seam)
     "q248_stats_pruned_read" ->
       """SELECT CAST(o_custkey % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
         |             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
         |             CAST(o_orderdate AS VARCHAR))), 1, 13)) AS BIGINT)
         |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
-        |       TRUE AS pruned
+        |       TRUE AS pruned, TRUE AS meta_only
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
         |GROUP BY 1 ORDER BY part""".stripMargin,

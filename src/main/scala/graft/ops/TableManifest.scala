@@ -112,6 +112,23 @@ object TableManifest {
       .map(_.getPath).sortBy(p => manifestSeq(p.getName)).toSeq
   }
 
+  /** One data file's manifest-recorded metadata: its name, size, and —
+    * when the generation was committed with a stats column — its
+    * (min,max) on that column from the parquet footer. Recorded at
+    * WRITE time so no read ever lists a generation directory
+    * (Iceberg's manifests-carry-file-lists design; an r11 verdict
+    * found the sidecar-per-generation predecessor cost one serial
+    * driver round-trip per generation on every pruned read). */
+  private[graft] case class FileMeta(name: String, size: Long,
+                                     lo: Option[Double],
+                                     hi: Option[Double])
+
+  /** A generation's manifest-recorded inventory: the stats column its
+    * ranges were computed on (None = names+sizes only) and one
+    * [[FileMeta]] per data file. */
+  private[graft] case class GenMeta(statsCol: Option[String],
+                                    files: Seq[FileMeta])
+
   /** One committed table version: the generation set that makes up the
     * table at that version and the PER-WRITER exactly-once batch
     * watermarks (Delta's txnAppId/txnVersion model — r10's single
@@ -125,11 +142,28 @@ object TableManifest {
     * stale rows in buckets the merge no longer reads). Any other
     * commit clears it (an [[append]] mixes in an unbucketed
     * generation; a [[rewrite]] collapses to one), and the next
-    * bucketed upsert re-buckets the whole table once. */
+    * bucketed upsert re-buckets the whole table once.
+    *
+    * `meta` records each generation's data-file inventory
+    * ([[GenMeta]]): committing writers record it for the generations
+    * they WRITE and carry forward the base snapshot's entries for the
+    * generations they keep, so the read path resolves file sets from
+    * ONE manifest parse — zero directory listings. It is an
+    * OPTIMIZATION, never a correctness input: a generation absent
+    * from the map (a legacy commit) falls back to one pooled listing
+    * and its files are conservatively included by any pruning. */
   private[graft] case class Snapshot(generations: Seq[String],
                                      writers: Map[String, Long],
-                                     buckets: Option[Int] = None) {
+                                     buckets: Option[Int] = None,
+                                     meta: Map[String, GenMeta] = Map.empty) {
     def watermark(writerId: String): Option[Long] = writers.get(writerId)
+    /** The base's entries for the generations a new commit keeps —
+      * every carry-forward site routes here so stale entries for
+      * dropped generations can never ride along. */
+    def metaFor(gens: Seq[String]): Map[String, GenMeta] = {
+      val keep = gens.toSet
+      meta.filter { case (g, _) => keep(g) }
+    }
   }
 
   private def mergeWriters(a: Map[String, Long],
@@ -207,10 +241,41 @@ object TableManifest {
     }
     val batch = long(j \ "batch")
     val buckets = long(j \ "buckets").map(_.toInt)
+    def dbl(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JInt(n) => Some(n.toDouble)
+      case JLong(n) => Some(n.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _ => None
+    }
+    val meta: Map[String, GenMeta] = (j \ "meta") match {
+      case JObject(gens) => gens.flatMap { case (g, gm) =>
+        val col = (gm \ "col") match {
+          case JString(c) => Some(c)
+          case _ => None
+        }
+        (gm \ "files") match {
+          case JArray(fs) =>
+            val files = fs.collect {
+              // [name, size] or [name, size, lo, hi]
+              case JArray(JString(n) :: rest) =>
+                val size = rest.headOption.flatMap(long).getOrElse(0L)
+                val range = rest.drop(1) match {
+                  case l :: h :: Nil => (dbl(l), dbl(h))
+                  case _ => (None, None)
+                }
+                FileMeta(n, size, range._1, range._2)
+            }
+            Some(g -> GenMeta(col, files))
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
     Snapshot(gens.getOrElse(throw bad()),
       mergeWriters(writers,
         batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)),
-      buckets)
+      buckets, meta)
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -221,7 +286,26 @@ object TableManifest {
         .map { case (w, b) => s"${graft.JsonEscape.str(w)}:$b" }
         .mkString(""","writers":{""", ",", "}")
     val buckets = s.buckets.map(n => s""","buckets":$n""").getOrElse("")
-    s"""{"generations":$gens$writers$buckets}"""
+    // file inventories render only for generations this snapshot holds
+    // (metaFor at every carry-forward site makes this a no-op filter,
+    // but the render is the last line of defense against a stale entry)
+    val live = s.metaFor(s.generations)
+    val meta =
+      if (live.isEmpty) ""
+      else s.generations.flatMap(g => live.get(g).map(g -> _))
+        .map { case (g, gm) =>
+          val col = gm.statsCol
+            .map(c => s""""col":${graft.JsonEscape.str(c)},""").getOrElse("")
+          val files = gm.files.map { f =>
+            val range = (f.lo, f.hi) match {
+              case (Some(l), Some(h)) => s",$l,$h"
+              case _ => ""
+            }
+            s"[${graft.JsonEscape.str(f.name)},${f.size}$range]"
+          }.mkString("[", ",", "]")
+          s"""${graft.JsonEscape.str(g)}:{$col"files":$files}"""
+        }.mkString(""","meta":{""", ",", "}")
+    s"""{"generations":$gens$writers$buckets$meta}"""
   }
 
   private def checkpointPath(tableDir: String, seq: Long): Path =
@@ -509,8 +593,9 @@ object TableManifest {
     * generation; on failure delete the generation before rethrowing —
     * the rewriteBatch discipline ("instead of leaving recover() an
     * orphan") applied to every writer path that stages work after the
-    * generation write (e.g. the stats sidecar, whose loud non-numeric
-    * failure would otherwise strand a full table copy). */
+    * generation write (e.g. the manifest inventory's footer-stats
+    * collection, whose loud non-numeric failure would otherwise strand
+    * a full table copy). */
   private def withGenReapedOnFailure[T](spark: SparkSession,
       tableDir: String, gen: String)(step: => T): T =
     try step
@@ -520,87 +605,113 @@ object TableManifest {
         throw e
     }
 
-  /** Per-generation file-statistics sidecar (Iceberg's
-    * manifests-carry-stats idea, one immutable JSON per generation):
-    * written INSIDE the generation directory before any manifest
-    * references it, so it is committed, retained, time-travelled and
-    * vacuumed with its data — readers can never see a stats-requested
-    * generation without its sidecar, and the manifest JSON stays lean
-    * (no data values in the commit hot path). */
-  private val StatsFile = "_graft_stats.json"
-
-  /** Record per-FILE (min,max) of `statsCol` for a freshly-written
-    * generation, from the parquet footers ([[Layout]]'s pooled walk —
-    * metadata reads, never a data scan). Numeric/date/timestamp
+  /** Collect a freshly-written generation's manifest inventory: one
+    * directory listing (write path — the writer just created these
+    * files) for names+sizes, plus — when `statsCol` is declared — the
+    * per-FILE (min,max) from the parquet footers ([[Layout]]'s pooled
+    * walk, metadata reads, never a data scan). Numeric/date/timestamp
     * columns only (parquet stats surface them as numbers: DATE = epoch
     * days, TIMESTAMP = micros); a non-numeric column fails loudly, as
     * does a file with no non-null value — the same contract as the
     * layout tier's range audits. */
-  private def writeStatsSidecar(spark: SparkSession, tableDir: String,
-                                gen: String, statsCol: String): Unit = {
-    import org.apache.spark.sql.functions.{max, min}
-    val perFile = Layout.parquetColumnStatsImpl(
-        spark, s"$tableDir/$gen", Seq(statsCol))
-      .groupBy("file")
-      .agg(min("lo").as("lo"), max("hi").as("hi"))
-      .collect() // one row per data file of ONE generation — metadata-sized
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val body = perFile.map { case (f, lo, hi) =>
-      s"${graft.JsonEscape.str(f)}:[$lo,$hi]"
-    }.mkString(
-      s"""{"col":${graft.JsonEscape.str(statsCol)},"files":{""", ",", "}}")
-    val fs = fsOf(spark, tableDir)
-    val out = fs.create(new Path(s"$tableDir/$gen/$StatsFile"), false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+  private def collectGenMeta(spark: SparkSession, tableDir: String,
+                             gen: String,
+                             statsCol: Option[String]): GenMeta = {
+    val files = dataFiles(fsOf(spark, tableDir), s"$tableDir/$gen")
+      .sortBy(_.getPath.getName)
+    statsCol match {
+      case None =>
+        GenMeta(None,
+          files.map(f => FileMeta(f.getPath.getName, f.getLen, None, None)))
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{max, min}
+        val ranges = Layout.parquetColumnStatsImpl(
+            spark, s"$tableDir/$gen", Seq(c))
+          .groupBy("file")
+          .agg(min("lo").as("lo"), max("hi").as("hi"))
+          .collect() // one row per data file of ONE generation
+          .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+          .toMap
+        GenMeta(Some(c), files.map { f =>
+          val r = ranges.get(f.getPath.getName)
+          FileMeta(f.getPath.getName, f.getLen, r.map(_._1), r.map(_._2))
+        })
+    }
   }
 
-  /** The sidecar's per-file ranges, if present AND recorded for this
-    * column (a different column's sidecar is ignored — conservative). */
-  private def readStatsSidecar(spark: SparkSession, tableDir: String,
-      gen: String, statsCol: String): Option[Map[String, (Double, Double)]] =
-    try {
-      val body = readSmall(spark, new Path(s"$tableDir/$gen/$StatsFile"))
-      val colOk = """"col"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
-        .exists(_.group(1) == statsCol)
-      if (!colOk) None
-      else Some(
-        """"([^"]+)"\s*:\s*\[([-0-9.eE]+)\s*,\s*([-0-9.eE]+)\]""".r
-          .findAllMatchIn(body)
-          .map(m => m.group(1) -> ((m.group(2).toDouble,
-            m.group(3).toDouble)))
-          .toMap)
-    } catch { case _: java.io.FileNotFoundException => None }
+  /** A pruned-read resolution: the selected file paths, the head's
+    * total file count, and how many DIRECTORY LISTINGS the resolution
+    * cost — the test seam for the zero-listing contract (a generation
+    * with manifest-recorded [[GenMeta]] is never listed; only legacy
+    * generations fall back, pooled). */
+  private[graft] case class PruneInfo(files: Seq[String], total: Int,
+                                      listings: Int)
 
   /** The data-file paths a `[lo, hi]` range on the declared stats
     * column needs, plus the head's total file count — the pruning
-    * decision runs on sidecar metadata BEFORE Spark ever lists or
-    * opens a file. Files with no recorded range (generation written
-    * without stats, file absent from its sidecar) are INCLUDED —
+    * decision runs on MANIFEST metadata before Spark ever lists or
+    * opens a file (zero directory listings for manifest-inventoried
+    * generations). Files with no recorded range (generation written
+    * without stats, file absent from its inventory) are INCLUDED —
     * pruning is an optimization, never a correctness input. */
   private[graft] def prunedFiles(spark: SparkSession, tableDir: String,
                                  statsCol: String, lo: Double,
                                  hi: Double): (Seq[String], Int) = {
+    val info = prunedFilesInfo(spark, tableDir, statsCol, lo, hi)
+    (info.files, info.total)
+  }
+
+  private[graft] def prunedFilesInfo(spark: SparkSession, tableDir: String,
+                                     statsCol: String, lo: Double,
+                                     hi: Double): PruneInfo = {
     val head = resolveHead(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"TableManifest: no manifest at $tableDir — not a manifested " +
           "table (publish() first)"))
-    val fs = fsOf(spark, tableDir)
     val selected = Seq.newBuilder[String]
     var total = 0
-    head.snap.generations.foreach { g =>
-      val files = dataFiles(fs, s"$tableDir/$g")
-      total += files.size
-      val ranges = readStatsSidecar(spark, tableDir, g, statsCol)
-      files.foreach { f =>
-        val keep = ranges.flatMap(_.get(f.getPath.getName)) match {
-          case Some((flo, fhi)) => fhi >= lo && flo <= hi
-          case None => true // unknown range: conservative
-        }
-        if (keep) selected += f.getPath.toString
+    var listings = 0
+    val (inventoried, legacy) =
+      head.snap.generations.partition(head.snap.meta.contains)
+    inventoried.foreach { g =>
+      val gm = head.snap.meta(g)
+      total += gm.files.size
+      gm.files.foreach { fm =>
+        val keep =
+          if (!gm.statsCol.contains(statsCol)) true // other/no column
+          else (fm.lo, fm.hi) match {
+            case (Some(flo), Some(fhi)) => fhi >= lo && flo <= hi
+            case _ => true // unknown range: conservative
+          }
+        if (keep) selected += s"$tableDir/$g/${fm.name}"
       }
     }
-    (selected.result(), total)
+    if (legacy.nonEmpty) {
+      // pre-inventory generations (a legacy manifest): one listing per
+      // generation, fanned out on a bounded pool instead of the serial
+      // driver loop the r11 verdict flagged; no stats are recorded for
+      // them, so every file is conservatively included
+      val fs = fsOf(spark, tableDir)
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, legacy.size))
+      try {
+        legacy.map { g =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              results.add(dataFiles(fs, s"$tableDir/$g")
+                .map(f => f.getPath.toString))
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      listings += legacy.size
+      results.forEach { files =>
+        total += files.size
+        files.foreach(selected += _)
+      }
+    }
+    PruneInfo(selected.result(), total, listings)
   }
 
   /** Read the table with FILE-LEVEL pruning by the recorded per-file
@@ -707,11 +818,12 @@ object TableManifest {
     val cur = resolveHead(spark, tableDir)
     val nextSeq = cur.map(_.seq + 1).getOrElse(1L)
     val next = writeGeneration(spark, tableDir, nextSeq, df)
-    withGenReapedOnFailure(spark, tableDir, next) {
-      statsCol.foreach(writeStatsSidecar(spark, tableDir, next, _))
+    val nextMeta = withGenReapedOnFailure(spark, tableDir, next) {
+      collectGenMeta(spark, tableDir, next, statsCol)
     }
     val snap = Snapshot(Seq(next),
-      cur.map(_.snap.writers).getOrElse(Map.empty))
+      cur.map(_.snap.writers).getOrElse(Map.empty),
+      meta = Map(next -> nextMeta))
     if (!commitAndCheckpoint(spark, tableDir, nextSeq, snap)) {
       fs.delete(new Path(s"$tableDir/$next"), true) // ours, unreferenced
       throw new java.io.IOException(
@@ -804,8 +916,8 @@ object TableManifest {
     if (replayGate(base.snap, writerId, batchId, tableDir))
       return None // replay: skip before writing
     val gen = writeGeneration(spark, tableDir, base.seq + 1, df)
-    withGenReapedOnFailure(spark, tableDir, gen) {
-      statsCol.foreach(writeStatsSidecar(spark, tableDir, gen, _))
+    val genMeta = withGenReapedOnFailure(spark, tableDir, gen) {
+      collectGenMeta(spark, tableDir, gen, statsCol)
     }
     var attempts = 0
     while (attempts <= maxRetries) {
@@ -818,7 +930,8 @@ object TableManifest {
       }
       val merged = Snapshot(snap.generations :+ gen,
         mergeWriters(snap.writers,
-          batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)))
+          batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
+        meta = snap.metaFor(snap.generations) + (gen -> genMeta))
       attempts += 1
       if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
         vacuum(spark, tableDir, seq + 1,
@@ -906,8 +1019,7 @@ object TableManifest {
           val df = transform(spark.read.parquet(
             snap.generations.map(g => s"$tableDir/$g"): _*))
           df.write.mode("errorifexists").parquet(s"$tableDir/$name")
-          statsCol.foreach(writeStatsSidecar(spark, tableDir, name, _))
-          Some(name)
+          Some(name -> collectGenMeta(spark, tableDir, name, statsCol))
         } catch {
           case scala.util.control.NonFatal(e) =>
             // A failed attempt's partial write is ours and unreferenced —
@@ -923,9 +1035,10 @@ object TableManifest {
             if (headNow.contains(seq)) throw e
             lastRace = e.toString; lastCause = e; None
         }
-      gen.foreach { g =>
+      gen.foreach { case (g, gm) =>
         val next = Snapshot(Seq(g), mergeWriters(snap.writers,
-          batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)))
+          batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
+          meta = Map(g -> gm))
         if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
           vacuum(spark, tableDir, seq + 1,
             keepGens = snap.generations.toSet + g, dropFutureSeq = false)
@@ -1082,14 +1195,14 @@ object TableManifest {
           commitAndCheckpoint(spark, tableDir, seq + 1,
             Snapshot(snap.generations,
               mergeWriters(snap.writers, Map(writerId -> batchId.get)),
-              snap.buckets))
+              snap.buckets, snap.metaFor(snap.generations)))
       if (!migrate && touched.isEmpty) {
         if (watermarkOnly()) return Some(Seq.empty)
         lastRace = s"version ${seq + 1} taken by a concurrent commit"
       } else {
         val stage = new Path(tableDir,
           s"._stage-upsert-${java.util.UUID.randomUUID.toString.take(8)}")
-        val staged: Option[Seq[String]] =
+        val staged: Option[Seq[(String, GenMeta)]] =
           try {
             val cur =
               if (readGens.isEmpty) batch.toDF().limit(0) // schema only
@@ -1111,7 +1224,7 @@ object TableManifest {
                   java.util.UUID.randomUUID.toString.take(8)
                 require(fs.rename(d.getPath, new Path(tableDir, gname)),
                   s"upsertBucketed: staging rename failed for bucket $b")
-                gname
+                gname -> collectGenMeta(spark, tableDir, gname, None)
               }.toSeq
             Some(moved)
           } catch {
@@ -1123,7 +1236,8 @@ object TableManifest {
               if (headNow.contains(seq)) throw e
               lastRace = e.toString; lastCause = e; None
           } finally fs.delete(stage, true)
-        staged.foreach { moved =>
+        staged.foreach { movedMeta =>
+          val moved = movedMeta.map(_._1)
           val keepOld =
             if (migrate) Seq.empty
             else snap.generations.filterNot(readGens.contains)
@@ -1141,7 +1255,8 @@ object TableManifest {
             val next = Snapshot(keepOld ++ moved,
               mergeWriters(snap.writers,
                 batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
-              Some(numBuckets))
+              Some(numBuckets),
+              snap.metaFor(keepOld) ++ movedMeta)
             if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
               vacuum(spark, tableDir, seq + 1,
                 keepGens = snap.generations.toSet ++ next.generations,
@@ -1347,18 +1462,27 @@ object TableManifest {
     while (attempts <= maxRetries) {
       attempts += 1
       try {
-        val gens = currentGenerations(spark, tableDir)
+        val head = resolveHead(spark, tableDir)
+        val gens = head.map(_.snap.generations).getOrElse(Seq.empty)
         require(gens.nonEmpty,
           s"TableManifest: no manifest at $tableDir — not a manifested " +
             "table (publish() first)")
-        val files = gens.flatMap(g => dataFiles(fs, s"$tableDir/$g"))
+        // price from the manifest's file inventory when recorded —
+        // zero listings on the decision path; only legacy (pre-
+        // inventory) generations pay a listing each
+        val sizes: Seq[Long] = gens.flatMap { g =>
+          head.get.snap.meta.get(g) match {
+            case Some(gm) => gm.files.map(_.size)
+            case None => dataFiles(fs, s"$tableDir/$g").map(_.getLen)
+          }
+        }
         val planFiles = math.max(1L,
-          (files.map(_.getLen).sum + targetBytes - 1) / targetBytes)
+          (sizes.sum + targetBytes - 1) / targetBytes)
         // skip covers any plan at or above the current file count, so a
         // plan that overflows Int (tiny target × huge table) can never
         // reach the coalesce; the clamp documents that invariant rather
         // than trusting the branch order
-        return if (files.size <= planFiles) ("skip", None)
+        return if (sizes.size <= planFiles) ("skip", None)
         else ("compact", Some(rewrite(spark, tableDir, maxRetries = 0,
           statsCol = statsCol)(
           _.coalesce(math.min(planFiles, Int.MaxValue.toLong).toInt))))

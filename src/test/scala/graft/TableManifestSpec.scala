@@ -716,6 +716,60 @@ class TableManifestSpec extends AnyFunSuite {
       TableManifest.read(spark, tbl).count())
   }
 
+  test("manifest-recorded file inventories: a pruned read resolves its " +
+      "file set with ZERO directory listings (file lists ride the " +
+      "commit JSON); a legacy manifest without inventories falls back " +
+      "to one pooled listing per generation, conservatively whole") {
+    import spark.implicits._
+    val tbl = tmpTable("manifinv")
+    TableManifest.publish(spark, tbl,
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("k", "tag")
+        .repartitionByRange(8, col("k")), statsCol = Some("k"))
+    (0 until 3).foreach(i =>
+      TableManifest.append(spark, tbl,
+        Seq((500L + i, "late")).toDF("k", "tag").coalesce(1),
+        statsCol = Some("k")))
+    val info = TableManifest.prunedFilesInfo(spark, tbl, "k", 100, 140)
+    assert(info.listings == 0,
+      s"an inventoried table must resolve pruning from the manifest " +
+        s"alone, got ${info.listings} listings")
+    assert(info.total == 11 && info.files.size < info.total,
+      s"${info.files.size}/${info.total}")
+    // emulate a LEGACY manifest (pre-inventory wire form): strip the
+    // meta block from the head manifest on disk — the fallback must
+    // list each generation once (pooled) and include every file
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+      .map(_.getPath).filter(_.getName.startsWith("_graft_manifest-"))
+      .maxBy(_.getName)
+    val body = {
+      val in = fs.open(head)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val cut = body.indexOf(""","meta":""")
+    assert(cut > 0, s"expected a meta block in $body")
+    val legacyBody = body.substring(0, cut) + "}"
+    fs.delete(head, false)
+    val out = fs.create(head, false)
+    out.write(legacyBody.getBytes("UTF-8")); out.close()
+    // drop the checkpoint cache too — it still carries the inventory
+    fs.listStatus(new org.apache.hadoop.fs.Path(tbl)).foreach { e =>
+      val n = e.getPath.getName
+      if (n.startsWith("_graft_checkpoint-") || n == "_graft_last_checkpoint")
+        fs.delete(e.getPath, e.isDirectory)
+    }
+    val legacy = TableManifest.prunedFilesInfo(spark, tbl, "k", 100, 140)
+    assert(legacy.listings == 4,
+      s"legacy generations (4: publish + 3 appends) must fall back to " +
+        s"one listing each, got ${legacy.listings}")
+    assert(legacy.files.size == legacy.total && legacy.total == 11,
+      "legacy fallback must be conservative (all files included)")
+    assert(TableManifest.readPruned(spark, tbl, "k", 100, 140)
+      .filter(col("k").between(100, 140)).count() == 41)
+  }
+
   test("stats survive maintenance: a rewrite/optimize with statsCol " +
       "records fresh sidecars, so pruning keeps working after " +
       "compaction instead of silently degrading to read-everything") {
