@@ -1637,6 +1637,72 @@ object Audit {
       .orderBy("event_type")
   }
 
+  // --------------------------------------------------------------- q251
+  /** q251 entry: MERGE-ON-READ delta upsert
+    * ([[graft.ops.TableManifest.upsertBucketedDelta]] /
+    * [[graft.ops.TableManifest.compactDeltas]]) — the r11 verdict's top
+    * item: q247's copy-on-write path rewrites every TOUCHED bucket, so
+    * a micro-batch with uniformly SPREAD keys (this fixture's second
+    * batch: every user in a 2000-event window) degenerates to an
+    * O(table) rewrite per batch; the delta path commits the batch as
+    * bucket-tagged DELTA generations — zero base reads, O(batch)
+    * writes — and readers resolve winners through the manifest-carried
+    * merge rule. `mor` asserts the structural claim (every pre-batch
+    * generation carried BY NAME, every new generation delta-tagged;
+    * byte-identity of carried generations is proven in
+    * TableManifestSpec), the replayed batch must skip via the
+    * per-writer watermark, and `folded` asserts compactDeltas retired
+    * every delta, cleared the merge rule, and left content IDENTICAL
+    * (pre-fold vs post-fold checksums compared engine-side). Content:
+    * the total-order winner per user across both batches, pinned by
+    * DuckDB from the source. */
+  def q251DeltaUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q251_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val b0 = ev.filter(col("event_id") < 4000)
+    val b1 = ev.filter(col("event_id") >= 4000 && col("event_id") < 6000)
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    val sink = TableManifest.upsertSinkDelta(fixture,
+      keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+      numBuckets = 16)
+    sink(b0, 0L) // boots the layout via the one-time CoW migration
+    val prevGens = TableManifest.currentGenerations(spark, fixture)
+    sink(b1, 1L) // the spread batch: DELTA commit, zero base reads
+    val nowGens = TableManifest.currentGenerations(spark, fixture)
+    val newGens = nowGens.filterNot(prevGens.contains)
+    val mor = prevGens.forall(nowGens.contains) &&
+      newGens.forall(TableManifest.isDeltaGen)
+    val head = TableManifest.versions(spark, fixture).last
+    sink(b1, 1L) // torn-checkpoint replay: must skip outright
+    val replaySkipped = TableManifest.versions(spark, fixture).last == head
+    def checksums(): Array[org.apache.spark.sql.Row] =
+      partitionChecksums(TableManifest.read(spark, fixture),
+        pmod(col("user_id"), lit(8L)),
+        Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+          col("event_type")))
+        .orderBy("part").collect()
+    val preFold = checksums()
+    TableManifest.compactDeltas(spark, fixture)
+    val folded = !TableManifest.currentGenerations(spark, fixture)
+      .exists(TableManifest.isDeltaGen) &&
+      checksums().sameElements(preFold)
+    val exactlyOnce = replaySkipped &&
+      TableManifest.lastBatchId(spark, fixture).contains(1L)
+    partitionChecksums(TableManifest.read(spark, fixture),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(exactlyOnce).as("exactly_once"),
+        lit(mor).as("mor"), lit(folded).as("folded"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1694,6 +1760,7 @@ object Audit {
     "q248_stats_pruned_read" -> q248StatsPrunedRead _,
     "q249_point_read" -> q249PointRead _,
     "q250_tail_appends" -> q250TailAppends _,
+    "q251_delta_upsert" -> q251DeltaUpsert _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -2005,6 +2072,25 @@ object Audit {
         |       TRUE AS tail_exact
         |FROM events WHERE event_id >= 400 AND event_id < 6000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q251: merge-on-read delta upsert — same one-shot total-order
+    // winner semantics as q246 over the two delivered batches (a
+    // dropped delta row or a phantom pre-merge duplicate fails the
+    // checksums); `mor`/`folded` are the engine's structural claims
+    // (deltas only, byte-identical carried bases, fold identity),
+    // proven byte-level in TableManifestSpec
+    "q251_delta_upsert" ->
+      """WITH w AS (SELECT user_id, event_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events WHERE event_id < 6000)
+        |SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS exactly_once, TRUE AS mor, TRUE AS folded
+        |FROM w WHERE rn = 1
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

@@ -129,6 +129,17 @@ object TableManifest {
   private[graft] case class GenMeta(statsCol: Option[String],
                                     files: Seq[FileMeta])
 
+  /** The MERGE-ON-READ resolution rule a snapshot carries while any
+    * DELTA generation is live ([[upsertBucketedDelta]]): readers
+    * resolve the latest row per `keys` by (`ts` desc, `tie` desc) —
+    * [[Temporal.latestSnapshot]]'s total-order winner — over the union
+    * of base and delta generations. Recorded in the manifest so READS
+    * need no out-of-band knowledge of the table's key; pinned like the
+    * bucket layout (a delta commit with a different rule fails loudly
+    * — two rules over one table cannot both win). */
+  private[graft] case class MergeSpec(keys: Seq[String], ts: String,
+                                      tie: String)
+
   /** One committed table version: the generation set that makes up the
     * table at that version and the PER-WRITER exactly-once batch
     * watermarks (Delta's txnAppId/txnVersion model — r10's single
@@ -155,8 +166,12 @@ object TableManifest {
   private[graft] case class Snapshot(generations: Seq[String],
                                      writers: Map[String, Long],
                                      buckets: Option[Int] = None,
-                                     meta: Map[String, GenMeta] = Map.empty) {
+                                     meta: Map[String, GenMeta] = Map.empty,
+                                     merge: Option[MergeSpec] = None) {
     def watermark(writerId: String): Option[Long] = writers.get(writerId)
+    /** The delta generations live at this version (merge-on-read
+      * inputs; empty on a fully-folded table). */
+    def deltaGens: Seq[String] = generations.filter(isDeltaGen)
     /** The base's entries for the generations a new commit keeps —
       * every carry-forward site routes here so stale entries for
       * dropped generations can never ride along. */
@@ -272,10 +287,23 @@ object TableManifest {
       }.toMap
       case _ => Map.empty
     }
+    val merge: Option[MergeSpec] = (j \ "merge") match {
+      case JObject(_) =>
+        val keys = (j \ "merge" \ "keys") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        ((j \ "merge" \ "ts"), (j \ "merge" \ "tie")) match {
+          case (JString(ts), JString(tie)) if keys.nonEmpty =>
+            Some(MergeSpec(keys, ts, tie))
+          case _ => throw bad()
+        }
+      case _ => None
+    }
     Snapshot(gens.getOrElse(throw bad()),
       mergeWriters(writers,
         batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)),
-      buckets, meta)
+      buckets, meta, merge)
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -286,6 +314,11 @@ object TableManifest {
         .map { case (w, b) => s"${graft.JsonEscape.str(w)}:$b" }
         .mkString(""","writers":{""", ",", "}")
     val buckets = s.buckets.map(n => s""","buckets":$n""").getOrElse("")
+    val merge = s.merge.map { m =>
+      val keys = m.keys.map(graft.JsonEscape.str).mkString("[", ",", "]")
+      s""","merge":{"keys":$keys,"ts":${graft.JsonEscape.str(m.ts)},""" +
+        s""""tie":${graft.JsonEscape.str(m.tie)}}"""
+    }.getOrElse("")
     // file inventories render only for generations this snapshot holds
     // (metaFor at every carry-forward site makes this a no-op filter,
     // but the render is the last line of defense against a stale entry)
@@ -305,7 +338,7 @@ object TableManifest {
           }.mkString("[", ",", "]")
           s"""${graft.JsonEscape.str(g)}:{$col"files":$files}"""
         }.mkString(""","meta":{""", ",", "}")
-    s"""{"generations":$gens$writers$buckets$meta}"""
+    s"""{"generations":$gens$writers$buckets$merge$meta}"""
   }
 
   private def checkpointPath(tableDir: String, seq: Long): Path =
@@ -547,12 +580,28 @@ object TableManifest {
     * ingest contract allows new columns. */
   def read(spark: SparkSession, tableDir: String,
            mergeSchema: Boolean): DataFrame = retryOnce {
-    val gens = currentGenerations(spark, tableDir)
-    if (gens.isEmpty) throw new IllegalArgumentException(
-      s"TableManifest: no manifest at $tableDir — not a manifested " +
-        "table (publish() first)")
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(gens.map(g => s"$tableDir/$g"): _*)
+    val head = resolveHead(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — not a manifested " +
+          "table (publish() first)"))
+    readSnapshot(spark, tableDir, head.snap, mergeSchema)
+  }
+
+  /** One version's content: the generation-set union, with the
+    * MERGE-ON-READ winner rule applied when the snapshot carries one
+    * (delta generations live — [[upsertBucketedDelta]]). Every
+    * content-resolving path (read, time travel, rewrite's transform
+    * input, point reads) routes here so no caller can ever see
+    * unmerged delta rows. */
+  private def readSnapshot(spark: SparkSession, tableDir: String,
+                           snap: Snapshot,
+                           mergeSchema: Boolean = false): DataFrame = {
+    val raw = spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(snap.generations.map(g => s"$tableDir/$g"): _*)
+    snap.merge match {
+      case Some(m) => Temporal.latestSnapshot(raw, m.keys, m.ts, m.tie)
+      case None => raw
+    }
   }
 
   /** One re-resolve for the stalled-reader race every pointer-resolving
@@ -572,15 +621,17 @@ object TableManifest {
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Long): DataFrame = {
     val fs = fsOf(spark, tableDir)
-    val gens =
+    val snap =
       parseSnapshotIfPresent(spark, manifestPath(tableDir, version))
-      .map(_.generations) // absent = never committed or truncated
-      .filter(_.forall(g => fs.exists(new Path(s"$tableDir/$g"))))
+      .filter(_.generations.forall(g =>
+        fs.exists(new Path(s"$tableDir/$g"))))
       .getOrElse(throw new IllegalArgumentException(
         s"TableManifest: version $version not retained at $tableDir — " +
           "never committed, truncated, or its data was vacuumed " +
           s"(retained: ${versions(spark, tableDir).mkString(",")})"))
-    spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
+    // that version's own merge rule applies — time travel on a
+    // merge-on-read table sees merged content, not raw delta rows
+    readSnapshot(spark, tableDir, snap)
   }
 
   /** Write `df` as one complete new generation directory (not yet
@@ -931,7 +982,8 @@ object TableManifest {
       val merged = Snapshot(snap.generations :+ gen,
         mergeWriters(snap.writers,
           batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
-        meta = snap.metaFor(snap.generations) + (gen -> genMeta))
+        meta = snap.metaFor(snap.generations) + (gen -> genMeta),
+        merge = mergeFor(snap.generations :+ gen, snap.merge))
       attempts += 1
       if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
         vacuum(spark, tableDir, seq + 1,
@@ -1016,8 +1068,10 @@ object TableManifest {
       val name = newGenName(seq + 1)
       val gen =
         try {
-          val df = transform(spark.read.parquet(
-            snap.generations.map(g => s"$tableDir/$g"): _*))
+          // the transform sees MERGED content (readSnapshot applies the
+          // winner rule when deltas are live), so a rewrite doubles as
+          // the fold: its output is plain rows and commits merge-free
+          val df = transform(readSnapshot(spark, tableDir, snap))
           df.write.mode("errorifexists").parquet(s"$tableDir/$name")
           Some(name -> collectGenMeta(spark, tableDir, name, statsCol))
         } catch {
@@ -1094,6 +1148,21 @@ object TableManifest {
     * `-b<digits>-` marker cannot false-match). */
   private[graft] def bucketOf(gen: String): Option[Int] =
     "-b(\\d+)-".r.findFirstMatchIn(gen).map(_.group(1).toInt)
+
+  /** True for DELTA generations (`_gen-<seq>-b<k>-d-<uuid8>` —
+    * [[upsertBucketedDelta]]'s naming): merge-on-read inputs, folded
+    * into their buckets' base by [[compactDeltas]]. The `-d-` marker
+    * cannot false-match a base generation: the uuid8 suffix is hex
+    * (dash-free) and bucket tags are all-digit. */
+  private[graft] def isDeltaGen(gen: String): Boolean = gen.contains("-d-")
+
+  /** The merge rule a NEW snapshot should carry: the inherited spec
+    * while any delta generation remains, nothing once every delta is
+    * folded — so a fully-folded table reads as plain unioned parquet
+    * with no winner-per-key shuffle. */
+  private def mergeFor(gens: Seq[String],
+                       spec: Option[MergeSpec]): Option[MergeSpec] =
+    if (gens.exists(isDeltaGen)) spec else None
 
   /** The partition column name the bucketed write stages under — never
     * part of the table schema (partitionBy lifts it into directory
@@ -1184,6 +1253,16 @@ object TableManifest {
           s"refusing a $numBuckets-way upsert (stale rows would strand " +
           "in unread buckets). Re-bucket explicitly via rewrite() " +
           "first."))
+      // a live merge rule (delta generations present) must match this
+      // call's — merging touched buckets under a different key would
+      // resolve winners by the wrong rule and silently drop rows
+      snap.merge.foreach(m => require(
+        m == MergeSpec(keyCols, tsCol, tieCol),
+        s"upsertBucketed: table at $tableDir carries merge rule " +
+          s"(keys=${m.keys.mkString(",")}, ts=${m.ts}, tie=${m.tie}); " +
+          s"refusing an upsert keyed (${keyCols.mkString(",")}, " +
+          s"$tsCol, $tieCol) — fold deltas first (compactDeltas) to " +
+          "change the rule"))
       val readGens =
         if (migrate) snap.generations
         else snap.generations.filter(g => bucketOf(g).exists(touched))
@@ -1195,7 +1274,7 @@ object TableManifest {
           commitAndCheckpoint(spark, tableDir, seq + 1,
             Snapshot(snap.generations,
               mergeWriters(snap.writers, Map(writerId -> batchId.get)),
-              snap.buckets, snap.metaFor(snap.generations)))
+              snap.buckets, snap.metaFor(snap.generations), snap.merge))
       if (!migrate && touched.isEmpty) {
         if (watermarkOnly()) return Some(Seq.empty)
         lastRace = s"version ${seq + 1} taken by a concurrent commit"
@@ -1256,7 +1335,8 @@ object TableManifest {
               mergeWriters(snap.writers,
                 batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
               Some(numBuckets),
-              snap.metaFor(keepOld) ++ movedMeta)
+              snap.metaFor(keepOld) ++ movedMeta,
+              mergeFor(keepOld ++ moved, snap.merge))
             if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
               vacuum(spark, tableDir, seq + 1,
                 keepGens = snap.generations.toSet ++ next.generations,
@@ -1291,6 +1371,279 @@ object TableManifest {
         tieCol, numBuckets, Some(batchId), writerId)
       ()
     }
+
+  /** MERGE-ON-READ incremental CDC upsert: commit `batch` as
+    * bucket-tagged DELTA generations — O(batch) data cost per call
+    * with ZERO base reads, closing [[upsertBucketed]]'s copy-on-write
+    * degenerate case (a micro-batch with uniformly SPREAD keys touches
+    * ~all buckets and CoW then rewrites the whole table per batch;
+    * the delta path writes the batch and nothing else, whatever its
+    * key spread). The trade is read-side: while deltas are live,
+    * readers resolve the latest row per key ([[Temporal.latestSnapshot]]
+    * over base ∪ deltas — the rule rides the manifest as a
+    * [[MergeSpec]], so reads need no out-of-band key knowledge), and
+    * [[compactDeltas]] folds deltas back into their buckets' base —
+    * run it on the maintenance cadence to bound read amplification
+    * (Iceberg v2 / Delta deletion-vector economics: O(batch) writes,
+    * periodic fold, reads amortize between folds).
+    *
+    * Layout: requires the table to be purely `numBuckets`-bucketed
+    * (an [[upsertBucketed]] table); any other state — fresh seed,
+    * post-append mixed layout — BOOTS via one copy-on-write
+    * [[upsertBucketed]] call (the documented migration path), after
+    * which every call is a delta commit. A live merge rule must match
+    * this call's (pinned like the bucket modulus — loud mismatch).
+    * Within the batch, the winner rule is pre-applied (one batch-sized
+    * shuffle) so a delta generation holds at most one row per key.
+    *
+    * Exactly-once: (`writerId`, `batchId`) under [[rewriteBatch]]'s
+    * per-writer watermark contract; an empty batch commits
+    * watermark-only. Returns the new delta generation names (empty for
+    * watermark-only), or None on a covered replay.
+    *
+    * Concurrency: deltas COMMUTE like appends (they derive from the
+    * batch alone, never the base), so a lost CAS just re-stages
+    * against the new head — cheap, batch-sized. A concurrent commit
+    * that changed the layout mid-flight re-routes through the boot
+    * path on the retry. */
+  def upsertBucketedDelta(spark: SparkSession, tableDir: String,
+                          batch: DataFrame, keyCols: Seq[String],
+                          tsCol: String, tieCol: String, numBuckets: Int,
+                          batchId: Option[Long] = None,
+                          writerId: String = DefaultWriter,
+                          maxRetries: Int = 5): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    requireWriterId(writerId)
+    require(numBuckets >= 1 && numBuckets <= (1 << 20),
+      s"upsertBucketedDelta: numBuckets out of range: $numBuckets")
+    require(keyCols.nonEmpty, "upsertBucketedDelta: no key columns")
+    require(!batch.columns.contains(BucketCol),
+      s"upsertBucketedDelta: input must not carry reserved column " +
+        BucketCol)
+    val fs = fsOf(spark, tableDir)
+    val spec = MergeSpec(keyCols, tsCol, tieCol)
+    val bucketExpr =
+      pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong))
+        .cast("int")
+    var attempts = 0
+    var lastRace: String = ""
+    var lastCause: Throwable = null
+    while (attempts <= maxRetries) {
+      val head = resolveHead(spark, tableDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableManifest: no manifest at $tableDir — publish() the " +
+            "table (e.g. updates.limit(0)) before upserting"))
+      val (seq, snap) = (head.seq, head.snap)
+      if (replayGate(snap, writerId, batchId, tableDir))
+        return None // covered replay: nothing read, written, committed
+      val pure = snap.buckets.contains(numBuckets) &&
+        snap.generations.forall(g => bucketOf(g).isDefined)
+      if (!pure)
+        // boot/migrate: one copy-on-write pass establishes the layout
+        // (and, below, the merge rule); every later call is a delta
+        return upsertBucketed(spark, tableDir, batch, keyCols, tsCol,
+          tieCol, numBuckets, batchId, writerId, maxRetries)
+      snap.merge.foreach(m => require(m == spec,
+        s"upsertBucketedDelta: table at $tableDir carries merge rule " +
+          s"(keys=${m.keys.mkString(",")}, ts=${m.ts}, tie=${m.tie}); " +
+          s"refusing a delta keyed (${keyCols.mkString(",")}, $tsCol, " +
+          s"$tieCol) — fold first (compactDeltas) to change the rule"))
+      attempts += 1
+      def watermarkOnly(): Boolean =
+        batchId.isEmpty ||
+          commitAndCheckpoint(spark, tableDir, seq + 1,
+            Snapshot(snap.generations,
+              mergeWriters(snap.writers, Map(writerId -> batchId.get)),
+              snap.buckets, snap.metaFor(snap.generations), snap.merge))
+      val stage = new Path(tableDir,
+        s"._stage-delta-${java.util.UUID.randomUUID.toString.take(8)}")
+      val staged: Option[Seq[(String, GenMeta)]] =
+        try {
+          // batch-only winner-per-key (one batch-sized shuffle): a
+          // delta generation holds at most one row per key, bounding
+          // delta growth to keys-touched per batch
+          Temporal.latestSnapshot(batch.toDF(), keyCols, tsCol, tieCol)
+            .withColumn(BucketCol, bucketExpr)
+            .repartition(col(BucketCol))
+            .write.mode("errorifexists")
+            .partitionBy(BucketCol).parquet(stage.toString)
+          Some(fs.listStatus(stage)
+            .filter(e => e.isDirectory &&
+              e.getPath.getName.startsWith(s"$BucketCol="))
+            .sortBy(_.getPath.getName)
+            .map { d =>
+              val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+              val gname = f"$GenPrefix${seq + 1}%06d-b$b-d-" +
+                java.util.UUID.randomUUID.toString.take(8)
+              require(fs.rename(d.getPath, new Path(tableDir, gname)),
+                s"upsertBucketedDelta: staging rename failed for " +
+                  s"bucket $b")
+              gname -> collectGenMeta(spark, tableDir, gname, None)
+            }.toSeq)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // the stage derives from the BATCH alone — a failure here
+            // is never base staleness, rethrow (the rewriteBatch
+            // discipline's loud half; there is no stale half)
+            throw e
+        } finally fs.delete(stage, true)
+      staged.foreach { movedMeta =>
+        val moved = movedMeta.map(_._1)
+        if (moved.isEmpty) {
+          // empty batch: watermark-only bookkeeping, generations
+          // unchanged (no vacuum — nothing superseded)
+          if (watermarkOnly()) return Some(Seq.empty)
+          lastRace = s"version ${seq + 1} taken by a concurrent commit"
+        } else {
+          val next = Snapshot(snap.generations ++ moved,
+            mergeWriters(snap.writers,
+              batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
+            Some(numBuckets),
+            snap.metaFor(snap.generations) ++ movedMeta,
+            Some(spec))
+          if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
+            vacuum(spark, tableDir, seq + 1,
+              keepGens = snap.generations.toSet ++ next.generations,
+              dropFutureSeq = false)
+            return Some(moved)
+          }
+          // lost the CAS: deltas commute, but the winner may have
+          // changed the layout or covered this batch — drop the staged
+          // generations and re-derive against the new head (batch-
+          // sized, cheap)
+          moved.foreach(g => fs.delete(new Path(tableDir, g), true))
+          lastRace = s"version ${seq + 1} taken by a concurrent commit"
+        }
+      }
+    }
+    val storm = new java.io.IOException(
+      s"TableManifest: upsertBucketedDelta at $tableDir did not commit " +
+        s"in $attempts attempts (last: $lastRace) — writer storm?")
+    if (lastCause != null) storm.initCause(lastCause)
+    throw storm
+  }
+
+  /** [[upsertBucketedDelta]] as a `foreachBatch` sink: O(batch) data
+    * cost per micro-batch REGARDLESS of key spread — the merge-on-read
+    * CDC shape for streams whose batches touch many buckets. Pair with
+    * a [[compactDeltas]] maintenance cadence. Same exactly-once and
+    * reader-isolation contract as [[upsertSinkBucketed]]. */
+  def upsertSinkDelta(tableDir: String, keyCols: Seq[String],
+                      tsCol: String, tieCol: String, numBuckets: Int,
+                      writerId: String = DefaultWriter)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      upsertBucketedDelta(batch.sparkSession, tableDir, batch, keyCols,
+        tsCol, tieCol, numBuckets, Some(batchId), writerId)
+      ()
+    }
+
+  /** Fold live DELTA generations back into their buckets' base — the
+    * maintenance half of the merge-on-read contract: reads ONLY the
+    * buckets that have deltas, applies the manifest's merge rule once,
+    * commits `untouched ++ folded` as the next version, and CLEARS the
+    * merge rule when no delta remains (the fully-folded table reads as
+    * plain unioned parquet again, no winner-per-key shuffle). Returns
+    * the folded generation names, or None when there is nothing to
+    * fold (idempotent — safe on the OPTIMIZE cadence).
+    *
+    * A table in the degenerate MIXED state (deltas alongside untagged
+    * generations — an append landed on a merge-on-read table) folds
+    * through one whole-table [[rewrite]] instead, collapsing to a
+    * single plain generation; the next bucketed upsert re-buckets
+    * once.
+    *
+    * Concurrency: the fold DERIVES from the base ([[rewriteBatch]]'s
+    * discipline) — the head read is the CAS base, a lost race deletes
+    * the staged buckets and re-derives against the new head; watermarks
+    * carry forward untouched, so folding between batches can never
+    * re-open the exactly-once door. */
+  def compactDeltas(spark: SparkSession, tableDir: String,
+                    maxRetries: Int = 3): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val fs = fsOf(spark, tableDir)
+    var attempts = 0
+    var lastRace: String = ""
+    var lastCause: Throwable = null
+    while (attempts <= maxRetries) {
+      val head = resolveHead(spark, tableDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableManifest: no manifest at $tableDir — not a manifested " +
+            "table (publish() first)"))
+      val (seq, snap) = (head.seq, head.snap)
+      if (snap.deltaGens.isEmpty) return None // fully folded already
+      val spec = snap.merge.getOrElse(throw new IllegalStateException(
+        s"TableManifest: delta generations at $tableDir with no merge " +
+          "rule in the manifest — corrupt log?"))
+      attempts += 1
+      val pure = snap.buckets.isDefined &&
+        snap.generations.forall(g => bucketOf(g).isDefined)
+      if (!pure)
+        // mixed layout: one whole-table rewrite folds everything (the
+        // transform input is already merge-applied via readSnapshot)
+        return Some(Seq(rewrite(spark, tableDir, maxRetries)(df => df)))
+      val n = snap.buckets.get
+      val touched = snap.deltaGens.flatMap(bucketOf).toSet
+      val readGens =
+        snap.generations.filter(g => bucketOf(g).exists(touched))
+      val keepOld = snap.generations.filterNot(readGens.contains)
+      val stage = new Path(tableDir,
+        s"._stage-fold-${java.util.UUID.randomUUID.toString.take(8)}")
+      val staged: Option[Seq[(String, GenMeta)]] =
+        try {
+          val cur = spark.read.parquet(
+            readGens.map(g => s"$tableDir/$g"): _*)
+          Temporal.latestSnapshot(cur, spec.keys, spec.ts, spec.tie)
+            .withColumn(BucketCol,
+              pmod(xxhash64(spec.keys.map(col): _*), lit(n.toLong))
+                .cast("int"))
+            .repartition(col(BucketCol))
+            .write.mode("errorifexists")
+            .partitionBy(BucketCol).parquet(stage.toString)
+          Some(fs.listStatus(stage)
+            .filter(e => e.isDirectory &&
+              e.getPath.getName.startsWith(s"$BucketCol="))
+            .sortBy(_.getPath.getName)
+            .map { d =>
+              val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+              val gname = f"$GenPrefix${seq + 1}%06d-b$b-" +
+                java.util.UUID.randomUUID.toString.take(8)
+              require(fs.rename(d.getPath, new Path(tableDir, gname)),
+                s"compactDeltas: staging rename failed for bucket $b")
+              gname -> collectGenMeta(spark, tableDir, gname, None)
+            }.toSeq)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // retry only plausibly-stale base reads (rewriteBatch's
+            // discipline): head unchanged → deterministic bug, rethrow
+            val headNow = resolveHead(spark, tableDir).map(_.seq)
+            if (headNow.contains(seq)) throw e
+            lastRace = e.toString; lastCause = e; None
+        } finally fs.delete(stage, true)
+      staged.foreach { movedMeta =>
+        val moved = movedMeta.map(_._1)
+        if (keepOld.isEmpty && moved.isEmpty) return None // empty table
+        val next = Snapshot(keepOld ++ moved, snap.writers,
+          Some(n), snap.metaFor(keepOld) ++ movedMeta,
+          mergeFor(keepOld ++ moved, snap.merge))
+        if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
+          vacuum(spark, tableDir, seq + 1,
+            keepGens = snap.generations.toSet ++ next.generations,
+            dropFutureSeq = false)
+          return Some(moved)
+        }
+        // lost the CAS: the fold derived from a superseded version —
+        // delete, re-derive against the new head
+        moved.foreach(g => fs.delete(new Path(tableDir, g), true))
+        lastRace = s"version ${seq + 1} taken by a concurrent commit"
+      }
+    }
+    val storm = new java.io.IOException(
+      s"TableManifest: compactDeltas at $tableDir did not commit in " +
+        s"$attempts attempts (last: $lastRace) — writer storm?")
+    if (lastCause != null) storm.initCause(lastCause)
+    throw storm
+  }
 
   /** The commit log as a frame — operator-facing introspection over
     * the RETAINED window ([[versions]]' guarantee): one row per
@@ -1398,8 +1751,15 @@ object TableManifest {
       val base =
         if (gens.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
         else spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
-      base.join(keys.select(keyCols.map(col): _*).distinct(),
+      val hit = base.join(keys.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_semi")
+      // merge-on-read tables resolve the winner per key AFTER the key
+      // filter (filter-by-key commutes with winner-per-key, and the
+      // merge then shuffles only the matching rows, not the buckets)
+      snap.merge match {
+        case Some(m) => Temporal.latestSnapshot(hit, m.keys, m.ts, m.tie)
+        case None => hit
+      }
     }
   }
 

@@ -526,6 +526,133 @@ class TableManifestSpec extends AnyFunSuite {
       "re-bucket migration incomplete")
   }
 
+  test("merge-on-read deltas: a SPREAD-key batch commits O(batch) bytes " +
+      "with every base generation carried BY REFERENCE (byte-identical); " +
+      "reads resolve winners through the manifest's merge rule; " +
+      "compactDeltas folds per-bucket, clears the rule, and is " +
+      "idempotent; time travel pre-fold sees merged content") {
+    import spark.implicits._
+    val tbl = tmpTable("manifmor")
+    def rows(pairs: (Long, Long, String)*): org.apache.spark.sql.DataFrame =
+      pairs.toDF("key", "seq", "state")
+    TableManifest.publish(spark, tbl,
+      rows((0 until 2048).map(k => (k.toLong, 1L, s"v1-$k")): _*))
+    // boot: first delta call on a non-bucketed table routes through the
+    // one-time copy-on-write migration
+    assert(TableManifest.upsertBucketedDelta(spark, tbl,
+      rows((0L, 2L, "boot")), Seq("key"), "seq", "state",
+      numBuckets = 8, batchId = Some(0L)).isDefined)
+    val base = TableManifest.currentGenerations(spark, tbl)
+    assert(base.forall(g => TableManifest.bucketOf(g).isDefined))
+    assert(!base.exists(TableManifest.isDeltaGen))
+    // SPREAD batch: every 32nd key — touches ALL 8 buckets, the CoW
+    // degenerate case. The delta path must write the batch and nothing
+    // else: every base generation carried by name AND byte-identical
+    val before = genInventory(tbl, base)
+    val spread = rows((0 until 2048 by 32)
+      .map(k => (k.toLong, 3L, s"v3-$k")): _*)
+    val deltas = TableManifest.upsertBucketedDelta(spark, tbl, spread,
+      Seq("key"), "seq", "state", 8, batchId = Some(1L))
+    assert(deltas.isDefined && deltas.get.nonEmpty)
+    assert(deltas.get.forall(TableManifest.isDeltaGen),
+      s"delta commit must add only delta generations: ${deltas.get}")
+    val gensNow = TableManifest.currentGenerations(spark, tbl)
+    assert(base.forall(gensNow.contains),
+      "a delta commit must never replace a base generation")
+    val after = genInventory(tbl, base)
+    base.foreach(g => assert(after(g) == before(g),
+      s"base generation $g changed on disk under a delta commit"))
+    // O(batch) bytes: the delta generations hold 64 single-version
+    // rows vs the base's 2048 — they must be well under half the base
+    // even with parquet's fixed per-file overhead (8 files each side)
+    def bytesOf(gens: Seq[String]): Long =
+      genInventory(tbl, gens).values.flatMap(_.values.map(_._1)).sum
+    assert(bytesOf(deltas.get) < bytesOf(base) / 2,
+      s"delta bytes ${bytesOf(deltas.get)} vs base ${bytesOf(base)}")
+    // reads resolve the winner rule from the manifest alone
+    val merged = TableManifest.read(spark, tbl)
+    assert(merged.count() == 2048)
+    assert(merged.filter(col("key") === 32L).head.getString(2) == "v3-32")
+    assert(merged.filter(col("key") === 9L).head.getString(2) == "v1-9")
+    assert(merged.filter(col("key") === 0L).head.getString(2) == "v3-0")
+    assert(merged.groupBy("key").count().agg(max("count")).head
+      .getLong(0) == 1L, "duplicate keys through the merge rule")
+    // point reads stay bucket-pruned AND merge-aware
+    val hit = TableManifest.readKeyBuckets(spark, tbl, Seq("key"),
+      Seq(32L, 9L).toDF("key"))
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(2)))
+      .toSet == Set((32L, "v3-32"), (9L, "v1-9")))
+    val openedGens = hit.inputFiles.map { f =>
+      new java.net.URI(f).getPath.split("/").takeRight(2).head
+    }.filter(_.startsWith("_gen-")).toSet
+    assert(openedGens.size < gensNow.size,
+      s"point read must stay bucket-pruned on a MoR table: $openedGens")
+    // exactly-once: replay skips (nothing staged), regressed id is loud
+    val headV = TableManifest.versions(spark, tbl).last
+    assert(TableManifest.upsertBucketedDelta(spark, tbl, spread,
+      Seq("key"), "seq", "state", 8, batchId = Some(1L)).isEmpty)
+    assert(TableManifest.versions(spark, tbl).last == headV)
+    intercept[IllegalStateException] {
+      TableManifest.upsertBucketedDelta(spark, tbl, spread,
+        Seq("key"), "seq", "state", 8, batchId = Some(0L))
+    }
+    // the merge rule is pinned: a different key refuses loudly
+    val ruleClash = intercept[IllegalArgumentException] {
+      TableManifest.upsertBucketedDelta(spark, tbl,
+        rows((1L, 9L, "x")), Seq("state"), "seq", "key", 8,
+        batchId = Some(2L))
+    }
+    assert(ruleClash.getMessage.contains("merge rule"),
+      ruleClash.getMessage)
+    // ... and so is the bucket modulus (boot path hits the CoW pin)
+    intercept[IllegalArgumentException] {
+      TableManifest.upsertBucketedDelta(spark, tbl,
+        rows((1L, 9L, "x")), Seq("key"), "seq", "state", 16,
+        batchId = Some(2L))
+    }
+    // FOLD: per-bucket, content-identical, merge rule cleared,
+    // idempotent; the pre-fold version stays time-travel-readable
+    // WITH the merge applied
+    val expected = merged.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val folded = TableManifest.compactDeltas(spark, tbl)
+    assert(folded.isDefined && folded.get.nonEmpty)
+    val gensFolded = TableManifest.currentGenerations(spark, tbl)
+    assert(!gensFolded.exists(TableManifest.isDeltaGen),
+      s"fold must retire every delta generation: $gensFolded")
+    assert(gensFolded.forall(g => TableManifest.bucketOf(g).isDefined),
+      "fold must preserve the bucket layout")
+    val headBody = {
+      val fs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val p = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+        .map(_.getPath).filter(_.getName.startsWith("_graft_manifest-"))
+        .maxBy(_.getName)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(!headBody.contains(""""merge""""),
+      s"a fully-folded table must carry no merge rule: $headBody")
+    assert(TableManifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq == expected.toSeq,
+      "fold changed table content")
+    assert(TableManifest.compactDeltas(spark, tbl).isEmpty,
+      "a second fold must be a no-op")
+    assert(TableManifest.readVersion(spark, tbl, headV)
+      .filter(col("key") === 32L).head.getString(2) == "v3-32",
+      "time travel to the pre-fold version must apply ITS merge rule")
+    // untouched-bucket economics survive the fold: a sparse CoW upsert
+    // afterwards still carries folded buckets by reference
+    val g4 = TableManifest.upsertBucketed(spark, tbl,
+      rows((32L, 5L, "post-fold")), Seq("key"), "seq", "state", 8,
+      batchId = Some(2L))
+    assert(g4.isDefined && g4.get.size == 1)
+    assert(TableManifest.read(spark, tbl)
+      .filter(col("key") === 32L).head.getString(2) == "post-fold")
+  }
+
   test("regression: an EMPTY first batch on an EMPTY published table " +
       "must never commit a zero-generation snapshot — the table stays " +
       "readable and the watermark still advances") {
