@@ -1703,6 +1703,56 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q252
+  /** q252 entry: PARTITION-VALUE pruned read through the manifest
+    * ([[graft.ops.TableManifest.appendPartitioned]] /
+    * [[graft.ops.TableManifest.readPartitions]]) — Iceberg's
+    * partition-spec idea over the generation log: two ingest batches
+    * land one generation PER event_type with the value recorded in
+    * the commit JSON, and a two-type query then opens ONLY those
+    * types' generations — the pruning decision runs on ONE manifest
+    * parse, before any file or footer is touched, composing with
+    * q248's file-inventory tier. `part_pruned` asserts the scan's
+    * generation inputs are exactly the asked values' generations plus
+    * the unvalued seed (conservative by design — pruning is never a
+    * correctness input); content checksums pin that pruning lost
+    * nothing against DuckDB recomputing the same types from the raw
+    * source. */
+  def q252PartitionedRead(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q252_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    val seedGens = TableManifest.currentGenerations(spark, fixture).toSet
+    val a = TableManifest.appendPartitioned(spark, fixture,
+      ev.filter(col("event_id") < 3000), "event_type", Some(0L)).get
+    val b = TableManifest.appendPartitioned(spark, fixture,
+      ev.filter(col("event_id") >= 3000 && col("event_id") < 6000),
+      "event_type", Some(1L)).get
+    val want = Seq("click", "purchase")
+    val hit = TableManifest.readPartitions(spark, fixture,
+      "event_type", want)
+      .filter(col("event_type").isin(want: _*))
+    val expectedGens = (a.toSeq ++ b.toSeq)
+      .collect { case (v, g) if want.contains(v) => g }.toSet ++ seedGens
+    val openedGens = hit.inputFiles.map { f =>
+      new java.net.URI(f).getPath.split("/").takeRight(2).head
+    }.filter(_.startsWith("_gen-")).toSet
+    val totalGens = TableManifest.currentGenerations(spark, fixture).size
+    val partPruned = openedGens == expectedGens &&
+      openedGens.size < totalGens
+    partitionChecksums(hit, col("event_type"),
+      Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type")))
+      .select(col("part").as("event_type"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(partPruned).as("part_pruned"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1761,6 +1811,7 @@ object Audit {
     "q249_point_read" -> q249PointRead _,
     "q250_tail_appends" -> q250TailAppends _,
     "q251_delta_upsert" -> q251DeltaUpsert _,
+    "q252_partitioned_read" -> q252PartitionedRead _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -2091,6 +2142,21 @@ object Audit {
         |       TRUE AS exactly_once, TRUE AS mor, TRUE AS folded
         |FROM w WHERE rn = 1
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q252: partition-value pruned read — the two asked event types
+    // recomputed from the raw source (a dropped generation fails the
+    // counts, an extra type fails the checksums); `part_pruned` is the
+    // engine's claim the scan opened exactly those values' generations
+    // plus the unvalued seed, pinned structurally in TableManifestSpec
+    "q252_partitioned_read" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS part_pruned
+        |FROM events
+        |WHERE event_id < 6000 AND event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

@@ -167,11 +167,22 @@ object TableManifest {
                                      writers: Map[String, Long],
                                      buckets: Option[Int] = None,
                                      meta: Map[String, GenMeta] = Map.empty,
-                                     merge: Option[MergeSpec] = None) {
+                                     merge: Option[MergeSpec] = None,
+                                     parts: Map[String, String] = Map.empty,
+                                     partCol: Option[String] = None) {
     def watermark(writerId: String): Option[Long] = writers.get(writerId)
     /** The delta generations live at this version (merge-on-read
       * inputs; empty on a fully-folded table). */
     def deltaGens: Seq[String] = generations.filter(isDeltaGen)
+    /** The partition-value entries (and the declared partition column)
+      * a new commit keeping `gens` should carry — entries for dropped
+      * generations filter out, and the column declaration goes with
+      * the last entry (a fully-rewritten table starts clean). */
+    def partsFor(gens: Seq[String]): (Map[String, String], Option[String]) = {
+      val keep = gens.toSet
+      val p = parts.filter { case (g, _) => keep(g) }
+      (p, if (p.nonEmpty) partCol else None)
+    }
     /** The base's entries for the generations a new commit keeps —
       * every carry-forward site routes here so stale entries for
       * dropped generations can never ride along. */
@@ -300,10 +311,19 @@ object TableManifest {
         }
       case _ => None
     }
+    val parts: Map[String, String] = (j \ "parts") match {
+      case JObject(fields) =>
+        fields.collect { case (g, JString(v)) => g -> v }.toMap
+      case _ => Map.empty
+    }
+    val partCol = (j \ "partcol") match {
+      case JString(c) => Some(c)
+      case _ => None
+    }
     Snapshot(gens.getOrElse(throw bad()),
       mergeWriters(writers,
         batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)),
-      buckets, meta, merge)
+      buckets, meta, merge, parts, partCol)
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -319,6 +339,17 @@ object TableManifest {
       s""","merge":{"keys":$keys,"ts":${graft.JsonEscape.str(m.ts)},""" +
         s""""tie":${graft.JsonEscape.str(m.tie)}}"""
     }.getOrElse("")
+    val parts =
+      if (s.parts.isEmpty || s.partCol.isEmpty) ""
+      else {
+        val entries = s.generations
+          .flatMap(g => s.parts.get(g).map(g -> _))
+          .map { case (g, v) =>
+            s"${graft.JsonEscape.str(g)}:${graft.JsonEscape.str(v)}"
+          }.mkString("{", ",", "}")
+        s""","partcol":${graft.JsonEscape.str(s.partCol.get)}""" +
+          s""","parts":$entries"""
+      }
     // file inventories render only for generations this snapshot holds
     // (metaFor at every carry-forward site makes this a no-op filter,
     // but the render is the last line of defense against a stale entry)
@@ -338,7 +369,7 @@ object TableManifest {
           }.mkString("[", ",", "]")
           s"""${graft.JsonEscape.str(g)}:{$col"files":$files}"""
         }.mkString(""","meta":{""", ",", "}")
-    s"""{"generations":$gens$writers$buckets$merge$meta}"""
+    s"""{"generations":$gens$writers$buckets$merge$parts$meta}"""
   }
 
   private def checkpointPath(tableDir: String, seq: Long): Path =
@@ -941,7 +972,7 @@ object TableManifest {
     * rather than record a legitimately confusing watermark. */
   private val ReservedWriterIds = Set(
     "batch", "buckets", "writers", "generations", "generation", "seq",
-    "meta", "merge", "delete", "parts", "files")
+    "meta", "merge", "delete", "parts", "partcol", "files")
 
   private def requireWriterId(writerId: String): Unit = {
     require(writerId.nonEmpty &&
@@ -979,11 +1010,13 @@ object TableManifest {
         fsOf(spark, tableDir).delete(new Path(s"$tableDir/$gen"), true)
         return None
       }
+      val (carriedParts, carriedPartCol) = snap.partsFor(snap.generations)
       val merged = Snapshot(snap.generations :+ gen,
         mergeWriters(snap.writers,
           batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
         meta = snap.metaFor(snap.generations) + (gen -> genMeta),
-        merge = mergeFor(snap.generations :+ gen, snap.merge))
+        merge = mergeFor(snap.generations :+ gen, snap.merge),
+        parts = carriedParts, partCol = carriedPartCol)
       attempts += 1
       if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
         vacuum(spark, tableDir, seq + 1,
@@ -1274,7 +1307,8 @@ object TableManifest {
           commitAndCheckpoint(spark, tableDir, seq + 1,
             Snapshot(snap.generations,
               mergeWriters(snap.writers, Map(writerId -> batchId.get)),
-              snap.buckets, snap.metaFor(snap.generations), snap.merge))
+              snap.buckets, snap.metaFor(snap.generations), snap.merge,
+              snap.parts, snap.partCol))
       if (!migrate && touched.isEmpty) {
         if (watermarkOnly()) return Some(Seq.empty)
         lastRace = s"version ${seq + 1} taken by a concurrent commit"
@@ -1331,12 +1365,14 @@ object TableManifest {
             // re-resolve, same as the normal lost-race path
             lastRace = s"version ${seq + 1} taken by a concurrent commit"
           } else {
+            val (keepParts, keepPartCol) = snap.partsFor(keepOld)
             val next = Snapshot(keepOld ++ moved,
               mergeWriters(snap.writers,
                 batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
               Some(numBuckets),
               snap.metaFor(keepOld) ++ movedMeta,
-              mergeFor(keepOld ++ moved, snap.merge))
+              mergeFor(keepOld ++ moved, snap.merge),
+              keepParts, keepPartCol)
             if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
               vacuum(spark, tableDir, seq + 1,
                 keepGens = snap.generations.toSet ++ next.generations,
@@ -1454,7 +1490,8 @@ object TableManifest {
           commitAndCheckpoint(spark, tableDir, seq + 1,
             Snapshot(snap.generations,
               mergeWriters(snap.writers, Map(writerId -> batchId.get)),
-              snap.buckets, snap.metaFor(snap.generations), snap.merge))
+              snap.buckets, snap.metaFor(snap.generations), snap.merge,
+              snap.parts, snap.partCol))
       val stage = new Path(tableDir,
         s"._stage-delta-${java.util.UUID.randomUUID.toString.take(8)}")
       val staged: Option[Seq[(String, GenMeta)]] =
@@ -1500,7 +1537,7 @@ object TableManifest {
               batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
             Some(numBuckets),
             snap.metaFor(snap.generations) ++ movedMeta,
-            Some(spec))
+            Some(spec), snap.parts, snap.partCol)
           if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
             vacuum(spark, tableDir, seq + 1,
               keepGens = snap.generations.toSet ++ next.generations,
@@ -1623,9 +1660,11 @@ object TableManifest {
       staged.foreach { movedMeta =>
         val moved = movedMeta.map(_._1)
         if (keepOld.isEmpty && moved.isEmpty) return None // empty table
+        val (keepParts, keepPartCol) = snap.partsFor(keepOld)
         val next = Snapshot(keepOld ++ moved, snap.writers,
           Some(n), snap.metaFor(keepOld) ++ movedMeta,
-          mergeFor(keepOld ++ moved, snap.merge))
+          mergeFor(keepOld ++ moved, snap.merge),
+          keepParts, keepPartCol)
         if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
           vacuum(spark, tableDir, seq + 1,
             keepGens = snap.generations.toSet ++ next.generations,
@@ -1644,6 +1683,164 @@ object TableManifest {
     if (lastCause != null) storm.initCause(lastCause)
     throw storm
   }
+
+  /** The partition-staging column [[appendPartitioned]] splits by — a
+    * CAST-TO-STRING COPY of the declared partition column, so the data
+    * files keep the real column (partitionBy lifts only the copy into
+    * directory names) and generations stay self-contained. */
+  private val PartStageCol = "__graft_part"
+
+  /** PARTITION-VALUE append (Iceberg partition-spec style, value tags
+    * instead of key-hash tags): commit `df` as one generation PER
+    * VALUE of `partCol`, with each generation's value recorded in the
+    * manifest — [[readPartitions]] then prunes GENERATIONS by value
+    * from the manifest alone, no sidecar or listing, composing with
+    * the file-inventory pruning ([[prunedFiles]]). The partition
+    * column stays IN the data files (the staging split runs on a
+    * string-cast copy), so a generation reads whole with no value
+    * re-attachment and pruning remains an optimization, never a
+    * correctness input: generations without a recorded value (plain
+    * appends, pre-partition history) are conservatively included.
+    *
+    * The declared column is PINNED once recorded (values from two
+    * different columns in one map would be meaningless) — a
+    * partitioned append naming a different column fails loudly while
+    * any valued generation lives. Values are the column's string cast;
+    * a NULL partitions under Hive's default-partition sentinel.
+    * Choose low-cardinality columns (a day, a region): this is the
+    * manifested twin of [[graft.sources.TableCatalog.writePartitioned]]'s
+    * contract, with reader isolation and exactly-once on top.
+    *
+    * Exactly-once and concurrency: [[append]]'s contract — per-writer
+    * watermarks, commuting commits, rebase on a lost CAS (the staged
+    * generations derive from the batch alone, so a retry re-commits
+    * them against the new head without rewriting data). Returns the
+    * new generation names keyed by partition value, or None on a
+    * covered replay. */
+  def appendPartitioned(spark: SparkSession, tableDir: String,
+                        df: DataFrame, partCol: String,
+                        batchId: Option[Long] = None,
+                        writerId: String = DefaultWriter,
+                        maxRetries: Int = 5): Option[Map[String, String]] = {
+    import org.apache.spark.sql.functions.col
+    requireWriterId(writerId)
+    require(df.columns.contains(partCol),
+      s"appendPartitioned: no column '$partCol' in " +
+        df.columns.mkString(","))
+    require(!df.columns.contains(PartStageCol),
+      s"appendPartitioned: input must not carry reserved column " +
+        PartStageCol)
+    val fs = fsOf(spark, tableDir)
+    var base = resolveHead(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — publish() the " +
+          "table before appending"))
+    if (replayGate(base.snap, writerId, batchId, tableDir))
+      return None // replay: skip before writing
+    base.snap.partCol.foreach(c => require(c == partCol,
+      s"TableManifest: table at $tableDir is partitioned by '$c'; " +
+        s"refusing an append partitioned by '$partCol' (one value map, " +
+        "one column). Rewrite the table to change the partition spec."))
+    // stage once: the generations derive from the batch alone, so the
+    // rebase loop re-commits the same staged set (append discipline)
+    val stage = new Path(tableDir,
+      s"._stage-part-${java.util.UUID.randomUUID.toString.take(8)}")
+    val staged: Seq[(String, String, GenMeta)] =
+      try {
+        df.withColumn(PartStageCol, col(partCol).cast("string"))
+          .repartition(col(PartStageCol))
+          .write.mode("errorifexists")
+          .partitionBy(PartStageCol).parquet(stage.toString)
+        fs.listStatus(stage)
+          .filter(e => e.isDirectory &&
+            e.getPath.getName.startsWith(s"$PartStageCol="))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex
+          .map { case (d, i) =>
+            val value =
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(
+                  d.getPath.getName.stripPrefix(s"$PartStageCol="))
+            val gname = f"$GenPrefix${base.seq + 1}%06d-p$i-" +
+              java.util.UUID.randomUUID.toString.take(8)
+            require(fs.rename(d.getPath, new Path(tableDir, gname)),
+              s"appendPartitioned: staging rename failed for '$value'")
+            (value, gname, collectGenMeta(spark, tableDir, gname, None))
+          }.toSeq
+      } finally fs.delete(stage, true)
+    def reapStaged(): Unit =
+      staged.foreach(s => fs.delete(new Path(tableDir, s._2), true))
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      val (seq, snap) = (base.seq, base.snap)
+      if (replayGate(snap, writerId, batchId, tableDir)) {
+        reapStaged() // a concurrent commit of this very batch won
+        return None
+      }
+      snap.partCol.foreach { c =>
+        if (c != partCol) {
+          reapStaged()
+          require(false,
+            s"TableManifest: table at $tableDir became partitioned by " +
+              s"'$c' mid-commit; refusing '$partCol'")
+        }
+      }
+      val newGens = staged.map(_._2)
+      val (carriedParts, _) = snap.partsFor(snap.generations)
+      val merged = Snapshot(snap.generations ++ newGens,
+        mergeWriters(snap.writers,
+          batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
+        meta = snap.metaFor(snap.generations) ++
+          staged.map(s => s._2 -> s._3),
+        merge = mergeFor(snap.generations ++ newGens, snap.merge),
+        parts = carriedParts ++ staged.map(s => s._2 -> s._1),
+        partCol = Some(partCol))
+      attempts += 1
+      if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
+        vacuum(spark, tableDir, seq + 1,
+          keepGens = merged.generations.toSet, dropFutureSeq = false)
+        return Some(staged.map(s => s._1 -> s._2).toMap)
+      }
+      base = resolveHead(spark, tableDir).get // rebase on the winner
+    }
+    reapStaged()
+    throw new java.io.IOException(
+      s"TableManifest: appendPartitioned at $tableDir lost the commit " +
+        s"race on all $attempts attempts — writer storm?")
+  }
+
+  /** Read ONLY the generations whose recorded partition value is in
+    * `values` — manifest-resolved generation pruning: a day-partitioned
+    * fact opens O(days asked), not O(table), before any file or footer
+    * is touched; composes with the file-inventory pruning inside the
+    * surviving generations. Conservative by construction: generations
+    * with NO recorded value are always included, and a table whose
+    * declared partition column differs from `partCol` reads WHOLE
+    * (pruning is an optimization, never a correctness input). Apply
+    * the actual row predicate on top — the partition column is in the
+    * data. Merge-on-read tables resolve their winner rule over the
+    * surviving generations. Same old-or-new atomicity as [[read]]. */
+  def readPartitions(spark: SparkSession, tableDir: String,
+                     partCol: String, values: Seq[String]): DataFrame =
+    retryOnce {
+      val head = resolveHead(spark, tableDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableManifest: no manifest at $tableDir — not a manifested " +
+            "table (publish() first)"))
+      val snap = head.snap
+      val want = values.toSet
+      val gens =
+        if (!snap.partCol.contains(partCol)) snap.generations
+        else snap.generations.filter(g => snap.parts.get(g).forall(want))
+      if (gens.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
+      else {
+        val raw = spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
+        snap.merge match {
+          case Some(m) => Temporal.latestSnapshot(raw, m.keys, m.ts, m.tie)
+          case None => raw
+        }
+      }
+    }
 
   /** The commit log as a frame — operator-facing introspection over
     * the RETAINED window ([[versions]]' guarantee): one row per

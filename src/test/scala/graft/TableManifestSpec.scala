@@ -653,6 +653,71 @@ class TableManifestSpec extends AnyFunSuite {
       .filter(col("key") === 32L).head.getString(2) == "post-fold")
   }
 
+  test("partition-value generations: appendPartitioned commits one " +
+      "generation per value, readPartitions opens ONLY the asked " +
+      "values' generations from the manifest alone, the declared " +
+      "column is pinned, and unvalued generations stay conservative") {
+    import spark.implicits._
+    val tbl = tmpTable("manifpart")
+    def rows(pairs: (Long, String, String)*): org.apache.spark.sql.DataFrame =
+      pairs.toDF("id", "day", "v")
+    TableManifest.publish(spark, tbl, rows().limit(0).coalesce(1))
+    // the seed generation carries no partition value — conservatively
+    // included in every partition read, by design
+    val seed = TableManifest.currentGenerations(spark, tbl).head
+    val a = TableManifest.appendPartitioned(spark, tbl,
+      rows((1L, "d1", "a"), (2L, "d2", "b"), (3L, "d3", "c"),
+        (4L, "d1", "d")), "day", batchId = Some(0L))
+    assert(a.isDefined && a.get.keySet == Set("d1", "d2", "d3"))
+    val b = TableManifest.appendPartitioned(spark, tbl,
+      rows((5L, "d1", "e"), (6L, "d4", "f")), "day", batchId = Some(1L))
+    assert(b.isDefined && b.get.keySet == Set("d1", "d4"))
+    // pruned read: exactly d1's generations (+ the unvalued seed) open
+    val hit = TableManifest.readPartitions(spark, tbl, "day", Seq("d1"))
+    assert(hit.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 5L))
+    val opened = hit.inputFiles.map { f =>
+      new java.net.URI(f).getPath.split("/").takeRight(2).head
+    }.filter(_.startsWith("_gen-")).toSet
+    assert(opened == Set(a.get("d1"), b.get("d1"), seed),
+      s"must open exactly d1's generations plus the unvalued seed: " +
+        s"$opened")
+    // the partition column survives in the data files
+    assert(hit.columns.contains("day") &&
+      hit.select("day").distinct().head.getString(0) == "d1")
+    // replay: same batch id commits nothing
+    val headV = TableManifest.versions(spark, tbl).last
+    assert(TableManifest.appendPartitioned(spark, tbl,
+      rows((9L, "d9", "x")), "day", batchId = Some(1L)).isEmpty)
+    assert(TableManifest.versions(spark, tbl).last == headV)
+    // the declared column is pinned while valued generations live
+    intercept[IllegalArgumentException] {
+      TableManifest.appendPartitioned(spark, tbl,
+        rows((9L, "d9", "x")), "v", batchId = Some(2L))
+    }
+    // an UNVALUED generation (plain append) is conservatively included
+    // in every partition read — pruning is never a correctness input
+    TableManifest.append(spark, tbl, rows((7L, "d1", "g")))
+    val hit2 = TableManifest.readPartitions(spark, tbl, "day", Seq("d1"))
+      .filter(col("day") === "d1")
+    assert(hit2.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L, 5L, 7L))
+    val opened2 = TableManifest.readPartitions(spark, tbl, "day",
+      Seq("d2")).inputFiles.map { f =>
+      new java.net.URI(f).getPath.split("/").takeRight(2).head
+    }.filter(_.startsWith("_gen-")).toSet
+    assert(opened2.size == 3 && opened2.contains(a.get("d2")),
+      s"d2 + the two unvalued generations (seed + plain append) only: " +
+        s"$opened2")
+    // a different column's request reads WHOLE (conservative), and a
+    // rewrite clears the spec so the column can be re-declared
+    assert(TableManifest.readPartitions(spark, tbl, "other", Seq("zz"))
+      .count() == TableManifest.read(spark, tbl).count())
+    TableManifest.rewrite(spark, tbl)(df => df)
+    assert(TableManifest.appendPartitioned(spark, tbl,
+      rows((8L, "d1", "h")), "v", batchId = Some(3L)).isDefined,
+      "a rewrite must clear the partition spec")
+  }
+
   test("regression: an EMPTY first batch on an EMPTY published table " +
       "must never commit a zero-generation snapshot — the table stays " +
       "readable and the watermark still advances") {
