@@ -1753,6 +1753,63 @@ object Audit {
       .orderBy("event_type")
   }
 
+  // --------------------------------------------------------------- q253
+  /** q253 entry: ROW-LEVEL DELETE through the manifest
+    * ([[graft.ops.TableManifest.deleteRows]]) — the GDPR verb as a
+    * table mutation: purging every order of the one-in-thirteen
+    * customer set costs one tombstone generation (key rows only — no
+    * data read, no data rewritten), readers apply the rule at resolve
+    * time, and the pre-delete version stays TIME-TRAVEL-readable
+    * inside the retention window (`time_travel_ok` pins both counts).
+    * A later append RE-ADDS one deleted customer's orders (the
+    * structural seq ordering: tombstones only kill rows committed at
+    * or before them) — the oracle recomputes exactly that set from the
+    * raw source. `folded` asserts the rewrite fold retired the
+    * tombstone, cleared the rule, and left content IDENTICAL
+    * (checksums compared engine-side across the fold). */
+  def q253RowDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q253_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    TableManifest.publish(spark, fixture, o)
+    val fullCount = o.count()
+    val v1 = TableManifest.versions(spark, fixture).last
+    val delKeys = o.filter(pmod(col("o_custkey"), lit(13L)) === 0)
+      .select("o_custkey").distinct()
+    TableManifest.deleteRows(spark, fixture, delKeys, Seq("o_custkey"),
+      batchId = Some(0L))
+    val minDel = delKeys.agg(min("o_custkey")).head.getLong(0)
+    TableManifest.append(spark, fixture,
+      o.filter(col("o_custkey") === minDel), Some(1L))
+    val timeTravelOk =
+      TableManifest.readVersion(spark, fixture, v1).count() == fullCount
+    def checksums(): Array[org.apache.spark.sql.Row] =
+      partitionChecksums(TableManifest.read(spark, fixture),
+        pmod(col("o_orderkey"), lit(8L)),
+        Seq(col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          col("o_orderdate").cast("string")))
+        .orderBy("part").collect()
+    val preFold = checksums()
+    TableManifest.rewrite(spark, fixture)(_.coalesce(4))
+    val folded = !TableManifest.currentGenerations(spark, fixture)
+      .exists(TableManifest.isTombstoneGen) &&
+      checksums().sameElements(preFold)
+    partitionChecksums(TableManifest.read(spark, fixture),
+      pmod(col("o_orderkey"), lit(8L)),
+      Seq(col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderdate").cast("string")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(timeTravelOk).as("time_travel_ok"),
+        lit(folded).as("folded"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1812,6 +1869,7 @@ object Audit {
     "q250_tail_appends" -> q250TailAppends _,
     "q251_delta_upsert" -> q251DeltaUpsert _,
     "q252_partitioned_read" -> q252PartitionedRead _,
+    "q253_row_deletes" -> q253RowDeletes _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -2157,6 +2215,24 @@ object Audit {
         |FROM events
         |WHERE event_id < 6000 AND event_type IN ('click', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q253: row-level delete — the surviving set recomputed from the
+    // raw source: every order of a non-thirteenth customer, plus the
+    // re-added minimum deleted customer's orders (a resurrection of
+    // any OTHER deleted customer fails counts AND checksums; a lost
+    // re-add likewise); time_travel_ok/folded are the engine's claims,
+    // pinned structurally in TableManifestSpec
+    "q253_row_deletes" ->
+      """SELECT CAST(o_orderkey % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |             CAST(o_orderdate AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS time_travel_ok, TRUE AS folded
+        |FROM orders
+        |WHERE o_custkey % 13 <> 0
+        |   OR o_custkey = (SELECT min(o_custkey) FROM orders
+        |                   WHERE o_custkey % 13 = 0)
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

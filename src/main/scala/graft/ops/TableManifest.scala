@@ -140,6 +140,16 @@ object TableManifest {
   private[graft] case class MergeSpec(keys: Seq[String], ts: String,
                                       tie: String)
 
+  /** The ROW-DELETE resolution rule a snapshot carries while any
+    * TOMBSTONE generation is live ([[deleteRows]]): a tombstone row
+    * (key columns only) committed at version S removes every data row
+    * with the same key from generations committed AT OR BEFORE S —
+    * later commits re-add the key (generation names embed their commit
+    * seq, so the ordering is structural). Applied at read time, folded
+    * by [[rewrite]]/[[optimizeManifested]]; pinned like the merge rule
+    * (one key shape per table while tombstones live). */
+  private[graft] case class DeleteSpec(keys: Seq[String])
+
   /** One committed table version: the generation set that makes up the
     * table at that version and the PER-WRITER exactly-once batch
     * watermarks (Delta's txnAppId/txnVersion model — r10's single
@@ -169,11 +179,18 @@ object TableManifest {
                                      meta: Map[String, GenMeta] = Map.empty,
                                      merge: Option[MergeSpec] = None,
                                      parts: Map[String, String] = Map.empty,
-                                     partCol: Option[String] = None) {
+                                     partCol: Option[String] = None,
+                                     delete: Option[DeleteSpec] = None) {
     def watermark(writerId: String): Option[Long] = writers.get(writerId)
     /** The delta generations live at this version (merge-on-read
       * inputs; empty on a fully-folded table). */
     def deltaGens: Seq[String] = generations.filter(isDeltaGen)
+    /** The tombstone generations live at this version (row-delete
+      * inputs; empty once folded). */
+    def tombstoneGens: Seq[String] = generations.filter(isTombstoneGen)
+    /** The generations holding TABLE ROWS — tombstones carry key rows
+      * in a different schema and must never enter a data union. */
+    def dataGens: Seq[String] = generations.filterNot(isTombstoneGen)
     /** The partition-value entries (and the declared partition column)
       * a new commit keeping `gens` should carry — entries for dropped
       * generations filter out, and the column declaration goes with
@@ -320,10 +337,16 @@ object TableManifest {
       case JString(c) => Some(c)
       case _ => None
     }
+    val delete: Option[DeleteSpec] = (j \ "delete" \ "keys") match {
+      case JArray(xs) =>
+        val keys = xs.collect { case JString(s) => s }
+        if (keys.isEmpty) throw bad() else Some(DeleteSpec(keys))
+      case _ => None
+    }
     Snapshot(gens.getOrElse(throw bad()),
       mergeWriters(writers,
         batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)),
-      buckets, meta, merge, parts, partCol)
+      buckets, meta, merge, parts, partCol, delete)
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -338,6 +361,10 @@ object TableManifest {
       val keys = m.keys.map(graft.JsonEscape.str).mkString("[", ",", "]")
       s""","merge":{"keys":$keys,"ts":${graft.JsonEscape.str(m.ts)},""" +
         s""""tie":${graft.JsonEscape.str(m.tie)}}"""
+    }.getOrElse("")
+    val delete = s.delete.map { d =>
+      val keys = d.keys.map(graft.JsonEscape.str).mkString("[", ",", "]")
+      s""","delete":{"keys":$keys}"""
     }.getOrElse("")
     val parts =
       if (s.parts.isEmpty || s.partCol.isEmpty) ""
@@ -369,7 +396,7 @@ object TableManifest {
           }.mkString("[", ",", "]")
           s"""${graft.JsonEscape.str(g)}:{$col"files":$files}"""
         }.mkString(""","meta":{""", ",", "}")
-    s"""{"generations":$gens$writers$buckets$merge$parts$meta}"""
+    s"""{"generations":$gens$writers$buckets$merge$delete$parts$meta}"""
   }
 
   private def checkpointPath(tableDir: String, seq: Long): Path =
@@ -618,20 +645,64 @@ object TableManifest {
     readSnapshot(spark, tableDir, head.snap, mergeSchema)
   }
 
-  /** One version's content: the generation-set union, with the
-    * MERGE-ON-READ winner rule applied when the snapshot carries one
-    * (delta generations live — [[upsertBucketedDelta]]). Every
-    * content-resolving path (read, time travel, rewrite's transform
-    * input, point reads) routes here so no caller can ever see
-    * unmerged delta rows. */
+  /** One version's content: the data-generation union, with the
+    * ROW-DELETE rule and then the MERGE-ON-READ winner rule applied
+    * when the snapshot carries them. Every content-resolving path
+    * (read, time travel, rewrite's transform input, point reads,
+    * partition reads) routes through [[resolveContent]] so no caller
+    * can ever see a tombstoned row or an unmerged delta. */
   private def readSnapshot(spark: SparkSession, tableDir: String,
                            snap: Snapshot,
-                           mergeSchema: Boolean = false): DataFrame = {
+                           mergeSchema: Boolean = false): DataFrame =
+    resolveContent(spark, tableDir, snap, snap.dataGens, mergeSchema)
+
+  private val RowSeqCol = "__graft_row_seq"
+  private val DelSeqCol = "__graft_del_seq"
+
+  /** Resolve content over `gens` (a subset of the snapshot's DATA
+    * generations — callers prune by bucket or partition value first):
+    *   1. union the generation scans (one multi-path scan — per-row
+    *      commit seqs come from the `_metadata.file_path` column, not
+    *      per-generation plans, so whole-stage codegen and pushdown
+    *      survive);
+    *   2. apply the row-delete rule: a row survives iff its
+    *      generation's seq is ABOVE its key's newest tombstone seq
+    *      (later commits re-add a deleted key) — the tombstone frame
+    *      is key-rows only, aggregated to one max-seq row per key,
+    *      broadcast-sized in any sane retention regime;
+    *   3. apply the merge-on-read winner rule.
+    * Both rules are manifest-carried; a snapshot without them costs
+    * nothing (the branches collapse to the raw scan). */
+  private def resolveContent(spark: SparkSession, tableDir: String,
+                             snap: Snapshot, gens: Seq[String],
+                             mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, regexp_extract}
+    require(gens.nonEmpty,
+      s"TableManifest: no data generations to read at $tableDir")
     val raw = spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(snap.generations.map(g => s"$tableDir/$g"): _*)
+      .parquet(gens.map(g => s"$tableDir/$g"): _*)
+    def seqExpr = regexp_extract(col("_metadata.file_path"),
+      "_gen-(\\d+)-", 1).cast("long")
+    val tombs = snap.tombstoneGens
+    val afterDelete =
+      if (tombs.isEmpty) raw
+      else {
+        val spec = snap.delete.getOrElse(throw new IllegalStateException(
+          s"TableManifest: tombstone generations at $tableDir with no " +
+            "delete rule in the manifest — corrupt log?"))
+        val t = spark.read.parquet(tombs.map(g => s"$tableDir/$g"): _*)
+          .withColumn(DelSeqCol, seqExpr)
+          .groupBy(spec.keys.map(col): _*)
+          .agg(max(DelSeqCol).as(DelSeqCol))
+        raw.withColumn(RowSeqCol, seqExpr)
+          .join(t, spec.keys, "left")
+          .filter(col(DelSeqCol).isNull || col(RowSeqCol) > col(DelSeqCol))
+          .select(raw.columns.map(col): _*)
+      }
     snap.merge match {
-      case Some(m) => Temporal.latestSnapshot(raw, m.keys, m.ts, m.tie)
-      case None => raw
+      case Some(m) =>
+        Temporal.latestSnapshot(afterDelete, m.keys, m.ts, m.tie)
+      case None => afterDelete
     }
   }
 
@@ -1016,7 +1087,8 @@ object TableManifest {
           batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
         meta = snap.metaFor(snap.generations) + (gen -> genMeta),
         merge = mergeFor(snap.generations :+ gen, snap.merge),
-        parts = carriedParts, partCol = carriedPartCol)
+        parts = carriedParts, partCol = carriedPartCol,
+        delete = deleteFor(snap.generations :+ gen, snap.delete))
       attempts += 1
       if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
         vacuum(spark, tableDir, seq + 1,
@@ -1189,6 +1261,26 @@ object TableManifest {
     * (dash-free) and bucket tags are all-digit. */
   private[graft] def isDeltaGen(gen: String): Boolean = gen.contains("-d-")
 
+  /** True for TOMBSTONE generations (`_gen-<seq>-x-<uuid8>` —
+    * [[deleteRows]]'s naming): key rows marking deletions, applied at
+    * read time, folded by [[rewrite]]. Same no-false-match argument as
+    * [[isDeltaGen]]. */
+  private[graft] def isTombstoneGen(gen: String): Boolean =
+    gen.contains("-x-")
+
+  /** The commit seq a generation name embeds (`_gen-%06d-…`) — the
+    * structural ordering the row-delete rule runs on. */
+  private[graft] def genSeqOf(gen: String): Long =
+    "^_gen-(\\d+)-".r.findFirstMatchIn(gen).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"TableManifest: generation name without a seq prefix: $gen"))
+
+  /** The delete rule a NEW snapshot should carry — inherited while any
+    * tombstone generation remains, cleared once folded. */
+  private def deleteFor(gens: Seq[String],
+                        spec: Option[DeleteSpec]): Option[DeleteSpec] =
+    if (gens.exists(isTombstoneGen)) spec else None
+
   /** The merge rule a NEW snapshot should carry: the inherited spec
     * while any delta generation remains, nothing once every delta is
     * folded — so a fully-folded table reads as plain unioned parquet
@@ -1280,6 +1372,11 @@ object TableManifest {
       if (replayGate(snap, writerId, batchId, tableDir))
         return None // covered replay: nothing read, written, committed
       attempts += 1
+      require(snap.tombstoneGens.isEmpty,
+        s"upsertBucketed: row tombstones live at $tableDir — a bucket " +
+          "rewrite would re-commit deleted rows above the tombstone " +
+          "seq and resurrect them. Fold deletes first (rewrite() / " +
+          "optimizeManifested), then upsert.")
       val migrate = snap.generations.exists(g => bucketOf(g).isEmpty)
       if (!migrate) snap.buckets.foreach(m => require(m == numBuckets,
         s"upsertBucketed: table at $tableDir is bucketed $m-way; " +
@@ -1472,6 +1569,9 @@ object TableManifest {
       val (seq, snap) = (head.seq, head.snap)
       if (replayGate(snap, writerId, batchId, tableDir))
         return None // covered replay: nothing read, written, committed
+      require(snap.tombstoneGens.isEmpty,
+        s"upsertBucketedDelta: row tombstones live at $tableDir — fold " +
+          "deletes first (rewrite() / optimizeManifested), then upsert.")
       val pure = snap.buckets.contains(numBuckets) &&
         snap.generations.forall(g => bucketOf(g).isDefined)
       if (!pure)
@@ -1780,7 +1880,7 @@ object TableManifest {
       snap.partCol.foreach { c =>
         if (c != partCol) {
           reapStaged()
-          require(false,
+          throw new IllegalArgumentException(
             s"TableManifest: table at $tableDir became partitioned by " +
               s"'$c' mid-commit; refusing '$partCol'")
         }
@@ -1794,7 +1894,8 @@ object TableManifest {
           staged.map(s => s._2 -> s._3),
         merge = mergeFor(snap.generations ++ newGens, snap.merge),
         parts = carriedParts ++ staged.map(s => s._2 -> s._1),
-        partCol = Some(partCol))
+        partCol = Some(partCol),
+        delete = deleteFor(snap.generations ++ newGens, snap.delete))
       attempts += 1
       if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
         vacuum(spark, tableDir, seq + 1,
@@ -1830,17 +1931,103 @@ object TableManifest {
       val snap = head.snap
       val want = values.toSet
       val gens =
-        if (!snap.partCol.contains(partCol)) snap.generations
-        else snap.generations.filter(g => snap.parts.get(g).forall(want))
+        if (!snap.partCol.contains(partCol)) snap.dataGens
+        else snap.dataGens.filter(g => snap.parts.get(g).forall(want))
       if (gens.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
-      else {
-        val raw = spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
-        snap.merge match {
-          case Some(m) => Temporal.latestSnapshot(raw, m.keys, m.ts, m.tie)
-          case None => raw
+      else resolveContent(spark, tableDir, snap, gens)
+    }
+
+  /** ROW-LEVEL DELETE through the manifest (the GDPR verb as a table
+    * mutation): commit the distinct `keyCols` rows of `keys` as ONE
+    * TOMBSTONE generation — O(keys) write, no data rewritten, no data
+    * read. Readers apply the rule at resolve time (a row survives iff
+    * its generation's commit seq is above its key's newest tombstone
+    * seq — so a LATER append/upsert re-adds the key), and the rule is
+    * TIME-TRAVEL-CONSISTENT: versions before the delete still carry no
+    * tombstone and read the rows, inside the retention window.
+    * [[rewrite]] / [[optimizeManifested]] FOLD tombstones (their
+    * transform input is already delete-applied and the rewritten
+    * snapshot commits clean); bucket upserts REFUSE while tombstones
+    * live (a bucket rewrite would re-commit deleted rows above the
+    * tombstone seq and resurrect them) — fold first.
+    *
+    * The key shape is pinned while tombstones live (one delete rule
+    * per table); the tombstone generation holds ONLY key columns, so
+    * at 100 TB a purge of k keys costs k rows of write plus one
+    * broadcast-sized join per read until the next fold. Exactly-once
+    * and concurrency: [[append]]'s contract (per-writer watermarks;
+    * tombstones commute with appends, so a lost CAS re-commits the
+    * staged tombstone against the new head). Returns the tombstone
+    * generation's name, or None on a covered replay. */
+  def deleteRows(spark: SparkSession, tableDir: String, keys: DataFrame,
+                 keyCols: Seq[String], batchId: Option[Long] = None,
+                 writerId: String = DefaultWriter,
+                 maxRetries: Int = 5): Option[String] = {
+    import org.apache.spark.sql.functions.col
+    requireWriterId(writerId)
+    require(keyCols.nonEmpty, "deleteRows: no key columns")
+    keyCols.foreach(k => require(keys.columns.contains(k),
+      s"deleteRows: no column '$k' in ${keys.columns.mkString(",")}"))
+    val fs = fsOf(spark, tableDir)
+    var base = resolveHead(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — publish() the " +
+          "table before deleting from it"))
+    if (replayGate(base.snap, writerId, batchId, tableDir))
+      return None // replay: skip before writing
+    // the key columns must exist in the table, or every read after
+    // this commit would fail at the tombstone join — check NOW, loudly
+    val tableCols = read(spark, tableDir).columns.toSet
+    keyCols.foreach(k => require(tableCols.contains(k),
+      s"deleteRows: table at $tableDir has no column '$k' " +
+        s"(columns: ${tableCols.mkString(",")})"))
+    val gname = f"$GenPrefix${base.seq + 1}%06d-x-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    keys.select(keyCols.map(col): _*).distinct()
+      .write.mode("errorifexists").parquet(s"$tableDir/$gname")
+    val gm = withGenReapedOnFailure(spark, tableDir, gname) {
+      collectGenMeta(spark, tableDir, gname, None)
+    }
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      val (seq, snap) = (base.seq, base.snap)
+      if (replayGate(snap, writerId, batchId, tableDir)) {
+        fs.delete(new Path(s"$tableDir/$gname"), true)
+        return None
+      }
+      snap.delete.foreach { d =>
+        if (d.keys != keyCols) {
+          fs.delete(new Path(s"$tableDir/$gname"), true)
+          throw new IllegalArgumentException(
+            s"TableManifest: table at $tableDir carries delete rule " +
+              s"keyed (${d.keys.mkString(",")}); refusing a delete " +
+              s"keyed (${keyCols.mkString(",")}) — fold tombstones " +
+              "first (rewrite/optimizeManifested) to change the rule")
         }
       }
+      val gens = snap.generations :+ gname
+      val (carriedParts, carriedPartCol) = snap.partsFor(snap.generations)
+      val merged = Snapshot(gens,
+        mergeWriters(snap.writers,
+          batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
+        snap.buckets, // data-generation layout is untouched
+        snap.metaFor(snap.generations) + (gname -> gm),
+        mergeFor(gens, snap.merge),
+        carriedParts, carriedPartCol,
+        Some(DeleteSpec(keyCols)))
+      attempts += 1
+      if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
+        vacuum(spark, tableDir, seq + 1,
+          keepGens = merged.generations.toSet, dropFutureSeq = false)
+        return Some(gname)
+      }
+      base = resolveHead(spark, tableDir).get // rebase on the winner
     }
+    fs.delete(new Path(s"$tableDir/$gname"), true)
+    throw new java.io.IOException(
+      s"TableManifest: deleteRows at $tableDir lost the commit race on " +
+        s"all $attempts attempts — writer storm?")
+  }
 
   /** The commit log as a frame — operator-facing introspection over
     * the RETAINED window ([[versions]]' guarantee): one row per
@@ -1908,6 +2095,12 @@ object TableManifest {
           "rows. Resync: re-read the table via read() and continue " +
           "from the current head version.")
     val newGens = head.snap.generations.filterNot(sinceGens.contains)
+    if (newGens.exists(isTombstoneGen))
+      throw new IllegalStateException(
+        s"TableManifest: ROW DELETES entered the log at $tableDir " +
+          s"after version $sinceVersion — an appends-only tail cannot " +
+          "represent a retraction. Resync: re-read the table via " +
+          "read() and continue from the current head version.")
     val df =
       if (newGens.isEmpty) read(spark, tableDir).limit(0)
       else spark.read.parquet(newGens.map(g => s"$tableDir/$g"): _*)
@@ -1936,27 +2129,24 @@ object TableManifest {
           s"TableManifest: no manifest at $tableDir — not a manifested " +
             "table (publish() first)"))
       val snap = head.snap
+      // the bucket check runs over DATA generations — tombstones are
+      // key rows read separately by the resolver, whatever their tag
       val gens = snap.buckets match {
-        case Some(n) if snap.generations.forall(g => bucketOf(g).isDefined) =>
+        case Some(n) if snap.dataGens.forall(g => bucketOf(g).isDefined) =>
           val touched = keys
             .select(pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong))
               .cast("int").as("b"))
             .distinct().collect().map(_.getInt(0)).toSet
-          snap.generations.filter(g => bucketOf(g).exists(touched))
-        case _ => snap.generations // not purely bucketed: read everything
+          snap.dataGens.filter(g => bucketOf(g).exists(touched))
+        case _ => snap.dataGens // not purely bucketed: read everything
       }
-      val base =
-        if (gens.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
-        else spark.read.parquet(gens.map(g => s"$tableDir/$g"): _*)
-      val hit = base.join(keys.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_semi")
-      // merge-on-read tables resolve the winner per key AFTER the key
-      // filter (filter-by-key commutes with winner-per-key, and the
-      // merge then shuffles only the matching rows, not the buckets)
-      snap.merge match {
-        case Some(m) => Temporal.latestSnapshot(hit, m.keys, m.ts, m.tie)
-        case None => hit
-      }
+      if (gens.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
+      else
+        // delete + merge rules apply over the selected buckets only
+        // (bucket-bounded), then the key filter
+        resolveContent(spark, tableDir, snap, gens)
+          .join(keys.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_semi")
     }
   }
 

@@ -718,6 +718,98 @@ class TableManifestSpec extends AnyFunSuite {
       "a rewrite must clear the partition spec")
   }
 
+  test("row-level deletes: a tombstone removes the key at read time " +
+      "with later commits re-adding it; time travel pre-delete sees " +
+      "the rows; rewrite folds tombstones; upserts refuse while they " +
+      "live; the rule composes with merge-on-read deltas") {
+    import spark.implicits._
+    val tbl = tmpTable("manifdel")
+    def rows(pairs: (Long, Long, String)*): org.apache.spark.sql.DataFrame =
+      pairs.toDF("key", "seq", "state")
+    TableManifest.publish(spark, tbl,
+      rows((0 until 200).map(k => (k.toLong, 1L, s"v1-$k")): _*))
+    val v1 = TableManifest.versions(spark, tbl).last
+    val tomb = TableManifest.deleteRows(spark, tbl,
+      (0 until 200 by 10).map(_.toLong).toDF("key"), Seq("key"),
+      batchId = Some(0L))
+    assert(tomb.isDefined && TableManifest.isTombstoneGen(tomb.get))
+    val afterDel = TableManifest.read(spark, tbl)
+    assert(afterDel.count() == 180)
+    assert(afterDel.filter(col("key") % 10 === 0).count() == 0)
+    // time travel BEFORE the delete still reads the rows
+    assert(TableManifest.readVersion(spark, tbl, v1).count() == 200)
+    // a LATER commit re-adds the key (seq ordering is structural)
+    TableManifest.append(spark, tbl, rows((0L, 9L, "reborn")))
+    val reAdd = TableManifest.read(spark, tbl)
+    assert(reAdd.count() == 181)
+    assert(reAdd.filter(col("key") === 0L).head.getString(2) == "reborn")
+    // point reads apply the rule too (unbucketed: whole-table fallback)
+    assert(TableManifest.readKeyBuckets(spark, tbl, Seq("key"),
+      Seq(0L, 10L).toDF("key")).collect().map(_.getString(2)).toSeq ==
+      Seq("reborn"))
+    // exactly-once + rule pinning
+    assert(TableManifest.deleteRows(spark, tbl,
+      Seq(1L).toDF("key"), Seq("key"), batchId = Some(0L)).isEmpty,
+      "replay must skip")
+    intercept[IllegalArgumentException] {
+      TableManifest.deleteRows(spark, tbl,
+        Seq("v1-3").toDF("state"), Seq("state"), batchId = Some(1L))
+    }
+    // upserts refuse while tombstones live (a bucket rewrite would
+    // resurrect deleted keys above the tombstone seq)
+    intercept[IllegalArgumentException] {
+      TableManifest.upsertBucketed(spark, tbl, rows((5L, 9L, "x")),
+        Seq("key"), "seq", "state", 8)
+    }
+    // FOLD through rewrite: content identical, tombstones gone, the
+    // delete rule cleared — and a differently-keyed delete now lands
+    val expected = reAdd.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    TableManifest.rewrite(spark, tbl)(_.coalesce(2))
+    val gens = TableManifest.currentGenerations(spark, tbl)
+    assert(!gens.exists(TableManifest.isTombstoneGen), gens.toString)
+    assert(TableManifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq == expected.toSeq, "fold changed content")
+    assert(TableManifest.deleteRows(spark, tbl,
+      Seq("reborn").toDF("state"), Seq("state")).isDefined,
+      "a fold must clear the delete-rule pin")
+    assert(TableManifest.read(spark, tbl).count() == 180)
+    // composes with merge-on-read: delete a key on a delta table, the
+    // winner rule and the tombstone both apply; compactDeltas routes
+    // the mixed layout through a whole-table fold
+    val tbl2 = tmpTable("manifdelmor")
+    TableManifest.publish(spark, tbl2,
+      rows((0 until 64).map(k => (k.toLong, 1L, s"v1-$k")): _*))
+    TableManifest.upsertBucketedDelta(spark, tbl2,
+      rows((1L, 2L, "boot")), Seq("key"), "seq", "state", 4,
+      batchId = Some(0L))
+    TableManifest.upsertBucketedDelta(spark, tbl2,
+      rows((2L, 3L, "delta2")), Seq("key"), "seq", "state", 4,
+      batchId = Some(1L))
+    TableManifest.deleteRows(spark, tbl2, Seq(2L, 3L).toDF("key"),
+      Seq("key"))
+    val mor = TableManifest.read(spark, tbl2)
+    assert(mor.count() == 62)
+    assert(mor.filter(col("key") === 1L).head.getString(2) == "boot")
+    assert(mor.filter(col("key").isin(2L, 3L)).count() == 0)
+    // delta upserts refuse while tombstones live, fold re-opens them
+    intercept[IllegalArgumentException] {
+      TableManifest.upsertBucketedDelta(spark, tbl2, rows((9L, 9L, "y")),
+        Seq("key"), "seq", "state", 4, batchId = Some(2L))
+    }
+    assert(TableManifest.compactDeltas(spark, tbl2).isDefined)
+    val gens2 = TableManifest.currentGenerations(spark, tbl2)
+    assert(!gens2.exists(TableManifest.isTombstoneGen) &&
+      !gens2.exists(TableManifest.isDeltaGen), gens2.toString)
+    assert(TableManifest.read(spark, tbl2).count() == 62)
+    assert(TableManifest.upsertBucketedDelta(spark, tbl2,
+      rows((2L, 9L, "back")), Seq("key"), "seq", "state", 4,
+      batchId = Some(2L)).isDefined)
+    assert(TableManifest.read(spark, tbl2)
+      .filter(col("key") === 2L).head.getString(2) == "back")
+  }
+
   test("regression: an EMPTY first batch on an EMPTY published table " +
       "must never commit a zero-generation snapshot — the table stays " +
       "readable and the watermark still advances") {
