@@ -1810,6 +1810,63 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q254
+  /** q254 entry: manifest-to-manifest CDC RELAY
+    * ([[graft.ops.TableManifest.relayOnce]]) — manifested tables as
+    * stream INPUTS, closing the loop with the manifested sinks: each
+    * poll delivers exactly the source versions committed since the
+    * cursor, and the cursor lives in the DESTINATION's per-writer
+    * watermark (batch id = source head version), so the relay needs no
+    * external checkpoint — a restart with zero state resumes exactly
+    * where the destination manifest says. Three event slices land on
+    * the source across two polls (the second poll covers TWO source
+    * versions in one destination commit); `relay_exact` asserts the
+    * idempotence and cursor claims (an at-head re-poll commits
+    * nothing; the destination watermark equals the source head) and
+    * `resync_loud` that a maintenance rewrite on the source surfaces
+    * the rewritten-history error through the relay instead of
+    * silently double-delivering. Content: the destination's rows,
+    * pinned by DuckDB recomputing the slices from the raw source. */
+  def q254ManifestRelay(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"${Relational.scratch}/q254_src"
+    val dst = s"${Relational.scratch}/q254_dst"
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(src, dst).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    def slice(lo: Long, hi: Long): DataFrame =
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+    TableManifest.publish(spark, src, ev.limit(0).coalesce(1))
+    TableManifest.publish(spark, dst, TableManifest.read(spark, src))
+    TableManifest.append(spark, src, slice(0, 2000), Some(0L))
+    TableManifest.relayOnce(spark, src, dst)
+    TableManifest.append(spark, src, slice(2000, 4000), Some(1L))
+    TableManifest.append(spark, src, slice(4000, 6000), Some(2L))
+    val c1 = TableManifest.relayOnce(spark, src, dst)
+    val vDst = TableManifest.versions(spark, dst).last
+    val c2 = TableManifest.relayOnce(spark, src, dst) // at-head re-poll
+    val relayExact = c1 == c2 &&
+      TableManifest.versions(spark, dst).last == vDst &&
+      TableManifest.lastBatchId(spark, dst, "relay")
+        .contains(TableManifest.versions(spark, src).last)
+    TableManifest.rewrite(spark, src)(df => df)
+    val resyncLoud =
+      try { TableManifest.relayOnce(spark, src, dst); false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.toLowerCase.contains("resync") }
+    partitionChecksums(TableManifest.read(spark, dst), col("event_type"),
+      Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type")))
+      .select(col("part").as("event_type"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(relayExact).as("relay_exact"),
+        lit(resyncLoud).as("resync_loud"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1870,6 +1927,7 @@ object Audit {
     "q251_delta_upsert" -> q251DeltaUpsert _,
     "q252_partitioned_read" -> q252PartitionedRead _,
     "q253_row_deletes" -> q253RowDeletes _,
+    "q254_manifest_relay" -> q254ManifestRelay _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -2233,6 +2291,20 @@ object Audit {
         |   OR o_custkey = (SELECT min(o_custkey) FROM orders
         |                   WHERE o_custkey % 13 = 0)
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q254: manifest CDC relay — the destination must hold exactly the
+    // relayed slices (a double-delivery fails counts AND checksums, a
+    // dropped version fails counts); relay_exact/resync_loud are the
+    // engine's cursor and loudness claims, driven against a REAL
+    // streaming clock with a restart in TableManifestSpec
+    "q254_manifest_relay" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS relay_exact, TRUE AS resync_loud
+        |FROM events WHERE event_id < 6000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

@@ -2171,6 +2171,60 @@ object TableManifest {
       ()
     }
 
+  /** One CDC-relay poll: deliver the rows committed to `srcDir` AFTER
+    * the relay's cursor into `dstDir`, exactly-once, with the cursor
+    * stored IN THE DESTINATION's per-writer watermark — the batch id
+    * of each relayed append is the SOURCE HEAD VERSION it covered, so
+    * the relay needs no external checkpoint at all: a crash anywhere
+    * (even between the destination commit and the caller's return)
+    * replays into the watermark skip on restart, and the cursor
+    * re-reads from the destination manifest. This is what makes
+    * manifested tables compose as STREAM INPUTS, closing the loop with
+    * [[streamingSink]] (manifest → manifest pipelines).
+    *
+    * `startVersion` seeds the cursor for a destination this writer has
+    * never committed to (default 1 = the source's publish seed, i.e.
+    * relay everything after boot). A maintenance rewrite on the source
+    * surfaces [[tailAppends]]'s loud rewritten-history error through
+    * the relay — resync by re-seeding a fresh destination (or
+    * re-publishing the destination from `read(src)`) under a fresh
+    * writer id. ONE relay per (destination, writerId): two concurrent
+    * relays under one identity can interleave cursor reads and trip
+    * the id-regression guard (by design — that guard is what makes the
+    * torn case loud instead of lossy). Returns the source head version
+    * the destination now covers. */
+  def relayOnce(spark: SparkSession, srcDir: String, dstDir: String,
+                writerId: String = "relay",
+                startVersion: Long = 1L): Long = {
+    val cursor = lastBatchId(spark, dstDir, writerId).getOrElse(startVersion)
+    val (df, head) = tailAppends(spark, srcDir, cursor)
+    if (head > cursor)
+      // an empty frame with an advanced head (watermark-only commits
+      // upstream) still appends: the commit IS the cursor advance
+      append(spark, dstDir, df, batchId = Some(head), writerId = writerId)
+    head
+  }
+
+  /** [[relayOnce]] on a Structured Streaming clock: a rate-source tick
+    * drives one poll per `intervalMs`. The rate rows are discarded —
+    * the stream is only the scheduler — and the engine's checkpoint is
+    * irrelevant to correctness: exactly-once rides the destination
+    * watermark, so the query can lose its checkpoint, restart, or move
+    * hosts and the relay still delivers each source version once. */
+  def relayStream(spark: SparkSession, srcDir: String, dstDir: String,
+                  writerId: String = "relay", startVersion: Long = 1L,
+                  intervalMs: Long = 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        relayOnce(spark, srcDir, dstDir, writerId, startVersion)
+        ()
+      }
+      .start()
+
   /** Reader-safe OPTIMIZE through the manifest — the pointer-table twin
     * of [[Layout.optimizeTable]]'s swap-managed verb, with the decision
     * priced the same way (metadata, never a data scan) but the

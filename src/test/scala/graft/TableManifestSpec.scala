@@ -810,6 +810,69 @@ class TableManifestSpec extends AnyFunSuite {
       .filter(col("key") === 2L).head.getString(2) == "back")
   }
 
+  test("manifest-to-manifest CDC relay: the cursor lives in the " +
+      "destination watermark (no external checkpoint), restarts and " +
+      "replays land exactly once through a REAL streaming clock, and " +
+      "a source rewrite surfaces the loud resync error") {
+    import spark.implicits._
+    val src = tmpTable("manifrelaysrc")
+    val dst = tmpTable("manifrelaydst")
+    def rows(r: Range): org.apache.spark.sql.DataFrame =
+      r.map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+    TableManifest.publish(spark, src, rows(0 until 10))
+    // boot: seed the destination with the source's current content,
+    // then relay covers everything after
+    TableManifest.publish(spark, dst, TableManifest.read(spark, src))
+    assert(TableManifest.relayOnce(spark, src, dst) ==
+      TableManifest.versions(spark, src).last)
+    assert(TableManifest.read(spark, dst).count() == 10)
+    TableManifest.append(spark, src, rows(10 until 20), Some(0L))
+    TableManifest.relayOnce(spark, src, dst)
+    assert(TableManifest.read(spark, dst).count() == 20)
+    // idempotent: a re-poll (crash-restart with no state) is a no-op
+    val vDst = TableManifest.versions(spark, dst).last
+    TableManifest.relayOnce(spark, src, dst)
+    assert(TableManifest.versions(spark, dst).last == vDst,
+      "an at-head relay poll must commit nothing")
+    // one poll covers MULTIPLE source versions
+    TableManifest.append(spark, src, rows(20 until 30), Some(1L))
+    TableManifest.append(spark, src, rows(30 until 40), Some(2L))
+    TableManifest.relayOnce(spark, src, dst)
+    assert(TableManifest.read(spark, dst).count() == 40)
+    assert(TableManifest.lastBatchId(spark, dst, "relay")
+      .contains(TableManifest.versions(spark, src).last),
+      "the cursor must ride the destination watermark")
+    // REAL streaming clock, with a RESTART between appends: the second
+    // query shares nothing with the first but the destination manifest
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (TableManifest.read(spark, dst).count() != n &&
+          System.nanoTime < deadline) Thread.sleep(200)
+      assert(TableManifest.read(spark, dst).count() == n,
+        s"relay stream did not converge to $n rows")
+    }
+    val q1 = TableManifest.relayStream(spark, src, dst, intervalMs = 200L)
+    try {
+      TableManifest.append(spark, src, rows(40 until 50), Some(3L))
+      awaitCount(50)
+    } finally q1.stop()
+    val q2 = TableManifest.relayStream(spark, src, dst, intervalMs = 200L)
+    try {
+      TableManifest.append(spark, src, rows(50 until 60), Some(4L))
+      awaitCount(60)
+    } finally q2.stop()
+    assert(TableManifest.read(spark, dst)
+      .select("id").distinct().count() == 60,
+      "restart or replay double-delivered rows")
+    // maintenance on the source surfaces the loud resync error
+    TableManifest.rewrite(spark, src)(df => df)
+    val resync = intercept[IllegalStateException] {
+      TableManifest.relayOnce(spark, src, dst)
+    }
+    assert(resync.getMessage.toLowerCase.contains("resync"),
+      resync.getMessage)
+  }
+
   test("regression: an EMPTY first batch on an EMPTY published table " +
       "must never commit a zero-generation snapshot — the table stays " +
       "readable and the watermark still advances") {
