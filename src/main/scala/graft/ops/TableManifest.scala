@@ -81,6 +81,12 @@ object TableManifest {
   private val CheckpointPrefix = "_graft_checkpoint-"
   private val HintFile = "_graft_last_checkpoint"
 
+  /** The RETENTION BARRIER control file: `{"seq":M}` = no commit may
+    * land below seq M (monotonic, written by [[truncateLog]] BEFORE it
+    * deletes anything). The second phase of live-writer-safe log
+    * retention — see the barrier protocol on [[commitSnapshot]]. */
+  private val BarrierFile = "_graft_min_seq"
+
   /** Write a state checkpoint every this-many commits (the seam that
     * makes head resolution O(window) instead of O(table age) — see
     * [[resolveHead]]). A protocol constant, not a knob: readers and
@@ -511,34 +517,40 @@ object TableManifest {
       try {
         publishImmutable(spark, tableDir, checkpointPath(tableDir, seq),
           renderSnapshot(snapshot))
-        val fs = fsOf(spark, tableDir)
-        val root = new Path(tableDir)
-        val tmp = new Path(root,
-          s"._manifest-hint-${java.util.UUID.randomUUID}.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(s"""{"seq":$seq}""".getBytes("UTF-8"))
-        finally out.close()
-        val scheme = fs.getUri.getScheme
-        if (scheme == null || scheme == "file") {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp.toUri.getPath),
-            java.nio.file.Paths.get(new Path(root, HintFile).toUri.getPath),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // the tmp was created through the CHECKSUMMED local fs but
-          // moved with java.nio, which the ChecksumFileSystem cannot
-          // see — reap the stranded '.<tmp>.crc' sidecar here or it
-          // accumulates one orphan per checkpoint forever (an r11
-          // review finding; recover()'s sweep also matches it now)
-          fs.delete(new Path(root, s".${tmp.getName}.crc"), false)
-        } else {
-          org.apache.hadoop.fs.FileContext.getFileContext(
-            fs.getUri, spark.sessionState.newHadoopConf())
-            .rename(tmp, new Path(root, HintFile),
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        }
+        writeAtomicReplace(spark, tableDir, HintFile, s"""{"seq":$seq}""")
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+
+  /** Atomic-REPLACE publication of one small mutable control file (the
+    * checkpoint hint, the retention barrier) — last-writer-wins, never
+    * torn: java.nio ATOMIC_MOVE on local paths (reaping the checksum
+    * sidecar the ChecksumFileSystem cannot see moved — an r11 review
+    * finding: one '.<tmp>.crc' orphan per write otherwise), OVERWRITE
+    * FileContext rename on HDFS. */
+  private def writeAtomicReplace(spark: SparkSession, tableDir: String,
+                                 name: String, body: String): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    val tmp = new Path(root,
+      s"._manifest-ctl-${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(new Path(root, name).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      fs.delete(new Path(root, s".${tmp.getName}.crc"), false)
+    } else {
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sessionState.newHadoopConf())
+        .rename(tmp, new Path(root, name),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
 
   /** [[commitSnapshot]] + [[maybeCheckpoint]] — every commit site goes
     * through this so no winner can forget its checkpoint duty. */
@@ -937,14 +949,50 @@ object TableManifest {
     won
   }
 
+  /** The retention barrier's current value (0 = none). Failure-open by
+    * design: an unreadable barrier restores the pre-barrier behavior
+    * (keepVersions-floor defense only), never blocks commits. */
+  private[graft] def readBarrier(spark: SparkSession,
+                                 tableDir: String): Long =
+    try {
+      val p = new Path(tableDir, BarrierFile)
+      if (!fsOf(spark, tableDir).exists(p)) 0L
+      else """"seq"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(readSmall(spark, p))
+        .map(_.group(1).toLong).getOrElse(0L)
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
   /** Commit `snapshot` as version `seq` through [[publishImmutable]]:
     * returns false when the seq is lost to a concurrent writer (the CAS
-    * failure — caller rebases and retries on a fresh seq). */
-  private def commitSnapshot(spark: SparkSession, tableDir: String,
-                             seq: Long, snapshot: Snapshot): Boolean =
-    publishImmutable(spark, tableDir,
-      new Path(new Path(tableDir), f"$ManifestPrefix$seq%06d.json"),
-      renderSnapshot(snapshot))
+    * failure — caller rebases and retries on a fresh seq).
+    *
+    * BARRIER PROTOCOL (live-writer-safe truncation): deleting an old
+    * manifest frees its seq, and a writer whose head view predates the
+    * truncation could re-claim it — its commit would land BEHIND the
+    * real head and vanish (the ABA the permanent log exists to
+    * prevent). [[truncateLog]] therefore persists the barrier BEFORE
+    * deleting anything, and a winner re-checks the barrier AFTER its
+    * link: any seq freed by truncation was freed after the covering
+    * barrier was visible, and the winner's check runs after its win,
+    * which runs after the free — so a below-barrier win is always
+    * detected, UNDONE (the winner deletes its own manifest — ours by
+    * construction: the seq was free), and reported as an ordinary CAS
+    * loss, which makes the caller rebase onto the true head. A crash
+    * inside the undo window leaves a phantom below-barrier manifest —
+    * unreachable as head (the listing takes the max seq) and reaped by
+    * [[recover]]. */
+  private[graft] def commitSnapshot(spark: SparkSession, tableDir: String,
+                                    seq: Long, snapshot: Snapshot): Boolean = {
+    val dst = manifestPath(tableDir, seq)
+    if (!publishImmutable(spark, tableDir, dst, renderSnapshot(snapshot)))
+      return false
+    val barrier = readBarrier(spark, tableDir)
+    if (seq >= barrier) true
+    else {
+      fsOf(spark, tableDir).delete(dst, false) // undo the stale claim
+      false
+    }
+  }
 
   private def manifestPath(tableDir: String, seq: Long): Path =
     new Path(tableDir, f"$ManifestPrefix$seq%06d.json")
@@ -2314,21 +2362,24 @@ object TableManifest {
     * where one small JSON per commit makes every log listing O(table
     * age). Returns the number of manifests dropped.
     *
-    * MUST run with NO WRITER ACTIVE — [[recover]]'s contract, for the
-    * same reason recovery has it: deleting a manifest frees its seq for
-    * re-claim (the ABA the permanent log exists to prevent —
+    * SAFE WITH WRITERS LIVE (two-phase): deleting a manifest frees its
+    * seq for re-claim (the ABA the permanent log exists to prevent —
     * [[vacuum]]), and an in-flight append's claim window is
-    * WALL-CLOCK-unbounded (it lists the head, then writes its data
-    * generation for as long as the batch takes, then links); no
-    * version-count window can bound a slow writer, so no keepVersions
-    * value makes truncation safe under active writers. Concurrent
-    * READERS stay safe with no coordination: the head manifests are
-    * untouched, and the log walkers ([[versions]]/[[readVersion]])
-    * treat a manifest deleted between their listing and their open as
-    * the end of the retained window. The keepVersions floor is
-    * defense-in-depth for accidental contract violations — a freed seq
-    * at least `keepVersions` commits below the head is unreachable by
-    * any writer whose listing is newer than the truncation's.
+    * wall-clock-unbounded — so before deleting ANYTHING this publishes
+    * the retention BARRIER (`_graft_min_seq` = the cut seq, monotonic),
+    * and every commit winner re-checks the barrier after its link and
+    * UNDOES a below-barrier claim as an ordinary CAS loss (the full
+    * argument lives on [[commitSnapshot]]; the spec races four live
+    * appenders through a mid-stream truncation). The keepVersions
+    * floor stays as defense-in-depth for the failure-open barrier
+    * read. Concurrent READERS stay safe with no coordination: the head
+    * manifests are untouched, the log walkers
+    * ([[versions]]/[[readVersion]]) treat a manifest deleted between
+    * their listing and their open as the end of the retained window,
+    * and a hint-guided [[resolveHead]] racing the cut falls back to
+    * the listing (the hint is deleted first). A reader STALLED below
+    * the cut can still lose its generation set mid-read — the same
+    * documented stalled-reader bound every pointer read carries.
     *
     * Data below the cut leaves the time-travel window by definition, so
     * generations referenced ONLY by dropped manifests are vacuumed
@@ -2340,7 +2391,7 @@ object TableManifest {
     require(keepVersions >= 8,
       s"TableManifest: keepVersions must be >= 8 (got $keepVersions) — " +
         "deleted seqs become claimable by stale writers (ABA), the " +
-        "window is the defense-in-depth bound")
+        "window is the defense-in-depth bound behind the barrier")
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
     val ms = manifestFiles(spark, tableDir)
@@ -2349,6 +2400,12 @@ object TableManifest {
     val keepGens =
       keep.flatMap(parseSnapshot(spark, _).generations).toSet
     val cutSeq = manifestSeq(keep.head.getName)
+    // PHASE ONE: persist the barrier before any deletion — from here
+    // on, a stale writer's claim of a freed seq self-undoes (the
+    // commitSnapshot protocol). Monotonic: concurrent truncations can
+    // only raise it.
+    writeAtomicReplace(spark, tableDir, BarrierFile,
+      s"""{"seq":${math.max(readBarrier(spark, tableDir), cutSeq)}}""")
     // ORDER MATTERS (an r11 review finding): drop the below-cut HINT
     // and checkpoints BEFORE any manifest, so a hint-guided resolveHead
     // racing this truncation can never probe into the gap and report a
@@ -2394,6 +2451,16 @@ object TableManifest {
     * from a crashed one); readers are unaffected (the newest manifest
     * never changes here). */
   def recover(spark: SparkSession, tableDir: String): Unit = {
+    val fs = fsOf(spark, tableDir)
+    // phantom below-barrier manifests (a writer crashed inside the
+    // barrier-undo window — see commitSnapshot) are unreachable as
+    // head; reap them before the retention walk so their generations
+    // count as unreferenced below
+    val barrier = readBarrier(spark, tableDir)
+    if (barrier > 0)
+      manifestFiles(spark, tableDir)
+        .filter(p => manifestSeq(p.getName) < barrier)
+        .foreach(p => fs.delete(p, false))
     val ms = manifestFiles(spark, tableDir)
     require(ms.nonEmpty,
       s"TableManifest: no manifest at $tableDir — nothing to recover")

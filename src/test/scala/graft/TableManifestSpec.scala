@@ -1519,6 +1519,76 @@ class TableManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("live-writer-safe truncation: the barrier is persisted before " +
+      "any deletion, a stale writer's claim of a freed seq self-undoes " +
+      "as a CAS loss, live appenders racing a mid-stream truncation " +
+      "land every batch exactly once, and recover reaps phantoms") {
+    import spark.implicits._
+    val tbl = tmpTable("maniftrbar")
+    TableManifest.publish(spark, tbl, Seq((0L, "b0")).toDF("id", "tag"))
+    (1 to 20).foreach(i =>
+      TableManifest.append(spark, tbl,
+        Seq((i.toLong, s"b$i")).toDF("id", "tag")))
+    assert(TableManifest.truncateLog(spark, tbl, keepVersions = 8) == 13)
+    assert(TableManifest.readBarrier(spark, tbl) == 14L,
+      "the barrier must persist the cut seq")
+    // the exact stale-writer shape: a claim of a FREED seq (the link
+    // wins — the manifest was deleted) must self-undo and read as a
+    // CAS loss, leaving no phantom behind
+    val snap = TableManifest.parseSnapshotBody(
+      """{"generations":["_gen-000002-deadbeef"]}""", "test")
+    assert(!TableManifest.commitSnapshot(spark, tbl, 5L, snap),
+      "a below-barrier claim must report a CAS loss")
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tbl/_graft_manifest-000005.json")),
+      "the stale claim must be undone, not left as a phantom version")
+    // ... while an at/above-barrier commit is untouched by the check
+    assert(TableManifest.read(spark, tbl).count() == 21)
+    // LIVE RACE: three appenders churn while truncations run mid-stream
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { t =>
+      new Thread(() => {
+        try (0 until 10).foreach { i =>
+          TableManifest.append(spark, tbl,
+            Seq((1000L + t * 100 + i, s"w$t-$i")).toDF("id", "tag"),
+            maxRetries = 20)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    val truncator = new Thread(() => {
+      try (0 until 5).foreach { _ =>
+        Thread.sleep(150)
+        TableManifest.truncateLog(spark, tbl, keepVersions = 8)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    (threads :+ truncator).foreach(_.start())
+    (threads :+ truncator).foreach(_.join())
+    assert(errs.isEmpty, s"race errors: ${errs.toArray.mkString("; ")}")
+    val fin = TableManifest.read(spark, tbl)
+    assert(fin.filter(col("id") >= 1000L).count() == 30,
+      "a truncation-raced append lost a batch (ABA)")
+    assert(fin.filter(col("id") >= 1000L).select("id").distinct()
+      .count() == 30, "a truncation-raced append double-landed")
+    // the log actually shrank at the cuts (manifests ≤ 8 + post-cut
+    // commits), and the table still reads whole
+    assert(TableManifest.read(spark, tbl).count() == 51)
+    // recover reaps a phantom below-barrier manifest (the crash-inside-
+    // undo debris shape)
+    val barrier = TableManifest.readBarrier(spark, tbl)
+    assert(barrier >= 14L)
+    val phantom = new org.apache.hadoop.fs.Path(
+      s"$tbl/_graft_manifest-000003.json")
+    val out = fs.create(phantom, false)
+    out.write("""{"generations":["_gen-000002-deadbeef"]}"""
+      .getBytes("UTF-8")); out.close()
+    TableManifest.recover(spark, tbl)
+    assert(!fs.exists(phantom),
+      "recover must reap phantom below-barrier manifests")
+    assert(TableManifest.read(spark, tbl).count() == 51)
+  }
+
   test("recover reconciles crash debris: orphan next-generations and " +
       "stale manifest tmps are dropped, the pointer never moves") {
     import spark.implicits._
