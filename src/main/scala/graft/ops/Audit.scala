@@ -1867,6 +1867,50 @@ object Audit {
       .orderBy("event_type")
   }
 
+  // --------------------------------------------------------------- q255
+  /** q255 entry: COLUMN MAPPING
+    * ([[graft.ops.TableManifest.enableColumnMapping]] /
+    * `renameColumn` / `dropColumn`) — Iceberg/Delta column ids over
+    * the manifest: renames and drops are METADATA-ONLY commits
+    * (`metadata_only` asserts every pre-evolution generation survived
+    * BY NAME), reads select BY ID so the renamed `order_date` serves
+    * the old files' `o_orderdate` values with zero data rewritten,
+    * and `o_custkey` — dropped, then RE-ADDED by a later append —
+    * binds a FRESH id: the evens (old generation) read NULL under the
+    * re-added name while the odds (new generation) carry values. The
+    * oracle recomputes exactly that split from the raw source; a
+    * resurrection of the dropped values fails the checksums. */
+  def q255ColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q255_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    TableManifest.publish(spark, fixture,
+      o.filter(pmod(col("o_orderkey"), lit(2L)) === 0))
+    val gens0 = TableManifest.currentGenerations(spark, fixture)
+    TableManifest.enableColumnMapping(spark, fixture)
+    TableManifest.renameColumn(spark, fixture, "o_orderdate", "order_date")
+    TableManifest.dropColumn(spark, fixture, "o_custkey")
+    TableManifest.append(spark, fixture,
+      o.filter(pmod(col("o_orderkey"), lit(2L)) === 1)
+        .select(col("o_orderkey"), col("o_orderdate").as("order_date"),
+          col("o_custkey")),
+      Some(0L))
+    val metadataOnly = gens0.forall(
+      TableManifest.currentGenerations(spark, fixture).contains)
+    partitionChecksums(TableManifest.read(spark, fixture),
+      pmod(col("o_orderkey"), lit(8L)),
+      Seq(col("o_orderkey").cast("string"),
+        coalesce(col("o_custkey").cast("string"), lit("null")),
+        col("order_date").cast("string")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(metadataOnly).as("metadata_only"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1928,6 +1972,7 @@ object Audit {
     "q252_partitioned_read" -> q252PartitionedRead _,
     "q253_row_deletes" -> q253RowDeletes _,
     "q254_manifest_relay" -> q254ManifestRelay _,
+    "q255_column_mapping" -> q255ColumnMapping _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -2305,6 +2350,23 @@ object Audit {
         |       TRUE AS relay_exact, TRUE AS resync_loud
         |FROM events WHERE event_id < 6000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q255: column mapping — evens published pre-evolution read NULL
+    // under the dropped-then-re-added o_custkey (fresh id — the old
+    // values must NOT resurrect) while odds appended post-evolution
+    // carry it; order_date serves the old files' o_orderdate through
+    // the metadata-only rename; metadata_only is the engine's claim
+    // that evolution commits carried every generation by name
+    "q255_column_mapping" ->
+      """SELECT CAST(o_orderkey % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(o_orderkey AS VARCHAR),
+        |             CASE WHEN o_orderkey % 2 = 0 THEN 'null'
+        |                  ELSE CAST(o_custkey AS VARCHAR) END,
+        |             CAST(o_orderdate AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS metadata_only
+        |FROM orders
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),

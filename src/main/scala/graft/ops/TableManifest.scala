@@ -118,6 +118,24 @@ object TableManifest {
       .map(_.getPath).sortBy(p => manifestSeq(p.getName)).toSeq
   }
 
+  /** COLUMN MAPPING (Iceberg/Delta column-ids, r11 verdict #8): the
+    * table's logical schema as `(id, current name)` pairs plus the
+    * next free id. While a mapping is active, every generation's meta
+    * records the `(id, physical name)` binding at ITS write time, and
+    * reads select BY ID — so [[renameColumn]] is metadata-only (old
+    * files read under the new name), [[dropColumn]] hides the id
+    * everywhere, and a column RE-ADDED under a dropped name takes a
+    * FRESH id, so old files' values can never resurrect. A
+    * [[rewrite]]/[[optimizeManifested]] fold clears the mapping: it
+    * rewrites every file under the current names, which is exactly
+    * what makes the mapping unnecessary afterwards. */
+  private[graft] case class ColumnMapping(nextId: Int,
+                                          cols: Seq[(Int, String)]) {
+    def name(id: Int): Option[String] = cols.collectFirst {
+      case (i, n) if i == id => n
+    }
+  }
+
   /** One data file's manifest-recorded metadata: its name, size, and —
     * when the generation was committed with a stats column — its
     * (min,max) on that column from the parquet footer. Recorded at
@@ -130,10 +148,13 @@ object TableManifest {
                                      hi: Option[Double])
 
   /** A generation's manifest-recorded inventory: the stats column its
-    * ranges were computed on (None = names+sizes only) and one
-    * [[FileMeta]] per data file. */
+    * ranges were computed on (None = names+sizes only), one
+    * [[FileMeta]] per data file, and — while a [[ColumnMapping]] is
+    * active — the `(column id, physical name)` binding at the
+    * generation's write time. */
   private[graft] case class GenMeta(statsCol: Option[String],
-                                    files: Seq[FileMeta])
+                                    files: Seq[FileMeta],
+                                    cols: Seq[(Int, String)] = Seq.empty)
 
   /** The MERGE-ON-READ resolution rule a snapshot carries while any
     * DELTA generation is live ([[upsertBucketedDelta]]): readers
@@ -186,7 +207,8 @@ object TableManifest {
                                      merge: Option[MergeSpec] = None,
                                      parts: Map[String, String] = Map.empty,
                                      partCol: Option[String] = None,
-                                     delete: Option[DeleteSpec] = None) {
+                                     delete: Option[DeleteSpec] = None,
+                                     columns: Option[ColumnMapping] = None) {
     def watermark(writerId: String): Option[Long] = writers.get(writerId)
     /** The delta generations live at this version (merge-on-read
       * inputs; empty on a fully-folded table). */
@@ -297,6 +319,13 @@ object TableManifest {
       case JDecimal(d) => Some(d.toDouble)
       case _ => None
     }
+    def idCols(v: JValue): Seq[(Int, String)] = v match {
+      case JArray(xs) => xs.collect {
+        case JArray(i :: JString(n) :: Nil) if long(i).isDefined =>
+          (long(i).get.toInt, n)
+      }
+      case _ => Seq.empty
+    }
     val meta: Map[String, GenMeta] = (j \ "meta") match {
       case JObject(gens) => gens.flatMap { case (g, gm) =>
         val col = (gm \ "col") match {
@@ -315,11 +344,22 @@ object TableManifest {
                 }
                 FileMeta(n, size, range._1, range._2)
             }
-            Some(g -> GenMeta(col, files))
+            Some(g -> GenMeta(col, files, idCols(gm \ "cols")))
           case _ => None
         }
       }.toMap
       case _ => Map.empty
+    }
+    val columns: Option[ColumnMapping] = (j \ "columns") match {
+      case JObject(_) =>
+        long(j \ "columns" \ "next") match {
+          case Some(n) =>
+            val cols = idCols(j \ "columns" \ "cols")
+            if (cols.isEmpty) throw bad()
+            else Some(ColumnMapping(n.toInt, cols))
+          case None => throw bad()
+        }
+      case _ => None
     }
     val merge: Option[MergeSpec] = (j \ "merge") match {
       case JObject(_) =>
@@ -352,7 +392,7 @@ object TableManifest {
     Snapshot(gens.getOrElse(throw bad()),
       mergeWriters(writers,
         batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)),
-      buckets, meta, merge, parts, partCol, delete)
+      buckets, meta, merge, parts, partCol, delete, columns)
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -372,6 +412,12 @@ object TableManifest {
       val keys = d.keys.map(graft.JsonEscape.str).mkString("[", ",", "]")
       s""","delete":{"keys":$keys}"""
     }.getOrElse("")
+    def idCols(cs: Seq[(Int, String)]): String =
+      cs.map { case (i, n) => s"[$i,${graft.JsonEscape.str(n)}]" }
+        .mkString("[", ",", "]")
+    val columns = s.columns.map(m =>
+      s""","columns":{"next":${m.nextId},"cols":${idCols(m.cols)}}""")
+      .getOrElse("")
     val parts =
       if (s.parts.isEmpty || s.partCol.isEmpty) ""
       else {
@@ -393,6 +439,9 @@ object TableManifest {
         .map { case (g, gm) =>
           val col = gm.statsCol
             .map(c => s""""col":${graft.JsonEscape.str(c)},""").getOrElse("")
+          val bound =
+            if (gm.cols.isEmpty) ""
+            else s""""cols":${idCols(gm.cols)},"""
           val files = gm.files.map { f =>
             val range = (f.lo, f.hi) match {
               case (Some(l), Some(h)) => s",$l,$h"
@@ -400,9 +449,10 @@ object TableManifest {
             }
             s"[${graft.JsonEscape.str(f.name)},${f.size}$range]"
           }.mkString("[", ",", "]")
-          s"""${graft.JsonEscape.str(g)}:{$col"files":$files}"""
+          s"""${graft.JsonEscape.str(g)}:{$col$bound"files":$files}"""
         }.mkString(""","meta":{""", ",", "}")
-    s"""{"generations":$gens$writers$buckets$merge$delete$parts$meta}"""
+    s"""{"generations":$gens$writers$buckets$merge$delete$columns""" +
+      s"""$parts$meta}"""
   }
 
   private def checkpointPath(tableDir: String, seq: Long): Path =
@@ -691,6 +741,12 @@ object TableManifest {
     import org.apache.spark.sql.functions.{col, max, regexp_extract}
     require(gens.nonEmpty,
       s"TableManifest: no data generations to read at $tableDir")
+    // column mapping is mutually exclusive with the merge/delete/parts
+    // rules (enforced at enable + by the writers), so the mapped read
+    // is its own complete path
+    snap.columns.foreach { mapping =>
+      return mappedRead(spark, tableDir, snap, gens, mapping)
+    }
     val raw = spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(gens.map(g => s"$tableDir/$g"): _*)
     def seqExpr = regexp_extract(col("_metadata.file_path"),
@@ -716,6 +772,42 @@ object TableManifest {
         Temporal.latestSnapshot(afterDelete, m.keys, m.ts, m.tie)
       case None => afterDelete
     }
+  }
+
+  /** Column-mapped read: each generation's scan selects BY COLUMN ID —
+    * its recorded physical name aliased to the id's CURRENT name —
+    * then the per-generation frames union by name with missing columns
+    * as nulls, projected in the mapping's declared order. Ids absent
+    * from the current mapping (dropped columns) are excluded from
+    * every generation, and a re-added name's fresh id binds only in
+    * generations written after the re-add — old values never
+    * resurrect. Generations without a recorded binding (pre-mapping
+    * legacy) bind conservatively by current name. */
+  private def mappedRead(spark: SparkSession, tableDir: String,
+                         snap: Snapshot, gens: Seq[String],
+                         mapping: ColumnMapping): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val current: Map[Int, String] = mapping.cols.toMap
+    val frames = gens.map { g =>
+      val scan = spark.read.parquet(s"$tableDir/$g")
+      val bound: Seq[(Int, String)] =
+        snap.meta.get(g).map(_.cols).filter(_.nonEmpty).getOrElse(
+          // legacy generation: bind by current name (identity)
+          mapping.cols.filter { case (_, n) => scan.columns.contains(n) })
+      val sel = bound.collect {
+        case (id, phys)
+            if current.contains(id) && scan.columns.contains(phys) =>
+          col(phys).as(current(id))
+      }
+      require(sel.nonEmpty,
+        s"TableManifest: generation $g shares no mapped column with " +
+          s"the current schema at $tableDir")
+      scan.select(sel: _*)
+    }
+    val unioned =
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    unioned.select(mapping.cols.map(_._2)
+      .filter(unioned.columns.contains(_)).map(col): _*)
   }
 
   /** One re-resolve for the stalled-reader race every pointer-resolving
@@ -1091,7 +1183,7 @@ object TableManifest {
     * rather than record a legitimately confusing watermark. */
   private val ReservedWriterIds = Set(
     "batch", "buckets", "writers", "generations", "generation", "seq",
-    "meta", "merge", "delete", "parts", "partcol", "files")
+    "meta", "merge", "delete", "parts", "partcol", "files", "columns")
 
   private def requireWriterId(writerId: String): Unit = {
     require(writerId.nonEmpty &&
@@ -1130,13 +1222,23 @@ object TableManifest {
         return None
       }
       val (carriedParts, carriedPartCol) = snap.partsFor(snap.generations)
+      // under an active column mapping, unknown batch columns take
+      // FRESH ids (a re-added dropped name never reclaims its old id)
+      // and the new generation records its (id, physical name) binding
+      val mapping = snap.columns.map(extendMapping(_, df.columns.toSeq))
+      val boundMeta = mapping match {
+        case Some(m) => genMeta.copy(cols =
+          m.cols.filter { case (_, n) => df.columns.contains(n) })
+        case None => genMeta
+      }
       val merged = Snapshot(snap.generations :+ gen,
         mergeWriters(snap.writers,
           batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
-        meta = snap.metaFor(snap.generations) + (gen -> genMeta),
+        meta = snap.metaFor(snap.generations) + (gen -> boundMeta),
         merge = mergeFor(snap.generations :+ gen, snap.merge),
         parts = carriedParts, partCol = carriedPartCol,
-        delete = deleteFor(snap.generations :+ gen, snap.delete))
+        delete = deleteFor(snap.generations :+ gen, snap.delete),
+        columns = mapping)
       attempts += 1
       if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
         vacuum(spark, tableDir, seq + 1,
@@ -1425,6 +1527,7 @@ object TableManifest {
           "rewrite would re-commit deleted rows above the tombstone " +
           "seq and resurrect them. Fold deletes first (rewrite() / " +
           "optimizeManifested), then upsert.")
+      requireNoMapping(snap, tableDir, "upsertBucketed")
       val migrate = snap.generations.exists(g => bucketOf(g).isEmpty)
       if (!migrate) snap.buckets.foreach(m => require(m == numBuckets,
         s"upsertBucketed: table at $tableDir is bucketed $m-way; " +
@@ -1620,6 +1723,7 @@ object TableManifest {
       require(snap.tombstoneGens.isEmpty,
         s"upsertBucketedDelta: row tombstones live at $tableDir — fold " +
           "deletes first (rewrite() / optimizeManifested), then upsert.")
+      requireNoMapping(snap, tableDir, "upsertBucketedDelta")
       val pure = snap.buckets.contains(numBuckets) &&
         snap.generations.forall(g => bucketOf(g).isDefined)
       if (!pure)
@@ -1885,6 +1989,7 @@ object TableManifest {
           "table before appending"))
     if (replayGate(base.snap, writerId, batchId, tableDir))
       return None // replay: skip before writing
+    requireNoMapping(base.snap, tableDir, "appendPartitioned")
     base.snap.partCol.foreach(c => require(c == partCol,
       s"TableManifest: table at $tableDir is partitioned by '$c'; " +
         s"refusing an append partitioned by '$partCol' (one value map, " +
@@ -1932,6 +2037,10 @@ object TableManifest {
             s"TableManifest: table at $tableDir became partitioned by " +
               s"'$c' mid-commit; refusing '$partCol'")
         }
+      }
+      if (snap.columns.isDefined) {
+        reapStaged() // a column mapping appeared mid-commit
+        requireNoMapping(snap, tableDir, "appendPartitioned")
       }
       val newGens = staged.map(_._2)
       val (carriedParts, _) = snap.partsFor(snap.generations)
@@ -1985,6 +2094,128 @@ object TableManifest {
       else resolveContent(spark, tableDir, snap, gens)
     }
 
+  private def extendMapping(m: ColumnMapping,
+                            dfCols: Seq[String]): ColumnMapping = {
+    val known = m.cols.map(_._2).toSet
+    val fresh = dfCols.filterNot(known)
+    ColumnMapping(m.nextId + fresh.size,
+      m.cols ++ fresh.zipWithIndex.map { case (n, i) => (m.nextId + i, n) })
+  }
+
+  private def requireNoMapping(snap: Snapshot, tableDir: String,
+                               verb: String): Unit =
+    require(snap.columns.isEmpty,
+      s"TableManifest: $verb at $tableDir refused while a column " +
+        "mapping is active — fold it first (rewrite() / " +
+        "optimizeManifested rewrite every file under the current " +
+        "names), then re-run")
+
+  /** Turn on COLUMN MAPPING for a table: derive `(id, name)` pairs from
+    * the current schema and bind EVERY live generation's physical
+    * names to them, as one metadata-only commit — after this,
+    * [[renameColumn]]/[[dropColumn]] are metadata-only and appends may
+    * evolve the schema with fresh ids ([[ColumnMapping]]'s contract).
+    * Mutually exclusive with the merge/delete/partition rules and the
+    * bucketed layout (each needs name-addressed columns; the matrix
+    * stays small and every combination that exists is spec'd) —
+    * refuses loudly while any is active, and the bucketed/merge verbs
+    * refuse while a mapping is active. Idempotent: an already-mapped
+    * table returns its mapping unchanged. */
+  def enableColumnMapping(spark: SparkSession, tableDir: String,
+                          maxRetries: Int = 3): Unit = {
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      attempts += 1
+      val head = resolveHead(spark, tableDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableManifest: no manifest at $tableDir — not a manifested " +
+            "table (publish() first)"))
+      val (seq, snap) = (head.seq, head.snap)
+      if (snap.columns.isDefined) return // idempotent
+      require(snap.merge.isEmpty && snap.delete.isEmpty &&
+        snap.parts.isEmpty && snap.buckets.isEmpty,
+        s"TableManifest: enableColumnMapping at $tableDir refused " +
+          "while merge/delete/partition rules or a bucket layout are " +
+          "active — fold/rewrite first")
+      val names = readSnapshot(spark, tableDir, snap).columns.toSeq
+      val mapping = ColumnMapping(names.size + 1,
+        names.zipWithIndex.map { case (n, i) => (i + 1, n) })
+      // bind every generation: its physical names ARE the current
+      // names (no rename has happened yet) — one footer read each
+      val meta = snap.generations.map { g =>
+        val base = snap.meta.getOrElse(g,
+          collectGenMeta(spark, tableDir, g, None))
+        val genCols = spark.read.parquet(s"$tableDir/$g").columns.toSet
+        g -> base.copy(cols =
+          mapping.cols.filter { case (_, n) => genCols.contains(n) })
+      }.toMap
+      if (commitAndCheckpoint(spark, tableDir, seq + 1,
+          snap.copy(meta = meta, columns = Some(mapping))))
+        return // metadata-only: generations unchanged, nothing vacuumed
+    }
+    throw new java.io.IOException(
+      s"TableManifest: enableColumnMapping at $tableDir lost the " +
+        s"commit race on all $attempts attempts — writer storm?")
+  }
+
+  /** Metadata-only RENAME under an active column mapping: the id keeps
+    * its files, the name changes everywhere — old generations read
+    * under the new name with zero data rewritten. */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String, maxRetries: Int = 3): Unit =
+    updateMapping(spark, tableDir, maxRetries, s"rename $from->$to") { m =>
+      require(m.cols.exists(_._2 == from),
+        s"TableManifest: no column '$from' at $tableDir " +
+          s"(columns: ${m.cols.map(_._2).mkString(",")})")
+      require(!m.cols.exists(_._2 == to),
+        s"TableManifest: column '$to' already exists at $tableDir")
+      require(to.nonEmpty && !to.startsWith("__graft"),
+        s"TableManifest: invalid column name '$to'")
+      m.copy(cols = m.cols.map {
+        case (i, n) if n == from => (i, to)
+        case other => other
+      })
+    }
+
+  /** Metadata-only DROP under an active column mapping: the id leaves
+    * the schema; its values stay in old files but no read selects
+    * them, and a later re-add of the same NAME takes a fresh id so the
+    * old values never resurrect. */
+  def dropColumn(spark: SparkSession, tableDir: String,
+                 name: String, maxRetries: Int = 3): Unit =
+    updateMapping(spark, tableDir, maxRetries, s"drop $name") { m =>
+      require(m.cols.exists(_._2 == name),
+        s"TableManifest: no column '$name' at $tableDir " +
+          s"(columns: ${m.cols.map(_._2).mkString(",")})")
+      require(m.cols.size >= 2,
+        s"TableManifest: refusing to drop the last column at $tableDir")
+      m.copy(cols = m.cols.filterNot(_._2 == name))
+    }
+
+  private def updateMapping(spark: SparkSession, tableDir: String,
+                            maxRetries: Int, what: String)
+                           (f: ColumnMapping => ColumnMapping): Unit = {
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      attempts += 1
+      val head = resolveHead(spark, tableDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"TableManifest: no manifest at $tableDir — not a manifested " +
+            "table (publish() first)"))
+      val (seq, snap) = (head.seq, head.snap)
+      val mapping = snap.columns.getOrElse(
+        throw new IllegalStateException(
+          s"TableManifest: no column mapping at $tableDir — " +
+            "enableColumnMapping() first"))
+      if (commitAndCheckpoint(spark, tableDir, seq + 1,
+          snap.copy(columns = Some(f(mapping)))))
+        return // metadata-only commit
+    }
+    throw new java.io.IOException(
+      s"TableManifest: $what at $tableDir lost the commit race on all " +
+        s"$attempts attempts — writer storm?")
+  }
+
   /** ROW-LEVEL DELETE through the manifest (the GDPR verb as a table
     * mutation): commit the distinct `keyCols` rows of `keys` as ONE
     * TOMBSTONE generation — O(keys) write, no data rewritten, no data
@@ -2023,6 +2254,7 @@ object TableManifest {
           "table before deleting from it"))
     if (replayGate(base.snap, writerId, batchId, tableDir))
       return None // replay: skip before writing
+    requireNoMapping(base.snap, tableDir, "deleteRows")
     // the key columns must exist in the table, or every read after
     // this commit would fail at the tombstone join — check NOW, loudly
     val tableCols = read(spark, tableDir).columns.toSet

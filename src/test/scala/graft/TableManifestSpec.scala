@@ -873,6 +873,104 @@ class TableManifestSpec extends AnyFunSuite {
       resync.getMessage)
   }
 
+  test("column mapping: renames are metadata-only (old files read " +
+      "under the new name, generations carried by name), drops hide " +
+      "the id, a re-added name takes a FRESH id so old values never " +
+      "resurrect, time travel sees each version's schema, and a " +
+      "rewrite folds the mapping") {
+    import spark.implicits._
+    val tbl = tmpTable("manifcolmap")
+    TableManifest.publish(spark, tbl,
+      (0 until 10).map(i => (i.toLong, s"t$i")).toDF("id", "tag"))
+    val gens0 = TableManifest.currentGenerations(spark, tbl)
+    TableManifest.enableColumnMapping(spark, tbl)
+    TableManifest.enableColumnMapping(spark, tbl) // idempotent
+    // RENAME: metadata-only — same generation set, old file reads
+    // under the new name
+    TableManifest.renameColumn(spark, tbl, "tag", "label")
+    assert(TableManifest.currentGenerations(spark, tbl) == gens0,
+      "a rename must not touch data generations")
+    val r1 = TableManifest.read(spark, tbl)
+    assert(r1.columns.toSeq == Seq("id", "label"))
+    assert(r1.filter(col("id") === 3L).head.getString(1) == "t3")
+    // schema evolution: an appended new column takes a fresh id; old
+    // generations read it as null
+    TableManifest.append(spark, tbl,
+      Seq((10L, "t10", 1.5)).toDF("id", "label", "score"))
+    val r2 = TableManifest.read(spark, tbl)
+    assert(r2.columns.toSeq == Seq("id", "label", "score"))
+    assert(r2.filter(col("id") === 3L).head.isNullAt(2))
+    assert(r2.filter(col("id") === 10L).head.getDouble(2) == 1.5)
+    // DROP + RE-ADD: the re-added name binds a FRESH id — the old
+    // values must NOT reappear under it
+    TableManifest.dropColumn(spark, tbl, "label")
+    assert(TableManifest.read(spark, tbl).columns.toSeq ==
+      Seq("id", "score"))
+    TableManifest.append(spark, tbl,
+      Seq((11L, "fresh", 2.5)).toDF("id", "label", "score"))
+    val r3 = TableManifest.read(spark, tbl)
+    assert(r3.columns.toSeq == Seq("id", "score", "label"))
+    assert(r3.count() == 12)
+    assert(r3.filter(col("id") === 3L).head
+      .isNullAt(r3.columns.indexOf("label")),
+      "a dropped column's old values resurrected under the re-add")
+    assert(r3.filter(col("id") === 10L).head
+      .isNullAt(r3.columns.indexOf("label")),
+      "the pre-drop 'label' data must stay hidden (old id)")
+    assert(r3.filter(col("id") === 11L).head
+      .getString(r3.columns.indexOf("label")) == "fresh")
+    // renames keep composing over every generation
+    TableManifest.renameColumn(spark, tbl, "id", "key")
+    assert(TableManifest.read(spark, tbl).columns.head == "key")
+    // time travel sees THAT version's schema (version 1 = pre-mapping)
+    assert(TableManifest.readVersion(spark, tbl, 1L).columns.toSeq ==
+      Seq("id", "tag"))
+    // the mapped-table writer matrix is closed loudly
+    intercept[IllegalArgumentException] {
+      TableManifest.upsertBucketed(spark, tbl,
+        Seq((1L, 9L, "x")).toDF("key", "seq", "state"),
+        Seq("key"), "seq", "state", 4)
+    }
+    intercept[IllegalArgumentException] {
+      TableManifest.deleteRows(spark, tbl, Seq(1L).toDF("key"),
+        Seq("key"))
+    }
+    intercept[IllegalArgumentException] {
+      TableManifest.appendPartitioned(spark, tbl,
+        Seq((12L, "d", 0.0)).toDF("key", "label", "score"), "label")
+    }
+    // FOLD: a rewrite materializes the current names and clears the
+    // mapping — content identical, physical schema = logical schema
+    val expected = TableManifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString).getOrElse(""),
+        Option(r.get(2)).map(_.toString).getOrElse(""))).sorted
+    TableManifest.rewrite(spark, tbl)(df => df)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val headBody = {
+      val p = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+        .map(_.getPath).filter(_.getName.startsWith("_graft_manifest-"))
+        .maxBy(_.getName)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(!headBody.contains(""""columns""""),
+      s"a fold must clear the mapping: $headBody")
+    val folded = TableManifest.read(spark, tbl)
+    assert(folded.columns.toSeq == Seq("key", "score", "label"))
+    assert(folded.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.toString).getOrElse(""),
+      Option(r.get(2)).map(_.toString).getOrElse(""))).sorted.toSeq ==
+      expected.toSeq, "the fold changed content")
+    // ... and the folded table can be mapped afresh
+    TableManifest.enableColumnMapping(spark, tbl)
+    TableManifest.renameColumn(spark, tbl, "score", "weight")
+    assert(TableManifest.read(spark, tbl).columns.toSeq ==
+      Seq("key", "weight", "label"))
+  }
+
   test("regression: an EMPTY first batch on an EMPTY published table " +
       "must never commit a zero-generation snapshot — the table stays " +
       "readable and the watermark still advances") {
