@@ -1208,7 +1208,7 @@ object TableManifest {
           "table before appending"))
     if (replayGate(base.snap, writerId, batchId, tableDir))
       return None // replay: skip before writing
-    val gen = writeGeneration(spark, tableDir, base.seq + 1, df)
+    var gen = writeGeneration(spark, tableDir, base.seq + 1, df)
     val genMeta = withGenReapedOnFailure(spark, tableDir, gen) {
       collectGenMeta(spark, tableDir, gen, statsCol)
     }
@@ -1221,6 +1221,7 @@ object TableManifest {
         fsOf(spark, tableDir).delete(new Path(s"$tableDir/$gen"), true)
         return None
       }
+      gen = alignGenSeq(spark, tableDir, gen, seq + 1)
       val (carriedParts, carriedPartCol) = snap.partsFor(snap.generations)
       // under an active column mapping, unknown batch columns take
       // FRESH ids (a re-added dropped name never reclaims its old id)
@@ -1430,6 +1431,29 @@ object TableManifest {
   private def deleteFor(gens: Seq[String],
                         spec: Option[DeleteSpec]): Option[DeleteSpec] =
     if (gens.exists(isTombstoneGen)) spec else None
+
+  /** Rename a staged (not-yet-referenced) generation so its embedded
+    * seq equals the version it is about to commit at. The name seq is
+    * SEMANTIC since tombstones landed — the row-delete rule orders
+    * rows against tombstones by it — so a commit-race rebase that kept
+    * the staging-time seq would mis-order against a tombstone that
+    * committed in between: an append of key K re-claiming it AFTER a
+    * delete would read as BEFORE and be wrongly suppressed (and a
+    * rebased tombstone would wrongly spare rows). A metadata rename
+    * per retry keeps the invariant: generation-name seq == commit
+    * version. Markers (`-x-`, `-b<k>-`, `-d-`, `-p<k>-`) and the uuid
+    * ride along untouched. */
+  private def alignGenSeq(spark: SparkSession, tableDir: String,
+                          gen: String, seq: Long): String = {
+    if (genSeqOf(gen) == seq) return gen
+    val rest = gen.stripPrefix(GenPrefix).dropWhile(_ != '-').drop(1)
+    val renamed = f"$GenPrefix$seq%06d-$rest"
+    require(fsOf(spark, tableDir).rename(
+      new Path(s"$tableDir/$gen"), new Path(s"$tableDir/$renamed")),
+      s"TableManifest: seq-align rename $gen -> $renamed failed at " +
+        tableDir)
+    renamed
+  }
 
   /** The merge rule a NEW snapshot should carry: the inherited spec
     * while any delta generation remains, nothing once every delta is
@@ -1995,10 +2019,11 @@ object TableManifest {
         s"refusing an append partitioned by '$partCol' (one value map, " +
         "one column). Rewrite the table to change the partition spec."))
     // stage once: the generations derive from the batch alone, so the
-    // rebase loop re-commits the same staged set (append discipline)
+    // rebase loop re-commits the same staged set (append discipline;
+    // names re-align to each attempt's seq below)
     val stage = new Path(tableDir,
       s"._stage-part-${java.util.UUID.randomUUID.toString.take(8)}")
-    val staged: Seq[(String, String, GenMeta)] =
+    var staged: Seq[(String, String, GenMeta)] =
       try {
         df.withColumn(PartStageCol, col(partCol).cast("string"))
           .repartition(col(PartStageCol))
@@ -2042,6 +2067,8 @@ object TableManifest {
         reapStaged() // a column mapping appeared mid-commit
         requireNoMapping(snap, tableDir, "appendPartitioned")
       }
+      staged = staged.map(s =>
+        (s._1, alignGenSeq(spark, tableDir, s._2, seq + 1), s._3))
       val newGens = staged.map(_._2)
       val (carriedParts, _) = snap.partsFor(snap.generations)
       val merged = Snapshot(snap.generations ++ newGens,
@@ -2261,7 +2288,7 @@ object TableManifest {
     keyCols.foreach(k => require(tableCols.contains(k),
       s"deleteRows: table at $tableDir has no column '$k' " +
         s"(columns: ${tableCols.mkString(",")})"))
-    val gname = f"$GenPrefix${base.seq + 1}%06d-x-" +
+    var gname = f"$GenPrefix${base.seq + 1}%06d-x-" +
       java.util.UUID.randomUUID.toString.take(8)
     keys.select(keyCols.map(col): _*).distinct()
       .write.mode("errorifexists").parquet(s"$tableDir/$gname")
@@ -2275,6 +2302,8 @@ object TableManifest {
         fs.delete(new Path(s"$tableDir/$gname"), true)
         return None
       }
+      // the tombstone's name seq IS its cut point — re-align per retry
+      gname = alignGenSeq(spark, tableDir, gname, seq + 1)
       snap.delete.foreach { d =>
         if (d.keys != keyCols) {
           fs.delete(new Path(s"$tableDir/$gname"), true)

@@ -1687,6 +1687,75 @@ class TableManifestSpec extends AnyFunSuite {
     assert(TableManifest.read(spark, tbl).count() == 51)
   }
 
+  test("commit-version alignment: a commit-race rebase renames its " +
+      "staged generation to the version it actually lands at, so the " +
+      "tombstone ordering rule stays exact under contention — a key " +
+      "re-added concurrently with its delete is visible iff the append " +
+      "COMMITTED after the tombstone") {
+    import spark.implicits._
+    (0 until 3).foreach { round =>
+      val tbl = tmpTable(s"manifalign$round")
+      TableManifest.publish(spark, tbl,
+        (0 until 10).map(k => (k.toLong, "v1")).toDF("key", "tag"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val adder = new Thread(() => {
+        try TableManifest.append(spark, tbl,
+          Seq((5L, "re-added")).toDF("key", "tag"), maxRetries = 20)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      val deleter = new Thread(() => {
+        try TableManifest.deleteRows(spark, tbl, Seq(5L).toDF("key"),
+          Seq("key"), maxRetries = 20)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      adder.start(); deleter.start(); adder.join(); deleter.join()
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      // every generation's name seq equals the version that introduced
+      // it — the invariant the delete rule runs on
+      val byVersion = TableManifest.versions(spark, tbl).map { v =>
+        v -> TableManifest.readVersion(spark, tbl, v) // existence probe
+      } // (readVersion also proves each version still resolves whole)
+      val head = TableManifest.versions(spark, tbl).last
+      var prev = Set.empty[String]
+      (1L to head).foreach { v =>
+        val gens = graft.ops.TableManifest
+          .parseSnapshotBody(readManifest(tbl, v), "spec").generations.toSet
+        (gens -- prev).foreach { g =>
+          assert(TableManifest.genSeqOf(g) == v,
+            s"generation $g introduced at version $v carries the wrong " +
+              "seq — the rebase must re-align staged names")
+        }
+        prev = gens
+      }
+      // semantics follow commit order exactly
+      val tombV = (1L to head).find { v =>
+        graft.ops.TableManifest.parseSnapshotBody(readManifest(tbl, v),
+          "spec").generations.exists(TableManifest.isTombstoneGen)
+      }.get
+      val addV = (1L to head).find { v =>
+        graft.ops.TableManifest.parseSnapshotBody(readManifest(tbl, v),
+          "spec").generations
+          .exists(g => !TableManifest.isTombstoneGen(g) &&
+            TableManifest.genSeqOf(g) == v && v > 1)
+      }.get
+      val visible = TableManifest.read(spark, tbl)
+        .filter(col("key") === 5L).count()
+      assert((visible > 0) == (addV > tombV),
+        s"key 5 visibility ($visible rows) must equal commit order " +
+          s"(append v$addV vs delete v$tombV, round $round)")
+      assert(byVersion.nonEmpty)
+    }
+  }
+
+  private def readManifest(tbl: String, v: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(
+      f"$tbl/_graft_manifest-$v%06d.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   test("recover reconciles crash debris: orphan next-generations and " +
       "stale manifest tmps are dropped, the pointer never moves") {
     import spark.implicits._
