@@ -519,18 +519,29 @@ object TableManifest {
                   throw new java.io.FileNotFoundException(
                     s"head $seq truncated mid-resolve"))
             }
-            // Truncation guard (an r11 review finding): a concurrent
-            // truncateLog deleting manifests ABOVE this hint's
-            // checkpoint makes the upward probe stop at the truncation
-            // gap and report a BELOW-CUT seq as head. truncateLog
-            // deletes the below-cut hint BEFORE any manifest, so
-            // re-verifying the hint still exists AFTER the probe
-            // closes the window: hint gone → a truncation is (or was)
-            // reaping this window → fall back to the full listing.
+            // Truncation guard (an r11 review finding, hardened by an
+            // r12 one): a concurrent truncateLog deleting manifests
+            // ABOVE this hint's checkpoint makes the upward probe stop
+            // at the truncation gap and report a BELOW-CUT seq as
+            // head. truncateLog deletes the below-cut hint BEFORE any
+            // manifest, so re-verifying the hint AFTER the probe
+            // closes the window — and the re-verify compares the
+            // SEQ, not mere existence: a checkpoint winner re-creates
+            // the hint every interval, and an existence check would
+            // pass on the fresh hint while the probe's window is being
+            // reaped (seqs are monotonic, so a re-created hint can
+            // never carry the old seq). Changed or gone → fall back to
+            // the full listing, whose max seq is always the true head.
             ops += 1
-            if (!fs.exists(new Path(root, HintFile)))
+            val hintNow =
+              try """"seq"\s*:\s*(\d+)""".r
+                .findFirstMatchIn(readSmall(spark, new Path(root, HintFile)))
+                .map(_.group(1).toLong)
+              catch { case _: java.io.FileNotFoundException => None }
+            if (!hintNow.contains(c))
               throw new java.io.FileNotFoundException(
-                s"hint deleted mid-resolve (truncation) at $tableDir")
+                s"hint moved or deleted mid-resolve (truncation or a " +
+                  s"newer checkpoint) at $tableDir")
             HeadInfo(seq, snap, ops)
           }
         }
@@ -749,29 +760,36 @@ object TableManifest {
     }
     val raw = spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(gens.map(g => s"$tableDir/$g"): _*)
-    def seqExpr = regexp_extract(col("_metadata.file_path"),
-      "_gen-(\\d+)-", 1).cast("long")
-    val tombs = snap.tombstoneGens
-    val afterDelete =
-      if (tombs.isEmpty) raw
-      else {
-        val spec = snap.delete.getOrElse(throw new IllegalStateException(
-          s"TableManifest: tombstone generations at $tableDir with no " +
-            "delete rule in the manifest — corrupt log?"))
-        val t = spark.read.parquet(tombs.map(g => s"$tableDir/$g"): _*)
-          .withColumn(DelSeqCol, seqExpr)
-          .groupBy(spec.keys.map(col): _*)
-          .agg(max(DelSeqCol).as(DelSeqCol))
-        raw.withColumn(RowSeqCol, seqExpr)
-          .join(t, spec.keys, "left")
-          .filter(col(DelSeqCol).isNull || col(RowSeqCol) > col(DelSeqCol))
-          .select(raw.columns.map(col): _*)
-      }
+    val afterDelete = applyDelete(spark, tableDir, snap, raw)
     snap.merge match {
       case Some(m) =>
         Temporal.latestSnapshot(afterDelete, m.keys, m.ts, m.tie)
       case None => afterDelete
     }
+  }
+
+  /** The row-delete rule over an arbitrary frame of this table's data
+    * rows (each row's generation seq comes from its file path, so the
+    * frame may be any subset of the data files — the full snapshot
+    * union or a stats-pruned selection). */
+  private def applyDelete(spark: SparkSession, tableDir: String,
+                          snap: Snapshot, raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, regexp_extract}
+    val tombs = snap.tombstoneGens
+    if (tombs.isEmpty) return raw
+    val spec = snap.delete.getOrElse(throw new IllegalStateException(
+      s"TableManifest: tombstone generations at $tableDir with no " +
+        "delete rule in the manifest — corrupt log?"))
+    def seqExpr = regexp_extract(col("_metadata.file_path"),
+      "_gen-(\\d+)-", 1).cast("long")
+    val t = spark.read.parquet(tombs.map(g => s"$tableDir/$g"): _*)
+      .withColumn(DelSeqCol, seqExpr)
+      .groupBy(spec.keys.map(col): _*)
+      .agg(max(DelSeqCol).as(DelSeqCol))
+    raw.withColumn(RowSeqCol, seqExpr)
+      .join(t, spec.keys, "left")
+      .filter(col(DelSeqCol).isNull || col(RowSeqCol) > col(DelSeqCol))
+      .select(raw.columns.map(col): _*)
   }
 
   /** Column-mapped read: each generation's scan selects BY COLUMN ID —
@@ -888,6 +906,12 @@ object TableManifest {
           .agg(min("lo").as("lo"), max("hi").as("hi"))
           .collect() // one row per data file of ONE generation
           .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+          // a non-finite bound (±Infinity in a double column) would
+          // render as an INVALID JSON token and brick every subsequent
+          // manifest parse — record no range instead (the file is then
+          // conservatively kept by any pruning, the sidecar-era
+          // behavior for unknown ranges)
+          .filter { case (_, (lo, hi)) => lo.isFinite && hi.isFinite }
           .toMap
         GenMeta(Some(c), files.map { f =>
           val r = ranges.get(f.getPath.getName)
@@ -928,8 +952,12 @@ object TableManifest {
     val selected = Seq.newBuilder[String]
     var total = 0
     var listings = 0
+    // DATA generations only: tombstones are key rows in another schema
+    // (they are applied as a rule by readPruned, never scanned as data)
+    // and delta generations ride along un-pruned via the conservative
+    // no-stats branch — but see readPruned's merge guard
     val (inventoried, legacy) =
-      head.snap.generations.partition(head.snap.meta.contains)
+      head.snap.dataGens.partition(head.snap.meta.contains)
     inventoried.foreach { g =>
       val gm = head.snap.meta(g)
       total += gm.files.size
@@ -985,9 +1013,27 @@ object TableManifest {
     * same one re-resolve on the stalled-reader race. */
   def readPruned(spark: SparkSession, tableDir: String, statsCol: String,
                  lo: Double, hi: Double): DataFrame = retryOnce {
-    val (files, _) = prunedFiles(spark, tableDir, statsCol, lo, hi)
-    if (files.isEmpty) read(spark, tableDir).limit(0) // schema, no scan
-    else spark.read.parquet(files: _*)
+    val head = resolveHead(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — not a manifested " +
+          "table (publish() first)"))
+    val snap = head.snap
+    // a live MERGE or COLUMN-MAPPING rule defeats file-level pruning
+    // (a pruned-out file may hold a key's WINNER, so a range-restricted
+    // winner pick would resurrect superseded versions; mapped reads
+    // select per generation, not per file list) — read whole,
+    // correctness before pruning, same conservative stance as every
+    // other rule interaction
+    if (snap.merge.isDefined || snap.columns.isDefined)
+      readSnapshot(spark, tableDir, snap)
+    else {
+      val (files, _) = prunedFiles(spark, tableDir, statsCol, lo, hi)
+      if (files.isEmpty) read(spark, tableDir).limit(0) // schema only
+      else
+        // the row-delete rule is per-row and composes with any file
+        // subset — apply it over the pruned scan
+        applyDelete(spark, tableDir, snap, spark.read.parquet(files: _*))
+    }
   }
 
   private def writeGeneration(spark: SparkSession, tableDir: String,
@@ -1777,7 +1823,10 @@ object TableManifest {
               snap.parts, snap.partCol))
       val stage = new Path(tableDir,
         s"._stage-delta-${java.util.UUID.randomUUID.toString.take(8)}")
-      val staged: Option[Seq[(String, GenMeta)]] =
+      // the stage derives from the BATCH alone — a failure here is
+      // never base staleness, so unlike upsertBucketed/compactDeltas
+      // there is no conditional-retry catch: any error rethrows
+      val movedMeta: Seq[(String, GenMeta)] =
         try {
           // batch-only winner-per-key (one batch-sized shuffle): a
           // delta generation holds at most one row per key, bounding
@@ -1787,7 +1836,7 @@ object TableManifest {
             .repartition(col(BucketCol))
             .write.mode("errorifexists")
             .partitionBy(BucketCol).parquet(stage.toString)
-          Some(fs.listStatus(stage)
+          fs.listStatus(stage)
             .filter(e => e.isDirectory &&
               e.getPath.getName.startsWith(s"$BucketCol="))
             .sortBy(_.getPath.getName)
@@ -1799,15 +1848,9 @@ object TableManifest {
                 s"upsertBucketedDelta: staging rename failed for " +
                   s"bucket $b")
               gname -> collectGenMeta(spark, tableDir, gname, None)
-            }.toSeq)
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            // the stage derives from the BATCH alone — a failure here
-            // is never base staleness, rethrow (the rewriteBatch
-            // discipline's loud half; there is no stale half)
-            throw e
+            }.toSeq
         } finally fs.delete(stage, true)
-      staged.foreach { movedMeta =>
+      locally {
         val moved = movedMeta.map(_._1)
         if (moved.isEmpty) {
           // empty batch: watermark-only bookkeeping, generations
@@ -2171,7 +2214,12 @@ object TableManifest {
         s"TableManifest: enableColumnMapping at $tableDir refused " +
           "while merge/delete/partition rules or a bucket layout are " +
           "active — fold/rewrite first")
-      val names = readSnapshot(spark, tableDir, snap).columns.toSeq
+      // mergeSchema: the logical schema must cover columns present in
+      // ONLY SOME generations (the additive-append ingest contract) —
+      // a single-file sample would silently omit them from the mapping
+      // and the next fold would drop their data
+      val names =
+        readSnapshot(spark, tableDir, snap, mergeSchema = true).columns.toSeq
       val mapping = ColumnMapping(names.size + 1,
         names.zipWithIndex.map { case (n, i) => (i + 1, n) })
       // bind every generation: its physical names ARE the current
@@ -2291,7 +2339,8 @@ object TableManifest {
     requireNoMapping(base.snap, tableDir, "deleteRows")
     // the key columns must exist in the table, or every read after
     // this commit would fail at the tombstone join — check NOW, loudly
-    val tableCols = read(spark, tableDir).columns.toSet
+    // (from the already-resolved CAS base: no second head resolution)
+    val tableCols = readSnapshot(spark, tableDir, base.snap).columns.toSet
     keyCols.foreach(k => require(tableCols.contains(k),
       s"deleteRows: table at $tableDir has no column '$k' " +
         s"(columns: ${tableCols.mkString(",")})"))
@@ -2417,6 +2466,16 @@ object TableManifest {
           s"after version $sinceVersion — an appends-only tail cannot " +
           "represent a retraction. Resync: re-read the table via " +
           "read() and continue from the current head version.")
+    if (newGens.exists(isDeltaGen))
+      throw new IllegalStateException(
+        s"TableManifest: MERGE-ON-READ DELTAS entered the log at " +
+          s"$tableDir after version $sinceVersion — delta rows are " +
+          "UPSERTS, and delivering them as plain appends would leave " +
+          "the consumer holding both versions of every updated key " +
+          "with no winner rule (delta commits carry every base " +
+          "generation by name, so the rewritten-history check can " +
+          "never catch this). Consume merged state via read(), or " +
+          "tail an append-only upstream table.")
     val df =
       if (newGens.isEmpty) read(spark, tableDir).limit(0)
       else spark.read.parquet(newGens.map(g => s"$tableDir/$g"): _*)

@@ -587,6 +587,14 @@ class TableManifestSpec extends AnyFunSuite {
     }.filter(_.startsWith("_gen-")).toSet
     assert(openedGens.size < gensNow.size,
       s"point read must stay bucket-pruned on a MoR table: $openedGens")
+    // an appends-tail across the delta commit must fail LOUDLY — delta
+    // rows are upserts, and delivering them as appends would hand the
+    // consumer both versions of every updated key (the base carry-
+    // forward means the rewritten-history check can never fire)
+    val tailErr = intercept[IllegalStateException] {
+      TableManifest.tailAppends(spark, tbl, 2L)
+    }
+    assert(tailErr.getMessage.contains("DELTAS"), tailErr.getMessage)
     // exactly-once: replay skips (nothing staged), regressed id is loud
     val headV = TableManifest.versions(spark, tbl).last
     assert(TableManifest.upsertBucketedDelta(spark, tbl, spread,
@@ -1213,6 +1221,59 @@ class TableManifestSpec extends AnyFunSuite {
       "legacy fallback must be conservative (all files included)")
     assert(TableManifest.readPruned(spark, tbl, "k", 100, 140)
       .filter(col("k").between(100, 140)).count() == 41)
+  }
+
+  test("readPruned composes with the table rules: tombstoned rows stay " +
+      "deleted under a stats-pruned scan (tombstone files never enter " +
+      "the data union), a merge-on-read table reads whole-and-merged " +
+      "(file pruning must not resurrect superseded winners), and a " +
+      "non-finite stats bound records no range instead of bricking " +
+      "the manifest") {
+    import spark.implicits._
+    // tombstones × pruning
+    val tbl = tmpTable("manifprunedel")
+    TableManifest.publish(spark, tbl,
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("k", "tag")
+        .repartitionByRange(8, col("k")), statsCol = Some("k"))
+    TableManifest.deleteRows(spark, tbl,
+      (0 until 400 by 10).map(_.toLong).toDF("k"), Seq("k"))
+    val pruned = TableManifest.readPruned(spark, tbl, "k", 90, 210)
+      .filter(col("k").between(90, 210))
+    assert(pruned.count() == 121 - 13,
+      "a stats-pruned scan must still apply the tombstone rule")
+    assert(pruned.filter(col("k") % 10 === 0).count() == 0)
+    val info = TableManifest.prunedFilesInfo(spark, tbl, "k", 90, 210)
+    assert(!info.files.exists(_.contains("-x-")),
+      "tombstone key files must never enter the data selection " +
+        "(they are the rule side of the plan, not scan input)")
+    assert(info.files.size < info.total && info.files.nonEmpty,
+      "pruning must still prune under tombstones")
+    // merge-on-read × pruning: whole-and-merged, never range-selected
+    val tbl2 = tmpTable("manifprunemor")
+    TableManifest.publish(spark, tbl2,
+      (0 until 64).map(i => (i.toLong, 1L, s"v1-$i"))
+        .toDF("k", "seq", "tag"))
+    TableManifest.upsertBucketedDelta(spark, tbl2,
+      Seq((1L, 2L, "boot")).toDF("k", "seq", "tag"),
+      Seq("k"), "seq", "tag", 4, batchId = Some(0L))
+    TableManifest.upsertBucketedDelta(spark, tbl2,
+      Seq((2L, 3L, "newer")).toDF("k", "seq", "tag"),
+      Seq("k"), "seq", "tag", 4, batchId = Some(1L))
+    val mor = TableManifest.readPruned(spark, tbl2, "k", 0, 1000)
+    assert(mor.count() == 64, "merged read must hold one row per key")
+    assert(mor.filter(col("k") === 2L).head.getString(2) == "newer",
+      "file pruning must not resurrect a superseded winner")
+    // non-finite stats bound: commit survives, table stays parseable,
+    // the file is conservatively kept
+    val tbl3 = tmpTable("manifinf")
+    TableManifest.publish(spark, tbl3,
+      Seq((1L, 0.5), (2L, Double.PositiveInfinity)).toDF("k", "v")
+        .coalesce(1), statsCol = Some("v"))
+    assert(TableManifest.read(spark, tbl3).count() == 2,
+      "an infinite stats bound must not brick the manifest")
+    val inf = TableManifest.prunedFilesInfo(spark, tbl3, "v", 9.0, 10.0)
+    assert(inf.files.size == inf.total,
+      "a range-less file must be conservatively kept")
   }
 
   test("stats survive maintenance: a rewrite/optimize with statsCol " +
