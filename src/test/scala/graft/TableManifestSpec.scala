@@ -1067,6 +1067,57 @@ class TableManifestSpec extends AnyFunSuite {
       .forall(g => TableManifest.bucketOf(g).isDefined))
   }
 
+  test("upsertSinkDelta is exactly-once under a REAL torn-checkpoint " +
+      "replay: a spread-key micro-batch commits ONLY delta " +
+      "generations (every base carried by name), the replay skips " +
+      "outright, and reads stay merged across batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "manifdsink").toString
+    val in = s"$base/in"; val tbl = s"$base/t"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    def writeInput(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      stageInput(base, name, rows.toDF("key", "seq", "state"))
+    // batch 1 seeds (boots the layout via the CoW migration); batch 2
+    // is a SPREAD slice (every 5th key) — the CoW degenerate shape
+    writeInput("f1", (0 until 40).map(k => (k.toLong, 1L, s"a$k")))
+    writeInput("f2", (0 until 40 by 5).map(k => (k.toLong, 2L, s"b$k")))
+    val schema = "key BIGINT, seq BIGINT, state STRING"
+    TableManifest.publish(spark, tbl, emptySeed(schema))
+    val sink = TableManifest.upsertSinkDelta(tbl, Seq("key"), "seq",
+      "state", numBuckets = 8)
+    def runOnce(): Unit = runAvailableNow(schema, in, ckpt, sink)
+    runOnce()
+    val merged = TableManifest.read(spark, tbl)
+    assert(merged.count() == 40)
+    assert(merged.filter(col("key") === 5L).head.getString(2) == "b5")
+    assert(merged.filter(col("key") === 6L).head.getString(2) == "a6")
+    val gens = TableManifest.currentGenerations(spark, tbl)
+    // every batch-1 base generation must survive the spread batch BY
+    // NAME; the spread batch added only delta generations
+    val baseGens = gens.filterNot(TableManifest.isDeltaGen)
+    val deltaGens = gens.filter(TableManifest.isDeltaGen)
+    assert(deltaGens.nonEmpty,
+      s"the spread micro-batch must land as deltas: $gens")
+    assert(baseGens.forall(_.startsWith("_gen-000002-")),
+      s"a spread delta batch must never rewrite a base bucket: $gens")
+    val head = TableManifest.versions(spark, tbl).last
+    tearLastCommit(ckpt)
+    runOnce() // replay of the torn batch must skip outright
+    assert(TableManifest.versions(spark, tbl).last == head,
+      "a replayed delta batch committed a new version")
+    assert(TableManifest.currentGenerations(spark, tbl) == gens)
+    // new changes flow after recovery; the fold keeps them
+    writeInput("f3", Seq((5L, 3L, "c5"), (50L, 1L, "new")))
+    runOnce()
+    TableManifest.compactDeltas(spark, tbl)
+    val fin = TableManifest.read(spark, tbl)
+    assert(fin.count() == 41)
+    assert(fin.filter(col("key") === 5L).head.getString(2) == "c5")
+    assert(fin.groupBy("key").count().agg(max("count")).head
+      .getLong(0) == 1L, "duplicate keys after replay + fold")
+  }
+
   test("upsertSinkBucketed is exactly-once under a REAL torn-checkpoint " +
       "replay, and each micro-batch rewrites only its touched buckets") {
     import spark.implicits._
