@@ -1911,6 +1911,61 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q256
+  /** q256 entry: ONE-PASS MAINTENANCE over a manifested CDC table
+    * ([[graft.ops.TableManifest.maintainManifested]]) — the nightly
+    * verb composing the round's storage tier: a merge-on-read CDC
+    * table (boot + spread delta batch) with a GDPR purge (one-in-31
+    * users tombstoned) is folded, compacted to the byte target, and
+    * log-bounded in one idempotent call. `folded_clean` asserts no
+    * delta or tombstone generation survived, the log shrank to the
+    * window, and content was IDENTICAL across the pass (checksums
+    * compared engine-side); the oracle recomputes the surviving
+    * winner-per-user set from the raw source — a resurrection of a
+    * purged user or a lost delta fails counts AND checksums. */
+  def q256Maintain(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q256_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    val sink = TableManifest.upsertSinkDelta(fixture,
+      keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+      numBuckets = 16)
+    sink(ev.filter(col("event_id") < 4000), 0L)
+    sink(ev.filter(col("event_id") >= 4000 && col("event_id") < 6000), 1L)
+    TableManifest.deleteRows(spark, fixture,
+      ev.filter(col("event_id") < 6000)
+        .filter(pmod(col("user_id"), lit(31L)) === 0)
+        .select("user_id").distinct(),
+      Seq("user_id"), batchId = Some(2L))
+    def checksums(): Array[org.apache.spark.sql.Row] =
+      partitionChecksums(TableManifest.read(spark, fixture),
+        pmod(col("user_id"), lit(8L)),
+        Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+          col("event_type")))
+        .orderBy("part").collect()
+    val before = checksums()
+    TableManifest.maintainManifested(spark, fixture,
+      targetBytes = 64L << 20, keepVersions = 8)
+    val gens = TableManifest.currentGenerations(spark, fixture)
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(fixture))
+      .count(_.getPath.getName.startsWith("_graft_manifest-"))
+    val foldedClean = !gens.exists(TableManifest.isDeltaGen) &&
+      !gens.exists(TableManifest.isTombstoneGen) &&
+      manifests <= 10 && checksums().sameElements(before)
+    partitionChecksums(TableManifest.read(spark, fixture),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(foldedClean).as("folded_clean"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -1973,6 +2028,7 @@ object Audit {
     "q253_row_deletes" -> q253RowDeletes _,
     "q254_manifest_relay" -> q254ManifestRelay _,
     "q255_column_mapping" -> q255ColumnMapping _,
+    "q256_maintain" -> q256Maintain _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -2366,6 +2422,24 @@ object Audit {
         |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
         |       TRUE AS metadata_only
         |FROM orders
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q256: one-pass maintenance — the surviving winner-per-user set
+    // after a delta-upserted window and a one-in-31 purge, recomputed
+    // from the raw source; folded_clean is the engine's claim (no
+    // deltas/tombstones remain, log bounded, content identical across
+    // the pass — the idempotence half is spec'd)
+    "q256_maintain" ->
+      """WITH w AS (SELECT user_id, event_id, event_type,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events WHERE event_id < 6000)
+        |SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS folded_clean
+        |FROM w WHERE rn = 1 AND user_id % 31 <> 0
         |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,

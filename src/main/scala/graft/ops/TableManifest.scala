@@ -2672,6 +2672,61 @@ object TableManifest {
         s"in $attempts attempts (last: $last) — writer storm?")
   }
 
+  /** What one [[maintainManifested]] pass did — every field idempotent
+    * (a second pass on a maintained table reports all-quiet). */
+  case class MaintenanceReport(deltasFolded: Boolean,
+                               tombstonesFolded: Boolean,
+                               optimizeAction: String,
+                               logDropped: Int)
+
+  /** ONE maintenance pass over a manifested table — the OPTIMIZE
+    * cadence as a single idempotent verb, in dependency order:
+    *   1. [[compactDeltas]] folds merge-on-read deltas (and, on a
+    *      mixed layout, tombstones with them);
+    *   2. tombstones still live (a bucket-pure table with row deletes)
+    *      fold through one plan-sized [[rewrite]] — fold and compact
+    *      in a single pass, so the GDPR purge physically leaves the
+    *      files here;
+    *   3. [[optimizeManifested]] compacts to the byte target (skips
+    *      when already compact — usually right after step 2);
+    *   4. [[truncateLog]] bounds the manifest log (live-writer-safe
+    *      via the retention barrier).
+    * Readers stay isolated throughout (each step is one atomic
+    * commit); writers keep committing (CAS rebases). Run it wherever
+    * the reference would schedule a nightly maintenance job. */
+  def maintainManifested(spark: SparkSession, tableDir: String,
+                         targetBytes: Long, keepVersions: Int = 100,
+                         statsCol: Option[String] = None)
+      : MaintenanceReport = {
+    val deltasFolded = compactDeltas(spark, tableDir).isDefined
+    val snap = resolveHead(spark, tableDir).map(_.snap).getOrElse(
+      throw new IllegalArgumentException(
+        s"TableManifest: no manifest at $tableDir — not a manifested " +
+          "table (publish() first)"))
+    val tombstonesFolded =
+      if (snap.tombstoneGens.isEmpty) false
+      else {
+        // fold + compact in one pass: price the plan from the
+        // manifest inventory (listing fallback for legacy gens)
+        val fs = fsOf(spark, tableDir)
+        val sizes = snap.dataGens.flatMap { g =>
+          snap.meta.get(g) match {
+            case Some(gm) => gm.files.map(_.size)
+            case None => dataFiles(fs, s"$tableDir/$g").map(_.getLen)
+          }
+        }
+        val plan = math.max(1L,
+          (sizes.sum + targetBytes - 1) / targetBytes)
+        rewrite(spark, tableDir, statsCol = statsCol)(
+          _.coalesce(math.min(plan, Int.MaxValue.toLong).toInt))
+        true
+      }
+    val (action, _) =
+      optimizeManifested(spark, tableDir, targetBytes, statsCol = statsCol)
+    val dropped = truncateLog(spark, tableDir, keepVersions)
+    MaintenanceReport(deltasFolded, tombstonesFolded, action, dropped)
+  }
+
   /** The data files of one directory: parquet parts only — committer
     * markers (`_SUCCESS`), hidden staging, and checksum siblings are
     * metadata, not content. Shared by the optimize pricing and its

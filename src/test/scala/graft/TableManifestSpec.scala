@@ -1868,6 +1868,69 @@ class TableManifestSpec extends AnyFunSuite {
     finally in.close()
   }
 
+  test("maintainManifested: one idempotent pass folds deltas AND " +
+      "tombstones, compacts to the byte target, bounds the log, and " +
+      "leaves content identical — the second pass is all-quiet") {
+    import spark.implicits._
+    val tbl = tmpTable("manifmaint")
+    def rows(pairs: (Long, Long, String)*): org.apache.spark.sql.DataFrame =
+      pairs.toDF("key", "seq", "state")
+    TableManifest.publish(spark, tbl,
+      (0 until 64).map(k => (k.toLong, 1L, s"v1-$k")).toDF(
+        "key", "seq", "state"))
+    // a long log (15 commits), live deltas, and a tombstone
+    (0 until 10).foreach(i =>
+      TableManifest.append(spark, tbl,
+        rows((100L + i, 1L, s"app$i")), maxRetries = 10))
+    TableManifest.upsertBucketedDelta(spark, tbl,
+      rows((1L, 2L, "boot")), Seq("key"), "seq", "state", 4,
+      batchId = Some(0L))
+    TableManifest.upsertBucketedDelta(spark, tbl,
+      rows((2L, 3L, "newer"), (105L, 2L, "upd")),
+      Seq("key"), "seq", "state", 4, batchId = Some(1L))
+    TableManifest.deleteRows(spark, tbl, Seq(3L, 107L).toDF("key"),
+      Seq("key"))
+    val before = TableManifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val rpt = TableManifest.maintainManifested(spark, tbl,
+      targetBytes = 64L << 20, keepVersions = 8)
+    assert(rpt.deltasFolded, rpt.toString)
+    // the mixed layout folds tombstones WITH the deltas (one pass)
+    val gens = TableManifest.currentGenerations(spark, tbl)
+    assert(!gens.exists(TableManifest.isDeltaGen) &&
+      !gens.exists(TableManifest.isTombstoneGen), gens.toString)
+    assert(TableManifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq == before.toSeq, "maintenance changed content")
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(tbl))
+      .count(_.getPath.getName.startsWith("_graft_manifest-"))
+    assert(manifests <= 8 + 2,
+      s"the log must be bounded after maintenance: $manifests")
+    // idempotent: the second pass is all-quiet
+    val rpt2 = TableManifest.maintainManifested(spark, tbl,
+      targetBytes = 64L << 20, keepVersions = 8)
+    assert(!rpt2.deltasFolded && !rpt2.tombstonesFolded &&
+      rpt2.optimizeAction == "skip" && rpt2.logDropped <= 1,
+      rpt2.toString)
+    // a PURE-bucketed table with only tombstones takes the
+    // fold-and-compact branch
+    val tbl2 = tmpTable("manifmaint2")
+    TableManifest.publish(spark, tbl2,
+      rows((1L, 1L, "a"), (2L, 1L, "b")))
+    TableManifest.upsertBucketed(spark, tbl2, rows((1L, 2L, "a2")),
+      Seq("key"), "seq", "state", 4, batchId = Some(0L))
+    TableManifest.deleteRows(spark, tbl2, Seq(2L).toDF("key"), Seq("key"))
+    val rpt3 = TableManifest.maintainManifested(spark, tbl2,
+      targetBytes = 64L << 20, keepVersions = 8)
+    assert(rpt3.tombstonesFolded, rpt3.toString)
+    assert(TableManifest.read(spark, tbl2).collect()
+      .map(_.getString(2)).sorted.toSeq == Seq("a2"))
+    assert(!TableManifest.currentGenerations(spark, tbl2)
+      .exists(TableManifest.isTombstoneGen))
+  }
+
   test("recover reconciles crash debris: orphan next-generations and " +
       "stale manifest tmps are dropped, the pointer never moves") {
     import spark.implicits._
