@@ -84,10 +84,15 @@ object RunJob {
   }
 
   def main(args: Array[String]): Unit = {
+    // pair-parse FIRST so --work-dir is honored uniformly (an advisory
+    // review caught the list branch hardcoding the registry work dir
+    // and silently ignoring a --work-dir on the same invocation)
+    val a = parseArgs(args.filterNot(_ == "--list-job-types"))
+    val workDir = a.getOrElse("work-dir", "/root/repo/target/graft-jobs")
     // discoverability verb (reference app.py:74-76,289-291): list the
-    // registry and exit 0 — a boolean flag, checked before pair-parsing
+    // registry and exit 0 — a boolean flag, short-circuits buildConfig
     if (args.contains("--list-job-types")) {
-      val registry = Jobs.builtinRegistry("/root/repo/target/graft-jobs")
+      val registry = Jobs.builtinRegistry(workDir)
       val types = registry.values.toSeq.sortBy(_.jobType)
         .map(s => s"${JsonEscape.str(s.jobType)}:" +
           JsonEscape.str(s.description))
@@ -95,9 +100,7 @@ object RunJob {
       println(s"""{"job_types":$types}""")
       return
     }
-    val a = parseArgs(args)
     val cfg = buildConfig(a)
-    val workDir = a.getOrElse("work-dir", "/root/repo/target/graft-jobs")
     val spark = GraftSession.builder(
         a.getOrElse("master", "local[*]"))
       .config("spark.ui.enabled", "false")
