@@ -1966,6 +1966,286 @@ object Audit {
       .orderBy("part")
   }
 
+  // --------------------------------------------------------------- q257
+  /** q257 entry: the OP-CODED CDC changefeed relay
+    * ([[graft.ops.TableManifest.relayChanges]] /
+    * [[graft.ops.TableManifest.tailChangeBatches]]) — the r12 verdict's
+    * top item: the appends-only relay (q254) throws on the engine's own
+    * newest table shapes; the changefeed instead CLASSIFIES each source
+    * version (plain commit → insert, delta or merge-live commit →
+    * upsert post-image, tombstone commit → delete) and mirrors it with
+    * the matching destination verb, exactly-once via per-version batch
+    * ids in the destination watermark. The source is driven through
+    * all three shapes — append, history-preserving delta upsert
+    * ([[graft.ops.TableManifest.upsertDelta]]), row delete, then a
+    * post-delete upsert window that re-adds the purged users — across
+    * two polls. `relay_exact` carries the cursor claims (an at-head
+    * re-poll commits nothing; the destination watermark equals the
+    * source head) and `resync_loud` that a maintenance rewrite on the
+    * source still surfaces the rewritten-history error, never silence.
+    * Content: the destination's winner-per-user state, pinned by
+    * DuckDB recomputing the same delete-then-re-add state from raw. */
+  def q257ChangefeedRelay(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"${Relational.scratch}/q257_src"
+    val dst = s"${Relational.scratch}/q257_dst"
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(src, dst).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    def slice(lo: Long, hi: Long): DataFrame =
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+    TableManifest.publish(spark, src, ev.limit(0).coalesce(1))
+    TableManifest.publish(spark, dst, ev.limit(0).coalesce(1))
+    // poll window 1: a plain append, then a merge-on-read delta upsert
+    TableManifest.append(spark, src, slice(0, 3000), Some(0L))
+    TableManifest.upsertDelta(spark, src, slice(3000, 5000),
+      Seq("user_id"), "ts", "event_id", numBuckets = 16,
+      batchId = Some(1L))
+    val h1 = TableManifest.relayChanges(spark, src, dst)
+    // poll window 2: a GDPR delete, then an upsert re-adding the users
+    TableManifest.deleteRows(spark, src,
+      slice(0, 5000).filter(pmod(col("user_id"), lit(7L)) === 0)
+        .select("user_id").distinct(),
+      Seq("user_id"), batchId = Some(2L))
+    TableManifest.upsertDelta(spark, src, slice(5000, 6000),
+      Seq("user_id"), "ts", "event_id", numBuckets = 16,
+      batchId = Some(3L))
+    val h2 = TableManifest.relayChanges(spark, src, dst)
+    val dstHead = TableManifest.versions(spark, dst).last
+    val h3 = TableManifest.relayChanges(spark, src, dst)
+    val relayExact = h1 < h2 && h3 == h2 &&
+      TableManifest.versions(spark, dst).last == dstHead &&
+      TableManifest.lastBatchId(spark, dst, "relay").contains(h2) &&
+      h2 == TableManifest.versions(spark, src).last
+    // destination and source must resolve the SAME state
+    val srcSums = partitionChecksums(TableManifest.read(spark, src),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type"))).orderBy("part").collect()
+    val mirrored = partitionChecksums(TableManifest.read(spark, dst),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type"))).orderBy("part").collect()
+      .sameElements(srcSums)
+    val resyncLoud =
+      try {
+        TableManifest.rewrite(spark, src)(df => df.coalesce(2))
+        TableManifest.relayChanges(spark, src, dst)
+        false
+      } catch { case e: IllegalStateException =>
+        e.getMessage.contains("REWRITTEN")
+      }
+    partitionChecksums(TableManifest.read(spark, dst),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(relayExact && mirrored).as("relay_exact"),
+        lit(resyncLoud).as("resync_loud"))
+      .orderBy("part")
+  }
+
+  // --------------------------------------------------------------- q258
+  /** q258 entry: METADATA-ONLY PARTITION DROP
+    * ([[graft.ops.TableManifest.dropPartitions]]) — the retention/GDPR
+    * verb for value-partitioned tables: dropping every 'click'
+    * generation is ONE manifest commit (no tombstone scan, no data
+    * read or write — `meta_only` asserts every surviving generation
+    * pre-existed and none was added), the pre-drop version stays
+    * time-travel-readable inside the retention window
+    * (`time_travel_ok` pins its full count), and an incremental
+    * consumer sees the drop as the LOUD rewritten-history signal, not
+    * silence (`drop_loud`). Content: the survivors, recomputed by
+    * DuckDB from the raw source. */
+  def q258PartitionDrop(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q258_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    TableManifest.appendPartitioned(spark, fixture,
+      ev.filter(col("event_id") < 3000), "event_type", Some(0L))
+    TableManifest.appendPartitioned(spark, fixture,
+      ev.filter(col("event_id") >= 3000 && col("event_id") < 6000),
+      "event_type", Some(1L))
+    val preVersion = TableManifest.versions(spark, fixture).last
+    val preGens = TableManifest.currentGenerations(spark, fixture).toSet
+    val preCount = TableManifest.read(spark, fixture).count()
+    val dropped = TableManifest.dropPartitions(spark, fixture,
+      "event_type", Seq("click"), Some(2L)).get.toSet
+    val nowGens = TableManifest.currentGenerations(spark, fixture).toSet
+    val metaOnly = dropped.nonEmpty && nowGens == preGens -- dropped
+    val timeTravelOk =
+      TableManifest.readVersion(spark, fixture, preVersion).count() ==
+        preCount
+    val dropLoud =
+      try { TableManifest.tailAppends(spark, fixture, preVersion); false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("REWRITTEN")
+      }
+    partitionChecksums(TableManifest.read(spark, fixture),
+      col("event_type"),
+      Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type")))
+      .select(col("part").as("event_type"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(metaOnly).as("meta_only"),
+        lit(timeTravelOk).as("time_travel_ok"),
+        lit(dropLoud).as("drop_loud"))
+      .orderBy("event_type")
+  }
+
+  // --------------------------------------------------------------- q259
+  /** q259 entry: SQL DML over manifested tables
+    * ([[graft.sources.TableCatalog.dmlManifested]]) — the r12 verdict's
+    * "SELECT-through-pointer only" gap closed: the whole lifecycle runs
+    * through handed-down SQL strings. INSERT INTO … SELECT lands the
+    * even orderkeys as one appended generation; MERGE INTO … VERSION BY
+    * upserts the multiples of three (the shared multiples of six
+    * resolve to ONE row through the winner rule, not a duplicate);
+    * DELETE FROM … WHERE … IN (subquery) tombstones the one-in-13
+    * customers. `dml_ok` carries the per-statement affected-row counts;
+    * content is the final SELECT through [[graft.sources.TableCatalog.sqlManifested]],
+    * pinned by DuckDB recomputing the surviving set from raw. */
+  def q259SqlDml(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q259_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    TableManifest.publish(spark, fixture, o.limit(0).coalesce(1))
+    TableCatalog.registerManifested(spark, "q259_orders", fixture)
+    o.createOrReplaceTempView("q259_src")
+    val ins = TableCatalog.dmlManifested(spark,
+      "INSERT INTO q259_orders SELECT o_orderkey, o_custkey, " +
+        "o_orderdate FROM q259_src WHERE o_orderkey % 2 = 0")
+    val mrg = TableCatalog.dmlManifested(spark,
+      "MERGE INTO q259_orders USING (SELECT o_orderkey, o_custkey, " +
+        "o_orderdate FROM q259_src WHERE o_orderkey % 3 = 0) " +
+        "ON o_orderkey VERSION BY o_orderdate, o_custkey BUCKETS 8")
+    val del = TableCatalog.dmlManifested(spark,
+      "DELETE FROM q259_orders WHERE o_custkey IN " +
+        "(SELECT o_custkey FROM q259_src WHERE o_custkey % 13 = 0)")
+    val expectIns = o.filter(col("o_orderkey") % 2 === 0).count()
+    val expectMrg = o.filter(col("o_orderkey") % 3 === 0).count()
+    val expectDel = o.filter(col("o_custkey") % 13 === 0)
+      .select("o_custkey").distinct().count()
+    val dmlOk =
+      ins.head.getString(0) == "insert" && ins.head.getLong(2) == expectIns &&
+      mrg.head.getString(0) == "merge" && mrg.head.getLong(2) == expectMrg &&
+      del.head.getString(0) == "delete" && del.head.getLong(2) == expectDel
+    partitionChecksums(
+      TableCatalog.sqlManifested(spark,
+        "SELECT o_orderkey, o_custkey, o_orderdate FROM q259_orders"),
+      pmod(col("o_orderkey"), lit(8L)),
+      Seq(col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderdate").cast("string")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(dmlOk).as("dml_ok"))
+      .orderBy("part")
+  }
+
+  // --------------------------------------------------------------- q260
+  /** q260 entry: TYPE WIDENING under column mapping
+    * ([[graft.ops.TableManifest]]'s mapped read) — schema evolution's
+    * missing half after q255's rename/drop: the evens publish with
+    * NARROW physical types (int customer key, float price), the odds
+    * append post-mapping with the natural wide types (long, double),
+    * and the read resolves each column to the WIDEST value-exact type
+    * with old generations cast losslessly — int→long and float→double
+    * along the documented lattice, never a lossy long→double coercion
+    * (that pair fails loudly; spec'd). `widened` asserts the resolved
+    * read schema. Content: every order with the evens' price routed
+    * through the same float narrowing DuckDB applies (CAST AS REAL), so
+    * the checksums pin bit-exact value preservation across the widening. */
+  def q260TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q260_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    TableManifest.publish(spark, fixture,
+      o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_custkey", col("o_custkey").cast("int"))
+        .withColumn("o_totalprice", col("o_totalprice").cast("float")))
+    TableManifest.enableColumnMapping(spark, fixture)
+    TableManifest.append(spark, fixture,
+      o.filter(col("o_orderkey") % 2 =!= 0))
+    val out = TableManifest.read(spark, fixture)
+    val widened =
+      out.schema("o_custkey").dataType ==
+        org.apache.spark.sql.types.LongType &&
+      out.schema("o_totalprice").dataType ==
+        org.apache.spark.sql.types.DoubleType
+    partitionChecksums(out, pmod(col("o_orderkey"), lit(8L)),
+      Seq(col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        round(col("o_totalprice") * 100).cast("long").cast("string")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(widened).as("widened"))
+      .orderBy("part")
+  }
+
+  // --------------------------------------------------------------- q261
+  /** q261 entry: TRANSFORM (hidden) partitioning
+    * ([[graft.ops.TableManifest.appendPartitioned]] with a `day(ts)`
+    * spec + [[graft.ops.TableManifest.readPartitionRange]]) — Iceberg's
+    * hidden-partitioning idea over the generation log: two ingest
+    * batches land one generation PER DAY with the ISO day recorded in
+    * the commit JSON (the transform never materializes in the data),
+    * and a raw two-day time-range query then opens ONLY those days'
+    * generations — the pruning decision is one manifest parse, lexical
+    * on the ISO rendering. `part_pruned` asserts the scan's generation
+    * inputs are exactly the in-range days' generations plus the
+    * unvalued seed; content checksums pin that pruning lost nothing
+    * against DuckDB recomputing the same days from the raw source. */
+  def q261TransformPartition(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q261_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    val a = TableManifest.appendPartitioned(spark, fixture,
+      ev.filter(col("event_id") < 3000), "day(ts)", Some(0L)).get
+    val b = TableManifest.appendPartitioned(spark, fixture,
+      ev.filter(col("event_id") >= 3000 && col("event_id") < 6000),
+      "day(ts)", Some(1L)).get
+    val (lo, hi) = ("2024-01-01", "2024-01-02")
+    val seedGens = TableManifest.currentGenerations(spark, fixture)
+      .filterNot((a.values.toSet ++ b.values.toSet)).toSet
+    val hit = TableManifest.readPartitionRange(spark, fixture,
+      "day(ts)", lo, hi)
+      .filter(date_format(col("ts"), "yyyy-MM-dd").between(lo, hi))
+    val expectGens = (a.toSeq ++ b.toSeq)
+      .collect { case (v, g) if v >= lo && v <= hi => g }.toSet ++ seedGens
+    val openedGens = hit.inputFiles.map { f =>
+      new java.net.URI(f).getPath.split("/").takeRight(2).head
+    }.filter(_.startsWith("_gen-")).toSet
+    val totalGens = TableManifest.currentGenerations(spark, fixture).size
+    val partPruned = openedGens == expectGens &&
+      openedGens.size < totalGens
+    partitionChecksums(hit, date_format(col("ts"), "yyyy-MM-dd"),
+      Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type")))
+      .select(col("part").as("day"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(partPruned).as("part_pruned"))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -2029,6 +2309,11 @@ object Audit {
     "q254_manifest_relay" -> q254ManifestRelay _,
     "q255_column_mapping" -> q255ColumnMapping _,
     "q256_maintain" -> q256Maintain _,
+    "q257_changefeed_relay" -> q257ChangefeedRelay _,
+    "q258_partition_drop" -> q258PartitionDrop _,
+    "q259_sql_dml" -> q259SqlDml _,
+    "q260_type_widening" -> q260TypeWidening _,
+    "q261_transform_partition" -> q261TransformPartition _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -2441,6 +2726,97 @@ object Audit {
         |       TRUE AS folded_clean
         |FROM w WHERE rn = 1 AND user_id % 31 <> 0
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q257: op-coded changefeed relay — the destination must hold the
+    // source's exact post-delete, post-re-add winner state (a dropped
+    // op, a double-delivered version, or a mis-ordered delete/upsert
+    // pair fails counts AND checksums); relay_exact/resync_loud are
+    // the engine's cursor and loudness claims, the mirror equality is
+    // ALSO asserted engine-side against the live source
+    "q257_changefeed_relay" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_id < 6000
+        |    AND (user_id % 7 <> 0 OR event_id >= 5000)),
+        |w AS (SELECT user_id, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM base)
+        |SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS relay_exact, TRUE AS resync_loud
+        |FROM w WHERE rn = 1
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q258: metadata-only partition drop — the survivors recomputed
+    // from the raw source (a lingering click generation fails counts
+    // AND checksums; an over-drop fails counts); meta_only/
+    // time_travel_ok/drop_loud are the engine's structural claims,
+    // spec'd in TableManifestChangefeedSpec
+    "q258_partition_drop" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS meta_only, TRUE AS time_travel_ok,
+        |       TRUE AS drop_loud
+        |FROM events
+        |WHERE event_id < 6000 AND event_type <> 'click'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q259: SQL DML lifecycle — evens inserted, multiples of three
+    // merged (shared multiples of six resolve to ONE winner row, so a
+    // duplicate fails counts), one-in-13 customers tombstoned (a
+    // resurrected order fails counts AND checksums); dml_ok carries
+    // the per-statement affected-row counts
+    "q259_sql_dml" ->
+      """SELECT CAST(o_orderkey % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |             CAST(o_orderdate AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS dml_ok
+        |FROM orders
+        |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+        |  AND o_custkey % 13 <> 0
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q260: type widening under column mapping — every order, with the
+    // evens' price routed through the SAME float narrowing the engine
+    // fixture applied (CAST AS REAL → back to DOUBLE is bit-exact in
+    // both engines) and their customer key through int32: a lossy or
+    // shifted value anywhere across the widened read fails the
+    // checksums; `widened` is the engine's resolved-schema claim
+    "q260_type_widening" ->
+      """SELECT CAST(o_orderkey % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |             CAST(CAST(round(
+        |               CASE WHEN o_orderkey % 2 = 0
+        |                    THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+        |                    ELSE o_totalprice END * 100) AS BIGINT)
+        |               AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS widened
+        |FROM orders
+        |GROUP BY 1 ORDER BY part""".stripMargin,
+    // q261: transform (hidden) partitioning — the two asked DAYS
+    // recomputed from the raw source's timestamps (a dropped day
+    // generation fails counts, an extra day fails grouping); the
+    // engine's part_pruned claim pins the generation-open set
+    "q261_transform_partition" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS part_pruned
+        |FROM events
+        |WHERE event_id < 6000
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+        |                           AND DATE '2024-01-02'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
