@@ -2909,12 +2909,35 @@ object TableManifest {
     require(sinceVersion < head.seq,
       s"TableManifest: tail cursor $sinceVersion is AHEAD of the head " +
         s"${head.seq} at $tableDir — cursor from another table?")
-    val since = parseSnapshotIfPresent(spark,
-      manifestPath(tableDir, sinceVersion)).getOrElse(
-      throw new IllegalStateException(
-        s"TableManifest: tail cursor $sinceVersion was truncated out " +
-          s"of the log at $tableDir — resync: re-read the table via " +
-          "read() and continue from the current head version"))
+    (appendsBetween(spark, tableDir, sinceVersion, head.seq,
+      Some(head.snap)), head.seq)
+  }
+
+  /** The appended rows between two RETAINED versions — [[tailAppends]]'
+    * diff bounded at `untilVersion` instead of the live head, which is
+    * what a replayed streaming micro-batch needs: Structured Streaming
+    * re-offers a committed `(start, end]` offset range after a restart,
+    * and the batch it gets back must be THE SAME rows even if the head
+    * has moved on. Same loud contracts: a truncated-out endpoint, a
+    * rewritten history, or tombstone/delta generations in the window
+    * all throw rather than approximate. */
+  private[graft] def appendsBetween(spark: SparkSession, tableDir: String,
+                                    sinceVersion: Long, untilVersion: Long,
+                                    untilSnap: Option[Snapshot] = None)
+      : DataFrame = {
+    if (untilVersion == sinceVersion) return read(spark, tableDir).limit(0)
+    require(sinceVersion < untilVersion,
+      s"TableManifest: tail cursor $sinceVersion is AHEAD of the asked " +
+        s"version $untilVersion at $tableDir — cursor from another table?")
+    def snapAt(v: Long, what: String): Snapshot =
+      parseSnapshotIfPresent(spark, manifestPath(tableDir, v)).getOrElse(
+        throw new IllegalStateException(
+          s"TableManifest: tail $what $v was truncated out " +
+            s"of the log at $tableDir — resync: re-read the table via " +
+            "read() and continue from the current head version"))
+    val since = snapAt(sinceVersion, "cursor")
+    val head = HeadInfo(untilVersion,
+      untilSnap.getOrElse(snapAt(untilVersion, "endpoint")), 0)
     val headGens = head.snap.generations.toSet
     val sinceGens = since.generations.toSet
     if (!sinceGens.subsetOf(headGens))
@@ -2944,10 +2967,28 @@ object TableManifest {
           "never catch this). Consume the op-coded changefeed via " +
           "tailChanges()/relayChanges(), consume merged state via " +
           "read(), or tail an append-only upstream table.")
-    val df =
-      if (newGens.isEmpty) read(spark, tableDir).limit(0)
-      else spark.read.parquet(newGens.map(g => s"$tableDir/$g"): _*)
-    (df, head.seq)
+    if (newGens.isEmpty) read(spark, tableDir).limit(0)
+    else {
+      // A REPLAYED range (a restarted stream re-offering a planned but
+      // uncommitted batch) can reference generations a maintenance
+      // rewrite vacuumed during the downtime: the window's manifests
+      // still parse (the log is permanent) and the subset check passes
+      // (the rewrite landed ABOVE untilVersion), but the data is gone.
+      // Surface that as the same loud rewritten-history signal instead
+      // of a raw missing-path read error.
+      val fs = fsOf(spark, tableDir)
+      val vanished =
+        newGens.filterNot(g => fs.exists(new Path(s"$tableDir/$g")))
+      if (vanished.nonEmpty)
+        throw new IllegalStateException(
+          s"TableManifest: history at $tableDir was REWRITTEN after " +
+            s"version $untilVersion and the superseded generations " +
+            s"(${vanished.mkString(",")}) this tail range needs were " +
+            "vacuumed — an incremental diff can no longer reproduce " +
+            "the range. Resync: re-read the table via read() and " +
+            "continue from the current head version.")
+      spark.read.parquet(newGens.map(g => s"$tableDir/$g"): _*)
+    }
   }
 
   /** One classified change batch of the op-coded changefeed: a source
