@@ -87,6 +87,12 @@ object TableManifest {
     * retention — see the barrier protocol on [[commitSnapshot]]. */
   private val BarrierFile = "_graft_min_seq"
 
+  /** CAS-published barrier VALUES (one immutable file per raised
+    * value; [[readBarrier]] takes the max) — the monotonic successor
+    * of the legacy [[BarrierFile]] replace-file, which last-writer-
+    * wins semantics let a slow truncator regress. */
+  private val BarrierDir = "_graft_barrier"
+
   /** Write a state checkpoint every this-many commits (the seam that
     * makes head resolution O(window) instead of O(table age) — see
     * [[resolveHead]]). A protocol constant, not a knob: readers and
@@ -192,6 +198,16 @@ object TableManifest {
     * generation; a [[rewrite]] collapses to one), and the next
     * bucketed upsert re-buckets the whole table once.
     *
+    * `bucketKeys` records WHICH key columns the bucket tags were
+    * hashed under — the other half of the layout declaration, and the
+    * one the merge rule cannot carry once a fold clears it: every
+    * bucket-locality decision (bucket-granular pruning, bucket-bounded
+    * folds and point reads, delta reuse of an existing layout) is
+    * sound only when the decision's keys EQUAL the layout's. A
+    * recorded mismatch refuses or re-buckets loudly; an absent record
+    * (legacy manifests) reads conservatively — no bucket-locality
+    * shortcut, one whole-table re-bucket on the next bucketed upsert.
+    *
     * `meta` records each generation's data-file inventory
     * ([[GenMeta]]): committing writers record it for the generations
     * they WRITE and carry forward the base snapshot's entries for the
@@ -208,7 +224,8 @@ object TableManifest {
                                      parts: Map[String, String] = Map.empty,
                                      partCol: Option[String] = None,
                                      delete: Option[DeleteSpec] = None,
-                                     columns: Option[ColumnMapping] = None) {
+                                     columns: Option[ColumnMapping] = None,
+                                     bucketKeys: Option[Seq[String]] = None) {
     def watermark(writerId: String): Option[Long] = writers.get(writerId)
     /** The delta generations live at this version (merge-on-read
       * inputs; empty on a fully-folded table). */
@@ -389,10 +406,16 @@ object TableManifest {
         if (keys.isEmpty) throw bad() else Some(DeleteSpec(keys))
       case _ => None
     }
+    val bucketKeys: Option[Seq[String]] = (j \ "bucketkeys") match {
+      case JArray(xs) =>
+        val keys = xs.collect { case JString(s) => s }
+        if (keys.isEmpty) throw bad() else Some(keys)
+      case _ => None
+    }
     Snapshot(gens.getOrElse(throw bad()),
       mergeWriters(writers,
         batch.map(b => Map(DefaultWriter -> b)).getOrElse(Map.empty)),
-      buckets, meta, merge, parts, partCol, delete, columns)
+      buckets, meta, merge, parts, partCol, delete, columns, bucketKeys)
   }
 
   private def renderSnapshot(s: Snapshot): String = {
@@ -402,7 +425,10 @@ object TableManifest {
       else s.writers.toSeq.sortBy(_._1)
         .map { case (w, b) => s"${graft.JsonEscape.str(w)}:$b" }
         .mkString(""","writers":{""", ",", "}")
-    val buckets = s.buckets.map(n => s""","buckets":$n""").getOrElse("")
+    val buckets = s.buckets.map(n => s""","buckets":$n""").getOrElse("") +
+      s.bucketKeys.map(ks =>
+        s""","bucketkeys":${ks.map(graft.JsonEscape.str)
+          .mkString("[", ",", "]")}""").getOrElse("")
     val merge = s.merge.map { m =>
       val keys = m.keys.map(graft.JsonEscape.str).mkString("[", ",", "]")
       s""","merge":{"keys":$keys,"ts":${graft.JsonEscape.str(m.ts)},""" +
@@ -1160,7 +1186,12 @@ object TableManifest {
   private def prunedMergeBuckets(snap: Snapshot, statsCol: String,
                                  lo: Double, hi: Double)
       : Option[Seq[String]] = {
+    // bucket-locality holds only when the tags are RECORDED hashed
+    // under the live merge rule's own keys — an unrecorded or
+    // mismatched provenance (legacy manifest; a layout bucketed under
+    // other keys surviving a fold) must read whole
     if (snap.buckets.isEmpty ||
+        !snap.merge.exists(m => snap.bucketKeys.contains(m.keys)) ||
         !snap.dataGens.forall(g => bucketOf(g).isDefined)) return None
     def genMayMatch(g: String): Boolean = snap.meta.get(g) match {
       case None => true // legacy, no inventory: conservative
@@ -1229,18 +1260,74 @@ object TableManifest {
     won
   }
 
-  /** The retention barrier's current value (0 = none). Failure-open by
-    * design: an unreadable barrier restores the pre-barrier behavior
-    * (keepVersions-floor defense only), never blocks commits. */
+  /** The retention barrier's current value (0 = none): the max over
+    * the CAS-published value files in [[BarrierDir]], plus the legacy
+    * single replace-file for tables truncated by older code. Failure-
+    * open by design: an unreadable barrier restores the pre-barrier
+    * behavior (keepVersions-floor defense only), never blocks commits. */
   private[graft] def readBarrier(spark: SparkSession,
-                                 tableDir: String): Long =
+                                 tableDir: String): Long = {
+    val legacy =
+      try {
+        val p = new Path(tableDir, BarrierFile)
+        if (!fsOf(spark, tableDir).exists(p)) 0L
+        else """"seq"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(readSmall(spark, p))
+          .map(_.group(1).toLong).getOrElse(0L)
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    val published =
+      try {
+        fsOf(spark, tableDir)
+          .listStatus(new Path(tableDir, BarrierDir))
+          .flatMap(e => scala.util.Try(
+            e.getPath.getName.stripSuffix(".json").toLong).toOption)
+          .foldLeft(0L)(math.max)
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    math.max(legacy, published)
+  }
+
+  /** Raise the retention barrier to AT LEAST `seq`, monotonically,
+    * through the certified fail-if-exists primitive: each value is its
+    * own immutable file in [[BarrierDir]] and [[readBarrier]] takes the
+    * max, so no writer can ever REGRESS the barrier — the
+    * last-writer-wins replace-file form allowed a slow truncator's
+    * delayed lower write to land after a higher cut's verification and
+    * re-open the freed-seq ABA window (an advisory review's finding; a
+    * re-read-and-re-raise loop narrows but cannot close a
+    * check-then-act race on a mutable file). A CAS loss on the value
+    * file means the same value is already published — success either
+    * way. Values strictly below the directory's max are reaped as
+    * hygiene (the max file itself is never deleted, so a concurrent
+    * reader's max is unaffected). */
+  private def raiseBarrier(spark: SparkSession, tableDir: String,
+                           seq: Long): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val dir = new Path(tableDir, BarrierDir)
+    fs.mkdirs(dir)
+    publishImmutable(spark, tableDir,
+      new Path(dir, f"$seq%020d.json"), s"""{"seq":$seq}""")
+    val cur = readBarrier(spark, tableDir)
+    require(cur >= seq,
+      s"TableManifest: retention barrier at $tableDir reads $cur after " +
+        s"publishing $seq — barrier store unreadable? Aborting before " +
+        "any deletion.")
+    // hygiene: reap strictly-below-max value files and the legacy
+    // replace-file once a published value covers it
     try {
-      val p = new Path(tableDir, BarrierFile)
-      if (!fsOf(spark, tableDir).exists(p)) 0L
-      else """"seq"\s*:\s*(\d+)""".r
-        .findFirstMatchIn(readSmall(spark, p))
-        .map(_.group(1).toLong).getOrElse(0L)
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+      val entries = fs.listStatus(dir).flatMap(e => scala.util.Try(
+        e.getPath.getName.stripSuffix(".json").toLong).toOption
+        .map(v => (v, e.getPath)))
+      val hi = entries.map(_._1).foldLeft(0L)(math.max)
+      entries.filter(_._1 < hi).foreach(e => fs.delete(e._2, false))
+      val legacy = new Path(tableDir, BarrierFile)
+      if (fs.exists(legacy) && cur >= seq) {
+        val lv = """"seq"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(readSmall(spark, legacy))
+          .map(_.group(1).toLong).getOrElse(Long.MaxValue)
+        if (lv <= hi) fs.delete(legacy, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Commit `snapshot` as version `seq` through [[publishImmutable]]:
     * returns false when the seq is lost to a concurrent writer (the CAS
@@ -1776,7 +1863,12 @@ object TableManifest {
           "seq and resurrect them. Fold deletes first (rewrite() / " +
           "optimizeManifested), then upsert.")
       requireNoMapping(snap, tableDir, "upsertBucketed")
-      val migrate = snap.generations.exists(g => bucketOf(g).isEmpty)
+      // migrate (one whole-table re-bucket) when any generation is
+      // untagged OR the tags' key provenance is unrecorded (legacy
+      // manifest): bucket-bounded reuse is only sound when the tags
+      // are PROVEN hashed under this call's keys
+      val migrate = snap.generations.exists(g => bucketOf(g).isEmpty) ||
+        (snap.buckets.isDefined && snap.bucketKeys.isEmpty)
       if (!migrate) snap.buckets.foreach(m => require(m == numBuckets,
         s"upsertBucketed: table at $tableDir is bucketed $m-way; " +
           s"refusing a $numBuckets-way upsert (stale rows would strand " +
@@ -1792,6 +1884,19 @@ object TableManifest {
           s"refusing an upsert keyed (${keyCols.mkString(",")}, " +
           s"$tsCol, $tieCol) — fold deltas first (compactDeltas) to " +
           "change the rule"))
+      // a recorded key-provenance mismatch is the same stranding hazard
+      // with the bucket COUNT right and NO merge rule live: a key's
+      // stale row sits in a bucket hashed under the OLD keys, which a
+      // touched-bucket read under the NEW keys never opens (a review
+      // pass found the post-fold shape: compactDeltas clears the merge
+      // rule but keeps the layout, so the merge-rule equality check
+      // alone cannot catch this)
+      if (!migrate) snap.bucketKeys.foreach(bk => require(bk == keyCols,
+        s"upsertBucketed: table at $tableDir is bucketed by keys " +
+          s"(${bk.mkString(",")}); refusing an upsert keyed " +
+          s"(${keyCols.mkString(",")}) — stale rows would strand in " +
+          "buckets the new key hash never reads. Re-bucket explicitly " +
+          "via rewrite() first."))
       val readGens =
         if (migrate) snap.generations
         else snap.generations.filter(g => bucketOf(g).exists(touched))
@@ -1804,7 +1909,8 @@ object TableManifest {
             Snapshot(snap.generations,
               mergeWriters(snap.writers, Map(writerId -> batchId.get)),
               snap.buckets, snap.metaFor(snap.generations), snap.merge,
-              snap.parts, snap.partCol))
+              snap.parts, snap.partCol,
+              bucketKeys = snap.bucketKeys))
       if (!migrate && touched.isEmpty) {
         if (watermarkOnly()) return Some(Seq.empty)
         lastRace = s"version ${seq + 1} taken by a concurrent commit"
@@ -1869,7 +1975,8 @@ object TableManifest {
               Some(numBuckets),
               snap.metaFor(keepOld) ++ movedMeta,
               mergeFor(keepOld ++ moved, snap.merge),
-              keepParts, keepPartCol)
+              keepParts, keepPartCol,
+              bucketKeys = Some(keyCols))
             if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
               vacuum(spark, tableDir, seq + 1,
                 keepGens = snap.generations.toSet ++ next.generations,
@@ -2052,8 +2159,14 @@ object TableManifest {
         lastRace = s"version ${seq + 1} taken by a concurrent commit"
       } else {
         val gens = snap.generations ++ moved
+        // the layout survives only when count AND recorded key
+        // provenance both match this delta's hash — a post-fold table
+        // bucketed under OTHER keys must drop the field (mixed layout),
+        // or bucket-locality consumers (prunedMergeBuckets, bounded
+        // folds, point reads) would prune under a false assumption
         val bucketsAfter =
           if (snap.buckets.contains(numBuckets) &&
+              snap.bucketKeys.contains(keyCols) &&
               snap.dataGens.forall(g => bucketOf(g).isDefined))
             Some(numBuckets)
           else None // mixed layout: the field's contract is every-tagged
@@ -2063,7 +2176,8 @@ object TableManifest {
           bucketsAfter,
           snap.metaFor(snap.generations) ++ movedMeta,
           Some(spec), snap.parts, snap.partCol,
-          deleteFor(gens, snap.delete))
+          deleteFor(gens, snap.delete),
+          bucketKeys = bucketsAfter.map(_ => keyCols))
         if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
           vacuum(spark, tableDir, seq + 1,
             keepGens = snap.generations.toSet ++ next.generations,
@@ -2112,7 +2226,13 @@ object TableManifest {
           "upsert; or use upsertDelta(), which composes with live " +
           "tombstones and keeps history tailable.")
       requireNoMapping(snap, tableDir, "upsertBucketedDelta")
+      // layout reuse demands count AND key-provenance match: after a
+      // fold clears the merge rule, the recorded bucketKeys are the
+      // only witness that the tags were hashed under THIS call's keys
+      // (a mismatched or unrecorded layout boots — the copy-on-write
+      // pass re-buckets the whole table under the new keys once)
       val pure = snap.buckets.contains(numBuckets) &&
+        snap.bucketKeys.contains(keyCols) &&
         snap.generations.forall(g => bucketOf(g).isDefined)
       if (!pure)
         // boot/migrate: one copy-on-write pass establishes the layout
@@ -2131,7 +2251,8 @@ object TableManifest {
             Snapshot(snap.generations,
               mergeWriters(snap.writers, Map(writerId -> batchId.get)),
               snap.buckets, snap.metaFor(snap.generations), snap.merge,
-              snap.parts, snap.partCol))
+              snap.parts, snap.partCol,
+              bucketKeys = snap.bucketKeys))
       // the stage derives from the BATCH alone — a failure here is
       // never base staleness, so unlike upsertBucketed/compactDeltas
       // there is no conditional-retry catch: any error rethrows
@@ -2151,7 +2272,8 @@ object TableManifest {
               batchId.map(b => Map(writerId -> b)).getOrElse(Map.empty)),
             Some(numBuckets),
             snap.metaFor(snap.generations) ++ movedMeta,
-            Some(spec), snap.parts, snap.partCol)
+            Some(spec), snap.parts, snap.partCol,
+            bucketKeys = Some(keyCols))
           if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
             vacuum(spark, tableDir, seq + 1,
               keepGens = snap.generations.toSet ++ next.generations,
@@ -2227,7 +2349,14 @@ object TableManifest {
         s"TableManifest: delta generations at $tableDir with no merge " +
           "rule in the manifest — corrupt log?"))
       attempts += 1
+      // a bucket-BOUNDED fold (read only delta-touched buckets) is
+      // sound only when the tags are recorded hashed under the merge
+      // rule's own keys — otherwise a key's stale base row can sit in
+      // a bucket the fold never reads while the fold clears the rule
+      // that hid it (same family as the pruning hazard a review pass
+      // found); unproven provenance folds whole-table instead
       val pure = snap.buckets.isDefined &&
+        snap.bucketKeys.contains(spec.keys) &&
         snap.generations.forall(g => bucketOf(g).isDefined)
       if (!pure)
         // mixed layout: one whole-table rewrite folds everything (the
@@ -2279,7 +2408,8 @@ object TableManifest {
         val next = Snapshot(keepOld ++ moved, snap.writers,
           Some(n), snap.metaFor(keepOld) ++ movedMeta,
           mergeFor(keepOld ++ moved, snap.merge),
-          keepParts, keepPartCol)
+          keepParts, keepPartCol,
+          bucketKeys = snap.bucketKeys)
         if (commitAndCheckpoint(spark, tableDir, seq + 1, next)) {
           vacuum(spark, tableDir, seq + 1,
             keepGens = snap.generations.toSet ++ next.generations,
@@ -2380,6 +2510,24 @@ object TableManifest {
     require(df.columns.contains(partSourceCol(partCol)),
       s"appendPartitioned: no column '${partSourceCol(partCol)}' " +
         s"(partition spec '$partCol') in " + df.columns.mkString(","))
+    // a day()/month()/year() transform renders through date_format,
+    // which for a session-local TIMESTAMP depends on
+    // spark.sql.session.timeZone — a writer and reader in different
+    // zones would then disagree on which day a row belongs to and
+    // range pruning would silently drop rows (a review pass found
+    // this). Only zone-independent types may drive a transform spec:
+    // DATE and TIMESTAMP_NTZ render the same value in every session.
+    if (partCol != partSourceCol(partCol)) {
+      val srcType = df.schema(partSourceCol(partCol)).dataType
+      require(srcType == org.apache.spark.sql.types.DateType ||
+          srcType == org.apache.spark.sql.types.TimestampNTZType,
+        s"appendPartitioned: transform spec '$partCol' over a " +
+          s"${srcType.simpleString} column — day()/month()/year() " +
+          "require a DATE or TIMESTAMP_NTZ column (a session-local " +
+          "TIMESTAMP renders its partition value in the writer's time " +
+          "zone, so readers in other zones would prune wrong). Cast " +
+          "explicitly, or partition by an identity column.")
+    }
     require(!df.columns.contains(PartStageCol),
       s"appendPartitioned: input must not carry reserved column " +
         PartStageCol)
@@ -2845,7 +2993,8 @@ object TableManifest {
         snap.metaFor(snap.generations) + (gname -> gm),
         mergeFor(gens, snap.merge),
         carriedParts, carriedPartCol,
-        Some(DeleteSpec(keyCols)))
+        Some(DeleteSpec(keyCols)),
+        bucketKeys = snap.bucketKeys)
       attempts += 1
       if (commitAndCheckpoint(spark, tableDir, seq + 1, merged)) {
         vacuum(spark, tableDir, seq + 1,
@@ -3074,17 +3223,40 @@ object TableManifest {
           s"TableManifest: version $v at $tableDir commits tombstone " +
             "AND data generations together — no engine verb does; " +
             "corrupt log?")
+      // A re-walked window (a crashed relay resuming, a consumer
+      // re-polling an old cursor) can reference generations a LATER
+      // rewrite vacuumed: the walked manifests still parse (the log is
+      // permanent) but the data is gone. Surface that as the loud
+      // rewritten-history signal here, where the resync guidance is —
+      // not as a raw missing-path read error downstream (the same
+      // guard appendsBetween carries for the streaming path).
+      def requirePresent(gens: Seq[String]): Seq[String] = {
+        val fs = fsOf(spark, tableDir)
+        val vanished =
+          gens.filterNot(g => fs.exists(new Path(s"$tableDir/$g")))
+        if (vanished.nonEmpty)
+          throw new IllegalStateException(
+            s"TableManifest: history at $tableDir was REWRITTEN after " +
+              s"version $v and the superseded generations " +
+              s"(${vanished.mkString(",")}) this changefeed window " +
+              "needs were vacuumed — the feed can no longer reproduce " +
+              "the range. Resync: re-read the table via read() and " +
+              "continue from the current head version.")
+        gens
+      }
       if (tomb.nonEmpty) {
         val spec = cur.delete.getOrElse(throw new IllegalStateException(
           s"TableManifest: tombstone generations at $tableDir version " +
             s"$v with no delete rule in the manifest — corrupt log?"))
         batches += ChangeBatch(v, "delete",
-          spark.read.parquet(tomb.map(g => s"$tableDir/$g"): _*),
+          spark.read.parquet(
+            requirePresent(tomb).map(g => s"$tableDir/$g"): _*),
           spec.keys, None, None)
       } else if (data.nonEmpty) {
         val op = if (cur.merge.isDefined) "upsert" else "insert"
         batches += ChangeBatch(v, op,
-          spark.read.parquet(data.map(g => s"$tableDir/$g"): _*),
+          spark.read.parquet(
+            requirePresent(data).map(g => s"$tableDir/$g"): _*),
           cur.merge.map(_.keys).getOrElse(Seq.empty),
           cur.merge, cur.buckets)
       } // else: watermark-only / metadata-only version — no batch
@@ -3108,6 +3280,18 @@ object TableManifest {
                   sinceVersion: Long): (DataFrame, Long) = {
     import org.apache.spark.sql.functions.lit
     val (batches, head) = tailChangeBatches(spark, tableDir, sinceVersion)
+    // the op/version stamps must never silently overwrite real data
+    // columns (a multi-hop CDC audit table can legitimately carry a
+    // captured _change_op) — refuse loudly, like every other reserved
+    // column in the engine
+    batches.headOption.foreach { b =>
+      Seq(ChangeOpCol, ChangeVersionCol).foreach(c =>
+        require(!b.rows.columns.contains(c),
+          s"tailChanges: table at $tableDir already carries reserved " +
+            s"column '$c' — consume per-batch via relayChanges(), or " +
+            "rename the column (enableColumnMapping/renameColumn) " +
+            "before tailing as one frame"))
+    }
     val seed = read(spark, tableDir).limit(0)
       .withColumn(ChangeOpCol, lit(""))
       .withColumn(ChangeVersionCol, lit(0L))
@@ -3140,11 +3324,22 @@ object TableManifest {
     * [[commitWatermark]] (no data, no generation). Maintenance
     * rewrites on the source stay LOUD through [[tailChangeBatches]]'
     * rewritten-history error. ONE relay per (destination, writerId),
-    * as [[relayOnce]]. Returns the source head version the
-    * destination now covers. */
+    * as [[relayOnce]].
+    *
+    * `dstBuckets` sizes the DESTINATION's delta generations when the
+    * source's own layout is unknown — a source driven by
+    * [[upsertDelta]] over a mixed layout carries `buckets = None` in
+    * its manifest (the every-tagged contract), so the relay cannot
+    * mirror a number the source never recorded; size it to the
+    * destination's expected key cardinality (a review pass flagged the
+    * silent 16 default: correctness holds either way via the winner
+    * rule, but fold/point-read bucket-boundedness follows this knob).
+    * A source that IS purely bucketed relays its own count. Returns
+    * the source head version the destination now covers. */
   def relayChanges(spark: SparkSession, srcDir: String, dstDir: String,
                    writerId: String = "relay",
-                   startVersion: Long = 1L): Long = {
+                   startVersion: Long = 1L,
+                   dstBuckets: Int = 16): Long = {
     val cursor = lastBatchId(spark, dstDir, writerId).getOrElse(startVersion)
     val (batches, head) = tailChangeBatches(spark, srcDir, cursor)
     batches.foreach { b =>
@@ -3161,7 +3356,8 @@ object TableManifest {
           // itself (multi-hop relays compose) and an upsert landing
           // after a relayed delete needs no destination fold
           upsertDelta(spark, dstDir, b.rows, m.keys, m.ts, m.tie,
-            b.buckets.getOrElse(16), Some(b.version), writerId = writerId)
+            b.buckets.getOrElse(dstBuckets), Some(b.version),
+            writerId = writerId)
         case "delete" =>
           deleteRows(spark, dstDir, b.rows, b.keys, Some(b.version),
             writerId = writerId)
@@ -3202,7 +3398,12 @@ object TableManifest {
       // the bucket check runs over DATA generations — tombstones are
       // key rows read separately by the resolver, whatever their tag
       val gens = snap.buckets match {
-        case Some(n) if snap.dataGens.forall(g => bucketOf(g).isDefined) =>
+        // bucket routing is exact only when the layout is RECORDED
+        // hashed under this lookup's key columns — a mismatch (or an
+        // unrecorded legacy layout) falls back to the full set, the
+        // same conservative rule as every other pruning site
+        case Some(n) if snap.bucketKeys.contains(keyCols) &&
+            snap.dataGens.forall(g => bucketOf(g).isDefined) =>
           val touched = keys
             .select(pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong))
               .cast("int").as("b"))
@@ -3479,29 +3680,13 @@ object TableManifest {
     val cutSeq = manifestSeq(keep.head.getName)
     // PHASE ONE: persist the barrier before any deletion — from here
     // on, a stale writer's claim of a freed seq self-undoes (the
-    // commitSnapshot protocol). Monotonicity is NOT free: the
-    // read-modify-write below is last-writer-wins, so two concurrent
-    // truncations can interleave such that the LOWER cut overwrites
-    // the higher barrier after the higher cut already deleted its
-    // manifests — freeing seqs in the gap for re-claim, the exact ABA
-    // the barrier closes. Re-read after the write and re-raise until
-    // the persisted barrier covers this cut (each retry writes
-    // max(current, want), so competing truncators converge upward in
-    // at most one pass per competitor; the bound is defense against a
-    // pathological storm, failing loudly rather than proceeding to
-    // delete under an uncovered barrier).
-    val want = math.max(readBarrier(spark, tableDir), cutSeq)
-    var barrierTries = 0
-    writeAtomicReplace(spark, tableDir, BarrierFile, s"""{"seq":$want}""")
-    while (readBarrier(spark, tableDir) < want) {
-      barrierTries += 1
-      require(barrierTries <= 16,
-        s"TableManifest: retention barrier at $tableDir kept " +
-          s"regressing below $want across $barrierTries rewrites — " +
-          "concurrent truncation storm? Aborting before any deletion.")
-      writeAtomicReplace(spark, tableDir, BarrierFile,
-        s"""{"seq":${math.max(readBarrier(spark, tableDir), want)}}""")
-    }
+    // commitSnapshot protocol). Monotonic by CONSTRUCTION: each value
+    // is its own fail-if-exists file and readBarrier takes the max, so
+    // a slow competing truncator's delayed lower publication can never
+    // regress the barrier below this cut (the advisory's ABA re-open:
+    // the old replace-file form let a lower write land after a higher
+    // cut's verification, making freed seqs claimable again).
+    raiseBarrier(spark, tableDir, cutSeq)
     // ORDER MATTERS (an r11 review finding): drop the below-cut HINT
     // and checkpoints BEFORE any manifest, so a hint-guided resolveHead
     // racing this truncation can never probe into the gap and report a

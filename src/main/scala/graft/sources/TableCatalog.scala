@@ -322,38 +322,68 @@ object TableCatalog {
       refreshManifested(spark, name)
       Seq((op, name, rows)).toDF("op", "table", "rows")
     }
+    // the source query runs ONCE: persisted before the count, so the
+    // committed rows are exactly the counted rows even under a
+    // non-deterministic query or a concurrent change to a referenced
+    // table (a review pass found the count-then-recompute form could
+    // report N while committing M), and no statement pays the query
+    // twice
+    def once[A](df: org.apache.spark.sql.DataFrame)
+               (use: (org.apache.spark.sql.DataFrame, Long) => A): A = {
+      val pinned = df.persist()
+      try use(pinned, pinned.count()) finally pinned.unpersist()
+    }
     statement match {
       case InsertRe(name, query) =>
         val dir = manifestedDir(spark, name)
-        val df = sqlManifested(spark,
-          if (query.trim.toUpperCase.startsWith("VALUES")) s"SELECT * FROM ($query)"
-          else query)
+        val values = query.trim.toUpperCase.startsWith("VALUES")
+        val raw = sqlManifested(spark,
+          if (values) s"SELECT * FROM ($query)" else query)
         val tableCols = graft.ops.TableManifest.read(spark, dir).columns
+        // VALUES rows arrive as col1..colN — positional alignment IS
+        // the SQL-standard semantic there, so bind them to the table's
+        // columns by position (arity-checked); a SELECT must still
+        // alias by NAME (positional silent misalignment refused)
+        val df =
+          if (values) {
+            require(raw.columns.length == tableCols.length,
+              s"TableCatalog: INSERT INTO $name VALUES arity mismatch " +
+                s"— ${raw.columns.length} values per row, table has " +
+                s"${tableCols.length} columns (${tableCols.mkString(",")})")
+            raw.toDF(tableCols: _*)
+          } else raw
         require(df.columns.sorted.sameElements(tableCols.sorted),
           s"TableCatalog: INSERT INTO $name column mismatch — query " +
             s"yields (${df.columns.mkString(",")}), table has " +
             s"(${tableCols.mkString(",")}). Alias the SELECT columns " +
             "to the table's names; positional alignment is refused.")
-        val rows = df.count()
-        graft.ops.TableManifest.append(spark, dir,
-          df.select(tableCols.map(col): _*))
-        result("insert", name, rows)
+        once(df.select(tableCols.map(col): _*)) { (pinned, rows) =>
+          graft.ops.TableManifest.append(spark, dir, pinned)
+          result("insert", name, rows)
+        }
       case DeleteRe(name, keyCol, inList) =>
         val dir = manifestedDir(spark, name)
         val keys = sqlManifested(spark,
           s"SELECT DISTINCT $keyCol FROM $name WHERE $keyCol IN ($inList)")
-        val rows = keys.count()
-        graft.ops.TableManifest.deleteRows(spark, dir, keys, Seq(keyCol))
-        result("delete", name, rows)
+        once(keys) { (pinned, rows) =>
+          // zero matching keys: committing an empty tombstone would
+          // pin the delete rule (an anti-join on every later read) for
+          // a no-op — skip the commit entirely
+          if (rows > 0)
+            graft.ops.TableManifest.deleteRows(spark, dir, pinned,
+              Seq(keyCol))
+          result("delete", name, rows)
+        }
       case MergeRe(name, query, keyList, tsCol, tieCol, bucketsOrNull) =>
         val dir = manifestedDir(spark, name)
         val src = sqlManifested(spark, query)
         val keyCols = keyList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val buckets = Option(bucketsOrNull).map(_.toInt).getOrElse(16)
-        val rows = src.count()
-        graft.ops.TableManifest.upsertDelta(spark, dir, src,
-          keyCols, tsCol, tieCol, buckets)
-        result("merge", name, rows)
+        once(src) { (pinned, rows) =>
+          graft.ops.TableManifest.upsertDelta(spark, dir, pinned,
+            keyCols, tsCol, tieCol, buckets)
+          result("merge", name, rows)
+        }
       case _ => throw new IllegalArgumentException(
         "TableCatalog: unsupported DML statement — supported shapes: " +
           "INSERT INTO <t> SELECT ...; DELETE FROM <t> WHERE <k> IN " +

@@ -336,11 +336,14 @@ class TableManifestChangefeedSpec extends AnyFunSuite {
       "readPartitionRange prunes generations off the manifest") {
     import spark.implicits._
     val tbl = tmpTable("ptrans")
+    // TIMESTAMP_NTZ, like the testdata's ts columns — session-local
+    // TIMESTAMP is refused by the transform gate (zone-dependent
+    // partition values would prune wrong across sessions)
     def ev(ids: Range): DataFrame =
       ids.map { i =>
-        (i.toLong,
-          java.sql.Timestamp.valueOf(s"2026-08-${10 + i % 4} 0${i % 9}:15:00"))
-      }.toDF("id", "ts")
+        (i.toLong, s"2026-08-${10 + i % 4} 0${i % 9}:15:00")
+      }.toDF("id", "s")
+        .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
     TableManifest.publish(spark, tbl, ev(0 until 0).coalesce(1))
     val parts = TableManifest.appendPartitioned(spark, tbl,
       ev(0 until 80), "day(ts)", Some(0L)).get
@@ -454,5 +457,192 @@ class TableManifestChangefeedSpec extends AnyFunSuite {
       TableCatalog.dmlManifested(spark, "UPDATE dml_t SET tag = 'x'")
     }
     assert(e2.getMessage.contains("unsupported DML"))
+  }
+
+  // ------------------------------------- round-13 review-pass fixes
+
+  test("bucket layouts record key provenance: a post-fold upsert under " +
+      "DIFFERENT keys refuses or drops the layout, never prunes wrong") {
+    import spark.implicits._
+    def mk(ids: Seq[Long], ts: Long, tag: String): DataFrame =
+      ids.map(i => (i, ts, s"$tag$i")).toDF("id", "ts", "tag")
+    val tbl = tmpTable("bkeys")
+    TableManifest.publish(spark, tbl, mk(Nil, 0, "s").limit(0))
+    // boot the layout under keys=(id), then fold: merge rule cleared,
+    // layout + its recorded key provenance survive
+    TableManifest.upsertBucketedDelta(spark, tbl, mk(0L until 40L, 1, "a"),
+      Seq("id"), "ts", "id", numBuckets = 4)
+    TableManifest.upsertBucketedDelta(spark, tbl, mk(10L until 20L, 2, "b"),
+      Seq("id"), "ts", "id", numBuckets = 4)
+    TableManifest.compactDeltas(spark, tbl)
+    val snap = TableManifest.resolveHead(spark, tbl).get.snap
+    assert(snap.merge.isEmpty && snap.buckets.contains(4))
+    assert(snap.bucketKeys.contains(Seq("id")))
+    // the CoW verb under different keys refuses loudly (pre-fix it
+    // silently reused buckets hashed under the OLD keys, stranding
+    // stale rows in buckets the new hash never reads)
+    val e = intercept[IllegalArgumentException] {
+      TableManifest.upsertBucketed(spark, tbl, mk(0L until 5L, 3, "c"),
+        Seq("tag"), "ts", "id", numBuckets = 4)
+    }
+    assert(e.getMessage.contains("bucketed by keys"))
+    // … and the delta verbs route the same way: upsertBucketedDelta's
+    // boot path hits the same refusal
+    val e2 = intercept[IllegalArgumentException] {
+      TableManifest.upsertBucketedDelta(spark, tbl, mk(0L until 5L, 3, "c"),
+        Seq("tag"), "ts", "id", numBuckets = 4)
+    }
+    assert(e2.getMessage.contains("bucketed by keys"))
+    // the history-preserving verb ACCEPTS (correctness is the winner
+    // rule alone) but must DROP the layout declaration — its tags are
+    // not hashed under the new keys, so every bucket-locality consumer
+    // (pruning, bounded folds, point reads) must see "not bucketed"
+    TableManifest.upsertDelta(spark, tbl, mk(0L until 5L, 3, "c"),
+      Seq("tag"), "ts", "id", numBuckets = 4)
+    val snap2 = TableManifest.resolveHead(spark, tbl).get.snap
+    assert(snap2.buckets.isEmpty && snap2.bucketKeys.isEmpty)
+    // winners still exact: the 5 delta rows carry FRESH tag keys, so
+    // under keys=(tag) nothing collides — 40 old + 5 new rows resolve
+    // over the whole table
+    assert(TableManifest.read(spark, tbl).count() == 45)
+    assert(TableManifest.read(spark, tbl)
+      .filter(col("ts") === 3).count() == 5)
+    // fold of the mismatched state goes whole-table and stays exact
+    TableManifest.compactDeltas(spark, tbl)
+    assert(TableManifest.read(spark, tbl).count() == 45)
+    assert(TableManifest.read(spark, tbl)
+      .filter(col("ts") === 3).count() == 5)
+  }
+
+  test("readKeyBuckets falls back to the full set when the lookup keys " +
+      "differ from the recorded layout keys") {
+    import spark.implicits._
+    def mk(ids: Seq[Long], ts: Long): DataFrame =
+      ids.map(i => (i, ts, s"t$i")).toDF("id", "ts", "tag")
+    val tbl = tmpTable("bkeyspoint")
+    TableManifest.publish(spark, tbl, mk(Nil, 0).limit(0))
+    TableManifest.upsertBucketedDelta(spark, tbl, mk(0L until 50L, 1),
+      Seq("id"), "ts", "id", numBuckets = 8)
+    // matched keys: exact point read (content pinned)
+    val hit = TableManifest.readKeyBuckets(spark, tbl, Seq("id"),
+      Seq(3L, 17L).toDF("id"))
+    assert(hit.select("id").as[Long].collect().sorted
+      .sameElements(Array(3L, 17L)))
+    // mismatched keys: the routing hash has nothing to do with the
+    // recorded layout — the read must fall back to every generation
+    // and still return exactly the matching rows
+    val byTag = TableManifest.readKeyBuckets(spark, tbl, Seq("tag"),
+      Seq("t3", "t17").toDF("tag"))
+    assert(byTag.select("id").as[Long].collect().sorted
+      .sameElements(Array(3L, 17L)))
+  }
+
+  test("transform partition specs refuse session-local TIMESTAMP " +
+      "columns (zone-dependent values would prune wrong)") {
+    import spark.implicits._
+    val tbl = tmpTable("tzgate")
+    val ltz = Seq((1L, "2026-08-01 10:00:00"))
+      .toDF("id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    assert(ltz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    TableManifest.publish(spark, tbl, ltz.limit(0))
+    val e = intercept[IllegalArgumentException] {
+      TableManifest.appendPartitioned(spark, tbl, ltz, "day(ts)")
+    }
+    assert(e.getMessage.contains("TIMESTAMP_NTZ"))
+    // DATE is zone-independent and passes
+    val tbl2 = tmpTable("tzgate2")
+    val dated = ltz.withColumn("ts", col("ts").cast("date"))
+    TableManifest.publish(spark, tbl2, dated.limit(0))
+    val parts = TableManifest.appendPartitioned(spark, tbl2, dated,
+      "day(ts)").get
+    assert(parts.keySet == Set("2026-08-01"))
+  }
+
+  test("tailChangeBatches surfaces a vacuumed replay range as the loud " +
+      "REWRITTEN signal, not a raw missing-path error") {
+    val tbl = tmpTable("vanish")
+    TableManifest.publish(spark, tbl, rows(0 until 0, 0, "s"))
+    val v1 = TableManifest.versions(spark, tbl).last
+    TableManifest.append(spark, tbl, rows(0 until 5, 1, "a"))     // v2
+    TableManifest.rewrite(spark, tbl)(df => df.coalesce(1))       // v3
+    TableManifest.append(spark, tbl, rows(5 until 8, 2, "b"))     // v4:
+    // its vacuum reaps v2's generation (referenced only below v3)
+    val e = intercept[IllegalStateException] {
+      TableManifest.tailChangeBatches(spark, tbl, v1)
+    }
+    assert(e.getMessage.contains("REWRITTEN") &&
+      e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("tailChanges refuses a table already carrying the reserved " +
+      "op/version columns instead of overwriting them") {
+    import spark.implicits._
+    val tbl = tmpTable("reserved")
+    val df = Seq((1L, "ins")).toDF("id", TableManifest.ChangeOpCol)
+    TableManifest.publish(spark, tbl, df.limit(0))
+    val v1 = TableManifest.versions(spark, tbl).last
+    TableManifest.append(spark, tbl, df)
+    val e = intercept[IllegalArgumentException] {
+      TableManifest.tailChanges(spark, tbl, v1)
+    }
+    assert(e.getMessage.contains("reserved column"))
+  }
+
+  test("retention barrier is monotonic under competing publications " +
+      "and interops with the legacy replace-file form") {
+    val tbl = tmpTable("barrier")
+    TableManifest.publish(spark, tbl, rows(0 until 2, 0, "s"))
+    (1 to 11).foreach(i =>
+      TableManifest.append(spark, tbl, rows(i until i + 1, i.toLong, "a")))
+    assert(TableManifest.truncateLog(spark, tbl, keepVersions = 8) > 0)
+    val b = TableManifest.readBarrier(spark, tbl)
+    assert(b > 0)
+    // the ABA shape the advisory found: a slow competing truncator's
+    // DELAYED lower publication lands after a higher cut — under the
+    // CAS-per-value store it cannot regress the max
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val low = new org.apache.hadoop.fs.Path(tbl,
+      f"_graft_barrier/${1L}%020d.json")
+    val out = fs.create(low, true)
+    out.write("""{"seq":1}""".getBytes("UTF-8")); out.close()
+    assert(TableManifest.readBarrier(spark, tbl) == b)
+    // legacy single-file form still reads (max semantics)
+    val legacy = new org.apache.hadoop.fs.Path(tbl, "_graft_min_seq")
+    val out2 = fs.create(legacy, true)
+    out2.write(s"""{"seq":${b + 5}}""".getBytes("UTF-8")); out2.close()
+    assert(TableManifest.readBarrier(spark, tbl) == b + 5)
+  }
+
+  test("INSERT INTO … VALUES aligns positionally (arity-checked); a " +
+      "no-match DELETE pins no delete rule") {
+    import spark.implicits._
+    import graft.sources.TableCatalog
+    val tbl = tmpTable("dmlvalues")
+    TableManifest.publish(spark, tbl,
+      Seq((0L, 0L, "z")).toDF("id", "ts", "tag").limit(0))
+    TableCatalog.registerManifested(spark, "dmlv_t", tbl)
+    val ins = TableCatalog.dmlManifested(spark,
+      "INSERT INTO dmlv_t VALUES (1, 10, 'a'), (2, 20, 'b')")
+    assert(ins.head.getLong(2) == 2)
+    val got = TableCatalog.sqlManifested(spark,
+      "SELECT id, ts, tag FROM dmlv_t ORDER BY id")
+      .select(concat_ws("|", col("id"), col("ts"), col("tag")))
+      .as[String].collect()
+    assert(got.sameElements(Array("1|10|a", "2|20|b")), got.mkString(","))
+    val arity = intercept[IllegalArgumentException] {
+      TableCatalog.dmlManifested(spark,
+        "INSERT INTO dmlv_t VALUES (3, 30)")
+    }
+    assert(arity.getMessage.contains("arity"))
+    // a DELETE matching nothing must not commit a tombstone (the
+    // delete rule would tax every later read for a no-op)
+    val before = TableManifest.currentGenerations(spark, tbl)
+    val del = TableCatalog.dmlManifested(spark,
+      "DELETE FROM dmlv_t WHERE id IN (999)")
+    assert(del.head.getLong(2) == 0)
+    assert(TableManifest.currentGenerations(spark, tbl) == before)
   }
 }
