@@ -3180,22 +3180,40 @@ object TableManifest {
       throw new IllegalArgumentException(
         s"TableManifest: no manifest at $tableDir — not a manifested " +
           "table (publish() first)"))
-    if (head.seq == sinceVersion) return (Seq.empty, head.seq)
-    require(sinceVersion < head.seq,
+    (changeBatchesBetween(spark, tableDir, sinceVersion, head.seq,
+      Some(head.snap)), head.seq)
+  }
+
+  /** [[tailChangeBatches]] bounded at `untilVersion` instead of the
+    * live head — the replay-stable form a streaming micro-batch needs:
+    * a restarted engine re-offers a committed `(start, end]` offset
+    * range, and the classified batches it gets back must be THE SAME
+    * even if the head has moved on (the same pinning
+    * [[appendsBetween]] gives the appends-only source). Same loud
+    * contracts throughout. */
+  private[graft] def changeBatchesBetween(spark: SparkSession,
+                                          tableDir: String,
+                                          sinceVersion: Long,
+                                          untilVersion: Long,
+                                          untilSnap: Option[Snapshot] = None)
+      : Seq[ChangeBatch] = {
+    if (untilVersion == sinceVersion) return Seq.empty
+    require(sinceVersion < untilVersion,
       s"TableManifest: changefeed cursor $sinceVersion is AHEAD of the " +
-        s"head ${head.seq} at $tableDir — cursor from another table?")
+        s"asked version $untilVersion at $tableDir — cursor from " +
+        "another table?")
     def snapAt(v: Long): Snapshot =
-      if (v == head.seq) head.snap
-      else parseSnapshotIfPresent(spark, manifestPath(tableDir, v))
-        .getOrElse(throw new IllegalStateException(
-          s"TableManifest: changefeed cursor window [$sinceVersion, " +
-            s"${head.seq}] at $tableDir lost version $v to log " +
-            "truncation — resync: re-read the table via read() and " +
-            "continue from the current head version"))
+      untilSnap.filter(_ => v == untilVersion).getOrElse(
+        parseSnapshotIfPresent(spark, manifestPath(tableDir, v))
+          .getOrElse(throw new IllegalStateException(
+            s"TableManifest: changefeed cursor window [$sinceVersion, " +
+              s"$untilVersion] at $tableDir lost version $v to log " +
+              "truncation — resync: re-read the table via read() and " +
+              "continue from the current head version")))
     var prev = snapAt(sinceVersion)
     val batches = Seq.newBuilder[ChangeBatch]
     var v = sinceVersion + 1
-    while (v <= head.seq) {
+    while (v <= untilVersion) {
       val cur = snapAt(v)
       if (cur.columns.isDefined)
         throw new IllegalStateException(
@@ -3263,7 +3281,7 @@ object TableManifest {
       prev = cur
       v += 1
     }
-    (batches.result(), head.seq)
+    batches.result()
   }
 
   /** Column names [[tailChanges]] stamps each delivered row with. */
@@ -3278,8 +3296,23 @@ object TableManifest {
     * the next call's `sinceVersion`. */
   def tailChanges(spark: SparkSession, tableDir: String,
                   sinceVersion: Long): (DataFrame, Long) = {
-    import org.apache.spark.sql.functions.lit
     val (batches, head) = tailChangeBatches(spark, tableDir, sinceVersion)
+    (changeFrame(spark, tableDir, batches), head)
+  }
+
+  /** [[tailChanges]] bounded at `untilVersion` — the op-coded
+    * micro-batch a CHANGEFEED-mode streaming source hands the engine:
+    * replay-stable (same `(since, until]` range, same rows, whatever
+    * the live head does), every row tagged with its operation and
+    * committing version, delete rows key-only. */
+  def changesBetween(spark: SparkSession, tableDir: String,
+                     sinceVersion: Long, untilVersion: Long): DataFrame =
+    changeFrame(spark, tableDir,
+      changeBatchesBetween(spark, tableDir, sinceVersion, untilVersion))
+
+  private def changeFrame(spark: SparkSession, tableDir: String,
+                          batches: Seq[ChangeBatch]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     // the op/version stamps must never silently overwrite real data
     // columns (a multi-hop CDC audit table can legitimately carry a
     // captured _change_op) — refuse loudly, like every other reserved
@@ -3295,13 +3328,12 @@ object TableManifest {
     val seed = read(spark, tableDir).limit(0)
       .withColumn(ChangeOpCol, lit(""))
       .withColumn(ChangeVersionCol, lit(0L))
-    val df = batches.foldLeft(seed) { (acc, b) =>
+    batches.foldLeft(seed) { (acc, b) =>
       acc.unionByName(
         b.rows.withColumn(ChangeOpCol, lit(b.op))
           .withColumn(ChangeVersionCol, lit(b.version)),
         allowMissingColumns = true)
     }
-    (df, head)
   }
 
   /** One CHANGEFEED-relay poll — [[relayOnce]] for sources that mutate:

@@ -36,8 +36,22 @@ import graft.ops.TableManifest
   * that ate the checkpointed version all surface as a STREAM ERROR
   * from the next micro-batch (the [[graft.ops.TableManifest.tailAppends]]
   * contracts) — an appends-only stream must never silently drop or
-  * double-deliver. For mutating sources, consume the op-coded
-  * changefeed ([[graft.ops.TableManifest.relayChanges]]) instead.
+  * double-deliver.
+  *
+  * CHANGEFEED MODE (`.option("changefeed", "true")`): for sources
+  * that MUTATE — merge-on-read upserts, row deletes — the micro-batch
+  * is the op-coded diff instead
+  * ([[graft.ops.TableManifest.changesBetween]]): every row tagged
+  * `_change_op` (`insert` / `upsert` / `delete`) and
+  * `_change_version`, delete rows key-only with the other columns
+  * NULL — CDC as a first-class stream, the streaming twin of
+  * [[graft.ops.TableManifest.relayChanges]]. The offset model,
+  * replay pinning, and restart semantics are IDENTICAL (the diff is
+  * classified per committed version between two retained versions);
+  * what a changefeed cannot represent — rewrites/compaction/partition
+  * drops (already-delivered rows cannot be retracted row-by-row),
+  * truncated cursors, column-mapped tables — still surfaces as a
+  * stream error, never silence.
   *
   * Engineering note — V1 `Source`, deliberately: a V1 `getBatch` hands
   * back a full Catalyst DataFrame, so the micro-batch reads through
@@ -62,14 +76,29 @@ class GraftManifestSourceProvider
         "graft-manifest source: pass the table directory via " +
           ".load(<tableDir>) or .option(\"tableDir\", ...)"))
 
+  private def isChangefeed(parameters: Map[String, String]): Boolean =
+    parameters.get("changefeed").exists(_.toBoolean)
+
+  private def schemaFor(sqlContext: SQLContext,
+                        parameters: Map[String, String]): StructType = {
+    val base = TableManifest.read(sqlContext.sparkSession,
+      tableDir(parameters)).schema
+    if (!isChangefeed(parameters)) base
+    else org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        TableManifest.ChangeOpCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        TableManifest.ChangeVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) =
-    (shortName(), schema.getOrElse(
-      TableManifest.read(sqlContext.sparkSession,
-        tableDir(parameters)).schema))
+    (shortName(), schema.getOrElse(schemaFor(sqlContext, parameters)))
 
   override def createSource(sqlContext: SQLContext,
                             metadataPath: String,
@@ -79,8 +108,8 @@ class GraftManifestSourceProvider
     val dir = tableDir(parameters)
     new GraftManifestSource(sqlContext.sparkSession, dir,
       parameters.get("startVersion").map(_.toLong).getOrElse(1L),
-      schema.getOrElse(
-        TableManifest.read(sqlContext.sparkSession, dir).schema))
+      schema.getOrElse(schemaFor(sqlContext, parameters)),
+      changefeed = isChangefeed(parameters))
   }
 }
 
@@ -89,7 +118,8 @@ class GraftManifestSourceProvider
   * (restart deserialization handled via the json form). */
 class GraftManifestSource(spark: SparkSession, tableDir: String,
                           startVersion: Long,
-                          override val schema: StructType) extends Source {
+                          override val schema: StructType,
+                          changefeed: Boolean = false) extends Source {
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -108,7 +138,9 @@ class GraftManifestSource(spark: SparkSession, tableDir: String,
     val since = start.map(versionOf).getOrElse(startVersion)
     val until = versionOf(end)
     StreamingBatchShim.asStreamingBatch(
-      TableManifest.appendsBetween(spark, tableDir, since, until))
+      if (changefeed)
+        TableManifest.changesBetween(spark, tableDir, since, until)
+      else TableManifest.appendsBetween(spark, tableDir, since, until))
   }
 
   override def stop(): Unit = ()

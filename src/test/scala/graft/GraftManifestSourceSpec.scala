@@ -91,6 +91,60 @@ class GraftManifestSourceSpec extends AnyFunSuite {
       rootChain(e).mkString(" | "))
   }
 
+  test("changefeed mode streams merge-on-read upserts and row deletes " +
+      "as op-coded rows, exactly-once across a checkpoint restart; " +
+      "rewrites still surface as a stream error") {
+    import spark.implicits._
+    val tbl = tmpDir("msrccf") + "/t"
+    val ckpt = tmpDir("msrccfckpt")
+    def r(ids: Range, ts: Long, tag: String): DataFrame =
+      ids.map(i => (i.toLong, ts, tag)).toDF("id", "ts", "tag")
+    TableManifest.publish(spark, tbl, r(0 until 0, 0, "seed"))
+    TableManifest.append(spark, tbl, r(0 until 6, 1, "a"))
+    TableManifest.upsertDelta(spark, tbl, r(3 until 9, 2, "b"),
+      Seq("id"), "ts", "id", numBuckets = 4)
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long)]() // (op, version, id)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("changefeed", "true").load(tbl)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach { row =>
+            delivered.add((
+              row.getString(row.fieldIndex(TableManifest.ChangeOpCol)),
+              row.getLong(row.fieldIndex(TableManifest.ChangeVersionCol)),
+              row.getLong(row.fieldIndex("id"))))
+          }
+          ()
+        }
+        .start()
+      try { q.processAllAvailable(); q.stop() }
+      catch { case e: Throwable => q.stop(); throw e }
+    }
+    run() // append + upsert delivered op-coded
+    TableManifest.deleteRows(spark, tbl,
+      Seq(0L, 1L).toDF("id"), Seq("id"))
+    run() // restart from the checkpoint: only the delete version
+    run() // idle: nothing re-delivered
+    import scala.jdk.CollectionConverters._
+    val got = delivered.asScala.toSeq.sorted
+    val expect = ((0 until 6).map(i => ("insert", 2L, i.toLong)) ++
+      (3 until 9).map(i => ("upsert", 3L, i.toLong)) ++
+      Seq(("delete", 4L, 0L), ("delete", 4L, 1L))).sorted
+    assert(got == expect, s"got ${got.mkString(",")}")
+    // what a changefeed cannot represent stays LOUD through the stream
+    TableManifest.rewrite(spark, tbl)(df => df.coalesce(1))
+    TableManifest.append(spark, tbl, r(20 until 22, 5, "c"))
+    val e = intercept[Exception] { run() }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(rootChain(e).exists(_.contains("REWRITTEN")),
+      rootChain(e).mkString(" | "))
+  }
+
   test("source composes with the manifested sink: manifest -> stream " +
       "-> manifest, all state in engine checkpoint + destination " +
       "watermark") {
