@@ -2446,23 +2446,54 @@ object TableManifest {
   private val PartTransformRe =
     "^(day|month|year)\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
 
-  /** The data column a partition spec reads (the bare name, or the
-    * transform's argument). */
-  private def partSourceCol(partSpec: String): String = partSpec match {
-    case PartTransformRe(_, c) => c
-    case ident => ident
+  /** The components of a partition spec: a spec is one declaration or
+    * a comma-separated list (`"r_name,day(ts)"` — Iceberg multi-field
+    * partition specs), each component an identity column or a
+    * day/month/year transform. */
+  private def partSpecComponents(partSpec: String): Seq[String] = {
+    val comps = partSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(comps.nonEmpty, s"empty partition spec '$partSpec'")
+    comps
   }
 
-  /** The string partition VALUE a row yields under `partSpec` —
-    * identity's string cast, or the transform's ISO rendering. */
-  private def partValueExpr(partSpec: String): Column = {
+  /** The data columns a partition spec reads (bare names, or the
+    * transforms' arguments). */
+  private def partSourceCols(partSpec: String): Seq[String] =
+    partSpecComponents(partSpec).map {
+      case PartTransformRe(_, c) => c
+      case ident => ident
+    }
+
+  /** One component's string value — identity's string cast, or the
+    * transform's ISO rendering. */
+  private def partComponentExpr(component: String): Column = {
     import org.apache.spark.sql.functions.{col, date_format}
-    partSpec match {
+    component match {
       case PartTransformRe("day", c) => date_format(col(c), "yyyy-MM-dd")
       case PartTransformRe("month", c) => date_format(col(c), "yyyy-MM")
       case PartTransformRe("year", c) => date_format(col(c), "yyyy")
       case ident => col(ident).cast("string")
     }
+  }
+
+  /** The string partition VALUE a row yields under `partSpec`. A
+    * single-component spec records the component's rendering verbatim
+    * (lexically range-prunable for the ISO transforms). A MULTI-column
+    * spec records the components URL-ENCODED and '/'-joined — encoding
+    * makes the composite collision-free (a '/' inside a value cannot
+    * fake a component boundary: ("a/b") vs ("a","b") render
+    * differently) at the price of lexical ordering, which is why
+    * [[readPartitionRange]] only serves single-component specs; ask
+    * multi-column tables for exact values via [[readPartitions]] /
+    * [[dropPartitions]]. NULL components take Hive's default-partition
+    * sentinel before encoding, mirroring the single-column path. */
+  private def partValueExpr(partSpec: String): Column = {
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, lit,
+      url_encode}
+    val comps = partSpecComponents(partSpec)
+    if (comps.length == 1) partComponentExpr(comps.head)
+    else concat_ws("/", comps.map(c => url_encode(coalesce(
+      partComponentExpr(c), lit("__HIVE_DEFAULT_PARTITION__")))): _*)
   }
 
   /** PARTITION-VALUE append (Iceberg partition-spec style, value tags
@@ -2477,13 +2508,19 @@ object TableManifest {
     * correctness input: generations without a recorded value (plain
     * appends, pre-partition history) are conservatively included.
     *
-    * `partCol` is either a bare column name (identity partitioning —
-    * the recorded value is the column's string cast) or a TRANSFORM
-    * spec `day(ts)` / `month(ts)` / `year(ts)` over a date/timestamp
-    * column (Iceberg hidden partitioning): the recorded value is the
-    * ISO-rendered transform, which sorts lexically in time order, so
-    * [[readPartitionRange]] prunes a raw time-range predicate straight
-    * off the manifest with the transform never appearing in the data.
+    * `partCol` is one declaration or a comma-separated LIST of them
+    * (multi-column specs, Iceberg style — `"r_name,day(ts)"` commits
+    * one generation per (region, day) pair). Each declaration is a
+    * bare column name (identity partitioning — the recorded value is
+    * the column's string cast) or a TRANSFORM `day(ts)` / `month(ts)`
+    * / `year(ts)` over a DATE/TIMESTAMP_NTZ column (Iceberg hidden
+    * partitioning): the recorded value is the ISO-rendered transform,
+    * which sorts lexically in time order, so [[readPartitionRange]]
+    * prunes a raw time-range predicate straight off the manifest with
+    * the transform never appearing in the data. Multi-column values
+    * record URL-encoded and '/'-joined (collision-free composites;
+    * see [[partValueExpr]]) — exact-value pruning only
+    * ([[readPartitions]] / [[dropPartitions]]; range reads refuse).
     *
     * The declared spec is PINNED once recorded (values from two
     * different specs in one map would be meaningless) — a partitioned
@@ -2507,26 +2544,31 @@ object TableManifest {
                         maxRetries: Int = 5): Option[Map[String, String]] = {
     import org.apache.spark.sql.functions.col
     requireWriterId(writerId)
-    require(df.columns.contains(partSourceCol(partCol)),
-      s"appendPartitioned: no column '${partSourceCol(partCol)}' " +
-        s"(partition spec '$partCol') in " + df.columns.mkString(","))
-    // a day()/month()/year() transform renders through date_format,
-    // which for a session-local TIMESTAMP depends on
-    // spark.sql.session.timeZone — a writer and reader in different
-    // zones would then disagree on which day a row belongs to and
-    // range pruning would silently drop rows (a review pass found
-    // this). Only zone-independent types may drive a transform spec:
-    // DATE and TIMESTAMP_NTZ render the same value in every session.
-    if (partCol != partSourceCol(partCol)) {
-      val srcType = df.schema(partSourceCol(partCol)).dataType
-      require(srcType == org.apache.spark.sql.types.DateType ||
-          srcType == org.apache.spark.sql.types.TimestampNTZType,
-        s"appendPartitioned: transform spec '$partCol' over a " +
-          s"${srcType.simpleString} column — day()/month()/year() " +
-          "require a DATE or TIMESTAMP_NTZ column (a session-local " +
-          "TIMESTAMP renders its partition value in the writer's time " +
-          "zone, so readers in other zones would prune wrong). Cast " +
-          "explicitly, or partition by an identity column.")
+    partSpecComponents(partCol).zip(partSourceCols(partCol)).foreach {
+      case (component, src) =>
+        require(df.columns.contains(src),
+          s"appendPartitioned: no column '$src' (partition spec " +
+            s"'$partCol') in " + df.columns.mkString(","))
+        // a day()/month()/year() transform renders through
+        // date_format, which for a session-local TIMESTAMP depends on
+        // spark.sql.session.timeZone — a writer and reader in
+        // different zones would then disagree on which day a row
+        // belongs to and range pruning would silently drop rows (a
+        // review pass found this). Only zone-independent types may
+        // drive a transform: DATE and TIMESTAMP_NTZ render the same
+        // value in every session.
+        if (component != src) {
+          val srcType = df.schema(src).dataType
+          require(srcType == org.apache.spark.sql.types.DateType ||
+              srcType == org.apache.spark.sql.types.TimestampNTZType,
+            s"appendPartitioned: transform '$component' over a " +
+              s"${srcType.simpleString} column — day()/month()/year() " +
+              "require a DATE or TIMESTAMP_NTZ column (a session-local " +
+              "TIMESTAMP renders its partition value in the writer's " +
+              "time zone, so readers in other zones would prune " +
+              "wrong). Cast explicitly, or partition by an identity " +
+              "column.")
+        }
     }
     require(!df.columns.contains(PartStageCol),
       s"appendPartitioned: input must not carry reserved column " +
@@ -2667,6 +2709,11 @@ object TableManifest {
   def readPartitionRange(spark: SparkSession, tableDir: String,
                          partCol: String, loValue: String,
                          hiValue: String): DataFrame = retryOnce {
+    require(partSpecComponents(partCol).length == 1,
+      s"readPartitionRange: spec '$partCol' has multiple components — " +
+        "a multi-column composite value is URL-encoded and not " +
+        "lexically ordered, so a range over it would prune wrong. Ask " +
+        "for exact values via readPartitions().")
     val head = resolveHead(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"TableManifest: no manifest at $tableDir — not a manifested " +

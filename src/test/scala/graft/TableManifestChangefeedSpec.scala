@@ -377,6 +377,50 @@ class TableManifestChangefeedSpec extends AnyFunSuite {
       .filter(col("ts") < "2026-08-11 00:00:00").isEmpty)
   }
 
+  test("multi-column partition specs commit one generation per value " +
+      "pair; exact-value pruning and drops compose; range reads refuse") {
+    import spark.implicits._
+    val tbl = tmpTable("pmulti")
+    def ev(ids: Range): DataFrame =
+      ids.map { i =>
+        (i.toLong, Seq("click", "view")(i % 2),
+          s"2026-08-${10 + i % 2} 03:15:00")
+      }.toDF("id", "kind", "s")
+        .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    TableManifest.publish(spark, tbl, ev(0 until 0).coalesce(1))
+    val parts = TableManifest.appendPartitioned(spark, tbl,
+      ev(0 until 40), "kind,day(ts)", Some(0L)).get
+    // click rows land on 08-10 (even ids), view rows on 08-11
+    assert(parts.keySet == Set("click/2026-08-10", "view/2026-08-11"))
+    val seedGens = TableManifest.currentGenerations(spark, tbl)
+      .filterNot(parts.values.toSet).toSet
+    // exact-value pruning: the click/08-10 generation + unvalued seed
+    val hit = TableManifest.readPartitions(spark, tbl, "kind,day(ts)",
+      Seq("click/2026-08-10"))
+    assert(genDirsOf(hit) ==
+      seedGens + parts("click/2026-08-10"),
+      s"opened ${genDirsOf(hit)}")
+    assert(hit.count() == 20)
+    // a range read over the composite refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TableManifest.readPartitionRange(spark, tbl, "kind,day(ts)",
+        "a", "z")
+    }
+    assert(e.getMessage.contains("multiple components"))
+    // dropping one (kind, day) pair is one metadata commit
+    val dropped = TableManifest.dropPartitions(spark, tbl,
+      "kind,day(ts)", Seq("view/2026-08-11")).get
+    assert(dropped == Seq(parts("view/2026-08-11")))
+    assert(TableManifest.read(spark, tbl).count() == 20)
+    assert(TableManifest.read(spark, tbl)
+      .filter(col("kind") === "view").isEmpty)
+    // the multi-column spec is pinned like any other
+    val e2 = intercept[IllegalArgumentException] {
+      TableManifest.appendPartitioned(spark, tbl, ev(40 until 44), "kind")
+    }
+    assert(e2.getMessage.contains("partitioned by"))
+  }
+
   // ------------------------------------------------------ type widening
 
   test("mappedRead widens int→long and float→double value-exactly " +
