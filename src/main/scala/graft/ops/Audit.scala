@@ -2246,6 +2246,174 @@ object Audit {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------- q262
+  /** q262 entry: MULTI-COLUMN (composite) hidden partitioning
+    * ([[graft.ops.TableManifest.appendPartitioned]] with an
+    * `event_type,day(ts)` field list + exact-value
+    * [[graft.ops.TableManifest.readPartitions]]) — Iceberg-style
+    * multi-field specs over the generation log: two ingest batches land
+    * one generation PER (type, day) PAIR with the URL-encoded composite
+    * recorded in the commit JSON, and an exact three-pair query opens
+    * ONLY those pairs' generations — the decision is one manifest
+    * parse, no listing, no footer. `pair_pruned` asserts the scan's
+    * generation inputs are exactly the asked pairs' generations (from
+    * BOTH batches) plus the unvalued seed; content checksums pin that
+    * pruning lost nothing against DuckDB recomputing the same pairs
+    * from the raw source. */
+  def q262MulticolPartition(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"${Relational.scratch}/q262_table"
+    val fs = new org.apache.hadoop.fs.Path(fixture)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .filter(col("event_id") < 6000 &&
+        col("ts").cast("date") <= lit("2024-01-04").cast("date"))
+    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
+    val spec = "event_type,day(ts)"
+    val a = TableManifest.appendPartitioned(spark, fixture,
+      ev.filter(col("event_id") < 3000), spec, Some(0L)).get
+    val b = TableManifest.appendPartitioned(spark, fixture,
+      ev.filter(col("event_id") >= 3000), spec, Some(1L)).get
+    val pairs = Seq("click/2024-01-01", "view/2024-01-02",
+      "signup/2024-01-04")
+    val seedGens = TableManifest.currentGenerations(spark, fixture)
+      .filterNot((a.values.toSet ++ b.values.toSet)).toSet
+    val hit = TableManifest.readPartitions(spark, fixture, spec, pairs)
+      // the partition columns are in the data — the row predicate
+      // applies on top, as for any pruned read
+      .filter(concat_ws("|", col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd")).isin(
+        pairs.map(_.replace('/', '|')): _*))
+    val expectGens = (a.toSeq ++ b.toSeq)
+      .collect { case (v, g) if pairs.contains(v) => g }.toSet ++ seedGens
+    val openedGens = hit.inputFiles.map { f =>
+      new java.net.URI(f).getPath.split("/").takeRight(2).head
+    }.filter(_.startsWith("_gen-")).toSet
+    val totalGens = TableManifest.currentGenerations(spark, fixture).size
+    val pairPruned = openedGens == expectGens &&
+      openedGens.size < totalGens
+    partitionChecksums(hit,
+      concat_ws("|", col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd")),
+      Seq(col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type")))
+      .select(col("part").as("pair"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(pairPruned).as("pair_pruned"))
+      .orderBy("pair")
+  }
+
+  // --------------------------------------------------------------- q263
+  /** q263 entry: the STREAMING changefeed applied end-to-end —
+    * `readStream.format("graft-manifest").option("changefeed", "true")`
+    * over a source driven through append + merge-on-read delta upsert +
+    * GDPR delete + post-delete re-add, with `foreachBatch` applying
+    * each op-coded version to a destination manifest table under the
+    * SOURCE VERSION as its batch id: exactly-once end to end with no
+    * state beyond the engine checkpoint and the destination's
+    * per-writer watermark, across TWO engine restarts and one idle
+    * restart (the stream delivers each version once; a replayed batch
+    * replay-skips at the destination). `stream_exact` pins the
+    * engine-side claims: destination content checksums equal the
+    * source's, and the idle restart commits nothing. Content: the
+    * destination's winner-per-user state, pinned by DuckDB recomputing
+    * the same delete-then-re-add state from raw (q257's relay oracle,
+    * reached through the STREAM instead of the batch poll). */
+  def q263ChangefeedStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"${Relational.scratch}/q263_src"
+    val dst = s"${Relational.scratch}/q263_dst"
+    val ckpt = s"${Relational.scratch}/q263_ckpt"
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(src, dst, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    def slice(lo: Long, hi: Long): DataFrame =
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+    TableManifest.publish(spark, src, ev.limit(0).coalesce(1))
+    TableManifest.publish(spark, dst, ev.limit(0).coalesce(1))
+    // apply each op-coded version with the matching manifest verb,
+    // the source version as the batch id (relayChanges' exactly-once
+    // discipline, driven through the STREAM)
+    val applyOps: (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
+      val s = batch.sparkSession
+      val vs = batch
+        .select(col(TableManifest.ChangeVersionCol),
+          col(TableManifest.ChangeOpCol))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      vs.foreach { case (v, op) =>
+        val rows = batch
+          .filter(col(TableManifest.ChangeVersionCol) === v)
+          .drop(TableManifest.ChangeVersionCol, TableManifest.ChangeOpCol)
+        op match {
+          case "insert" =>
+            TableManifest.append(s, dst, rows, Some(v), writerId = "cfs")
+          case "upsert" =>
+            TableManifest.upsertDelta(s, dst, rows, Seq("user_id"),
+              "ts", "event_id", 16, Some(v), writerId = "cfs")
+          case "delete" =>
+            TableManifest.deleteRows(s, dst,
+              rows.select("user_id").distinct(), Seq("user_id"),
+              Some(v), writerId = "cfs")
+          case other => throw new IllegalStateException(
+            s"q263: unknown change op '$other'")
+        }
+      }
+      ()
+    }
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("changefeed", "true").load(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(applyOps)
+        .start()
+      try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+      catch { case e: Throwable => q.stop(); throw e }
+    }
+    // window 1: a plain append, then a merge-on-read delta upsert
+    TableManifest.append(spark, src, slice(0, 3000), Some(0L))
+    TableManifest.upsertDelta(spark, src, slice(3000, 5000),
+      Seq("user_id"), "ts", "event_id", numBuckets = 16,
+      batchId = Some(1L))
+    runStream()
+    // window 2 (engine restart): a GDPR delete, then a re-adding upsert
+    TableManifest.deleteRows(spark, src,
+      slice(0, 5000).filter(pmod(col("user_id"), lit(7L)) === 0)
+        .select("user_id").distinct(),
+      Seq("user_id"), batchId = Some(2L))
+    TableManifest.upsertDelta(spark, src, slice(5000, 6000),
+      Seq("user_id"), "ts", "event_id", numBuckets = 16,
+      batchId = Some(3L))
+    runStream()
+    // idle restart: the checkpointed offset is at the head — nothing
+    // delivered, nothing committed
+    val dstHead = TableManifest.versions(spark, dst).last
+    runStream()
+    val idleExact = TableManifest.versions(spark, dst).last == dstHead
+    val srcSums = partitionChecksums(TableManifest.read(spark, src),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type"))).orderBy("part").collect()
+    val mirrored = partitionChecksums(TableManifest.read(spark, dst),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type"))).orderBy("part").collect()
+      .sameElements(srcSums)
+    partitionChecksums(TableManifest.read(spark, dst),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(idleExact && mirrored).as("stream_exact"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -2314,6 +2482,8 @@ object Audit {
     "q259_sql_dml" -> q259SqlDml _,
     "q260_type_widening" -> q260TypeWidening _,
     "q261_transform_partition" -> q261TransformPartition _,
+    "q262_multicol_partition" -> q262MulticolPartition _,
+    "q263_changefeed_stream" -> q263ChangefeedStream _,
     "q190_partition_advisor" -> q190PartitionAdvisor _,
     "q229_compaction_plan" -> q229CompactionPlan _,
     "q230_clustering_depth" -> q230ClusteringDepth _,
@@ -2817,6 +2987,46 @@ object Audit {
         |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
         |                           AND DATE '2024-01-02'
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    // q262: multi-column (composite) partitioning — the three asked
+    // (type, day) pairs recomputed from the raw source (a pruned-out
+    // pair fails grouping, a lost row fails counts/checksums); the
+    // engine's pair_pruned claim pins the generation-open set
+    "q262_multicol_partition" ->
+      """SELECT concat(event_type, '|',
+        |              strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS pair,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS pair_pruned
+        |FROM events
+        |WHERE event_id < 6000 AND CAST(ts AS DATE) <= DATE '2024-01-04'
+        |  AND ((event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-01')
+        |    OR (event_type = 'view' AND CAST(ts AS DATE) = DATE '2024-01-02')
+        |    OR (event_type = 'signup' AND CAST(ts AS DATE) = DATE '2024-01-04'))
+        |GROUP BY 1 ORDER BY pair""".stripMargin,
+    // q263: the streaming changefeed reaches the SAME final state as
+    // q257's batch relay (winner-per-user of the delete-then-re-add
+    // choreography) — recomputed from raw; stream_exact carries the
+    // engine's idle-restart + src≡dst equality claims
+    "q263_changefeed_stream" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_id < 6000
+        |    AND (user_id % 7 <> 0 OR event_id >= 5000)),
+        |w AS (SELECT user_id, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM base)
+        |SELECT CAST(user_id % 8 AS BIGINT) AS part, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |             CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+        |             event_type)), 1, 13)) AS BIGINT)
+        |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+        |       TRUE AS stream_exact
+        |FROM w WHERE rn = 1
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
