@@ -2020,16 +2020,21 @@ object Audit {
       TableManifest.versions(spark, dst).last == dstHead &&
       TableManifest.lastBatchId(spark, dst, "relay").contains(h2) &&
       h2 == TableManifest.versions(spark, src).last
-    // destination and source must resolve the SAME state
+    // destination and source must resolve the SAME state — the dst
+    // winner resolution runs ONCE (a review pass found the collected
+    // comparison pass and the returned frame re-running the identical
+    // aggregation back-to-back; the result builds from the collected
+    // rows instead)
     val srcSums = partitionChecksums(TableManifest.read(spark, src),
       pmod(col("user_id"), lit(8L)),
       Seq(col("user_id").cast("string"), col("event_id").cast("string"),
         col("event_type"))).orderBy("part").collect()
-    val mirrored = partitionChecksums(TableManifest.read(spark, dst),
+    val dstFrame = partitionChecksums(TableManifest.read(spark, dst),
       pmod(col("user_id"), lit(8L)),
       Seq(col("user_id").cast("string"), col("event_id").cast("string"),
-        col("event_type"))).orderBy("part").collect()
-      .sameElements(srcSums)
+        col("event_type"))).orderBy("part")
+    val dstRows = dstFrame.collect()
+    val mirrored = dstRows.sameElements(srcSums)
     val resyncLoud =
       try {
         TableManifest.rewrite(spark, src)(df => df.coalesce(2))
@@ -2038,10 +2043,8 @@ object Audit {
       } catch { case e: IllegalStateException =>
         e.getMessage.contains("REWRITTEN")
       }
-    partitionChecksums(TableManifest.read(spark, dst),
-      pmod(col("user_id"), lit(8L)),
-      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
-        col("event_type")))
+    spark.createDataFrame(java.util.Arrays.asList(dstRows: _*),
+        dstFrame.schema)
       .select(col("part"), col("n_rows"),
         col("checksum").cast("string").as("checksum"),
         lit(relayExact && mirrored).as("relay_exact"),
@@ -2395,19 +2398,21 @@ object Audit {
     val dstHead = TableManifest.versions(spark, dst).last
     runStream()
     val idleExact = TableManifest.versions(spark, dst).last == dstHead
+    // dst winner resolution runs ONCE: the comparison collects, and
+    // the returned frame builds from the collected rows (q263 is the
+    // surface's heaviest row — a review pass found the duplicate pass)
     val srcSums = partitionChecksums(TableManifest.read(spark, src),
       pmod(col("user_id"), lit(8L)),
       Seq(col("user_id").cast("string"), col("event_id").cast("string"),
         col("event_type"))).orderBy("part").collect()
-    val mirrored = partitionChecksums(TableManifest.read(spark, dst),
+    val dstFrame = partitionChecksums(TableManifest.read(spark, dst),
       pmod(col("user_id"), lit(8L)),
       Seq(col("user_id").cast("string"), col("event_id").cast("string"),
-        col("event_type"))).orderBy("part").collect()
-      .sameElements(srcSums)
-    partitionChecksums(TableManifest.read(spark, dst),
-      pmod(col("user_id"), lit(8L)),
-      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
-        col("event_type")))
+        col("event_type"))).orderBy("part")
+    val dstRows = dstFrame.collect()
+    val mirrored = dstRows.sameElements(srcSums)
+    spark.createDataFrame(java.util.Arrays.asList(dstRows: _*),
+        dstFrame.schema)
       .select(col("part"), col("n_rows"),
         col("checksum").cast("string").as("checksum"),
         lit(idleExact && mirrored).as("stream_exact"))

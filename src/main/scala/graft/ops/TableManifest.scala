@@ -2496,6 +2496,31 @@ object TableManifest {
       partComponentExpr(c), lit("__HIVE_DEFAULT_PARTITION__")))): _*)
   }
 
+  /** The recorded partition value for raw component values under
+    * `partSpec` — the PUBLIC encoder matching [[partValueExpr]]'s
+    * wire form, so an independent reader session can build the
+    * composite [[readPartitions]]/[[dropPartitions]] match against
+    * without ever having seen the writer's returned value map (a
+    * review pass found the trap: a multi-column value like
+    * `"New York"` records URL-encoded as `New+York`, and a reader
+    * passing the raw `"New York/2026-08-10"` composite silently
+    * matched nothing). Single-component specs record verbatim;
+    * multi-column specs URL-encode each component and '/'-join.
+    * Components are the VALUES (an identity column's string cast, a
+    * transform's ISO rendering); null takes Hive's default-partition
+    * sentinel. */
+  def partitionValue(partSpec: String, components: Seq[String]): String = {
+    val comps = partSpecComponents(partSpec)
+    require(components.length == comps.length,
+      s"partitionValue: spec '$partSpec' has ${comps.length} " +
+        s"component(s), got ${components.length} value(s)")
+    def enc(v: String): String =
+      java.net.URLEncoder.encode(
+        Option(v).getOrElse("__HIVE_DEFAULT_PARTITION__"), "UTF-8")
+    if (comps.length == 1) components.head
+    else components.map(enc).mkString("/")
+  }
+
   /** PARTITION-VALUE append (Iceberg partition-spec style, value tags
     * instead of key-hash tags): commit `df` as one generation PER
     * VALUE of `partCol`, with each generation's value recorded in the
@@ -3363,14 +3388,18 @@ object TableManifest {
     // the op/version stamps must never silently overwrite real data
     // columns (a multi-hop CDC audit table can legitimately carry a
     // captured _change_op) — refuse loudly, like every other reserved
-    // column in the engine
-    batches.headOption.foreach { b =>
+    // column in the engine. EVERY batch is checked, not just the
+    // first: a schema-evolving append can introduce the column
+    // mid-window (a review pass found the head-only check let later
+    // batches overwrite silently)
+    batches.foreach { b =>
       Seq(ChangeOpCol, ChangeVersionCol).foreach(c =>
         require(!b.rows.columns.contains(c),
-          s"tailChanges: table at $tableDir already carries reserved " +
-            s"column '$c' — consume per-batch via relayChanges(), or " +
-            "rename the column (enableColumnMapping/renameColumn) " +
-            "before tailing as one frame"))
+          s"tailChanges: version ${b.version} at $tableDir carries " +
+            s"reserved column '$c' — consume per-batch via " +
+            "relayChanges(), or rename the column " +
+            "(enableColumnMapping/renameColumn) before tailing as " +
+            "one frame"))
     }
     val seed = read(spark, tableDir).limit(0)
       .withColumn(ChangeOpCol, lit(""))

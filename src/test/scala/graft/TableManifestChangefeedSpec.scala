@@ -421,6 +421,36 @@ class TableManifestChangefeedSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partitioned by"))
   }
 
+  test("partitionValue encodes raw components exactly as the writer " +
+      "records them — a reader session needs no writer-returned map") {
+    import spark.implicits._
+    val tbl = tmpTable("pmenc")
+    // a value with a space AND one with a '/' — the encoding traps
+    val df = Seq((1L, "New York", "a"), (2L, "us/east", "b"),
+        (3L, "plain", "c"))
+      .toDF("id", "city", "tag")
+    TableManifest.publish(spark, tbl, df.limit(0).coalesce(1))
+    val parts = TableManifest.appendPartitioned(spark, tbl, df,
+      "city,tag").get
+    // the public encoder reproduces every recorded composite
+    assert(parts.keySet == Set(
+      TableManifest.partitionValue("city,tag", Seq("New York", "a")),
+      TableManifest.partitionValue("city,tag", Seq("us/east", "b")),
+      TableManifest.partitionValue("city,tag", Seq("plain", "c"))))
+    // and an exact-value read through it returns exactly the row —
+    // including the '/'-carrying value, which CANNOT fake a component
+    // boundary (it encodes as %2F)
+    val hit = TableManifest.readPartitions(spark, tbl, "city,tag",
+      Seq(TableManifest.partitionValue("city,tag", Seq("us/east", "b"))))
+      .filter(col("city") === "us/east")
+    assert(hit.select("id").as[Long].collect().sameElements(Array(2L)))
+    // arity is checked loudly
+    val e = intercept[IllegalArgumentException] {
+      TableManifest.partitionValue("city,tag", Seq("only-one"))
+    }
+    assert(e.getMessage.contains("component"))
+  }
+
   // ------------------------------------------------------ type widening
 
   test("mappedRead widens int→long and float→double value-exactly " +
@@ -632,6 +662,22 @@ class TableManifestChangefeedSpec extends AnyFunSuite {
       TableManifest.tailChanges(spark, tbl, v1)
     }
     assert(e.getMessage.contains("reserved column"))
+    // …and the guard covers EVERY batch in the window, not just the
+    // first: a schema-evolving append introducing the column
+    // mid-window must refuse the same way (a review pass found the
+    // head-only check let later batches overwrite silently)
+    val tbl2 = tmpTable("reserved2")
+    TableManifest.publish(spark, tbl2,
+      Seq((0L, "t")).toDF("id", "tag").limit(0))
+    val v0 = TableManifest.versions(spark, tbl2).last
+    TableManifest.append(spark, tbl2, Seq((1L, "a")).toDF("id", "tag"))
+    TableManifest.append(spark, tbl2,
+      Seq((2L, "b", "captured")).toDF("id", "tag",
+        TableManifest.ChangeOpCol))
+    val e2 = intercept[IllegalArgumentException] {
+      TableManifest.tailChanges(spark, tbl2, v0)
+    }
+    assert(e2.getMessage.contains("reserved column"))
   }
 
   test("retention barrier is monotonic under competing publications " +
