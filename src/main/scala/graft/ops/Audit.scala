@@ -2338,42 +2338,16 @@ object Audit {
       ev.filter(col("event_id") >= lo && col("event_id") < hi)
     TableManifest.publish(spark, src, ev.limit(0).coalesce(1))
     TableManifest.publish(spark, dst, ev.limit(0).coalesce(1))
-    // apply each op-coded version with the matching manifest verb,
-    // the source version as the batch id (relayChanges' exactly-once
-    // discipline, driven through the STREAM)
-    val applyOps: (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
-      val s = batch.sparkSession
-      val vs = batch
-        .select(col(TableManifest.ChangeVersionCol),
-          col(TableManifest.ChangeOpCol))
-        .distinct().collect()
-        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      vs.foreach { case (v, op) =>
-        val rows = batch
-          .filter(col(TableManifest.ChangeVersionCol) === v)
-          .drop(TableManifest.ChangeVersionCol, TableManifest.ChangeOpCol)
-        op match {
-          case "insert" =>
-            TableManifest.append(s, dst, rows, Some(v), writerId = "cfs")
-          case "upsert" =>
-            TableManifest.upsertDelta(s, dst, rows, Seq("user_id"),
-              "ts", "event_id", 16, Some(v), writerId = "cfs")
-          case "delete" =>
-            TableManifest.deleteRows(s, dst,
-              rows.select("user_id").distinct(), Seq("user_id"),
-              Some(v), writerId = "cfs")
-          case other => throw new IllegalStateException(
-            s"q263: unknown change op '$other'")
-        }
-      }
-      ()
-    }
     def runStream(): Unit = {
       val q = spark.readStream.format("graft-manifest")
         .option("changefeed", "true").load(src)
         .writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch(applyOps)
+        // the engine's own sink verb: each op-coded version applied
+        // with the matching manifest verb under the source version as
+        // batch id — relayChanges' exactly-once, through the STREAM
+        .foreachBatch(TableManifest.changefeedSink(dst,
+          Seq("user_id"), "ts", "event_id", numBuckets = 16))
         .start()
       try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
       catch { case e: Throwable => q.stop(); throw e }

@@ -3412,6 +3412,53 @@ object TableManifest {
     }
   }
 
+  /** The CHANGEFEED-mode streaming source's matching SINK: a
+    * `foreachBatch` function applying each op-coded version of the
+    * micro-batch to `dstDir` with the matching manifest verb — inserts
+    * [[append]], upserts the history-preserving [[upsertDelta]] under
+    * (`keys`, `tsCol`, `tieCol`), deletes [[deleteRows]] over the key
+    * columns — each committed under the SOURCE VERSION as its batch
+    * id, so the whole pipeline
+    * `readStream.format("graft-manifest").option("changefeed","true")
+    * → foreachBatch(changefeedSink(dst, …))` is exactly-once end to
+    * end with no state beyond the engine checkpoint and the
+    * destination's per-writer watermark: a crashed batch replays and
+    * every already-applied version replay-skips. Versions apply in
+    * commit order within the batch. This is [[relayChanges]] driven
+    * through Structured Streaming instead of a poll loop (q263 pins
+    * the whole pipeline against the DuckDB oracle). ONE sink per
+    * (destination, writerId). */
+  def changefeedSink(dstDir: String, keys: Seq[String], tsCol: String,
+                     tieCol: String, numBuckets: Int = 16,
+                     writerId: String = "cfs")
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      import org.apache.spark.sql.functions.col
+      val s = batch.sparkSession
+      val vs = batch
+        .select(col(ChangeVersionCol), col(ChangeOpCol))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      vs.foreach { case (v, op) =>
+        val rows = batch.filter(col(ChangeVersionCol) === v)
+          .drop(ChangeVersionCol, ChangeOpCol)
+        op match {
+          case "insert" =>
+            append(s, dstDir, rows, Some(v), writerId = writerId)
+          case "upsert" =>
+            upsertDelta(s, dstDir, rows, keys, tsCol, tieCol,
+              numBuckets, Some(v), writerId = writerId)
+          case "delete" =>
+            deleteRows(s, dstDir,
+              rows.select(keys.map(col): _*).distinct(), keys,
+              Some(v), writerId = writerId)
+          case other => throw new IllegalStateException(
+            s"changefeedSink: unknown change op '$other' — corrupt feed?")
+        }
+      }
+      ()
+    }
+
   /** One CHANGEFEED-relay poll — [[relayOnce]] for sources that mutate:
     * deliver every source version committed after the cursor into
     * `dstDir` as the operation it was — inserts [[append]], upserts
