@@ -2393,6 +2393,76 @@ object Audit {
       .orderBy("part")
   }
 
+  /** q263's bench fixture: the fully-mutated SOURCE table (append +
+    * delta upsert + delete + re-add across four versions) built once
+    * per JVM as a template — the bench form then times the streaming
+    * OPERATOR (a catch-up lifecycle applying all four op-coded
+    * versions + an idle restart), not the six Spark writes that build
+    * the source (the q233/q239 benchForm discipline). */
+  private def q263Fixture(spark: SparkSession, dir: String,
+                          tpl: String): Unit = {
+    // the template DIRECTORY outlives the per-JVM template map — a
+    // fresh JVM's rebuild must start clean, not replay its commits
+    // against the previous JVM's table (watermark regression)
+    val p = new org.apache.hadoop.fs.Path(tpl)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    def slice(lo: Long, hi: Long): DataFrame =
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+    TableManifest.publish(spark, tpl, ev.limit(0).coalesce(1))
+    TableManifest.append(spark, tpl, slice(0, 3000), Some(0L))
+    TableManifest.upsertDelta(spark, tpl, slice(3000, 5000),
+      Seq("user_id"), "ts", "event_id", numBuckets = 16,
+      batchId = Some(1L))
+    TableManifest.deleteRows(spark, tpl,
+      slice(0, 5000).filter(pmod(col("user_id"), lit(7L)) === 0)
+        .select("user_id").distinct(),
+      Seq("user_id"), batchId = Some(2L))
+    TableManifest.upsertDelta(spark, tpl, slice(5000, 6000),
+      Seq("user_id"), "ts", "event_id", numBuckets = 16,
+      batchId = Some(3L))
+  }
+
+  /** The timed operator for q263's bench form: fresh destination +
+    * checkpoint, ONE catch-up stream lifecycle consuming the source's
+    * four op-coded versions through [[graft.ops.TableManifest.changefeedSink]],
+    * one idle restart, then the destination checksum readout. */
+  private def q263Cycle(spark: SparkSession, src: String): DataFrame = {
+    val dst = s"${Relational.scratch}/q263_bench_dst"
+    val ckpt = s"${Relational.scratch}/q263_bench_ckpt"
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(dst, ckpt).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    TableManifest.publish(spark, dst,
+      TableManifest.read(spark, src).limit(0).coalesce(1))
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("changefeed", "true").load(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(TableManifest.changefeedSink(dst,
+          Seq("user_id"), "ts", "event_id", numBuckets = 16))
+        .start()
+      try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+      catch { case e: Throwable => q.stop(); throw e }
+    }
+    runStream() // catch-up: all four versions in one lifecycle
+    val dstHead = TableManifest.versions(spark, dst).last
+    runStream() // idle restart
+    val idleExact = TableManifest.versions(spark, dst).last == dstHead
+    partitionChecksums(TableManifest.read(spark, dst),
+      pmod(col("user_id"), lit(8L)),
+      Seq(col("user_id").cast("string"), col("event_id").cast("string"),
+        col("event_type")))
+      .select(col("part"), col("n_rows"),
+        col("checksum").cast("string").as("checksum"),
+        lit(idleExact).as("stream_exact"))
+      .orderBy("part")
+  }
+
   // ------------------------------------------------------- bench forms
   /** Once-per-JVM fixture templates for the maintenance-cycle bench
     * forms: the registered q233/q238/q239/q240 forms WRITE their fixture
@@ -2433,7 +2503,9 @@ object Audit {
     "q239_footer_recluster_worst" -> ((s: SparkSession, dir: String) =>
       q239Cycle(s, benchFixture(s, "q239", dir)(q239Fixture(s, dir, _)))),
     "q240_optimize_table" -> ((s: SparkSession, dir: String) =>
-      q240Cycle(s, benchFixture(s, "q240", dir)(q240Fixture(s, dir, _)))))
+      q240Cycle(s, benchFixture(s, "q240", dir)(q240Fixture(s, dir, _)))),
+    "q263_changefeed_stream" -> ((s: SparkSession, dir: String) =>
+      q263Cycle(s, benchFixture(s, "q263", dir)(q263Fixture(s, dir, _)))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,
