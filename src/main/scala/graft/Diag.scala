@@ -15,6 +15,7 @@ object Diag {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    @volatile var epoch = System.nanoTime()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -24,13 +25,17 @@ object Diag {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val (t0, desc) = starts.getOrDefault(je.jobId, (0L, "?"))
-        val ms = (System.nanoTime() - t0) / 1e6
-        println(f"JOB ${je.jobId}%4d ${ms}%8.1f ms  $desc")
+        val now = System.nanoTime()
+        val ms = (now - t0) / 1e6
+        val off0 = (t0 - epoch) / 1e6
+        val d = desc.replaceAll("\\s+", " ").take(90)
+        println(f"JOB ${je.jobId}%4d start+${off0}%8.0f dur ${ms}%7.1f ms  $d")
       }
     })
     val form = SparkEntry.benchForm.getOrElse(target, SparkEntry.queries(target))
     (1 to 2).foreach { i =>
       println(s"===== RUN $i $target")
+      epoch = System.nanoTime()
       val t0 = System.nanoTime()
       form(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -758,6 +758,38 @@ object TableManifest {
   private val RowSeqCol = "__graft_row_seq"
   private val DelSeqCol = "__graft_del_seq"
 
+  /** The scan over `gens`: when every generation carries a manifest
+    * inventory, the relation is built DIRECTLY from the recorded file
+    * paths and sizes ([[org.apache.spark.sql.graft.ManifestScanShim]])
+    * — the manifest, not the filesystem, is the source of truth for
+    * what a version contains, so scan planning performs zero listing
+    * or stat calls (at 30+ paths Spark's directory read otherwise
+    * launches a ~100 ms parallel-listing JOB per read; at object-store
+    * scale a LIST round-trip per generation). The read schema comes
+    * from ONE footer (the inventory's first file — the same
+    * single-footer semantics as a `mergeSchema=false` directory read,
+    * which also adopts one unspecified file's schema). Generations
+    * predating inventories, and `mergeSchema=true` reads (which must
+    * union EVERY footer), fall back to the directory read and pay the
+    * listing. Committed generation dirs are FLAT by construction
+    * (staging partition columns are lifted out before the rename), so
+    * the recorded inventory and a directory walk see the same files. */
+  private def scanGens(spark: SparkSession, tableDir: String,
+                       snap: Snapshot, gens: Seq[String],
+                       mergeSchema: Boolean = false): DataFrame = {
+    if (!mergeSchema && gens.forall(snap.meta.contains)) {
+      val files = gens.flatMap(g => snap.meta(g).files.map(fm =>
+        (s"$tableDir/$g/${fm.name}", fm.size)))
+      if (files.nonEmpty) {
+        val schema = spark.read.parquet(files.head._1).schema
+        return org.apache.spark.sql.graft.ManifestScanShim
+          .parquetScan(spark, tableDir, files, schema)
+      }
+    }
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(gens.map(g => s"$tableDir/$g"): _*)
+  }
+
   /** Resolve content over `gens` (a subset of the snapshot's DATA
     * generations — callers prune by bucket or partition value first):
     *   1. union the generation scans (one multi-path scan — per-row
@@ -784,8 +816,7 @@ object TableManifest {
     snap.columns.foreach { mapping =>
       return mappedRead(spark, tableDir, snap, gens, mapping)
     }
-    val raw = spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(gens.map(g => s"$tableDir/$g"): _*)
+    val raw = scanGens(spark, tableDir, snap, gens, mergeSchema)
     val afterDelete = applyDelete(spark, tableDir, snap, raw)
     snap.merge match {
       case Some(m) =>
@@ -808,7 +839,7 @@ object TableManifest {
         "delete rule in the manifest — corrupt log?"))
     def seqExpr = regexp_extract(col("_metadata.file_path"),
       "_gen-(\\d+)-", 1).cast("long")
-    val t = spark.read.parquet(tombs.map(g => s"$tableDir/$g"): _*)
+    val t = scanGens(spark, tableDir, snap, tombs)
       .withColumn(DelSeqCol, seqExpr)
       .groupBy(spec.keys.map(col): _*)
       .agg(max(DelSeqCol).as(DelSeqCol))
@@ -848,7 +879,7 @@ object TableManifest {
     // pass one: bind each generation's physical columns to ids and
     // gather the physical type per id (from the already-open footers)
     val boundScans = gens.map { g =>
-      val scan = spark.read.parquet(s"$tableDir/$g")
+      val scan = scanGens(spark, tableDir, snap, Seq(g))
       val bound: Seq[(Int, String)] =
         snap.meta.get(g).map(_.cols).filter(_.nonEmpty).getOrElse(
           // legacy generation: bind by current name (identity)
@@ -1921,8 +1952,7 @@ object TableManifest {
           try {
             val cur =
               if (readGens.isEmpty) batch.toDF().limit(0) // schema only
-              else spark.read.parquet(
-                readGens.map(g => s"$tableDir/$g"): _*)
+              else scanGens(spark, tableDir, snap, readGens)
             val merged = Temporal.latestSnapshot(
               cur.unionByName(batch.toDF()), keyCols, tsCol, tieCol)
             merged.withColumn(BucketCol, bucketExpr)
@@ -2371,8 +2401,7 @@ object TableManifest {
         s"._stage-fold-${java.util.UUID.randomUUID.toString.take(8)}")
       val staged: Option[Seq[(String, GenMeta)]] =
         try {
-          val cur = spark.read.parquet(
-            readGens.map(g => s"$tableDir/$g"): _*)
+          val cur = scanGens(spark, tableDir, snap, readGens)
           Temporal.latestSnapshot(cur, spec.keys, spec.ts, spec.tie)
             .withColumn(BucketCol,
               pmod(xxhash64(spec.keys.map(col): _*), lit(n.toLong))
@@ -2810,8 +2839,7 @@ object TableManifest {
         // one probe scan over ONLY the unvalued generations, filter
         // pushed: rows of the dropped values there are invisible to a
         // metadata drop — refuse loudly instead of leaving them live
-        val probe = spark.read.parquet(
-          unvalued.map(g => s"$tableDir/$g"): _*)
+        val probe = scanGens(spark, tableDir, snap, unvalued)
         val hit = !probe
           .filter(partValueExpr(partCol).isin(values: _*))
           .isEmpty
@@ -3208,7 +3236,7 @@ object TableManifest {
             "vacuumed — an incremental diff can no longer reproduce " +
             "the range. Resync: re-read the table via read() and " +
             "continue from the current head version.")
-      spark.read.parquet(newGens.map(g => s"$tableDir/$g"): _*)
+      scanGens(spark, tableDir, head.snap, newGens)
     }
   }
 
@@ -3339,14 +3367,12 @@ object TableManifest {
           s"TableManifest: tombstone generations at $tableDir version " +
             s"$v with no delete rule in the manifest — corrupt log?"))
         batches += ChangeBatch(v, "delete",
-          spark.read.parquet(
-            requirePresent(tomb).map(g => s"$tableDir/$g"): _*),
+          scanGens(spark, tableDir, cur, requirePresent(tomb)),
           spec.keys, None, None)
       } else if (data.nonEmpty) {
         val op = if (cur.merge.isDefined) "upsert" else "insert"
         batches += ChangeBatch(v, op,
-          spark.read.parquet(
-            requirePresent(data).map(g => s"$tableDir/$g"): _*),
+          scanGens(spark, tableDir, cur, requirePresent(data)),
           cur.merge.map(_.keys).getOrElse(Seq.empty),
           cur.merge, cur.buckets)
       } // else: watermark-only / metadata-only version — no batch
