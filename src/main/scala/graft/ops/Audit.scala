@@ -2012,13 +2012,31 @@ object Audit {
     * resurrection of the dropped values fails the checksums. */
   def q255ColumnMapping(spark: SparkSession, dir: String): DataFrame = {
     val fixture = s"${Relational.scratch}/q255_table"
-    val fs = new org.apache.hadoop.fs.Path(fixture)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    q255Fixture(spark, dir, fixture)
+    q255Cycle(spark, dir, fixture)
+  }
+
+  /** q255's fixture: the pre-mapping published table (the even
+    * orderkeys) — built once per JVM as a bench template; the mapping
+    * lifecycle mutates, so each timed pass runs on a filesystem copy
+    * (the q233/q239 benchFixture discipline). */
+  private def q255Fixture(spark: SparkSession, dir: String,
+                          tpl: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tpl)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     val o = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    TableManifest.publish(spark, fixture,
+    TableManifest.publish(spark, tpl,
       o.filter(pmod(col("o_orderkey"), lit(2L)) === 0))
+  }
+
+  /** q255's timed operator: the mapping enable, the metadata-only
+    * rename and drop, the post-mapping append, and the mapped read
+    * with its checksum readout. */
+  private def q255Cycle(spark: SparkSession, dir: String,
+                        fixture: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val gens0 = TableManifest.currentGenerations(spark, fixture)
     TableManifest.enableColumnMapping(spark, fixture)
     TableManifest.renameColumn(spark, fixture, "o_orderdate", "order_date")
@@ -2260,17 +2278,31 @@ object Audit {
     * DuckDB from the raw source. */
   def q258PartitionDrop(spark: SparkSession, dir: String): DataFrame = {
     val fixture = s"${Relational.scratch}/q258_table"
-    val fs = new org.apache.hadoop.fs.Path(fixture)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    q258Fixture(spark, dir, fixture)
+    q258Cycle(spark, fixture)
+  }
+
+  /** q258's fixture: the partition-valued table (q252's shape) — built
+    * once per JVM as a bench template; the drop mutates, so each timed
+    * pass runs on a filesystem copy. */
+  private def q258Fixture(spark: SparkSession, dir: String,
+                          tpl: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tpl)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     val ev = t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"))
-    TableManifest.publish(spark, fixture, ev.limit(0).coalesce(1))
-    TableManifest.appendPartitioned(spark, fixture,
+    TableManifest.publish(spark, tpl, ev.limit(0).coalesce(1))
+    TableManifest.appendPartitioned(spark, tpl,
       ev.filter(col("event_id") < 3000), "event_type", Some(0L))
-    TableManifest.appendPartitioned(spark, fixture,
+    TableManifest.appendPartitioned(spark, tpl,
       ev.filter(col("event_id") >= 3000 && col("event_id") < 6000),
       "event_type", Some(1L))
+  }
+
+  /** q258's timed operator: the metadata-only drop with its
+    * generation/time-travel/loud-tail witnesses and the survivor
+    * checksum readout. */
+  private def q258Cycle(spark: SparkSession, fixture: String): DataFrame = {
     val preVersion = TableManifest.versions(spark, fixture).last
     val preGens = TableManifest.currentGenerations(spark, fixture).toSet
     val preCount = TableManifest.read(spark, fixture).count()
@@ -2374,15 +2406,32 @@ object Audit {
     * the checksums pin bit-exact value preservation across the widening. */
   def q260TypeWidening(spark: SparkSession, dir: String): DataFrame = {
     val fixture = s"${Relational.scratch}/q260_table"
-    val fs = new org.apache.hadoop.fs.Path(fixture)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(fixture), true)
+    q260Fixture(spark, dir, fixture)
+    q260Cycle(spark, dir, fixture)
+  }
+
+  /** q260's fixture: the narrow-typed published table (int customer
+    * key, float price) — built once per JVM as a bench template; the
+    * widening lifecycle mutates (mapping enable + wide append), so
+    * each timed pass runs on a filesystem copy. */
+  private def q260Fixture(spark: SparkSession, dir: String,
+                          tpl: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tpl)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     val o = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    TableManifest.publish(spark, fixture,
+    TableManifest.publish(spark, tpl,
       o.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_custkey", col("o_custkey").cast("int"))
         .withColumn("o_totalprice", col("o_totalprice").cast("float")))
+  }
+
+  /** q260's timed operator: the mapping enable, the wide append, and
+    * the widened read with its schema witness and checksum readout. */
+  private def q260Cycle(spark: SparkSession, dir: String,
+                        fixture: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     TableManifest.enableColumnMapping(spark, fixture)
     TableManifest.append(spark, fixture,
       o.filter(col("o_orderkey") % 2 =!= 0))
@@ -2771,7 +2820,14 @@ object Audit {
     "q261_transform_partition" -> ((s: SparkSession, dir: String) =>
       q261Cycle(s, benchTemplate(s, "q261", dir)(q261Fixture(s, dir, _)))),
     "q262_multicol_partition" -> ((s: SparkSession, dir: String) =>
-      q262Cycle(s, benchTemplate(s, "q262", dir)(q262Fixture(s, dir, _)))))
+      q262Cycle(s, benchTemplate(s, "q262", dir)(q262Fixture(s, dir, _)))),
+    // mutating lifecycles over a published base: per-pass template copy
+    "q255_column_mapping" -> ((s: SparkSession, dir: String) =>
+      q255Cycle(s, dir, benchFixture(s, "q255", dir)(q255Fixture(s, dir, _)))),
+    "q258_partition_drop" -> ((s: SparkSession, dir: String) =>
+      q258Cycle(s, benchFixture(s, "q258", dir)(q258Fixture(s, dir, _)))),
+    "q260_type_widening" -> ((s: SparkSession, dir: String) =>
+      q260Cycle(s, dir, benchFixture(s, "q260", dir)(q260Fixture(s, dir, _)))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_partition_checksums" -> q201PartitionChecksums _,
