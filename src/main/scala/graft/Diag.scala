@@ -31,6 +31,11 @@ object Diag {
         val d = desc.replaceAll("\\s+", " ").take(90)
         println(f"JOB ${je.jobId}%4d start+${off0}%8.0f dur ${ms}%7.1f ms  $d")
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        println(f"  STAGE ${i.stageId}%4d ${i.numTasks}%3d tasks  ${i.name.take(100)}")
+      }
     })
     val form = SparkEntry.benchForm.getOrElse(target, SparkEntry.queries(target))
     (1 to 2).foreach { i =>
