@@ -155,12 +155,19 @@ object TableManifest {
 
   /** A generation's manifest-recorded inventory: the stats column its
     * ranges were computed on (None = names+sizes only), one
-    * [[FileMeta]] per data file, and — while a [[ColumnMapping]] is
+    * [[FileMeta]] per data file, — while a [[ColumnMapping]] is
     * active — the `(column id, physical name)` binding at the
-    * generation's write time. */
+    * generation's write time, and the generation's READ SCHEMA
+    * (`StructType.json`, captured at commit time from the same
+    * single-footer `spark.read.parquet` resolution the scan itself
+    * would otherwise perform) — so scan CONSTRUCTION needs zero
+    * filesystem calls at all: files and sizes from the inventory,
+    * schema from the manifest. None on pre-schema manifests (the scan
+    * then pays its one footer read, exactly the old behavior). */
   private[graft] case class GenMeta(statsCol: Option[String],
                                     files: Seq[FileMeta],
-                                    cols: Seq[(Int, String)] = Seq.empty)
+                                    cols: Seq[(Int, String)] = Seq.empty,
+                                    schemaJson: Option[String] = None)
 
   /** The MERGE-ON-READ resolution rule a snapshot carries while any
     * DELTA generation is live ([[upsertBucketedDelta]]): readers
@@ -361,7 +368,11 @@ object TableManifest {
                 }
                 FileMeta(n, size, range._1, range._2)
             }
-            Some(g -> GenMeta(col, files, idCols(gm \ "cols")))
+            val schema = (gm \ "schema") match {
+              case JString(s) => Some(s)
+              case _ => None
+            }
+            Some(g -> GenMeta(col, files, idCols(gm \ "cols"), schema))
           case _ => None
         }
       }.toMap
@@ -466,8 +477,10 @@ object TableManifest {
           val col = gm.statsCol
             .map(c => s""""col":${graft.JsonEscape.str(c)},""").getOrElse("")
           val bound =
-            if (gm.cols.isEmpty) ""
-            else s""""cols":${idCols(gm.cols)},"""
+            (if (gm.cols.isEmpty) ""
+             else s""""cols":${idCols(gm.cols)},""") +
+            gm.schemaJson.map(s =>
+              s""""schema":${graft.JsonEscape.str(s)},""").getOrElse("")
           val files = gm.files.map { f =>
             val range = (f.lo, f.hi) match {
               case (Some(l), Some(h)) => s",$l,$h"
@@ -781,7 +794,15 @@ object TableManifest {
       val files = gens.flatMap(g => snap.meta(g).files.map(fm =>
         (s"$tableDir/$g/${fm.name}", fm.size)))
       if (files.nonEmpty) {
-        val schema = spark.read.parquet(files.head._1).schema
+        // schema: the first non-empty generation's manifest-recorded
+        // read schema (captured at commit from the same single-footer
+        // resolution this fallback runs) — ZERO filesystem calls on
+        // the recorded path; pre-schema manifests pay the one footer
+        val schema = gens.find(g => snap.meta(g).files.nonEmpty)
+          .flatMap(g => snap.meta(g).schemaJson)
+          .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(spark.read.parquet(files.head._1).schema)
         return org.apache.spark.sql.graft.ManifestScanShim
           .parquetScan(spark, tableDir, files, schema)
       }
@@ -1010,13 +1031,25 @@ object TableManifest {
     * layout tier's range audits. */
   private def collectGenMeta(spark: SparkSession, tableDir: String,
                              gen: String,
-                             statsCol: Option[String]): GenMeta = {
+                             statsCol: Option[String],
+                             schemaJson: Option[String] = None): GenMeta = {
     val files = dataFiles(fsOf(spark, tableDir), s"$tableDir/$gen")
       .sortBy(_.getPath.getName)
+    // the generation's read schema, captured ONCE at commit: single-
+    // generation writers pass [[writtenSchemaJson]] of the frame they
+    // just wrote (zero IO — verified byte-identical to the footer
+    // inference), staged multi-generation commits pass the first
+    // generation's value for the rest (one footer for the whole
+    // commit); absent both, ONE footer read via the exact resolution
+    // a scan would otherwise run per read. Scan construction then
+    // needs no filesystem call at all
+    val sj = schemaJson.orElse(files.headOption.map(f =>
+      spark.read.parquet(f.getPath.toString).schema.json))
     statsCol match {
       case None =>
         GenMeta(None,
-          files.map(f => FileMeta(f.getPath.getName, f.getLen, None, None)))
+          files.map(f => FileMeta(f.getPath.getName, f.getLen, None, None)),
+          schemaJson = sj)
       case Some(c) =>
         import org.apache.spark.sql.functions.{max, min}
         val ranges = Layout.parquetColumnStatsImpl(
@@ -1035,8 +1068,31 @@ object TableManifest {
         GenMeta(Some(c), files.map { f =>
           val r = ranges.get(f.getPath.getName)
           FileMeta(f.getPath.getName, f.getLen, r.map(_._1), r.map(_._2))
-        })
+        }, schemaJson = sj)
     }
+  }
+
+  /** The schema `spark.read.parquet` will infer back from files just
+    * written from a frame with this schema: the written schema with
+    * nullability forced at every nesting level (Spark's file-relation
+    * normalization — files can always be missing values). Verified
+    * byte-identical to the footer inference over every engine type
+    * (TableManifestSpec pins the recorded-vs-inferred identity), so
+    * single-generation commits can record their read schema with ZERO
+    * additional IO. */
+  private[graft] def writtenSchemaJson(
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def nullable(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(nullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(nullable(m.keyType),
+        nullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    nullable(schema).json
   }
 
   /** The stats column NEW generations of this table should record —
@@ -1064,8 +1120,8 @@ object TableManifest {
     * cost — the test seam for the zero-listing contract (a generation
     * with manifest-recorded [[GenMeta]] is never listed; only legacy
     * generations fall back, pooled). */
-  private[graft] case class PruneInfo(files: Seq[String], total: Int,
-                                      listings: Int)
+  private[graft] case class PruneInfo(files: Seq[(String, Long)],
+                                      total: Int, listings: Int)
 
   /** The data-file paths a `[lo, hi]` range on the declared stats
     * column needs, plus the head's total file count — the pruning
@@ -1078,7 +1134,7 @@ object TableManifest {
                                  statsCol: String, lo: Double,
                                  hi: Double): (Seq[String], Int) = {
     val info = prunedFilesInfo(spark, tableDir, statsCol, lo, hi)
-    (info.files, info.total)
+    (info.files.map(_._1), info.total)
   }
 
   private[graft] def prunedFilesInfo(spark: SparkSession, tableDir: String,
@@ -1102,7 +1158,7 @@ object TableManifest {
   private[graft] def prunedFilesInfo(spark: SparkSession, tableDir: String,
                                      snap: Snapshot, statsCol: String,
                                      lo: Double, hi: Double): PruneInfo = {
-    val selected = Seq.newBuilder[String]
+    val selected = Seq.newBuilder[(String, Long)]
     var total = 0
     var listings = 0
     // DATA generations only: tombstones are key rows in another schema
@@ -1121,7 +1177,7 @@ object TableManifest {
             case (Some(flo), Some(fhi)) => fhi >= lo && flo <= hi
             case _ => true // unknown range: conservative
           }
-        if (keep) selected += s"$tableDir/$g/${fm.name}"
+        if (keep) selected += ((s"$tableDir/$g/${fm.name}", fm.size))
       }
     }
     if (legacy.nonEmpty) {
@@ -1131,7 +1187,7 @@ object TableManifest {
       // them, so every file is conservatively included
       val fs = fsOf(spark, tableDir)
       val results =
-        new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+        new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, Long)]]()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, legacy.size))
       try {
@@ -1139,7 +1195,7 @@ object TableManifest {
           pool.submit(new Runnable {
             override def run(): Unit =
               results.add(dataFiles(fs, s"$tableDir/$g")
-                .map(f => f.getPath.toString))
+                .map(f => (f.getPath.toString, f.getLen)))
           })
         }.foreach(_.get())
       } finally pool.shutdown()
@@ -1197,10 +1253,29 @@ object TableManifest {
       val files =
         prunedFilesInfo(spark, tableDir, snap, statsCol, lo, hi).files
       if (files.isEmpty) read(spark, tableDir).limit(0) // schema only
-      else
+      else {
+        // plan the pruned selection through the inventory shim too —
+        // paths AND sizes come from the manifest (legacy generations'
+        // from the pooled listing that just ran), so the pruned read
+        // performs zero additional filesystem metadata calls, exactly
+        // like the full read; the schema is the first selected file's
+        // generation's recorded schema (its parent dir name IS the
+        // generation), one footer read on pre-schema manifests
+        val firstGen = {
+          val p = files.head._1
+          val parentEnd = p.lastIndexOf('/')
+          p.substring(p.lastIndexOf('/', parentEnd - 1) + 1, parentEnd)
+        }
+        val schema = snap.meta.get(firstGen).flatMap(_.schemaJson)
+          .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(spark.read.parquet(files.head._1).schema)
+        val scan = org.apache.spark.sql.graft.ManifestScanShim
+          .parquetScan(spark, tableDir, files, schema)
         // the row-delete rule is per-row and composes with any file
         // subset — apply it over the pruned scan
-        applyDelete(spark, tableDir, snap, spark.read.parquet(files: _*))
+        applyDelete(spark, tableDir, snap, scan)
+      }
     }
   }
 
@@ -1418,7 +1493,8 @@ object TableManifest {
     val nextSeq = cur.map(_.seq + 1).getOrElse(1L)
     val next = writeGeneration(spark, tableDir, nextSeq, df)
     val nextMeta = withGenReapedOnFailure(spark, tableDir, next) {
-      collectGenMeta(spark, tableDir, next, statsCol)
+      collectGenMeta(spark, tableDir, next, statsCol,
+        Some(writtenSchemaJson(df.schema)))
     }
     val snap = Snapshot(Seq(next),
       cur.map(_.snap.writers).getOrElse(Map.empty),
@@ -1545,7 +1621,8 @@ object TableManifest {
       return None // replay: skip before writing
     var gen = writeGeneration(spark, tableDir, base.seq + 1, df)
     val genMeta = withGenReapedOnFailure(spark, tableDir, gen) {
-      collectGenMeta(spark, tableDir, gen, statsCol)
+      collectGenMeta(spark, tableDir, gen, statsCol,
+        Some(writtenSchemaJson(df.schema)))
     }
     var attempts = 0
     while (attempts <= maxRetries) {
@@ -1664,7 +1741,8 @@ object TableManifest {
           // the fold: its output is plain rows and commits merge-free
           val df = transform(readSnapshot(spark, tableDir, snap))
           df.write.mode("errorifexists").parquet(s"$tableDir/$name")
-          Some(name -> collectGenMeta(spark, tableDir, name, statsCol))
+          Some(name -> collectGenMeta(spark, tableDir, name, statsCol,
+            Some(writtenSchemaJson(df.schema))))
         } catch {
           case scala.util.control.NonFatal(e) =>
             // A failed attempt's partial write is ours and unreferenced —
@@ -1967,6 +2045,10 @@ object TableManifest {
               .repartition(numBuckets, col(BucketCol))
               .write.mode("errorifexists")
               .partitionBy(BucketCol).parquet(stage.toString)
+            // every bucket generation of one staged write shares one
+            // schema — record the first's for the rest (one footer
+            // read per COMMIT, not per bucket)
+            var sharedSchema: Option[String] = None
             val moved = fs.listStatus(stage)
               .filter(e => e.isDirectory &&
                 e.getPath.getName.startsWith(s"$BucketCol="))
@@ -1977,8 +2059,11 @@ object TableManifest {
                   java.util.UUID.randomUUID.toString.take(8)
                 require(fs.rename(d.getPath, new Path(tableDir, gname)),
                   s"upsertBucketed: staging rename failed for bucket $b")
-                gname -> collectGenMeta(spark, tableDir, gname,
-                  inheritedStatsCol(snap, batch.columns.toSeq))
+                val gm = collectGenMeta(spark, tableDir, gname,
+                  inheritedStatsCol(snap, batch.columns.toSeq),
+                  sharedSchema)
+                if (sharedSchema.isEmpty) sharedSchema = gm.schemaJson
+                gname -> gm
               }.toSeq
             Some(moved)
           } catch {
@@ -2111,6 +2196,8 @@ object TableManifest {
         .repartition(numBuckets, col(BucketCol))
         .write.mode("errorifexists")
         .partitionBy(BucketCol).parquet(stage.toString)
+      // one schema per staged write: first bucket's footer serves all
+      var sharedSchema: Option[String] = None
       fs.listStatus(stage)
         .filter(e => e.isDirectory &&
           e.getPath.getName.startsWith(s"$BucketCol="))
@@ -2121,7 +2208,10 @@ object TableManifest {
             java.util.UUID.randomUUID.toString.take(8)
           require(fs.rename(d.getPath, new Path(tableDir, gname)),
             s"stageDeltaGens: staging rename failed for bucket $b")
-          gname -> collectGenMeta(spark, tableDir, gname, statsCol)
+          val gm = collectGenMeta(spark, tableDir, gname, statsCol,
+            sharedSchema)
+          if (sharedSchema.isEmpty) sharedSchema = gm.schemaJson
+          gname -> gm
         }.toSeq
     } finally fs.delete(stage, true)
   }
@@ -2420,6 +2510,8 @@ object TableManifest {
             .repartition(n, col(BucketCol))
             .write.mode("errorifexists")
             .partitionBy(BucketCol).parquet(stage.toString)
+          // one schema per staged write: first bucket serves all
+          var sharedSchema: Option[String] = None
           Some(fs.listStatus(stage)
             .filter(e => e.isDirectory &&
               e.getPath.getName.startsWith(s"$BucketCol="))
@@ -2430,8 +2522,10 @@ object TableManifest {
                 java.util.UUID.randomUUID.toString.take(8)
               require(fs.rename(d.getPath, new Path(tableDir, gname)),
                 s"compactDeltas: staging rename failed for bucket $b")
-              gname -> collectGenMeta(spark, tableDir, gname,
-                inheritedStatsCol(snap, cur.columns.toSeq))
+              val gm = collectGenMeta(spark, tableDir, gname,
+                inheritedStatsCol(snap, cur.columns.toSeq), sharedSchema)
+              if (sharedSchema.isEmpty) sharedSchema = gm.schemaJson
+              gname -> gm
             }.toSeq)
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -2655,6 +2749,8 @@ object TableManifest {
     // names re-align to each attempt's seq below)
     val stage = new Path(tableDir,
       s"._stage-part-${java.util.UUID.randomUUID.toString.take(8)}")
+    // one schema per staged write: first value's footer serves all
+    var sharedSchema: Option[String] = None
     var staged: Seq[(String, String, GenMeta)] =
       try {
         df.withColumn(PartStageCol, partValueExpr(partCol))
@@ -2675,7 +2771,10 @@ object TableManifest {
               java.util.UUID.randomUUID.toString.take(8)
             require(fs.rename(d.getPath, new Path(tableDir, gname)),
               s"appendPartitioned: staging rename failed for '$value'")
-            (value, gname, collectGenMeta(spark, tableDir, gname, None))
+            val gm = collectGenMeta(spark, tableDir, gname, None,
+              sharedSchema)
+            if (sharedSchema.isEmpty) sharedSchema = gm.schemaJson
+            (value, gname, gm)
           }.toSeq
       } finally fs.delete(stage, true)
     def reapStaged(): Unit =
@@ -2952,7 +3051,14 @@ object TableManifest {
       val meta = snap.generations.map { g =>
         val base = snap.meta.getOrElse(g,
           collectGenMeta(spark, tableDir, g, None))
-        val genCols = spark.read.parquet(s"$tableDir/$g").columns.toSet
+        // per-generation columns from the recorded schema when the
+        // manifest carries one — the directory read (one listing +
+        // footer per generation) only for pre-schema manifests
+        val genCols = base.schemaJson
+          .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSet)
+          .getOrElse(spark.read.parquet(s"$tableDir/$g").columns.toSet)
         g -> base.copy(cols =
           mapping.cols.filter { case (_, n) => genCols.contains(n) })
       }.toMap
@@ -3071,10 +3177,11 @@ object TableManifest {
         s"(columns: ${tableCols.mkString(",")})"))
     var gname = f"$GenPrefix${base.seq + 1}%06d-x-" +
       java.util.UUID.randomUUID.toString.take(8)
-    keys.select(keyCols.map(col): _*).distinct()
-      .write.mode("errorifexists").parquet(s"$tableDir/$gname")
+    val tomb = keys.select(keyCols.map(col): _*).distinct()
+    tomb.write.mode("errorifexists").parquet(s"$tableDir/$gname")
     val gm = withGenReapedOnFailure(spark, tableDir, gname) {
-      collectGenMeta(spark, tableDir, gname, None)
+      collectGenMeta(spark, tableDir, gname, None,
+        Some(writtenSchemaJson(tomb.schema)))
     }
     var attempts = 0
     while (attempts <= maxRetries) {

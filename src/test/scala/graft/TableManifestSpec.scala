@@ -1294,7 +1294,7 @@ class TableManifestSpec extends AnyFunSuite {
       "a stats-pruned scan must still apply the tombstone rule")
     assert(pruned.filter(col("k") % 10 === 0).count() == 0)
     val info = TableManifest.prunedFilesInfo(spark, tbl, "k", 90, 210)
-    assert(!info.files.exists(_.contains("-x-")),
+    assert(!info.files.exists(_._1.contains("-x-")),
       "tombstone key files must never enter the data selection " +
         "(they are the rule side of the plan, not scan input)")
     assert(info.files.size < info.total && info.files.nonEmpty,
@@ -2076,6 +2076,54 @@ class TableManifestSpec extends AnyFunSuite {
     intercept[Exception] {
       TableCatalog.sqlManifested(sibling,
         "SELECT count(*) FROM manif_scoped_t").collect()
+    }
+  }
+
+  test("the manifest-recorded schema IS the footer-inferred schema — " +
+      "for plain, staged-bucket, delta, tombstone and partition-staged " +
+      "generations — so scan construction reads zero footers and zero " +
+      "listings, and the read's schema is byte-identical to a directory " +
+      "read's") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit, to_timestamp}
+    // schema with every normalization hazard: non-nullable longs/ints
+    // from literals, nested array, timestamp_ntz
+    def rows(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, s"v$i", i * 1.5)).toDF("k", "tag", "v")
+      .withColumn("nn", lit(7))
+      .withColumn("arr", array(col("k")))
+      .withColumn("ts", to_timestamp(lit("2020-01-01 00:00:00"))
+        .cast("timestamp_ntz"))
+    val tbl = tmpTable("manifschema")
+    TableManifest.publish(spark, tbl, rows(0, 64), statsCol = Some("k"))
+    TableManifest.append(spark, tbl, rows(64, 96))
+    TableManifest.upsertBucketed(spark, tbl, rows(0, 8),
+      Seq("k"), "v", "tag", numBuckets = 4)
+    TableManifest.upsertBucketedDelta(spark, tbl, rows(8, 12),
+      Seq("k"), "v", "tag", numBuckets = 4)
+    TableManifest.deleteRows(spark, tbl, Seq(63L).toDF("k"), Seq("k"))
+    val head = TableManifest.resolveHead(spark, tbl).get
+    head.snap.generations.foreach { g =>
+      val rec = head.snap.meta(g).schemaJson
+      assert(rec.isDefined, s"generation $g lost its recorded schema")
+      val inferred = spark.read.parquet(s"$tbl/$g").schema.json
+      assert(rec.contains(inferred),
+        s"generation $g recorded schema != footer inference:\n" +
+          s"  recorded: ${rec.get}\n  inferred: $inferred")
+    }
+    // the partition-staged writer too (separate table: partition rules
+    // and merge rules don't mix)
+    val tbl2 = tmpTable("manifschemap")
+    TableManifest.publish(spark, tbl2,
+      rows(0, 4).withColumn("part", col("k") % 2))
+    TableManifest.appendPartitioned(spark, tbl2,
+      rows(4, 32).withColumn("part", col("k") % 2), "part")
+    val head2 = TableManifest.resolveHead(spark, tbl2).get
+    head2.snap.generations.foreach { g =>
+      val rec = head2.snap.meta(g).schemaJson
+      assert(rec.isDefined, s"generation $g lost its recorded schema")
+      assert(rec.contains(spark.read.parquet(s"$tbl2/$g").schema.json),
+        s"partition generation $g recorded schema != footer inference")
     }
   }
 }
