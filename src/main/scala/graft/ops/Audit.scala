@@ -3274,12 +3274,19 @@ object Audit {
     // op, a double-delivered version, or a mis-ordered delete/upsert
     // pair fails counts AND checksums); relay_exact/resync_loud are
     // the engine's cursor and loudness claims, the mirror equality is
-    // ALSO asserted engine-side against the live source
+    // ALSO asserted engine-side against the live source. The winner
+    // rule applies only when some upsert ROW exists (`up.c > 0`): an
+    // EMPTY upsertDelta is the engine's documented no-op — it pins no
+    // merge rule — so at a scale where both upsert slices are empty
+    // (sf0.001's 1000-event table) the mirrored state is the plain
+    // append-minus-deletes, not winner-per-user.
     "q257_changefeed_relay" ->
       """WITH base AS (
         |  SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE event_id < 6000
         |    AND (user_id % 7 <> 0 OR event_id >= 5000)),
+        |up AS (SELECT COUNT(*) AS c FROM events
+        |       WHERE event_id >= 3000 AND event_id < 6000),
         |w AS (SELECT user_id, event_id, event_type,
         |             row_number() OVER (PARTITION BY user_id
         |               ORDER BY ts DESC, event_id DESC) AS rn
@@ -3290,7 +3297,7 @@ object Audit {
         |             event_type)), 1, 13)) AS BIGINT)
         |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
         |       TRUE AS relay_exact, TRUE AS resync_loud
-        |FROM w WHERE rn = 1
+        |FROM w, up WHERE rn = 1 OR up.c = 0
         |GROUP BY 1 ORDER BY part""".stripMargin,
     // q258: metadata-only partition drop — the survivors recomputed
     // from the raw source (a lingering click generation fails counts
@@ -3382,12 +3389,16 @@ object Audit {
     // q263: the streaming changefeed reaches the SAME final state as
     // q257's batch relay (winner-per-user of the delete-then-re-add
     // choreography) — recomputed from raw; stream_exact carries the
-    // engine's idle-restart + src≡dst equality claims
+    // engine's idle-restart + src≡dst equality claims. Winner rule
+    // conditioned on `up.c > 0` exactly as q257's oracle: an empty
+    // upsertDelta pins no merge rule (the engine's no-op contract).
     "q263_changefeed_stream" ->
       """WITH base AS (
         |  SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE event_id < 6000
         |    AND (user_id % 7 <> 0 OR event_id >= 5000)),
+        |up AS (SELECT COUNT(*) AS c FROM events
+        |       WHERE event_id >= 3000 AND event_id < 6000),
         |w AS (SELECT user_id, event_id, event_type,
         |             row_number() OVER (PARTITION BY user_id
         |               ORDER BY ts DESC, event_id DESC) AS rn
@@ -3398,7 +3409,7 @@ object Audit {
         |             event_type)), 1, 13)) AS BIGINT)
         |           AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
         |       TRUE AS stream_exact
-        |FROM w WHERE rn = 1
+        |FROM w, up WHERE rn = 1 OR up.c = 0
         |GROUP BY 1 ORDER BY part""".stripMargin,
     "q233_compaction_execute" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
