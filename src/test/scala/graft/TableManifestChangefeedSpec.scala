@@ -735,4 +735,39 @@ class TableManifestChangefeedSpec extends AnyFunSuite {
     assert(del.head.getLong(2) == 0)
     assert(TableManifest.currentGenerations(spark, tbl) == before)
   }
+
+  test("an EMPTY upsertDelta is a no-op: no generation, no merge rule " +
+      "pinned (duplicate keys stay unresolved), and the changefeed " +
+      "relays it as a cursor-advancing watermark commit — the contract " +
+      "the q257/q263 oracles encode at scales where the fixture's " +
+      "upsert slices are empty") {
+    import spark.implicits._
+    val src = tmpTable("emptyupsrc")
+    val dst = tmpTable("emptyupdst")
+    val rows = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    TableManifest.publish(spark, src, rows.limit(0))
+    TableManifest.publish(spark, dst, rows.limit(0))
+    TableManifest.append(spark, src, rows, Some(0L))
+    val gensBefore = TableManifest.currentGenerations(spark, src)
+    // empty batch: watermark-only — generations unchanged, NO merge
+    // rule (a no-op upsert must not change what the table reads as)
+    TableManifest.upsertDelta(spark, src, rows.limit(0),
+      Seq("k"), "ts", "tag", numBuckets = 4, batchId = Some(1L))
+    assert(TableManifest.currentGenerations(spark, src) == gensBefore,
+      "an empty upsertDelta must commit no generation")
+    assert(TableManifest.read(spark, src).count() == 3,
+      "an empty upsertDelta must not pin a merge rule: duplicate keys " +
+        "stay unresolved (3 rows, not winner-per-key's 2)")
+    // the changefeed mirrors the no-op: one catch-up delivers the
+    // append's rows only, and the cursor lands at the head (the
+    // watermark-only version advances it without a batch)
+    val h1 = TableManifest.relayChanges(spark, src, dst)
+    assert(h1 == TableManifest.versions(spark, src).last)
+    assert(TableManifest.read(spark, dst).count() == 3)
+    val dstHead = TableManifest.versions(spark, dst).last
+    assert(TableManifest.relayChanges(spark, src, dst) == h1 &&
+      TableManifest.versions(spark, dst).last == dstHead,
+      "an at-head re-poll after the no-op must commit nothing")
+  }
 }
